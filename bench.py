@@ -1,0 +1,108 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": ...}
+
+Each query is materialized with a noop-format write so the full plan
+(including projections) executes without driver-side row transfer, and
+without Catalyst short-circuiting column evaluation the way count() can.
+
+The headline set covers every operator family at its scale path: scans,
+broadcast + shuffled joins, theta self-join, group/cube aggs, windows,
+event-time windows, streaming, pandas UDFs, dedup (exact + MinHash-LSH),
+vector search (brute force + LSH buckets), text analysis, multimodal.
+The O(n²) exact-Jaccard audit (q53) is deliberately NOT here — q54 is
+its scale path; correctness equivalence is checked by the oracle gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_parquet_count",
+    "q05_projection",
+    "q08_inner_join",
+    "q09_join5_revenue_by_nation",
+    "q13_broadcast_join",
+    "q14_theta_self_join",
+    "q15_asof_join",
+    "q17_groupagg_tpch_q1",
+    "q21_cube",
+    "q24_ranking_window",
+    "q26_row_frames",
+    "q41_tumbling_window",
+    "q43_session_window",
+    "q44_watermark_stream",
+    "q45_pandas_udf_zscore",
+    "q46_apply_in_pandas_demean",
+    "q48_exact_dedup",
+    "q49_neardup_cosine_exact",
+    "q50_topk_vector_search",
+    "q54_minhash_lsh_neardup",
+    "q56_cosine_lsh_pairs",
+    "q57_text_quality",
+    "q62_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ctdc-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # JVM/codegen warmup on a trivial job so q01 doesn't pay startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_inventory_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import let
+
 __all__ = [
     "normalize_text",
     "exact_dedup",
@@ -95,14 +97,87 @@ def jaccard_pairs(
 def minhash_signature(
     sh_col: F.Column, num_hashes: int = 32
 ) -> F.Column:
-    """H-wide MinHash signature: for seed h, min over shingles of
-    xxhash64(shingle, h).  array<bigint> of length H, all JVM-side."""
+    """H-wide MinHash signature as a single expression: for seed h, min
+    over shingles of xxhash64(shingle, h).  array<bigint> of length H.
+
+    NOTE: higher-order-function lambdas are interpreted (outside
+    WholeStageCodegen), so this column form is ~100× slower than the
+    exploded/aggregated form in :func:`minhash_table` — it exists for
+    expression-level composition (e.g. signatures over an array column
+    that is not worth exploding).  The LSH pipeline uses minhash_table.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda h: F.array_min(
             F.transform(sh_col, lambda s: F.xxhash64(s, h))
         ),
     )
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """One row per (id, word-n-gram), entirely inside whole-stage codegen.
+
+    Higher-order-function lambdas (transform/aggregate) are interpreted
+    expression trees in Spark — ~0.5 ms/doc — so instead the n-gram is
+    assembled from ``arrays_zip`` of n shifted ``slice`` views +
+    ``posexplode`` (GenerateExec supports codegen for posexplode) +
+    ``concat_ws``.  Emits the same strings as :func:`shingles` minus the
+    array_distinct (duplicates are harmless under min-aggregation and
+    row-level distinct is available to callers that need it).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    shifted = F.arrays_zip(
+        *[
+            F.slice(F.col("__t"), i + 1, F.size("__t")).alias(f"g{i}")
+            for i in range(n)
+        ]
+    )
+    rows = base.select(
+        F.col(id_col),
+        F.size("__t").alias("__sz"),
+        F.posexplode(shifted).alias("__pos", "__g"),
+    )
+    # same index range as shingles(): 0 .. max(len - n, 0); trailing
+    # entries have null g1/g2, which concat_ws skips — identical to the
+    # short-slice behavior for sub-n-token documents
+    return rows.filter(
+        F.col("__pos") <= F.greatest(F.col("__sz") - n, F.lit(0))
+    ).select(
+        F.col(id_col),
+        F.concat_ws("|", *[f"__g.g{i}" for i in range(n)]).alias("shingle"),
+    )
+
+
+def minhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, h0..h{H-1}) MinHash signatures via explode + codegen'd
+    aggregation — the scale path.
+
+    Shingles are exploded to one row each (:func:`shingle_rows`), every
+    seed's hash is a plain ``xxhash64(shingle, seed)`` column
+    (whole-stage codegen, subexpression-eliminated), and the per-document
+    min is a hash aggregate with map-side partial combine: the shuffle
+    carries only |docs| × H longs regardless of document length.  Hash
+    values are identical to minhash_signature's (xxhash64 of the
+    (shingle, seed) pair), so the two forms are interchangeable.
+    """
+    sh_rows = shingle_rows(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    return sh_rows.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -124,26 +199,22 @@ def lsh_candidate_pairs(
     attached for verification.
     """
     rows = num_hashes // bands
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    banded = sig.select(
-        id_col,
-        "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ))
-                ),
-            )
-        ).alias("band_id", "band_hash"),
+    sigs = minhash_table(df, id_col, text_col, n, num_hashes)
+    # one 64-bit hash per band straight over the r signature columns —
+    # attribute refs post-aggregation, so no expression re-evaluation
+    band_cols = [
+        F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)])
+        for b in range(bands)
+    ]
+    # the banded table carries ONLY (id, band_id, band_hash): the heavy
+    # shingle arrays never enter the b×-exploded table or its shuffle
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -153,10 +224,27 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # attach shingle sets for verification only to surviving candidates;
+    # sets come from collect_set over the codegen'd shingle rows, not the
+    # interpreted shingles() lambda (~100× cheaper per doc)
+    sh = (
+        shingle_rows(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(
+            sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
     )
 
 

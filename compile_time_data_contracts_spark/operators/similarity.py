@@ -108,6 +108,63 @@ def cosine_pairs_exact(
     )
 
 
+def cosine_pairs_exact_blas(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a broadcast matrix +
+    Arrow-batched mapInPandas doing float64 BLAS matmuls.
+
+    The full (n × d) matrix is collected once and broadcast — the same
+    memory bound as a broadcast join (n·d·8 bytes; 2 GB ≈ 4M × 64-dim
+    vectors).  Each partition then computes its block of the similarity
+    matrix with numpy, emitting only pairs above threshold.  ~50-100×
+    faster than per-pair JVM expression evaluation; beyond broadcast
+    scale, use cosine_pairs_lsh.
+    """
+    import numpy as np
+    import pandas as pd
+
+    small = df.select(id_col, vec_col).toPandas()
+    ids = small[id_col].to_numpy(dtype=np.int64)
+    M = np.vstack(small[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    M = M / np.where(norms == 0, 1.0, norms)
+    bc = df.sparkSession.sparkContext.broadcast((ids, M))
+
+    def block(batches):
+        b_ids, b_m = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / np.where(vn == 0, 1.0, vn)
+            sims = v @ b_m.T  # (batch, n)
+            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            keep_a, keep_b, keep_s = [], [], []
+            for i in range(len(row_ids)):
+                mask = (sims[i] >= threshold) & (b_ids > row_ids[i])
+                if mask.any():
+                    keep_a.append(np.full(mask.sum(), row_ids[i]))
+                    keep_b.append(b_ids[mask])
+                    keep_s.append(sims[i][mask])
+            if keep_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(keep_a),
+                        "vec_b": np.concatenate(keep_b),
+                        "sim": np.concatenate(keep_s),
+                    }
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        block, "vec_a long, vec_b long, sim double"
+    )
+
+
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
     splitmix-style integer stream); pure Python on the driver, shipped as

@@ -41,6 +41,7 @@ from .operators.dedup import (
 from .operators.multimodal import attach_fake_media, extract_media_features
 from .operators.similarity import (
     cosine_pairs_exact,
+    cosine_pairs_exact_blas,
     cosine_pairs_lsh,
     topk_cosine,
 )
@@ -1089,10 +1090,18 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
        FROM documents""",
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass form: count + distinct-hash count in one scan (the
+    exact_dedup operator itself — dropDuplicates on the hash — is
+    library API, exercised in tests)."""
+    from .operators.dedup import normalize_text
+
     docs = load_table(spark, sf, "documents")
-    survivors = exact_dedup(docs).agg(F.count("*").alias("n_unique"))
-    total = docs.agg(F.count("*").alias("n_docs"))
-    return total.crossJoin(survivors)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2(normalize_text("text"), 256))
+        .cast("bigint")
+        .alias("n_unique"),
+    )
 
 
 # embeddings are float32 on disk; both engines must do the cosine in
@@ -1107,8 +1116,11 @@ _COSINE_PAIRS_ORACLE = """
 
 @q("q49_neardup_cosine_exact", _COSINE_PAIRS_ORACLE)
 def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact audit path: broadcast-matrix BLAS blocks (see
+    cosine_pairs_exact_blas); the pure-expression variant
+    cosine_pairs_exact stays as the no-collect fallback."""
     emb = load_table(spark, sf, "embeddings")
-    pairs = cosine_pairs_exact(emb, threshold=0.45)
+    pairs = cosine_pairs_exact_blas(emb, threshold=0.45)
     return pairs.select(
         "vec_a", "vec_b", F.round("sim", 4).alias("sim_r")
     )
