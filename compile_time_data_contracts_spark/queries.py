@@ -1263,7 +1263,9 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucketed cosine self-join — the ANN scale path; the
     exact-join audit is q49."""
     emb = load_table(spark, sf, "embeddings")
-    pairs = cosine_pairs_lsh(emb, threshold=0.45, planes=8, dim=64)
+    pairs = cosine_pairs_lsh(
+        emb, threshold=0.45, bits=8, tables=16, probes=1, dim=64
+    )
     return pairs.select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r"))
 
 
