@@ -1,0 +1,410 @@
+"""Operator-library unit tests: dedup, similarity, as-of join, top-k,
+text analysis, multimodal plumbing.
+
+Oracles here are tiny hand-computable datasets (and numpy for vector
+math) — the full-table DuckDB hash-match harness lives in
+tools/compare_oracle.py; these tests pin operator semantics and edge
+cases that the table-level harness can't isolate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from compile_time_data_contracts_spark.operators.asof import asof_join
+from compile_time_data_contracts_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    minhash_table,
+    shingle_rows,
+    shingles,
+    simhash,
+)
+from compile_time_data_contracts_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    attach_fake_media,
+    extract_media_features,
+)
+from compile_time_data_contracts_spark.operators.similarity import (
+    cosine,
+    cosine_pairs_exact,
+    cosine_pairs_exact_blas,
+    cosine_pairs_lsh,
+    topk_cosine,
+)
+from compile_time_data_contracts_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    language_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    token_diversity,
+)
+from compile_time_data_contracts_spark.operators.topk import topk_per_group
+
+
+# ---------------------------------------------------------------- dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different text about spark engines here"),
+    (4, "The  Quick Brown  fox jumps over the lazy dog"),  # exact dup of 1 mod case/ws
+    (5, "short doc"),
+    (6, "x"),  # single token: fewer tokens than shingle width
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(docs):
+    kept = exact_dedup(docs)
+    # 1 and 4 normalize identically -> one survives
+    assert kept.count() == 5
+    texts = {r.doc_id for r in kept.collect()}
+    assert len({1, 4} & texts) == 1
+
+
+def test_shingle_rows_matches_expression_shingles(docs):
+    """The codegen explode path must emit exactly the expression path's
+    shingle set (modulo duplicates) for every row, including sub-n docs."""
+    a = shingle_rows(docs).distinct()
+    b = docs.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("shingle")
+    ).distinct()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_shingles_short_doc_single_shingle(docs):
+    row = docs.filter(F.col("doc_id") == 6).select(
+        shingles("text", 3).alias("sh")
+    ).first()
+    assert row.sh == ["x"]
+
+
+def test_minhash_table_matches_expression_signature(docs):
+    """minhash_table's h0..hN columns must equal the expression-level
+    minhash_signature values (same xxhash64(shingle, seed) stream)."""
+    expr = docs.select(
+        "doc_id", minhash_signature(shingles("text", 3), 8).alias("sig")
+    ).collect()
+    tab = minhash_table(docs, num_hashes=8).collect()
+    by_id_expr = {r.doc_id: r.sig for r in expr}
+    by_id_tab = {r.doc_id: [r[f"h{i}"] for i in range(8)] for r in tab}
+    assert by_id_expr == by_id_tab
+
+
+def test_jaccard_pairs_exact_value(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    # docs 1/2 share 6 of 7+7 distinct 3-shingles -> J = 6/8
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == pytest.approx(6 / 8)
+    # 1/4 differ after case folding? shingles are case-sensitive -> not a pair
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_minhash_near_dup_finds_planted_pair(docs):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    # verification step: no false positives below threshold
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got <= exact
+
+
+def test_lsh_candidates_carry_shingle_sets(docs):
+    cand = lsh_candidate_pairs(docs).filter(
+        (F.col("doc_a") == 1) & (F.col("doc_b") == 2)
+    ).first()
+    assert cand is not None
+    assert set(cand.sh_a) == set(
+        docs.filter(F.col("doc_id") == 1)
+        .select(shingles("text", 3).alias("s"))
+        .first()
+        .s
+    )
+
+
+def test_simhash_deterministic_and_near_for_near_dups(docs):
+    sig = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash("text").alias("s")).collect()
+    }
+    sig2 = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash("text").alias("s")).collect()
+    }
+    assert sig == sig2
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    # near-dups differ in fewer bits than unrelated docs
+    assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
+
+
+# ------------------------------------------------------------ similarity
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _np_cosine(a, b):
+    da = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return da / (na * nb)
+
+
+def test_cosine_expression_matches_python(vecs):
+    got = (
+        vecs.alias("a")
+        .crossJoin(vecs.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+        )
+        .collect()
+    )
+    by_pair = {(r.i, r.j): r.sim for r in got}
+    for i, va in VECS:
+        for j, vb in VECS:
+            assert by_pair[(i, j)] == pytest.approx(
+                _np_cosine(va, vb), abs=1e-12
+            )
+
+
+def test_exact_pairs_expression_and_blas_agree(vecs):
+    t = 0.4
+    a = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cosine_pairs_exact(vecs, t).collect()
+    }
+    b = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cosine_pairs_exact_blas(vecs, t).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_topk_cosine_order(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    top = topk_cosine(vecs, q, k=3).collect()
+    assert [r.vec_id for r in top] == [0, 1, 4]
+    assert top[0].sim == pytest.approx(1.0)
+
+
+def test_lsh_pairs_subset_of_exact_with_high_recall(spark):
+    # 60 planted clusters of 2 near-identical vectors + noise dims
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(60):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(2):
+            jit = [x + rng.gauss(0, 0.05) for x in base]
+            rows.append((vid, jit))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs_exact_blas(df, 0.8).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs_lsh(df, 0.8, dim=16).collect()
+    }
+    assert got <= exact  # exact verification -> precision 1
+    assert len(got) >= 0.9 * len(exact)  # multi-table recall
+
+
+# --------------------------------------------------------------- as-of
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 12:00:00"),
+            (2, "2024-01-01 09:00:00"),  # before any right row
+        ],
+        ["k", "lts"],
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", 10.0),
+            (1, "2024-01-01 10:00:00", 20.0),  # equal ts: must match
+            (1, "2024-01-01 11:00:00", 30.0),
+            (2, "2024-01-01 09:30:00", 99.0),
+        ],
+        ["k", "rts", "v"],
+    ).withColumn("rts", F.to_timestamp("rts"))
+
+    out = {
+        (r.k, str(r.lts)): r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"],
+        ).collect()
+    }
+    # equal timestamp: right row at 10:00 is visible (ASOF >=)
+    assert out[(1, "2024-01-01 10:00:00")] == 20.0
+    # latest preceding right row wins
+    assert out[(1, "2024-01-01 12:00:00")] == 30.0
+    # no preceding right row -> null
+    assert out[(2, "2024-01-01 09:00:00")] is None
+
+
+# --------------------------------------------------------------- top-k
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(3)],
+        ["g", "v"],
+    )
+    out = topk_per_group(df, ["g"], [F.desc("v")], k=2)
+    got = {(r.g, r.v) for r in out.collect()}
+    assert got == {("a", 9), ("a", 8), ("b", 2), ("b", 1)}
+    assert all(r.rn <= 2 for r in out.collect())
+
+
+# ----------------------------------------------------------------- text
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog!"), (2, "word"), (3, "a a a a")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            bpe_ish_token_count("text").alias("bpe"),
+            punct_ratio("text").alias("punct"),
+            stopword_ratio("text").alias("stop"),
+            token_diversity("text").alias("div"),
+        ).collect()
+    }
+    assert got[1].n == 5
+    assert got[1].bpe == 6  # five words + '!'
+    assert got[1].punct == pytest.approx(1 / 20)
+    assert got[1].stop == pytest.approx(3 / 5)  # the, and, the
+    assert got[2].div == pytest.approx(1.0)
+    assert got[3].div == pytest.approx(1 / 4)
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the rising sun and a dog"),
+            (2, "el perro de la casa y que bonito"),
+            (3, "der hund und die katze das haus"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", language_id("text").alias("lang")
+        ).collect()
+    }
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "und"
+
+
+def test_fingerprint_md5_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world "), (3, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", fingerprint_md5("text").alias("fp")
+        ).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_quality_score_bands(spark):
+    long_doc = " ".join(f"tok{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "tiny")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.q
+        for r in df.select(
+            "doc_id", quality_score("text").alias("q")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1.0)  # in-band length, full diversity
+    assert got[2] < got[1]
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_media_features_schema_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "")], ["doc_id", "text"]
+    )
+    feats = extract_media_features(attach_fake_media(df))
+    assert feats.schema == FEATURE_SCHEMA
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert rows[1].byte_len == 5
+    assert rows[1].checksum == sum(b"hello")
+    assert rows[2].byte_len == 0
+    # deterministic across runs
+    again = {
+        r.doc_id: r
+        for r in extract_media_features(attach_fake_media(df)).collect()
+    }
+    assert rows == again
+
+
+def test_media_decode_stub_gate(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    feats = extract_media_features(
+        attach_fake_media(df), decode_stub=False
+    )
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        feats.collect()

@@ -1,0 +1,181 @@
+"""Structured Streaming tests: batch/stream equivalence, late-data drop
+under a watermark, stateful dedup.
+
+The feed is a temp directory of parquet files with controlled
+modification times so the file source's batch order is deterministic
+(`maxFilesPerTrigger=1` + mtime ordering).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from compile_time_data_contracts_spark.streaming.windows import (
+    dedup_within_watermark,
+    events_stream,
+    run_stream_to_memory,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch_tumbling(spark):
+    """Complete-mode availableNow run over the static events feed must
+    equal the batch aggregation exactly."""
+    result = run_stream_to_memory(spark, SF_DIR, query_name="t_eq_batch")
+    batch = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+    got = {(r.window_start, r.n) for r in result.collect()}
+    want = {(r.window_start, r.n) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def _write_feed(spark, base, batches):
+    """Write one parquet file per batch with increasing mtimes so the
+    file stream processes them in order."""
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    t0 = time.time() - 1000
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        tmp = os.path.join(base, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode with a 1-hour watermark: a row arriving in batch 2
+    that is older than (max_ts_seen - 1h) must be dropped; a late-but-
+    within-watermark row must still be counted."""
+    from pyspark.sql import types as T
+    import datetime as dt
+
+    base = str(tmp_path / "feed")
+    ts = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    _write_feed(
+        spark,
+        base,
+        [
+            # batch 0: events up to 12:00 -> watermark 11:00 after commit
+            [(1, 1, ts(9, 30), 1.0), (2, 1, ts(12, 0), 1.0)],
+            # batch 1: keep-alive — the late-row FILTER uses the
+            # watermark lagging one batch behind the reported value, so
+            # the 11:00 watermark only becomes effective in batch 2
+            [(6, 1, ts(12, 30), 1.0)],
+            # batch 2: 09:45's window end (10:00) < effective watermark
+            # (11:00) -> DROPPED; 11:30 is within watermark -> counted
+            [(3, 1, ts(9, 45), 1.0), (4, 1, ts(11, 30), 1.0)],
+            # batch 3: push the watermark past 13:00 so the 11:00 and
+            # 12:00 windows close and emit in append mode
+            [(5, 1, ts(15, 0), 1.0)],
+        ],
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.ws, r.n) for r in spark.table("t_late_drop").collect()}
+    # 09:00 window: only event 1 (event 3 dropped as late)
+    assert ("09:00", 1) in got
+    # 11:30 arrived late but within watermark -> counted
+    assert ("11:00", 1) in got
+    # 12:00 window holds events 2 and 6
+    assert ("12:00", 2) in got
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    base = str(tmp_path / "dedup_feed")
+    ts = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    _write_feed(
+        spark,
+        base,
+        [
+            [(1, 1, ts(10), 1.0), (1, 1, ts(10, 5), 1.0)],  # dup in-batch
+            [(1, 1, ts(10, 10), 1.0), (2, 1, ts(10, 20), 1.0)],  # dup cross-batch
+        ],
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    out = dedup_within_watermark(stream, ["event_id"], watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = [r.event_id for r in spark.table("t_dedup_wm").collect()]
+    assert sorted(ids) == [1, 2]
+
+
+def test_events_stream_schema_pinned(spark):
+    """Streaming reads must use the contract schema, never inference."""
+    s = events_stream(spark, SF_DIR, glob="events.parquet")
+    assert s.isStreaming
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in s.schema.fields
+    )["ts"] == "timestamp"
+    agg = tumbling_counts(s)
+    assert "window_start" in agg.columns
