@@ -1,0 +1,105 @@
+"""Physical-plan audit: assert the plans we want, not just the answers.
+
+For each audited query this checks properties that matter at 100 TB:
+  * small dimension tables are broadcast (no shuffle join against region/
+    nation/part at lineitem scale),
+  * filters reach the parquet scan (PushedFilters),
+  * scans read only referenced columns (ReadSchema pruning),
+  * no CartesianProduct where one wasn't asked for.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Prints one line per check; exits 1 if any required check fails.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+CHECKS = {
+    # query -> list of (name, required, predicate on formatted plan text)
+    "q05_projection": [
+        ("column-pruned scan", True,
+         lambda p: re.search(r"ReadSchema: [^\n]*l_orderkey", p)
+         and not re.search(r"ReadSchema: [^\n]*l_comment", p)),
+    ],
+    "q06_predicates": [
+        ("filters pushed to scan", True,
+         lambda p: re.search(r"PushedFilters: \[[^\]]*o_orderstatus", p)),
+    ],
+    "q08_inner_join": [
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+    ],
+    "q09_join5_revenue_by_nation": [
+        ("dims broadcast", True, lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+    ],
+    "q13_broadcast_join": [
+        ("part broadcast", True, lambda p: "BroadcastHashJoin" in p),
+    ],
+    "q14_theta_self_join": [
+        ("equi-key extracted (no BNLJ over pairs)", True,
+         lambda p: "SortMergeJoin" in p or "ShuffledHashJoin" in p
+         or "BroadcastHashJoin" in p),
+    ],
+    "q17_groupagg_tpch_q1": [
+        ("partial aggregation", True,
+         lambda p: "partial_sum" in p or "partial" in p.lower()),
+        ("shipdate filter pushed", True,
+         lambda p: re.search(r"PushedFilters: \[[^\]]*l_shipdate", p)),
+    ],
+    "q29_topk_per_group": [
+        ("single shuffle for window", True,
+         lambda p: p.count("Exchange") <= 2),
+    ],
+    "q48_exact_dedup": [
+        ("single-pass agg (one scan)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q54_minhash_lsh_neardup": [
+        ("partial min aggregation for signatures", True,
+         lambda p: "partial_min" in p or "partial" in p.lower()),
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("ctdc-plan-audit")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    failures = 0
+    for qname, checks in CHECKS.items():
+        df = qs[qname](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for name, required, pred in checks:
+            ok = bool(pred(plan))
+            status = "PASS" if ok else ("FAIL" if required else "warn")
+            print(f"{status:5} {qname}: {name}")
+            if required and not ok:
+                failures += 1
+    spark.stop()
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
