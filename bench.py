@@ -50,6 +50,9 @@ HEADLINE = [
     "q56_cosine_lsh_pairs",
     "q57_text_quality",
     "q62_multimodal_features",
+    "q63_stratified_sample",
+    "q65_pack_sequences",
+    "q66_top_tokens",
 ]
 
 
@@ -79,8 +82,23 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # JVM/codegen warmup on a trivial job so q01 doesn't pay startup
+    # Warm-up protocol (mirrors the reference benchmark's warmup+measured
+    # batches, benchmarks/run-benchmarks.sh): one untimed run of every
+    # headline query at sf0.001 first, so the timed pass measures
+    # steady-state execution rather than one-time JVM JIT/codegen compile
+    # of each query's code paths (~2-3 s per distinct plan, amortized to
+    # zero on any long-running cluster).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
+    )
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run will surface errors
 
     for name in HEADLINE:
         fn = qs[name]

@@ -1,0 +1,86 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+Both operators are pure column expressions — no RNG state, no Python —
+so results are identical across runs, partitionings, and engines (the
+DuckDB oracle computes the same arithmetic), and a resumed 100 TB job
+selects exactly the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "deterministic_sample", "pack_sequences"]
+
+# Knuth's multiplicative constant; exact in 64-bit SQL integer math
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def hash_bucket(key: Column, buckets: int = 10000) -> Column:
+    """Deterministic, well-mixed bucket in [0, buckets) from an integer
+    key: multiplicative hashing with explicit mod-2^32 arithmetic.
+    Exactly reproducible in any engine with 64-bit integers (the DuckDB
+    oracle runs the same expression); unlike rand(seed), independent of
+    partitioning and row order."""
+    return ((key.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)) * F.lit(
+        buckets
+    ) / F.lit(_M32)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    strata_col: str | None = None,
+    rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by hashed key;
+    with ``strata_col``/``rates``, per-stratum rates (stratified
+    sampling — e.g. downsample boilerplate languages, keep all rare
+    ones).  A row's fate depends only on its key, so reruns, retries,
+    and scale-out never change the sample."""
+    bucket = hash_bucket(F.col(key_col), 10000)
+    if strata_col is None or rates is None:
+        return df.filter(bucket < F.lit(rate * 10000))
+    expr = F.lit(rate * 10000)
+    for stratum, r in rates.items():
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(r * 10000)
+        ).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    pack_col: str = "pack_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to training context windows: in ``order_col``
+    order, pack_id = floor(exclusive-running-token-sum / budget) —
+    contiguous fill, deterministic, one window shuffle.
+
+    This is streaming-order packing (each pack holds consecutive docs
+    whose cumulative tokens span one budget), not bin-packing — the
+    standard choice for pretraining batches where document order is
+    already shuffled upstream.  A doc longer than ``budget`` occupies
+    its own pack(s) boundary-aligned, like sequence splitting would.
+
+    A global ordered window is a single-partition sort; at scale pass
+    ``shard_col`` (any coarse key — date, source, hash_bucket) so each
+    shard packs independently in parallel and pack ids are
+    (shard, pack_id) pairs.
+    """
+    if shard_col is not None:
+        w = Window.partitionBy(shard_col).orderBy(order_col)
+    else:
+        w = Window.orderBy(order_col)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_excl = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return df.withColumn(
+        pack_col, F.floor(cum_excl / F.lit(budget)).cast("int")
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "fingerprint_md5",
     "winnow_fingerprint",
+    "redact_pii",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -124,6 +125,21 @@ def language_id(col: str = "text") -> Column:
 def fingerprint_md5(col: str = "text") -> Column:
     """Whole-document fingerprint of the normalized text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))
+
+
+# PII patterns restricted to syntax shared by Java regex and RE2 (no
+# backrefs/lookaround) so the DuckDB oracle evaluates identically
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Replace email addresses and phone-number-shaped spans with typed
+    placeholder tokens — the standard pre-training scrub.  Pure
+    regexp_replace expressions: JVM-side, codegen, one scan, no Python.
+    """
+    emails_gone = F.regexp_replace(F.col(col), _EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(emails_gone, _PHONE_RE, "<PHONE>")
 
 
 def winnow_fingerprint(col: str = "text", k: int = 5) -> Column:

@@ -45,11 +45,13 @@ from .operators.similarity import (
     cosine_pairs_lsh,
     topk_cosine,
 )
+from .operators.sampling import deterministic_sample, pack_sequences
 from .operators.text import (
     bpe_ish_token_count,
     fingerprint_md5,
     language_id,
     punct_ratio,
+    redact_pii,
     stopword_ratio,
     token_count,
     token_diversity,
@@ -1348,6 +1350,105 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     media = attach_fake_media(docs)
     feats = extract_media_features(media)
     return feats.select("doc_id", "byte_len")
+
+
+@q(
+    "q63_stratified_sample",
+    """SELECT lang, count(*) AS n_kept
+       FROM documents
+       WHERE ((doc_id * 2654435761) % 4294967296) * 10000 / 4294967296
+             < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)
+       GROUP BY lang""",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: multiplicative-hash bucket on
+    doc_id, per-language keep rates (en 50%, others 20%).  No RNG state:
+    a row's fate depends only on its key, so retries and repartitioning
+    never change the sample — required for resumable 100 TB jobs."""
+    docs = load_table(spark, sf, "documents")
+    kept = deterministic_sample(
+        docs, rate=0.2, key_col="doc_id", strata_col="lang",
+        rates={"en": 0.5},
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@q(
+    "q64_pii_redaction",
+    """SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  text || ' contact user' || doc_id ||
+                  '@example.com or +1 555-000-' || doc_id,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                '\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean
+       FROM documents""",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: email/phone spans replaced with typed placeholders.
+    Patterns restricted to Java-regex/RE2-shared syntax so the oracle
+    evaluates identically; pure codegen regexp_replace, one scan."""
+    docs = load_table(spark, sf, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return with_pii.select("doc_id", redact_pii("text").alias("clean"))
+
+
+@q(
+    "q65_pack_sequences",
+    """SELECT doc_id, lang,
+              CAST(floor(
+                (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tok) / 2048.0
+              ) AS INT) AS pack_id
+       FROM (SELECT doc_id, lang,
+                    len(string_split(text, ' ')) AS n_tok
+             FROM documents)""",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for pretraining batches: contiguous token-budget
+    fill (2048 tokens) per language shard.  Sharded window => parallel
+    packing, one shuffle on the shard key."""
+    docs = load_table(spark, sf, "documents")
+    with_tok = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_tok")
+    )
+    return pack_sequences(
+        with_tok, budget=2048, order_col="doc_id", tokens_col="n_tok",
+        shard_col="lang",
+    ).select("doc_id", "lang", "pack_id")
+
+
+@q(
+    "q66_top_tokens",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+             FROM documents)
+       GROUP BY tok
+       ORDER BY n DESC, tok
+       LIMIT 20""",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus top-20 tokens: explode + count + TakeOrdered.  The shuffle
+    carries one row per (partition, token) after partial aggregation;
+    the final top-k is a per-partition heap merge, no global sort."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
 
 
 # =========================================================================

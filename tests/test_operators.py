@@ -39,7 +39,13 @@ from compile_time_data_contracts_spark.operators.similarity import (
     cosine_pairs_lsh,
     topk_cosine,
 )
+from compile_time_data_contracts_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    pack_sequences,
+)
 from compile_time_data_contracts_spark.operators.text import (
+    redact_pii,
     bpe_ish_token_count,
     fingerprint_md5,
     language_id,
@@ -379,6 +385,69 @@ def test_quality_score_bands(spark):
     }
     assert got[1] == pytest.approx(1.0)  # in-band length, full diversity
     assert got[2] < got[1]
+
+
+# ---------------------------------------------------- sampling / packing
+
+def test_deterministic_sample_stable_across_partitionings(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, 0.3, "k").collect()}
+    b = {
+        r.k
+        for r in deterministic_sample(
+            df.repartition(7), 0.3, "k"
+        ).collect()
+    }
+    assert a == b
+    assert 0.25 < len(a) / 10_000 < 0.35  # well-mixed rate
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    kept = deterministic_sample(
+        df, rate=0.1, key_col="k", strata_col="lang", rates={"en": 0.5}
+    )
+    counts = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.4 < counts["en"] / 5000 < 0.6
+    assert 0.05 < counts["de"] / 5000 < 0.15
+
+
+def test_pack_sequences_budget_fill(spark):
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(10)], ["doc_id", "n_tokens"]
+    )
+    out = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(df, budget=2048).collect()
+    }
+    # exclusive cumsum: docs 0-3 (0,600,1200,1800) -> pack 0;
+    # docs 4-6 (2400,3000,3600) -> pack 1; ...
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
+
+
+def test_pack_sequences_sharded_parallel(spark):
+    rows = [(i, "a" if i < 5 else "b", 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    out = pack_sequences(
+        df, budget=2048, shard_col="shard"
+    ).groupBy("shard").agg(F.max("pack_id").alias("mx")).collect()
+    # each shard packs independently from pack 0: exclusive cumsums
+    # 0..4000 over budget 2048 -> packs 0,0,0,1,1
+    assert {r.shard: r.mx for r in out} == {"a": 1, "b": 1}
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@foo-bar.org or call +1 555-123 4567 now")],
+        ["doc_id", "text"],
+    )
+    got = df.select(redact_pii("text").alias("t")).first().t
+    assert "<EMAIL>" in got and "<PHONE>" in got
+    assert "@" not in got and "555" not in got
 
 
 # ------------------------------------------------------------ multimodal
