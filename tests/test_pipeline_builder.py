@@ -172,3 +172,30 @@ def test_read_df_pins_source_schema(spark, tmp_path):
         "int",
         "string",
     ]
+
+
+@pytest.mark.parametrize("fmt,options", [
+    ("parquet", {}),
+    ("orc", {}),
+    ("json", {}),
+    ("csv", {"header": "true"}),
+])
+def test_typed_io_roundtrip_all_formats(spark, csv_path, tmp_path, fmt, options):
+    """read_df/write_df are format-generic (R1/R3: any Spark format with
+    contract-derived schema on the scan, policy pin before the write)."""
+    from compile_time_data_contracts_spark import write_df
+
+    src = read_df(
+        spark, Source(RawCustomer, "csv", csv_path, {"header": "true"})
+    )
+    out = str(tmp_path / f"round.{fmt}")
+    write_df(
+        src,
+        Sink(RawCustomer, out, format=fmt, options=options),
+        SchemaPolicy.EXACT,
+    )
+    back = read_df(spark, Source(RawCustomer, fmt, out, options))
+    assert back.count() == 3
+    assert sorted(r.id for r in back.select("id").collect()) == [1, 2, 3]
+    # nullable age survives every format
+    assert back.filter(F.col("age").isNull()).count() == 1
