@@ -312,32 +312,41 @@ def cosine_pairs_lsh(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    # exact verification: rejoin vectors, cosine in JVM expressions with
-    # norms computed once per side
-    normed = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("n", l2_norm(F.col("v")))
-    va = normed.select(
-        F.col(id_col).alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("n").alias("na"),
+    # exact verification: rejoin vectors for surviving candidates, then
+    # batch the cosines through Arrow + numpy (one einsum per batch).
+    # The per-pair JVM expression dot is an interpreted higher-order
+    # function — ~10 µs/pair — which dominates once candidates reach
+    # millions; the vectorized form is ~100× cheaper and the joins
+    # (scale-safe, no broadcast of the full matrix) stay unchanged.
+    import numpy as np
+    import pandas as pd
+
+    va = df.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
     )
-    vb = normed.select(
-        F.col(id_col).alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("n").alias("nb"),
+    vb = df.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")
     )
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb"))
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    joined = cand.join(va, "vec_a").join(vb, "vec_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack(pdf["__va"].to_numpy()).astype(np.float64)
+            b = np.vstack(pdf["__vb"].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(a, axis=1)
+            bn = np.linalg.norm(b, axis=1)
+            denom = np.where((an == 0) | (bn == 0), 1.0, an * bn)
+            sim = np.einsum("ij,ij->i", a, b) / denom
+            keep = sim >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy()[keep],
+                        "vec_b": pdf["vec_b"].to_numpy()[keep],
+                        "sim": sim[keep],
+                    }
+                )
+
+    return joined.mapInPandas(verify, "vec_a long, vec_b long, sim double")
