@@ -78,17 +78,49 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard self-join — O(n²), the correctness
-    baseline.  Use minhash_near_dup_pairs for scale."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+    """Exact all-pairs n-gram Jaccard — the correctness baseline.
+
+    Computed as a co-occurrence join, not a cartesian: explode distinct
+    shingles to rows, self-join on the shingle to count |A∩B| per pair
+    (codegen hash join + partial-agg count), then |A∪B| = |A|+|B|-|A∩B|
+    from per-doc set sizes.  Pairs sharing zero shingles never
+    materialize (their Jaccard is 0 < any positive threshold), so work is
+    O(Σ_shingle df²) — driven by shingle document-frequency, not n².
+    A stop-shingle shared by k docs still contributes k² join rows; that
+    skew is inherent to the exact answer — minhash_near_dup_pairs is the
+    100 TB path.
+    """
+    sh = shingle_rows(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .agg(F.count("*").alias("__inter"))
+    )
+    sz_a = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sz_a")
+    )
+    sz_b = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("__sz").alias("__sz_b")
+    )
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("__inter").cast("double")
+                / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
