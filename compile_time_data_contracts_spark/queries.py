@@ -413,11 +413,29 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     return o.agg(F.countDistinct("o_custkey").alias("n"))
 
 
-@q("q19_approx_count_distinct")  # sketch-based: rows-only check by design
+@q(
+    "q19_approx_count_distinct",
+    # the sketch value itself is engine-specific; what IS checkable is the
+    # sketch's contract — within rsd of the exact count (SURVEY §2.2 Q19:
+    # "checked vs exact within rsd, not hash-matched")
+    """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+              TRUE AS within_rsd
+       FROM orders""",
+)
 def q19(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.05).alias("n_approx")
+    agg = o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("__approx"),
+    )
+    # 3*rsd tolerance: the estimator's error is approximately normal with
+    # std = rsd, so 3 sigma bounds false-failures at ~0.3%
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_exact"))
+            <= 3 * 0.05 * F.col("n_exact")
+        ).alias("within_rsd"),
     )
 
 
@@ -1332,7 +1350,34 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("q61_language_id")  # heuristic over multi-lang stopwords: rows-only
+@q(
+    "q61_language_id",
+    # the heuristic is deterministic and SQL-expressible: per-language
+    # stopword-hit ratio, argmax with ties broken by declared language
+    # order (en,es,fr,de,zh), 'und' when all scores are zero
+    """WITH t AS (
+         SELECT doc_id,
+                list_transform(regexp_split_to_array(text, '\\s+'),
+                               x -> lower(x)) AS toks
+         FROM documents
+       ), s AS (
+         SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE / greatest(len(toks), 1) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','que','y')))::DOUBLE / greatest(len(toks), 1) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','de','et','un')))::DOUBLE / greatest(len(toks), 1) AS s_fr,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ein')))::DOUBLE / greatest(len(toks), 1) AS s_de,
+           len(list_filter(toks, x -> x IN ('的','是','了','在','我')))::DOUBLE / greatest(len(toks), 1) AS s_zh
+         FROM t
+       )
+       SELECT doc_id,
+         CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+              WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+              WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+              ELSE 'zh' END AS lang_guess
+       FROM s""",
+)
 def q61(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", language_id("text").alias("lang_guess"))
