@@ -477,3 +477,55 @@ def test_media_decode_stub_gate(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         feats.collect()
+
+
+# ----------------------------------------------------------------- skew
+
+def test_salted_join_matches_plain_join(spark):
+    from compile_time_data_contracts_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + uniform tail
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(2000)], ["k", "v"]
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(200)], ["k", "name"]
+    )
+    plain = {(r.k, r.v, r.name) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.v, r.name)
+        for r in salted_join(left, right, ["k"], salt=8).collect()
+    }
+    assert salted == plain
+
+    left_plain = {
+        (r.k, r.v, r.name)
+        for r in left.join(right, "k", "left").collect()
+    }
+    left_salted = {
+        (r.k, r.v, r.name)
+        for r in salted_join(left, right, ["k"], salt=8, how="left").collect()
+    }
+    assert left_salted == left_plain
+
+
+def test_two_phase_count_distinct_matches_exact(spark):
+    from compile_time_data_contracts_spark.operators.skew import (
+        two_phase_count_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("hot" if i % 5 else f"g{i}", i % 97) for i in range(3000)],
+        ["g", "v"],
+    )
+    exact = {
+        (r.g, r.n)
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("v").cast("bigint").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.g, r.n_distinct)
+        for r in two_phase_count_distinct(df, "g", "v").collect()
+    }
+    assert got == exact
