@@ -1,0 +1,87 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Where the built-in watermarked aggregations can't express the semantics
+(running per-key state across micro-batches, custom eviction), Structured
+Streaming's arbitrary-state API is the engine's extension point: state
+lives in the state store (checkpointed, partitioned by key), each
+micro-batch hands the operator its key's rows as Arrow batches plus the
+GroupState handle.  At scale the state store shards by key hash across
+executors; state size must be bounded by timeouts (here: processing-time
+timeout evicts idle keys).
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["running_user_totals"]
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(
+    stream: DataFrame,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-user running (count, sum(value)) maintained across
+    micro-batches — the canonical arbitrary-stateful operator.  Emits the
+    updated totals for every user seen in a batch (use outputMode
+    'update').  With ``idle_timeout_ms`` set, a key idle for that long is
+    evicted and emits a final row, bounding state for 100 TB key spaces.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(
+        key: tuple,
+        pdfs: typing.Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> typing.Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [s]}
+            )
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [s]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, _OUT_SCHEMA, _STATE_SCHEMA, "update", timeout
+    )

@@ -179,3 +179,55 @@ def test_events_stream_schema_pinned(spark):
     )["ts"] == "timestamp"
     agg = tumbling_counts(s)
     assert "window_start" in agg.columns
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    the last 'update'-mode emission per user equals the batch totals."""
+    import datetime as dt
+
+    from compile_time_data_contracts_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    base = str(tmp_path / "state_feed")
+    ts = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    _write_feed(
+        spark,
+        base,
+        [
+            [(1, 1, ts(10), 2.0), (2, 2, ts(10, 5), 3.0)],
+            [(3, 1, ts(11), 5.0)],  # user 1 again -> state carries over
+        ],
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_stateful").collect()
+    # last emission per user (memory sink appends every update)
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.total_value)
+    assert final[1] == (2, 7.0)  # two events, 2.0 + 5.0, across batches
+    assert final[2] == (1, 3.0)
