@@ -1379,8 +1379,10 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
        FROM s""",
 )
 def q61(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import language_id_table
+
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", language_id("text").alias("lang_guess"))
+    return language_id_table(docs)
 
 
 @q(

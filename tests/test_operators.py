@@ -529,3 +529,34 @@ def test_two_phase_count_distinct_matches_exact(spark):
         for r in two_phase_count_distinct(df, "g", "v").collect()
     }
     assert got == exact
+
+
+def test_language_id_table_matches_expression(spark):
+    """The scale form must reproduce the expression form exactly,
+    including tie-break and 'und' semantics."""
+    from compile_time_data_contracts_spark.operators.text import (
+        language_id_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the rising sun and a dog"),
+            (2, "el perro de la casa y que bonito"),
+            (3, "le chat et le chien un jour"),
+            (4, "der hund und die katze das haus"),
+            (5, "zzz qqq xxx"),
+            (6, "la de"),  # es/fr tie on shared stopwords -> es (declared order)
+            (7, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    expr = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", language_id("text").alias("lang")
+        ).collect()
+    }
+    tab = {
+        r.doc_id: r.lang_guess for r in language_id_table(df).collect()
+    }
+    assert tab == expr
