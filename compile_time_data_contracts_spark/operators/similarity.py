@@ -259,7 +259,7 @@ def cosine_pairs_lsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 8,
+    bits: int | None = None,
     tables: int = 16,
     probes: int = 1,
     seed: int = 42,
@@ -274,10 +274,23 @@ def cosine_pairs_lsh(
     verified with an exact float64 cosine, so precision is 1 and only
     recall is probabilistic: with per-plane agreement p = 1 - θ/π,
     per-table coverage c = p^b + probes·b·p^(b-1)(1-p) and recall
-    = 1 - (1-c)^L — ≈0.95 at cosine 0.45 for the defaults (b=8, L=16),
-    higher for closer pairs.  The bucket join carries only
-    (id, table, sig) longs; vectors rejoin only for surviving candidates.
+    = 1 - (1-c)^L.  The bucket join carries only (id, table, sig) longs;
+    vectors rejoin only for surviving candidates.
+
+    **Bucket bits must scale with corpus size**: intra-bucket join work
+    is O(n²·L·(1+b)/2^b), so fixed bits turn quadratic as n grows (at
+    50 k vectors, 8 bits = 256 buckets/table ≈ 200 vectors each — the
+    join explodes).  When ``bits`` is None it auto-sizes to
+    ceil(log2(n)) - 3 (avg bucket ≈ 8, clamped to [6, 20]) from a
+    metadata-cheap count.  Raising bits lowers per-table recall —
+    compensate with ``tables`` when the threshold sits close to the
+    noise distribution (see SCALE.md).
     """
+    if bits is None:
+        import math as _math
+
+        n = df.count()  # parquet row-count is metadata, not a data scan
+        bits = min(20, max(6, _math.ceil(_math.log2(max(n, 2))) - 3))
     sigs = lsh_signatures(df, id_col, vec_col, bits, tables, seed, dim)
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sigs").alias("t", "sig")
@@ -311,6 +324,43 @@ def cosine_pairs_lsh(
             F.col(f"b.{id_col}").alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+    # signature pre-filter: estimate the angle from Hamming agreement
+    # over all tables·bits hyperplane signs BEFORE touching vectors.
+    # Candidate volume at scale is noise-dominated; joining the 16-long
+    # signature arrays instead of the d-float vectors cuts the verify
+    # shuffle ~4-30×, and the noise/signal gap in sign-agreement is
+    # several σ wide, so a 4σ slack keeps recall loss negligible.
+    import math as _math
+
+    total_bits = bits * tables
+    frac_required = 1.0 - _math.acos(min(max(threshold, -1.0), 1.0)) / _math.pi
+    slack = 4.0 * 0.5 / _math.sqrt(total_bits)
+    mask = (1 << bits) - 1
+    sa = sigs.select(
+        F.col(id_col).alias("vec_a"), F.col("sigs").alias("__sa")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("vec_b"), F.col("sigs").alias("__sb")
+    )
+    mismatched = F.aggregate(
+        F.zip_with(
+            F.col("__sa"),
+            F.col("__sb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y).bitwiseAND(F.lit(mask))),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .withColumn(
+            "__frac", 1.0 - mismatched.cast("double") / F.lit(total_bits)
+        )
+        .filter(F.col("__frac") >= F.lit(frac_required - slack))
+        .select("vec_a", "vec_b")
     )
     # exact verification: rejoin vectors for surviving candidates, then
     # batch the cosines through Arrow + numpy (one einsum per batch).
