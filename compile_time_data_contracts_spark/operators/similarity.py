@@ -28,9 +28,13 @@ __all__ = [
     "cosine",
     "topk_cosine",
     "cosine_pairs_exact",
+    "cosine_pairs_exact_blas",
     "hyperplanes",
     "lsh_bucket",
+    "lsh_signatures",
     "cosine_pairs_lsh",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -163,6 +167,99 @@ def cosine_pairs_exact_blas(
     return df.select(id_col, vec_col).mapInPandas(
         block, "vec_a long, vec_b long, sim double"
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 10000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """IVF coarse quantizer: k-means centroids fit on a bounded driver
+    sample, every vector assigned to its nearest centroid via one
+    broadcast matmul per Arrow batch.
+
+    Returns (assigned_df with a ``cluster`` column, centroids array).
+    The driver never holds more than ``sample_size`` vectors; assignment
+    streams.  At 100 TB the assigned table is written partitioned by
+    ``cluster`` so a query touches only nprobe/k of the data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    frac_df = df.select(id_col, vec_col)
+    n = frac_df.count()
+    sample = (
+        frac_df.sample(min(1.0, sample_size / max(n, 1)), seed=seed)
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_clusters, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(kmeans_iters):
+        # cosine k-means: assign to max dot, re-mean, renormalize
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    def assign_batches(batches):
+        cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            cl = ((v / vn) @ cent.T).argmax(axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = cl.astype("int32")
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign_batches,
+        f"{id_col} long, {vec_col} array<float>, cluster int",
+    )
+    return assigned, C
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_clusters: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: search only the ``nprobe`` clusters whose
+    centroids are nearest the query — ~nprobe/n_clusters of the corpus
+    scanned instead of all of it.  Recall is governed by nprobe (planted
+    neighbors in unprobed cells are missed); topk_cosine is the exact
+    audit.  Output schema matches topk_cosine (id, sim)."""
+    import numpy as np
+
+    assigned, C = ivf_assign(
+        df, n_clusters, id_col, vec_col, seed=seed
+    )
+    qv = np.array(
+        query.select(vec_col).first()[0], dtype=np.float64
+    )
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
+    probed = assigned.filter(
+        F.col("cluster").isin([int(c) for c in order])
+    )
+    return topk_cosine(probed, query, k, id_col, vec_col)
 
 
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:

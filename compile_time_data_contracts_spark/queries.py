@@ -1498,6 +1498,20 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("q67_ivf_topk")  # nprobe < n_clusters: recall < 1 by construction
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (cluster-then-probe) ANN top-k — q50's scale path: k-means
+    centroids on a bounded driver sample, streamed assignment, only the
+    nprobe nearest cells scanned.  q50 (brute force) is the exact
+    audit."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    top = ivf_topk(emb, query, k=10, n_clusters=32, nprobe=8)
+    return top.select("vec_id", F.round("sim", 4).alias("sim_r"))
+
+
 # =========================================================================
 # Flagship
 # =========================================================================

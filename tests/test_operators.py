@@ -560,3 +560,29 @@ def test_language_id_table_matches_expression(spark):
         r.doc_id: r.lang_guess for r in language_id_table(df).collect()
     }
     assert tab == expr
+
+
+def test_ivf_topk_high_recall_vs_exact(spark):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_topk,
+    )
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(3000):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    exact = [r.vec_id for r in topk_cosine(df, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(
+            df, q, k=10, n_clusters=32, nprobe=8
+        ).collect()
+    ]
+    # the query's own cluster is always probed; >= 70% of the exact
+    # top-10 must appear (random isotropic vectors are the hard case)
+    assert approx[0] == 0
+    assert len(set(approx) & set(exact)) >= 7
