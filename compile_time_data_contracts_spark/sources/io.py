@@ -40,13 +40,20 @@ class Source:
 
 @dataclasses.dataclass(frozen=True)
 class Sink:
-    """TypedSink[C] (SparkCore.scala:27-29); default mode Overwrite."""
+    """TypedSink[C] (SparkCore.scala:27-29); default mode Overwrite.
+
+    ``partition_by`` produces a hive-layout directory tree
+    (col=value/...), the standard 100 TB sink layout: readers filtering
+    on the partition column prune entire directories before any file is
+    opened (partition pruning shows as ``PartitionFilters`` in
+    ``.explain``).  Partition columns must exist in the contract."""
 
     contract: type
     path: str
     mode: str = "overwrite"
     format: str = "parquet"
     options: typing.Mapping[str, str] = dataclasses.field(default_factory=dict)
+    partition_by: tuple[str, ...] = ()
 
 
 def read_df(spark: SparkSession, source: Source) -> DataFrame:
@@ -73,9 +80,18 @@ def write_df(
     assert_matches_contract(
         df.schema, spark_schema(sink.contract), policy, context=f"sink {sink.path}"
     )
-    (
+    if sink.partition_by:
+        missing = set(sink.partition_by) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"sink {sink.path}: partition columns not in contract: "
+                f"{sorted(missing)}"
+            )
+    writer = (
         df.write.format(sink.format)
         .mode(sink.mode)
         .options(**dict(sink.options))
-        .save(sink.path)
     )
+    if sink.partition_by:
+        writer = writer.partitionBy(*sink.partition_by)
+    writer.save(sink.path)

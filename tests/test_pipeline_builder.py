@@ -199,3 +199,45 @@ def test_typed_io_roundtrip_all_formats(spark, csv_path, tmp_path, fmt, options)
     assert sorted(r.id for r in back.select("id").collect()) == [1, 2, 3]
     # nullable age survives every format
     assert back.filter(F.col("age").isNull()).count() == 1
+
+
+def test_partitioned_sink_prunes_partitions(spark, csv_path, tmp_path):
+    """partition_by writes a hive layout; a filter on the partition
+    column must appear as PartitionFilters on the scan (directory-level
+    pruning, no file of other partitions opened)."""
+    import os
+
+    from compile_time_data_contracts_spark import write_df
+
+    src = read_df(
+        spark, Source(RawCustomer, "csv", csv_path, {"header": "true"})
+    )
+    out = str(tmp_path / "part_out")
+    write_df(
+        src,
+        Sink(RawCustomer, out, partition_by=("segment",)),
+        SchemaPolicy.EXACT,
+    )
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("segment=")
+    ) == ["segment=L", "segment=M", "segment=S"]
+    back = spark.read.parquet(out).filter(F.col("segment") == "S")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(segment" in plan
+    assert back.count() == 1
+
+
+def test_partitioned_sink_rejects_unknown_column(spark, csv_path, tmp_path):
+    from compile_time_data_contracts_spark import write_df
+
+    src = read_df(
+        spark, Source(RawCustomer, "csv", csv_path, {"header": "true"})
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        write_df(
+            src,
+            Sink(RawCustomer, str(tmp_path / "bad"), partition_by=("nope",)),
+            SchemaPolicy.EXACT,
+        )
