@@ -1498,6 +1498,105 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q68_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                               (o_orderstatus, o_orderpriority), ())""",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY Q21's third form beyond cube and
+    rollup) via Spark SQL — each grouping set is a separate aggregation
+    over one Expand of the input, one shuffle total."""
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("q68_orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM q68_orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                   (o_orderstatus, o_orderpriority), ())"""
+    )
+
+
+@q(
+    "q69_pivot",
+    # the oracle uses conditional aggregation — engine-neutral and
+    # column-name-stable, unlike PIVOT syntax differences
+    """SELECT n_name,
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_orders,
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_orders,
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_orders
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: order-status counts per nation.  groupBy().pivot(values)
+    with explicit values skips the extra distinct-scan job and compiles
+    to the same single-shuffle conditional aggregation as the oracle."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "n_name",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("f_orders"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("o_orders"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("p_orders"),
+        )
+    )
+
+
+@q(
+    "q70_python_udtf",
+    """SELECT doc_id, CAST(sent_id AS INT) AS sent_id, sentence
+       FROM (SELECT doc_id,
+                    generate_subscripts(sents, 1) AS sent_id,
+                    unnest(list_transform(sents, s -> trim(s))) AS sentence
+             FROM (SELECT doc_id,
+                          string_split_regex(text, '\\.\\s+') AS sents
+                   FROM documents WHERE doc_id < 30))
+       WHERE length(sentence) > 0""",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """A real Python UDTF (Spark 3.5+ @udtf, SURVEY Q47's optional form):
+    sentence segmentation emitting (sent_id, sentence) rows per doc.
+    UDTFs run row-at-a-time in Python — appropriate for the bounded
+    30-doc demo; the arrays+posexplode form (q47) is the scale path."""
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="sent_id int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            for i, s in enumerate(re.split(r"\.\s+", text or "")):
+                s = s.strip()
+                if s:
+                    yield i + 1, s
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    docs.createOrReplaceTempView("q70_docs")
+    spark.udtf.register("q70_sentences", SentenceSplit)
+    return spark.sql(
+        """SELECT doc_id, s.sent_id, s.sentence
+           FROM q70_docs,
+                LATERAL q70_sentences(doc_id, text) AS s"""
+    )
+
+
 @q("q67_ivf_topk")  # nprobe < n_clusters: recall < 1 by construction
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (cluster-then-probe) ANN top-k — q50's scale path: k-means
