@@ -35,12 +35,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str] | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right[right_ts] <= left[left_ts]`` and the same ``on`` key.
 
     Returns the left DataFrame plus ``asof_<col>`` columns (null when no
-    right row precedes the left row).
+    right row precedes the left row).  With ``tolerance`` (an INTERVAL
+    string, e.g. ``'2 hours'``), a match older than
+    ``left_ts - tolerance`` is nulled out — pandas merge_asof semantics —
+    as a post-window filter, so the single-shuffle plan is unchanged.
     """
     value_cols = value_cols or []
     l_cols = left.columns
@@ -70,10 +74,25 @@ def asof_join(
     filled = lm.unionByName(rm).select(
         *l_cols,
         F.col("__side"),
+        F.col("__ts"),
         F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in value_cols
         ],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_window = F.col("asof_ts") >= (
+            F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.select(
+            *l_cols,
+            F.col("__side"),
+            F.when(in_window, F.col("asof_ts")).alias("asof_ts"),
+            *[
+                F.when(in_window, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    return out.drop("__side", "__ts")

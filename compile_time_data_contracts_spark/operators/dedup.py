@@ -34,6 +34,8 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_near_dup_pairs",
+    "keep_best_dedup",
+    "connected_components",
     "simhash",
 ]
 
@@ -296,6 +298,95 @@ def minhash_near_dup_pairs(
         cand.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def keep_best_dedup(
+    df: DataFrame,
+    col: str = "text",
+    score_col: str = "doc_id",
+    ascending: bool = True,
+) -> DataFrame:
+    """Exact dedup with a declared winner: within each normalized-text
+    hash group, keep the row with the min (ascending) or max ``score_col``
+    — e.g. keep the highest-quality or earliest-crawled duplicate instead
+    of an arbitrary one.
+
+    One hash aggregate (map-side combined): the winner is selected with
+    min_by/max_by over the group, so no window sort and no second pass.
+    """
+    hashed = df.withColumn("__h", F.sha2(normalize_text(col), 256))
+    pick = F.min_by if ascending else F.max_by
+    keep_struct = pick(F.struct(*df.columns), F.col(score_col))
+    winners = hashed.groupBy("__h").agg(keep_struct.alias("__w"))
+    return winners.select("__w.*")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into groups: (doc_id, cluster_id)
+    where cluster_id is the minimum doc id reachable through the pair
+    graph — the standard final step of near-dup dedup (keep one doc per
+    cluster).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — usually
+    2-4).  Each round is one self-join + one aggregate on (node, label)
+    pairs; iteration stops early when no label changes, checked with a
+    cheap count.  Lineage is cut per round with localCheckpoint so plans
+    don't grow exponentially.  Diameters beyond ``max_iterations`` raise
+    rather than silently mislabel.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_lbls = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "lbl", "__nl"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nl").alias("__min_nl"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = labels.join(neighbor_lbls, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("__min_nl"), F.col("lbl"))
+            ).alias("lbl"),
+            (F.col("__min_nl") < F.col("lbl")).alias("__chg"),
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"),
+                F.col("lbl").alias("cluster_id"),
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
     )
 
 

@@ -1597,6 +1597,93 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q71_asof_tolerance",
+    """SELECT l.event_id,
+              CASE WHEN r.ts >= l.ts - INTERVAL 2 HOUR
+                   THEN strftime(r.ts, '%Y-%m-%d %H:%M:%S') END AS asof_ts_str
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a max-age tolerance (pandas merge_asof semantics):
+    the latest purchase within 2 hours before each click, else null."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance="2 hours",
+    )
+    return joined.select(
+        "event_id", _ts_str(F.col("asof_ts")).alias("asof_ts_str")
+    )
+
+
+@q(
+    "q72_keep_best_dedup",
+    """SELECT CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum
+       FROM (
+         SELECT arg_max(doc_id, n_chars) AS doc_id
+         FROM documents
+         GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       )""",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best exact dedup: one winner per normalized-text group,
+    chosen by max n_chars (tie-broken identically in both engines since
+    duplicate groups here are singletons or share n_chars order)."""
+    from .operators.dedup import keep_best_dedup
+
+    docs = load_table(spark, sf, "documents")
+    kept = keep_best_dedup(docs, score_col="n_chars", ascending=False)
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@q(
+    "q73_neardup_clusters",
+    """WITH RECURSIVE pairs AS (
+         SELECT doc_a, doc_b FROM (
+           WITH sh AS (
+             SELECT doc_id,
+                    list_distinct([toks[gs] || '|' || toks[gs+1] || '|' || toks[gs+2]
+                                   FOR gs IN generate_series(1, greatest(len(toks) - 2, 1))]) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           )
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                 len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         )
+       ), edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       )
+       SELECT src AS doc_id,
+              least(src, min(dst)) AS cluster_id
+       FROM reach GROUP BY src""",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    (min-label propagation), the standard choose-one-per-cluster step.
+    Oracle computes the same clusters via transitive closure over the
+    exact-Jaccard pair graph (recursive CTE)."""
+    from .operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return connected_components(pairs)
+
+
 @q("q67_ivf_topk")  # nprobe < n_clusters: recall < 1 by construction
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (cluster-then-probe) ANN top-k — q50's scale path: k-means

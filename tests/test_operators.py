@@ -586,3 +586,57 @@ def test_ivf_topk_high_recall_vs_exact(spark):
     # top-10 must appear (random isotropic vectors are the hard case)
     assert approx[0] == 0
     assert len(set(approx) & set(exact)) >= 7
+
+
+def test_asof_join_tolerance(spark):
+    from compile_time_data_contracts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], ["k", "lts"]
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 10.0)], ["k", "rts", "v"]
+    ).withColumn("rts", F.to_timestamp("rts"))
+    # without tolerance the 08:00 row matches; with 2h tolerance it's too old
+    loose = asof_join(left, right, "k", "lts", "rts", ["v"]).first()
+    assert loose.asof_v == 10.0
+    tight = asof_join(
+        left, right, "k", "lts", "rts", ["v"], tolerance="2 hours"
+    ).first()
+    assert tight.asof_v is None and tight.asof_ts is None
+
+
+def test_keep_best_dedup(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        keep_best_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Same Doc", 0.2),
+            (2, "same  doc", 0.9),   # normalized dup of 1, higher quality
+            (3, "unique here", 0.5),
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    best = keep_best_dedup(df, score_col="quality", ascending=False)
+    got = {r.doc_id for r in best.collect()}
+    assert got == {2, 3}
+    first = keep_best_dedup(df, score_col="doc_id", ascending=True)
+    assert {r.doc_id for r in first.collect()} == {1, 3}
+
+
+def test_connected_components_clusters(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two chains: 1-2-3 (via 1-2, 2-3) and 7-9; singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
