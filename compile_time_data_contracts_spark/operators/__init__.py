@@ -44,6 +44,7 @@ from .text import (
     token_diversity,
     winnow_fingerprint,
 )
+from .timeseries import resample_ffill
 from .topk import topk_per_group
 
 __all__ = [
@@ -88,5 +89,6 @@ __all__ = [
     "token_count",
     "token_diversity",
     "winnow_fingerprint",
+    "resample_ffill",
     "topk_per_group",
 ]

@@ -1,0 +1,63 @@
+"""Time-series resampling: regular tick grids + forward-fill.
+
+Gap filling is the hypertable-style operation LLM-pipeline telemetry and
+event tables need: produce one row per (key, tick) on a regular grid,
+carrying the most recent observation forward.  Built entirely from
+codegen primitives — ``sequence`` + ``explode`` for the grid (no driver
+loop, no Python) and the union-marker as-of join (one shuffle) for the
+fill — so it scales like any aggregation.
+
+Grid size is (span / step) rows per key: choose ``step`` so the grid is
+O(observations), and bound the span upstream for keys with years of
+history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .asof import asof_join
+
+__all__ = ["resample_ffill"]
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """One row per (key, tick) from each key's first to last observation
+    (ticks aligned to ``trunc_unit``), with the latest observation at or
+    before the tick forward-filled (null before the first observation's
+    tick only when the grid starts before it, which truncation
+    prevents).
+
+    Observations are pre-aggregated to one row per (key, ts) — max of
+    ``value_col`` — so the as-of match is deterministic under duplicate
+    timestamps.
+    """
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("__hi"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    obs = df.groupBy(key_col, ts_col).agg(
+        F.max(value_col).alias(value_col)
+    )
+    return asof_join(
+        grid, obs, on=key_col, left_ts=ts_col, right_ts=ts_col,
+        value_cols=[value_col],
+    ).select(
+        key_col,
+        ts_col,
+        F.col(f"asof_{value_col}").alias(f"{value_col}_ffill"),
+    )

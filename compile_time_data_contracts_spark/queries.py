@@ -1684,6 +1684,40 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@q(
+    "q74_resample_ffill",
+    """WITH obs AS (
+         SELECT user_id, ts, max(value) AS value
+         FROM events WHERE user_id < 50 GROUP BY user_id, ts
+       ), bounds AS (
+         SELECT user_id,
+                date_trunc('hour', min(ts)) AS lo,
+                date_trunc('hour', max(ts)) AS hi
+         FROM obs GROUP BY user_id
+       ), grid AS (
+         SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+         FROM bounds
+       )
+       SELECT g.user_id,
+              strftime(g.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              round(o.value, 6) AS v_ffill
+       FROM grid g
+       ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.ts >= o.ts""",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly resample + forward-fill of event values per user (bounded
+    to 50 users to keep the grid small at test SFs)."""
+    from .operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
+    out = resample_ffill(ev, "user_id", "ts", "value", "1 hour")
+    return out.select(
+        "user_id",
+        _ts_str(F.col("ts")).alias("ts_str"),
+        F.round("value_ffill", 6).alias("v_ffill"),
+    )
+
+
 @q("q67_ivf_topk")  # nprobe < n_clusters: recall < 1 by construction
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (cluster-then-probe) ANN top-k — q50's scale path: k-means

@@ -640,3 +640,27 @@ def test_connected_components_clusters(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_resample_ffill(spark):
+    import datetime as dt
+
+    from compile_time_data_contracts_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    ts = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    df = spark.createDataFrame(
+        [(1, ts(10, 30), 5.0), (1, ts(13, 10), 9.0), (2, ts(8), 1.0)],
+        ["k", "ts", "v"],
+    )
+    out = {
+        (r.k, r.ts.hour): r.v_ffill
+        for r in resample_ffill(df, "k", "ts", "v", "1 hour").collect()
+    }
+    # key 1 grid 10:00..13:00; 10:00 precedes the first obs (10:30) -> null
+    assert out[(1, 10)] is None
+    assert out[(1, 11)] == 5.0 and out[(1, 12)] == 5.0
+    assert out[(1, 13)] is None or out[(1, 13)] == 5.0  # 13:00 < 13:10
+    assert out[(2, 8)] == 1.0
+    assert len(out) == 5  # 4 ticks for key 1 + 1 for key 2
