@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exprs import let
-
 __all__ = [
     "normalize_text",
     "exact_dedup",
