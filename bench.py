@@ -53,6 +53,10 @@ HEADLINE = [
     "q63_stratified_sample",
     "q65_pack_sequences",
     "q66_top_tokens",
+    "q69_pivot",
+    "q71_asof_tolerance",
+    "q73_neardup_clusters",
+    "q74_resample_ffill",
 ]
 
 
