@@ -1680,7 +1680,12 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import connected_components
 
     docs = load_table(spark, sf, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    # 64 hashes / 32 bands: candidate probability at J=0.5 is
+    # 1-(1-0.25)^32 ≈ 0.9999 (vs 0.986 with 16 bands), so the clustered
+    # graph equals the exact-Jaccard oracle graph with margin
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=32
+    )
     return connected_components(pairs)
 
 
