@@ -351,10 +351,11 @@ def connected_components(
         )
         .distinct()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+    # seed with one propagation round fused into initialization:
+    # lbl = min(self, direct neighbors) — saves a full join+checkpoint+
+    # count cycle, and diameter-2 components converge immediately
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.first("src"), F.min("dst")).alias("lbl")
     )
     for _ in range(max_iterations):
         neighbor_lbls = (
