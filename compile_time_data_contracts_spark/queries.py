@@ -1723,6 +1723,99 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q75_window_analytics",
+    """SELECT o_orderkey,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cdist,
+              first_value(o_orderkey) OVER w AS first_key,
+              last_value(o_orderkey)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS last_key
+       FROM orders
+       WHERE o_custkey < 200
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-analytic window functions: ntile / percent_rank /
+    cume_dist / first_value / last_value (last_value needs the full-
+    partition frame — the default frame ends at CURRENT ROW)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@q(
+    "q76_stat_aggregates",
+    """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+              round(covar_pop(l_quantity, l_extendedprice), 4) AS covp,
+              round(covar_samp(l_quantity, l_extendedprice), 4) AS covs,
+              round(var_pop(l_discount), 8) AS varp,
+              round(var_samp(l_discount), 8) AS vars,
+              round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+              round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+       FROM lineitem""",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family: correlation, population/sample
+    covariance and variance, linear-regression slope/intercept — all
+    single-pass partial-aggregable moments."""
+    li = load_table(spark, sf, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.agg(
+        F.round(F.corr(q, p), 6).alias("corr_qp"),
+        F.round(F.covar_pop(q, p), 4).alias("covp"),
+        F.round(F.covar_samp(q, p), 4).alias("covs"),
+        F.round(F.var_pop(d), 8).alias("varp"),
+        F.round(F.var_samp(d), 8).alias("vars"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("icept"),
+    )
+
+
+@q(
+    "q77_repetition_signal",
+    """WITH bg AS (
+         SELECT doc_id, concat_ws('|', toks[gs], toks[gs+1]) AS bigram
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+              LATERAL UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) t(gs)
+       ), c AS (
+         SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+       )
+       SELECT doc_id,
+              round(max(n)::DOUBLE / sum(n), 6) AS top_bigram_frac
+       FROM c GROUP BY doc_id""",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style curation rule): fraction
+    of a document's bigrams taken by its most frequent bigram —
+    boilerplate and spam score high.  Codegen bigram explode (the n=2
+    shingle path) + two partial-aggregable groupBys."""
+    from .operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf, "documents")
+    bg = shingle_rows(docs, n=2)
+    counts = bg.groupBy("doc_id", "shingle").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.max("n").cast("double") / F.sum("n"), 6
+        ).alias("top_bigram_frac")
+    )
+
+
 @q("q67_ivf_topk")  # nprobe < n_clusters: recall < 1 by construction
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (cluster-then-probe) ANN top-k — q50's scale path: k-means
