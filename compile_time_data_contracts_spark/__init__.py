@@ -31,6 +31,11 @@ from .contracts.shape import (
 )
 from .contracts.policies import SchemaPolicy
 from .contracts.conforms import conforms, ContractDriftError, DriftReport
+from .contracts.codegen import (
+    UnsupportedSchemaError,
+    contract_source,
+    load_contract,
+)
 from .contracts.schema import spark_schema, HAS_DEFAULT_KEY
 from .runtime.comparator import compare_data_type, RuntimeSchemaComparator
 from .runtime.pins import assert_matches_contract, SchemaMismatchError
@@ -51,6 +56,9 @@ __all__ = [
     "ContractDriftError",
     "DriftReport",
     "spark_schema",
+    "contract_source",
+    "load_contract",
+    "UnsupportedSchemaError",
     "HAS_DEFAULT_KEY",
     "compare_data_type",
     "RuntimeSchemaComparator",
