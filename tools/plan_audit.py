@@ -63,6 +63,24 @@ CHECKS = {
          lambda p: "partial_min" in p or "partial" in p.lower()),
         ("no cartesian", True, lambda p: "CartesianProduct" not in p),
     ],
+    "q66_top_tokens": [
+        ("top-k via TakeOrdered heap, no global sort", True,
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "q69_pivot": [
+        ("explicit pivot values: single agg, no distinct-scan", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 3),
+        ("nation broadcast", True, lambda p: "BroadcastHashJoin" in p),
+    ],
+    "q76_stat_aggregates": [
+        ("moments in one partial-aggregated pass", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and ("partial" in p.lower())),
+    ],
+    "q77_repetition_signal": [
+        ("both groupBys partial-aggregated", True,
+         lambda p: p.lower().count("partial") >= 2),
+    ],
 }
 
 
