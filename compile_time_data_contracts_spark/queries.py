@@ -1233,19 +1233,28 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# co-occurrence form (shingle-join + per-doc set sizes) rather than an
+# O(n²) list_intersect cross join — same answer for any threshold > 0,
+# ~10× faster in the driver's correctness gate
 _JACCARD_ORACLE = """
     WITH sh AS (
-      SELECT doc_id,
-             list_distinct([toks[gs] || '|' || toks[gs+1] || '|' || toks[gs+2]
-                            FOR gs IN generate_series(1, greatest(len(toks) - 2, 1))]) AS s
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT DISTINCT doc_id,
+             concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) t(gs)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE /
-                 len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard_r
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-          len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard_r
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
 """
 
 
@@ -1650,15 +1659,21 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     """WITH RECURSIVE pairs AS (
          SELECT doc_a, doc_b FROM (
            WITH sh AS (
-             SELECT doc_id,
-                    list_distinct([toks[gs] || '|' || toks[gs+1] || '|' || toks[gs+2]
-                                   FOR gs IN generate_series(1, greatest(len(toks) - 2, 1))]) AS s
-             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             SELECT DISTINCT doc_id,
+                    concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                  LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) t(gs)
+           ), sizes AS (
+             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+           ), inter AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
            )
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-                 len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
          )
        ), edges AS (
          SELECT doc_a AS src, doc_b AS dst FROM pairs
