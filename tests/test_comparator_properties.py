@@ -150,3 +150,69 @@ def test_nested_contains_null_strict(dt):
     m1 = T.MapType(T.StringType(), dt, True)
     m2 = T.MapType(T.StringType(), dt, False)
     assert not compare_data_type(m1, m2)
+
+
+# ---- double-derivation consistency: the property the reference's whole
+# ---- architecture rests on (one contract drives both the construction-
+# ---- time proof and the runtime pin; they must agree)
+
+from compile_time_data_contracts_spark.contracts.conforms import conforms
+from compile_time_data_contracts_spark.contracts.policies import SchemaPolicy
+from compile_time_data_contracts_spark.contracts.schema import spark_schema
+from compile_time_data_contracts_spark.contracts.shape import (
+    FieldShape,
+    PrimitiveShape,
+    SequenceShape,
+    StructShape,
+)
+
+
+def _shape_structs():
+    names = st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+                max_size=6),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda s: s.lower(),
+    )
+    leaf = st.sampled_from(
+        ["string", "int", "long", "double", "boolean"]
+    ).map(PrimitiveShape)
+    shape = st.one_of(
+        leaf,
+        st.tuples(leaf, st.booleans()).map(
+            lambda t: SequenceShape(t[0], t[1])
+        ),
+    )
+    return names.flatmap(
+        lambda ns: st.tuples(
+            *[
+                st.tuples(shape, st.booleans(), st.booleans()).map(
+                    lambda t, n=n: FieldShape(n, t[0], t[1], t[2])
+                )
+                for n in ns
+            ]
+        ).map(StructShape)
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(_shape_structs(), _shape_structs())
+def test_compile_and_runtime_verdicts_agree(a, b):
+    """conforms(producer, expected, policy).ok must equal the runtime
+    comparator's verdict over the derived StructTypes, for the policies
+    whose semantics both layers implement (Exact unordered-CI, Backward,
+    Forward, ByPosition)."""
+    sa, sb = spark_schema(a), spark_schema(b)
+    cases = [
+        (SchemaPolicy.EXACT, lambda: C.unordered(sb, sa)),
+        (SchemaPolicy.BACKWARD, lambda: C.backward(sb, sa)),
+        (SchemaPolicy.FORWARD, lambda: C.forward(sb, sa)),
+        (SchemaPolicy.EXACT_BY_POSITION, lambda: C.by_position(sb, sa)),
+    ]
+    for policy, runtime in cases:
+        compile_ok = conforms(a, b, policy, raise_on_drift=False).ok
+        assert compile_ok == runtime(), (
+            f"{policy}: compile={compile_ok} runtime={not compile_ok}\n"
+            f"A={a.render()}\nB={b.render()}"
+        )
