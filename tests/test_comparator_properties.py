@@ -206,9 +206,13 @@ def test_compile_and_runtime_verdicts_agree(a, b):
     sa, sb = spark_schema(a), spark_schema(b)
     cases = [
         (SchemaPolicy.EXACT, lambda: C.unordered(sb, sa)),
+        (SchemaPolicy.EXACT_UNORDERED_CI, lambda: C.unordered(sb, sa, True)),
+        (SchemaPolicy.EXACT_ORDERED, lambda: C.ordered(sb, sa, False)),
+        (SchemaPolicy.EXACT_ORDERED_CI, lambda: C.ordered(sb, sa, True)),
         (SchemaPolicy.BACKWARD, lambda: C.backward(sb, sa)),
         (SchemaPolicy.FORWARD, lambda: C.forward(sb, sa)),
         (SchemaPolicy.EXACT_BY_POSITION, lambda: C.by_position(sb, sa)),
+        (SchemaPolicy.FULL, lambda: True),
     ]
     for policy, runtime in cases:
         compile_ok = conforms(a, b, policy, raise_on_drift=False).ok
