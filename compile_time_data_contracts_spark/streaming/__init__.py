@@ -1,6 +1,7 @@
 """Structured Streaming surface: event-time windows, watermarks,
 stateful dedup, arbitrary-stateful operators."""
 
+from .joins import interval_join, write_stream_with_contract
 from .stateful import running_user_totals
 from .windows import (
     dedup_within_watermark,
@@ -12,6 +13,8 @@ from .windows import (
 )
 
 __all__ = [
+    "interval_join",
+    "write_stream_with_contract",
     "running_user_totals",
     "dedup_within_watermark",
     "events_stream",

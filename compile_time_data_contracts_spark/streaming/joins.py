@@ -1,0 +1,93 @@
+"""Stream-stream joins and contract-pinned streaming sinks.
+
+Stream-stream joins need watermarks on both sides plus an event-time
+range condition so Spark can bound the join state: each side buffers
+only rows younger than (watermark − interval).  Without the range
+condition state grows forever — the constructor here refuses to build
+such a join rather than shipping an unbounded-state plan to a 100 TB
+cluster.
+
+``write_stream_with_contract`` bridges Structured Streaming to the
+engine's contract discipline: every micro-batch passes through the same
+policy pin as a batch write (``write_df``), so a mid-stream schema drift
+(e.g. a new field appearing after a producer deploy) aborts the query
+instead of silently corrupting the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..contracts.policies import SchemaPolicy
+from ..sources.io import Sink, write_df
+
+__all__ = ["interval_join", "write_stream_with_contract"]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join constrained to
+    ``right_ts ∈ [left_ts - upper, left_ts - lower]`` — e.g. each click
+    joined to purchases in the preceding hour.  Both sides are
+    watermarked and the range condition bounds state retention; Spark
+    derives the per-side buffer horizon from watermark + interval.
+    """
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {upper}")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+        )
+    )
+    return l.join(r, cond, how)
+
+
+def write_stream_with_contract(
+    stream: DataFrame,
+    sink: Sink,
+    policy: SchemaPolicy = SchemaPolicy.EXACT_UNORDERED_CI,
+    checkpoint: str | None = None,
+    query_name: str = "ctdc_contract_sink",
+    available_now: bool = True,
+):
+    """Start a streaming write where EVERY micro-batch runs the policy
+    pin before appending (foreachBatch -> write_df with mode=append):
+    the streaming analogue of the batch sink fuse.  A schema drift in
+    any batch raises SchemaMismatchError and fails the query — data
+    stops moving, exactly like the batch pipeline's construction-time
+    refusal.  Returns the StreamingQuery (caller awaits termination)."""
+    append_sink = Sink(
+        sink.contract, sink.path, mode="append", format=sink.format,
+        options=sink.options, partition_by=sink.partition_by,
+    )
+
+    def pin_and_write(batch_df: DataFrame, batch_id: int) -> None:
+        write_df(batch_df, append_sink, policy)
+
+    writer = (
+        stream.writeStream.foreachBatch(pin_and_write)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

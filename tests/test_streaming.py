@@ -8,9 +8,11 @@ modification times so the file source's batch order is deterministic
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import time
+from typing import Optional
 
 import pytest
 from pyspark.sql import functions as F
@@ -231,3 +233,111 @@ def test_stateful_running_totals(spark, tmp_path):
         final[r.user_id] = (r.n_events, r.total_value)
     assert final[1] == (2, 7.0)  # two events, 2.0 + 5.0, across batches
     assert final[2] == (1, 3.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Each click joins purchases by the same user within the preceding
+    hour; a purchase outside the interval must not match."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from compile_time_data_contracts_spark.streaming.joins import (
+        interval_join,
+    )
+
+    ts = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    _write_feed(spark, clicks_dir, [
+        [(1, 1, ts(12, 0), 1.0), (2, 2, ts(12, 30), 1.0)],
+    ])
+    _write_feed(spark, buys_dir, [
+        [(10, 1, ts(11, 40), 5.0),   # within 1h before click 1 -> match
+         (11, 2, ts(9, 0), 7.0)],    # 3.5h before click 2 -> no match
+    ])
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    clicks = spark.readStream.schema(schema).parquet(clicks_dir)
+    buys = (
+        spark.readStream.schema(schema).parquet(buys_dir)
+        .withColumnRenamed("event_id", "buy_id")
+        .withColumnRenamed("value", "buy_value")
+    )
+    joined = interval_join(
+        clicks, buys, on="user_id", upper="1 hour"
+    ).select("l.event_id", "r.buy_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.event_id, r.buy_id) for r in spark.table("t_ssjoin").collect()}
+    assert got == {(1, 10)}
+
+
+def test_contract_pinned_streaming_sink(spark, tmp_path):
+    """foreachBatch sink pins every micro-batch: the green stream lands,
+    a drifted stream fails the query with the schema mismatch."""
+    from dataclasses import dataclass
+
+    from pyspark.sql import types as T
+
+    from compile_time_data_contracts_spark import (
+        SchemaMismatchError,
+        SchemaPolicy,
+        Sink,
+    )
+    from compile_time_data_contracts_spark.contracts.shape import contract
+    from compile_time_data_contracts_spark.streaming.joins import (
+        write_stream_with_contract,
+    )
+
+    @contract
+    @dataclass
+    class Event:
+        event_id: int
+        user_id: int
+        ts: datetime.datetime
+        value: Optional[float] = None
+
+    ts = lambda h: datetime.datetime(2024, 1, 1, h)
+    feed = str(tmp_path / "pin_feed")
+    _write_feed(spark, feed, [[(1, 1, ts(10), 1.0), (2, 2, ts(11), 2.0)]])
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(feed)
+    out = str(tmp_path / "pinned_out")
+    q = write_stream_with_contract(
+        stream,
+        Sink(Event, out),
+        SchemaPolicy.EXACT,
+        checkpoint=str(tmp_path / "ckpt1"),
+        query_name="t_pin_green",
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 2
+
+    # drifted stream: an extra column trips the per-batch pin
+    drifted = stream.withColumn("surprise", F.lit("x"))
+    q2 = write_stream_with_contract(
+        drifted,
+        Sink(Event, str(tmp_path / "pinned_out2")),
+        SchemaPolicy.EXACT,
+        checkpoint=str(tmp_path / "ckpt2"),
+        query_name="t_pin_red",
+    )
+    with pytest.raises(Exception) as exc:
+        q2.awaitTermination()
+    assert "surprise" in str(exc.value) or "SchemaMismatch" in str(exc.value)
