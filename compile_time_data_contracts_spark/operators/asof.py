@@ -31,26 +31,29 @@ __all__ = ["asof_join"]
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right[right_ts] <= left[left_ts]`` and the same ``on`` key.
+    ``right[right_ts] <= left[left_ts]`` and the same ``on`` key(s).
 
     Returns the left DataFrame plus ``asof_<col>`` columns (null when no
     right row precedes the left row).  With ``tolerance`` (an INTERVAL
     string, e.g. ``'2 hours'``), a match older than
     ``left_ts - tolerance`` is nulled out — pandas merge_asof semantics —
     as a post-window filter, so the single-shuffle plan is unchanged.
+    ``on`` may be a single column or a list (pandas merge_asof ``by``);
+    the window partitions on the full composite key — still one shuffle.
     """
     value_cols = value_cols or []
+    keys = [on] if isinstance(on, str) else list(on)
     l_cols = left.columns
 
     lm = left.select(
-        F.col(on).alias("__key"),
+        *[F.col(k).alias(f"__key{i}") for i, k in enumerate(keys)],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
         *[F.col(c) for c in l_cols],
@@ -58,7 +61,7 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
     )
     rm = right.select(
-        F.col(on).alias("__key"),
+        *[F.col(k).alias(f"__key{i}") for i, k in enumerate(keys)],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
@@ -67,7 +70,7 @@ def asof_join(
     )
 
     w = (
-        Window.partitionBy("__key")
+        Window.partitionBy(*[f"__key{i}" for i in range(len(keys))])
         .orderBy(F.col("__ts"), F.col("__side"), F.col("__r_ts"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

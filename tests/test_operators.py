@@ -664,3 +664,28 @@ def test_resample_ffill(spark):
     assert out[(1, 13)] is None or out[(1, 13)] == 5.0  # 13:00 < 13:10
     assert out[(2, 8)] == 1.0
     assert len(out) == 5  # 4 ticks for key 1 + 1 for key 2
+
+
+def test_asof_join_composite_key(spark):
+    from compile_time_data_contracts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "eu", "2024-01-01 12:00:00"), (1, "us", "2024-01-01 12:00:00")],
+        ["k", "region", "lts"],
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [
+            (1, "eu", "2024-01-01 11:00:00", 10.0),
+            (1, "us", "2024-01-01 11:30:00", 20.0),
+        ],
+        ["k", "region", "rts", "v"],
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = {
+        (r.k, r.region): r.asof_v
+        for r in asof_join(
+            left, right, on=["k", "region"], left_ts="lts",
+            right_ts="rts", value_cols=["v"],
+        ).collect()
+    }
+    # each (k, region) pair only sees its own region's observations
+    assert out == {(1, "eu"): 10.0, (1, "us"): 20.0}
