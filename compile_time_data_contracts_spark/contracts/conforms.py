@@ -83,13 +83,24 @@ def _norm(name: str, ci: bool) -> str:
 
 
 def _compare_shape(
-    path: str, out: Shape, exp: Shape, ci: bool
+    path: str, out: Shape, exp: Shape, ci: bool, mode: str = "name"
 ) -> list[Drift]:
     """Strict structural compare; field-level optionality never reaches
     here (unwrapped at FieldShape), nested collection optionality is
-    compared strictly (ContractsCore.scala:247-260)."""
+    compared strictly (ContractsCore.scala:247-260).
+
+    ``mode`` is the active comparer ("name" | "ordered" | "pos") and is
+    preserved through every nesting level, exactly like the reference's
+    compareByName/compareOrdered/compareByPos each recursing into nested
+    StructShapes in their own mode (ContractsCore.scala:262-281, 314-337,
+    364-378) — a nested struct under ExactOrdered is compared ordered, and
+    under ExactByPosition names are ignored at every depth."""
     drifts: list[Drift] = []
     if isinstance(out, StructShape) and isinstance(exp, StructShape):
+        if mode == "ordered":
+            return _compare_ordered(path, out, exp, ci)
+        if mode == "pos":
+            return _compare_by_pos(path, out, exp)
         return _compare_by_name(path, out, exp, ci)
     if isinstance(out, SequenceShape) and isinstance(exp, SequenceShape):
         if out.contains_null != exp.contains_null:
@@ -102,7 +113,7 @@ def _compare_shape(
                     f"expected {expd} element, found {found}",
                 )
             )
-        drifts += _compare_shape(f"{path}[]", out.element, exp.element, ci)
+        drifts += _compare_shape(f"{path}[]", out.element, exp.element, ci, mode)
         return drifts
     if isinstance(out, MapShape) and isinstance(exp, MapShape):
         if out.key != exp.key:
@@ -123,7 +134,7 @@ def _compare_shape(
                     f"expected {expd} value, found {found}",
                 )
             )
-        drifts += _compare_shape(f"{path}<value>", out.value, exp.value, ci)
+        drifts += _compare_shape(f"{path}<value>", out.value, exp.value, ci, mode)
         return drifts
     if isinstance(out, PrimitiveShape) and isinstance(exp, PrimitiveShape):
         if out.name != exp.name:
@@ -169,15 +180,19 @@ def _compare_by_name(
     for key, ef in exp_by.items():
         of = out_by.get(key)
         if of is not None:
-            drifts += _compare_shape(_join(path, ef.name), of.shape, ef.shape, ci)
+            drifts += _compare_shape(
+                _join(path, ef.name), of.shape, ef.shape, ci, "name"
+            )
     return drifts
 
 
 def _compare_ordered(
     path: str, out: StructShape, exp: StructShape, ci: bool
 ) -> list[Drift]:
-    """Ordered-by-name comparer with indexed paths
-    (ContractsCore.scala:286-340)."""
+    """Ordered-by-name comparer with indexed paths for name mismatches;
+    nested shapes recurse in ordered mode at the name-joined path, and the
+    shape comparison happens whether or not the positional names matched
+    (ContractsCore.scala:286-340, StructShape case :314-337)."""
     drifts: list[Drift] = []
     for i, (of, ef) in enumerate(zip(out.fields, exp.fields)):
         ipath = f"{path}@{i}({ef.name})" if not path else f"{path}.@{i}({ef.name})"
@@ -189,8 +204,9 @@ def _compare_ordered(
                     f"expected name {ef.name}, found {of.name}",
                 )
             )
-            continue
-        drifts += _compare_shape(ipath, of.shape, ef.shape, ci)
+        drifts += _compare_shape(
+            _join(path, ef.name), of.shape, ef.shape, ci, "ordered"
+        )
     for ef in exp.fields[len(out.fields):]:
         drifts.append(
             Drift("missing", _join(path, ef.name), ef.shape.render(),
@@ -205,19 +221,13 @@ def _compare_ordered(
 def _compare_by_pos(
     path: str, out: StructShape, exp: StructShape
 ) -> list[Drift]:
-    """By-position comparer, names ignored (ContractsCore.scala:342-381)."""
+    """By-position comparer, names ignored at every depth — nested
+    StructShapes recurse in by-position mode and their drifts propagate
+    with indexed paths (ContractsCore.scala:342-381, recursion :364-368)."""
     drifts: list[Drift] = []
     for i, (of, ef) in enumerate(zip(out.fields, exp.fields)):
         ipath = f"{path}@{i}" if not path else f"{path}.@{i}"
-        sub = _compare_shape(ipath, of.shape, ef.shape, ci=False)
-        if sub:
-            drifts.append(
-                Drift(
-                    "mismatch",
-                    ipath,
-                    f"expected {ef.shape.render()}, found {of.shape.render()}",
-                )
-            )
+        drifts += _compare_shape(ipath, of.shape, ef.shape, ci=False, mode="pos")
     for ef in exp.fields[len(out.fields):]:
         drifts.append(Drift("missing", _join(path, ef.name), ef.shape.render(),
                             missing_is_optional=ef.is_optional,

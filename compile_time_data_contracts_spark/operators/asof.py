@@ -57,7 +57,10 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
         *[F.col(c) for c in l_cols],
-        F.lit(None).cast("timestamp").alias("__r_ts"),
+        # null marker typed as the right ordering column — the algorithm is
+        # type-agnostic (epoch longs, dates, timestamps all order fine), so
+        # don't hard-cast to timestamp or unionByName rejects non-ts keys
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
     )
     rm = right.select(

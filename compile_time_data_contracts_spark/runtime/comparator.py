@@ -1,16 +1,25 @@
 """Policy-aware runtime schema comparator over live ``StructType``s.
 
 Python re-expression of `RuntimeSchemaComparator`
-(/root/reference/src/main/scala/ctdc/SparkCore.scala:39-189).  Operates on
+(/root/reference/src/main/scala/ctdc/SparkCore.scala:30-147).  Operates on
 driver-side metadata only (``df.schema``) — never touches rows, so cost is
 microseconds per pipeline boundary regardless of data scale.
+
+The comparison *mode* (unordered / ordered / backward / forward /
+by-position, each with its case sensitivity) is threaded through every
+nesting level, exactly like the reference's ``StructMode`` passed from
+``compareStruct`` into ``compareDataType`` and back
+(SparkCore.scala:79-147): a nested struct inside an array or map is
+compared under the active policy's semantics, not under a fixed
+positional rule.
 
 Key semantics Spark's own comparators lack (ARTIFACT.md:29):
   * ``ArrayType.containsNull`` / ``MapType.valueContainsNull`` compared
     strictly (SparkCore.scala:137-144) while StructField.nullable is
     ignored (SparkCore.scala:132-147),
-  * case-insensitive duplicate-name detection fails the unordered match
-    (SparkCore.scala:60-78),
+  * duplicate field names on either side fail every by-name mode because
+    unique-by-name indexing is impossible (``uniqueFieldsByName`` yields
+    None, SparkCore.scala:72-78) — including Backward and Forward,
   * Backward subset: expected field may be absent iff nullable or
     ``ctdc.hasDefault`` metadata (SparkCore.scala:105-116),
   * Forward subset: every found field must exist in expected
@@ -19,6 +28,7 @@ Key semantics Spark's own comparators lack (ARTIFACT.md:29):
 
 from __future__ import annotations
 
+import dataclasses
 from collections import Counter
 
 from pyspark.sql import types as T
@@ -26,43 +36,40 @@ from pyspark.sql import types as T
 from ..contracts.policies import SchemaPolicy
 from ..contracts.schema import HAS_DEFAULT_KEY
 
-__all__ = ["compare_data_type", "duplicate_names", "RuntimeSchemaComparator"]
+__all__ = [
+    "StructMode",
+    "compare_data_type",
+    "duplicate_names",
+    "RuntimeSchemaComparator",
+]
 
 
-def compare_data_type(found: T.DataType, expected: T.DataType) -> bool:
-    """Deep DataType comparer (SparkCore.scala:132-147): recurses
-    Struct/Array/Map, requires containsNull/valueContainsNull equality,
-    ignores StructField.nullable, leaf equality otherwise.
+@dataclasses.dataclass(frozen=True)
+class StructMode:
+    """Active struct-comparison mode (SparkCore.scala:31-36)."""
 
-    Do NOT replace with ``found == expected`` — Spark's equality includes
-    struct-field nullability and metadata.
-    """
-    if isinstance(found, T.StructType) and isinstance(expected, T.StructType):
-        if len(found.fields) != len(expected.fields):
-            return False
-        return all(
-            ff.name == ef.name and compare_data_type(ff.dataType, ef.dataType)
-            for ff, ef in zip(found.fields, expected.fields)
-        )
-    if isinstance(found, T.ArrayType) and isinstance(expected, T.ArrayType):
-        return found.containsNull == expected.containsNull and compare_data_type(
-            found.elementType, expected.elementType
-        )
-    if isinstance(found, T.MapType) and isinstance(expected, T.MapType):
-        return (
-            found.valueContainsNull == expected.valueContainsNull
-            and compare_data_type(found.keyType, expected.keyType)
-            and compare_data_type(found.valueType, expected.valueType)
-        )
-    return found == expected
+    kind: str  # "unordered" | "ordered" | "backward" | "forward" | "by_position"
+    case_insensitive: bool = False
+
+    def norm(self, name: str) -> str:
+        return name.lower() if self.case_insensitive else name
 
 
-def duplicate_names(schema: T.StructType) -> list[list[str]]:
-    """Case-insensitive duplicate field groups (SparkCore.scala:60-65)."""
-    counts = Counter(f.name.lower() for f in schema.fields)
+# Default for bare compare_data_type calls: strict name+type positional
+# comparison (the behavior the public helper always had).
+_ORDERED_CS = StructMode("ordered", case_insensitive=False)
+
+
+def duplicate_names(
+    schema: T.StructType, case_insensitive: bool = True
+) -> list[list[str]]:
+    """Duplicate field groups under the active name normalization
+    (SparkCore.scala:59-65)."""
+    norm = (lambda s: s.lower()) if case_insensitive else (lambda s: s)
+    counts = Counter(norm(f.name) for f in schema.fields)
     dups = {n for n, c in counts.items() if c > 1}
     return [
-        [f.name for f in schema.fields if f.name.lower() == d] for d in sorted(dups)
+        [f.name for f in schema.fields if norm(f.name) == d] for d in sorted(dups)
     ]
 
 
@@ -71,26 +78,112 @@ def _has_default(field: T.StructField) -> bool:
     return bool(meta.get(HAS_DEFAULT_KEY, False))
 
 
+def _missing_allowed(field: T.StructField) -> bool:
+    return field.nullable or _has_default(field)
+
+
+def _unique_fields_by_name(
+    schema: T.StructType, mode: StructMode
+) -> dict[str, T.StructField] | None:
+    """Unique-by-name index, or None when duplicates make by-name matching
+    ill-defined (SparkCore.scala:72-78)."""
+    if duplicate_names(schema, mode.case_insensitive):
+        return None
+    return {mode.norm(f.name): f for f in schema.fields}
+
+
+def compare_data_type(
+    found: T.DataType, expected: T.DataType, mode: StructMode = _ORDERED_CS
+) -> bool:
+    """Deep DataType comparer (SparkCore.scala:132-147): recurses
+    Struct/Array/Map carrying the active mode, requires
+    containsNull/valueContainsNull equality, ignores StructField.nullable,
+    leaf equality otherwise.
+
+    Do NOT replace with ``found == expected`` — Spark's equality includes
+    struct-field nullability and metadata.
+    """
+    if isinstance(found, T.StructType) and isinstance(expected, T.StructType):
+        return _compare_struct(found, expected, mode)
+    if isinstance(found, T.ArrayType) and isinstance(expected, T.ArrayType):
+        return found.containsNull == expected.containsNull and compare_data_type(
+            found.elementType, expected.elementType, mode
+        )
+    if isinstance(found, T.MapType) and isinstance(expected, T.MapType):
+        return (
+            found.valueContainsNull == expected.valueContainsNull
+            and compare_data_type(found.keyType, expected.keyType, mode)
+            and compare_data_type(found.valueType, expected.valueType, mode)
+        )
+    return found == expected
+
+
+def _compare_struct(
+    found: T.StructType, expected: T.StructType, mode: StructMode
+) -> bool:
+    """Mode-dispatched struct comparison (SparkCore.scala:79-127)."""
+    if mode.kind == "by_position":
+        if len(found.fields) != len(expected.fields):
+            return False
+        return all(
+            compare_data_type(ff.dataType, ef.dataType, mode)
+            for ff, ef in zip(found.fields, expected.fields)
+        )
+
+    if mode.kind == "ordered":
+        if len(found.fields) != len(expected.fields):
+            return False
+        return all(
+            mode.norm(ff.name) == mode.norm(ef.name)
+            and compare_data_type(ff.dataType, ef.dataType, mode)
+            for ff, ef in zip(found.fields, expected.fields)
+        )
+
+    fnd_by = _unique_fields_by_name(found, mode)
+    exp_by = _unique_fields_by_name(expected, mode)
+    if fnd_by is None or exp_by is None:
+        return False
+
+    if mode.kind == "unordered":
+        if set(fnd_by) != set(exp_by):
+            return False
+        return all(
+            compare_data_type(fnd_by[k].dataType, exp_by[k].dataType, mode)
+            for k in exp_by
+        )
+
+    if mode.kind == "backward":
+        for key, ef in exp_by.items():
+            ff = fnd_by.get(key)
+            if ff is None:
+                if not _missing_allowed(ef):
+                    return False
+            elif not compare_data_type(ff.dataType, ef.dataType, mode):
+                return False
+        return True
+
+    if mode.kind == "forward":
+        for key, ff in fnd_by.items():
+            ef = exp_by.get(key)
+            if ef is None or not compare_data_type(ff.dataType, ef.dataType, mode):
+                return False
+        return True
+
+    raise ValueError(f"unknown struct mode {mode.kind!r}")
+
+
 class RuntimeSchemaComparator:
-    """The six comparison strategies + policy dispatch
-    (SparkCore.scala:150-189)."""
+    """The five comparison strategies + policy dispatch
+    (SparkCore.scala:38-52, 150-189)."""
 
     @staticmethod
     def unordered(
         expected: T.StructType, found: T.StructType, case_insensitive: bool = True
     ) -> bool:
         """Unordered name equality; duplicate names on either side fail the
-        match because unique-by-name indexing is impossible
-        (SparkCore.scala:73-78, 93-103)."""
-        if duplicate_names(expected) or duplicate_names(found):
-            return False
-        norm = (lambda s: s.lower()) if case_insensitive else (lambda s: s)
-        exp_by = {norm(f.name): f for f in expected.fields}
-        fnd_by = {norm(f.name): f for f in found.fields}
-        if set(exp_by) != set(fnd_by):
-            return False
-        return all(
-            compare_data_type(fnd_by[k].dataType, exp_by[k].dataType) for k in exp_by
+        match (SparkCore.scala:72-78, 93-103)."""
+        return _compare_struct(
+            found, expected, StructMode("unordered", case_insensitive)
         )
 
     @staticmethod
@@ -98,63 +191,33 @@ class RuntimeSchemaComparator:
         expected: T.StructType, found: T.StructType, case_insensitive: bool = False
     ) -> bool:
         """Length + per-position name (CS/CI) + type (SparkCore.scala:86-91)."""
-        if len(expected.fields) != len(found.fields):
-            return False
-        norm = (lambda s: s.lower()) if case_insensitive else (lambda s: s)
-        return all(
-            norm(ef.name) == norm(ff.name)
-            and compare_data_type(ff.dataType, ef.dataType)
-            for ef, ff in zip(expected.fields, found.fields)
-        )
+        return _compare_struct(found, expected, StructMode("ordered", case_insensitive))
 
     @staticmethod
     def by_position(expected: T.StructType, found: T.StructType) -> bool:
         """Length + per-position type only (SparkCore.scala:82-84)."""
-        if len(expected.fields) != len(found.fields):
-            return False
-        return all(
-            compare_data_type(ff.dataType, ef.dataType)
-            for ef, ff in zip(expected.fields, found.fields)
+        return _compare_struct(found, expected, StructMode("by_position"))
+
+    @staticmethod
+    def backward(
+        expected: T.StructType, found: T.StructType, case_insensitive: bool = False
+    ) -> bool:
+        """Every expected field is present with matching type OR its absence
+        is allowed (nullable or ctdc.hasDefault); extras in found are fine;
+        duplicates on either side fail; recursive in backward mode
+        (SparkCore.scala:105-116)."""
+        return _compare_struct(
+            found, expected, StructMode("backward", case_insensitive)
         )
 
     @staticmethod
-    def backward(expected: T.StructType, found: T.StructType) -> bool:
-        """Every expected field is present with matching type OR its absence
-        is allowed (nullable or ctdc.hasDefault); extras in found are fine;
-        recursive into nested structs (SparkCore.scala:105-116)."""
-        fnd_by = {f.name: f for f in found.fields}
-        for ef in expected.fields:
-            ff = fnd_by.get(ef.name)
-            if ff is None:
-                if ef.nullable or _has_default(ef):
-                    continue
-                return False
-            if isinstance(ef.dataType, T.StructType) and isinstance(
-                ff.dataType, T.StructType
-            ):
-                if not RuntimeSchemaComparator.backward(ef.dataType, ff.dataType):
-                    return False
-            elif not compare_data_type(ff.dataType, ef.dataType):
-                return False
-        return True
-
-    @staticmethod
-    def forward(expected: T.StructType, found: T.StructType) -> bool:
+    def forward(
+        expected: T.StructType, found: T.StructType, case_insensitive: bool = False
+    ) -> bool:
         """Every found field must exist in expected with matching type;
-        recursive into nested structs (SparkCore.scala:118-127)."""
-        exp_by = {f.name: f for f in expected.fields}
-        for ff in found.fields:
-            ef = exp_by.get(ff.name)
-            if ef is None:
-                return False
-            if isinstance(ef.dataType, T.StructType) and isinstance(
-                ff.dataType, T.StructType
-            ):
-                if not RuntimeSchemaComparator.forward(ef.dataType, ff.dataType):
-                    return False
-            elif not compare_data_type(ff.dataType, ef.dataType):
-                return False
-        return True
+        duplicates on either side fail; recursive in forward mode
+        (SparkCore.scala:118-127)."""
+        return _compare_struct(found, expected, StructMode("forward", case_insensitive))
 
     # Policy -> comparator dispatch (SparkCore.scala:150-189)
     @staticmethod

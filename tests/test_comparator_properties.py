@@ -167,7 +167,11 @@ from compile_time_data_contracts_spark.contracts.shape import (
 )
 
 
-def _shape_structs():
+def _shape_structs(depth: int = 2):
+    """Bounded-depth recursive shape generator: leaves, sequences, AND
+    nested StructShapes (also wrapped in sequences), so the agreement
+    property exercises the mode-aware nested-struct recursion of both
+    layers — a flat-only generator cannot catch nested-mode divergence."""
     names = st.lists(
         st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
                 max_size=6),
@@ -178,12 +182,21 @@ def _shape_structs():
     leaf = st.sampled_from(
         ["string", "int", "long", "double", "boolean"]
     ).map(PrimitiveShape)
-    shape = st.one_of(
+    options = [
         leaf,
         st.tuples(leaf, st.booleans()).map(
             lambda t: SequenceShape(t[0], t[1])
         ),
-    )
+    ]
+    if depth > 0:
+        inner = _shape_structs(depth - 1)
+        options.append(inner)
+        options.append(
+            st.tuples(inner, st.booleans()).map(
+                lambda t: SequenceShape(t[0], t[1])
+            )
+        )
+    shape = st.one_of(*options)
     return names.flatmap(
         lambda ns: st.tuples(
             *[

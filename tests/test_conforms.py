@@ -342,3 +342,72 @@ def test_rejects_non_atomic_map_keys():
         @dataclass
         class BadKeys:
             m: dict[float, str]
+
+
+# --- mode-aware nested recursion (ContractsCore.scala:314-337, 364-378) -----
+
+def test_ordered_rejects_reordered_nested_struct():
+    """ADVICE r1: compareOrdered recurses into nested StructShapes in
+    ordered mode — a reordered nested struct drifts under ExactOrdered."""
+    @contract
+    @dataclass
+    class GeoRev:
+        lon: float
+        lat: float
+
+    @contract
+    @dataclass
+    class PlaceA:
+        id: int
+        geo: Geo
+
+    @contract
+    @dataclass
+    class PlaceB:
+        id: int
+        geo: GeoRev
+
+    with pytest.raises(ContractDriftError) as exc:
+        conforms(PlaceB, PlaceA, SchemaPolicy.EXACT_ORDERED)
+    assert "geo" in str(exc.value)
+    # unordered still accepts the same pair
+    assert conforms(PlaceB, PlaceA, SchemaPolicy.EXACT).ok
+
+
+def test_by_position_ignores_nested_names():
+    """ADVICE r1: compareByPos ignores names at every depth — a renamed
+    same-typed nested struct conforms under ExactByPosition."""
+    @contract
+    @dataclass
+    class XY:
+        x: float
+        y: float
+
+    @contract
+    @dataclass
+    class PlaceA:
+        id: int
+        geo: Geo
+
+    @contract
+    @dataclass
+    class PlaceRenamed:
+        key: int
+        pos: XY
+
+    assert conforms(PlaceRenamed, PlaceA, SchemaPolicy.EXACT_BY_POSITION).ok
+
+    @contract
+    @dataclass
+    class XYDrift:
+        x: float
+        y: str
+
+    @contract
+    @dataclass
+    class PlaceDrift:
+        key: int
+        pos: XYDrift
+
+    with pytest.raises(ContractDriftError):
+        conforms(PlaceDrift, PlaceA, SchemaPolicy.EXACT_BY_POSITION)

@@ -200,3 +200,132 @@ def test_policy_dispatch():
     assert C.matches(BASE, upper, SchemaPolicy.EXACT_ORDERED_CI)
     assert C.matches(BASE, upper, SchemaPolicy.EXACT_BY_POSITION)
     assert not C.matches(BASE, upper, SchemaPolicy.BACKWARD)  # CS names
+
+
+# --- mode-aware nested recursion (SparkCore.scala:79-147: StructMode is
+# --- threaded through compareDataType into nested structs) ------------------
+
+NESTED_AB = _s(
+    _f("id", T.LongType()),
+    _f("geo", T.StructType([
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+    ])),
+)
+NESTED_BA = _s(
+    _f("id", T.LongType()),
+    _f("geo", T.StructType([
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+    ])),
+)
+
+
+def test_unordered_accepts_reordered_nested_struct():
+    """ADVICE r1 (high): a reordered nested struct must pass the unordered
+    runtime pin, matching the compile-time conforms verdict under Exact —
+    the reference recurses compareStruct with UnorderedByName."""
+    assert C.unordered(NESTED_AB, NESTED_BA)
+    assert C.matches(NESTED_AB, NESTED_BA, SchemaPolicy.EXACT)
+
+
+def test_ordered_rejects_reordered_nested_struct():
+    assert not C.ordered(NESTED_AB, NESTED_BA)
+
+
+def test_by_position_ignores_names_in_nested_struct():
+    renamed = _s(
+        _f("id", T.LongType()),
+        _f("geo", T.StructType([
+            T.StructField("x", T.DoubleType(), False),
+            T.StructField("y", T.DoubleType(), False),
+        ])),
+    )
+    assert C.by_position(NESTED_AB, renamed)
+    # reorder of same-typed fields is also fine by position
+    assert C.by_position(NESTED_AB, NESTED_BA)
+
+
+def test_unordered_case_insensitive_nested_names():
+    upper = _s(
+        _f("id", T.LongType()),
+        _f("geo", T.StructType([
+            T.StructField("LAT", T.DoubleType(), False),
+            T.StructField("LON", T.DoubleType(), False),
+        ])),
+    )
+    assert C.unordered(NESTED_AB, upper, case_insensitive=True)
+    assert not C.unordered(NESTED_AB, upper, case_insensitive=False)
+
+
+def test_backward_recurses_in_backward_mode_nested():
+    """Nested struct under Backward: a nullable expected nested field may be
+    absent from found; extras inside found's nested struct are fine."""
+    expected = _s(
+        _f("payload", T.StructType([
+            T.StructField("code", T.LongType(), False),
+            T.StructField("note", T.StringType(), True),  # nullable
+        ])),
+    )
+    found = _s(
+        _f("payload", T.StructType([
+            T.StructField("code", T.LongType(), False),
+            T.StructField("surplus", T.StringType(), False),
+        ])),
+    )
+    assert C.backward(expected, found)
+    # non-nullable nested field absent -> reject
+    required = _s(
+        _f("payload", T.StructType([
+            T.StructField("code", T.LongType(), False),
+            T.StructField("must", T.StringType(), False),
+        ])),
+    )
+    assert not C.backward(required, found)
+
+
+def test_backward_forward_fail_on_duplicate_names():
+    """ADVICE r1 (medium): BackwardByName/ForwardByName go through
+    uniqueFieldsByName — duplicates on either side fail the match
+    (SparkCore.scala:72-78), never silently keep the last field."""
+    dup_found = _s(
+        _f("a", T.LongType()), _f("a", T.StringType()), _f("b", T.LongType())
+    )
+    expected = _s(_f("a", T.StringType(), nullable=True), _f("b", T.LongType()))
+    assert not C.backward(expected, dup_found)
+    assert not C.forward(expected, dup_found)
+    dup_expected = _s(_f("a", T.LongType()), _f("a", T.StringType()))
+    found = _s(_f("a", T.LongType()))
+    assert not C.backward(dup_expected, found)
+    assert not C.forward(dup_expected, found)
+
+
+def test_compile_runtime_agree_on_reordered_nested_struct():
+    """The ADVICE repro end-to-end: compile-time conforms under Exact and
+    the runtime unordered pin must give the same verdict for reordered
+    nested structs (the round-1 divergence aborted pipelines mid-run)."""
+    from compile_time_data_contracts_spark.contracts.conforms import conforms
+    from compile_time_data_contracts_spark.contracts.shape import (
+        FieldShape, PrimitiveShape, StructShape,
+    )
+
+    geo = StructShape((
+        FieldShape("lat", PrimitiveShape("double")),
+        FieldShape("lon", PrimitiveShape("double")),
+    ))
+    geo_rev = StructShape((
+        FieldShape("lon", PrimitiveShape("double")),
+        FieldShape("lat", PrimitiveShape("double")),
+    ))
+    a = StructShape((FieldShape("id", PrimitiveShape("long")),
+                     FieldShape("geo", geo)))
+    b = StructShape((FieldShape("id", PrimitiveShape("long")),
+                     FieldShape("geo", geo_rev)))
+    ok_ct = conforms(a, b, SchemaPolicy.EXACT, raise_on_drift=False).ok
+    from compile_time_data_contracts_spark.contracts.schema import spark_schema
+    ok_rt = C.matches(spark_schema(b), spark_schema(a), SchemaPolicy.EXACT)
+    assert ok_ct and ok_rt
+    # and under ExactOrdered both layers reject
+    bad_ct = conforms(a, b, SchemaPolicy.EXACT_ORDERED, raise_on_drift=False).ok
+    bad_rt = C.matches(spark_schema(b), spark_schema(a), SchemaPolicy.EXACT_ORDERED)
+    assert (not bad_ct) and (not bad_rt)
