@@ -27,6 +27,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "topk_cosine",
+    "cosine_pairs",
     "cosine_pairs_exact",
     "cosine_pairs_exact_blas",
     "hyperplanes",
@@ -167,6 +168,37 @@ def cosine_pairs_exact_blas(
     return df.select(id_col, vec_col).mapInPandas(
         block, "vec_a long, vec_b long, sim double"
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_bytes: int = 256 << 20,
+    n: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Size-guarded dispatch for the exact cosine-threshold self-join.
+
+    The BLAS-broadcast path (`cosine_pairs_exact_blas`) collects the full
+    (n × d) matrix to the driver — the fastest exact form, but broadcast-
+    bounded: at 100 TB an unconditional collect is the job-killer.  This
+    wrapper decides from metadata alone (parquet row count + one-row dim
+    probe, no data scan) whether the matrix fits under
+    ``max_broadcast_bytes`` (n·d·8 float64 bytes); above the bound it
+    falls back to the fully-distributed pair-join `cosine_pairs_exact`,
+    which never ships data to the driver.  Both produce identical
+    (vec_a, vec_b, sim) rows.  Beyond exact-feasible scale, use
+    `cosine_pairs_lsh` (recall < 1, precision 1).
+    """
+    if n is None:
+        n = df.count()
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if n * dim * 8 <= max_broadcast_bytes:
+        return cosine_pairs_exact_blas(df, threshold, id_col, vec_col)
+    return cosine_pairs_exact(df, threshold, id_col, vec_col)
 
 
 def ivf_assign(

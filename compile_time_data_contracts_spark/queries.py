@@ -40,6 +40,7 @@ from .operators.dedup import (
 )
 from .operators.multimodal import attach_fake_media, extract_media_features
 from .operators.similarity import (
+    cosine_pairs,
     cosine_pairs_exact,
     cosine_pairs_exact_blas,
     cosine_pairs_lsh,
@@ -1136,11 +1137,12 @@ _COSINE_PAIRS_ORACLE = """
 
 @q("q49_neardup_cosine_exact", _COSINE_PAIRS_ORACLE)
 def q49(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact audit path: broadcast-matrix BLAS blocks (see
-    cosine_pairs_exact_blas); the pure-expression variant
-    cosine_pairs_exact stays as the no-collect fallback."""
+    """Exact audit path via the size-guarded dispatcher: BLAS-broadcast
+    blocks when the matrix fits the broadcast bound, the fully-distributed
+    no-collect pair join above it — no gate query unconditionally
+    collects a data-sized table to the driver."""
     emb = load_table(spark, sf, "embeddings")
-    pairs = cosine_pairs_exact_blas(emb, threshold=0.45)
+    pairs = cosine_pairs(emb, threshold=0.45)
     return pairs.select(
         "vec_a", "vec_b", F.round("sim", 4).alias("sim_r")
     )

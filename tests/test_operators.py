@@ -689,3 +689,33 @@ def test_asof_join_composite_key(spark):
     }
     # each (k, region) pair only sees its own region's observations
     assert out == {(1, "eu"): 10.0, (1, "us"): 20.0}
+
+
+def test_cosine_pairs_dispatch_size_guard(vecs):
+    """q49's gate path must never unconditionally collect: under the
+    broadcast bound the dispatcher takes the BLAS mapInPandas path; above
+    it, the fully-distributed pair join (no driver collect — the plan has
+    a Join and no Python map stage)."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    t = 0.4
+    small = cosine_pairs(vecs, t)  # fits easily -> BLAS path
+    plan_small = small._sc._jvm.PythonSQLUtils.explainString(
+        small._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan_small
+
+    big = cosine_pairs(vecs, t, max_broadcast_bytes=1)  # force fallback
+    plan_big = big._sc._jvm.PythonSQLUtils.explainString(
+        big._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" not in plan_big
+    assert "Join" in plan_big
+
+    a = {(r.vec_a, r.vec_b): r.sim for r in small.collect()}
+    b = {(r.vec_a, r.vec_b): r.sim for r in big.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
