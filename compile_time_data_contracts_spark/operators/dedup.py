@@ -35,6 +35,7 @@ __all__ = [
     "keep_best_dedup",
     "connected_components",
     "simhash",
+    "simhash_table",
 ]
 
 
@@ -398,6 +399,12 @@ def simhash(col: str = "text", bits: int = 64) -> F.Column:
     shift amount is a lambda variable (the Python shiftright wrapper only
     accepts int literals); the token hashes are bound once via a
     single-element aggregate so they are not recomputed per bit.
+
+    **Per-row expression form — fixture/reference only.**  The nested
+    ``aggregate`` lambdas are interpreted (never codegen'd): O(bits ×
+    tokens) HOF steps per document, ~0.5 ms/doc.  The hot path is
+    :func:`simhash_table`, which computes bit-identical signatures via
+    explode + one map-side-combined aggregate.
     """
     hashes = f"transform(split({col}, ' '), s -> xxhash64(s))"
     bit_vote = (
@@ -409,3 +416,47 @@ def simhash(col: str = "text", bits: int = 64) -> F.Column:
         f"(a2, i) -> a2 + IF({bit_vote} > 0, shiftleft(cast(1 as long), i), "
         f"cast(0 as long))))"
     )
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, signature) SimHash via explode + codegen'd aggregation — the
+    scale path, mirroring :func:`minhash_table`.
+
+    Tokens explode to one row each, the token hash is a single
+    ``xxhash64`` column (whole-stage codegen, subexpression-eliminated
+    across the ``bits`` vote columns), and each bit's majority vote is a
+    plain ``sum`` in ONE hash aggregate with map-side partial combine:
+    the shuffle carries |docs| × bits small longs regardless of document
+    length, and no interpreted higher-order function appears anywhere in
+    the plan.  Signatures are bit-identical to the :func:`simhash`
+    expression form (same xxhash64 per token, same >0 vote, same JVM
+    shiftleft wrap at bit 63); the only behavioral difference is that a
+    NULL text yields no output row here versus a NULL signature there.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("signature"))

@@ -37,6 +37,7 @@ from .operators.dedup import (
     minhash_near_dup_pairs,
     normalize_text,
     simhash,
+    simhash_table,
 )
 from .operators.multimodal import attach_fake_media, extract_media_features
 from .operators.similarity import (
@@ -1285,8 +1286,11 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 
 @q("q55_simhash")  # 64-bit signature: not SQL-expressible, rows-only check
 def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """Explode + one map-side-combined aggregate (simhash_table) — no
+    interpreted HOF in the plan; bit-identical to the simhash()
+    expression form (pinned by test_simhash_table_matches_expression)."""
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", simhash("text").alias("signature"))
+    return simhash_table(docs, "doc_id", "text")
 
 
 @q("q56_cosine_lsh_pairs")  # recall<1 by construction: rows-only check

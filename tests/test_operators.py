@@ -719,3 +719,26 @@ def test_cosine_pairs_dispatch_size_guard(vecs):
     assert set(a) == set(b)
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_simhash_table_matches_expression(docs):
+    """The explode+groupBy scale form must produce bit-identical
+    signatures to the per-row expression form, with no interpreted
+    higher-order function in its plan."""
+    from compile_time_data_contracts_spark.operators.dedup import (
+        simhash_table,
+    )
+
+    expr_sigs = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", simhash("text").alias("s")).collect()
+    }
+    table = simhash_table(docs, "doc_id", "text")
+    table_sigs = {r.doc_id: r.signature for r in table.collect()}
+    assert table_sigs == expr_sigs
+
+    plan = table._sc._jvm.PythonSQLUtils.explainString(
+        table._jdf.queryExecution(), "formatted"
+    )
+    assert "aggregate(" not in plan  # no interpreted HOF
+    assert "HashAggregate" in plan  # map-side-combined vote aggregate
