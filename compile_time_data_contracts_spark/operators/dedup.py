@@ -337,10 +337,21 @@ def connected_components(
     O(graph diameter) rounds (near-dup clusters are shallow — usually
     2-4).  Each round is one self-join + one aggregate on (node, label)
     pairs; iteration stops early when no label changes, checked with a
-    cheap count.  Lineage is cut per round with localCheckpoint so plans
-    don't grow exponentially.  Diameters beyond ``max_iterations`` raise
-    rather than silently mislabel.
+    cheap count.  Lineage is cut per round with a RELIABLE checkpoint
+    (``DataFrame.checkpoint``), not ``localCheckpoint``: localCheckpoint
+    blocks live on executors and are not recomputable, so on a large
+    cluster a single lost executor kills the whole iterative job.  The
+    reliable checkpoint writes each round's labels to the configured
+    checkpoint directory (set ``sc.setCheckpointDir`` to durable storage
+    — HDFS/S3 — on a real cluster; a local temp dir is auto-configured
+    when unset so library users don't crash).  Diameters beyond
+    ``max_iterations`` raise rather than silently mislabel.
     """
+    sc = pairs.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="ctdc-checkpoint-"))
     edges = (
         pairs.select(
             F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -377,7 +388,7 @@ def connected_components(
             ).alias("lbl"),
             (F.col("__min_nl") < F.col("lbl")).alias("__chg"),
         )
-        updated = updated.localCheckpoint(eager=True)  # cut lineage growth
+        updated = updated.checkpoint(eager=True)  # cut lineage, recoverably
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:

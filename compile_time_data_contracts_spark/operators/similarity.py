@@ -35,6 +35,8 @@ __all__ = [
     "lsh_signatures",
     "cosine_pairs_lsh",
     "ivf_assign",
+    "ivf_build",
+    "ivf_search",
     "ivf_topk",
 ]
 
@@ -263,6 +265,70 @@ def ivf_assign(
     return assigned, C
 
 
+def ivf_build(
+    df: DataFrame,
+    index_path: str,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 10000,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> None:
+    """Build and PERSIST an IVF index: the assigned vector table is
+    written partitioned by ``cluster`` (one directory per cell) and the
+    centroid table alongside it, so searches are plain partition-pruned
+    parquet scans with no k-means refit.
+
+    Build once, search many — the index write pays the clustering and
+    one full-data shuffle-free pass; every subsequent `ivf_search` reads
+    only nprobe/n_clusters of the data via PartitionFilters (verified by
+    plan test).  On a real cluster, point ``index_path`` at durable
+    shared storage.
+    """
+    assigned, C = ivf_assign(
+        df, n_clusters, id_col, vec_col, sample_size, kmeans_iters, seed
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{index_path}/vectors"
+    )
+    spark = df.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(C)]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: rank centroids on the
+    driver (n_clusters rows — metadata-sized), then scan ONLY the
+    ``nprobe`` nearest cells.  ``cluster`` is a partition column of the
+    index table, so the isin filter prunes at the directory level
+    (PartitionFilters in the scan, ~nprobe/n_clusters of the files
+    read).  Output schema matches topk_cosine (id, sim)."""
+    import numpy as np
+
+    cent = spark.read.parquet(f"{index_path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0].centroid)))
+    for r in cent:
+        C[r.cluster] = r.centroid
+    qv = np.array(query.select(vec_col).first()[0], dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
+    probed = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cluster").isin([int(c) for c in order])
+    )
+    return topk_cosine(probed, query, k, id_col, vec_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,
@@ -272,26 +338,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index_path: str | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: search only the ``nprobe`` clusters whose
     centroids are nearest the query — ~nprobe/n_clusters of the corpus
     scanned instead of all of it.  Recall is governed by nprobe (planted
     neighbors in unprobed cells are missed); topk_cosine is the exact
-    audit.  Output schema matches topk_cosine (id, sim)."""
-    import numpy as np
+    audit.  Output schema matches topk_cosine (id, sim).
 
-    assigned, C = ivf_assign(
-        df, n_clusters, id_col, vec_col, seed=seed
-    )
-    qv = np.array(
-        query.select(vec_col).first()[0], dtype=np.float64
-    )
-    qn = qv / max(np.linalg.norm(qv), 1e-12)
-    order = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
-    probed = assigned.filter(
-        F.col("cluster").isin([int(c) for c in order])
-    )
-    return topk_cosine(probed, query, k, id_col, vec_col)
+    Build/search are split: the index (assigned table partitioned by
+    cluster + centroids) is persisted at ``index_path`` (a temp dir when
+    None) and REUSED if already present — repeated searches never refit
+    k-means or rescan the corpus; the probe is a partition-pruned scan.
+    """
+    spark = df.sparkSession
+    if index_path is None:
+        import tempfile
+
+        index_path = tempfile.mkdtemp(prefix="ctdc-ivf-")
+    import os
+
+    if not os.path.exists(f"{index_path}/centroids"):
+        ivf_build(
+            df, index_path, n_clusters, id_col, vec_col, seed=seed
+        )
+    return ivf_search(spark, index_path, query, k, nprobe, id_col, vec_col)
 
 
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:

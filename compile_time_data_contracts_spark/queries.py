@@ -1841,13 +1841,21 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (cluster-then-probe) ANN top-k — q50's scale path: k-means
     centroids on a bounded driver sample, streamed assignment, only the
-    nprobe nearest cells scanned.  q50 (brute force) is the exact
-    audit."""
+    nprobe nearest cells scanned via a partition-pruned scan of the
+    persisted cluster-partitioned index (built once per sf dir and
+    reused).  q50 (brute force) is the exact audit."""
+    import hashlib
+    import tempfile
+
     from .operators.similarity import ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    top = ivf_topk(emb, query, k=10, n_clusters=32, nprobe=8)
+    tag = hashlib.md5(f"{sf}|c32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-ivf-{tag}"
+    top = ivf_topk(
+        emb, query, k=10, n_clusters=32, nprobe=8, index_path=idx
+    )
     return top.select("vec_id", F.round("sim", 4).alias("sim_r"))
 
 

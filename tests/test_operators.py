@@ -10,6 +10,7 @@ cases that the table-level harness can't isolate.
 from __future__ import annotations
 
 import math
+import re
 
 import pytest
 from pyspark.sql import Row
@@ -742,3 +743,81 @@ def test_simhash_table_matches_expression(docs):
     )
     assert "aggregate(" not in plan  # no interpreted HOF
     assert "HashAggregate" in plan  # map-side-combined vote aggregate
+
+
+def test_connected_components_reliable_checkpoint(spark):
+    """Lineage must be cut with a RELIABLE checkpoint: files land in the
+    configured checkpoint dir (recomputable after executor loss, unlike
+    localCheckpoint) and the returned plan is rooted at the checkpointed
+    RDD with no join chain from prior rounds."""
+    import os
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a diameter-5 path graph forces several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(edges)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(7)}
+
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None
+    local = ckpt_dir.removeprefix("file:")
+    found = [f for _, _, fs in os.walk(local) for f in fs]
+    assert found, "reliable checkpoint wrote no files"
+
+    plan = labels._sc._jvm.PythonSQLUtils.explainString(
+        labels._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan  # lineage from iteration rounds is cut
+    assert "Scan ExistingRDD" in plan
+
+
+def test_ivf_index_persisted_and_partition_pruned(spark, tmp_path):
+    """ivf_build writes the assigned table partitioned by cluster;
+    ivf_search's probe scan must prune partitions (PartitionFilters on
+    cluster, fewer partitions read than exist) and reuse the persisted
+    index without refitting."""
+    import os
+
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    ivf_build(df, idx, n_clusters=8, seed=7)
+
+    part_dirs = [
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("cluster=")
+    ]
+    assert len(part_dirs) == 8
+
+    query = df.filter(F.col("vec_id") == 0)
+    top = ivf_search(spark, idx, query, k=5, nprobe=2)
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
+    assert m, f"no partition filter on cluster:\n{plan}"
+
+    got = [r.vec_id for r in top.collect()]
+    assert got[0] == 0  # the query vector itself lives in a probed cell
+    # nprobe=all equals brute force exactly
+    full = ivf_search(spark, idx, query, k=5, nprobe=8)
+    exact = topk_cosine(df, query, k=5)
+    assert [r.vec_id for r in full.collect()] == [
+        r.vec_id for r in exact.collect()
+    ]
