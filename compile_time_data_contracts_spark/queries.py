@@ -1860,6 +1860,137 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
+# Scale-hardening gate queries (Q78-Q81): append-mode watermark semantics,
+# skew mitigation, bucketed co-located joins — each oracle-checked against
+# the plain (unsalted/unbucketed/batch) SQL so the physical rewrite is
+# proven result-identical.
+# =========================================================================
+
+@q(
+    "q78_watermark_late_drop",
+    """WITH nonlate AS (SELECT * FROM events WHERE event_id % 100 <> 0),
+            late AS (SELECT * FROM events WHERE event_id % 100 = 0),
+            wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM nonlate),
+            fin AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+            kept AS (
+              SELECT ts FROM nonlate
+              UNION ALL
+              SELECT l.ts FROM late l, wm
+              WHERE date_trunc('hour', l.ts) + INTERVAL 1 HOUR > wm.w
+            )
+       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              count(*) AS n
+       FROM kept, fin
+       WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= fin.w
+       GROUP BY 1""",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """TRUE append-mode watermark late-drop (SURVEY §2.2 Q44's original
+    description): a 3-batch ordered replay of events with late rows
+    injected last; Spark's watermark machinery drops expired late rows
+    and emits only closed windows, and the oracle recomputes both
+    effects from the same deterministic split."""
+    from .streaming.windows import late_drop_counts
+
+    return late_drop_counts(spark, sf)
+
+
+@q(
+    "q79_salted_skew_join",
+    """SELECT p.p_brand AS brand,
+              count(*) AS n,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY 1""",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-dim join routed through the salted-join rewrite (hot left
+    keys spread over 8 salt buckets, dim replicated 8x); the oracle is
+    the plain unsalted SQL join — salting must be result-invisible."""
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, on=["p_partkey"], salt=8)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@q(
+    "q80_two_phase_count_distinct",
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
+       FROM orders GROUP BY 1""",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) over a group key via the two-phase skew-safe form
+    (distinct on (key, value) spreads a hot key's values by value hash,
+    then a plain count); oracle = the direct COUNT(DISTINCT)."""
+    from .operators.skew import two_phase_count_distinct
+
+    orders = load_table(spark, sf, "orders")
+    return two_phase_count_distinct(orders, "o_orderpriority", "o_custkey")
+
+
+@q(
+    "q81_bucketed_join",
+    """SELECT c.c_mktsegment AS segment,
+              count(*) AS n_orders,
+              round(sum(o.o_totalprice), 2) AS total
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY 1""",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-orders join through bucketed tables: both sides written
+    hash-bucketed on custkey (shuffle paid once at write), the join reads
+    co-located buckets (zero Exchange on either side when the sort-merge
+    path is chosen — asserted in tools/plan_audit.py with broadcast off).
+    Tables live in an explicit /tmp-located database so the gate never
+    writes into the caller's cwd warehouse."""
+    import hashlib
+    import tempfile
+
+    from .sources.bucketing import bucketed_join_ready, write_bucketed
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    db = "ctdc_bucket"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} "
+        f"LOCATION '{tempfile.gettempdir()}/ctdc-bucket-warehouse'"
+    )
+    cust_t = f"{db}.customer_{tag}"
+    ord_t = f"{db}.orders_{tag}"
+    # the session catalog is in-memory: a table dir left by a previous
+    # session is an orphan the catalog won't overwrite — drop both ways
+    import shutil
+
+    for t, leaf in ((cust_t, f"customer_{tag}"), (ord_t, f"orders_{tag}")):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            f"{tempfile.gettempdir()}/ctdc-bucket-warehouse/{leaf}",
+            ignore_errors=True,
+        )
+    cust = load_table(spark, sf, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    orders = load_table(spark, sf, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    write_bucketed(cust, cust_t, ["custkey"], 8)
+    write_bucketed(orders, ord_t, ["custkey"], 8)
+    joined = bucketed_join_ready(spark, cust_t, ord_t, ["custkey"])
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# =========================================================================
 # Flagship
 # =========================================================================
 

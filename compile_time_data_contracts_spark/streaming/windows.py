@@ -28,6 +28,8 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "run_stream_to_memory",
+    "write_ordered_feed",
+    "late_drop_counts",
 ]
 
 
@@ -132,6 +134,102 @@ def run_stream_to_memory(
         agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+def write_ordered_feed(dfs: list[DataFrame], base: str) -> None:
+    """Materialize one parquet file per batch with ascending mtimes so a
+    ``maxFilesPerTrigger=1`` file stream replays them in a deterministic
+    order (the file source lists by modification time)."""
+    import os
+    import shutil
+    import time
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    t0 = time.time() - 1000
+    for i, df in enumerate(dfs):
+        tmp = os.path.join(base, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+
+def late_drop_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "ctdc_q78_sink",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Append-mode watermark semantics as a gate-checkable query: the
+    events table is replayed as an ordered 3-batch feed with late rows
+    injected last, and only Spark's own watermark machinery decides what
+    is dropped and what is emitted.
+
+    Deterministic feed derived from the data alone:
+      batch 0  — non-late rows (event_id % 100 != 0) minus the keep-alive
+                 slice; always contains the non-late max timestamp, so
+                 the watermark is pinned to max(nonlate) - delay,
+      batch 1  — keep-alive slice (event_id % 100 == 1, ts strictly below
+                 the non-late max): advances the batch counter WITHOUT
+                 moving the watermark, covering Spark's one-batch lag
+                 between reporting a watermark and filtering with it,
+      batch 2  — late rows (event_id % 100 == 0).
+
+    Append mode then (a) drops late rows whose window is older than the
+    watermark and (b) only emits windows the final watermark has closed.
+    The DuckDB oracle recomputes both effects from the same split, so
+    this is a value-level check of the late-drop semantics, not a
+    complete-mode batch equivalence.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    mod = F.pmod(F.col("event_id"), F.lit(100))
+    late = ev.filter(mod == 0)
+    nonlate = ev.filter(mod != 0)
+    max_ts = nonlate.agg(F.max("ts")).first()[0]  # scalar, feed setup only
+    keepalive_pred = (mod == 1) & (F.col("ts") < F.lit(max_ts))
+    b0 = nonlate.filter(~keepalive_pred)
+    keepalive = nonlate.filter(keepalive_pred)
+
+    base = tempfile.mkdtemp(prefix="ctdc-latefeed-")
+    write_ordered_feed([b0, keepalive, late], base)
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+    spark.catalog.dropTempView(query_name) if query_name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -81,6 +81,35 @@ CHECKS = {
         ("both groupBys partial-aggregated", True,
          lambda p: p.lower().count("partial") >= 2),
     ],
+    "q79_salted_skew_join": [
+        ("salted join is a real equi-join (no cartesian/BNLJ)", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("revenue agg partial-combined", True,
+         lambda p: "partial" in p.lower()),
+    ],
+    "q80_two_phase_count_distinct": [
+        ("two shuffles only (distinct + count)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 2),
+        ("map-side dedup before shuffle + partial count", True,
+         lambda p: "partial_count" in p
+         and re.search(r"HashAggregate[\s\S]*?Exchange", p)),
+    ],
+    "q81_bucketed_join": [
+        ("both sides read bucketed", True,
+         lambda p: p.count("Bucketed: true") >= 2),
+        ("zero Exchange under the join (only the final agg shuffles)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("co-located sort-merge join", True,
+         lambda p: "SortMergeJoin" in p),
+    ],
+}
+
+# per-query session confs applied while building the audited plan: q81's
+# no-Exchange property is about the sort-merge path (at real scale neither
+# fact side broadcasts), so the broadcast shortcut is disabled for it
+CONF = {
+    "q81_bucketed_join": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 
@@ -104,10 +133,18 @@ def main() -> int:
 
     failures = 0
     for qname, checks in CHECKS.items():
-        df = qs[qname](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        overrides = CONF.get(qname, {})
+        saved = {k: spark.conf.get(k) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            df = qs[qname](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         for name, required, pred in checks:
             ok = bool(pred(plan))
             status = "PASS" if ok else ("FAIL" if required else "warn")
