@@ -86,10 +86,15 @@ def _unique_fields_by_name(
     schema: T.StructType, mode: StructMode
 ) -> dict[str, T.StructField] | None:
     """Unique-by-name index, or None when duplicates make by-name matching
-    ill-defined (SparkCore.scala:72-78)."""
-    if duplicate_names(schema, mode.case_insensitive):
-        return None
-    return {mode.norm(f.name): f for f in schema.fields}
+    ill-defined (SparkCore.scala:72-78).  Single pass: the duplicate check
+    and the index are the same dict insert."""
+    out: dict[str, T.StructField] = {}
+    for f in schema.fields:
+        key = mode.norm(f.name)
+        if key in out:
+            return None
+        out[key] = f
+    return out
 
 
 def compare_data_type(

@@ -128,19 +128,134 @@ def main() -> None:
         ops,
     )
 
-    # R30 analogue: construction-time conforms() over N contract pairs
-    # (run-benchmarks.sh:94-200 times scalac witness summons; here the
-    # proof runs at pipeline-construction time, so we time conforms())
+    # R30 analogue in the reference's A/B form (run-benchmarks.sh:94-200):
+    # generate N synthetic producer/contract pairs as SOURCE TEXT, then
+    # time executing it WITHOUT the witness (baseline: classes declared,
+    # shapes derived — the cost of having contracts at all) vs WITH the
+    # witness (contract: + a conforms() proof per pair).  The delta is the
+    # pure proof overhead at pipeline-construction time, the same
+    # baseline/contract delta BASELINE.md tabulates for scalac.
+    import gc
+
     for n_pairs in (10, 25, 50):
-        t0 = time.perf_counter()
-        for _ in range(n_pairs):
-            conforms(Contract, Contract, SchemaPolicy.EXACT)
-            conforms(Contract, Contract, SchemaPolicy.BACKWARD)
-        dt = time.perf_counter() - t0
-        results[f"conforms_{n_pairs}_pairs_ms"] = dt * 1000
-        print(f"{'conforms x' + str(n_pairs) + ' pairs':45s} {dt*1000:12.2f} ms total")
+        codes = {
+            mode: compile(
+                _generate_source(mode, n_pairs), f"<bench-{mode}-{n_pairs}>", "exec"
+            )
+            for mode in ("baseline", "contract")
+        }
+        runs = {"baseline": [], "contract": []}
+        for mode, code in codes.items():  # warmup both before timing either
+            for _ in range(3):
+                exec(code, _bench_globals())
+        gc.collect()
+        gc.disable()  # GC pauses from class-object churn swamp the delta
+        try:
+            # interleave modes so allocator/heap drift cancels instead of
+            # biasing whichever mode runs second
+            for _ in range(9):
+                for mode, code in codes.items():
+                    t0 = time.perf_counter()
+                    exec(code, _bench_globals())
+                    runs[mode].append(time.perf_counter() - t0)
+        finally:
+            gc.enable()
+        mode_secs = {
+            m: sorted(ts)[len(ts) // 2] for m, ts in runs.items()  # median
+        }
+        delta = mode_secs["contract"] - mode_secs["baseline"]
+        pct = 100.0 * delta / mode_secs["baseline"]
+        results[f"construct_{n_pairs}_baseline_ms"] = mode_secs["baseline"] * 1e3
+        results[f"construct_{n_pairs}_contract_ms"] = mode_secs["contract"] * 1e3
+        results[f"construct_{n_pairs}_delta_ms"] = delta * 1e3
+        results[f"construct_{n_pairs}_delta_pct"] = pct
+        print(
+            f"{'construct x' + str(n_pairs) + ' pairs':30s} "
+            f"baseline {mode_secs['baseline']*1e3:9.2f} ms   "
+            f"contract {mode_secs['contract']*1e3:9.2f} ms   "
+            f"delta {delta*1e3:+8.2f} ms ({pct:+.1f} %)"
+        )
 
     print(json.dumps({"metric": "micro_bench", "results": results}))
+
+
+def _bench_globals() -> dict:
+    """Fresh REGISTERED module namespace per exec (annotation resolution
+    walks sys.modules[cls.__module__].__dict__), mirroring a fresh scalac
+    compilation unit."""
+    import types
+    import uuid
+
+    mod = types.ModuleType(f"ctdc_bench_{uuid.uuid4().hex}")
+    mod.contract = contract
+    mod.conforms = conforms
+    mod.SchemaPolicy = SchemaPolicy
+    mod.Optional = Optional
+    mod.dataclass = dataclass
+    sys.modules[mod.__name__] = mod
+    return mod.__dict__
+
+
+def _generate_source(mode: str, size: int) -> str:
+    """Python analogue of run-benchmarks.sh:94-142 generate_source: the
+    same 6-field nested Producer/Contract pair shape, declared ``size``
+    times; baseline keeps a (Producer, Contract) tuple per pair, contract
+    mode additionally summons the conformance witness."""
+    parts = []
+    for i in range(1, size + 1):
+        parts.append(
+            f"""
+@contract
+@dataclass
+class Geo{i}:
+    lat: float
+    lon: float
+
+@contract
+@dataclass
+class Address{i}:
+    street: str
+    city: str
+    zip: Optional[int]
+    geo: Geo{i}
+
+@contract
+@dataclass
+class Event{i}:
+    kind: str
+    at: int
+    tags: list[Optional[str]]
+    attrs: dict[str, str]
+
+@contract
+@dataclass
+class Producer{i}:
+    id: int
+    email: str
+    age: Optional[int]
+    address: Address{i}
+    events: list[Event{i}]
+    metrics: dict[str, Optional[int]]
+
+@contract
+@dataclass
+class Contract{i}:
+    id: int
+    email: str
+    age: Optional[int]
+    address: Address{i}
+    events: list[Event{i}]
+    metrics: dict[str, Optional[int]]
+"""
+        )
+        if mode == "baseline":
+            parts.append(f"Pair{i} = (Producer{i}, Contract{i})\n")
+        else:
+            parts.append(
+                f"witness{i} = conforms(Producer{i}, Contract{i}, "
+                f"SchemaPolicy.EXACT)\n"
+            )
+    return "".join(parts)
 
 
 if __name__ == "__main__":
