@@ -57,6 +57,10 @@ HEADLINE = [
     "q71_asof_tolerance",
     "q73_neardup_clusters",
     "q74_resample_ffill",
+    "q78_watermark_late_drop",
+    "q79_salted_skew_join",
+    "q80_two_phase_count_distinct",
+    "q81_bucketed_join",
 ]
 
 
