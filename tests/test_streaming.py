@@ -50,21 +50,20 @@ def test_stream_equals_batch_tumbling(spark):
 
 def _write_feed(spark, base, batches):
     """Write one parquet file per batch with increasing mtimes so the
-    file stream processes them in order."""
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
-    t0 = time.time() - 1000
-    for i, rows in enumerate(batches):
-        df = spark.createDataFrame(
-            rows, "event_id long, user_id long, ts timestamp, value double"
-        )
-        tmp = os.path.join(base, f"_stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(base, f"batch{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    file stream processes them in order (library write_ordered_feed)."""
+    from compile_time_data_contracts_spark.streaming.windows import (
+        write_ordered_feed,
+    )
+
+    write_ordered_feed(
+        [
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, ts timestamp, value double"
+            )
+            for rows in batches
+        ],
+        base,
+    )
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
