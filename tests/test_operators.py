@@ -712,8 +712,10 @@ def test_cosine_pairs_dispatch_size_guard(vecs):
     plan_big = big._sc._jvm.PythonSQLUtils.explainString(
         big._jdf.queryExecution(), "formatted"
     )
+    # block-grid form: per-cell BLAS via applyInPandas, no full-matrix
+    # broadcast (the blas path's MapInPandas-over-broadcast is absent)
+    assert "FlatMapGroupsInPandas" in plan_big
     assert "MapInPandas" not in plan_big
-    assert "Join" in plan_big
 
     a = {(r.vec_a, r.vec_b): r.sim for r in small.collect()}
     b = {(r.vec_a, r.vec_b): r.sim for r in big.collect()}
@@ -821,3 +823,39 @@ def test_ivf_index_persisted_and_partition_pruned(spark, tmp_path):
     assert [r.vec_id for r in full.collect()] == [
         r.vec_id for r in exact.collect()
     ]
+
+
+def test_cosine_pairs_blocked_matches_blas(vecs):
+    """The block-grid exact form must produce identical pairs/sims to the
+    broadcast BLAS form, including across block boundaries (forced tiny
+    blocks so the grid is non-trivial) and on the diagonal cells."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        cosine_pairs_exact_blas,
+        cosine_pairs_exact_blocked,
+    )
+
+    t = 0.4
+    a = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cosine_pairs_exact_blas(vecs, t).collect()
+    }
+    b = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cosine_pairs_exact_blocked(vecs, t, block_rows=2).collect()
+    }
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_topk_cosine_arrow_matches_expr(vecs):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        topk_cosine,
+    )
+
+    q = vecs.filter(F.col("vec_id") == 0)
+    arrow = topk_cosine(vecs, q, k=3, score_mode="arrow").collect()
+    expr = topk_cosine(vecs, q, k=3, score_mode="expr").collect()
+    assert [r.vec_id for r in arrow] == [r.vec_id for r in expr]
+    for ra, re_ in zip(arrow, expr):
+        assert ra.sim == pytest.approx(re_.sim, abs=1e-12)
