@@ -61,6 +61,7 @@ HEADLINE = [
     "q79_salted_skew_join",
     "q80_two_phase_count_distinct",
     "q81_bucketed_join",
+    "q82_batch_vector_retrieval",
 ]
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "topk_cosine",
+    "topk_cosine_multi",
     "cosine_pairs",
     "cosine_pairs_exact",
     "cosine_pairs_exact_blas",
@@ -131,6 +132,82 @@ def topk_cosine(
         score, f"{id_col} long, sim double"
     )
     return scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
+def topk_cosine_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Batch retrieval: exact top-k corpus neighbors for EVERY query row,
+    in ONE corpus pass.
+
+    The query matrix is query-batch-sized (collected and shipped with the
+    closure — bounded by the retrieval batch, never the corpus).  Each
+    corpus Arrow batch computes its (batch × n_queries) similarity block
+    zero-copy and emits only its batch-local top-k per query under the
+    global total order (sim desc, id asc) — a superset of the global
+    top-k, so the final window over ≤ k·n_queries·n_batches candidate
+    rows is exact.  Shuffle volume is candidate rows, never corpus rows.
+    Output: (query_id, id, sim, rank<=k).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    query_id_col = query_id_col or id_col
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("topk_cosine_multi: queries DataFrame is empty")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / np.where(qn == 0, 1.0, qn)
+
+    def score(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            vals = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+            )
+            v = vals.reshape(len(b), -1)
+            vn = np.linalg.norm(v, axis=1)
+            sims = (v / np.where(vn == 0, 1.0, vn)[:, None]) @ Q.T
+            kk = min(k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(q_ids)):
+                # batch-local top-k under the GLOBAL order (sim desc, id
+                # asc) so the cross-batch merge is exact even with ties
+                order = np.lexsort((ids, -sims[:, j]))[:kk]
+                out_q.append(np.full(kk, q_ids[j]))
+                out_i.append(ids[order])
+                out_s.append(sims[order, j])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                ["query_id", id_col, "sim"],
+            )
+
+    cand = df.select(id_col, vec_col).mapInArrow(
+        score, f"query_id long, {id_col} long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def cosine_pairs_exact(

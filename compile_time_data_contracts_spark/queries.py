@@ -1990,6 +1990,36 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q82_batch_vector_retrieval",
+    """SELECT query_id, vec_id, sim_r, rank FROM (
+         SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 4) AS sim_r,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]) DESC,
+                           b.vec_id
+                ) AS rank
+         FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+         CROSS JOIN embeddings b
+       ) WHERE rank <= 5""",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch retrieval (training-pipeline shape): exact top-5 corpus
+    neighbors for every query in a batch, one corpus pass, batch-local
+    top-k per Arrow batch so the shuffle carries candidates only."""
+    from .operators.similarity import topk_cosine_multi
+
+    emb = load_table(spark, sf, "embeddings")
+    qbatch = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    top = topk_cosine_multi(emb, qbatch, k=5)
+    return top.select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
 # =========================================================================
 # Flagship
 # =========================================================================

@@ -859,3 +859,23 @@ def test_topk_cosine_arrow_matches_expr(vecs):
     assert [r.vec_id for r in arrow] == [r.vec_id for r in expr]
     for ra, re_ in zip(arrow, expr):
         assert ra.sim == pytest.approx(re_.sim, abs=1e-12)
+
+
+def test_topk_cosine_multi_exact_per_query(vecs):
+    """Every query's top-k must equal the single-query exact answer,
+    including rank order and tie-break by id."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_multi,
+    )
+
+    got = topk_cosine_multi(vecs, vecs, k=3).collect()
+    by_query = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_query.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for qid in by_query:
+        single = topk_cosine(
+            vecs, vecs.filter(F.col("vec_id") == qid), k=3
+        ).collect()
+        assert by_query[qid] == [r.vec_id for r in single]
