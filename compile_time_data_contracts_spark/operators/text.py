@@ -24,6 +24,7 @@ __all__ = [
     "winnow_fingerprint",
     "redact_pii",
     "language_id_table",
+    "chunk_documents",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -192,3 +193,46 @@ def winnow_fingerprint(col: str = "text", k: int = 5) -> Column:
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
     return F.array_min(window_hashes)
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping fixed-token windows — the
+    standard pre-tokenization chunking step of a training-data pipeline.
+
+    Chunk j covers tokens [j*stride, j*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; a document shorter than one chunk
+    yields exactly one chunk.  Entirely codegen: posexplode over a
+    chunk-index sequence + slice with a column start + concat_ws — one
+    scan, no shuffle, no Python, parallel per document.  Output:
+    (id, chunk_id, chunk_text, chunk_token_count).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride))),
+        F.lit(1),
+    ).cast("int")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "__p", "chunk_id"
+        ),
+    )
+    piece = F.slice(
+        F.col("__t"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_token_count"),
+    )

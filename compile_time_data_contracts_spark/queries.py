@@ -2020,6 +2020,31 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q83_chunk_documents",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(j AS INT) AS chunk_id,
+                         toks[1 + j*48 : j*48 + 64] AS piece
+                  FROM t, LATERAL UNNEST(generate_series(
+                           0,
+                           CAST(greatest(ceil((len(toks) - 16) / 48.0), 1) AS BIGINT) - 1
+                         )) AS s(j))
+       SELECT doc_id, chunk_id,
+              array_to_string(piece, ' ') AS chunk_text,
+              CAST(len(piece) AS INT) AS chunk_token_count
+       FROM c""",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-token document chunking (64-token windows,
+    16-token overlap) — codegen posexplode + column-start slice, one
+    scan, no shuffle."""
+    from .operators.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, "doc_id", "text", 64, 16)
+
+
 # =========================================================================
 # Flagship
 # =========================================================================

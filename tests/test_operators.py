@@ -879,3 +879,27 @@ def test_topk_cosine_multi_exact_per_query(vecs):
             vecs, vecs.filter(F.col("vec_id") == qid), k=3
         ).collect()
         assert by_query[qid] == [r.vec_id for r in single]
+
+
+def test_chunk_documents_windows_and_overlap(docs):
+    from compile_time_data_contracts_spark.operators.text import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = sorted(
+        chunks.collect(), key=lambda r: (r.doc_id, r.chunk_id)
+    )
+    # doc 1 has 9 tokens: stride 3 -> ceil((9-1)/3) = 3 chunks
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.chunk_id for r in d1] == [0, 1, 2]
+    assert d1[0].chunk_text == "the quick brown fox"
+    assert d1[1].chunk_text == "fox jumps over the"  # 1-token overlap
+    assert d1[2].chunk_text == "the lazy dog"
+    assert d1[2].chunk_token_count == 3
+    # single-token doc 6 -> exactly one chunk, itself
+    d6 = [r for r in rows if r.doc_id == 6]
+    assert len(d6) == 1 and d6[0].chunk_text == "x"
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, overlap=64, chunk_tokens=64)
