@@ -903,3 +903,23 @@ def test_chunk_documents_windows_and_overlap(docs):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, overlap=64, chunk_tokens=64)
+
+
+def test_asof_join_non_timestamp_ordering_column(spark):
+    """ADVICE r1 (low): the null marker must take the right ordering
+    column's actual type — as-of over epoch longs (or any orderable
+    type) must work, not only timestamps."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (2, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 200, 20.0), (2, 60, 6.0)],
+        "k long, t long, v double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"]
+    ).collect()
+    got = {(r.k, r.t): (r.asof_ts, r.asof_v) for r in out}
+    assert got[(1, 100)] == (90, 9.0)
+    assert got[(1, 205)] == (200, 20.0)
+    assert got[(2, 50)] == (None, None)  # no right row at or before 50
