@@ -2045,6 +2045,22 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", 64, 16)
 
 
+@q(
+    "q84_stateful_running_totals",
+    """SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS total_value_r
+       FROM events GROUP BY user_id""",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary-stateful streaming (applyInPandasWithState): per-user
+    (count, sum) state accumulated across a 3-batch ordered replay; the
+    final per-user emission must equal the batch GROUP BY oracle — the
+    state-store path is value-checked at the gate, not only in tests."""
+    from .streaming.stateful import stateful_totals_gate
+
+    return stateful_totals_gate(spark, sf)
+
+
 # =========================================================================
 # Flagship
 # =========================================================================

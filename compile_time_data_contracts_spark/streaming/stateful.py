@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["running_user_totals"]
+__all__ = ["running_user_totals", "stateful_totals_gate"]
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -84,4 +84,59 @@ def running_user_totals(
     )
     return stream.groupBy("user_id").applyInPandasWithState(
         update, _OUT_SCHEMA, _STATE_SCHEMA, "update", timeout
+    )
+
+
+def stateful_totals_gate(
+    spark,
+    sf_dir: str,
+    query_name: str = "ctdc_q84_sink",
+) -> DataFrame:
+    """Gate-checkable run of the arbitrary-stateful operator: the events
+    table replays as an ordered 3-batch feed, per-user (count, sum)
+    state accumulates across micro-batches in the state store, and the
+    FINAL emission per user (update mode emits one row per user per
+    batch-they-appear-in; n_events is strictly increasing, so max-n wins)
+    must equal the plain batch GROUP BY — which is the DuckDB oracle.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from .windows import write_ordered_feed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    mod = F.pmod(F.col("event_id"), F.lit(3))
+    base = tempfile.mkdtemp(prefix="ctdc-statefeed-")
+    write_ordered_feed([ev.filter(mod == i) for i in range(3)], base)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    totals = running_user_totals(stream)
+    if query_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(query_name)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(query_name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value_r"),
+        )
     )
