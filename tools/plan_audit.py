@@ -95,6 +95,20 @@ CHECKS = {
          lambda p: "partial_count" in p
          and re.search(r"HashAggregate[\s\S]*?Exchange", p)),
     ],
+    "q82_batch_vector_retrieval": [
+        ("corpus streams once (single scan)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("one candidate shuffle only (window over batch-local top-k)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+    ],
+    "q83_chunk_documents": [
+        ("single scan, zero shuffle", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and len(re.findall(r"\(\d+\) Exchange", p)) == 0),
+        ("codegen generate (no Python stage)", True,
+         lambda p: "Generate" in p and "InPandas" not in p
+         and "ArrowEvalPython" not in p),
+    ],
     "q81_bucketed_join": [
         ("both sides read bucketed", True,
          lambda p: p.count("Bucketed: true") >= 2),
