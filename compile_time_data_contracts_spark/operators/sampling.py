@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "pack_sequences"]
+__all__ = ["hash_bucket", "deterministic_sample", "pack_sequences", "capped_per_group_sample"]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
 _KNUTH = 2654435761
@@ -83,4 +83,32 @@ def pack_sequences(
     cum_excl = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
     return df.withColumn(
         pack_col, F.floor(cum_excl / F.lit(budget)).cast("int")
+    )
+
+
+def capped_per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Cap each group at ``cap`` rows, chosen uniformly and DETERMINISTICALLY
+    — the per-domain/per-source cap step of a training-data mixture.
+
+    Priority = md5 of the row key: a cryptographic hash of the key is a
+    uniform permutation, so taking the cap-smallest priorities per group
+    is a uniform without-replacement sample whose membership is a pure
+    function of the data (reruns, retries, and repartitionings reproduce
+    it exactly — and md5 exists in every engine, so the oracle can
+    recompute the identical sample).  One hash shuffle on the group key;
+    the per-group sort is bounded by group size, and groups under the
+    cap pass through whole.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
     )

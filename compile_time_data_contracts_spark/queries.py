@@ -2061,6 +2061,34 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     return stateful_totals_gate(spark, sf)
 
 
+@q(
+    "q85_capped_per_group_sample",
+    """SELECT event_type, count(*) AS n_kept,
+              round(sum(value), 2) AS sum_value_r
+       FROM (
+         SELECT *, row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                ) AS rk
+         FROM events
+       ) WHERE rk <= 100
+       GROUP BY event_type""",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain cap (training-data mixture step): each event_type
+    capped at 100 rows chosen by md5-of-key priority — deterministic,
+    engine-portable (the oracle recomputes the identical sample), one
+    shuffle.  Aggregated per group so the value hash checks membership."""
+    from .operators.sampling import capped_per_group_sample
+
+    ev = load_table(spark, sf, "events")
+    kept = capped_per_group_sample(ev, "event_type", "event_id", 100)
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_value_r"),
+    )
+
+
 # =========================================================================
 # Flagship
 # =========================================================================

@@ -923,3 +923,23 @@ def test_asof_join_non_timestamp_ordering_column(spark):
     assert got[(1, 100)] == (90, 9.0)
     assert got[(1, 205)] == (200, 20.0)
     assert got[(2, 50)] == (None, None)  # no right row at or before 50
+
+
+def test_capped_per_group_sample_deterministic(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        capped_per_group_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)], "k long, g string"
+    )
+    s1 = capped_per_group_sample(df, "g", "k", 10)
+    s2 = capped_per_group_sample(df.repartition(7), "g", "k", 10)
+    r1 = sorted((r.g, r.k) for r in s1.collect())
+    r2 = sorted((r.g, r.k) for r in s2.collect())
+    assert r1 == r2  # membership is partitioning-independent
+    per_g = {}
+    for g, k in r1:
+        per_g.setdefault(g, []).append(k)
+    assert len(per_g["a"]) == 10
+    assert len(per_g["b"]) == 10  # only 20 'b' rows -> capped to 10
