@@ -161,6 +161,7 @@ from compile_time_data_contracts_spark.contracts.policies import SchemaPolicy
 from compile_time_data_contracts_spark.contracts.schema import spark_schema
 from compile_time_data_contracts_spark.contracts.shape import (
     FieldShape,
+    MapShape,
     PrimitiveShape,
     SequenceShape,
     StructShape,
@@ -194,6 +195,11 @@ def _shape_structs(depth: int = 2):
         options.append(
             st.tuples(inner, st.booleans()).map(
                 lambda t: SequenceShape(t[0], t[1])
+            )
+        )
+        options.append(
+            st.tuples(inner, st.booleans()).map(
+                lambda t: MapShape("string", t[0], t[1])
             )
         )
     shape = st.one_of(*options)
