@@ -2089,6 +2089,25 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "q86_stream_interval_join",
+    """SELECT l.user_id, count(*) AS n_pairs
+       FROM (SELECT * FROM events WHERE user_id % 5 = 0) l
+       JOIN (SELECT * FROM events WHERE user_id % 5 = 0) r
+         ON l.user_id = r.user_id
+        AND r.ts >= l.ts - INTERVAL 30 MINUTE
+        AND r.ts <= l.ts
+       GROUP BY l.user_id""",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (dual watermarks + state-bounding
+    range condition) run to completion; per-user pair counts equal the
+    batch interval join, which is the oracle."""
+    from .streaming.joins import interval_join_gate
+
+    return interval_join_gate(spark, sf)
+
+
 # =========================================================================
 # Flagship
 # =========================================================================

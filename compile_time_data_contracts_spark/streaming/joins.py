@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..contracts.policies import SchemaPolicy
 from ..sources.io import Sink, write_df
 
-__all__ = ["interval_join", "write_stream_with_contract"]
+__all__ = ["interval_join", "interval_join_gate", "write_stream_with_contract"]
 
 
 def interval_join(
@@ -91,3 +91,62 @@ def write_stream_with_contract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join_gate(
+    spark,
+    sf_dir: str,
+    query_name: str = "ctdc_q86_sink",
+) -> DataFrame:
+    """Gate-checkable stream-stream interval join: two streaming sources
+    over the same events feed, inner-joined per user to events in the
+    preceding 30 minutes through the watermarked range-condition path,
+    run to completion and aggregated to per-user pair counts.
+
+    Both sides arrive in the first micro-batch (single-file feed), so
+    nothing can be state-evicted before its match and the result equals
+    the batch interval join — which is the DuckDB oracle.  What this
+    gates is the stream-stream plumbing itself: dual watermarks, the
+    state-bounding range condition, and append-mode inner-join emission.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+    from .windows import write_ordered_feed
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.pmod(F.col("user_id"), F.lit(5)) == 0)
+    )
+    base = tempfile.mkdtemp(prefix="ctdc-ssjoin-")
+    write_ordered_feed([ev], base)
+
+    def source() -> DataFrame:
+        return spark.readStream.schema(ev.schema).parquet(base)
+
+    joined = interval_join(
+        source(),
+        source(),
+        on="user_id",
+        lower="0 seconds",
+        upper="30 minutes",
+        left_watermark="1 hour",
+        right_watermark="2 hours",
+    )
+    pairs = joined.select(F.col("l.user_id").alias("user_id"))
+    if query_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(query_name)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
