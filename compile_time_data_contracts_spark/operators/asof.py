@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join_binned"]
 
 
 def asof_join(
@@ -102,3 +102,61 @@ def asof_join(
             ],
         )
     return out.drop("__side", "__ts")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    extra_cond: Column | None = None,
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Pure range join — match when ``right_ts - left_ts`` falls in
+    ``[lower_seconds, upper_seconds]`` with NO equi-key — without the
+    BroadcastNestedLoopJoin/cartesian plan Spark produces for a bare
+    range predicate.
+
+    Both sides bin their timestamps to ``bin_seconds``-wide buckets (the
+    interval width by default); each left row explodes to the bins its
+    match window overlaps (a small constant ≈ (upper-lower)/bin + 1), the
+    join becomes an EQUI-join on the bin id (hash-partitionable, AQE- and
+    skew-handling-eligible), and the exact range predicate filters the
+    candidates.  Work is O(pairs within bin distance), not O(|L|·|R|).
+    Returns the joined frame with both sides' columns under aliases
+    ``l``/``r``; add ``extra_cond`` for additional predicates evaluated
+    post-join.
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    w = bin_seconds or max(upper_seconds - lower_seconds, 1)
+    # bins from the exact fractional epoch (cast double), not
+    # unix_timestamp, whose second-truncation can shift a boundary row
+    # into the neighboring bin and silently drop the candidate
+    l_epoch = F.col(f"l.{left_ts}").cast("double")
+    lo_bin = F.floor((l_epoch + lower_seconds) / w).cast("long")
+    hi_bin = F.floor((l_epoch + upper_seconds) / w).cast("long")
+    lb = left.alias("l").withColumn(
+        "__lbin", F.explode(F.sequence(lo_bin, hi_bin))
+    )
+    rb = right.alias("r").withColumn(
+        "__rbin",
+        F.floor(F.col(f"r.{right_ts}").cast("double") / w).cast("long"),
+    )
+    # the exact predicate stays in timestamp arithmetic (no precision loss)
+    cond = (
+        (F.col("__lbin") == F.col("__rbin"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_seconds} SECONDS")
+        )
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_seconds} SECONDS")
+        )
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lb.join(rb, cond, "inner").drop("__lbin", "__rbin")

@@ -2108,6 +2108,38 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     return interval_join_gate(spark, sf)
 
 
+@q(
+    "q87_range_join_binned",
+    """SELECT l.event_type, count(*) AS n_pairs
+       FROM events l JOIN events r
+         ON r.ts >= l.ts
+        AND r.ts <= l.ts + INTERVAL 300 SECOND
+        AND l.event_id <> r.event_id
+       GROUP BY l.event_type""",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join (NO equi-key): every event paired with events in
+    the following 5 minutes.  A bare range predicate plans as
+    BroadcastNestedLoopJoin — O(n²) compares; the binned rewrite joins
+    on a time-bucket equi-key (plan-audited: no BNLJ) and filters the
+    exact range, so work is pairs-within-bin-distance."""
+    from .operators.asof import range_join_binned
+
+    ev = load_table(spark, sf, "events")
+    joined = range_join_binned(
+        ev,
+        ev,
+        "ts",
+        "ts",
+        0,
+        300,
+        extra_cond=F.col("l.event_id") != F.col("r.event_id"),
+    )
+    return joined.groupBy(
+        F.col("l.event_type").alias("event_type")
+    ).agg(F.count("*").alias("n_pairs"))
+
+
 # =========================================================================
 # Flagship
 # =========================================================================

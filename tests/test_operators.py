@@ -943,3 +943,47 @@ def test_capped_per_group_sample_deterministic(spark):
         per_g.setdefault(g, []).append(k)
     assert len(per_g["a"]) == 10
     assert len(per_g["b"]) == 10  # only 20 'b' rows -> capped to 10
+
+
+def test_range_join_binned_no_bnlj_and_exact(spark):
+    """The binned rewrite must (a) produce exactly the pairs of the
+    naive range join and (b) plan as an equi-join on the bin, never a
+    BroadcastNestedLoopJoin/cartesian."""
+    import datetime as dt
+
+    from compile_time_data_contracts_spark.operators.asof import (
+        range_join_binned,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=s))
+        for i, s in enumerate([0, 10, 299, 300, 301, 601, 900, 905])
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    joined = range_join_binned(
+        ev, ev, "ts", "ts", 0, 300,
+        extra_cond=F.col("l.event_id") != F.col("r.event_id"),
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in joined.select(
+            F.col("l.event_id").alias("lid"),
+            F.col("r.event_id").alias("rid"),
+        ).collect()
+    }
+    naive = {
+        (ra[0], rb[0])
+        for ra in rows
+        for rb in rows
+        if ra[0] != rb[0]
+        and ra[1] <= rb[1] <= ra[1] + dt.timedelta(seconds=300)
+    }
+    assert got == naive
+    # boundary case included: (2 -> 3) gap exactly 1s, (0 -> 3) gap 300s
+    assert (0, 3) in got
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

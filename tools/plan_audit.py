@@ -109,6 +109,11 @@ CHECKS = {
          lambda p: "Generate" in p and "InPandas" not in p
          and "ArrowEvalPython" not in p),
     ],
+    "q87_range_join_binned": [
+        ("range predicate rewritten as equi-join (no BNLJ/cartesian)", True,
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
     "q81_bucketed_join": [
         ("both sides read bucketed", True,
          lambda p: p.count("Bucketed: true") >= 2),
