@@ -62,6 +62,9 @@ HEADLINE = [
     "q80_two_phase_count_distinct",
     "q81_bucketed_join",
     "q82_batch_vector_retrieval",
+    "q83_chunk_documents",
+    "q85_capped_per_group_sample",
+    "q87_range_join_binned",
 ]
 
 
