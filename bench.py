@@ -65,6 +65,10 @@ HEADLINE = [
     "q83_chunk_documents",
     "q85_capped_per_group_sample",
     "q87_range_join_binned",
+    "q88_mixture_sampling",
+    "q89_contamination_check",
+    "q90_quantize_embeddings",
+    "q93_global_shuffle_order",
 ]
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "connected_components",
     "simhash",
     "simhash_table",
+    "contamination_check",
 ]
 
 
@@ -471,3 +472,41 @@ def simhash_table(
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return votes.select(F.col(id_col), sig.alias("signature"))
+
+
+def contamination_check(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share any
+    word-``n``-gram with an evaluation set (the decontamination step
+    every pretraining pipeline runs before training).
+
+    Both sides expand to (id, n-gram) rows via the codegen shingle path
+    (:func:`shingle_rows`); benchmark n-grams are deduplicated and
+    **broadcast** (eval sets are small by definition — if yours is not,
+    drop the broadcast hint and this becomes a plain shuffled equi-join
+    on the n-gram), so the corpus never shuffles for the join itself.
+    Per-document hit counts come from one count-distinct aggregation.
+
+    Output: (id, n_shared_ngrams, n_bench_docs) for contaminated
+    documents only — clean documents produce no row, so the result is
+    eval-set-sized, not corpus-sized.
+    """
+    left = shingle_rows(corpus, id_col, text_col, n)
+    right = (
+        shingle_rows(bench, id_col, text_col, n)
+        .select(F.col(id_col).alias("__bench_id"), "shingle")
+        .distinct()
+    )
+    return (
+        left.join(F.broadcast(right), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("__bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "pack_sequences", "capped_per_group_sample"]
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "pack_sequences",
+    "capped_per_group_sample",
+    "mix_to_proportions",
+    "global_shuffle_positions",
+]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
 _KNUTH = 2654435761
@@ -83,6 +90,106 @@ def pack_sequences(
     cum_excl = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
     return df.withColumn(
         pack_col, F.floor(cum_excl / F.lit(budget)).cast("int")
+    )
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Downsample domains so the kept rows match a target mixture (the
+    "data mixing" step of a pretraining pipeline: e.g. 60% web, 30%
+    code, 10% books).
+
+    The largest feasible total is bounded by the scarcest domain:
+    ``n_total = min_d(count_d / weight_d)``; each domain then keeps
+    ``weight_d * n_total`` rows via the deterministic hash filter, so no
+    domain is oversampled (without-replacement only) and the binding
+    domain is kept whole.  Domains absent from ``weights`` are dropped.
+
+    Two passes over the data — a count aggregation (map-side combined,
+    output is |domains| rows) and the filtered scan — plus one broadcast
+    join of the tiny per-domain rate table.  All arithmetic is exact
+    64-bit integers and IEEE doubles in a fixed order, so the DuckDB
+    oracle recomputes the identical sample membership.
+    """
+    w_rates = [
+        (d, float(w)) for d, w in sorted(weights.items()) if w > 0
+    ]
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(w_rates, f"{domain_col} string, __w double")
+    counts = (
+        df.filter(F.col(domain_col).isin([d for d, _ in w_rates]))
+        .groupBy(domain_col)
+        .agg(F.count("*").alias("__cnt"))
+        .join(F.broadcast(wdf), domain_col)
+    )
+    # scarcest domain binds the total; rate_d = weight_d * n_total / count_d
+    n_total = counts.agg(
+        F.min(F.col("__cnt") / F.col("__w")).alias("__n_total")
+    )
+    rates = counts.crossJoin(F.broadcast(n_total)).select(
+        domain_col,
+        (F.col("__w") * F.col("__n_total") / F.col("__cnt")).alias("__rate"),
+    )
+    bucket = hash_bucket(F.col(key_col), 10000)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("__rate") * 10000)
+        .drop("__rate")
+    )
+
+
+def global_shuffle_positions(
+    df: DataFrame,
+    key_col: str,
+    pos_col: str = "pos",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Assign every row its 1-based position in a deterministic global
+    shuffle order (multiplicative hash of the key, ties broken by key) —
+    the "shuffle the corpus once per epoch, resumably" step of a
+    training-data pipeline.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a single-partition
+    global sort.  Instead this computes the classic distributed rank:
+    the hash is cut into ``buckets`` contiguous ranges (the bucket id is
+    ``hash * buckets / 2^32`` — monotone in the hash, so bucket order IS
+    hash order), per-bucket counts are prefix-summed on the tiny
+    |buckets|-row side, and each row's position is the bucket offset
+    plus its ``row_number`` within the bucket.  The data shuffles once
+    (on the bucket id); the window rides the same partitioning, so no
+    second exchange, and every partition sorts only its own bucket.
+
+    Identical output to the global sort — the oracle recomputes it with
+    one — at 1/buckets of the per-task sort footprint.
+    """
+    h = (F.col(key_col).cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+    bucketed = df.withColumn("__h", h).withColumn(
+        "__b", F.floor(F.col("__h") * buckets / F.lit(_M32))
+    )
+    offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.sum("__n").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("__b", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    )
+    w = Window.partitionBy("__b").orderBy("__h", key_col)
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            pos_col, (F.col("__offset") + F.row_number().over(w)).cast("long")
+        )
+        .drop("__h", "__b", "__offset")
     )
 
 

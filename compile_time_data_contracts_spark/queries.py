@@ -2148,3 +2148,193 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     """5-way star join revenue by nation — exercises scans, broadcasts,
     shuffled join, aggregation."""
     return q09(spark, sf_dir)
+
+
+@q(
+    "q88_mixture_sampling",
+    """WITH counts AS (
+         SELECT lang, CAST(count(*) AS DOUBLE) AS cnt,
+                CASE lang WHEN 'en' THEN 0.5
+                          WHEN 'fr' THEN 0.3
+                          WHEN 'zh' THEN 0.2 END AS w
+         FROM documents WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang),
+       nt AS (SELECT min(cnt / w) AS n_total FROM counts),
+       rates AS (SELECT lang, w * n_total / cnt AS rate FROM counts, nt)
+       SELECT d.lang, count(*) AS n_kept
+       FROM documents d JOIN rates r ON d.lang = r.lang
+       WHERE ((d.doc_id * 2654435761) % 4294967296) * 10000 / 4294967296
+             < r.rate * 10000
+       GROUP BY d.lang""",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-proportion data mixing (en 50% / fr 30% / zh 20%): the
+    scarcest domain bounds the feasible total, per-domain keep rates are
+    derived from observed counts, membership is the deterministic hash
+    filter.  Two corpus passes + one broadcast of the |domains|-row rate
+    table; no RNG, so the oracle recomputes the identical sample."""
+    from .operators.sampling import mix_to_proportions
+
+    docs = load_table(spark, sf, "documents")
+    kept = mix_to_proportions(
+        docs, "lang", "doc_id", {"en": 0.5, "fr": 0.3, "zh": 0.2}
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@q(
+    "q89_contamination_check",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         array_to_string(toks[1 + j : j + 3], '|') AS shingle
+                  FROM t, LATERAL UNNEST(generate_series(
+                           0, CAST(greatest(len(toks) - 3, 0) AS BIGINT)
+                         )) AS s(j)),
+            corp AS (SELECT doc_id, shingle FROM g WHERE doc_id % 97 <> 0),
+            bench AS (SELECT DISTINCT doc_id AS bench_id, shingle
+                      FROM g WHERE doc_id % 97 = 0)
+       SELECT c.doc_id,
+              CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared_ngrams,
+              CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+       FROM corp c JOIN bench b USING (shingle)
+       GROUP BY c.doc_id""",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    3-gram with the held-out eval split (doc_id % 97 == 0).  Benchmark
+    n-grams broadcast (eval sets are small); corpus side never shuffles
+    for the join — only the per-doc count-distinct aggregates."""
+    from .operators.dedup import contamination_check
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return contamination_check(corpus, bench, "doc_id", "text", n=3)
+
+
+@q(
+    "q90_quantize_embeddings",
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_aggregate(list_transform(e, x -> abs(x)), 'max')
+                           AS ma
+                  FROM t),
+            qv AS (SELECT vec_id, ma / 127.0 AS scale,
+                          CASE WHEN ma = 0
+                               THEN list_transform(e, x -> 0)
+                               ELSE list_transform(e, x ->
+                                      CAST(floor(x / (ma / 127.0)) AS INT))
+                          END AS q
+                   FROM m)
+       SELECT vec_id,
+              round(scale, 6) AS scale_r,
+              CAST(list_sum(q) AS BIGINT) AS q_sum,
+              CAST(list_aggregate(q, 'min') AS INT) AS q_min,
+              CAST(list_aggregate(q, 'max') AS INT) AS q_max
+       FROM qv""",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x compression for the
+    serving/storage tier): per-vector scale = max|x|/127, codes =
+    floor(x/scale).  Pure codegen column expressions, one scan, no
+    shuffle; floor keeps the arithmetic engine-portable, so the oracle
+    reproduces the exact codes."""
+    from .operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf, "embeddings")
+    qed = quantize_int8(emb)
+    return qed.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("scale_r"),
+        F.aggregate(
+            "q_embedding",
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("q_sum"),
+        F.array_min("q_embedding").alias("q_min"),
+        F.array_max("q_embedding").alias("q_max"),
+    )
+
+
+@q(
+    "q91_vocabulary_coverage",
+    """WITH counts AS (
+         SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents)
+         GROUP BY tok),
+       ranked AS (
+         SELECT token, n,
+                CAST(row_number() OVER (ORDER BY n DESC, token) AS INT)
+                  AS rnk,
+                round(sum(n) OVER (ORDER BY n DESC, token
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                      / sum(n) OVER (), 6) AS cum_share_r
+         FROM counts)
+       SELECT token, n, rnk, cum_share_r
+       FROM ranked WHERE n >= 5 AND rnk <= 100""",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary build for tokenizer training: frequency-ranked token
+    types with cumulative corpus coverage.  The corpus-sized work is one
+    explode + map-side-combined count; the global windows run over the
+    token-TYPE table (vocabulary-sized), so the single-partition sort is
+    safe by construction."""
+    from .operators.text import vocabulary
+
+    docs = load_table(spark, sf, "documents")
+    vocab = vocabulary(docs, "text", min_count=5, top_n=100)
+    return vocab.select(
+        "token",
+        "n",
+        F.col("rank").alias("rnk"),
+        F.round("cum_share", 6).alias("cum_share_r"),
+    )
+
+
+@q(
+    "q92_orc_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink round-trip under the same contract pin as parquet
+    (R1/R3 generalize over DataSource formats): documents written as
+    ORC, re-read with the explicit contract schema (never inferred),
+    aggregated.  The oracle aggregates the original parquet — equality
+    proves the round-trip is lossless."""
+    from .catalog import Documents
+    from .sources.io import Sink, Source, read_df, write_df
+
+    docs = load_table(spark, sf, "documents")
+    path = "/tmp/ctdc_q92_documents_orc"
+    write_df(docs, Sink(Documents, path, format="orc"), SchemaPolicy.EXACT)
+    back = read_df(spark, Source(Documents, "orc", path))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q93_global_shuffle_order",
+    """SELECT doc_id,
+              CAST(row_number() OVER (
+                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+              ) AS BIGINT) AS pos
+       FROM documents""",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle order with distributed rank: hash
+    ranges are cut into contiguous buckets (bucket order = hash order),
+    bucket counts prefix-sum on the tiny side, position = bucket offset
+    + in-bucket row_number.  One data shuffle, no single-partition
+    global sort; the oracle computes the same order with one."""
+    from .operators.sampling import global_shuffle_positions
+
+    docs = load_table(spark, sf, "documents")
+    return global_shuffle_positions(
+        docs.select("doc_id"), "doc_id", buckets=64
+    ).select("doc_id", "pos")

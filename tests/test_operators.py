@@ -987,3 +987,137 @@ def test_range_join_binned_no_bnlj_and_exact(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# =========================================================================
+# Round-2 additions: mixing, contamination, quantization, vocabulary,
+# distributed global-shuffle rank
+# =========================================================================
+
+
+def test_mix_to_proportions_matches_targets_and_is_deterministic(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        mix_to_proportions,
+    )
+
+    rows = [
+        Row(k=i, domain="web" if i % 10 < 6 else ("code" if i % 10 < 9 else "books"))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows)
+    weights = {"web": 0.3, "code": 0.3, "books": 0.4}
+    kept = mix_to_proportions(df, "domain", "k", weights)
+    counts = {r["domain"]: r["n"] for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    # books (500 rows, weight .4) binds: n_total = 500/.4 = 1250
+    # targets: web 375, code 375, books 500 (binding domain kept whole)
+    assert counts["books"] == 500
+    total = sum(counts.values())
+    for d, w in weights.items():
+        # hash filter is uniform, not exact-count: allow a few % slack
+        assert abs(counts[d] / total - w) < 0.05, (d, counts)
+    # deterministic: identical membership across runs/partitionings
+    kept2 = mix_to_proportions(df.repartition(13), "domain", "k", weights)
+    assert sorted(r["k"] for r in kept.select("k").collect()) == sorted(
+        r["k"] for r in kept2.select("k").collect()
+    )
+    # domains not in weights are dropped
+    df2 = df.union(spark.createDataFrame([Row(k=99999, domain="junk")]))
+    kept3 = mix_to_proportions(df2, "domain", "k", weights)
+    assert kept3.filter(F.col("domain") == "junk").count() == 0
+
+
+def test_contamination_check_planted_overlap(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "the|quick|brown" and "quick|brown|fox" (n=3)
+            Row(doc_id=10, text="see the quick brown fox run"),
+            # no shared 3-gram
+            Row(doc_id=11, text="completely different words here"),
+            # shares via duplicate occurrences -> still counted once
+            Row(doc_id=12, text="the quick brown then the quick brown"),
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_bench_docs"])
+        for r in contamination_check(corpus, bench, n=3).collect()
+    }
+    assert out[10] == (2, 1)  # the|quick|brown, quick|brown|fox
+    assert 11 not in out
+    assert out[12] == (1, 1)  # the|quick|brown counted once despite 2 hits
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    vecs = [
+        Row(vec_id=0, embedding=[0.5, -1.0, 0.25, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+        Row(vec_id=2, embedding=[127.0, -127.0, 1.0, -1.0]),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in quantize_int8(spark.createDataFrame(vecs)).collect()
+    }
+    for r in vecs:
+        got = out[r["vec_id"]]
+        x = np.array(r["embedding"], dtype=np.float64)
+        scale = np.abs(x).max() / 127.0
+        q = np.array(got["q_embedding"], dtype=np.float64)
+        assert len(q) == len(x)
+        if scale == 0:
+            assert got["q_scale"] == 0.0 and (q == 0).all()
+            continue
+        assert got["q_scale"] == pytest.approx(scale)
+        assert (np.abs(q) <= 127).all()
+        # floor quantization: reconstruction within one scale step
+        assert (np.abs(x - q * scale) < scale + 1e-12).all()
+
+
+def test_vocabulary_rank_and_coverage(spark):
+    from compile_time_data_contracts_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [
+            Row(text="a a a b b c"),
+            Row(text="a b C"),  # lowercased -> c
+        ]
+    )
+    # counts: a=4, b=3, c=2; total=9
+    rows = {r["token"]: r for r in vocabulary(df, min_count=2, top_n=10).collect()}
+    assert rows["a"]["rank"] == 1 and rows["a"]["n"] == 4
+    assert rows["b"]["rank"] == 2 and rows["b"]["n"] == 3
+    assert rows["c"]["rank"] == 3 and rows["c"]["n"] == 2
+    assert rows["a"]["cum_share"] == pytest.approx(4 / 9)
+    assert rows["c"]["cum_share"] == pytest.approx(1.0)
+    # min_count cuts the tail but not the ranks of survivors
+    rows2 = {r["token"]: r for r in vocabulary(df, min_count=3, top_n=10).collect()}
+    assert set(rows2) == {"a", "b"} and rows2["b"]["rank"] == 2
+
+
+def test_global_shuffle_positions_equals_global_sort(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        _KNUTH,
+        _M32,
+        global_shuffle_positions,
+    )
+
+    df = spark.createDataFrame([Row(k=i) for i in range(2000)]).repartition(7)
+    out = global_shuffle_positions(df, "k", buckets=16).collect()
+    # positions are a permutation of 1..n
+    assert sorted(r["pos"] for r in out) == list(range(1, 2001))
+    # and agree with the single-sort definition
+    expect = sorted(range(2000), key=lambda k: ((k * _KNUTH) % _M32, k))
+    got = {r["pos"]: r["k"] for r in out}
+    for i, k in enumerate(expect, start=1):
+        assert got[i] == k

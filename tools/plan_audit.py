@@ -114,6 +114,38 @@ CHECKS = {
          lambda p: "BroadcastNestedLoopJoin" not in p
          and "CartesianProduct" not in p),
     ],
+    "q89_contamination_check": [
+        ("benchmark n-grams broadcast (corpus never shuffles to join)", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+        ("codegen shingle generate (no Python stage)", True,
+         lambda p: "Generate" in p and "InPandas" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "q90_quantize_embeddings": [
+        ("single scan, zero shuffle, no Python stage", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and len(re.findall(r"\(\d+\) Exchange", p)) == 0
+         and "InPandas" not in p and "ArrowEvalPython" not in p),
+    ],
+    "q91_vocabulary_coverage": [
+        ("token counts partial-aggregated before the shuffle", True,
+         lambda p: "partial_count" in p or "partial" in p.lower()),
+        ("windows run over the aggregated vocabulary, not the corpus", True,
+         # the single-partition window exchange consumes the aggregate,
+         # never a Generate/scan directly
+         lambda p: not re.search(
+             r"Exchange SinglePartition[\s\S]{0,400}?Generate", p
+         )),
+    ],
+    "q93_global_shuffle_order": [
+        ("no global single-partition sort of the data (distributed rank)",
+         True,
+         lambda p: not re.search(r"Sort [^\n]*global=true", p)
+         and "rangepartitioning" not in p),
+        ("bucket offsets broadcast back", True,
+         lambda p: "BroadcastHashJoin" in p),
+    ],
     "q81_bucketed_join": [
         ("both sides read bucketed", True,
          lambda p: p.count("Bucketed: true") >= 2),
