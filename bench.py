@@ -69,6 +69,7 @@ HEADLINE = [
     "q89_contamination_check",
     "q90_quantize_embeddings",
     "q93_global_shuffle_order",
+    "q96_approx_percentile",
 ]
 
 

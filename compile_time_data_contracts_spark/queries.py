@@ -2338,3 +2338,100 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     return global_shuffle_positions(
         docs.select("doc_id"), "doc_id", buckets=64
     ).select("doc_id", "pos")
+
+
+@q(
+    "q94_json_sink_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink + contract-pinned re-read (the interchange format
+    for pipeline handoffs): same format-generic Source/Sink path as
+    parquet/ORC, explicit schema on the re-read — no inference job ever
+    runs.  Oracle aggregates the original parquet; equality proves the
+    JSON round-trip is lossless for this contract."""
+    from .catalog import Documents
+    from .sources.io import Sink, Source, read_df, write_df
+
+    docs = load_table(spark, sf, "documents")
+    path = "/tmp/ctdc_q94_documents_json"
+    write_df(docs, Sink(Documents, path, format="json"), SchemaPolicy.EXACT)
+    back = read_df(spark, Source(Documents, "json", path))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q95_csv_sink_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink + contract-pinned re-read, completing the format matrix
+    (CSV/JSON read since q02/q03; parquet/ORC/JSON/CSV write).  Reads
+    are PERMISSIVE by design (malformed cells become nulls — faithful
+    to the reference's schema-level-only pin), which the lossless
+    aggregate equality implicitly re-checks here."""
+    from .catalog import Documents
+    from .sources.io import Sink, Source, read_df, write_df
+
+    docs = load_table(spark, sf, "documents")
+    path = "/tmp/ctdc_q95_documents_csv"
+    write_df(
+        docs,
+        Sink(Documents, path, format="csv", options={"header": "true"}),
+        SchemaPolicy.EXACT,
+    )
+    back = read_df(
+        spark, Source(Documents, "csv", path, {"header": "true"})
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q96_approx_percentile",
+    # like q19: the sketch value is engine-specific; checkable are the
+    # exact percentiles (both engines interpolate linearly) and the
+    # sketch's accuracy contract against them
+    """SELECT round(quantile_cont(value, 0.5), 4) AS p50_r,
+              round(quantile_cont(value, 0.9), 4) AS p90_r,
+              round(quantile_cont(value, 0.99), 4) AS p99_r,
+              TRUE AS within_tol
+       FROM events""",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles (KLL-style sketch, mergeable across
+    partitions — the 100 TB path: one partial-aggregated pass, state is
+    sketch-sized) checked against the exact interpolated percentiles,
+    which both engines define identically.  within_tol asserts the
+    sketch landed within 5% relative of exact at every probed quantile;
+    the exact values hash-match the oracle."""
+    ev = load_table(spark, sf, "events")
+    agg = ev.agg(
+        F.percentile("value", [0.5, 0.9, 0.99]).alias("__exact"),
+        F.percentile_approx(
+            "value", [0.5, 0.9, 0.99], accuracy=10000
+        ).alias("__approx"),
+    )
+    ok = F.forall(
+        F.zip_with(
+            "__approx",
+            "__exact",
+            lambda a, e: F.abs(a - e) <= 0.05 * F.greatest(F.abs(e), F.lit(1e-9)),
+        ),
+        lambda x: x,
+    )
+    return agg.select(
+        F.round(F.col("__exact")[0], 4).alias("p50_r"),
+        F.round(F.col("__exact")[1], 4).alias("p90_r"),
+        F.round(F.col("__exact")[2], 4).alias("p99_r"),
+        ok.alias("within_tol"),
+    )
