@@ -70,6 +70,8 @@ HEADLINE = [
     "q90_quantize_embeddings",
     "q93_global_shuffle_order",
     "q96_approx_percentile",
+    "q97_tfidf_keywords",
+    "q99_curation_pipeline",
 ]
 
 

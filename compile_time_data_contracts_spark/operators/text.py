@@ -285,3 +285,99 @@ def vocabulary(
     return ranked.filter(
         (F.col("n") >= min_count) & (F.col("rank") <= top_n)
     )
+
+
+def tfidf_keywords(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Per-document top-k keywords by TF-IDF (smoothed:
+    tf/len × ln((N+1)/(df+1))) — the classic keyword/topic-signal
+    extraction step of a corpus analysis pipeline.
+
+    Term frequencies are one explode + map-side-combined count;
+    document frequencies fall out of the SAME tf table (one row per
+    (doc, term) already) with a second tiny aggregation; the corpus
+    size N is a 1-row broadcast.  The only corpus-sized shuffles are
+    the two hash aggregations and the per-document top-k window — no
+    cartesian anywhere, everything codegen.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    tok_rows = df.select(
+        F.col(id_col), F.size(toks).alias("__len"), F.explode(toks).alias("token")
+    )
+    tf = tok_rows.groupBy(id_col, "__len", "token").agg(
+        F.count("*").cast("bigint").alias("n_td")
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("__df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            (
+                (F.col("n_td") / F.col("__len"))
+                * F.log((F.col("__n") + 1) / (F.col("__df") + 1))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def bigram_lm(df, text_col: str = "text"):
+    """Bigram language-model table: for every token, its most likely
+    successor and the conditional probability P(w2|w1) — the n-gram LM
+    estimation step (corpus statistics / generation-artifact detection).
+
+    Bigrams come from the codegen shingle path (:func:`~compile_time_data_contracts_spark.operators.dedup.shingle_rows`
+    with n=2 — no interpreted HOFs); counts are map-side combined; the
+    argmax and the conditional total share ONE window partitioning on
+    w1 (sum over the whole partition, rank over the ordered frame), so
+    the bigram table shuffles once.  Probabilities are ratios of exact
+    integer counts — engine-portable.
+    Output: (w1, top_w2, n_pair, p) with one row per distinct w1.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import shingle_rows
+
+    lowered = df.select(F.lower(F.col(text_col)).alias("__txt"))
+    grams = shingle_rows(
+        lowered.withColumn("__id", F.monotonically_increasing_id()),
+        "__id",
+        "__txt",
+        n=2,
+    )
+    pairs = grams.filter(F.instr("shingle", "|") > 0).select(
+        F.split_part(F.col("shingle"), F.lit("|"), F.lit(1)).alias("w1"),
+        F.split_part(F.col("shingle"), F.lit("|"), F.lit(2)).alias("w2"),
+    )
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n_pair")
+    )
+    part = Window.partitionBy("w1")
+    ranked = counts.select(
+        "w1",
+        "w2",
+        "n_pair",
+        F.sum("n_pair").over(part).alias("__n_w1"),
+        F.row_number()
+        .over(part.orderBy(F.desc("n_pair"), F.asc("w2")))
+        .alias("__rk"),
+    )
+    return ranked.filter(F.col("__rk") == 1).select(
+        "w1",
+        F.col("w2").alias("top_w2"),
+        "n_pair",
+        (F.col("n_pair") / F.col("__n_w1")).alias("p"),
+    )

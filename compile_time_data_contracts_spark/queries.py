@@ -2435,3 +2435,120 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("__exact")[2], 4).alias("p99_r"),
         ok.alias("within_tol"),
     )
+
+
+@q(
+    "q97_tfidf_keywords",
+    """WITH tok AS (SELECT doc_id,
+                           len(string_split(lower(text), ' ')) AS dlen,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents),
+            tf AS (SELECT doc_id, dlen, token,
+                          CAST(count(*) AS BIGINT) AS n_td
+                   FROM tok GROUP BY doc_id, dlen, token),
+            dft AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq
+                    FROM tf GROUP BY token),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+            scored AS (SELECT doc_id, token,
+                              (n_td / dlen) * ln((nd + 1) / (dfreq + 1))
+                                AS score
+                       FROM tf JOIN dft USING (token) CROSS JOIN n)
+       SELECT doc_id, token, round(score, 4) AS score_r, rnk
+       FROM (SELECT *, CAST(row_number() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY score DESC, token
+                            ) AS INT) AS rnk
+             FROM scored)
+       WHERE rnk <= 3""",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords: two map-side-combined hash
+    aggregations (term freq, doc freq — the second over the already
+    (doc,term)-sized tf table), a 1-row broadcast of N, one per-doc
+    top-k window.  No cartesian, all codegen."""
+    from .operators.text import tfidf_keywords
+
+    docs = load_table(spark, sf, "documents")
+    kw = tfidf_keywords(docs, "doc_id", "text", k=3)
+    return kw.select(
+        "doc_id", "token", F.round("score", 4).alias("score_r"), "rnk"
+    )
+
+
+@q(
+    "q98_bigram_lm",
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS toks
+                  FROM documents),
+            b AS (SELECT toks[j] AS w1, toks[j + 1] AS w2
+                  FROM t, LATERAL UNNEST(generate_series(1, len(toks) - 1))
+                       AS s(j)
+                  WHERE len(toks) >= 2),
+            c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+                  FROM b GROUP BY w1, w2)
+       SELECT w1, w2 AS top_w2, n_pair, round(p, 6) AS p_r
+       FROM (SELECT c.*,
+                    n_pair / (sum(n_pair) OVER (PARTITION BY w1)) AS p,
+                    row_number() OVER (
+                      PARTITION BY w1 ORDER BY n_pair DESC, w2
+                    ) AS rk
+             FROM c)
+       WHERE rk = 1""",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM estimation: most likely successor + P(w2|w1) per token.
+    Bigrams ride the codegen shingle path; argmax and conditional total
+    share one window partitioning, so the bigram table shuffles once.
+    Probabilities are exact-integer ratios — engine-portable."""
+    from .operators.text import bigram_lm
+
+    docs = load_table(spark, sf, "documents")
+    lm = bigram_lm(docs, "text")
+    return lm.select(
+        "w1", "top_w2", "n_pair", F.round("p", 6).alias("p_r")
+    )
+
+
+@q(
+    "q99_curation_pipeline",
+    """WITH f AS (SELECT * FROM documents
+                  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+            l AS (SELECT *, lower(array_to_string(
+                              string_split(text, ' ')[1:3], ' ')) AS lead
+                  FROM f),
+            d AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                               PARTITION BY lead ORDER BY doc_id
+                             ) AS rk
+                    FROM l) WHERE rk = 1),
+            s AS (SELECT * FROM d
+                  WHERE ((doc_id * 2654435761) % 4294967296) * 10000
+                        / 4294967296 < 5000)
+       SELECT lang, count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM s GROUP BY lang""",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline, composed from the library: length
+    gate -> deterministic lead-prefix dedup (keep_best: min doc_id per
+    normalized 3-token lead, one min_by aggregate, no window sort) ->
+    deterministic 50% hash sample -> per-language stats.  Every stage
+    is reproducible (pure functions of the data), so the oracle
+    recomputes the identical final corpus."""
+    from .operators.dedup import keep_best_dedup
+    from .operators.sampling import deterministic_sample
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf, "documents")
+    gated = docs.filter(token_count("text").between(20, 80))
+    with_lead = gated.withColumn(
+        "lead",
+        F.lower(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))),
+    )
+    deduped = keep_best_dedup(
+        with_lead, col="lead", score_col="doc_id", ascending=True
+    )
+    sampled = deterministic_sample(deduped, rate=0.5, key_col="doc_id")
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -1121,3 +1121,55 @@ def test_global_shuffle_positions_equals_global_sort(spark):
     got = {r["pos"]: r["k"] for r in out}
     for i, k in enumerate(expect, start=1):
         assert got[i] == k
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    from compile_time_data_contracts_spark.operators.text import (
+        tfidf_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana"),
+            Row(doc_id=2, text="banana cherry"),
+        ]
+    )
+    out = {
+        (r["doc_id"], r["token"]): r
+        for r in tfidf_keywords(df, k=3).collect()
+    }
+    # N=2; df: apple=1, banana=2, cherry=1
+    idf_apple = math.log(3 / 2)   # ln((2+1)/(1+1))
+    idf_banana = math.log(3 / 3)  # = 0
+    assert out[(1, "apple")]["score"] == pytest.approx((2 / 3) * idf_apple)
+    assert out[(1, "banana")]["score"] == pytest.approx((1 / 3) * idf_banana)
+    assert out[(2, "cherry")]["score"] == pytest.approx((1 / 2) * idf_apple)
+    # ranks: doc1 apple first (positive beats zero), doc2 cherry first
+    assert out[(1, "apple")]["rnk"] == 1
+    assert out[(2, "cherry")]["rnk"] == 1
+    # k cap respected
+    assert all(r["rnk"] <= 3 for r in out.values())
+
+
+def test_bigram_lm_conditional_probabilities(spark):
+    from compile_time_data_contracts_spark.operators.text import bigram_lm
+
+    df = spark.createDataFrame(
+        [
+            Row(text="a b a b"),   # (a,b) (b,a) (a,b)
+            Row(text="a c"),       # (a,c)
+            Row(text="solo"),      # no bigram: must not contribute
+        ]
+    )
+    out = {r["w1"]: r for r in bigram_lm(df).collect()}
+    assert out["a"]["top_w2"] == "b" and out["a"]["n_pair"] == 2
+    assert out["a"]["p"] == pytest.approx(2 / 3)
+    assert out["b"]["top_w2"] == "a" and out["b"]["p"] == pytest.approx(1.0)
+    assert "solo" not in out
+    # deterministic tie-break: equal counts pick the lexicographically
+    # smaller successor
+    df2 = spark.createDataFrame([Row(text="x b"), Row(text="x a")])
+    out2 = {r["w1"]: r for r in bigram_lm(df2).collect()}
+    assert out2["x"]["top_w2"] == "a"

@@ -138,6 +138,29 @@ CHECKS = {
              r"Exchange SinglePartition[\s\S]{0,400}?Generate", p
          )),
     ],
+    "q97_tfidf_keywords": [
+        ("tf and df partial-aggregated", True,
+         lambda p: p.lower().count("partial") >= 2),
+        ("corpus size is a 1-row broadcast, no data cartesian", True,
+         lambda p: "CartesianProduct" not in p),
+        ("no Python stage", True,
+         lambda p: "InPandas" not in p and "ArrowEvalPython" not in p),
+    ],
+    "q98_bigram_lm": [
+        ("bigram counts partial-aggregated before the shuffle", True,
+         lambda p: "partial_count" in p),
+        ("argmax + conditional total share one window partitioning "
+         "(2 data exchanges total)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 2),
+        ("codegen shingle generate (no Python stage)", True,
+         lambda p: "Generate" in p and "InPandas" not in p),
+    ],
+    "q99_curation_pipeline": [
+        ("dedup via min_by aggregate, not a window sort", True,
+         lambda p: "min_by" in p and "row_number" not in p),
+        ("single scan feeds the whole pipeline", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
     "q93_global_shuffle_order": [
         ("no global single-partition sort of the data (distributed rank)",
          True,
