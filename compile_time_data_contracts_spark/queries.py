@@ -2552,3 +2552,20 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@q(
+    "q100_stream_dedup",
+    """SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS total_value_r
+       FROM events GROUP BY user_id""",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exactly-once dedup under replay: batch 1 re-emits exact
+    copies of every event_id % 10 == 0 row; dropDuplicatesWithinWatermark
+    (bounded state — entries evicted once the watermark passes their
+    event time) must drop every replay, so the emitted rows equal the
+    distinct originals and the batch GROUP BY is the oracle."""
+    from .streaming.windows import stream_dedup_gate
+
+    return stream_dedup_gate(spark, sf)

@@ -30,6 +30,7 @@ __all__ = [
     "run_stream_to_memory",
     "write_ordered_feed",
     "late_drop_counts",
+    "stream_dedup_gate",
 ]
 
 
@@ -235,3 +236,61 @@ def late_drop_counts(
     )
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_dedup_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "ctdc_q100_sink",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark as a gate-checkable query: the
+    events table streams in batch 0, then batch 1 re-emits exact copies
+    of every event_id % 10 == 0 row — an at-least-once upstream replayed
+    into the exactly-once dedup stage.
+
+    Every re-emission is dropped by Spark's own machinery, one of two
+    ways: a copy at/above the watermark finds its original still in the
+    dedup state (state is evicted only once the watermark passes the
+    event time), and a copy below the watermark is dropped as late input
+    before the state lookup.  Either way the emitted rows are exactly
+    the distinct originals, so the batch GROUP BY over the raw table is
+    a value-level oracle — while a broken dedup (or unbounded-state
+    variant silently dropping nothing) double-counts every replayed row
+    and hash-mismatches.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    dups = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
+    base = tempfile.mkdtemp(prefix="ctdc-dupfeed-")
+    write_ordered_feed([ev, dups], base)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark)
+    if query_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(query_name)
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value_r"),
+        )
+    )
