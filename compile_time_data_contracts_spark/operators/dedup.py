@@ -34,6 +34,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "keep_best_dedup",
     "connected_components",
+    "connected_components_star",
     "simhash",
     "simhash_table",
     "contamination_check",
@@ -509,4 +510,112 @@ def contamination_check(
             F.countDistinct("shingle").alias("n_shared_ngrams"),
             F.countDistinct("__bench_id").alias("n_bench_docs"),
         )
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the deep-graph scale path.  Same output contract as
+    :func:`connected_components`: (doc_id, cluster_id = component min).
+
+    Min-label propagation needs O(diameter) rounds — fine for shallow
+    near-dup clusters, hopeless for chain-shaped graphs (a 1000-link
+    chain is 1000 rounds).  The star operations instead contract toward
+    the component minimum in O(log n) alternations regardless of
+    diameter:
+
+      * large-star: every node's strictly-larger neighbors re-attach to
+        the minimum of its neighborhood (min computed with one map-side
+        combined agg, re-attachment is one join — never a collect of
+        the neighborhood),
+      * small-star: every node and its smaller neighbors re-attach
+        likewise (edges kept directed larger->smaller between rounds).
+
+    At the fixed point the edges form depth-1 stars rooted at each
+    component min.  Each round is 1-2 hash aggregates + a join on node
+    ids; lineage is cut per alternation with a reliable checkpoint
+    (same durability argument as connected_components); convergence is
+    detected by (count, order-independent hash-sum) equality of the
+    edge set — no driver-side edge materialization anywhere.
+    """
+    sc = pairs.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="ctdc-checkpoint-"))
+
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .union(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    # directed larger -> smaller, self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-independent, overflow-free (a sum of 64-bit
+        # hashes overflows long under ANSI); edge rows are distinct so
+        # xor-cancellation of repeated rows cannot occur
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _signature(edges)
+    for _ in range(max_iterations):
+        # ---- large-star: symmetrize, attach larger neighbors to the min
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        # no distinct here: duplicate (v, m) rows are absorbed by the
+        # small-star min-agg and the final distinct — one less shuffle
+        # per alternation
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # ---- small-star: attach node + smaller neighbors to the min
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        edges = small.checkpoint(eager=True)  # cut lineage, recoverably
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            return all_nodes.join(
+                edges.select(
+                    F.col("u").alias("node"), F.col("v").alias("__lbl")
+                ),
+                "node",
+                "left",
+            ).select(
+                F.col("node").alias("doc_id"),
+                F.coalesce(F.col("__lbl"), F.col("node")).alias("cluster_id"),
+            )
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_star: no fixed point after {max_iterations} "
+        "alternations — raise max_iterations"
     )

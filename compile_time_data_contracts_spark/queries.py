@@ -2569,3 +2569,34 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.windows import stream_dedup_gate
 
     return stream_dedup_gate(spark, sf)
+
+
+@q(
+    "q101_components_deep_chain",
+    """WITH nodes AS (
+         SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id) AS n_user
+         FROM events)
+       SELECT event_id AS doc_id,
+              min(event_id) OVER (PARTITION BY user_id) AS cluster_id
+       FROM nodes WHERE n_user >= 2""",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components on a DEEP graph: each user's events chained
+    consecutively (chain length = events/user, ~100 at sf0.01 — far
+    past min-label propagation's round budget).  The large-star/
+    small-star operator contracts every chain to its min in O(log n)
+    alternations; the oracle knows each chain's component is simply the
+    per-user min event_id."""
+    from .operators.dedup import connected_components_star
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = (
+        ev.withColumn("__prev", F.lag("event_id").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev").alias("doc_a"), F.col("event_id").alias("doc_b")
+        )
+    )
+    return connected_components_star(edges)

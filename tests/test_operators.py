@@ -1173,3 +1173,65 @@ def test_bigram_lm_conditional_probabilities(spark):
     df2 = spark.createDataFrame([Row(text="x b"), Row(text="x a")])
     out2 = {r["w1"]: r for r in bigram_lm(df2).collect()}
     assert out2["x"]["top_w2"] == "a"
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    import random
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    # random sparse graph: 200 nodes, 150 edges -> many small components
+    edges = [
+        Row(doc_a=rng.randrange(200), doc_b=rng.randrange(200))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges)
+    a = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(df).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert a == b
+
+
+def test_connected_components_star_deep_chain(spark):
+    """A 400-link chain needs ~400 min-label rounds but only O(log n)
+    star alternations — the case the star variant exists for."""
+    from compile_time_data_contracts_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = [Row(doc_a=i, doc_b=i + 1) for i in range(400)]
+    # second component: a chain offset by 1000
+    chain += [Row(doc_a=1000 + i, doc_b=1001 + i) for i in range(50)]
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(
+            spark.createDataFrame(chain), max_iterations=30
+        ).collect()
+    }
+    assert all(out[i] == 0 for i in range(401))
+    assert all(out[1000 + i] == 1000 for i in range(51))
+
+
+def test_connected_components_star_self_loops_and_singletons(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_a=5, doc_b=5), Row(doc_a=7, doc_b=9)]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(df).collect()
+    }
+    # self-loop node is its own singleton component; 7-9 share min 7
+    assert out == {5: 5, 7: 7, 9: 7}
