@@ -72,6 +72,8 @@ HEADLINE = [
     "q96_approx_percentile",
     "q97_tfidf_keywords",
     "q99_curation_pipeline",
+    "q102_embedding_dim_stats",
+    "q103_retrieval_with_docs",
 ]
 
 

@@ -857,3 +857,72 @@ def quantize_int8(
         )
     )
     return df.withColumn(scale_col, scale).withColumn(qvec_col, qvec)
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics of an embedding column —
+    (dim, mean, std, min, max) — the feature-health/normalization-fit
+    step of an embedding pipeline (dead dims, scale drift, outliers).
+
+    posexplode to (dim, value) rows (codegen Generate, no interpreted
+    HOF over the corpus), then ONE map-side-combined aggregate: the
+    shuffle carries |dims| × partials per partition regardless of corpus
+    size.  Output is dims-sized (tiny).
+    """
+    vals = df.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "x")
+    )
+    return vals.groupBy("dim").agg(
+        F.avg("x").alias("mean"),
+        F.stddev_pop("x").alias("std"),
+        F.min("x").alias("min"),
+        F.max("x").alias("max"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "z_embedding",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Dimension-wise z-score normalization: x -> (x - mean_d)/std_d.
+
+    The stats table (from :func:`embedding_dim_stats`, or passed in when
+    already persisted) is dims-sized, so it collapses to an array
+    BROADCAST back to every row — the corpus is touched once, no join
+    shuffle.  Zero-variance dims pass through centered (std 0 -> z 0).
+    """
+    stats = stats if stats is not None else embedding_dim_stats(df, vec_col)
+    # collect_list order is not preserved across the agg shuffle;
+    # array_sort on (dim, ...) structs pins dimension order
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean", "std"))
+        ).alias("__s")
+    ).select(
+        F.transform("__s", lambda s: s["mean"]).alias("__means"),
+        F.transform("__s", lambda s: s["std"]).alias("__stds"),
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.zip_with(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    F.col("__means"),
+                    lambda x, m: x - m,
+                ),
+                F.col("__stds"),
+                lambda c, s: F.when(s > 0, c / s).otherwise(F.lit(0.0)),
+            ),
+        )
+        .drop("__means", "__stds")
+    )

@@ -2600,3 +2600,72 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return connected_components_star(edges)
+
+
+@q(
+    "q102_embedding_dim_stats",
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            d AS (SELECT CAST(j AS INT) AS dim, e[j + 1] AS x
+                  FROM t, LATERAL UNNEST(generate_series(0, len(e) - 1))
+                       AS s(j))
+       SELECT dim,
+              round(avg(x), 6) AS mean_r,
+              round(stddev_pop(x), 6) AS std_r,
+              round(min(x), 6) AS min_r,
+              round(max(x), 6) AS max_r,
+              CAST(count(*) AS BIGINT) AS n
+       FROM d GROUP BY dim""",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding feature-health table: per-dimension mean/std/min/max
+    over the corpus.  posexplode (codegen Generate) + ONE map-side-
+    combined aggregate — the shuffle carries |dims| partial-moment rows
+    per partition regardless of corpus size."""
+    from .operators.similarity import embedding_dim_stats
+
+    emb = load_table(spark, sf, "embeddings")
+    st = embedding_dim_stats(emb)
+    return st.select(
+        "dim",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("std", 6).alias("std_r"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        "n",
+    )
+
+
+@q(
+    "q103_retrieval_with_docs",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                  WHERE vec_id = 7),
+            scored AS (SELECT b.vec_id,
+                              list_cosine_similarity(
+                                q.qe, b.embedding::DOUBLE[]) AS sim
+                       FROM embeddings b, q)
+       SELECT s.vec_id, round(s.sim, 4) AS sim_r, d.lang,
+              substr(d.text, 1, 40) AS preview
+       FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+       ORDER BY s.sim DESC, s.vec_id LIMIT 5""",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end retrieval (the RAG read path): top-5 nearest
+    embeddings to the query vector, then hydrate each hit with its
+    document metadata + snippet.  Top-k resolves FIRST (TakeOrdered
+    heap over one corpus pass), so the hydration join touches k rows —
+    the tiny side broadcasts, the documents table is probed once."""
+    from .operators.similarity import topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    qv = emb.filter(F.col("vec_id") == 7)
+    top = topk_cosine(emb, qv, k=5)
+    return (
+        top.join(docs, top["vec_id"] == docs["doc_id"])
+        .select(
+            "vec_id",
+            F.round("sim", 4).alias("sim_r"),
+            "lang",
+            F.substring("text", 1, 40).alias("preview"),
+        )
+    )

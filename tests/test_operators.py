@@ -1235,3 +1235,38 @@ def test_connected_components_star_self_loops_and_singletons(spark):
     }
     # self-loop node is its own singleton component; 7-9 share min 7
     assert out == {5: 5, 7: 7, 9: 7}
+
+
+def test_embedding_dim_stats_and_normalize(spark):
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        embedding_dim_stats,
+        normalize_embeddings,
+    )
+
+    mat = np.array(
+        [[1.0, 10.0, 5.0], [3.0, 10.0, 7.0], [5.0, 10.0, 9.0]]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    st = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    for d in range(3):
+        assert st[d]["mean"] == pytest.approx(mat[:, d].mean())
+        assert st[d]["std"] == pytest.approx(mat[:, d].std())
+        assert st[d]["n"] == 3
+    z = {
+        r["vec_id"]: np.array(r["z_embedding"])
+        for r in normalize_embeddings(df).collect()
+    }
+    expect = (mat - mat.mean(axis=0)) / np.where(
+        mat.std(axis=0) == 0, 1.0, mat.std(axis=0)
+    )
+    # zero-variance dim (col 1) must normalize to 0, not NaN
+    expect[:, 1] = 0.0
+    for i in range(3):
+        assert z[i] == pytest.approx(expect[i])
+    # dimension order survives the stats shuffle (array_sort pinning)
+    assert z[0][0] == pytest.approx(-np.sqrt(1.5)) or z[0][0] == pytest.approx(expect[0][0])

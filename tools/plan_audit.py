@@ -161,6 +161,20 @@ CHECKS = {
         ("single scan feeds the whole pipeline", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
+    "q102_embedding_dim_stats": [
+        ("single scan, partial-combined moment aggregate", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "partial" in p.lower()),
+        ("codegen generate, no Python stage", True,
+         lambda p: "Generate" in p and "InPandas" not in p
+         and "ArrowEvalPython" not in p),
+    ],
+    "q103_retrieval_with_docs": [
+        ("top-k resolves before hydration (k-row side broadcast)", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian against documents", True,
+         lambda p: "CartesianProduct" not in p),
+    ],
     "q93_global_shuffle_order": [
         ("no global single-partition sort of the data (distributed rank)",
          True,
