@@ -74,6 +74,7 @@ HEADLINE = [
     "q99_curation_pipeline",
     "q102_embedding_dim_stats",
     "q103_retrieval_with_docs",
+    "q104_resample_interp",
 ]
 
 

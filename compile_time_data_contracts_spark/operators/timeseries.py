@@ -14,12 +14,12 @@ history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .asof import asof_join
 
-__all__ = ["resample_ffill"]
+__all__ = ["resample_ffill", "resample_interp"]
 
 
 def resample_ffill(
@@ -60,4 +60,77 @@ def resample_ffill(
         key_col,
         ts_col,
         F.col(f"asof_{value_col}").alias(f"{value_col}_ffill"),
+    )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation between the
+    surrounding observations (vs :func:`resample_ffill`'s step-hold):
+    tick value = prev + (t-t_prev)/(t_next-t_prev) × (next-prev);
+    null outside [first obs, last obs] (no extrapolation).
+
+    One union of grid + observation rows, then ONE window partitioning
+    per key (ordered by (ts, grid-after-obs)) computes all four
+    bracketing columns — prev/next value and timestamp — via
+    last/first IGNORE NULLS over the preceding/following frames: a
+    single shuffle and a single per-key sort, no self-join, no second
+    as-of pass.  A tick coinciding with an observation sorts after it,
+    so it brackets to that exact value.
+    """
+    obs = df.groupBy(key_col, ts_col).agg(
+        F.max(value_col).cast("double").alias("__v")
+    )
+    bounds = obs.groupBy(key_col).agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("__hi"),
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias(ts_col),
+    )
+    u = grid.select(
+        key_col,
+        ts_col,
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(1).alias("__is_grid"),
+    ).unionByName(
+        obs.select(
+            key_col, ts_col, "__v", F.lit(0).alias("__is_grid")
+        )
+    )
+    wprev = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "__is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("__v").isNotNull(), F.col(ts_col))
+    pv = F.last("__v", ignorenulls=True).over(wprev)
+    pt = F.last(obs_ts, ignorenulls=True).over(wprev)
+    nv = F.first("__v", ignorenulls=True).over(wnext)
+    nt = F.first(obs_ts, ignorenulls=True).over(wnext)
+    t = F.col(ts_col).cast("double")
+    frac = (t - pt.cast("double")) / (nt.cast("double") - pt.cast("double"))
+    interp = (
+        F.when(pt.isNull() | (nt.isNull() & (pt != F.col(ts_col))), F.lit(None))
+        .when(pt == F.col(ts_col), pv)
+        .otherwise(pv + frac * (nv - pv))
+    )
+    return (
+        u.withColumn(f"{value_col}_interp", interp)
+        .filter(F.col("__is_grid") == 1)
+        .select(key_col, ts_col, f"{value_col}_interp")
     )

@@ -2669,3 +2669,85 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
             F.substring("text", 1, 40).alias("preview"),
         )
     )
+
+
+@q(
+    "q104_resample_interp",
+    """WITH obs AS (
+         SELECT user_id, ts, CAST(max(value) AS DOUBLE) AS v
+         FROM events WHERE user_id < 50 GROUP BY user_id, ts
+       ), bounds AS (
+         SELECT user_id,
+                date_trunc('hour', min(ts)) AS lo,
+                date_trunc('hour', max(ts)) AS hi
+         FROM obs GROUP BY user_id
+       ), grid AS (
+         SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+         FROM bounds
+       ), u AS (
+         SELECT user_id, ts, NULL::DOUBLE AS v, 1 AS is_grid FROM grid
+         UNION ALL
+         SELECT user_id, ts, v, 0 AS is_grid FROM obs
+       ), w AS (
+         SELECT *,
+           last_value(v IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+             OVER wp AS pt,
+           first_value(v IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+             OVER wn AS nt
+         FROM u
+         WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_grid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY user_id ORDER BY ts, is_grid
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       )
+       SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              round(CASE
+                      WHEN pt IS NULL OR (nt IS NULL AND pt <> ts) THEN NULL
+                      WHEN pt = ts THEN pv
+                      ELSE pv + (epoch(ts) - epoch(pt))
+                                / (epoch(nt) - epoch(pt)) * (nv - pv)
+                    END, 4) AS v_interp_r
+       FROM w WHERE is_grid = 1""",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation per user (bounded to
+    50 users at test SFs): one grid+obs union, one window partitioning
+    computes both brackets (prev/next value+ts), single shuffle — no
+    self-join, no second as-of pass."""
+    from .operators.timeseries import resample_interp
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
+    out = resample_interp(ev, "user_id", "ts", "value", "1 hour")
+    return out.select(
+        "user_id",
+        _ts_str(F.col("ts")).alias("ts_str"),
+        F.round("value_interp", 4).alias("v_interp_r"),
+    )
+
+
+from .sources.layout import zorder_sql as _zsql  # noqa: E402
+
+
+@q(
+    "q105_zorder_code",
+    f"""SELECT event_id,
+               {_zsql('(event_id % 65536)', 'user_id')} AS z
+        FROM events""",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton (z-order) codes for the two-dimensional write layout:
+    the engine's codegen bit-interleave must agree bit-for-bit with the
+    oracle's SQL form — both are generated from the same loop
+    (sources/layout.py), so the layout operator's math is value-checked
+    here and the file-level locality property in tests/test_layout.py."""
+    from .sources.layout import zorder_value
+
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        zorder_value(
+            F.pmod(F.col("event_id"), F.lit(65536)), F.col("user_id")
+        ).alias("z"),
+    )
