@@ -2751,3 +2751,86 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
             F.pmod(F.col("event_id"), F.lit(65536)), F.col("user_id")
         ).alias("z"),
     )
+
+
+@q(
+    "q106_lsh_recall_contract",
+    # same pattern as q19/q96: the LSH pair set is engine-specific, but
+    # its accuracy CONTRACT vs the exact answer is oracle-checkable —
+    # the exact pair count hash-matches, the booleans assert the bound
+    """SELECT CAST(count(*) AS BIGINT) AS n_exact,
+              TRUE AS recall_ok, TRUE AS precision_ok
+       FROM (SELECT a.vec_id AS va, b.vec_id AS vb
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) >= 0.45)""",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH accuracy contract: the bucketed hyperplane-LSH pair set must
+    reach recall >= 0.9 against the exact threshold self-join with
+    precision 1 (verified candidates only).  Exact pair count is value-
+    checked against brute force; the booleans gate the sketch — so the
+    rows-only q56 path now has an oracle-checked companion."""
+    from .operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    emb = load_table(spark, sf, "embeddings")
+    t = 0.45
+    exact = cosine_pairs(emb, t).select(
+        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    )
+    lsh = cosine_pairs_lsh(emb, t).select(
+        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    )
+    hits = lsh.join(exact, ["va", "vb"], "inner")
+    agg = (
+        exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("__n_hit"))))
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("__n_lsh"))))
+    )
+    return agg.select(
+        "n_exact",
+        (
+            (F.col("__n_hit") >= 0.9 * F.col("n_exact"))
+            | (F.col("n_exact") == 0)
+        ).alias("recall_ok"),
+        (F.col("__n_hit") == F.col("__n_lsh")).alias("precision_ok"),
+    )
+
+
+@q(
+    "q107_ivf_recall_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS ivf_overlap_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF accuracy contract: the exact top-10 (value-checked against
+    brute force) annotated with whether the partition-pruned IVF search
+    recovered >= 7 of them — the rows-only q67 path's oracle-checked
+    companion."""
+    import hashlib
+    import tempfile
+
+    from .operators.similarity import ivf_topk, topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(emb, query, k=10)
+    tag = hashlib.md5(f"{sf}|c32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-ivf-{tag}"
+    approx = ivf_topk(
+        emb, query, k=10, n_clusters=32, nprobe=8, index_path=idx
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("ivf_overlap_ok"),
+    )
