@@ -36,26 +36,40 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right[right_ts] <= left[left_ts]`` and the same ``on`` key(s).
+    ``right[right_ts] <= left[left_ts]`` and the same ``on`` key(s)
+    (``direction="backward"``, the default), or the EARLIEST right row
+    with ``right[right_ts] >= left[left_ts]`` (``direction="forward"``,
+    pandas merge_asof direction='forward') — same single-shuffle
+    union-marker plan either way, with the window frame and the
+    equal-ts tie side mirrored.
 
     Returns the left DataFrame plus ``asof_<col>`` columns (null when no
-    right row precedes the left row).  With ``tolerance`` (an INTERVAL
-    string, e.g. ``'2 hours'``), a match older than
-    ``left_ts - tolerance`` is nulled out — pandas merge_asof semantics —
-    as a post-window filter, so the single-shuffle plan is unchanged.
-    ``on`` may be a single column or a list (pandas merge_asof ``by``);
-    the window partitions on the full composite key — still one shuffle.
+    right row precedes/follows the left row).  With ``tolerance`` (an
+    INTERVAL string, e.g. ``'2 hours'``), a match farther than
+    ``tolerance`` from ``left_ts`` is nulled out — pandas merge_asof
+    semantics — as a post-window filter, so the single-shuffle plan is
+    unchanged.  ``on`` may be a single column or a list (pandas
+    merge_asof ``by``); the window partitions on the full composite
+    key — still one shuffle.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    backward = direction == "backward"
     value_cols = value_cols or []
     keys = [on] if isinstance(on, str) else list(on)
     l_cols = left.columns
 
+    # equal-ts semantics: the right row must be visible to the left row's
+    # frame — right sorts before left (backward, preceding frame) or
+    # after left (forward, following frame)
+    l_side, r_side = (1, 0) if backward else (0, 1)
     lm = left.select(
         *[F.col(k).alias(f"__key{i}") for i, k in enumerate(keys)],
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.lit(l_side).alias("__side"),
         *[F.col(c) for c in l_cols],
         # null marker typed as the right ordering column — the algorithm is
         # type-agnostic (epoch longs, dates, timestamps all order fine), so
@@ -66,32 +80,41 @@ def asof_join(
     rm = right.select(
         *[F.col(k).alias(f"__key{i}") for i, k in enumerate(keys)],
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
         F.col(right_ts).alias("__r_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
 
-    w = (
-        Window.partitionBy(*[f"__key{i}" for i in range(len(keys))])
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r_ts"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(
+        *[f"__key{i}" for i in range(len(keys))]
+    ).orderBy(F.col("__ts"), F.col("__side"), F.col("__r_ts"))
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
     filled = lm.unionByName(rm).select(
         *l_cols,
         F.col("__side"),
         F.col("__ts"),
-        F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        pick("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in value_cols
         ],
     )
-    out = filled.filter(F.col("__side") == 1)
+    out = filled.filter(F.col("__side") == l_side)
     if tolerance is not None:
-        in_window = F.col("asof_ts") >= (
-            F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        )
+        if backward:
+            in_window = F.col("asof_ts") >= (
+                F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+            )
+        else:
+            in_window = F.col("asof_ts") <= (
+                F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+            )
         out = out.select(
             *l_cols,
             F.col("__side"),

@@ -18,6 +18,7 @@ __all__ = [
     "capped_per_group_sample",
     "mix_to_proportions",
     "global_shuffle_positions",
+    "upsample_by_factor",
 ]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
@@ -219,3 +220,38 @@ def capped_per_group_sample(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def upsample_by_factor(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    factors: dict[str, float],
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic fractional upsampling: each row of domain d is
+    repeated floor(f_d) times plus one more for a hash-selected f_d -
+    floor(f_d) fraction of keys — the mixture UP-weighting step (epochs
+    over high-quality domains) dual to :func:`mix_to_proportions`'s
+    down-weighting.  Factors below 1 degrade gracefully to
+    deterministic sub-sampling (0 or 1 copies); unlisted domains keep
+    factor 1.
+
+    Pure codegen: a when-chain for the factor, the hash filter for the
+    fractional copy, sequence+explode for the repetition — no RNG, no
+    Python, no shuffle (the explode multiplies rows in place).  The
+    ``copy_col`` index keeps repeated rows distinguishable downstream
+    (e.g. for deterministic epoch shuffling of the expanded corpus).
+    """
+    fac: Column = F.lit(1.0)
+    for d, f in sorted(factors.items()):
+        fac = F.when(F.col(domain_col) == d, F.lit(float(f))).otherwise(fac)
+    base = F.floor(fac).cast("int")
+    extra = (
+        hash_bucket(F.col(key_col), 10000) < (fac - F.floor(fac)) * 10000
+    ).cast("int")
+    copies = base + extra
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))

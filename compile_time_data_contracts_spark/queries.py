@@ -2834,3 +2834,64 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         F.round("sim", 4).alias("sim_r"),
         F.lit(overlap >= 7).alias("ivf_overlap_ok"),
     )
+
+
+@q(
+    "q108_asof_forward",
+    """SELECT l.event_id, strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS next_ts_str,
+              round(r.value, 6) AS next_value_r
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join (merge_asof direction='forward'): for each
+    click, the EARLIEST purchase by the same user at or after it — the
+    attribution/conversion-lookahead query.  Same single-shuffle
+    union-marker plan as q15 with the frame and equal-ts side mirrored."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        _ts_str(F.col("asof_ts")).alias("next_ts_str"),
+        F.round("asof_value", 6).alias("next_value_r"),
+    )
+
+
+@q(
+    "q109_upsample_mixture",
+    """WITH f AS (SELECT *, CASE lang WHEN 'fr' THEN 2.5
+                                      WHEN 'zh' THEN 1.25
+                                      ELSE 1.0 END AS fac
+                  FROM documents),
+            c AS (SELECT *, CAST(floor(fac) AS INT)
+                            + CASE WHEN ((doc_id * 2654435761) % 4294967296)
+                                        * 10000 / 4294967296
+                                        < (fac - floor(fac)) * 10000
+                                   THEN 1 ELSE 0 END AS n_copies
+                  FROM f)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM c, LATERAL UNNEST(generate_series(1, n_copies)) s(j)
+       GROUP BY lang""",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fractional upsampling (fr ×2.5, zh ×1.25): the
+    mixture up-weighting step.  floor(f) whole copies per row plus a
+    hash-selected fractional copy — reruns reproduce the identical
+    expanded corpus, and the oracle recomputes it exactly."""
+    from .operators.sampling import upsample_by_factor
+
+    docs = load_table(spark, sf, "documents")
+    up = upsample_by_factor(
+        docs, "lang", "doc_id", {"fr": 2.5, "zh": 1.25}
+    )
+    return up.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )

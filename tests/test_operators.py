@@ -1270,3 +1270,59 @@ def test_embedding_dim_stats_and_normalize(spark):
         assert z[i] == pytest.approx(expect[i])
     # dimension order survives the stats shuffle (array_sort pinning)
     assert z[0][0] == pytest.approx(-np.sqrt(1.5)) or z[0][0] == pytest.approx(expect[0][0])
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 35), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 15, "a"), (1, 20, "b"), (1, 30, "c"), (2, 1, "z")],
+        "k long, ts long, v string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, 10)] == (15, "a")   # next at/after 10
+    assert out[(1, 20)] == (20, "b")   # equal ts matches
+    assert out[(1, 35)] == (None, None)  # nothing after
+    assert out[(2, 5)] == (None, None)   # right rows only before
+
+
+def test_upsample_by_factor_copies_and_determinism(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        upsample_by_factor,
+    )
+
+    rows = [
+        Row(k=i, domain="hot" if i % 2 == 0 else ("cold" if i % 4 == 1 else "base"))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows)
+    up = upsample_by_factor(df, "domain", "k", {"hot": 3.0, "cold": 0.5})
+    got = {
+        r["domain"]: r
+        for r in up.groupBy("domain").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+            F.max("copy_id").alias("max_copy"),
+        ).collect()
+    }
+    # hot x3.0: exactly 3 copies of every row
+    assert got["hot"]["n_rows"] == 3 * got["hot"]["n_keys"] == 3000
+    assert got["hot"]["max_copy"] == 3
+    # cold x0.5: deterministic subsample, one copy each, roughly half kept
+    assert got["cold"]["max_copy"] == 1
+    assert got["cold"]["n_rows"] == got["cold"]["n_keys"]
+    assert 150 < got["cold"]["n_keys"] < 350  # of 500
+    # base (unlisted): untouched
+    assert got["base"]["n_rows"] == got["base"]["n_keys"] == 500
+    # deterministic under repartitioning
+    up2 = upsample_by_factor(
+        df.repartition(17), "domain", "k", {"hot": 3.0, "cold": 0.5}
+    )
+    assert sorted(map(tuple, up.collect())) == sorted(map(tuple, up2.collect()))
