@@ -1,0 +1,81 @@
+"""Dataset profiling: histograms + per-column summaries.
+
+The ANALYZE-TABLE shape every pipeline needs before deciding join
+strategies, bucket counts, and skew mitigations.  Everything is one or
+two map-side-combined aggregate passes — profile cost is scan cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["equi_width_histogram", "column_profile"]
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, nbuckets: int = 10
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, lo, hi, n).
+
+    Two aggregate passes — global (min, max) as a 1-row broadcast, then
+    the bucket assignment as a codegen expression feeding one map-side-
+    combined count: the shuffle carries ``nbuckets`` rows per partition
+    regardless of table size.  The top edge is closed (x = max lands in
+    the last bucket); nulls are dropped.  All arithmetic is plain IEEE
+    double division/floor, so an external engine reproduces the exact
+    bucket boundaries.
+    """
+    mm = df.agg(
+        F.min(F.col(col).cast("double")).alias("__mn"),
+        F.max(F.col(col).cast("double")).alias("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(nbuckets))
+    bucket = F.least(
+        F.floor((F.col(col).cast("double") - F.col("__mn")) / width),
+        F.lit(nbuckets - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(mm))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("__mn") + bucket * width).alias("lo"),
+            (F.col("__mn") + (bucket + 1) * width).alias("hi"),
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass profile: a row per column with null count, exact
+    distinct count, and min/max rendered as strings (type-erased so
+    heterogeneous columns share one result schema).  Spark rewrites the
+    multi-column count-distinct with expand + partial aggregation; for
+    very wide profiles run per-column and union."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long"))
+            .cast("bigint")
+            .alias(f"__nnull_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"__ndv_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # stack (not a union of projections): a union would let Catalyst
+    # inline the aggregate into every branch — N column-pruned scans —
+    # while stack keeps ONE consumer of the single-row wide result, so
+    # the whole profile is one scan + one expand-based aggregate
+    stack_args = ", ".join(
+        f"'{c}', `__nnull_{c}`, `__ndv_{c}`, `__min_{c}`, `__max_{c}`"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_null, n_distinct, min_str, max_str)"
+        )
+    )

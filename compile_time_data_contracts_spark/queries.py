@@ -2895,3 +2895,71 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+@q(
+    "q110_histogram",
+    """WITH mm AS (SELECT min(l_extendedprice) AS mn,
+                          max(l_extendedprice) AS mx
+                   FROM lineitem)
+       SELECT CAST(least(floor((l_extendedprice - mn)
+                               / ((mx - mn) / 10.0)), 9) AS INT) AS bucket,
+              round(mn + CAST(least(floor((l_extendedprice - mn)
+                               / ((mx - mn) / 10.0)), 9) AS INT)
+                         * ((mx - mn) / 10.0), 4) AS lo_r,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem, mm
+       WHERE l_extendedprice IS NOT NULL
+       GROUP BY 1, 2""",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (the ANALYZE/profiling
+    shape): global (min,max) as a 1-row broadcast, bucket assignment as
+    a codegen expression, ONE map-side-combined count — the shuffle
+    carries nbuckets rows per partition regardless of table size."""
+    from .operators.stats import equi_width_histogram
+
+    li = load_table(spark, sf, "lineitem")
+    h = equi_width_histogram(li, "l_extendedprice", 10)
+    return h.select(
+        "bucket", F.round("lo", 4).alias("lo_r"), "n"
+    )
+
+
+@q(
+    "q111_column_profile",
+    """SELECT 'l_quantity' AS column,
+              CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null,
+              CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+              CAST(min(l_quantity) AS VARCHAR) AS min_str,
+              CAST(max(l_quantity) AS VARCHAR) AS max_str
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_returnflag',
+              CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+              CAST(count(DISTINCT l_returnflag) AS BIGINT),
+              CAST(min(l_returnflag) AS VARCHAR),
+              CAST(max(l_returnflag) AS VARCHAR)
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_shipdate',
+              CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+              CAST(count(DISTINCT l_shipdate) AS BIGINT),
+              CAST(min(l_shipdate) AS VARCHAR),
+              CAST(max(l_shipdate) AS VARCHAR)
+       FROM lineitem""",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column table profile (nulls / exact NDV / min / max,
+    type-erased to strings): ONE pass — Spark plans the multi-column
+    count-distinct as expand + partial aggregation, so the scan is not
+    repeated per column."""
+    from .operators.stats import column_profile
+
+    li = load_table(spark, sf, "lineitem")
+    return column_profile(
+        li, ["l_quantity", "l_returnflag", "l_shipdate"]
+    )

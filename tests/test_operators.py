@@ -1326,3 +1326,23 @@ def test_upsample_by_factor_copies_and_determinism(spark):
         df.repartition(17), "domain", "k", {"hot": 3.0, "cold": 0.5}
     )
     assert sorted(map(tuple, up.collect())) == sorted(map(tuple, up2.collect()))
+
+
+def test_profile_and_histogram_null_handling(spark):
+    from compile_time_data_contracts_spark.operators.stats import (
+        column_profile,
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (3.0, None), (10.0, "a")],
+        "x double, s string",
+    )
+    prof = {r["column"]: r for r in column_profile(df, ["x", "s"]).collect()}
+    assert prof["x"]["n_null"] == 1 and prof["x"]["n_distinct"] == 3
+    assert prof["x"]["min_str"] == "1.0" and prof["x"]["max_str"] == "10.0"
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    h = {r["bucket"]: r for r in equi_width_histogram(df, "x", 3).collect()}
+    # range [1,10] width 3: 1.0,3.0 -> bucket 0; 10.0 (== max) -> bucket 2
+    assert h[0]["n"] == 2 and h[2]["n"] == 1 and 1 not in h
+    assert sum(r["n"] for r in h.values()) == 3  # null dropped

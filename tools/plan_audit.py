@@ -161,6 +161,19 @@ CHECKS = {
         ("single scan feeds the whole pipeline", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
+    "q110_histogram": [
+        ("two passes only: (min,max) broadcast + bucket count", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+         and ("BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)),
+        ("bucket count partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q111_column_profile": [
+        ("one scan feeds the whole multi-column profile", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("multi-distinct via expand + partial aggregation", True,
+         lambda p: "Expand" in p and "partial" in p.lower()),
+    ],
     "q102_embedding_dim_stats": [
         ("single scan, partial-combined moment aggregate", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
