@@ -2963,3 +2963,73 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     return column_profile(
         li, ["l_quantity", "l_returnflag", "l_shipdate"]
     )
+
+
+@q(
+    "q112_dynamic_partition_pruning",
+    # the weighted sum is summation-order-sensitive in double (a real
+    # corpus value sat exactly on the 2dp rounding boundary), so both
+    # engines accumulate in DECIMAL — exact, order-independent — and
+    # round the identical result
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(value * CASE event_type
+                                    WHEN 'click' THEN 1.5
+                                    WHEN 'purchase' THEN 2.0
+                                  END AS DECIMAL(28, 8))) AS DOUBLE), 2)
+                AS weighted_r
+       FROM events WHERE event_type IN ('click', 'purchase')
+       GROUP BY event_type""",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by event_type (hive directories, contract-pinned partitioned sink);
+    joining it to a selectively-filtered weight dim makes Spark inject a
+    runtime pruning subquery into the scan (PartitionFilters:
+    dynamicpruningexpression — plan-audited), so only the joined types'
+    directories are read.  At 100 TB this is the difference between
+    scanning 2 partitions and scanning all of them."""
+    import dataclasses
+    import hashlib
+    import os
+    import tempfile
+
+    from .contracts.shape import contract
+    from .sources.io import Sink, write_df
+
+    @contract
+    @dataclasses.dataclass
+    class EventsSlim:
+        event_id: int
+        user_id: int
+        event_type: str
+        value: float
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tag = hashlib.md5(f"{sf}|dpp".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/ctdc-dpp-{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_df(
+            ev,
+            Sink(EventsSlim, path, partition_by=("event_type",)),
+            SchemaPolicy.EXACT,
+        )
+    part = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("purchase", 2.0), ("view", 0.5)],
+        "event_type string, w double",
+    ).filter(F.col("w") >= 1.0)
+    return (
+        part.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("w")).cast("decimal(28,8)")
+                ).cast("double"),
+                2,
+            ).alias("weighted_r"),
+        )
+    )

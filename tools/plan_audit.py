@@ -161,6 +161,11 @@ CHECKS = {
         ("single scan feeds the whole pipeline", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
+    "q112_dynamic_partition_pruning": [
+        ("runtime pruning subquery injected into the partitioned scan",
+         True, lambda p: "dynamicpruning" in p),
+        ("dim broadcast", True, lambda p: "BroadcastHashJoin" in p),
+    ],
     "q110_histogram": [
         ("two passes only: (min,max) broadcast + bucket count", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
