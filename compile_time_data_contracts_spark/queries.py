@@ -3033,3 +3033,4 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("weighted_r"),
         )
     )
+

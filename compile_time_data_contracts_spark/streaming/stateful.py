@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["running_user_totals", "stateful_totals_gate"]
+__all__ = [
+    "running_user_totals",
+    "stateful_totals_gate",
+    "running_user_totals_tws",
+    "tws_totals_gate",
+    "tws_available",
+]
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -129,6 +135,139 @@ def stateful_totals_gate(
         .start()
     )
     q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(query_name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value_r"),
+        )
+    )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas drives a Python state-server over a
+    protobuf protocol; the `protobuf` package is not installed in every
+    deployment (not in this container), so callers must gate on this."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same running per-user (count, sum) operator on Spark 4's
+    transformWithState API (StatefulProcessor + typed ValueState,
+    RocksDB-backed state store) — the successor to
+    applyInPandasWithState, with typed state handles, timers, and TTL.
+    Semantics are identical to :func:`running_user_totals`, so the same
+    oracle would gate both APIs.
+
+    ENVIRONMENT-GATED: requires the `protobuf` package
+    (:func:`tws_available`); raises a clear error when absent rather
+    than crashing the streaming Python runner mid-query.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(its Python state-server protocol); not installed here — "
+            "use running_user_totals (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            (user_id,) = key
+            if self._state.exists():
+                prev = self._state.get()
+                n, s = int(prev[0]), float(prev[1])
+            else:
+                n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [s],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        Totals(), _OUT_SCHEMA, "update", "none"
+    )
+
+
+def tws_totals_gate(
+    spark,
+    sf_dir: str,
+    query_name: str = "ctdc_q113_sink",
+) -> DataFrame:
+    """Gate for the transformWithState path: same ordered 3-batch feed
+    and max-n final-emission selection as :func:`stateful_totals_gate`.
+    transformWithState requires the RocksDB state store provider; it is
+    set for this query and restored afterwards."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+    from .windows import write_ordered_feed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    mod = F.pmod(F.col("event_id"), F.lit(3))
+    base = tempfile.mkdtemp(prefix="ctdc-twsfeed-")
+    write_ordered_feed([ev.filter(mod == i) for i in range(3)], base)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    totals = running_user_totals_tws(stream)
+    if query_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(query_name)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(query_name)

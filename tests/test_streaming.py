@@ -340,3 +340,46 @@ def test_contract_pinned_streaming_sink(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         q2.awaitTermination()
     assert "surprise" in str(exc.value) or "SchemaMismatch" in str(exc.value)
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """The transformWithState path needs protobuf (its Python
+    state-server protocol).  When absent the operator must refuse with
+    a clear error instead of crashing the streaming runner; when
+    present the gate must match the batch GROUP BY."""
+    import pytest
+
+    from compile_time_data_contracts_spark.streaming.stateful import (
+        running_user_totals_tws,
+        tws_available,
+        tws_totals_gate,
+    )
+
+    if not tws_available():
+        import tempfile
+
+        feed = tempfile.mkdtemp(prefix="ctdc-tws-guard-")
+        spark.createDataFrame(
+            [(1, 1.0)], "user_id long, value double"
+        ).write.mode("overwrite").parquet(feed)
+        stream = spark.readStream.schema(
+            "user_id long, value double"
+        ).parquet(feed)
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_user_totals_tws(stream)
+        return
+    out = tws_totals_gate(spark, "/root/testdata/sf0.001")
+    from compile_time_data_contracts_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    expect = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value_r"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
