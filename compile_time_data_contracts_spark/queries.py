@@ -3034,3 +3034,58 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+
+
+@q(
+    "q113_sessionize_ids",
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts,
+                CAST(sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS INT) AS session_idx
+         FROM marked
+       )
+       SELECT user_id, session_idx,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(epoch(max(ts)) - epoch(min(ts)), 2) AS duration_r
+       FROM numbered GROUP BY user_id, session_idx""",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands sessionization with EXPLICIT session ids (the
+    form downstream joins need, vs q43's session_window aggregate):
+    a 30-min-gap marker via lag, island id via running sum — both
+    windows AND the final per-session aggregate ride one user_id
+    partitioning, so the whole thing is plan-audited to two exchanges."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("__new_s"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("__new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.max(F.col("ts").cast("double"))
+            - F.min(F.col("ts").cast("double")),
+            2,
+        ).alias("duration_r"),
+    )

@@ -161,6 +161,13 @@ CHECKS = {
         ("single scan feeds the whole pipeline", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
+    "q113_sessionize_ids": [
+        ("both windows + final agg ride one user partitioning "
+         "(2 exchanges)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("single scan", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
     "q112_dynamic_partition_pruning": [
         ("runtime pruning subquery injected into the partitioned scan",
          True, lambda p: "dynamicpruning" in p),
