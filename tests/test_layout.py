@@ -86,3 +86,28 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     assert back.select(F.sum("a"), F.sum("b")).first() == grid.select(
         F.sum("a"), F.sum("b")
     ).first()
+
+
+def test_zorder_value_roundtrip_random_pairs(spark):
+    """Deinterleaving the Morton code must recover (a, b) exactly for
+    random 16-bit pairs — the bit math has no collisions or drops."""
+    import random
+
+    rng = random.Random(3)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", zorder_value(F.col("a"), F.col("b"), 16).alias("z")
+    ).collect()
+
+    def deinterleave(z):
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["a"], r["b"])
+    # codes are unique for distinct pairs (bijection)
+    assert len({r["z"] for r in rows}) == len({(a, b) for a, b in pairs})

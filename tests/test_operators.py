@@ -1346,3 +1346,23 @@ def test_profile_and_histogram_null_handling(spark):
     # range [1,10] width 3: 1.0,3.0 -> bucket 0; 10.0 (== max) -> bucket 2
     assert h[0]["n"] == 2 and h[2]["n"] == 1 and 1 not in h
     assert sum(r["n"] for r in h.values()) == 3  # null dropped
+
+
+@pytest.mark.parametrize("buckets", [1, 7, 1024])
+def test_global_shuffle_positions_bucket_invariance(spark, buckets):
+    """Positions are a pure function of the data — the bucket count is
+    an execution knob and must never change the output."""
+    from compile_time_data_contracts_spark.operators.sampling import (
+        global_shuffle_positions,
+    )
+
+    df = spark.createDataFrame([Row(k=i * 3 + 1) for i in range(500)])
+    out = sorted(
+        (r["pos"], r["k"])
+        for r in global_shuffle_positions(df, "k", buckets=buckets).collect()
+    )
+    ref = sorted(
+        (r["pos"], r["k"])
+        for r in global_shuffle_positions(df, "k", buckets=64).collect()
+    )
+    assert out == ref
