@@ -3089,3 +3089,41 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
             2,
         ).alias("duration_r"),
     )
+
+
+@q(
+    "q114_unpivot_measures",
+    """SELECT 'l_discount' AS measure, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(28, 6)))
+                    AS DOUBLE), 2) AS sum_r
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28, 6)))
+                    AS DOUBLE), 2)
+       FROM lineitem
+       UNION ALL
+       SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(28, 6)))
+                    AS DOUBLE), 2)
+       FROM lineitem""",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns to (measure, value) rows in
+    ONE scan — Spark plans it as a codegen Expand, so the relational
+    surface covers both pivot (q69) and its inverse.  Decimal
+    accumulation keeps the per-measure sums order-independent across
+    engines."""
+    li = load_table(spark, sf, "lineitem")
+    melted = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double"), 2
+        ).alias("sum_r"),
+    )

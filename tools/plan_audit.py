@@ -161,6 +161,13 @@ CHECKS = {
         ("single scan feeds the whole pipeline", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
+    "q114_unpivot_measures": [
+        ("melt is one scan + Expand (not three scans)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Expand" in p),
+        ("per-measure sums partial-aggregated", True,
+         lambda p: "partial" in p.lower()),
+    ],
     "q113_sessionize_ids": [
         ("both windows + final agg ride one user partitioning "
          "(2 exchanges)", True,
