@@ -267,24 +267,30 @@ def vocabulary(
     counts = toks.groupBy("token").agg(
         F.count("*").cast("bigint").alias("n")
     )
+    # total coverage denominator includes the below-min tail, so compute
+    # it BEFORE the cut (tiny agg, broadcast back); the min_count filter
+    # then shrinks the ranked sort to the surviving types only — every
+    # dropped row has n < any survivor's n, so it would have sorted
+    # strictly after all of them and the ranks/cumulative sums are
+    # unchanged
+    total = counts.agg(F.sum("n").alias("__total"))
     order = Window.orderBy(F.desc("n"), F.asc("token"))
-    total = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ranked = (
+        counts.filter(F.col("n") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            F.row_number().over(order).alias("rank"),
+            (
+                F.sum("n").over(
+                    order.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("__total")
+            ).alias("cum_share"),
+        )
     )
-    ranked = counts.select(
-        "token",
-        "n",
-        F.row_number().over(order).alias("rank"),
-        (
-            F.sum("n").over(
-                order.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            / F.sum("n").over(total)
-        ).alias("cum_share"),
-    )
-    return ranked.filter(
-        (F.col("n") >= min_count) & (F.col("rank") <= top_n)
-    )
+    return ranked.filter(F.col("rank") <= top_n)
 
 
 def tfidf_keywords(
@@ -313,19 +319,19 @@ def tfidf_keywords(
     tf = tok_rows.groupBy(id_col, "__len", "token").agg(
         F.count("*").cast("bigint").alias("n_td")
     )
-    df_t = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("__df"))
+    # document frequency as a window over the SAME tf rows (one row per
+    # (doc, term) already, so count-over-token-partition IS df) — a
+    # separate groupBy+join branch would make Catalyst recompute the
+    # whole tf aggregate for the join side; the window reuses it
+    df_count = F.count("*").over(Window.partitionBy("token"))
     n_docs = df.agg(F.count("*").cast("double").alias("__n"))
-    scored = (
-        tf.join(df_t, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            "token",
-            (
-                (F.col("n_td") / F.col("__len"))
-                * F.log((F.col("__n") + 1) / (F.col("__df") + 1))
-            ).alias("score"),
-        )
+    scored = tf.crossJoin(F.broadcast(n_docs)).select(
+        F.col(id_col),
+        "token",
+        (
+            (F.col("n_td") / F.col("__len"))
+            * F.log((F.col("__n") + 1) / (df_count + 1))
+        ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
     return (

@@ -139,8 +139,11 @@ CHECKS = {
          )),
     ],
     "q97_tfidf_keywords": [
-        ("tf and df partial-aggregated", True,
-         lambda p: p.lower().count("partial") >= 2),
+        ("tf partial-aggregated", True,
+         lambda p: "partial" in p.lower()),
+        ("df is a window over tf, not a recomputed agg branch "
+         "(<= 2 scans: tf + the 1-row corpus count)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
         ("corpus size is a 1-row broadcast, no data cartesian", True,
          lambda p: "CartesianProduct" not in p),
         ("no Python stage", True,
