@@ -323,6 +323,32 @@ def keep_best_dedup(
     return winners.select("__w.*")
 
 
+def _ensure_checkpoint_dir(sc) -> None:
+    """Auto-configure a checkpoint dir when unset, but make the scope of
+    the fallback explicit: a driver-local temp dir gives RELIABLE
+    checkpoint semantics only on ``local[*]`` masters.  On a real
+    cluster executors cannot read the driver's /tmp, so the advertised
+    executor-loss recoverability silently would not hold — warn so the
+    operator points ``sc.setCheckpointDir`` at shared durable storage
+    (HDFS/S3) instead."""
+    if sc.getCheckpointDir() is not None:
+        return
+    import tempfile
+    import warnings
+
+    path = tempfile.mkdtemp(prefix="ctdc-checkpoint-")
+    if not sc.master.startswith("local"):
+        warnings.warn(
+            "no checkpoint dir configured; falling back to driver-local "
+            f"{path} on non-local master {sc.master!r} — reliable-"
+            "checkpoint recovery after executor loss will NOT hold. "
+            "Call sc.setCheckpointDir(<shared durable storage>) first.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    sc.setCheckpointDir(path)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -350,10 +376,7 @@ def connected_components(
     ``max_iterations`` raise rather than silently mislabel.
     """
     sc = pairs.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
-        import tempfile
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="ctdc-checkpoint-"))
+    _ensure_checkpoint_dir(sc)
     edges = (
         pairs.select(
             F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -545,10 +568,7 @@ def connected_components_star(
     edge set — no driver-side edge materialization anywhere.
     """
     sc = pairs.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
-        import tempfile
-
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="ctdc-checkpoint-"))
+    _ensure_checkpoint_dir(sc)
 
     all_nodes = (
         pairs.select(F.col(a_col).alias("node"))

@@ -68,6 +68,7 @@ def extract_media_features(
     derived fake dimensions)."""
 
     def extract(batches: typing.Iterator["pd.DataFrame"]) -> typing.Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -78,7 +79,12 @@ def extract_media_features(
                 )
             payloads = pdf["media"].map(lambda m: m["payload"] or b"")
             byte_len = payloads.map(len).astype("int32")
-            checksum = payloads.map(lambda b: sum(b) % (1 << 31)).astype("int64")
+            # vectorized byte sum: numpy over the raw buffer, not a
+            # per-byte Python loop — the payload is the data-sized side
+            checksum = payloads.map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
+                % (1 << 31)
+            ).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

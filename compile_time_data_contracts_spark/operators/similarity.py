@@ -129,8 +129,11 @@ def topk_cosine(
                 [ids, pa.array(sims)], [id_col, "sim"]
             )
 
+    # id passes through the Arrow batch untouched, so the output schema
+    # mirrors the input id type (long/int/string all work)
+    id_dt = df.schema[id_col].dataType.simpleString()
     scored = df.select(id_col, vec_col).mapInArrow(
-        score, f"{id_col} long, sim double"
+        score, f"{id_col} {id_dt}, sim double"
     )
     return scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
 
@@ -162,7 +165,9 @@ def topk_cosine_multi(
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
         raise ValueError("topk_cosine_multi: queries DataFrame is empty")
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    # ids keep their native type end-to-end (numpy infers the dtype;
+    # strings become object arrays, which lexsort orders correctly)
+    q_ids = np.array([r[0] for r in qrows])
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     Q = Q / np.where(qn == 0, 1.0, qn)
@@ -199,8 +204,10 @@ def topk_cosine_multi(
                 ["query_id", id_col, "sim"],
             )
 
+    id_dt = df.schema[id_col].dataType.simpleString()
+    qid_dt = queries.schema[query_id_col].dataType.simpleString()
     cand = df.select(id_col, vec_col).mapInArrow(
-        score, f"query_id long, {id_col} long, sim double"
+        score, f"query_id {qid_dt}, {id_col} {id_dt}, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.col(id_col)
@@ -420,8 +427,19 @@ def cosine_pairs(
     """
     if n is None:
         n = df.count()
+    if n == 0:
+        # no rows -> no pairs; short-circuit instead of probing first()
+        return df.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                f"cosine_pairs: first row of {vec_col!r} is null — "
+                "cannot infer the embedding dimension; pass dim= explicitly"
+            )
+        dim = len(first[0])
     if n * dim * 8 <= max_broadcast_bytes:
         return cosine_pairs_exact_blas(df, threshold, id_col, vec_col)
     return cosine_pairs_exact_blocked(df, threshold, id_col, vec_col, n=n)
@@ -489,6 +507,19 @@ def ivf_assign(
     return assigned, C
 
 
+def _ivf_fingerprint(df: DataFrame, id_col: str) -> tuple[int, str]:
+    """Cheap content fingerprint of the vector table: (row count, max id
+    rendered as string).  Count comes from parquet footers; the max is a
+    single column-pruned partial-agg scan — negligible next to a k-means
+    fit, and it catches a regenerated source table that a bare
+    path-exists check would silently miss."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.max(F.col(id_col).cast("string")).alias("mx"),
+    ).first()
+    return int(row["n"]), (row["mx"] if row["mx"] is not None else "")
+
+
 def ivf_build(
     df: DataFrame,
     index_path: str,
@@ -498,6 +529,7 @@ def ivf_build(
     sample_size: int = 10000,
     kmeans_iters: int = 10,
     seed: int = 42,
+    fingerprint: tuple[int, str] | None = None,
 ) -> None:
     """Build and PERSIST an IVF index: the assigned vector table is
     written partitioned by ``cluster`` (one directory per cell) and the
@@ -521,6 +553,11 @@ def ivf_build(
     spark.createDataFrame(
         cent_rows, "cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    # meta rides with the index so reuse can detect a regenerated source
+    fp = fingerprint if fingerprint is not None else _ivf_fingerprint(df, id_col)
+    spark.createDataFrame(
+        [(fp[0], fp[1])], "n long, max_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def ivf_search(
@@ -571,20 +608,29 @@ def ivf_topk(
     audit.  Output schema matches topk_cosine (id, sim).
 
     Build/search are split: the index (assigned table partitioned by
-    cluster + centroids) is persisted at ``index_path`` (a temp dir when
-    None) and REUSED if already present — repeated searches never refit
-    k-means or rescan the corpus; the probe is a partition-pruned scan.
+    cluster + centroids + a content-fingerprint meta) is persisted at
+    ``index_path`` (a temp dir when None) and REUSED only when the meta
+    fingerprint (row count + max id) still matches the current table —
+    a regenerated source at the same path triggers a rebuild instead of
+    silently serving stale neighbors.  Repeated searches over an
+    unchanged table never refit k-means or rescan the corpus; the probe
+    is a partition-pruned scan.
     """
     spark = df.sparkSession
     if index_path is None:
         import tempfile
 
         index_path = tempfile.mkdtemp(prefix="ctdc-ivf-")
-    import os
-
-    if not os.path.exists(f"{index_path}/centroids"):
+    fp = _ivf_fingerprint(df, id_col)
+    try:
+        m = spark.read.parquet(f"{index_path}/meta").first()
+        stale = m is None or (int(m["n"]), m["max_id"]) != fp
+    except Exception:
+        stale = True
+    if stale:
         ivf_build(
-            df, index_path, n_clusters, id_col, vec_col, seed=seed
+            df, index_path, n_clusters, id_col, vec_col, seed=seed,
+            fingerprint=fp,
         )
     return ivf_search(spark, index_path, query, k, nprobe, id_col, vec_col)
 

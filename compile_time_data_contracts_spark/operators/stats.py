@@ -31,9 +31,13 @@ def equi_width_histogram(
         F.max(F.col(col).cast("double")).alias("__mx"),
     )
     width = (F.col("__mx") - F.col("__mn")) / F.lit(float(nbuckets))
-    bucket = F.least(
-        F.floor((F.col(col).cast("double") - F.col("__mn")) / width),
-        F.lit(nbuckets - 1),
+    # a constant column (min == max) would make width 0 and the division
+    # null/NaN; every value belongs in bucket 0 in that case
+    bucket = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(col).cast("double") - F.col("__mn")) / width),
+            F.lit(nbuckets - 1),
+        )
     ).cast("int")
     return (
         df.filter(F.col(col).isNotNull())

@@ -1299,7 +1299,7 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     exact-join audit is q49."""
     emb = load_table(spark, sf, "embeddings")
     pairs = cosine_pairs_lsh(
-        emb, threshold=0.45, bits=8, tables=16, probes=1, dim=64
+        emb, threshold=0.45, bits=None, tables=16, probes=1, dim=64
     )
     return pairs.select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r"))
 
@@ -3009,7 +3009,25 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     )
     tag = hashlib.md5(f"{sf}|dpp".encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/ctdc-dpp-{tag}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # reuse the partitioned copy only when its content fingerprint (row
+    # count + max event_id — footer metadata + one pruned-column agg)
+    # still matches the source: a regenerated sf dir must trigger a
+    # rewrite, not silently serve the stale layout
+    src_fp = ev.agg(
+        F.count("*").alias("n"), F.max("event_id").alias("mx")
+    ).first()
+    stale = True
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        try:
+            cp = (
+                spark.read.parquet(path)
+                .agg(F.count("*").alias("n"), F.max("event_id").alias("mx"))
+                .first()
+            )
+            stale = (cp["n"], cp["mx"]) != (src_fp["n"], src_fp["mx"])
+        except Exception:
+            stale = True
+    if stale:
         write_df(
             ev,
             Sink(EventsSlim, path, partition_by=("event_type",)),

@@ -1366,3 +1366,136 @@ def test_global_shuffle_positions_bucket_invariance(spark, buckets):
         for r in global_shuffle_positions(df, "k", buckets=64).collect()
     )
     assert out == ref
+
+
+def test_histogram_constant_column_single_bucket(spark):
+    """min == max must not divide by zero: every value lands in bucket 0
+    with lo == hi == the constant (ADVICE r2)."""
+    from compile_time_data_contracts_spark.operators.stats import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame([(5.0,)] * 7, "x double")
+    rows = equi_width_histogram(df, "x", 4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["bucket"], r["lo"], r["hi"], r["n"]) == (0, 5.0, 5.0, 7)
+
+
+def test_cosine_pairs_empty_and_null_guard(spark):
+    """Dispatcher on an empty table returns an empty pair frame; a null
+    leading embedding raises a clear error instead of TypeError
+    (ADVICE r2)."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = cosine_pairs(empty, 0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b", "sim"]
+
+    nullfirst = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="null"):
+        cosine_pairs(nullfirst, 0.5)
+
+
+def test_topk_cosine_string_ids(spark):
+    """The Arrow top-k paths must carry a non-long id column through
+    unchanged instead of hardcoding long (ADVICE r2)."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_multi,
+    )
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9, 0.1]),
+        ("c", [0.0, 1.0]),
+        ("d", [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    q = df.filter(F.col("doc") == "a")
+    top = topk_cosine(df, q, k=2, id_col="doc")
+    assert [r.doc for r in top.collect()] == ["a", "b"]
+    assert dict(top.dtypes)["doc"] == "string"
+
+    multi = topk_cosine_multi(
+        df, df.filter(F.col("doc").isin("a", "c")), k=2, id_col="doc"
+    )
+    got = {
+        (r.query_id, r.rank): r.doc
+        for r in multi.collect()
+    }
+    assert got[("a", 1)] == "a" and got[("a", 2)] == "b"
+    assert got[("c", 1)] == "c"
+
+
+def test_ivf_topk_rebuilds_on_stale_index(spark, tmp_path):
+    """Regenerating the source table at the same path must trigger an
+    index rebuild — reuse is keyed on a content fingerprint, not bare
+    path existence (ADVICE r2, medium)."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_topk,
+        topk_cosine,
+    )
+
+    idx = str(tmp_path / "ivf-stale")
+    rng = np.random.default_rng(3)
+    df1 = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    q1 = df1.filter(F.col("vec_id") == 0)
+    ivf_topk(df1, q1, k=3, n_clusters=4, nprobe=4, index_path=idx).collect()
+
+    # "regenerate" the table: different rows, same logical location
+    df2 = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    q2 = df2.filter(F.col("vec_id") == 149)
+    got = ivf_topk(
+        df2, q2, k=3, n_clusters=4, nprobe=4, index_path=idx
+    ).collect()
+    exact = topk_cosine(df2, q2, k=3).collect()
+    # with nprobe == n_clusters the (rebuilt) index is exact; a stale
+    # index could not even contain vec_id 149
+    assert [r.vec_id for r in got] == [r.vec_id for r in exact]
+    assert got[0].vec_id == 149
+
+
+def test_checkpoint_dir_fallback_warns_on_nonlocal_master():
+    """Driver-local checkpoint fallback must warn when the master is not
+    local[*] — the temp dir is not shared storage there (ADVICE r2)."""
+    import warnings
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        _ensure_checkpoint_dir,
+    )
+
+    class FakeSC:
+        def __init__(self, master):
+            self.master = master
+            self.dir = None
+
+        def getCheckpointDir(self):
+            return self.dir
+
+        def setCheckpointDir(self, d):
+            self.dir = d
+
+    sc = FakeSC("spark://cluster:7077")
+    with pytest.warns(RuntimeWarning, match="driver-local"):
+        _ensure_checkpoint_dir(sc)
+    assert sc.dir is not None
+
+    sc2 = FakeSC("local[4]")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _ensure_checkpoint_dir(sc2)
+    assert sc2.dir is not None
