@@ -59,6 +59,15 @@ class StructMode:
 # comparison (the behavior the public helper always had).
 _ORDERED_CS = StructMode("ordered", case_insensitive=False)
 
+# Interned mode instances: comparator entry points run once per pipeline
+# boundary but over every nesting level, so avoid re-allocating the
+# frozen dataclass on each call.
+_MODES = {
+    (kind, ci): StructMode(kind, ci)
+    for kind in ("unordered", "ordered", "backward", "forward", "by_position")
+    for ci in (False, True)
+}
+
 
 def duplicate_names(
     schema: T.StructType, case_insensitive: bool = True
@@ -87,14 +96,68 @@ def _unique_fields_by_name(
 ) -> dict[str, T.StructField] | None:
     """Unique-by-name index, or None when duplicates make by-name matching
     ill-defined (SparkCore.scala:72-78).  Single pass: the duplicate check
-    and the index are the same dict insert."""
-    out: dict[str, T.StructField] = {}
-    for f in schema.fields:
-        key = mode.norm(f.name)
+    and the index are the same dict insert.
+
+    The index is memoized on the StructType instance (per case mode),
+    keyed to the current field count so an in-place ``schema.add(...)``
+    invalidates it.  Pinned contract schemas are never mutated after
+    construction, so the cache holds for the comparator's whole life;
+    a field RENAME on a same-length schema is the one mutation this
+    guard cannot see (don't mutate schemas you compare)."""
+    attr = "_ctdc_nameidx_ci" if mode.case_insensitive else "_ctdc_nameidx_cs"
+    fields = schema.fields
+    cached = schema.__dict__.get(attr)
+    if cached is not None and cached[0] == len(fields):
+        return cached[1]
+    out: dict[str, T.StructField] | None = {}
+    ci = mode.case_insensitive
+    for f in fields:
+        key = f.name.lower() if ci else f.name
         if key in out:
-            return None
+            out = None
+            break
         out[key] = f
+    try:
+        schema.__dict__[attr] = (len(fields), out)
+    except (AttributeError, TypeError):  # exotic StructType without __dict__
+        pass
     return out
+
+
+def _subtree_dup_free(dt: T.DataType, ci: bool) -> bool:
+    """True iff no struct anywhere in the subtree has duplicate field
+    names under the active normalization.  A dup-free subtree compared
+    against the SAME object is a match under every mode (same names,
+    same order, same types), so identity + this flag short-circuits the
+    whole recursion; a dup-carrying struct must still fail against
+    itself (SparkCore.scala:72-78), which the flag preserves.  Memoized
+    per StructType instance with the same field-count guard as the name
+    index."""
+    cls = dt.__class__
+    if cls is T.StructType:
+        attr = "_ctdc_dupfree_ci" if ci else "_ctdc_dupfree_cs"
+        fields = dt.fields
+        cached = dt.__dict__.get(attr)
+        if cached is not None and cached[0] == len(fields):
+            return cached[1]
+        names = (
+            {f.name.lower() for f in fields} if ci else {f.name for f in fields}
+        )
+        clean = len(names) == len(fields) and all(
+            _subtree_dup_free(f.dataType, ci) for f in fields
+        )
+        try:
+            dt.__dict__[attr] = (len(fields), clean)
+        except (AttributeError, TypeError):
+            pass
+        return clean
+    if cls is T.ArrayType:
+        return _subtree_dup_free(dt.elementType, ci)
+    if cls is T.MapType:
+        return _subtree_dup_free(dt.keyType, ci) and _subtree_dup_free(
+            dt.valueType, ci
+        )
+    return True
 
 
 def compare_data_type(
@@ -107,7 +170,66 @@ def compare_data_type(
 
     Do NOT replace with ``found == expected`` — Spark's equality includes
     struct-field nullability and metadata.
+
+    Hot path dispatches on the exact class (the only classes Spark's own
+    schema machinery produces) with an identity short-circuit for leaf
+    types; isinstance recursion is kept as the fallback so DataType
+    subclasses still compare structurally.  NO identity short-circuit
+    for containers: a struct with duplicate names must fail against
+    itself under by-name modes (SparkCore.scala:72-78).
     """
+    tf, te = found.__class__, expected.__class__
+    if tf is te:
+        if tf is T.StructType:
+            if found is expected and _subtree_dup_free(
+                found, mode.case_insensitive
+            ):
+                return True
+            return _compare_struct(found, expected, mode)
+        if tf is T.ArrayType:
+            return (
+                found.containsNull == expected.containsNull
+                and compare_data_type(found.elementType, expected.elementType, mode)
+            )
+        if tf is T.MapType:
+            return (
+                found.valueContainsNull == expected.valueContainsNull
+                and compare_data_type(found.keyType, expected.keyType, mode)
+                and compare_data_type(found.valueType, expected.valueType, mode)
+            )
+        if found is expected or tf in _PARAMLESS_ATOMS:
+            return True
+        return found == expected
+    return _compare_data_type_subclass(found, expected, mode)
+
+
+# Atomic types with no constructor parameters: same class ⇒ equal, no
+# __eq__ dunder needed.  Parameterized atoms (DecimalType precision/scale,
+# Char/Varchar length, StringType collation, interval fields) are absent
+# so they still compare by ==.
+_PARAMLESS_ATOMS = frozenset(
+    {
+        T.NullType,
+        T.BooleanType,
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+        T.BinaryType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+    }
+)
+
+
+def _compare_data_type_subclass(
+    found: T.DataType, expected: T.DataType, mode: StructMode
+) -> bool:
+    """Original isinstance-based recursion — reached only when the two
+    sides have different concrete classes (e.g. a DataType subclass)."""
     if isinstance(found, T.StructType) and isinstance(expected, T.StructType):
         return _compare_struct(found, expected, mode)
     if isinstance(found, T.ArrayType) and isinstance(expected, T.ArrayType):
@@ -127,6 +249,8 @@ def _compare_struct(
     found: T.StructType, expected: T.StructType, mode: StructMode
 ) -> bool:
     """Mode-dispatched struct comparison (SparkCore.scala:79-127)."""
+    if found is expected and _subtree_dup_free(found, mode.case_insensitive):
+        return True
     if mode.kind == "by_position":
         if len(found.fields) != len(expected.fields):
             return False
@@ -150,12 +274,28 @@ def _compare_struct(
         return False
 
     if mode.kind == "unordered":
-        if set(fnd_by) != set(exp_by):
+        if fnd_by.keys() != exp_by.keys():  # dict views: C-level set equality
             return False
-        return all(
-            compare_data_type(fnd_by[k].dataType, exp_by[k].dataType, mode)
-            for k in exp_by
-        )
+        # explicit loop with leaf handling inlined: this runs once per
+        # field per pipeline boundary, and the generator/call overhead
+        # of delegating every leaf dominates the metadata comparison
+        ci = mode.case_insensitive
+        for k, ef in exp_by.items():
+            fd = fnd_by[k].dataType
+            ed = ef.dataType
+            if fd is ed:
+                # identical object: equal unless a nested struct carries
+                # duplicate names (cached flag)
+                if _subtree_dup_free(fd, ci):
+                    continue
+            elif (
+                fd.__class__ is ed.__class__
+                and fd.__class__ in _PARAMLESS_ATOMS
+            ):
+                continue
+            if not compare_data_type(fd, ed, mode):
+                return False
+        return True
 
     if mode.kind == "backward":
         for key, ef in exp_by.items():
@@ -188,7 +328,7 @@ class RuntimeSchemaComparator:
         """Unordered name equality; duplicate names on either side fail the
         match (SparkCore.scala:72-78, 93-103)."""
         return _compare_struct(
-            found, expected, StructMode("unordered", case_insensitive)
+            found, expected, _MODES[("unordered", case_insensitive)]
         )
 
     @staticmethod
@@ -196,12 +336,14 @@ class RuntimeSchemaComparator:
         expected: T.StructType, found: T.StructType, case_insensitive: bool = False
     ) -> bool:
         """Length + per-position name (CS/CI) + type (SparkCore.scala:86-91)."""
-        return _compare_struct(found, expected, StructMode("ordered", case_insensitive))
+        return _compare_struct(
+            found, expected, _MODES[("ordered", case_insensitive)]
+        )
 
     @staticmethod
     def by_position(expected: T.StructType, found: T.StructType) -> bool:
         """Length + per-position type only (SparkCore.scala:82-84)."""
-        return _compare_struct(found, expected, StructMode("by_position"))
+        return _compare_struct(found, expected, _MODES[("by_position", False)])
 
     @staticmethod
     def backward(
@@ -212,7 +354,7 @@ class RuntimeSchemaComparator:
         duplicates on either side fail; recursive in backward mode
         (SparkCore.scala:105-116)."""
         return _compare_struct(
-            found, expected, StructMode("backward", case_insensitive)
+            found, expected, _MODES[("backward", case_insensitive)]
         )
 
     @staticmethod
@@ -222,7 +364,9 @@ class RuntimeSchemaComparator:
         """Every found field must exist in expected with matching type;
         duplicates on either side fail; recursive in forward mode
         (SparkCore.scala:118-127)."""
-        return _compare_struct(found, expected, StructMode("forward", case_insensitive))
+        return _compare_struct(
+            found, expected, _MODES[("forward", case_insensitive)]
+        )
 
     # Policy -> comparator dispatch (SparkCore.scala:150-189)
     @staticmethod

@@ -329,3 +329,42 @@ def test_compile_runtime_agree_on_reordered_nested_struct():
     bad_ct = conforms(a, b, SchemaPolicy.EXACT_ORDERED, raise_on_drift=False).ok
     bad_rt = C.matches(spark_schema(b), spark_schema(a), SchemaPolicy.EXACT_ORDERED)
     assert (not bad_ct) and (not bad_rt)
+
+
+def test_name_index_cache_invalidated_by_add():
+    """The memoized per-instance name index must not serve stale results
+    after an in-place schema.add() (the documented mutation the
+    field-count guard catches)."""
+    from pyspark.sql import types as T
+
+    a = T.StructType([T.StructField("x", T.LongType())])
+    b = T.StructType([T.StructField("x", T.LongType())])
+    assert C.unordered(a, b)
+    b.add(T.StructField("y", T.StringType()))
+    assert not C.unordered(a, b)  # stale cache would still say True
+    a.add(T.StructField("y", T.StringType()))
+    assert C.unordered(a, b)
+
+
+def test_duplicate_names_fail_self_comparison():
+    """A dup-name struct must fail against the SAME object under by-name
+    modes — the identity short-circuit may not bypass the dup check
+    (SparkCore.scala:72-78)."""
+    from pyspark.sql import types as T
+
+    dup = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("X", T.StringType()),
+        ]
+    )
+    assert not C.unordered(dup, dup, case_insensitive=True)
+    assert not C.backward(dup, dup, case_insensitive=True)
+    assert not C.forward(dup, dup, case_insensitive=True)
+    # case-sensitive: 'x' and 'X' are distinct names -> self-match holds
+    assert C.forward(dup, dup, case_insensitive=False)
+    # nested dup inside an array element struct, reached via identity
+    nested = T.StructType(
+        [T.StructField("arr", T.ArrayType(dup))]
+    )
+    assert not C.unordered(nested, nested, case_insensitive=True)

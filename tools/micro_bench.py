@@ -112,6 +112,14 @@ def main() -> None:
         lambda: RuntimeSchemaComparator.unordered(expected, expected),
         ops,
     )
+    # distinct-object match: defeats the identity short-circuit, so this
+    # is the df.schema-vs-pin cost a real pipeline boundary pays
+    clone = T.StructType.fromJson(expected.jsonValue())
+    results["custom_exact_unordered_match_distinct"] = run_case(
+        "custom_exact_unordered_match_distinct",
+        lambda: RuntimeSchemaComparator.unordered(expected, clone),
+        ops,
+    )
     results["custom_exact_unordered_mismatch"] = run_case(
         "custom_exact_unordered_mismatch",
         lambda: RuntimeSchemaComparator.unordered(expected, renamed),
