@@ -724,6 +724,14 @@ def lsh_signatures(
     )
 
 
+def lsh_auto_bits(n: int) -> int:
+    """Bucket bits sized from the corpus count: ceil(log2(n)) - 3 keeps
+    the average bucket near 8 vectors, clamped to [6, 20] — intra-bucket
+    join work is O(n²·L·(1+b)/2^b), so bits MUST grow with n or the join
+    turns quadratic (the r2 verdict's q56 finding)."""
+    return min(20, max(6, math.ceil(math.log2(max(n, 2))) - 3))
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float,
@@ -757,10 +765,8 @@ def cosine_pairs_lsh(
     noise distribution (see SCALE.md).
     """
     if bits is None:
-        import math as _math
-
         n = df.count()  # parquet row-count is metadata, not a data scan
-        bits = min(20, max(6, _math.ceil(_math.log2(max(n, 2))) - 3))
+        bits = lsh_auto_bits(n)
     sigs = lsh_signatures(df, id_col, vec_col, bits, tables, seed, dim)
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sigs").alias("t", "sig")

@@ -31,17 +31,21 @@ def salted_join(
     spread over ``salt`` tasks instead of one.
 
     Cost: the small side shuffles/broadcasts ``salt``× larger — use for
-    dimension-sized right sides.  The salt derives from
-    monotonically_increasing_id, which is uniform within each partition;
-    join RESULTS are salt-independent, so determinism of output is
-    unaffected.  Supported ``how``: inner / left (right-side semantics
-    would need the salt on the other side).
+    dimension-sized right sides.  The salt is xxhash64 of
+    monotonically_increasing_id — hashing decorrelates the salt from any
+    periodic row pattern (a bare ``id % salt`` starves half the salt
+    values when the hot key occupies e.g. every other row); join RESULTS
+    are salt-independent, so determinism of output is unaffected.
+    Supported ``how``: inner / left (right-side semantics would need the
+    salt on the other side).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salted_l = skewed.withColumn(
         "__salt",
-        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast(
+            "int"
+        ),
     )
     replicated_r = small.withColumn(
         "__salt",

@@ -1499,3 +1499,65 @@ def test_checkpoint_dir_fallback_warns_on_nonlocal_master():
         warnings.simplefilter("error")
         _ensure_checkpoint_dir(sc2)
     assert sc2.dir is not None
+
+
+def test_salted_join_hot_key_equality_and_task_spread(spark):
+    """Deliberate skew (one key carrying ~50% of rows): the salted join
+    must (a) produce byte-identical results to the plain join and
+    (b) actually spread the hot key — its rows land on all `salt`
+    shuffle buckets, so the max per-task input drops ~salt-fold vs the
+    plain hash distribution where the hot key is one task's problem
+    (VERDICT r2 #6; q79's operator)."""
+    from compile_time_data_contracts_spark.operators.skew import salted_join
+
+    n, salt, parts = 20_000, 8, 32
+    left = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(1, 101)], "k long, name string"
+    )
+
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, ["k"], salt=salt).select(
+        "k", "v", "name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+    # skew metric: max rows any shuffle bucket receives when the left
+    # side is hash-distributed by the join key (the join's task input)
+    def max_bucket(df, cols):
+        return (
+            df.repartition(parts, *cols)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    plain_max = max_bucket(left, ["k"])
+    salted_left = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast(
+            "int"
+        ),
+    )
+    salted_max = max_bucket(salted_left, ["k", "__salt"])
+    assert plain_max >= n // 2  # the hot key IS one bucket's input
+    # hot-key input drops several-fold (two salted groups may still
+    # hash-collide into one bucket, so the bound is salt/2-ish, not salt)
+    assert salted_max <= plain_max / 3
+    # and the hot key really uses every salt value
+    n_salts = (
+        salted_left.filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == salt

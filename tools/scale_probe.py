@@ -1,0 +1,184 @@
+"""Scale probe for the above-broadcast similarity paths (VERDICT r2 #1).
+
+At gate scale (sf0.1 = 2,000 x 64) every run of q49/q56 takes the
+BLAS-broadcast branch, so `cosine_pairs_exact_blocked` and the LSH
+auto-bits sizing never execute at representative n.  This probe runs
+them at >= 100k x 64:
+
+  1. generates a seeded synthetic embedding table (100k vectors, 64-dim,
+     with 1,000 planted near-duplicate pairs at cosine >= ~0.95) to a
+     /tmp parquet — /root/testdata is read-only and has no table this
+     size,
+  2. runs the `cosine_pairs` dispatcher with a lowered broadcast bound
+     so it provably takes the block-grid path (plan-asserted:
+     FlatMapGroupsInPandas cells, no full-matrix broadcast MapInPandas),
+  3. runs `cosine_pairs_lsh` with bits=None and asserts the auto-sizing
+     chose ceil(log2(n)) - 3 (not a constant),
+  4. computes the q106-style recall contract: LSH pairs vs the exact
+     blocked pairs at the same threshold — recall >= 0.9, precision 1
+     (every LSH pair is exact-verified by construction),
+  5. writes SCALEBENCH.json at the repo root with wall times + the
+     assertion results.
+
+Usage: python tools/scale_probe.py [n_vectors] [dim]   (default 100000 64)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_DEFAULT = 100_000
+DIM_DEFAULT = 64
+PLANTED_PAIRS = 1_000
+THRESHOLD = 0.9
+SEED = 20260813
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def generate(spark, path: str, n: int, dim: int) -> None:
+    """Seeded gaussian vectors, fully distributed (spark.range + a
+    vectorized batch transform — no driver-side matrix).  Vector i in
+    [0, PLANTED_PAIRS) gets a near-duplicate partner at id n + i: the
+    same vector plus small noise, landing at cosine ~0.95-0.99."""
+    import numpy as np
+    import pandas as pd
+
+    base = spark.range(0, n + PLANTED_PAIRS).toDF("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            out = np.empty((len(ids), dim))
+            for row, i in enumerate(ids):
+                src = i if i < n else i - n  # partner copies its source
+                rng = np.random.default_rng(SEED + int(src))
+                v = rng.normal(size=dim)
+                if i >= n:  # planted near-duplicate: small perturbation
+                    nrng = np.random.default_rng(SEED * 2 + int(src))
+                    v = v + 0.18 * nrng.normal(size=dim)
+                out[row] = v
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.astype(np.float32) for r in out]}
+            )
+
+    df = base.mapInPandas(gen, "vec_id long, embedding array<float>")
+    df.write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else DIM_DEFAULT
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+        lsh_auto_bits,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ctdc-scale-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict = {"n": n + PLANTED_PAIRS, "dim": dim, "threshold": THRESHOLD}
+    path = f"/tmp/ctdc-scale-probe-{n}x{dim}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate(spark, path, n, dim)
+        results["generate_sec"] = round(time.perf_counter() - t0, 2)
+    emb = spark.read.parquet(path)
+    total = emb.count()
+    assert total == n + PLANTED_PAIRS
+
+    # --- 1. exact block-grid path, forced below the broadcast bound ----
+    t0 = time.perf_counter()
+    blocked = cosine_pairs(
+        emb, THRESHOLD, max_broadcast_bytes=16 << 20, n=total, dim=dim
+    )
+    plan = plan_of(blocked)
+    results["blocked_plan_cells"] = "FlatMapGroupsInPandas" in plan
+    results["blocked_plan_no_full_broadcast"] = "MapInPandas" not in plan
+    exact_pairs = {
+        (r.vec_a, r.vec_b) for r in blocked.collect()
+    }
+    results["blocked_sec"] = round(time.perf_counter() - t0, 2)
+    results["exact_pairs"] = len(exact_pairs)
+    # every planted pair must be found by the exact path (sanity: the
+    # perturbation keeps planted cosine far above the threshold)
+    planted_found = sum(
+        1 for i in range(PLANTED_PAIRS) if (i, n + i) in exact_pairs
+    )
+    results["planted_recovered_exact"] = planted_found
+
+    # --- 2. LSH auto-bits at representative n ---------------------------
+    # the operator sizes buckets with this same function when bits=None;
+    # assert it scales with n rather than sitting at the toy-scale 8
+    chosen_bits = lsh_auto_bits(total)
+    results["auto_bits_chosen"] = chosen_bits
+    results["auto_bits_expected"] = min(
+        20, max(6, math.ceil(math.log2(total)) - 3)
+    )
+    results["auto_bits_scales"] = chosen_bits > 8
+    t0 = time.perf_counter()
+    lsh = cosine_pairs_lsh(
+        emb, THRESHOLD, bits=None, tables=16, probes=1, dim=dim
+    )
+    lsh_pairs = {(r.vec_a, r.vec_b) for r in lsh.collect()}
+    results["lsh_sec"] = round(time.perf_counter() - t0, 2)
+    results["lsh_pairs"] = len(lsh_pairs)
+
+    # --- 3. recall contract (q106-style) --------------------------------
+    if exact_pairs:
+        hit = len(lsh_pairs & exact_pairs)
+        recall = hit / len(exact_pairs)
+    else:
+        recall = 1.0
+    precision_violations = len(lsh_pairs - exact_pairs)
+    results["recall"] = round(recall, 4)
+    results["precision_violations"] = precision_violations
+
+    ok = (
+        results["blocked_plan_cells"]
+        and results["blocked_plan_no_full_broadcast"]
+        and results["auto_bits_scales"]
+        and chosen_bits == results["auto_bits_expected"]
+        and planted_found == PLANTED_PAIRS
+        and recall >= 0.9
+        and precision_violations == 0
+    )
+    results["ok"] = ok
+    out = {
+        "metric": "scale_probe",
+        "value": results.get("blocked_sec", 0) + results.get("lsh_sec", 0),
+        "unit": "sec",
+        "results": results,
+    }
+    with open("/root/repo/SCALEBENCH.json", "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
