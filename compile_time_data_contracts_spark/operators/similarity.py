@@ -35,6 +35,8 @@ __all__ = [
     "hyperplanes",
     "lsh_bucket",
     "lsh_signatures",
+    "lsh_auto_bits",
+    "lsh_expected_recall",
     "cosine_pairs_lsh",
     "ivf_assign",
     "ivf_build",
@@ -724,6 +726,18 @@ def lsh_signatures(
     )
 
 
+def lsh_expected_recall(
+    threshold: float, bits: int, tables: int, probes: int
+) -> float:
+    """Analytic recall of multi-table hyperplane LSH at the threshold
+    boundary: per-plane agreement p = 1 - acos(t)/pi, per-table coverage
+    c = p^b + probes·b·p^(b-1)·(1-p), recall = 1 - (1-c)^L.  Pairs above
+    the threshold have higher p, so this is the recall FLOOR."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    c = p**bits + probes * bits * p ** (bits - 1) * (1.0 - p)
+    return 1.0 - (1.0 - min(c, 1.0)) ** tables
+
+
 def lsh_auto_bits(n: int) -> int:
     """Bucket bits sized from the corpus count: ceil(log2(n)) - 3 keeps
     the average bucket near 8 vectors, clamped to [6, 20] — intra-bucket
@@ -739,9 +753,10 @@ def cosine_pairs_lsh(
     vec_col: str = "embedding",
     bits: int | None = None,
     tables: int = 16,
-    probes: int = 1,
+    probes: int | str = 1,
     seed: int = 42,
     dim: int | None = None,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Scale path for the cosine threshold self-join: multi-table
     random-hyperplane LSH with single-bit multiprobe, exact verification
@@ -767,6 +782,16 @@ def cosine_pairs_lsh(
     if bits is None:
         n = df.count()  # parquet row-count is metadata, not a data scan
         bits = lsh_auto_bits(n)
+    if probes == "auto":
+        # multiprobe multiplies probe-side rows by (1 + bits): skip it
+        # when exact-signature matches already clear the recall target
+        # (high thresholds), keep it when the threshold sits close to
+        # the noise floor (the analytic floor, not a guess)
+        probes = (
+            0
+            if lsh_expected_recall(threshold, bits, tables, 0) >= target_recall
+            else 1
+        )
     sigs = lsh_signatures(df, id_col, vec_col, bits, tables, seed, dim)
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sigs").alias("t", "sig")

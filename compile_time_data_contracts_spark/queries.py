@@ -1299,7 +1299,7 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     exact-join audit is q49."""
     emb = load_table(spark, sf, "embeddings")
     pairs = cosine_pairs_lsh(
-        emb, threshold=0.45, bits=None, tables=16, probes=1, dim=64
+        emb, threshold=0.45, bits=None, tables=16, probes="auto", dim=64
     )
     return pairs.select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r"))
 

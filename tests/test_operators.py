@@ -1561,3 +1561,48 @@ def test_salted_join_hot_key_equality_and_task_spread(spark):
         .count()
     )
     assert n_salts == salt
+
+
+def test_lsh_expected_recall_and_auto_probes(spark):
+    """probes='auto' keeps multiprobe when the threshold sits near the
+    noise floor (q56's 0.45) and drops it when exact-signature matches
+    already clear the target (0.9) — verified against the analytic
+    floor AND empirically on planted pairs."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        lsh_expected_recall,
+    )
+
+    # analytic floor: monotone in probes and tables, and the two gate
+    # regimes land on opposite sides of the 0.95 target at bits=8, L=16
+    assert lsh_expected_recall(0.45, 8, 16, 0) < 0.95
+    assert lsh_expected_recall(0.45, 8, 16, 1) >= 0.9
+    assert lsh_expected_recall(0.9, 8, 16, 0) > 0.99
+    # high bits push the exact-signature floor back under the target,
+    # so auto keeps multiprobe there — the floor guards pairs AT the
+    # threshold, not the (easier) pairs a given corpus happens to hold
+    assert lsh_expected_recall(0.9, 14, 16, 0) < 0.95
+    assert lsh_expected_recall(0.9, 14, 16, 1) >= 0.95
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(2):
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.02) for x in base])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_pairs_lsh(
+            df, 0.9, bits=6, tables=8, probes="auto", seed=3
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9

@@ -142,7 +142,7 @@ def main() -> None:
     results["auto_bits_scales"] = chosen_bits > 8
     t0 = time.perf_counter()
     lsh = cosine_pairs_lsh(
-        emb, THRESHOLD, bits=None, tables=16, probes=1, dim=dim
+        emb, THRESHOLD, bits=None, tables=16, probes="auto", dim=dim
     )
     lsh_pairs = {(r.vec_a, r.vec_b) for r in lsh.collect()}
     results["lsh_sec"] = round(time.perf_counter() - t0, 2)
