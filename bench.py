@@ -130,6 +130,46 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # per-query delta vs the newest BENCH_r{N}.json so regressions
+    # surface at build time, not judge time (stderr: stdout must stay
+    # one JSON line for the driver)
+    import glob
+    import re as _re
+
+    prev_files = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as f:
+                prev = json.load(f)
+            # the driver wraps the bench line under "parsed"
+            prev = prev.get("parsed", prev)
+            prev_q = prev.get("queries", {})
+            prev_name = os.path.basename(prev_files[-1])
+            lines = [f"-- delta vs {prev_name} (sec, +slower/-faster) --"]
+            for name, t in timings.items():
+                p = prev_q.get(name)
+                if p is None:
+                    lines.append(f"{name:40s} {t:7.2f}    (new)")
+                else:
+                    d = t - p
+                    flag = "  <-- regression" if p > 0.3 and d > max(
+                        0.5, 0.5 * p
+                    ) else ""
+                    lines.append(
+                        f"{name:40s} {t:7.2f}  {d:+6.2f}{flag}"
+                    )
+            pt = prev.get("value")
+            if isinstance(pt, (int, float)):
+                lines.append(f"{'TOTAL':40s} {total:7.2f}  {total - pt:+6.2f}")
+            print("\n".join(lines), file=sys.stderr)
+        except Exception as e:  # delta report must never break the bench
+            print(f"(delta report unavailable: {e})", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -157,12 +157,28 @@ TABLES: dict[str, type] = {
 }
 
 
+def events_ts_is_legacy_nanos(spark: SparkSession, path: str) -> bool:
+    """The driver has shipped events.ts in two parquet layouts across
+    rounds: TIMESTAMP(NANOS) (readable only as int64 under
+    spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS)
+    NTZ.  Probe the file footer (metadata only, no data scan) and report
+    which one this directory holds."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    native = spark.read.parquet(path).schema["ts"].dataType
+    return isinstance(native, T.LongType)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Contract-pinned parquet scan of one analytic table.
 
-    events: the file stores TIMESTAMP(NANOS); read as long and convert
-    with integer division (ts DIV 1000 — float division would lose
-    precision above 2^53 ns), then re-pin against the semantic contract.
+    events: layout-probed (see events_ts_is_legacy_nanos).  Legacy
+    TIMESTAMP(NANOS) files read as long and convert with integer
+    division (ts DIV 1000 — float division would lose precision above
+    2^53 ns); micros files read directly under the semantic contract
+    schema (the explicit TimestampType schema also normalizes an NTZ
+    footer annotation).  Both paths re-pin against the Events contract.
     """
     from pyspark.sql import functions as F
 
@@ -170,11 +186,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .runtime.pins import assert_matches_contract
 
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = read_df(
-            spark, Source(EventsRaw, "parquet", f"{sf_dir}/events.parquet")
-        )
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        path = f"{sf_dir}/events.parquet"
+        if events_ts_is_legacy_nanos(spark, path):
+            raw = read_df(spark, Source(EventsRaw, "parquet", path))
+            df = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        else:
+            df = read_df(spark, Source(Events, "parquet", path))
         assert_matches_contract(df.schema, spark_schema(Events), context="events")
         return df
     return read_df(

@@ -3145,3 +3145,89 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("v").cast("decimal(28,6)")).cast("double"), 2
         ).alias("sum_r"),
     )
+
+
+@q(
+    "q115_policy_evolution_roundtrip",
+    """SELECT segment, CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28, 8)))
+                    AS DOUBLE), 2) AS total_r
+       FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                    substr(o_orderpriority, 1, 1) AS segment
+             FROM orders)
+       GROUP BY segment""",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution round-trip under the subset policies — the
+    reference's own Backward/Forward scenario
+    (SparkRuntimeSpec.scala:189-343) run end-to-end on real data:
+
+      1. the producer frame carries an EXTRA column (``extra_flag``) and
+         OMITS the consumer contract's defaulted field
+         (``priority_note: str = "NONE"``) — the BACKWARD pin on the
+         sink accepts both (extras allowed; absence allowed iff
+         nullable or ctdc.hasDefault, SparkCore.scala:105-116),
+      2. the written parquet is re-read self-describing and pinned
+         FORWARD against a wider reader contract: every written column
+         must exist in the reader's expectation
+         (SparkCore.scala:118-127),
+      3. the returned aggregate is oracle-checked on the data content,
+         so the evolution dance provably loses no rows/values.
+    """
+    import dataclasses
+    import hashlib
+    import tempfile
+
+    from .contracts.schema import spark_schema
+    from .contracts.shape import contract
+    from .runtime.pins import assert_matches_contract
+    from .sources.io import Sink, write_df
+
+    @contract
+    @dataclasses.dataclass
+    class OrderEvolved:  # consumer contract (v2): adds a defaulted field
+        o_orderkey: int
+        o_custkey: int
+        o_totalprice: float
+        segment: str
+        extra_flag: int
+        priority_note: str = "NONE"
+
+    @contract
+    @dataclasses.dataclass
+    class OrderReader:  # forward reader: superset of every written column
+        o_orderkey: int
+        o_custkey: int
+        o_totalprice: float
+        segment: str
+        extra_flag: int
+        priority_note: typing.Optional[str]
+        audit_tag: typing.Optional[str]
+
+    orders = load_table(spark, sf, "orders")
+    produced = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).alias("segment"),
+        F.lit(1).cast("long").alias("extra_flag"),
+    )
+    tag = hashlib.md5(f"{sf}|q115".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/ctdc-q115-{tag}"
+    # Backward: priority_note (defaulted) absent from the produced frame
+    write_df(produced, Sink(OrderEvolved, path), SchemaPolicy.BACKWARD)
+    back = spark.read.parquet(path)
+    # Forward: every column that reached storage exists in the reader
+    assert_matches_contract(
+        back.schema,
+        spark_schema(OrderReader),
+        SchemaPolicy.FORWARD,
+        context=f"q115 forward read {path}",
+    )
+    return back.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double"),
+            2,
+        ).alias("total_r"),
+    )

@@ -43,17 +43,26 @@ def events_stream(
     """File-source stream over the events table with the contract schema
     pinned explicitly (streaming sources cannot infer).  The path must be
     a directory; use ``glob`` to select specific files inside it.  The
-    on-disk TIMESTAMP(NANOS) ts reads as long and converts via integer
-    division, as in the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(spark_schema(EventsRaw)).format("parquet")
+    ts layout is footer-probed like the batch loader
+    (catalog.events_ts_is_legacy_nanos): legacy TIMESTAMP(NANOS) files
+    read as long and convert via integer division; micros files read
+    directly under the semantic Events schema."""
+    from ..catalog import Events, events_ts_is_legacy_nanos
+
+    probe_path = f"{directory}/{glob}" if glob else directory
+    legacy = events_ts_is_legacy_nanos(spark, probe_path)
+    schema = spark_schema(EventsRaw if legacy else Events)
+    reader = spark.readStream.schema(schema).format("parquet")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.load(directory).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    stream = reader.load(directory)
+    if legacy:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream
 
 
 def tumbling_counts(

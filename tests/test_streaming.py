@@ -30,10 +30,11 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_stream_equals_batch_tumbling(spark):
     """Complete-mode availableNow run over the static events feed must
     equal the batch aggregation exactly."""
+    from compile_time_data_contracts_spark.catalog import load_table
+
     result = run_stream_to_memory(spark, SF_DIR, query_name="t_eq_batch")
     batch = (
-        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, SF_DIR, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
         .select(
