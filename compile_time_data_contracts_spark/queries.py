@@ -3231,3 +3231,159 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
             2,
         ).alias("total_r"),
     )
+
+
+@q(
+    "q116_quality_percentile_gate",
+    """WITH scored AS (
+         SELECT doc_id, lang,
+                round((CASE WHEN len(string_split(text, ' '))
+                                 BETWEEN 20 AND 1000 THEN 1.0
+                            WHEN len(string_split(text, ' ')) >= 5 THEN 0.5
+                            ELSE 0.0 END
+                       + len(list_distinct(string_split(text, ' ')))::DOUBLE
+                         / len(string_split(text, ' '))) / 2.0
+                      - (length(text) - length(regexp_replace(
+                            text, '[^\\w\\s]', '', 'g')))
+                        / length(text)::DOUBLE, 6) AS quality
+         FROM documents),
+       cut AS (SELECT quantile_cont(quality, 0.25) AS c FROM scored)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+              round(avg(quality), 4) AS avg_quality_r
+       FROM scored, cut WHERE quality >= c
+       GROUP BY lang""",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-gated quality curation — keep documents above the
+    corpus's 25th quality percentile.  The cutoff is ONE exact
+    interpolated percentile over the scored corpus (a 1-row broadcast
+    back onto the scan, no second shuffle); the score itself is the
+    library's deterministic quality heuristic, so the oracle recomputes
+    the identical kept set.  At 100 TB the cutoff aggregation is one
+    map-side-combined pass and the gate is a codegen filter."""
+    from .operators.text import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    cut = scored.agg(F.percentile("quality", F.lit(0.25)).alias("c"))
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("quality") >= F.col("c"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.round(F.avg("quality"), 4).alias("avg_quality_r"),
+        )
+    )
+
+
+@q(
+    "q117_funnel_analysis",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t_click
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t_view
+                    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+                  GROUP BY e.user_id),
+            d AS (SELECT v.user_id,
+                         CASE WHEN p.user_id IS NOT NULL THEN 3
+                              WHEN c.user_id IS NOT NULL THEN 2
+                              ELSE 1 END AS depth
+                  FROM v LEFT JOIN c ON v.user_id = c.user_id
+                         LEFT JOIN p ON v.user_id = p.user_id)
+       SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+       FROM d GROUP BY depth""",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the click
+    must follow the first view within 24 hours and the purchase must
+    follow that first qualifying click within 24 hours (the conversion
+    window keeps the funnel discriminating on a dense event stream).  Three stages of (filter -> per-user min) with the
+    previous stage's (user, ts) joined back in — each stage's join key
+    is user_id, so all three reuse one hash partitioning; no window
+    sort, state is one timestamp per user per stage.  The batch shape of
+    what applyInPandasWithState computes incrementally (q84)."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    depth = (
+        v.join(c.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .select(
+            F.when(F.col("__p").isNotNull(), 3)
+            .when(F.col("__c").isNotNull(), 2)
+            .otherwise(1)
+            .alias("depth")
+        )
+    )
+    return depth.groupBy("depth").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+@q(
+    "q118_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+              CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28, 8)))
+                    AS DOUBLE), 2) AS total_r
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup q20 / cube
+    q21): per-status totals, per-priority totals, and the grand total in
+    ONE scan — Spark plans an Expand over the set list, so the table is
+    read once, not once per set.  grouping() flags disambiguate real
+    NULL group values from the set placeholders."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_r"),
+        )
+    )
