@@ -183,6 +183,35 @@ CHECKS = {
          True, lambda p: "dynamicpruning" in p),
         ("dim broadcast", True, lambda p: "BroadcastHashJoin" in p),
     ],
+    "q115_policy_evolution_roundtrip": [
+        ("re-read aggregate partial-combined", True,
+         lambda p: "partial" in p.lower()),
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+    ],
+    "q116_quality_percentile_gate": [
+        ("cutoff is a 1-row broadcast back onto the scan", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("two passes only: percentile + gated aggregate", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2),
+        ("no Python stage", True,
+         lambda p: "InPandas" not in p and "ArrowEvalPython" not in p),
+    ],
+    "q117_funnel_analysis": [
+        ("every stage joins/aggregates on user_id (no cartesian/BNLJ)",
+         True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("per-user mins partial-aggregated before their shuffles", True,
+         lambda p: "partial_min" in p),
+    ],
+    "q118_grouping_sets": [
+        ("one scan + Expand for all three sets", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Expand" in p),
+        ("set aggregate partial-combined", True,
+         lambda p: "partial" in p.lower()),
+    ],
     "q110_histogram": [
         ("two passes only: (min,max) broadcast + bucket count", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
