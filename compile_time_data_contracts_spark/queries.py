@@ -22,6 +22,8 @@ import typing
 from collections.abc import Callable
 from typing import Optional  # noqa: F401  (q52 contract annotation resolution)
 
+import pandas as pd  # noqa: F401  (q122 pandas_udf annotation resolution)
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3386,4 +3388,144 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
                 2,
             ).alias("total_r"),
         )
+    )
+
+
+@q(
+    "q119_embedding_dedup_scrub",
+    """WITH RECURSIVE pairs AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) >= 0.45
+       ), edges AS (
+         SELECT va AS src, vb AS dst FROM pairs
+         UNION SELECT vb, va FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       ), clus AS (
+         SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src
+       ), kept AS (
+         SELECT e.vec_id, e.label
+         FROM embeddings e LEFT JOIN clus c ON e.vec_id = c.vec_id
+         WHERE c.vec_id IS NULL OR c.cluster_id = e.vec_id
+       )
+       SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY label""",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end embedding near-dup SCRUB — the composite every
+    training-data pipeline actually runs: exact cosine pairs (the
+    size-guarded dispatcher; LSH is the drop-in above exact-feasible
+    scale) -> connected components -> keep the min-id representative per
+    cluster, singletons pass through untouched -> per-label survivor
+    counts.  The oracle recomputes the identical scrub via an O(n²)
+    cosine self-join + recursive transitive closure, so cluster
+    formation AND representative choice are value-checked end to end."""
+    from .operators.dedup import connected_components
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.45)
+    clus = connected_components(pairs, "vec_a", "vec_b")
+    kept = (
+        emb.join(
+            clus.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("vec_id"))
+        )
+    )
+    return kept.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_kept")
+    )
+
+
+@q(
+    "q120_text_source_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars
+       FROM documents""",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-text source/sink round-trip — the ingestion format LLM
+    corpora actually arrive in (one document per line).  Writes the
+    corpus as .txt, re-reads with spark.read.text (no schema inference
+    possible or needed: one string column), and proves the round-trip
+    loses no lines or characters against the parquet original.  Text
+    scans split by line across tasks, so ingestion parallelism is
+    file-size-, not file-count-, bound."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(f"{sf}|q120".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/ctdc-q120-{tag}"
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q121_python_datasource",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN ((id * 2654435761) % 4294967296)
+                                 < 2147483648 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low
+       FROM generate_series(0, 9999) t(id)""",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (pyspark 4 DataSource API): a
+    deterministic synthetic generator registered as a real format —
+    ``spark.read.format("ctdc_synth")`` — with proper partition
+    planning (each InputPartition generates its own id range, so the
+    source parallelizes like any file source; no driver materialization).
+    The oracle regenerates the identical rows from generate_series.
+    This is the extension point for reading systems Spark has no
+    built-in connector for."""
+    from .sources.pysource import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("ctdc_synth")
+        .option("n", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("hash32") < 2147483648, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+    )
+
+
+@q(
+    "q122_grouped_agg_pandas_udf",
+    """SELECT l_returnflag,
+              round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                AS wavg_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (the third pandas-UDF flavor next to
+    scalar q45 and grouped-map q46): a weighted average computed
+    vectorized per group, Arrow-batched.  Spark runs it as a real
+    aggregate — partial batches stream into the UDF per group, the
+    shuffle carries group keys, not rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
     )

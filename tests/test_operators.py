@@ -1606,3 +1606,32 @@ def test_lsh_expected_recall_and_auto_probes(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(40)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9
+
+
+def test_python_datasource_partition_planning(spark):
+    """The custom Python data source must plan real partitions (each
+    task generates its own id slice) and produce the deterministic
+    (id, hash32) rows."""
+    from compile_time_data_contracts_spark.sources.pysource import (
+        _SynthReader,
+        register_synth_source,
+    )
+
+    r = _SynthReader({"n": "103", "partitions": "4"})
+    parts = r.partitions()
+    assert [(p.start, p.end) for p in parts] == [
+        (0, 26), (26, 52), (52, 78), (78, 103)
+    ]
+    assert sum(p.end - p.start for p in parts) == 103
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("ctdc_synth")
+        .option("n", "103")
+        .option("partitions", "4")
+        .load()
+    )
+    rows = {r.id: r.hash32 for r in df.collect()}
+    assert len(rows) == 103
+    assert rows[7] == (7 * 2654435761) % 4294967296
+    assert df.rdd.getNumPartitions() == 4
