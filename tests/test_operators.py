@@ -1635,3 +1635,29 @@ def test_python_datasource_partition_planning(spark):
     assert len(rows) == 103
     assert rows[7] == (7 * 2654435761) % 4294967296
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_plan_lsh_prefers_tables_over_multiprobe():
+    """Recall-budgeted planning: raising tables reaches the same floor
+    as single-bit multiprobe at a fraction of the probe-row/candidate
+    cost, so auto prefers it; multiprobe survives only for thresholds
+    so deep that the table count would exceed the multiprobe-equivalent
+    cap."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        lsh_expected_recall,
+        plan_lsh,
+    )
+
+    # already above target: untouched
+    assert plan_lsh(0.9, 6, 8) == (8, 0)
+    # below target: tables raised to the analytic minimum, no multiprobe
+    tabs, probes = plan_lsh(0.9, 14, 16)
+    assert probes == 0 and tabs > 16
+    assert lsh_expected_recall(0.9, 14, tabs, 0) >= 0.95
+    assert lsh_expected_recall(0.9, 14, tabs - 1, 0) < 0.95  # minimal
+    # q56's gate regime
+    tabs, probes = plan_lsh(0.45, 8, 16)
+    assert probes == 0 and lsh_expected_recall(0.45, 8, tabs, 0) >= 0.95
+    # hopeless threshold: planner falls back to multiprobe rather than
+    # exploding the table count
+    assert plan_lsh(0.05, 12, 16) == (16, 1)
