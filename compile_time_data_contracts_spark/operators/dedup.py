@@ -375,6 +375,8 @@ def connected_components(
     when unset so library users don't crash).  Diameters beyond
     ``max_iterations`` raise rather than silently mislabel.
     """
+    from pyspark import StorageLevel
+
     sc = pairs.sparkSession.sparkContext
     _ensure_checkpoint_dir(sc)
     edges = (
@@ -388,42 +390,54 @@ def connected_components(
         )
         .distinct()
     )
-    # seed with one propagation round fused into initialization:
-    # lbl = min(self, direct neighbors) — saves a full join+checkpoint+
-    # count cycle, and diameter-2 components converge immediately
-    labels = edges.groupBy(F.col("src").alias("node")).agg(
-        F.least(F.first("src"), F.min("dst")).alias("lbl")
-    )
-    for _ in range(max_iterations):
-        neighbor_lbls = (
-            edges.join(
-                labels.withColumnRenamed("node", "dst").withColumnRenamed(
-                    "lbl", "__nl"
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("__nl").alias("__min_nl"))
-            .withColumnRenamed("src", "node")
+    # the edge set joins into EVERY round: without persistence each
+    # round re-evaluates the whole upstream pair pipeline (for near-dup
+    # inputs that is the full MinHash/cosine machinery — the dominant
+    # repeated cost).  persist keeps lineage (recoverable), and the
+    # labels checkpoint per round makes it safe to drop at the end.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # seed with one propagation round fused into initialization:
+        # lbl = min(self, direct neighbors) — saves a full join+
+        # checkpoint+count cycle; diameter-2 components converge
+        # immediately
+        labels = edges.groupBy(F.col("src").alias("node")).agg(
+            F.least(F.first("src"), F.min("dst")).alias("lbl")
         )
-        updated = labels.join(neighbor_lbls, "node", "left").select(
-            "node",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("__min_nl"), F.col("lbl"))
-            ).alias("lbl"),
-            (F.col("__min_nl") < F.col("lbl")).alias("__chg"),
-        )
-        updated = updated.checkpoint(eager=True)  # cut lineage, recoverably
-        changed = updated.filter(F.col("__chg")).count()
-        labels = updated.drop("__chg")
-        if changed == 0:
-            return labels.select(
-                F.col("node").alias("doc_id"),
-                F.col("lbl").alias("cluster_id"),
+        for _ in range(max_iterations):
+            neighbor_lbls = (
+                edges.join(
+                    labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                        "lbl", "__nl"
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("__nl").alias("__min_nl"))
+                .withColumnRenamed("src", "node")
             )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds"
-    )
+            updated = labels.join(neighbor_lbls, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("__min_nl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("__min_nl") < F.col("lbl")).alias("__chg"),
+            )
+            updated = updated.checkpoint(eager=True)  # cut lineage, recoverably
+            changed = updated.filter(F.col("__chg")).count()
+            labels = updated.drop("__chg")
+            if changed == 0:
+                # labels are checkpoint-materialized — lineage no longer
+                # reaches edges, so the cache can go
+                return labels.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("lbl").alias("cluster_id"),
+                )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    finally:
+        edges.unpersist()
 
 
 def simhash(col: str = "text", bits: int = 64) -> F.Column:
@@ -567,9 +581,18 @@ def connected_components_star(
     detected by (count, order-independent hash-sum) equality of the
     edge set — no driver-side edge materialization anywhere.
     """
+    from pyspark import StorageLevel
+
     sc = pairs.sparkSession.sparkContext
     _ensure_checkpoint_dir(sc)
 
+    # pairs feeds the initial edge build, the convergence signature,
+    # both symmetrize branches of round 1, and the final all_nodes
+    # join — ~5 evaluations of the (expensive) upstream pair pipeline
+    # without persistence.  The cache stays attached because the
+    # returned frame's lineage reaches all_nodes -> pairs; Spark's LRU
+    # eviction reclaims it.
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     all_nodes = (
         pairs.select(F.col(a_col).alias("node"))
         .union(pairs.select(F.col(b_col).alias("node")))
