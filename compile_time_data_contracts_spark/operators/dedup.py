@@ -247,6 +247,13 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
+    # banded feeds both sides of the bucket self-join and sh feeds both
+    # verification joins — unpersisted, the shingle-explode pipeline
+    # would run 4x.  Both are docs-sized (ids + band longs / shingle
+    # sets), persisted with lineage intact; LRU eviction reclaims them.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -269,6 +276,7 @@ def lsh_candidate_pairs(
         shingle_rows(df, id_col, text_col, n)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return (
         cand.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
