@@ -2974,10 +2974,10 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     # engines accumulate in DECIMAL — exact, order-independent — and
     # round the identical result
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              round(CAST(sum(CAST(value * CASE event_type
+              CAST(round(sum(CAST(value * CASE event_type
                                     WHEN 'click' THEN 1.5
                                     WHEN 'purchase' THEN 2.0
-                                  END AS DECIMAL(28, 8))) AS DOUBLE), 2)
+                                  END AS DECIMAL(28, 8))), 2) AS DOUBLE)
                 AS weighted_r
        FROM events WHERE event_type IN ('click', 'purchase')
        GROUP BY event_type""",
@@ -3048,9 +3048,9 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("value") * F.col("w")).cast("decimal(28,8)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("weighted_r"),
+            ).cast("double").alias("weighted_r"),
         )
     )
 
@@ -3114,18 +3114,18 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "q114_unpivot_measures",
     """SELECT 'l_discount' AS measure, CAST(count(*) AS BIGINT) AS n,
-              round(CAST(sum(CAST(l_discount AS DECIMAL(28, 6)))
-                    AS DOUBLE), 2) AS sum_r
+              CAST(round(sum(CAST(l_discount AS DECIMAL(28, 6))), 2)
+                    AS DOUBLE) AS sum_r
        FROM lineitem
        UNION ALL
        SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
-              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28, 6)))
-                    AS DOUBLE), 2)
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28, 6))), 2)
+                    AS DOUBLE)
        FROM lineitem
        UNION ALL
        SELECT 'l_quantity', CAST(count(*) AS BIGINT),
-              round(CAST(sum(CAST(l_quantity AS DECIMAL(28, 6)))
-                    AS DOUBLE), 2)
+              CAST(round(sum(CAST(l_quantity AS DECIMAL(28, 6))), 2)
+                    AS DOUBLE)
        FROM lineitem""",
 )
 def q114(spark: SparkSession, sf: str) -> DataFrame:
@@ -3144,16 +3144,16 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     return melted.groupBy("measure").agg(
         F.count("*").cast("bigint").alias("n"),
         F.round(
-            F.sum(F.col("v").cast("decimal(28,6)")).cast("double"), 2
-        ).alias("sum_r"),
+            F.sum(F.col("v").cast("decimal(28,6)")), 2
+        ).cast("double").alias("sum_r"),
     )
 
 
 @q(
     "q115_policy_evolution_roundtrip",
     """SELECT segment, CAST(count(*) AS BIGINT) AS n,
-              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28, 8)))
-                    AS DOUBLE), 2) AS total_r
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(28, 8))), 2)
+                    AS DOUBLE) AS total_r
        FROM (SELECT o_orderkey, o_custkey, o_totalprice,
                     substr(o_orderpriority, 1, 1) AS segment
              FROM orders)
@@ -3229,9 +3229,8 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     return back.groupBy("segment").agg(
         F.count("*").cast("bigint").alias("n"),
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double"),
-            2,
-        ).alias("total_r"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2
+        ).cast("double").alias("total_r"),
     )
 
 
@@ -3359,8 +3358,8 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
               CAST(count(*) AS BIGINT) AS n,
-              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28, 8)))
-                    AS DOUBLE), 2) AS total_r
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(28, 8))), 2)
+                    AS DOUBLE) AS total_r
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 )
@@ -3382,11 +3381,8 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count("*").cast("bigint").alias("n"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("total_r"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2
+            ).cast("double").alias("total_r"),
         )
     )
 
@@ -3529,3 +3525,109 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
     )
+
+
+@q(
+    "q123_python_stream_source",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(id) AS BIGINT) AS sum_id,
+              CAST(sum(CASE WHEN ((id * 2654435761) % 4294967296)
+                                 < 2147483648 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low
+       FROM generate_series(0, 4999) t(id)""",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING over the custom Python data source: the same
+    ``ctdc_synth`` format read via ``readStream`` with a
+    SimpleDataSourceStreamReader — offset init, batch read, and the
+    readBetweenOffsets replay contract that underwrites exactly-once.
+    An availableNow run drains the configured range into a memory sink;
+    the oracle regenerates the identical rows.  This is the template
+    for streaming systems Spark ships no connector for (queues, change
+    feeds)."""
+    from .sources.pysource import register_synth_source
+
+    register_synth_source(spark)
+    stream = (
+        spark.readStream.format("ctdc_synth")
+        .option("n", "5000")
+        .option("batch", "5000")
+        .load()
+    )
+    agg = stream.groupBy().agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum(F.when(F.col("hash32") < 2147483648, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+    )
+    name = "ctdc_q123_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@q(
+    "q124_stream_static_join",
+    """SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(round(sum(CAST(e.value *
+                    (CASE e.event_type WHEN 'click' THEN 1.5
+                                       WHEN 'purchase' THEN 3.0
+                                       WHEN 'view' THEN 1.0
+                                       ELSE 0.5 END) AS DECIMAL(28, 8))), 2)
+                    AS DOUBLE) AS weighted_r
+       FROM events e GROUP BY 1""",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STATIC enrichment join: the events stream joins a static
+    dimension (per-type weights) inside the streaming query — the
+    standard enrich-then-aggregate shape.  The dim is broadcast into
+    every micro-batch (no stream state for the join; only the windowed
+    agg keeps state), and a complete-mode availableNow replay must equal
+    the batch aggregation exactly."""
+    from .streaming.windows import events_stream
+
+    weights = spark.createDataFrame(
+        [("click", 1.5), ("purchase", 3.0), ("view", 1.0)],
+        "event_type string, w double",
+    )
+    stream = events_stream(spark, sf, glob="events.parquet")
+    enriched = stream.join(F.broadcast(weights), "event_type", "left").select(
+        "ts",
+        "value",
+        F.coalesce(F.col("w"), F.lit(0.5)).alias("w"),
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("w")).cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("weighted_r"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "n",
+            "weighted_r",
+        )
+    )
+    name = "ctdc_q124_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -24,6 +24,7 @@ try:
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     _DS_AVAILABLE = True
@@ -37,6 +38,9 @@ except ImportError:  # pragma: no cover - pyspark < 4
         pass
 
     class InputPartition:  # type: ignore[no-redef]
+        pass
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
         pass
 
 
@@ -65,8 +69,40 @@ class _SynthReader(DataSourceReader):
             yield (i, (i * 2654435761) % 4294967296)
 
 
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader over the same deterministic
+    generator: each trigger advances the offset by ``batch`` rows (capped
+    at ``n``), and ``readBetweenOffsets`` regenerates any batch exactly —
+    the replayability contract that gives Structured Streaming
+    exactly-once over this source."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 1000))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator it is handed, and generators are
+        # not copyable
+        return iter(
+            [(i, (i * 2654435761) % 4294967296) for i in range(start, end)]
+        )
+
+    def read(self, start):
+        s = start["offset"]
+        e = min(s + self.batch, self.n)
+        return self._rows(s, e), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["offset"], end["offset"])
+
+
 class SynthDataSource(DataSource):
-    """Deterministic synthetic-table source (id long, hash32 long)."""
+    """Deterministic synthetic-table source (id long, hash32 long) —
+    batch AND streaming capable."""
 
     @classmethod
     def name(cls) -> str:
@@ -77,6 +113,9 @@ class SynthDataSource(DataSource):
 
     def reader(self, schema):
         return _SynthReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SynthStreamReader(self.options)
 
 
 def register_synth_source(spark) -> None:

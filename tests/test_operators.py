@@ -1661,3 +1661,25 @@ def test_plan_lsh_prefers_tables_over_multiprobe():
     # hopeless threshold: planner falls back to multiprobe rather than
     # exploding the table count
     assert plan_lsh(0.05, 12, 16) == (16, 1)
+
+
+def test_python_stream_source_offsets_and_replay(spark):
+    """The streaming reader must advance offsets deterministically and
+    readBetweenOffsets must regenerate any batch exactly (the
+    exactly-once replay contract)."""
+    from compile_time_data_contracts_spark.sources.pysource import (
+        _SynthStreamReader,
+    )
+
+    r = _SynthStreamReader({"n": "10", "batch": "4"})
+    assert r.initialOffset() == {"offset": 0}
+    rows1, o1 = r.read({"offset": 0})
+    assert o1 == {"offset": 4} and len(list(rows1)) == 4
+    rows2, o2 = r.read(o1)
+    assert o2 == {"offset": 8}
+    _, o3 = r.read(o2)
+    assert o3 == {"offset": 10}  # capped at n
+    rows_end, o4 = r.read(o3)
+    assert o4 == {"offset": 10} and list(rows_end) == []
+    replay = list(r.readBetweenOffsets({"offset": 4}, {"offset": 8}))
+    assert replay == [(i, (i * 2654435761) % 4294967296) for i in range(4, 8)]
