@@ -75,6 +75,11 @@ HEADLINE = [
     "q102_embedding_dim_stats",
     "q103_retrieval_with_docs",
     "q104_resample_interp",
+    "q116_quality_percentile_gate",
+    "q117_funnel_analysis",
+    "q119_embedding_dedup_scrub",
+    "q122_grouped_agg_pandas_udf",
+    "q124_stream_static_join",
 ]
 
 

@@ -1683,3 +1683,58 @@ def test_python_stream_source_offsets_and_replay(spark):
     assert o4 == {"offset": 10} and list(rows_end) == []
     replay = list(r.readBetweenOffsets({"offset": 4}, {"offset": 8}))
     assert replay == [(i, (i * 2654435761) % 4294967296) for i in range(4, 8)]
+
+
+def test_winnow_fingerprint_cross_form_and_short_doc(spark):
+    """q60's rows-only gate needs a pinned companion: the expression
+    form must equal an independently-built explode+min computation of
+    the same k-window xxhash64 stream, be deterministic, and degrade to
+    the whole-text window for sub-k documents."""
+    from compile_time_data_contracts_spark.operators.text import (
+        winnow_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "short doc"),  # fewer tokens than k=5
+            (3, "a b c d e f g h i j"),  # identical to 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", winnow_fingerprint("text", k=5).alias("fp")
+        ).collect()
+    }
+    # independent construction: explode window starts, hash each
+    # 5-token slice, take the min
+    toks = F.split(F.col("text"), r"\s+")
+    alt = (
+        df.select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("i") + 1, 5))
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp"))
+    )
+    want = {r.doc_id: r.fp for r in alt.collect()}
+    assert got == want
+    assert got[1] == got[3]  # deterministic: same text, same fingerprint
+    # sub-k doc: single window over the whole text
+    whole = df.filter(F.col("doc_id") == 2).select(
+        F.xxhash64(F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 5))).alias("h")
+    ).first().h
+    assert got[2] == whole
