@@ -199,6 +199,8 @@ def compare_data_type(
             )
         if found is expected or tf in _PARAMLESS_ATOMS:
             return True
+        if tf is T.StringType:  # one 'collation' parameter
+            return found.collation == expected.collation
         return found == expected
     return _compare_data_type_subclass(found, expected, mode)
 
@@ -248,9 +250,42 @@ def _compare_data_type_subclass(
 def _compare_struct(
     found: T.StructType, expected: T.StructType, mode: StructMode
 ) -> bool:
-    """Mode-dispatched struct comparison (SparkCore.scala:79-127)."""
+    """Mode-dispatched struct comparison (SparkCore.scala:79-127).
+    The unordered arm (EXACT, the default policy) is checked first and
+    keeps its leaf handling inlined — this path runs once per field per
+    pipeline boundary and the dunder/call overhead of delegating every
+    leaf dominates the metadata comparison."""
     if found is expected and _subtree_dup_free(found, mode.case_insensitive):
         return True
+    if mode.kind == "unordered":
+        fnd_by = _unique_fields_by_name(found, mode)
+        exp_by = _unique_fields_by_name(expected, mode)
+        if fnd_by is None or exp_by is None:
+            return False
+        if fnd_by.keys() != exp_by.keys():  # dict views: C-level set equality
+            return False
+        ci = mode.case_insensitive
+        for k, ef in exp_by.items():
+            fd = fnd_by[k].dataType
+            ed = ef.dataType
+            if fd is ed:
+                # identical object: equal unless a nested struct carries
+                # duplicate names (cached flag)
+                if _subtree_dup_free(fd, ci):
+                    continue
+            else:
+                cf = fd.__class__
+                if cf is ed.__class__:
+                    if cf in _PARAMLESS_ATOMS:
+                        continue
+                    if cf is T.StringType:  # one 'collation' parameter
+                        if fd.collation == ed.collation:
+                            continue
+                        return False
+            if not compare_data_type(fd, ed, mode):
+                return False
+        return True
+
     if mode.kind == "by_position":
         if len(found.fields) != len(expected.fields):
             return False
@@ -272,30 +307,6 @@ def _compare_struct(
     exp_by = _unique_fields_by_name(expected, mode)
     if fnd_by is None or exp_by is None:
         return False
-
-    if mode.kind == "unordered":
-        if fnd_by.keys() != exp_by.keys():  # dict views: C-level set equality
-            return False
-        # explicit loop with leaf handling inlined: this runs once per
-        # field per pipeline boundary, and the generator/call overhead
-        # of delegating every leaf dominates the metadata comparison
-        ci = mode.case_insensitive
-        for k, ef in exp_by.items():
-            fd = fnd_by[k].dataType
-            ed = ef.dataType
-            if fd is ed:
-                # identical object: equal unless a nested struct carries
-                # duplicate names (cached flag)
-                if _subtree_dup_free(fd, ci):
-                    continue
-            elif (
-                fd.__class__ is ed.__class__
-                and fd.__class__ in _PARAMLESS_ATOMS
-            ):
-                continue
-            if not compare_data_type(fd, ed, mode):
-                return False
-        return True
 
     if mode.kind == "backward":
         for key, ef in exp_by.items():
