@@ -3512,9 +3512,13 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
 def q122(spark: SparkSession, sf: str) -> DataFrame:
     """GROUPED_AGG pandas UDF (the third pandas-UDF flavor next to
     scalar q45 and grouped-map q46): a weighted average computed
-    vectorized per group, Arrow-batched.  Spark runs it as a real
-    aggregate — partial batches stream into the UDF per group, the
-    shuffle carries group keys, not rows."""
+    vectorized per group, Arrow-batched.  Honest scale caveat: unlike
+    native aggregates, a pandas grouped agg has NO map-side partial
+    combine — the plan is Exchange(all rows) -> Sort ->
+    ArrowAggregatePython — so the full table crosses the shuffle.  Use
+    it for semantics built-ins can't express; this weighted average is
+    expressible natively (the oracle shows the rewrite) and exists here
+    to pin the API surface."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -212,6 +212,23 @@ CHECKS = {
         ("set aggregate partial-combined", True,
          lambda p: "partial" in p.lower()),
     ],
+    "q119_embedding_dedup_scrub": [
+        ("survivor filter joins the cluster map (no cartesian)", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("per-label counts partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q121_python_datasource": [
+        ("custom source plans a real BatchScan", True,
+         lambda p: "BatchScan ctdc_synth" in p),
+        ("aggregate partial-combined before the exchange", True,
+         lambda p: "partial" in p.lower()),
+    ],
+    "q122_grouped_agg_pandas_udf": [
+        ("grouped-agg UDF runs as ArrowAggregatePython", True,
+         lambda p: "ArrowAggregatePython" in p or "AggregateInPandas" in p),
+    ],
     "q110_histogram": [
         ("two passes only: (min,max) broadcast + bucket count", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
