@@ -3635,3 +3635,132 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "q125_lateral_topn_per_nation",
+    """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal_r
+       FROM nation n,
+            LATERAL (SELECT c_name, c_acctbal
+                     FROM customer
+                     WHERE c_nationkey = n.n_nationkey
+                     ORDER BY c_acctbal DESC, c_name
+                     LIMIT 2) c""",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 SQL): top-2 customers by
+    balance per nation expressed as a per-row dependent subquery — the
+    SQL-standard alternative to the window-rank form (q29).  Catalyst
+    decorrelates it into a ranked join, so the declarative form costs
+    the same as the hand-written window."""
+    load_table(spark, sf, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal_r
+           FROM v_nation n,
+                LATERAL (SELECT c_name, c_acctbal
+                         FROM v_customer
+                         WHERE c_nationkey = n.n_nationkey
+                         ORDER BY c_acctbal DESC, c_name
+                         LIMIT 2) c"""
+    )
+
+
+@q(
+    "q126_apply_in_arrow_demean",
+    """SELECT event_id,
+              round(value - avg(value) OVER (PARTITION BY event_type), 6)
+                AS demeaned_r
+       FROM events""",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map over ARROW tables (applyInArrow — the zero-copy
+    sibling of q46's applyInPandas): per-type demeaning computed with
+    pyarrow compute kernels, no pandas object materialization.  Same
+    per-group shuffle shape as any grouped map; the win is batch
+    transfer staying columnar end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def demean(table: "pa.Table") -> "pa.Table":
+        v = table.column("value")
+        mean = pc.mean(v).as_py()
+        return pa.table(
+            {
+                "event_id": table.column("event_id"),
+                "demeaned_r": pc.round(
+                    pc.subtract(v, pa.scalar(mean, pa.float64())), 6
+                ),
+            }
+        )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return ev.groupBy("event_type").applyInArrow(
+        demean, "event_id long, demeaned_r double"
+    )
+
+
+@q(
+    "q127_xml_source_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              CAST(sum(n_chars) AS BIGINT) AS total_n_chars
+       FROM documents""",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 ships the XML format
+    natively): documents write as <doc> rows and read back with an
+    explicit schema — entity escaping in the writer must round-trip
+    text content losslessly, proven by character-count conservation
+    against the parquet original."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(f"{sf}|q127".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/ctdc-q127-{tag}"
+    docs.select("doc_id", "text", "n_chars").write.mode("overwrite").format(
+        "xml"
+    ).option("rootTag", "docs").option("rowTag", "doc").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, text string, n_chars long")
+        .load(path)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_n_chars"),
+    )
+
+
+@q(
+    "q128_null_safe_join",
+    """WITH fact AS (SELECT nullif(event_type, 'error') AS k, value
+                     FROM events),
+            dim AS (SELECT DISTINCT nullif(event_type, 'error') AS k
+                    FROM events)
+       SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(f.k) AS BIGINT) AS n_nonnull
+       FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k""",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys match each other instead
+    of dropping — the semantics a plain equi-join silently loses.  Spark
+    plans <=> as a hash join key like any other (no fallback to BNLJ),
+    which the plan audit pins."""
+    ev = load_table(spark, sf, "events")
+    fact = ev.select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("k"), "value"
+    )
+    dim = fact.select("k").distinct()
+    joined = fact.alias("f").join(
+        dim.alias("d"), F.col("f.k").eqNullSafe(F.col("d.k"))
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count("f.k").cast("bigint").alias("n_nonnull"),
+    )

@@ -229,6 +229,17 @@ CHECKS = {
         ("grouped-agg UDF runs as ArrowAggregatePython", True,
          lambda p: "ArrowAggregatePython" in p or "AggregateInPandas" in p),
     ],
+    "q125_lateral_topn_per_nation": [
+        ("lateral decorrelated (no cartesian/BNLJ per outer row)", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q128_null_safe_join": [
+        ("null-safe equality plans as a hash join, not BNLJ", True,
+         lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                    or "BroadcastHashJoin" in p)
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "q110_histogram": [
         ("two passes only: (min,max) broadcast + bucket count", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
