@@ -3764,3 +3764,43 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.count("f.k").cast("bigint").alias("n_nonnull"),
     )
+
+
+@q(
+    "q129_variant_semistructured",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                   AS BIGINT) AS sum_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+                   AS INT) AS max_k,
+              CAST(sum(CASE WHEN json_extract_string(props, '$.missing')
+                            IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_missing
+       FROM events GROUP BY event_type""",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT semi-structured ingestion (Spark 4): props parses ONCE
+    into the binary variant encoding and every field access is a cheap
+    typed variant_get — the open-schema alternative to q03/q37's
+    from_json, which needs the schema up front.  try_variant_get
+    returns NULL for absent paths instead of failing, the
+    late-schema-drift behavior a 100 TB ingest actually needs."""
+    ev = load_table(spark, sf, "events")
+    parsed = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.try_variant_get("v", "$.k", "int"))
+        .cast("bigint")
+        .alias("sum_k"),
+        F.max(F.try_variant_get("v", "$.k", "int")).cast("int").alias("max_k"),
+        F.sum(
+            F.when(
+                F.try_variant_get("v", "$.missing", "string").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_missing"),
+    )
