@@ -1738,3 +1738,31 @@ def test_winnow_fingerprint_cross_form_and_short_doc(spark):
         F.xxhash64(F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 5))).alias("h")
     ).first().h
     assert got[2] == whole
+
+
+def test_lsh_recall_floor_monotonicity():
+    """Property: the analytic recall floor is monotone — nondecreasing
+    in tables and probes, nonincreasing in bits, nondecreasing in
+    threshold — across a grid of regimes.  The planner's correctness
+    rests on these directions."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        lsh_expected_recall,
+    )
+
+    thresholds = [0.2, 0.45, 0.7, 0.9]
+    for t in thresholds:
+        for b in (4, 8, 12, 16):
+            for L in (1, 4, 16, 64):
+                r = lsh_expected_recall(t, b, L, 0)
+                assert 0.0 <= r <= 1.0
+                assert lsh_expected_recall(t, b, L + 1, 0) >= r
+                assert lsh_expected_recall(t, b, L, 1) >= r
+                assert lsh_expected_recall(t, b + 1, L, 0) <= r + 1e-12
+    # threshold direction: easier pairs (higher cosine) never lose recall
+    for b in (8, 14):
+        for L in (8, 16):
+            prev = 0.0
+            for t in thresholds:
+                r = lsh_expected_recall(t, b, L, 0)
+                assert r >= prev - 1e-12
+                prev = r
