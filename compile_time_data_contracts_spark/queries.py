@@ -3804,3 +3804,101 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missing"),
     )
+
+
+@q(
+    "q130_hll_merge_contract",
+    """WITH per_type AS (
+         SELECT event_type, count(DISTINCT user_id) AS exact_n
+         FROM events GROUP BY event_type),
+       total AS (SELECT count(DISTINCT user_id) AS exact_total FROM events)
+       SELECT p.event_type, CAST(p.exact_n AS BIGINT) AS exact_n,
+              CAST(t.exact_total AS BIGINT) AS exact_total,
+              TRUE AS est_ok
+       FROM per_type p, total t""",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (DataSketches HLL): per-type
+    sketches aggregate once, and the GLOBAL distinct estimate comes from
+    hll_union_agg over the tiny sketch column — never re-scanning the
+    fact table.  This is the pre-aggregation pattern 100 TB rollups
+    live on: persist sketch bytes per grain, union upward on demand.
+    The oracle pins exactness of the exact columns and the contract
+    flag: every estimate (per type and merged) must land within 5% of
+    the true distinct count (HLL lgK=12 carries ~1.6% standard error,
+    so 5% is >3 sigma)."""
+    ev = load_table(spark, sf, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_n"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total")
+    )
+    total = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_total")
+    )
+    out = per_type.withColumn(
+        "est_n", F.hll_sketch_estimate("sk")
+    ).crossJoin(F.broadcast(merged)).crossJoin(F.broadcast(total))
+    ok = (
+        (F.abs(F.col("est_n") - F.col("exact_n"))
+         <= 0.05 * F.col("exact_n"))
+        & (F.abs(F.col("est_total") - F.col("exact_total"))
+           <= 0.05 * F.col("exact_total"))
+    )
+    return out.select(
+        "event_type",
+        "exact_n",
+        "exact_total",
+        ok.alias("est_ok"),
+    )
+
+
+@q(
+    "q131_median_mode",
+    """WITH m AS (
+         SELECT l_returnflag,
+                round(median(l_quantity), 4) AS median_qty,
+                round(median(l_extendedprice), 4) AS median_price
+         FROM lineitem GROUP BY l_returnflag),
+       counts AS (
+         SELECT l_returnflag, l_linenumber, count(*) AS c,
+                row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY count(*) DESC, l_linenumber)
+                  AS rn
+         FROM lineitem GROUP BY l_returnflag, l_linenumber)
+       SELECT m.l_returnflag, m.median_qty,
+              CAST(counts.l_linenumber AS INT) AS mode_line,
+              m.median_price
+       FROM m JOIN counts ON m.l_returnflag = counts.l_returnflag
+       WHERE counts.rn = 1""",
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact MEDIAN (Spark 4 built-in, not percentile_approx) plus a
+    deterministic MODE.  Both engines ship a mode() aggregate but both
+    break frequency ties ARBITRARILY, so the mode here is the explicit
+    arg-max — count desc, value asc — identical on both sides
+    (l_linenumber's domain is small ints, where ties are real)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.min(F.col("l_linenumber")).alias("__drop"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    ).drop("__drop").join(
+        li.groupBy("l_returnflag", "l_linenumber")
+        .count()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy(
+                    F.desc("count"), F.asc("l_linenumber")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_linenumber").cast("int").alias("mode_line")
+        ),
+        "l_returnflag",
+    ).select("l_returnflag", "median_qty", "mode_line", "median_price")
