@@ -1,0 +1,126 @@
+"""End-to-end LLM training-data curation demo, composed from the
+operator library — the pipeline a 100 TB corpus actually runs, at demo
+scale:
+
+  1. contract-pinned load of the documents table,
+  2. quality gate (deterministic score >= corpus 25th percentile),
+  3. exact dedup (normalized-hash keep-best),
+  4. MinHash-LSH near-dup pairs -> connected components -> keep the
+     min-id representative per cluster,
+  5. language mixture sampling to target proportions,
+  6. sequence packing into fixed token budgets,
+  7. contract-pinned parquet sink (schema proven before the write).
+
+Every stage is a pure function of the data (hash-based sampling, no
+RNG), so the whole pipeline is reproducible and resumable.
+
+Run:  PYTHONPATH=. python examples/llm_curation_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from compile_time_data_contracts_spark.catalog import load_table
+from compile_time_data_contracts_spark.contracts.policies import SchemaPolicy
+from compile_time_data_contracts_spark.contracts.shape import contract
+from compile_time_data_contracts_spark.contracts.types import int32
+from compile_time_data_contracts_spark.operators.dedup import (
+    connected_components,
+    keep_best_dedup,
+    minhash_near_dup_pairs,
+)
+from compile_time_data_contracts_spark.operators.sampling import (
+    mix_to_proportions,
+    pack_sequences,
+)
+from compile_time_data_contracts_spark.operators.text import quality_score
+from compile_time_data_contracts_spark.sources.io import Sink, write_df
+
+
+@contract
+@dataclasses.dataclass
+class CuratedDoc:
+    doc_id: int
+    lang: str
+    text: str
+    quality: float
+    pack_id: int32  # pack_sequences emits 32-bit pack ids
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("ctdc-curation-demo")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 2. quality gate at the corpus 25th percentile
+    scored = docs.withColumn("quality", quality_score("text"))
+    cut = scored.agg(F.percentile("quality", F.lit(0.25)).alias("c"))
+    gated = scored.crossJoin(F.broadcast(cut)).filter(
+        F.col("quality") >= F.col("c")
+    ).drop("c")
+    n1 = gated.count()
+
+    # 3. exact dedup, keeping the smallest doc_id per normalized text
+    exact = keep_best_dedup(gated, col="text", score_col="doc_id")
+    n2 = exact.count()
+
+    # 4. near-dup scrub: LSH pairs -> components -> keep representatives
+    pairs = minhash_near_dup_pairs(exact, threshold=0.5)
+    clusters = connected_components(pairs)
+    scrubbed = (
+        exact.join(
+            clusters.withColumnRenamed("doc_id", "__cid").withColumnRenamed(
+                "cluster_id", "__rep"
+            ),
+            exact.doc_id == F.col("__cid"),
+            "left",
+        )
+        .filter(F.col("__rep").isNull() | (F.col("__rep") == F.col("doc_id")))
+        .drop("__cid", "__rep")
+    )
+    n3 = scrubbed.count()
+
+    # 5. deterministic mixture to target language proportions
+    mixed = mix_to_proportions(
+        scrubbed, "lang", "doc_id", {"en": 0.5, "fr": 0.3, "zh": 0.2}
+    )
+    n4 = mixed.count()
+
+    # 6. pack into 512-token sequences in doc-id order
+    from compile_time_data_contracts_spark.operators.text import token_count
+
+    packed = pack_sequences(
+        mixed.withColumn("n_tokens", token_count("text")), budget=512
+    )
+    out = packed.select("doc_id", "lang", "text", "quality", "pack_id")
+    n_packs = out.select("pack_id").distinct().count()
+
+    # 7. contract-pinned sink: the schema proof runs BEFORE the write
+    dest = tempfile.mkdtemp(prefix="ctdc-curated-")
+    write_df(out, Sink(CuratedDoc, dest), SchemaPolicy.EXACT)
+
+    print(
+        f"loaded {n0} -> quality-gated {n1} -> exact-deduped {n2} "
+        f"-> near-dup-scrubbed {n3} -> mixed {n4} -> {n_packs} packs "
+        f"-> {dest}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
