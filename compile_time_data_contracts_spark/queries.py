@@ -3902,3 +3902,52 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "l_returnflag",
     ).select("l_returnflag", "median_qty", "mode_line", "median_price")
+
+
+@q(
+    "q132_stream_session_window",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS s
+         FROM marked
+       )
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM numbered GROUP BY user_id, s""",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING session windows (merge-on-arrival session_window state,
+    30-minute gap) replayed to completion over the static events feed —
+    the streaming twin of batch q43/q113: a complete-mode availableNow
+    run must produce exactly the sessions the batch gaps-and-islands
+    computation derives.  Session-window state merges adjacent windows
+    as events arrive; the watermark bounds it in production append
+    mode."""
+    from .streaming.windows import events_stream, session_counts
+
+    stream = events_stream(spark, sf, glob="events.parquet")
+    agg = session_counts(stream, watermark="1 hour", gap="30 minutes")
+    name = "ctdc_q132_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "session_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
