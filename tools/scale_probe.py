@@ -46,13 +46,28 @@ def plan_of(df) -> str:
     )
 
 
+N_COMPONENTS = 64
+
+
 def generate(spark, path: str, n: int, dim: int) -> None:
-    """Seeded gaussian vectors, fully distributed (spark.range + a
-    vectorized batch transform — no driver-side matrix).  Vector i in
-    [0, PLANTED_PAIRS) gets a near-duplicate partner at id n + i: the
-    same vector plus small noise, landing at cosine ~0.95-0.99."""
+    """Seeded MIXTURE-of-components vectors, fully distributed
+    (spark.range + a vectorized batch transform — no driver-side
+    matrix).  Real embedding corpora are clustered, not isotropic —
+    vector i draws component i % 64 (unit center scaled so
+    intra-component cosine sits near 0.5, far below the 0.9 pair
+    threshold) plus unit gaussian noise; on pure isotropic noise every
+    angle concentrates and NO coarse quantizer can localize neighbors,
+    so an IVF recall probe on such data measures the data, not the
+    index.  Vector i in [0, PLANTED_PAIRS) still gets a near-duplicate
+    partner at id n + i (same vector + small noise, cosine ~0.99)."""
     import numpy as np
     import pandas as pd
+
+    centers = np.random.default_rng(SEED * 3).normal(
+        size=(N_COMPONENTS, dim)
+    )
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    centers *= math.sqrt(dim)  # E[cos] within a component ~ d/(d+d) = 0.5
 
     base = spark.range(0, n + PLANTED_PAIRS).toDF("vec_id")
 
@@ -63,7 +78,7 @@ def generate(spark, path: str, n: int, dim: int) -> None:
             for row, i in enumerate(ids):
                 src = i if i < n else i - n  # partner copies its source
                 rng = np.random.default_rng(SEED + int(src))
-                v = rng.normal(size=dim)
+                v = centers[src % N_COMPONENTS] + rng.normal(size=dim)
                 if i >= n:  # planted near-duplicate: small perturbation
                     nrng = np.random.default_rng(SEED * 2 + int(src))
                     v = v + 0.18 * nrng.normal(size=dim)
@@ -102,7 +117,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict = {"n": n + PLANTED_PAIRS, "dim": dim, "threshold": THRESHOLD}
-    path = f"/tmp/ctdc-scale-probe-{n}x{dim}"
+    path = f"/tmp/ctdc-scale-probe-v2-{n}x{dim}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t0 = time.perf_counter()
         generate(spark, path, n, dim)
@@ -158,6 +173,36 @@ def main() -> None:
     results["recall"] = round(recall, 4)
     results["precision_violations"] = precision_violations
 
+    # --- 4. IVF build/search at representative n ------------------------
+    import shutil
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        topk_cosine,
+    )
+
+    idx = f"/tmp/ctdc-scale-probe-ivf-{n}x{dim}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    ivf_build(emb, idx, n_clusters=256, sample_size=20000)
+    results["ivf_build_sec"] = round(time.perf_counter() - t0, 2)
+    query = emb.filter(F.col("vec_id") == 0)
+    t0 = time.perf_counter()
+    approx = ivf_search(spark, idx, query, k=10, nprobe=16)
+    approx_plan = plan_of(approx)
+    approx_ids = [r.vec_id for r in approx.collect()]
+    results["ivf_search_sec"] = round(time.perf_counter() - t0, 2)
+    results["ivf_partition_pruned"] = bool(
+        __import__("re").search(r"PartitionFilters: \[[^\]]*cluster", approx_plan)
+    )
+    t0 = time.perf_counter()
+    exact_ids = [r.vec_id for r in topk_cosine(emb, query, k=10).collect()]
+    results["exact_topk_sec"] = round(time.perf_counter() - t0, 2)
+    results["ivf_recall_at_10"] = round(
+        len(set(approx_ids) & set(exact_ids)) / 10.0, 2
+    )
+
     ok = (
         results["blocked_plan_cells"]
         and results["blocked_plan_no_full_broadcast"]
@@ -166,6 +211,8 @@ def main() -> None:
         and planted_found == PLANTED_PAIRS
         and recall >= 0.9
         and precision_violations == 0
+        and results["ivf_partition_pruned"]
+        and results["ivf_recall_at_10"] >= 0.8
     )
     results["ok"] = ok
     out = {
