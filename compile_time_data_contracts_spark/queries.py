@@ -3951,3 +3951,85 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
         "session_start",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@q(
+    "q133_merge_upsert",
+    """WITH updates AS (
+         SELECT c_custkey, c_name, c_nationkey,
+                round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT 900000 + r_regionkey, 'new-' || r_name,
+                r_regionkey, 0.0, 'NEW'
+         FROM region),
+       merged AS (
+         SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+                coalesce(u.c_name, c.c_name) AS c_name,
+                coalesce(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+                coalesce(u.c_acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+                coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+         FROM customer c FULL OUTER JOIN updates u
+           ON c.c_custkey = u.c_custkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN c_mktsegment = 'NEW' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_inserted,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal
+       FROM merged""",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE / upsert (SCD type-1) expressed Spark-first: without a
+    transactional table format, the merge is a FULL OUTER JOIN on the
+    key — matched rows take the update's values, unmatched-source rows
+    insert, unmatched-target rows carry forward — then an atomic
+    overwrite of the snapshot.  The join shuffles both sides by key
+    once (at 100 TB: partition the snapshot by key-bucket and only
+    rewrite buckets containing updates — the updates-side bucket list
+    prunes the rest).  Updates here are derived deterministically from
+    the data so the oracle replays the identical merge."""
+    cust = load_table(spark, sf, "customer")
+    region = load_table(spark, sf, "region")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        region.select(
+            (F.lit(900000) + F.col("r_regionkey")).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("r_name")).alias("c_name"),
+            F.col("r_regionkey").cast("long").alias("c_nationkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    u = updates.alias("u")
+    c = cust.alias("c")
+    merged = c.join(
+        u, F.col("c.c_custkey") == F.col("u.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("u.c_custkey"), F.col("c.c_custkey")).alias(
+            "c_custkey"
+        ),
+        F.coalesce(F.col("u.c_name"), F.col("c.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_nationkey"), F.col("c.c_nationkey")).alias(
+            "c_nationkey"
+        ),
+        F.coalesce(
+            F.col("u.c_acctbal"), F.round(F.col("c.c_acctbal"), 2)
+        ).alias("c_acctbal"),
+        F.coalesce(F.col("u.c_mktsegment"), F.col("c.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_mktsegment") == "NEW", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
