@@ -4033,3 +4033,83 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@q(
+    "q134_scd2_history",
+    """WITH updates AS (
+         SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+         FROM customer WHERE c_custkey % 10 = 0),
+       expired AS (
+         SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal,
+                0 AS valid_from, 1 AS valid_to
+         FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey),
+       current_v AS (
+         SELECT c.c_custkey,
+                coalesce(u.new_bal, round(c.c_acctbal, 2)) AS bal,
+                CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END
+                  AS valid_from,
+                CAST(NULL AS INT) AS valid_to
+         FROM customer c LEFT JOIN updates u
+           ON c.c_custkey = u.c_custkey),
+       history AS (
+         SELECT * FROM expired UNION ALL SELECT * FROM current_v)
+       SELECT CAST(count(*) AS BIGINT) AS n_history,
+              CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_current,
+              CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_expired,
+              CAST(round(sum(CASE WHEN valid_to IS NULL
+                                  THEN CAST(bal AS DECIMAL(18, 2))
+                                  ELSE CAST(0 AS DECIMAL(18, 2)) END), 2)
+                   AS DOUBLE) AS current_bal
+       FROM history""",
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD TYPE-2 history build (q133's type-1 sibling): an update batch
+    EXPIRES the matched rows (valid_to set to the batch version) and
+    appends the new versions as current (valid_to NULL); untouched rows
+    stay current at their original version.  One left join + one union
+    — at scale the history table is partitioned by valid_from so each
+    batch appends one partition and expires in place only the buckets
+    carrying updates.  The version columns are batch ordinals here;
+    production uses the batch timestamp."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.round(F.col("bal") + 100.0, 2).alias("new_bal")
+    )
+    expired = cust.join(updates, "c_custkey").select(
+        "c_custkey",
+        "bal",
+        F.lit(0).alias("valid_from"),
+        F.lit(1).alias("valid_to"),
+    )
+    current = cust.join(updates, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("new_bal"), F.col("bal")).alias("bal"),
+        F.when(F.col("new_bal").isNull(), 0).otherwise(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    history = expired.unionByName(current)
+    return history.agg(
+        F.count("*").cast("bigint").alias("n_history"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_current"),
+        F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_expired"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNull(),
+                    F.col("bal").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("current_bal"),
+    )
