@@ -99,15 +99,23 @@ def _unique_fields_by_name(
     and the index are the same dict insert.
 
     The index is memoized on the StructType instance (per case mode),
-    keyed to the current field count so an in-place ``schema.add(...)``
-    invalidates it.  Pinned contract schemas are never mutated after
-    construction, so the cache holds for the comparator's whole life;
-    a field RENAME on a same-length schema is the one mutation this
-    guard cannot see (don't mutate schemas you compare)."""
+    keyed to a content token — a tuple snapshot of the StructField
+    objects — so ``schema.add(...)``, ``fields[i] = other``, and any
+    other field-list edit invalidates it.  Validation is C-speed:
+    ``tuple(list)`` is a memcpy and tuple ``==`` short-circuits on
+    element identity, so the unmutated case never calls
+    ``StructField.__eq__``; a replaced-but-``==`` field validates the
+    cache, which is semantically sound because the cached index is then
+    still correct.  The index stores StructField *references*, so
+    in-place ``field.dataType = X`` mutation reads through correctly;
+    in-place ``field.name = ...`` assignment on a schema you keep
+    comparing is the one mutation the token cannot see (don't do that —
+    replace the field instead)."""
     attr = "_ctdc_nameidx_ci" if mode.case_insensitive else "_ctdc_nameidx_cs"
     fields = schema.fields
+    token = tuple(fields)
     cached = schema.__dict__.get(attr)
-    if cached is not None and cached[0] == len(fields):
+    if cached is not None and cached[0] == token:
         return cached[1]
     out: dict[str, T.StructField] | None = {}
     ci = mode.case_insensitive
@@ -118,7 +126,7 @@ def _unique_fields_by_name(
             break
         out[key] = f
     try:
-        schema.__dict__[attr] = (len(fields), out)
+        schema.__dict__[attr] = (token, out)
     except (AttributeError, TypeError):  # exotic StructType without __dict__
         pass
     return out
@@ -127,18 +135,34 @@ def _unique_fields_by_name(
 def _subtree_dup_free(dt: T.DataType, ci: bool) -> bool:
     """True iff no struct anywhere in the subtree has duplicate field
     names under the active normalization.  A dup-free subtree compared
-    against the SAME object is a match under every mode (same names,
-    same order, same types), so identity + this flag short-circuits the
-    whole recursion; a dup-carrying struct must still fail against
-    itself (SparkCore.scala:72-78), which the flag preserves.  Memoized
-    per StructType instance with the same field-count guard as the name
-    index."""
+    against the SAME object is a match under every by-name mode (same
+    names, same order, same types), so identity + this flag
+    short-circuits the whole recursion; a dup-carrying struct must
+    still fail against itself (SparkCore.scala:72-78), which the flag
+    preserves.
+
+    Memoized per StructType instance, keyed to a tuple snapshot of its
+    field objects (same content token as the name index — identity-
+    short-circuited C-level validation), so replacing or adding any
+    direct field re-derives the flag; a replaced-but-``==`` field
+    validates the cache, which is sound because equal fields have equal
+    names and subtrees.  The cached value aggregates the whole subtree
+    but the token only snapshots the direct field list, so an edit made
+    *through* unchanged parent objects (mutating a nested struct's field
+    list, or in-place ``field.name`` / ``field.dataType`` assignment) is
+    the remaining blind spot — rebuild nested structs instead of
+    mutating them in place.  Pinned contract schemas are constructed
+    once and never mutated, so the cache is sound for the comparator's
+    whole life on the contract side; ``df.schema`` returns fresh objects
+    per call, so found-side entries are written once and never reused
+    stale."""
     cls = dt.__class__
     if cls is T.StructType:
         attr = "_ctdc_dupfree_ci" if ci else "_ctdc_dupfree_cs"
         fields = dt.fields
+        token = tuple(fields)
         cached = dt.__dict__.get(attr)
-        if cached is not None and cached[0] == len(fields):
+        if cached is not None and cached[0] == token:
             return cached[1]
         names = (
             {f.name.lower() for f in fields} if ci else {f.name for f in fields}
@@ -147,7 +171,7 @@ def _subtree_dup_free(dt: T.DataType, ci: bool) -> bool:
             _subtree_dup_free(f.dataType, ci) for f in fields
         )
         try:
-            dt.__dict__[attr] = (len(fields), clean)
+            dt.__dict__[attr] = (token, clean)
         except (AttributeError, TypeError):
             pass
         return clean
@@ -255,8 +279,15 @@ def _compare_struct(
     keeps its leaf handling inlined — this path runs once per field per
     pipeline boundary and the dunder/call overhead of delegating every
     leaf dominates the metadata comparison."""
-    if found is expected and _subtree_dup_free(found, mode.case_insensitive):
-        return True
+    if found is expected:
+        # Positional modes never consult names, so duplicate field names
+        # cannot fail them (SparkCore.scala:82-91): identity alone proves
+        # the match.  By-name modes must still fail a dup-carrying struct
+        # against itself (SparkCore.scala:72-78).
+        if mode.kind in ("by_position", "ordered") or _subtree_dup_free(
+            found, mode.case_insensitive
+        ):
+            return True
     if mode.kind == "unordered":
         fnd_by = _unique_fields_by_name(found, mode)
         exp_by = _unique_fields_by_name(expected, mode)
@@ -282,26 +313,87 @@ def _compare_struct(
                         if fd.collation == ed.collation:
                             continue
                         return False
+                    # inline the container dispatch (identity already
+                    # failed, so compare_data_type's short-circuit
+                    # cannot fire — skip its frame)
+                    if cf is T.StructType:
+                        if _compare_struct(fd, ed, mode):
+                            continue
+                        return False
+                    if cf is T.ArrayType:
+                        if fd.containsNull == ed.containsNull and (
+                            compare_data_type(fd.elementType, ed.elementType, mode)
+                        ):
+                            continue
+                        return False
+                    if cf is T.MapType:
+                        if (
+                            fd.valueContainsNull == ed.valueContainsNull
+                            and compare_data_type(fd.keyType, ed.keyType, mode)
+                            and compare_data_type(fd.valueType, ed.valueType, mode)
+                        ):
+                            continue
+                        return False
             if not compare_data_type(fd, ed, mode):
                 return False
         return True
 
     if mode.kind == "by_position":
-        if len(found.fields) != len(expected.fields):
+        # Inlined fast loop (same treatment as the unordered arm): a
+        # shared dataType object is a match outright — by-position never
+        # reads names, so no dup-free check is needed — and paramless
+        # atoms match on class identity without the __eq__ dunder.
+        ffs, efs = found.fields, expected.fields
+        if len(ffs) != len(efs):
             return False
-        return all(
-            compare_data_type(ff.dataType, ef.dataType, mode)
-            for ff, ef in zip(found.fields, expected.fields)
-        )
+        for ff, ef in zip(ffs, efs):
+            fd = ff.dataType
+            ed = ef.dataType
+            if fd is ed:
+                continue
+            cf = fd.__class__
+            if cf is ed.__class__:
+                if cf in _PARAMLESS_ATOMS:
+                    continue
+                if cf is T.StringType:  # one 'collation' parameter
+                    if fd.collation == ed.collation:
+                        continue
+                    return False
+            if not compare_data_type(fd, ed, mode):
+                return False
+        return True
 
     if mode.kind == "ordered":
-        if len(found.fields) != len(expected.fields):
+        ffs, efs = found.fields, expected.fields
+        if len(ffs) != len(efs):
             return False
-        return all(
-            mode.norm(ff.name) == mode.norm(ef.name)
-            and compare_data_type(ff.dataType, ef.dataType, mode)
-            for ff, ef in zip(found.fields, expected.fields)
-        )
+        if mode.case_insensitive:
+            for ff, ef in zip(ffs, efs):
+                if ff.name.lower() != ef.name.lower():
+                    return False
+                fd = ff.dataType
+                ed = ef.dataType
+                if fd is ed:
+                    continue
+                cf = fd.__class__
+                if cf is ed.__class__ and cf in _PARAMLESS_ATOMS:
+                    continue
+                if not compare_data_type(fd, ed, mode):
+                    return False
+            return True
+        for ff, ef in zip(ffs, efs):
+            if ff.name != ef.name:
+                return False
+            fd = ff.dataType
+            ed = ef.dataType
+            if fd is ed:
+                continue
+            cf = fd.__class__
+            if cf is ed.__class__ and cf in _PARAMLESS_ATOMS:
+                continue
+            if not compare_data_type(fd, ed, mode):
+                return False
+        return True
 
     fnd_by = _unique_fields_by_name(found, mode)
     exp_by = _unique_fields_by_name(expected, mode)

@@ -368,3 +368,56 @@ def test_duplicate_names_fail_self_comparison():
         [T.StructField("arr", T.ArrayType(dup))]
     )
     assert not C.unordered(nested, nested, case_insensitive=True)
+
+
+def test_name_index_cache_invalidated_by_same_length_mutation():
+    """Same-length in-place field REPLACEMENT (the round-3 ADVICE failure
+    mode): a length-keyed cache would serve a stale verdict; the tuple-
+    snapshot token must invalidate on ``fields[i] = other``."""
+    from pyspark.sql import types as T
+
+    a = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("y", T.StringType())]
+    )
+    b = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("y", T.StringType())]
+    )
+    assert C.unordered(a, b)  # primes both caches
+    # rename by replacement, same field count
+    b.fields[1] = T.StructField("z", T.StringType())
+    assert not C.unordered(a, b)
+    # type change by replacement, same names, same field count
+    b.fields[1] = T.StructField("y", T.LongType())
+    assert not C.unordered(a, b)
+    # restore -> matches again
+    b.fields[1] = T.StructField("y", T.StringType())
+    assert C.unordered(a, b)
+
+
+def test_dupfree_cache_invalidated_by_same_length_mutation():
+    """Replacing a field to introduce a (CI) duplicate name must defeat
+    the identity short-circuit's cached dup-free flag."""
+    from pyspark.sql import types as T
+
+    s = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("y", T.StringType())]
+    )
+    assert C.unordered(s, s, case_insensitive=True)  # primes dup-free cache
+    s.fields[1] = T.StructField("X", T.StringType())  # CI duplicate of 'x'
+    assert not C.unordered(s, s, case_insensitive=True)
+    # by-position never reads names, so the dup struct still self-matches
+    assert C.by_position(s, s)
+
+
+def test_positional_modes_self_match_with_duplicates():
+    """Ordered/by-position never consult the name index, so duplicate
+    names cannot fail them (SparkCore.scala:82-91) — including via the
+    identity short-circuit."""
+    from pyspark.sql import types as T
+
+    dup = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("x", T.LongType())]
+    )
+    assert C.by_position(dup, dup)
+    assert C.ordered(dup, dup, case_insensitive=False)
+    assert C.ordered(dup, dup, case_insensitive=True)
