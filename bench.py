@@ -127,12 +127,25 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the timed run will surface errors
 
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Min-of-n per query: a single-pass wall time conflates query cost
+    # with whatever else the container host is doing at that moment
+    # (round-3 showed uniform ~1.2x cross-container drift plus two
+    # outliers on untouched code).  The MIN over n interleaved full
+    # passes is the noise-robust estimator — any one quiet window per
+    # query suffices — so host contention can no longer masquerade as a
+    # regression.  Passes are interleaved (pass 1 runs every query, then
+    # pass 2, ...) so a noisy minute degrades one sample of many queries
+    # instead of every sample of one query.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    for _ in range(repeats):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            t = round(time.time() - t0, 3)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
 
     total = round(sum(timings.values()), 3)
 
@@ -142,44 +155,56 @@ def main() -> None:
     import glob
     import re as _re
 
-    prev_files = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_r*.json")),
-        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
-    )
-    if prev_files:
-        try:
-            with open(prev_files[-1]) as f:
-                prev = json.load(f)
-            # the driver wraps the bench line under "parsed"
-            prev = prev.get("parsed", prev)
-            prev_q = prev.get("queries", {})
-            prev_name = os.path.basename(prev_files[-1])
-            lines = [f"-- delta vs {prev_name} (sec, +slower/-faster) --"]
-            for name, t in timings.items():
-                p = prev_q.get(name)
-                if p is None:
-                    lines.append(f"{name:40s} {t:7.2f}    (new)")
-                else:
-                    d = t - p
-                    flag = "  <-- regression" if p > 0.3 and d > max(
-                        0.5, 0.5 * p
-                    ) else ""
-                    lines.append(
-                        f"{name:40s} {t:7.2f}  {d:+6.2f}{flag}"
-                    )
-            pt = prev.get("value")
-            if isinstance(pt, (int, float)):
-                lines.append(f"{'TOTAL':40s} {total:7.2f}  {total - pt:+6.2f}")
-            print("\n".join(lines), file=sys.stderr)
-        except Exception as e:  # delta report must never break the bench
-            print(f"(delta report unavailable: {e})", file=sys.stderr)
+    try:
+        # the whole report — including the glob+sort, whose regex
+        # dies on e.g. BENCH_rtest.json — must be non-fatal: all
+        # queries have already run by this point
+        matched = [
+            (int(m.group(1)), p)
+            for p in glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*.json",
+                )
+            )
+            if (m := _re.search(r"_r(\d+)\.json$", p))
+        ]
+        prev_files = [p for _, p in sorted(matched)]
+        if not prev_files:
+            raise FileNotFoundError("no prior BENCH_r{N}.json")
+        with open(prev_files[-1]) as f:
+            prev = json.load(f)
+        # the driver wraps the bench line under "parsed"
+        prev = prev.get("parsed", prev)
+        prev_q = prev.get("queries", {})
+        prev_name = os.path.basename(prev_files[-1])
+        lines = [f"-- delta vs {prev_name} (sec, +slower/-faster) --"]
+        for name, t in timings.items():
+            p = prev_q.get(name)
+            if p is None:
+                lines.append(f"{name:40s} {t:7.2f}    (new)")
+            else:
+                d = t - p
+                flag = "  <-- regression" if p > 0.3 and d > max(
+                    0.5, 0.5 * p
+                ) else ""
+                lines.append(
+                    f"{name:40s} {t:7.2f}  {d:+6.2f}{flag}"
+                )
+        pt = prev.get("value")
+        if isinstance(pt, (int, float)):
+            lines.append(f"{'TOTAL':40s} {total:7.2f}  {total - pt:+6.2f}")
+        print("\n".join(lines), file=sys.stderr)
+    except Exception as e:  # delta report must never break the bench
+        print(f"(delta report unavailable: {e})", file=sys.stderr)
 
     print(
         json.dumps(
             {
                 "metric": "query_inventory_wall_seconds",
                 "value": total,
+                "repeats": repeats,
+                "estimator": "min_per_query",
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

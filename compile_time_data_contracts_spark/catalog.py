@@ -162,12 +162,38 @@ def events_ts_is_legacy_nanos(spark: SparkSession, path: str) -> bool:
     rounds: TIMESTAMP(NANOS) (readable only as int64 under
     spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS)
     NTZ.  Probe the file footer (metadata only, no data scan) and report
-    which one this directory holds."""
+    which one this directory holds.
+
+    Config hygiene: the probe must run with nanosAsLong=true (a bare
+    read of a TIMESTAMP(NANOS) footer errors otherwise), but the conf is
+    a session-global read mode.  When the probe concludes MICROS — or
+    errors — the prior value is restored, so probing a micros directory
+    cannot silently flip how other genuinely-nanos parquet reads in the
+    session behave.  On the LEGACY outcome the conf intentionally stays
+    set: every subsequent lazy scan of these events files (bench runs,
+    gate queries, stream replays) executes under it, and restoring it
+    eagerly would fail those reads at action time."""
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    native = spark.read.parquet(path).schema["ts"].dataType
-    return isinstance(native, T.LongType)
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+
+    def _restore() -> None:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+    spark.conf.set(key, "true")
+    try:
+        native = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        _restore()
+        raise
+    legacy = isinstance(native, T.LongType)
+    if not legacy:
+        _restore()
+    return legacy
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -247,36 +247,61 @@ def lsh_candidate_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
-    # banded feeds both sides of the bucket self-join and sh feeds both
-    # verification joins — unpersisted, the shingle-explode pipeline
-    # would run 4x.  Both are docs-sized (ids + band longs / shingle
-    # sets), persisted with lineage intact; LRU eviction reclaims them.
+    # banded feeds both sides of the bucket self-join — unpersisted, the
+    # shingle-explode + minhash pipeline would run twice.  The cache is
+    # scoped, not leaked: the candidate id-pairs (tiny — ids only) are
+    # materialized with a reliable checkpoint, after which the banded
+    # cache is dropped in a finally block, so repeated calls in a
+    # long-lived session cannot accumulate cache entries.
     from pyspark import StorageLevel
 
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    try:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .checkpoint(eager=True)  # cut lineage; banded cache can go
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    finally:
+        banded.unpersist()
+    # attach shingle sets for verification only to surviving candidates:
+    # restrict the corpus to candidate docs FIRST (broadcast semi-join
+    # against the tiny checkpointed pair set), so the shingle
+    # collect_set state is candidate-sized, never corpus-sized — at
+    # 100 TB the full-corpus shingle table would dwarf memory, while
+    # candidates are the (rare) near-dup docs.  Sets come from
+    # collect_set over the codegen'd shingle rows, not the interpreted
+    # shingles() lambda (~100× cheaper per doc).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
-    # attach shingle sets for verification only to surviving candidates;
-    # sets come from collect_set over the codegen'd shingle rows, not the
-    # interpreted shingles() lambda (~100× cheaper per doc)
     sh = (
-        shingle_rows(df, id_col, text_col, n)
+        shingle_rows(
+            df.join(F.broadcast(cand_ids), id_col, "semi"),
+            id_col,
+            text_col,
+            n,
+        )
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # candidate-sized and consumed by BOTH verification joins:
+        # checkpoint instead of cache, so the corpus is scanned exactly
+        # once and no cache entry outlives the call
+        .checkpoint(eager=True)
     )
     return (
         cand.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
@@ -595,26 +620,34 @@ def connected_components_star(
     _ensure_checkpoint_dir(sc)
 
     # pairs feeds the initial edge build, the convergence signature,
-    # both symmetrize branches of round 1, and the final all_nodes
-    # join — ~5 evaluations of the (expensive) upstream pair pipeline
-    # without persistence.  The cache stays attached because the
-    # returned frame's lineage reaches all_nodes -> pairs; Spark's LRU
-    # eviction reclaims it.
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    all_nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .union(pairs.select(F.col(b_col).alias("node")))
-        .distinct()
+    # both all_nodes branches, and round 1 — ~5 evaluations of the
+    # (expensive) upstream pair pipeline without persistence.  Persist
+    # an INTERNAL projection (never the caller's object — its storage
+    # semantics stay untouched), checkpoint the two derived frames
+    # eagerly, and drop the cache in a finally block so nothing leaks
+    # to session LRU.
+    cached = pairs.select(F.col(a_col), F.col(b_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    # directed larger -> smaller, self-loops dropped
-    edges = (
-        pairs.select(
-            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
-            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+    try:
+        all_nodes = (
+            cached.select(F.col(a_col).alias("node"))
+            .union(cached.select(F.col(b_col).alias("node")))
+            .distinct()
+            .checkpoint(eager=True)
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+        # directed larger -> smaller, self-loops dropped
+        edges = (
+            cached.select(
+                F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+                F.least(F.col(a_col), F.col(b_col)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .checkpoint(eager=True)
+        )
+    finally:
+        cached.unpersist()
 
     def _signature(e: DataFrame) -> tuple[int, int]:
         # bit_xor: order-independent, overflow-free (a sum of 64-bit

@@ -822,8 +822,15 @@ def cosine_pairs_lsh(
     # branch (~4x; measured ~20 s of redundant compute at 100 k x 64).
     # MEMORY_AND_DISK keeps lineage intact (safe under executor loss,
     # unlike a localCheckpoint) and the footprint is n x (L+1) longs.
+    # The cache is scoped to this call: the pre-filtered candidate
+    # id-pairs are materialized with a reliable checkpoint below, after
+    # which the sigs cache is dropped in a finally block — nothing is
+    # left to session LRU.
     from pyspark import StorageLevel
 
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sigs").alias("t", "sig")
@@ -886,15 +893,22 @@ def cosine_pairs_lsh(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    cand = (
-        cand.join(sa, "vec_a")
-        .join(sb, "vec_b")
-        .withColumn(
-            "__frac", 1.0 - mismatched.cast("double") / F.lit(total_bits)
+    try:
+        cand = (
+            cand.join(sa, "vec_a")
+            .join(sb, "vec_b")
+            .withColumn(
+                "__frac", 1.0 - mismatched.cast("double") / F.lit(total_bits)
+            )
+            .filter(F.col("__frac") >= F.lit(frac_required - slack))
+            .select("vec_a", "vec_b")
+            # tiny (surviving id-pairs only); materializing here lets the
+            # sigs cache be released deterministically instead of leaking
+            # to session LRU
+            .checkpoint(eager=True)
         )
-        .filter(F.col("__frac") >= F.lit(frac_required - slack))
-        .select("vec_a", "vec_b")
-    )
+    finally:
+        sigs.unpersist()
     # exact verification: rejoin vectors for surviving candidates, then
     # batch the cosines through Arrow + numpy (one einsum per batch).
     # The per-pair JVM expression dot is an interpreted higher-order

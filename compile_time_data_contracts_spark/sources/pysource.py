@@ -54,10 +54,19 @@ class _SynthReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.num_partitions = int(options.get("partitions", 8))
+        # validate here, not in partitions(): a bad option should fail
+        # with a clear message at reader construction, not surface as a
+        # range()/ZeroDivisionError from inside Spark's task planning
+        if self.num_partitions < 1:
+            raise ValueError(
+                f"ctdc_synth: partitions must be >= 1, got {self.num_partitions}"
+            )
 
     def partitions(self):
         """Split [0, n) into contiguous id ranges — each executor task
         generates its own slice; nothing flows through the driver."""
+        if self.n <= 0:  # empty table: no splits (per would be 0)
+            return []
         per = -(-self.n // self.num_partitions)
         return [
             _RangePartition(lo, min(lo + per, self.n))
@@ -77,8 +86,12 @@ class _SynthStreamReader(SimpleDataSourceStreamReader):
     exactly-once over this source."""
 
     def __init__(self, options):
-        self.n = int(options.get("n", 1000))
+        self.n = max(0, int(options.get("n", 1000)))
         self.batch = int(options.get("batch", 1000))
+        if self.batch < 1:  # batch=0 would stall the stream silently
+            raise ValueError(
+                f"ctdc_synth: batch must be >= 1, got {self.batch}"
+            )
 
     def initialOffset(self):
         return {"offset": 0}

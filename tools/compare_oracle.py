@@ -5,12 +5,17 @@ the same sf dir, compares row count, column names, and an
 order-insensitive value hash (rows sorted, columns sorted by name,
 floats canonicalized).  Usage:
 
-    python tools/compare_oracle.py [sf_dir] [query_name ...]
+    python tools/compare_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+
+With --json, a full-inventory artifact (one entry per queries() key, in
+the driver's CORRECTNESS_r{N}.json shape) is written to OUT.json — the
+one-command regeneration path for ORACLE_r{N}.json.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -57,8 +62,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     from pyspark.sql import SparkSession
 
@@ -92,11 +103,24 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark error: {str(e)[:300]}",
+            }
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows ({dt:.1f}s) [no oracle]")
+            results[name] = {
+                "rows_only": True,
+                "spark_rows": len(srows),
+                "err": None,
+            }
             n_rowsonly += 1
             continue
         try:
@@ -105,6 +129,14 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": f"duckdb error: {str(e)[:300]}",
+            }
             n_fail += 1
             continue
         ok_cols = sorted(scols) == sorted(dcols)
@@ -112,6 +144,14 @@ def main() -> int:
         sh = value_hash(scols, srows)
         dh = value_hash(dcols, drows)
         ok_hash = sh == dh
+        results[name] = {
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         if ok_cols and ok_count and ok_hash:
             print(f"PASS  {name}: {len(srows)} rows ({dt:.1f}s)")
             n_pass += 1
@@ -131,6 +171,11 @@ def main() -> int:
                     print(f"        duck-only:  {x[:160]}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+            f.write("\n")
+        print(f"wrote {len(results)} entries to {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
