@@ -80,6 +80,7 @@ HEADLINE = [
     "q119_embedding_dedup_scrub",
     "q122_grouped_agg_pandas_udf",
     "q124_stream_static_join",
+    "q135_incremental_neardup",
 ]
 
 

@@ -30,8 +30,13 @@ __all__ = [
     "shingles",
     "jaccard_pairs",
     "minhash_signature",
+    "banded_signature_table",
+    "shingle_set_table",
     "lsh_candidate_pairs",
     "minhash_near_dup_pairs",
+    "minhash_index_build",
+    "minhash_index_reuse_or_build",
+    "near_dup_against",
     "keep_best_dedup",
     "connected_components",
     "connected_components_star",
@@ -215,6 +220,51 @@ def minhash_table(
     return sh_rows.groupBy(id_col).agg(*aggs)
 
 
+def banded_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band_id, band_hash): one 64-bit hash per signature band,
+    exploded to one row per (doc, band).  The shared building block of
+    the self-join path (:func:`lsh_candidate_pairs`) and the persisted
+    incremental index (:func:`minhash_index_build`).
+
+    The table carries ONLY ids and longs — the heavy shingle arrays
+    never enter the b×-exploded table or its shuffle.  Band hashes are
+    attribute refs over the aggregated h0..h{H-1} columns, so no
+    expression re-evaluation."""
+    rows = num_hashes // bands
+    sigs = minhash_table(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)])
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    )
+
+
+def shingle_set_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh array<string>): per-document distinct shingle sets via the
+    codegen'd explode + map-side-combined collect_set — the verification
+    payload for exact-Jaccard checks."""
+    return (
+        shingle_rows(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -233,20 +283,7 @@ def lsh_candidate_pairs(
     Returns distinct candidate (doc_a, doc_b) pairs with shingle arrays
     attached for verification.
     """
-    rows = num_hashes // bands
-    sigs = minhash_table(df, id_col, text_col, n, num_hashes)
-    # one 64-bit hash per band straight over the r signature columns —
-    # attribute refs post-aggregation, so no expression re-evaluation
-    band_cols = [
-        F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)])
-        for b in range(bands)
-    ]
-    # the banded table carries ONLY (id, band_id, band_hash): the heavy
-    # shingle arrays never enter the b×-exploded table or its shuffle
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
-    )
+    banded = banded_signature_table(df, id_col, text_col, n, num_hashes, bands)
     # banded feeds both sides of the bucket self-join — unpersisted, the
     # shingle-explode + minhash pipeline would run twice.  The cache is
     # scoped, not leaked: the candidate id-pairs (tiny — ids only) are
@@ -289,20 +326,12 @@ def lsh_candidate_pairs(
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = (
-        shingle_rows(
-            df.join(F.broadcast(cand_ids), id_col, "semi"),
-            id_col,
-            text_col,
-            n,
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh"))
+    sh = shingle_set_table(
+        df.join(F.broadcast(cand_ids), id_col, "semi"), id_col, text_col, n
         # candidate-sized and consumed by BOTH verification joins:
         # checkpoint instead of cache, so the corpus is scanned exactly
         # once and no cache entry outlives the call
-        .checkpoint(eager=True)
-    )
+    ).checkpoint(eager=True)
     return (
         cand.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
         .withColumnRenamed("sh", "sh_a")
@@ -330,6 +359,172 @@ def minhash_near_dup_pairs(
     cand = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, bands)
     return (
         cand.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_index_fingerprint(df: DataFrame, id_col: str) -> tuple[int, str]:
+    """Cheap content fingerprint of the corpus: (row count, max id as
+    string) — same scheme as the IVF index
+    (:func:`..similarity._ivf_fingerprint`): count comes from parquet
+    footers, the max is one column-pruned partial-agg scan, and it
+    catches a regenerated corpus that a path-exists check would miss."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.max(F.col(id_col).cast("string")).alias("mx"),
+    ).first()
+    return int(row["n"]), (row["mx"] if row["mx"] is not None else "")
+
+
+def minhash_index_build(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    fingerprint: tuple[int, str] | None = None,
+) -> None:
+    """Build and PERSIST a MinHash-LSH near-dup index so later batches
+    dedup *against* the corpus without re-shingling it — the
+    incremental-ingest pattern of a real training-data pipeline (new
+    crawl batches arrive daily; the corpus is re-processed never).
+
+    Two parquet tables plus metadata land under ``index_path``:
+
+      * ``bands``    — (id, band_id, band_hash) from
+        :func:`banded_signature_table`: ids + longs only, ~24 bytes per
+        (doc, band).  The probe side of every future batch join.
+      * ``shingles`` — (id, sh array<string>) from
+        :func:`shingle_set_table`: the exact-Jaccard verification
+        payload, fetched only for candidate docs at query time.
+      * ``meta``     — shingle/hash/band parameters + the corpus content
+        fingerprint, so :func:`near_dup_against` can refuse an index
+        whose parameters don't match and reuse logic can detect a
+        regenerated corpus.
+
+    One corpus pass each for bands and shingles; on a real cluster point
+    ``index_path`` at durable shared storage."""
+    spark = df.sparkSession
+    banded_signature_table(
+        df, id_col, text_col, n, num_hashes, bands
+    ).write.mode("overwrite").parquet(f"{index_path}/bands")
+    shingle_set_table(df, id_col, text_col, n).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/shingles")
+    fp = (
+        fingerprint
+        if fingerprint is not None
+        else _minhash_index_fingerprint(df, id_col)
+    )
+    spark.createDataFrame(
+        [(fp[0], fp[1], id_col, n, num_hashes, bands)],
+        "n_docs long, max_id string, id_col string, shingle_n int, "
+        "num_hashes int, bands int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def minhash_index_reuse_or_build(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> None:
+    """Build the index only when missing or stale: the persisted meta
+    fingerprint (row count + max id) and parameters must match the
+    current corpus, mirroring ``ivf_topk``'s reuse contract — a
+    regenerated corpus at the same path triggers a rebuild instead of
+    silently serving stale candidates."""
+    spark = df.sparkSession
+    fp = _minhash_index_fingerprint(df, id_col)
+    try:
+        m = spark.read.parquet(f"{index_path}/meta").first()
+        stale = m is None or (
+            (int(m["n_docs"]), m["max_id"]) != fp
+            or m["id_col"] != id_col
+            or (int(m["shingle_n"]), int(m["num_hashes"]), int(m["bands"]))
+            != (n, num_hashes, bands)
+        )
+    except Exception:
+        stale = True
+    if stale:
+        minhash_index_build(
+            df, index_path, id_col, text_col, n, num_hashes, bands,
+            fingerprint=fp,
+        )
+
+
+def near_dup_against(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and a persisted corpus index:
+    (doc_a = corpus id, doc_b = batch id, jaccard), exact-verified at
+    ``threshold``.  Only the batch is shingled/minhashed; the corpus
+    side is two parquet reads of the index — never recomputed, never
+    re-shuffled in full:
+
+      * candidates: the corpus ``bands`` table streams through a
+        broadcast hash join against the (small) batch band table — the
+        100 TB-corpus side is one columnar scan of ids+longs with no
+        shuffle and no sort,
+      * verification: candidate pairs join the index ``shingles`` table
+        (corpus side) and the batch's shingle sets; exact Jaccard
+        filters to >= threshold, so precision is 1 and recall is the
+        banding recall (>0.9999 at the default r=2, b=16 for s >= 0.5).
+
+    Self-pairs (a batch re-ingesting a doc id already in the corpus) are
+    excluded.  Intra-batch duplicates are out of scope by design — run
+    :func:`minhash_near_dup_pairs` on the batch for those.  Parameters
+    (shingle n, hashes, bands) come from the index meta so batch
+    signatures are always computed compatibly."""
+    m = spark.read.parquet(f"{index_path}/meta").first()
+    if m["id_col"] != id_col:
+        raise ValueError(
+            f"index at {index_path} was built on id column "
+            f"{m['id_col']!r}, not {id_col!r}"
+        )
+    n = int(m["shingle_n"])
+    num_hashes = int(m["num_hashes"])
+    bands = int(m["bands"])
+
+    corpus_bands = spark.read.parquet(f"{index_path}/bands")
+    batch_bands = banded_signature_table(
+        batch, id_col, text_col, n, num_hashes, bands
+    )
+    cand = (
+        corpus_bands.alias("c")
+        .join(
+            F.broadcast(batch_bands).alias("b"),
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"c.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_c = spark.read.parquet(f"{index_path}/shingles").select(
+        F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = shingle_set_table(batch, id_col, text_col, n).select(
+        F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cand.join(sh_c, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -21,9 +21,12 @@ from compile_time_data_contracts_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_index_build,
+    minhash_index_reuse_or_build,
     minhash_near_dup_pairs,
     minhash_signature,
     minhash_table,
+    near_dup_against,
     shingle_rows,
     shingles,
     simhash,
@@ -1766,3 +1769,79 @@ def test_lsh_recall_floor_monotonicity():
                 r = lsh_expected_recall(t, b, L, 0)
                 assert r >= prev - 1e-12
                 prev = r
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-batch near-dup index
+# ---------------------------------------------------------------------------
+
+
+def _index_file_state(path):
+    import glob
+    import os
+
+    return {
+        p: (os.path.getmtime(p), os.path.getsize(p))
+        for p in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+
+
+def test_near_dup_against_matches_from_scratch(docs, tmp_path, spark):
+    """Batch-vs-index pairs must equal the cross-set slice of a full
+    from-scratch jaccard_pairs run (precision 1, recall 1 on this tiny
+    planted corpus)."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "ndidx")
+    minhash_index_build(corpus, idx)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_against(spark, idx, batch, 0.5).collect()
+    }
+    full = jaccard_pairs(docs, threshold=0.5).collect()
+    want = {}
+    for r in full:
+        if r.doc_a % 2 == 0 and r.doc_b % 2 == 1:
+            want[(r.doc_a, r.doc_b)] = r.jaccard
+        elif r.doc_a % 2 == 1 and r.doc_b % 2 == 0:
+            want[(r.doc_b, r.doc_a)] = r.jaccard
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_near_dup_index_reuse_and_stale_rebuild(docs, tmp_path, spark):
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "ndidx")
+    minhash_index_reuse_or_build(corpus, idx)
+    state = _index_file_state(idx)
+    # unchanged corpus: second call must not rewrite any index file
+    minhash_index_reuse_or_build(corpus, idx)
+    assert _index_file_state(idx) == state
+    # regenerated (different) corpus at the same path: fingerprint
+    # mismatch must trigger a rebuild
+    minhash_index_reuse_or_build(docs, idx)
+    assert _index_file_state(idx) != state
+    # parameter mismatch rebuilds even at equal fingerprint
+    st2 = _index_file_state(idx)
+    minhash_index_reuse_or_build(docs, idx, bands=8)
+    assert _index_file_state(idx) != st2
+
+
+def test_near_dup_against_rejects_wrong_id_col(docs, tmp_path, spark):
+    idx = str(tmp_path / "ndidx")
+    minhash_index_build(docs, idx)
+    with pytest.raises(ValueError, match="id column"):
+        near_dup_against(spark, idx, docs, id_col="other_id")
+
+
+def test_near_dup_against_excludes_self_pairs(docs, tmp_path, spark):
+    """Re-ingesting docs already in the corpus must not report a doc as
+    a near-dup of itself."""
+    idx = str(tmp_path / "ndidx")
+    minhash_index_build(docs, idx)
+    pairs = near_dup_against(spark, idx, docs, 0.5).collect()
+    assert all(r.doc_a != r.doc_b for r in pairs)
+    # but true cross duplicates still surface (both orientations, since
+    # both docs sit in corpus AND batch)
+    assert {(r.doc_a, r.doc_b) for r in pairs} >= {(1, 2), (2, 1)}

@@ -225,6 +225,19 @@ CHECKS = {
         ("per-label counts partial-aggregated", True,
          lambda p: "partial_count" in p),
     ],
+    "q135_incremental_neardup": [
+        # the corpus side must be served entirely from the persisted
+        # index: exactly two documents.parquet scans (batch bands +
+        # batch shingles) and two index scans (bands + shingles) — a
+        # third corpus scan would mean the corpus was re-shingled
+        ("corpus not re-shingled (2 batch scans + 2 index scans)", True,
+         lambda p: p.count("documents.parquet") == 2
+         and p.count("ctdc-ndidx") == 2
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 4),
+        ("band probe is a broadcast join (corpus bands never shuffle)",
+         True, lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+    ],
     "q121_python_datasource": [
         ("custom source plans a real BatchScan", True,
          lambda p: "BatchScan ctdc_synth" in p),
