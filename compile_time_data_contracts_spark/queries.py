@@ -3988,8 +3988,10 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
     overwrite of the snapshot.  The join shuffles both sides by key
     once (at 100 TB: partition the snapshot by key-bucket and only
     rewrite buckets containing updates — the updates-side bucket list
-    prunes the rest).  Updates here are derived deterministically from
-    the data so the oracle replays the identical merge."""
+    prunes the rest; q136 + ``operators.merge.merge_upsert`` implement
+    exactly that and match this query's aggregate).  Updates here are
+    derived deterministically from the data so the oracle replays the
+    identical merge."""
     cust = load_table(spark, sf, "customer")
     region = load_table(spark, sf, "region")
     updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
@@ -4162,4 +4164,81 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     pairs = near_dup_against(spark, idx, batch, threshold=0.5)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@q(
+    "q136_bucket_pruned_merge",
+    """WITH updates AS (
+         SELECT c_custkey, c_name, c_nationkey,
+                round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT 900000 + r_regionkey, 'new-' || r_name,
+                r_regionkey, 0.0, 'NEW'
+         FROM region),
+       merged AS (
+         SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+                coalesce(u.c_name, c.c_name) AS c_name,
+                coalesce(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+                coalesce(u.c_acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+                coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+         FROM customer c FULL OUTER JOIN updates u
+           ON c.c_custkey = u.c_custkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN c_mktsegment = 'NEW' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_inserted,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal
+       FROM merged""",
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """The bucket-pruned MERGE q133's docstring promises, executed for
+    real: the customer snapshot is written partitioned by
+    pmod(xxhash64(key), 64), the SAME update batch as q133 is merged via
+    ``merge_upsert`` — reading and rewriting ONLY the buckets carrying
+    updated keys (PartitionFilters directory pruning + dynamic partition
+    overwrite; untouched buckets stay byte-identical, asserted by test)
+    — and the post-merge snapshot must aggregate identically to q133's
+    full-outer rewrite, which is exactly what the oracle recomputes.
+    A fresh snapshot per call keeps the query deterministic."""
+    import tempfile
+
+    from .operators.merge import merge_upsert, snapshot_read, snapshot_write
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    region = load_table(spark, sf, "region")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        region.select(
+            (F.lit(900000) + F.col("r_regionkey")).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("r_name")).alias("c_name"),
+            F.col("r_regionkey").cast("long").alias("c_nationkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="ctdc-merge-") + "/snap"
+    snapshot_write(cust, path, "c_custkey", num_buckets=64)
+    merge_upsert(spark, path, updates)
+    merged = snapshot_read(spark, path)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_mktsegment") == "NEW", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
     )
