@@ -68,6 +68,13 @@ _MODES = {
     for ci in (False, True)
 }
 
+# Hoisted instances for the public entry points: skips the per-call
+# tuple-key construction + dict probe (~10% of a whole by-position
+# comparison at the reference's 6-field benchmark schema).
+_BY_POSITION = _MODES[("by_position", False)]
+_UNORDERED_CI = _MODES[("unordered", True)]
+_UNORDERED_CS = _MODES[("unordered", False)]
+
 
 def duplicate_names(
     schema: T.StructType, case_insensitive: bool = True
@@ -431,7 +438,7 @@ class RuntimeSchemaComparator:
         """Unordered name equality; duplicate names on either side fail the
         match (SparkCore.scala:72-78, 93-103)."""
         return _compare_struct(
-            found, expected, _MODES[("unordered", case_insensitive)]
+            found, expected, _UNORDERED_CI if case_insensitive else _UNORDERED_CS
         )
 
     @staticmethod
@@ -446,7 +453,7 @@ class RuntimeSchemaComparator:
     @staticmethod
     def by_position(expected: T.StructType, found: T.StructType) -> bool:
         """Length + per-position type only (SparkCore.scala:82-84)."""
-        return _compare_struct(found, expected, _MODES[("by_position", False)])
+        return _compare_struct(found, expected, _BY_POSITION)
 
     @staticmethod
     def backward(

