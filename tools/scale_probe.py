@@ -17,8 +17,17 @@ them at >= 100k x 64:
   4. computes the q106-style recall contract: LSH pairs vs the exact
      blocked pairs at the same threshold — recall >= 0.9, precision 1
      (every LSH pair is exact-verified by construction),
-  5. writes SCALEBENCH.json at the repo root with wall times + the
-     assertion results.
+  5. merges an entry into SCALEBENCH.json at the repo root (keyed
+     `vectors_n{total}` so probes at several scales coexist) with wall
+     times + the assertion results.
+
+Above BLOCKED_MAX vectors (default 200k) the all-pairs exact path is
+O(n^2) and would dominate the probe (~40 min at 1M on 32 cores), so
+big-n runs switch the ground truth: recall is measured against the
+PLANTED pairs directly, and precision is checked by independently
+re-computing the exact cosine of a sample of emitted pairs in numpy
+(the operator already exact-verifies every candidate; the sample is an
+independent re-derivation, not a re-run of the same code path).
 
 Usage: python tools/scale_probe.py [n_vectors] [dim]   (default 100000 64)
 """
@@ -32,12 +41,16 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DEFAULT = 100_000
 DIM_DEFAULT = 64
 PLANTED_PAIRS = 1_000
 THRESHOLD = 0.9
 SEED = 20260813
+# above this, the all-pairs exact block grid is O(n^2) and the probe
+# switches to planted-pair recall + independent sample re-verification
+BLOCKED_MAX = 200_000
 
 
 def plan_of(df) -> str:
@@ -126,25 +139,31 @@ def main() -> None:
     total = emb.count()
     assert total == n + PLANTED_PAIRS
 
-    # --- 1. exact block-grid path, forced below the broadcast bound ----
-    t0 = time.perf_counter()
-    blocked = cosine_pairs(
-        emb, THRESHOLD, max_broadcast_bytes=16 << 20, n=total, dim=dim
-    )
-    plan = plan_of(blocked)
-    results["blocked_plan_cells"] = "FlatMapGroupsInPandas" in plan
-    results["blocked_plan_no_full_broadcast"] = "MapInPandas" not in plan
-    exact_pairs = {
-        (r.vec_a, r.vec_b) for r in blocked.collect()
-    }
-    results["blocked_sec"] = round(time.perf_counter() - t0, 2)
-    results["exact_pairs"] = len(exact_pairs)
-    # every planted pair must be found by the exact path (sanity: the
-    # perturbation keeps planted cosine far above the threshold)
-    planted_found = sum(
-        1 for i in range(PLANTED_PAIRS) if (i, n + i) in exact_pairs
-    )
-    results["planted_recovered_exact"] = planted_found
+    big = total > BLOCKED_MAX
+    results["mode"] = "planted_truth" if big else "exact_truth"
+
+    exact_pairs: set | None = None
+    planted_found = PLANTED_PAIRS
+    if not big:
+        # --- 1. exact block-grid path, forced below the broadcast bound
+        t0 = time.perf_counter()
+        blocked = cosine_pairs(
+            emb, THRESHOLD, max_broadcast_bytes=16 << 20, n=total, dim=dim
+        )
+        plan = plan_of(blocked)
+        results["blocked_plan_cells"] = "FlatMapGroupsInPandas" in plan
+        results["blocked_plan_no_full_broadcast"] = "MapInPandas" not in plan
+        exact_pairs = {
+            (r.vec_a, r.vec_b) for r in blocked.collect()
+        }
+        results["blocked_sec"] = round(time.perf_counter() - t0, 2)
+        results["exact_pairs"] = len(exact_pairs)
+        # every planted pair must be found by the exact path (sanity: the
+        # perturbation keeps planted cosine far above the threshold)
+        planted_found = sum(
+            1 for i in range(PLANTED_PAIRS) if (i, n + i) in exact_pairs
+        )
+        results["planted_recovered_exact"] = planted_found
 
     # --- 2. LSH auto-bits at representative n ---------------------------
     # the operator sizes buckets with this same function when bits=None;
@@ -164,12 +183,41 @@ def main() -> None:
     results["lsh_pairs"] = len(lsh_pairs)
 
     # --- 3. recall contract (q106-style) --------------------------------
-    if exact_pairs:
-        hit = len(lsh_pairs & exact_pairs)
-        recall = hit / len(exact_pairs)
+    if not big:
+        # ground truth = the exact blocked pairs
+        if exact_pairs:
+            hit = len(lsh_pairs & exact_pairs)
+            recall = hit / len(exact_pairs)
+        else:
+            recall = 1.0
+        precision_violations = len(lsh_pairs - exact_pairs)
     else:
-        recall = 1.0
-    precision_violations = len(lsh_pairs - exact_pairs)
+        # ground truth = the planted construction; precision checked by
+        # independently re-computing cosines of a sample of emitted
+        # pairs in numpy (not the operator's own verify path)
+        import numpy as np
+
+        planted = {(i, n + i) for i in range(PLANTED_PAIRS)}
+        recall = len(lsh_pairs & planted) / PLANTED_PAIRS
+        results["unplanted_pairs"] = len(lsh_pairs - planted)
+
+        sample = sorted(lsh_pairs)[:2000]
+        ids = sorted({i for p in sample for i in p})
+        vec_rows = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in vec_rows}
+        precision_violations = 0
+        for a, b in sample:
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb) / (
+                float(np.linalg.norm(va)) * float(np.linalg.norm(vb))
+            )
+            if cos < THRESHOLD - 1e-9:
+                precision_violations += 1
+        results["sample_verified_pairs"] = len(sample)
     results["recall"] = round(recall, 4)
     results["precision_violations"] = precision_violations
 
@@ -204,9 +252,7 @@ def main() -> None:
     )
 
     ok = (
-        results["blocked_plan_cells"]
-        and results["blocked_plan_no_full_broadcast"]
-        and results["auto_bits_scales"]
+        results["auto_bits_scales"]
         and chosen_bits == results["auto_bits_expected"]
         and planted_found == PLANTED_PAIRS
         and recall >= 0.9
@@ -214,16 +260,18 @@ def main() -> None:
         and results["ivf_partition_pruned"]
         and results["ivf_recall_at_10"] >= 0.8
     )
+    if not big:
+        ok = (
+            ok
+            and results["blocked_plan_cells"]
+            and results["blocked_plan_no_full_broadcast"]
+        )
     results["ok"] = ok
-    out = {
-        "metric": "scale_probe",
-        "value": results.get("blocked_sec", 0) + results.get("lsh_sec", 0),
-        "unit": "sec",
-        "results": results,
-    }
-    with open("/root/repo/SCALEBENCH.json", "w") as f:
-        f.write(json.dumps(out) + "\n")
-    print(json.dumps(out))
+
+    from scalebench import merge_entry
+
+    doc = merge_entry(f"vectors_n{total}", results)
+    print(json.dumps(doc))
     sys.exit(0 if ok else 1)
 
 

@@ -20,7 +20,8 @@ any gate.  This probe:
      construction),
   3. clusters the found pairs with connected_components and checks the
      planted pairs collapse to one representative each,
-  4. appends a text section into SCALEBENCH.json.
+  4. merges a `text_n{total}` entry into SCALEBENCH.json (keyed by
+     scale, so 100k and 1M runs coexist).
 
 Usage: python tools/scale_probe_text.py [n_docs]   (default 100000)
 """
@@ -33,6 +34,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DEFAULT = 100_000
 PLANTED = 1_000
@@ -129,16 +131,10 @@ def main() -> None:
     )
     results["ok"] = ok
 
-    # append into SCALEBENCH.json next to the vector probe
-    bench_path = "/root/repo/SCALEBENCH.json"
-    try:
-        with open(bench_path) as f:
-            existing = json.loads(f.read().strip())
-    except Exception:
-        existing = {"metric": "scale_probe"}
-    existing["text"] = results
-    with open(bench_path, "w") as f:
-        f.write(json.dumps(existing) + "\n")
+    # merge into SCALEBENCH.json next to the vector probe, keyed by scale
+    from scalebench import merge_entry
+
+    merge_entry(f"text_n{n + PLANTED}", results)
     print(json.dumps({"metric": "scale_probe_text", "results": results}))
     sys.exit(0 if ok else 1)
 

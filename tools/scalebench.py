@@ -1,0 +1,45 @@
+"""Shared SCALEBENCH.json writer for the tools/scale_probe* scripts.
+
+SCALEBENCH.json holds one entry per (probe family, scale), keyed like
+`vectors_n101000` / `text_n1001000` / `skew_join_n10000000`, so probes
+at several scales coexist instead of each run overwriting the last:
+
+    {"metric": "scale_probe", "unit": "sec",
+     "entries": {"vectors_n101000": {...}, "text_n101000": {...}, ...}}
+
+`merge_entry` also migrates the legacy round-3 shape (top-level
+"results" = the 101k vector probe, "text" = the 101k text probe) into
+the keyed form on first contact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+BENCH_PATH = os.path.join(os.path.dirname(__file__), "..", "SCALEBENCH.json")
+
+
+def _load() -> dict:
+    try:
+        with open(BENCH_PATH) as f:
+            doc = json.loads(f.read().strip())
+    except Exception:
+        doc = {}
+    entries = doc.get("entries", {})
+    # migrate the legacy single-run shape
+    legacy_vec = doc.get("results")
+    if isinstance(legacy_vec, dict) and "n" in legacy_vec:
+        entries.setdefault(f"vectors_n{legacy_vec['n']}", legacy_vec)
+    legacy_text = doc.get("text")
+    if isinstance(legacy_text, dict) and "n_docs" in legacy_text:
+        entries.setdefault(f"text_n{legacy_text['n_docs']}", legacy_text)
+    return {"metric": "scale_probe", "unit": "sec", "entries": entries}
+
+
+def merge_entry(key: str, results: dict) -> dict:
+    doc = _load()
+    doc["entries"][key] = results
+    with open(BENCH_PATH, "w") as f:
+        f.write(json.dumps(doc) + "\n")
+    return doc
