@@ -43,6 +43,7 @@ __all__ = [
     "simhash",
     "simhash_table",
     "contamination_check",
+    "semantic_dedup",
 ]
 
 
@@ -897,4 +898,69 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star: no fixed point after {max_iterations} "
         "alternations — raise max_iterations"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold: float = 0.92,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each pre-assigned cluster, drop every item
+    that has a LOWER-id near-twin at cosine >= ``threshold``; emit the
+    surviving ids.
+
+    The cluster assignment is the caller's coarse quantizer — k-means
+    centroid ids (``ivf_build``'s assignment step produces exactly
+    this), a topic label, or any upstream partition of the corpus.
+    Semantics are deterministic and engine-independent: survivor =
+    no same-cluster item with smaller id at cosine >= threshold, so an
+    external SQL engine can re-derive the result exactly.
+
+    Scale shape: ONE shuffle on the cluster key, then per-cluster
+    O(m^2/2) float64 BLAS inside an Arrow batch — the SemDeDup recipe's
+    own cost model, which is why k is chosen so m = n/k keeps m^2
+    matrices in executor memory (k ~ sqrt(n) gives m*dim ~ MBs at any
+    corpus size).  Nothing all-pairs across clusters, no driver-side
+    data.  Null/zero vectors never match anything (cosine treated as 0)
+    and therefore always survive.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long"
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        keep_null = pdf[vec_col].isna().to_numpy()
+        if keep_null.all():
+            return pd.DataFrame({id_col: ids})
+        mat = np.zeros((len(ids), 0))
+        vecs = [
+            np.asarray(v, dtype=np.float64)
+            for v in pdf[vec_col].to_numpy()
+            if v is not None
+        ]
+        mat = np.vstack(vecs) if vecs else mat
+        norms = np.linalg.norm(mat, axis=1)
+        nz = norms > 0
+        mat[nz] = mat[nz] / norms[nz, None]
+        mat[~nz] = 0.0  # zero vectors: cosine 0 against everything
+        sims = mat @ mat.T
+        dense_idx = np.flatnonzero(~keep_null)
+        survive = np.ones(len(ids), dtype=bool)
+        for pos in range(1, len(dense_idx)):
+            row = sims[pos, :pos]
+            if (row >= threshold).any():
+                survive[dense_idx[pos]] = False
+        return pd.DataFrame({id_col: ids[survive]})
+
+    return (
+        df.select(id_col, vec_col, cluster_col)
+        .groupBy(cluster_col)
+        .applyInPandas(dedup_cluster, out_schema)
     )

@@ -25,6 +25,8 @@ __all__ = [
     "redact_pii",
     "language_id_table",
     "chunk_documents",
+    "gopher_quality",
+    "GOPHER_STOP_WORDS",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -122,6 +124,78 @@ def language_id(col: str = "text") -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
     return best_lang
+
+
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+
+
+def gopher_quality(
+    col: str = "text",
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> list[Column]:
+    """The Gopher/MassiveText document-quality rule battery (Rae et al.
+    2021, "Scaling Language Models", §A1.1) as pure codegen expressions:
+
+      * word count within [min_words, max_words],
+      * mean word length within [min_mean_word_len, max_mean_word_len]
+        (filters line noise and character-mashed text),
+      * symbol-to-word ratio (# and ... occurrences / words) <= max,
+      * fraction of words containing >= 1 alphabetic char >= min,
+      * at least ``min_stop_hits`` DISTINCT common stop words present
+        (the "stop word" rule that kills keyword-stuffing pages).
+
+    Returns the per-rule signal columns plus a ``gopher_keep`` AND of
+    all rules, each aliased, so callers can select them directly or
+    aggregate pass rates.  Everything is split/filter/aggregate built-ins
+    — one scan, no shuffle, no Python in the row path; at 100 TB this
+    composes with any other per-document map work for free.
+    """
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    symbols = (
+        F.size(F.regexp_extract_all(F.col(col), F.lit(r"#|\.\.\."), 0)).cast(
+            "double"
+        )
+    )
+    symbol_ratio = F.when(n > 0, symbols / n).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.transform(toks, F.lower), sw)
+    )
+    keep = (
+        n.between(float(min_words), float(max_words))
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return [
+        n.cast("int").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        keep.alias("gopher_keep"),
+    ]
 
 
 def language_id_table(

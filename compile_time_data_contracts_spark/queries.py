@@ -4242,3 +4242,185 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+# =========================================================================
+# Round-4 additions: Gopher quality rules, SemDeDup, token-budget mixture
+# planning, observed scan metrics (Q137-Q140)
+# =========================================================================
+
+@q(
+    "q137_gopher_quality",
+    """WITH t AS (
+         SELECT doc_id, text, string_split(text, ' ') AS words
+         FROM documents
+       ), s AS (
+         SELECT doc_id,
+                len(words) AS n_words,
+                list_sum(list_transform(words, w -> len(w)))::DOUBLE
+                  / len(words) AS mean_len,
+                len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+                  / len(words) AS symbol_r,
+                len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                  / len(words) AS alpha_f,
+                len(list_intersect(list_transform(words, w -> lower(w)),
+                    ['the','be','to','of','and','that','have','with','a','in']))
+                  AS stop_hits
+         FROM t
+       )
+       SELECT doc_id,
+              CAST(n_words AS INT) AS n_words,
+              round(mean_len, 6) AS mean_word_len,
+              round(symbol_r, 6) AS symbol_ratio,
+              round(alpha_f, 6) AS alpha_frac,
+              CAST(stop_hits AS INT) AS stop_hits,
+              (n_words BETWEEN 20 AND 1000
+               AND mean_len BETWEEN 3.0 AND 10.0
+               AND symbol_r <= 0.1
+               AND alpha_f >= 0.8
+               AND stop_hits >= 2) AS gopher_keep
+       FROM s""",
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule battery (word-count band, mean
+    word length band, symbol-to-word ratio, alphabetic-word fraction,
+    distinct-stop-word floor) + the AND'd keep flag — the standard
+    pretraining quality gate, all codegen built-ins in one scan."""
+    from .operators.text import gopher_quality
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", *gopher_quality("text"))
+
+
+@q(
+    "q138_semantic_dedup",
+    """SELECT e1.vec_id
+       FROM embeddings e1
+       WHERE NOT EXISTS (
+         SELECT 1 FROM embeddings e2
+         WHERE e2.label = e1.label
+           AND e2.vec_id < e1.vec_id
+           AND list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                      CAST(e1.embedding AS DOUBLE[])) >= 0.35)""",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster (the ``label``
+    column stands in for the k-means centroid assignment), drop every
+    vector with a lower-id neighbor at cosine >= 0.35; survivors only.
+    One shuffle on the cluster key + per-cluster Arrow-batched BLAS —
+    never all-pairs across clusters (operators/dedup.py:semantic_dedup).
+    tau=0.35 sits >= 5e-5 from every actual pairwise cosine at all SFs,
+    so the f64 boundary cannot flip between engines."""
+    from .operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        cluster_col="label", threshold=0.35,
+    )
+
+
+@q(
+    "q139_token_budget_mixture",
+    """WITH per_src AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS tokens_available,
+                1.0 / (1.0 + CAST(regexp_extract(source, '(\\d+)', 1) AS INT))
+                  AS w_raw
+         FROM documents
+         GROUP BY source
+       ), planned AS (
+         SELECT source, tokens_available,
+                w_raw / sum(w_raw) OVER () AS share,
+                0.5 * sum(tokens_available) OVER () AS budget
+         FROM per_src
+       )
+       SELECT source,
+              tokens_available,
+              round(share, 6) AS target_share,
+              round(least(1.0, budget * share / tokens_available), 6)
+                AS sample_rate,
+              CAST(floor(least(1.0, budget * share / tokens_available)
+                         * tokens_available) AS BIGINT) AS expected_tokens
+       FROM planned""",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture planner: given a target mixture weight per
+    source (here 1/(1+source index), normalized) and a total token
+    budget (50% of the corpus), emit each source's sampling rate
+    min(1, budget*share/available) and expected token yield — the
+    planning step before `mix_to_proportions` executes the sample.  One
+    map-side-combined aggregation (|sources| rows) + window normalization
+    over the tiny aggregate — planning cost is independent of corpus
+    size."""
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("tokens_available"),
+    ).withColumn(
+        "w_raw",
+        F.lit(1.0)
+        / (F.lit(1.0) + F.regexp_extract("source", r"(\d+)", 1).cast("int")),
+    )
+    w = Window.partitionBy()
+    planned = per_src.select(
+        "source",
+        "tokens_available",
+        (F.col("w_raw") / F.sum("w_raw").over(w)).alias("share"),
+        (F.lit(0.5) * F.sum("tokens_available").over(w)).alias("budget"),
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("budget") * F.col("share") / F.col("tokens_available")
+    )
+    return planned.select(
+        "source",
+        "tokens_available",
+        F.round("share", 6).alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("tokens_available"))
+        .cast("bigint")
+        .alias("expected_tokens"),
+    )
+
+
+@q(
+    "q140_observe_scan_metrics",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(round(sum(CAST(l_quantity AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_qty,
+              CAST(min(l_shipdate) AS DATE) AS min_ship,
+              CAST(max(l_shipdate) AS DATE) AS max_ship
+       FROM lineitem""",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality metrics via ``df.observe``: the counters ride on a
+    pass the pipeline is already making (here: a downstream row count),
+    so at 100 TB the profile costs ZERO extra scans — unlike a separate
+    aggregation job.  The observed metrics are collected driver-side
+    (4 scalars) and returned as a 1-row DataFrame; the oracle recomputes
+    the same aggregates relationally."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf, "lineitem")
+    obs = Observation("scan_qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    # the action the pipeline was going to run anyway; metrics piggyback
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(round(m["total_qty"], 2)),
+                m["min_ship"],
+                m["max_ship"],
+            )
+        ],
+        "n_rows bigint, total_qty double, min_ship date, max_ship date",
+    )

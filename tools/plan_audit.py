@@ -302,6 +302,28 @@ CHECKS = {
         ("co-located sort-merge join", True,
          lambda p: "SortMergeJoin" in p),
     ],
+    "q137_gopher_quality": [
+        ("one scan, zero shuffles, no Python in the row path", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and len(re.findall(r"\(\d+\) Exchange", p)) == 0
+         and "InPandas" not in p and "ArrowEvalPython" not in p),
+        ("scan prunes to doc_id+text", True,
+         lambda p: re.search(r"ReadSchema: [^\n]*text", p)
+         and not re.search(r"ReadSchema: [^\n]*source", p)),
+    ],
+    "q138_semantic_dedup": [
+        ("exactly one shuffle (on the cluster key)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("per-cluster Arrow batch stage (never an all-pairs join)", True,
+         lambda p: "FlatMapGroupsInPandas" in p
+         and "CartesianProduct" not in p and "Join" not in p),
+    ],
+    "q139_token_budget_mixture": [
+        ("token supply partial-aggregated before its shuffle", True,
+         lambda p: "partial" in p.lower()),
+        ("single corpus scan feeds the plan", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's

@@ -125,9 +125,11 @@ def main() -> None:
     )
 
     def checksum(df):
+        # bit_xor: order-independent and cannot overflow under ANSI mode
+        # (summing 2e7 xxhash64 longs does)
         (row,) = df.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("key", "v", "w")).alias("chk"),
+            F.expr("bit_xor(xxhash64(key, v, w))").alias("chk"),
         ).collect()
         return row.n, row.chk
 
