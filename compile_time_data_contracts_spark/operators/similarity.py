@@ -832,12 +832,29 @@ def cosine_pairs_lsh(
 
     _ensure_checkpoint_dir(df.sparkSession.sparkContext)
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode("sigs").alias("t", "sig")
+    # Bucket rows CARRY the (int-cast, b <= 20 bits) signature array so
+    # the Hamming pre-filter below applies inside the bucket-join
+    # projection — BEFORE any pair row shuffles onward.  The earlier
+    # two-phase form (emit bare id-pairs, then join the signature arrays
+    # back on by pair id, twice) scaled with the RAW candidate count: on
+    # clustered corpora at 10^6 vectors the intra-cluster buckets emit
+    # O(10^8) candidates and the pair-keyed array joins shuffled >100 GB
+    # (sort-merge spill exhausted local disk).  Carrying the arrays
+    # through the bucket join costs n·L·~(4·L+24) bytes of join input —
+    # ~8 GB at n=10^6, L=41 — and the pair stream leaves the join
+    # already noise-filtered (survivors ~ true pairs + a 6σ noise tail),
+    # so nothing downstream ever sees the candidate explosion.
+    sig_type = "int" if bits <= 30 else "bigint"  # sig in [0, 2^bits)
+    packed = sigs.select(
+        F.col(id_col),
+        F.transform("sigs", lambda s: s.cast(sig_type)).alias("__sg"),
+    )
+    buckets = packed.select(
+        F.col(id_col), "__sg", F.posexplode("__sg").alias("t", "sig")
     )
     # probe side: the exact signature plus single-bit flips; emitted on
     # one side only — a pair differing in bit i collides when the probe
-    # side flips i.  Row count n·L·(1 + probes·b): all ints, tiny.
+    # side flips i.  Row count n·L·(1 + probes·b).
     if probes >= 1:
         flips = F.array(
             F.col("sig"),
@@ -849,59 +866,46 @@ def cosine_pairs_lsh(
     else:
         flips = F.array(F.col("sig"))
     probe_side = buckets.select(
-        F.col(id_col), "t", F.explode(flips).alias("sig")
-    )
-    cand = (
-        probe_side.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+        F.col(id_col), "__sg", "t", F.explode(flips).alias("sig")
     )
 
     # signature pre-filter: estimate the angle from Hamming agreement
     # over all tables·bits hyperplane signs BEFORE touching vectors.
-    # Candidate volume at scale is noise-dominated; joining the 16-long
-    # signature arrays instead of the d-float vectors cuts the verify
-    # shuffle ~4-30×, and the noise/signal gap in sign-agreement is
-    # several σ wide, so a 4σ slack keeps recall loss negligible.
+    # Candidate volume at scale is noise-dominated; the noise/signal gap
+    # in sign-agreement is several σ wide, so a 4σ slack keeps recall
+    # loss negligible while rejecting ~all below-threshold collisions.
     import math as _math
 
     total_bits = bits * tables
     frac_required = 1.0 - _math.acos(min(max(threshold, -1.0), 1.0)) / _math.pi
     slack = 4.0 * 0.5 / _math.sqrt(total_bits)
-    mask = (1 << bits) - 1
-    sa = sigs.select(
-        F.col(id_col).alias("vec_a"), F.col("sigs").alias("__sa")
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("vec_b"), F.col("sigs").alias("__sb")
-    )
     mismatched = F.aggregate(
         F.zip_with(
-            F.col("__sa"),
-            F.col("__sb"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y).bitwiseAND(F.lit(mask))),
+            F.col("a.__sg"),
+            F.col("b.__sg"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
         ),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     try:
         cand = (
-            cand.join(sa, "vec_a")
-            .join(sb, "vec_b")
-            .withColumn(
-                "__frac", 1.0 - mismatched.cast("double") / F.lit(total_bits)
+            probe_side.alias("a")
+            .join(
+                buckets.alias("b"),
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            .filter(F.col("__frac") >= F.lit(frac_required - slack))
-            .select("vec_a", "vec_b")
+            .filter(
+                1.0 - mismatched.cast("double") / F.lit(total_bits)
+                >= F.lit(frac_required - slack)
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("vec_a"),
+                F.col(f"b.{id_col}").alias("vec_b"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
             # tiny (surviving id-pairs only); materializing here lets the
             # sigs cache be released deterministically instead of leaking
             # to session LRU

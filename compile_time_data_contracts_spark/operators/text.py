@@ -27,6 +27,7 @@ __all__ = [
     "chunk_documents",
     "gopher_quality",
     "GOPHER_STOP_WORDS",
+    "bm25_scores",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -461,3 +462,66 @@ def bigram_lm(df, text_col: str = "text"):
         "n_pair",
         (F.col("n_pair") / F.col("__n_w1")).alias("p"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag-of-terms
+    query: (id, bm25) for documents matching at least one term.
+
+    idf(t) = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)       (the Lucene
+    non-negative variant), tf saturated by k1 and length-normalized by b
+    against the corpus mean document length.
+
+    Scale shape: corpus statistics (N, avgdl) are ONE map-side-combined
+    aggregate broadcast back as a single row; per-term document
+    frequencies aggregate to |terms| rows (broadcast); term frequencies
+    come from one explode filtered to the query terms BEFORE the
+    shuffle, so the exchanged rows are (matching doc, term) only — at
+    100 TB the score join never moves non-matching documents.  All
+    arithmetic is IEEE double in a fixed order, reproducible by an
+    external SQL engine.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__dl"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    hits = base.select(
+        id_col, "__dl", F.explode("__t").alias("__term")
+    ).filter(F.array_contains(terms, F.col("__term")))
+    tf = hits.groupBy(id_col, "__term", "__dl").agg(
+        F.count("*").cast("double").alias("__tf")
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count("*").cast("double").alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1
+                    * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("__s").alias("bm25"))

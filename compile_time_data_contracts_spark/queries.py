@@ -4424,3 +4424,150 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "n_rows bigint, total_qty double, min_ship date, max_ship date",
     )
+
+
+@q(
+    "q141_bm25_scores",
+    """WITH base AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                len(string_split(lower(text), ' ')) AS dl
+         FROM documents
+       ), stats AS (
+         SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base
+       ), hits AS (
+         SELECT doc_id, dl, unnest(toks) AS term FROM base
+       ), tf AS (
+         SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         FROM hits
+         WHERE term IN ('table', 'merge', 'window', 'spark')
+         GROUP BY doc_id, term, dl
+       ), dfreq AS (
+         SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+       )
+       SELECT tf.doc_id,
+              round(sum(
+                ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+              ), 6) AS bm25
+       FROM tf, dfreq, stats
+       WHERE tf.term = dfreq.term
+       GROUP BY tf.doc_id""",
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 scoring of the corpus against a bag-of-terms query
+    (terms 'table merge window spark'): Lucene-variant idf, k1=1.2
+    b=0.75 length normalization.  Corpus stats broadcast as one row,
+    per-term document frequencies broadcast as |terms| rows, and the
+    explode is filtered to query terms BEFORE any shuffle — non-matching
+    documents never move (operators/text.py:bm25_scores)."""
+    from .operators.text import bm25_scores
+
+    docs = load_table(spark, sf, "documents")
+    scored = bm25_scores(docs, ["table", "merge", "window", "spark"])
+    return scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
+@q(
+    "q142_hybrid_rrf_fusion",
+    """WITH base AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                len(string_split(lower(text), ' ')) AS dl
+         FROM documents
+       ), stats AS (
+         SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base
+       ), hits AS (
+         SELECT doc_id, dl, unnest(toks) AS term FROM base
+       ), tf AS (
+         SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         FROM hits
+         WHERE term IN ('table', 'merge', 'window', 'spark')
+         GROUP BY doc_id, term, dl
+       ), dfreq AS (
+         SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+       ), bm AS (
+         SELECT tf.doc_id,
+                sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+                ) AS bm25
+         FROM tf, dfreq, stats
+         WHERE tf.term = dfreq.term
+         GROUP BY tf.doc_id
+       ), bm_rank AS (
+         -- rank on the ROUNDED score: mathematically-tied docs (same
+         -- tf/dl profile) must collapse to the id tiebreak in both
+         -- engines, not to summation-order ulps
+         SELECT doc_id,
+                row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS r
+         FROM bm QUALIFY r <= 100
+       ), qv AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         WHERE vec_id = 0
+       ), cos_rank AS (
+         SELECT vec_id AS doc_id,
+                row_number() OVER (
+                  ORDER BY list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), qv.v) DESC,
+                           vec_id) AS r
+         FROM embeddings e, qv
+         WHERE vec_id <> 0
+         QUALIFY r <= 100
+       )
+       SELECT b.doc_id,
+              CAST(b.r AS INT) AS bm25_rank,
+              CAST(c.r AS INT) AS cosine_rank,
+              round(1.0 / (60 + b.r) + 1.0 / (60 + c.r), 6) AS rrf
+       FROM bm_rank b JOIN cos_rank c USING (doc_id)""",
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 top-100
+    (q141's scorer) fused with the embedding-cosine top-100 for query
+    vector vec_id=0 — rrf = 1/(60+r_lex) + 1/(60+r_vec) over ids in
+    both lists.  Ranks are integers with deterministic id tiebreaks, so
+    the fusion is exactly reproducible.  At 100 TB each list is
+    TakeOrdered-k (per-partition heaps, k-row driver merge) — the
+    fusion join touches 2k rows, never the corpus."""
+    from .operators.similarity import cosine
+    from .operators.text import bm25_scores
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    bm = bm25_scores(docs, ["table", "merge", "window", "spark"]).select(
+        "doc_id", F.round("bm25", 6).alias("bm25")
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = (
+        bm.withColumn("r", F.row_number().over(w_bm)).filter(F.col("r") <= 100)
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    w_cos = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    cos_rank = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", cosine(F.col("embedding"), F.col("__qv")).alias("cos")
+        )
+        .withColumn("r", F.row_number().over(w_cos))
+        .filter(F.col("r") <= 100)
+    )
+    return (
+        bm_rank.select("doc_id", F.col("r").alias("bm25_rank"))
+        .join(
+            cos_rank.select(
+                F.col("vec_id").alias("doc_id"), F.col("r").alias("cosine_rank")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+            F.col("cosine_rank").cast("int").alias("cosine_rank"),
+            F.round(
+                1.0 / (60 + F.col("bm25_rank")) + 1.0 / (60 + F.col("cosine_rank")),
+                6,
+            ).alias("rrf"),
+        )
+    )

@@ -1924,3 +1924,33 @@ def test_semantic_dedup_chain_semantics(spark):
     )
     kept = {r.vec_id for r in semantic_dedup(df, threshold=0.99).collect()}
     assert kept == {1}
+
+
+def test_bm25_scores_match_hand_computation(spark):
+    """3-doc corpus, single-term query — BM25 verified against the
+    closed-form number."""
+    import math
+
+    from compile_time_data_contracts_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),        # tf(cat)=2, dl=3
+            (2, "dog bird"),           # no cat
+            (3, "cat fish fish fish"),  # tf(cat)=1, dl=4
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, ["cat"]).collect()
+    }
+    n, avgdl, k1, b = 3.0, 3.0, 1.2, 0.75
+    idf = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(got) == {1, 3}
+    assert abs(got[1] - score(2, 3)) < 1e-12
+    assert abs(got[3] - score(1, 4)) < 1e-12

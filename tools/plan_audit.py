@@ -324,6 +324,23 @@ CHECKS = {
         ("single corpus scan feeds the plan", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
+    "q141_bm25_scores": [
+        ("term stats joined by broadcast (corpus never re-shuffles "
+         "against them)", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge join anywhere (only matching (doc,term) rows "
+         "shuffle, for the tf aggregate)", True,
+         lambda p: "SortMergeJoin" not in p),
+        ("tf aggregate partial-combined", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q142_hybrid_rrf_fusion": [
+        ("query vector broadcast into the cosine scan", True,
+         lambda p: p.count("BroadcastNestedLoopJoin")
+         + p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian beyond the 1-row query-vector broadcast", True,
+         lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's
