@@ -81,6 +81,9 @@ HEADLINE = [
     "q122_grouped_agg_pandas_udf",
     "q124_stream_static_join",
     "q135_incremental_neardup",
+    "q137_gopher_quality",
+    "q138_semantic_dedup",
+    "q141_bm25_scores",
 ]
 
 

@@ -4571,3 +4571,55 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("rrf"),
         )
     )
+
+
+@q(
+    "q143_ivf_append_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS ivf_overlap_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-index accuracy contract (q107's sibling for
+    `ivf_append`): the index is built on HALF the corpus (even ids) and
+    the other half arrives as an appended batch — assignment against the
+    frozen centroids, touched-partition-only file appends, no k-means
+    refit.  The exact top-10 over the FULL corpus (value-checked by the
+    oracle) is annotated with whether the partition-pruned search of the
+    appended index recovers >= 7 of them — same floor as q107's
+    build-once contract, so appending must not cost recall on a
+    stationary distribution."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(emb, query, k=10)
+    idx = tempfile.mkdtemp(prefix="ctdc-ivfappend-") + "/idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    ivf_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_clusters=32,
+        sample_size=10000, seed=42,
+    )
+    ivf_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    approx = ivf_search(spark, idx, query, k=10, nprobe=8).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("ivf_overlap_ok"),
+    )

@@ -1954,3 +1954,81 @@ def test_bm25_scores_match_hand_computation(spark):
     assert set(got) == {1, 3}
     assert abs(got[1] - score(2, 3)) < 1e-12
     assert abs(got[3] - score(1, 4)) < 1e-12
+
+
+def test_ivf_append_grows_index_without_rewriting(spark, tmp_path):
+    """Appending a batch must (a) leave untouched cluster partitions
+    byte-identical, (b) make the new vectors searchable, (c) advance the
+    meta fingerprint to the combined corpus."""
+    import os
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+        topk_cosine,
+    )
+
+    def vec(direction, eps, i):
+        base = [0.0, 0.0, 0.0]
+        base[direction] = 1.0
+        base[(direction + 1) % 3] = eps * (1 + i % 3)
+        return base
+
+    corpus = spark.createDataFrame(
+        [(i, vec(0, 0.01, i)) for i in range(20)]
+        + [(100 + i, vec(1, 0.01, i)) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    ivf_build(corpus, idx, n_clusters=2, sample_size=100, seed=7)
+
+    def file_state(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                fp = os.path.join(dirpath, f)
+                st = os.stat(fp)
+                out[fp] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    # batch points along e0 only -> only e0's cluster partition is
+    # touched; smaller perturbation than any corpus vector, so the batch
+    # becomes the exact top-5 for an e0 query
+    batch = spark.createDataFrame(
+        [(200 + i, vec(0, 0.001, i)) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    vecdir = f"{idx}/vectors"
+    cluster_dirs = [
+        d for d in os.listdir(vecdir) if d.startswith("cluster=")
+    ]
+    assert len(cluster_dirs) == 2
+    before = {d: file_state(os.path.join(vecdir, d)) for d in cluster_dirs}
+    ivf_append(spark, idx, batch)
+    after = {d: file_state(os.path.join(vecdir, d)) for d in cluster_dirs}
+    touched = [d for d in cluster_dirs if before[d] != after[d]]
+    untouched = [d for d in cluster_dirs if before[d] == after[d]]
+    assert len(touched) == 1, f"expected 1 touched cluster, got {touched}"
+    # every pre-existing file in the touched cluster also survives intact
+    assert set(before[touched[0]]).issubset(set(after[touched[0]]))
+    for f, st in before[touched[0]].items():
+        assert after[touched[0]][f] == st
+    assert len(untouched) == 1
+
+    # appended vectors are searchable; with nprobe = all cells the IVF
+    # result must EQUAL exact brute force over the combined corpus
+    query = spark.createDataFrame(
+        [(999, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id
+        for r in ivf_search(spark, idx, query, k=5, nprobe=2).collect()
+    }
+    combined = corpus.unionByName(batch)
+    exact = {r.vec_id for r in topk_cosine(combined, query, k=5).collect()}
+    assert got == exact
+    assert got == {200, 201, 202, 203, 204}
+
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert meta["n"] == 45
