@@ -4623,3 +4623,86 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         F.round("sim", 4).alias("sim_r"),
         F.lit(overlap >= 7).alias("ivf_overlap_ok"),
     )
+
+
+@q(
+    "q144_compaction",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal,
+              CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+              TRUE AS compacted_ok
+       FROM customer""",
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction round-trip: customer is written as 40
+    fragment files, `compact_parquet` bin-packs them (atomic directory
+    swap; the table-maintenance pass every long-lived streaming-append
+    table needs), and the compacted table must aggregate identically to
+    the source (oracle recomputes over the original).  ``compacted_ok``
+    pins the file-count contract: a single file afterwards, fewer than
+    before."""
+    import glob
+    import tempfile
+
+    from .sources.layout import compact_parquet
+
+    cust = load_table(spark, sf, "customer")
+    p = tempfile.mkdtemp(prefix="ctdc-compact-") + "/t"
+    cust.repartition(40).write.parquet(p)
+    n_before = len(glob.glob(p + "/*.parquet"))
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    n_after = len(glob.glob(p + "/*.parquet"))
+    ok = n_before == 40 and n_after == 1 and stats["files_after"] == 1
+    return spark.read.parquet(p).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.lit(bool(ok)).alias("compacted_ok"),
+    )
+
+
+@q(
+    "q145_stream_idempotent_sink",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY event_type""",
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once streaming sink under redelivery: the events table
+    replays as 3 ordered micro-batches into the batch-id-partitioned
+    idempotent sink, then batch 0 is RE-DELIVERED (simulating a crash
+    between the data write and the checkpoint commit — the window where
+    a plain append sink duplicates).  Dynamic partition overwrite makes
+    the redelivery replace its own partition, so the final table must
+    aggregate exactly to the batch recompute the oracle runs.  With an
+    append sink this query would double batch 0's counts and fail the
+    hash gate."""
+    import tempfile
+
+    from .streaming.joins import idempotent_batch_writer, write_stream_idempotent
+    from .streaming.windows import events_stream, write_ordered_feed
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="ctdc-idem-")
+    feed, out, ckpt = f"{base}/feed", f"{base}/out", f"{base}/ckpt"
+    slices = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    write_ordered_feed(slices, feed)
+    stream = events_stream(spark, feed, max_files_per_trigger=1)
+    q = write_stream_idempotent(stream, out, ckpt)
+    q.awaitTermination()
+    # post-crash redelivery of batch 0: same rows, same batch id
+    idempotent_batch_writer(out)(slices[0], 0)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

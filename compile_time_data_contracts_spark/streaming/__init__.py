@@ -1,7 +1,7 @@
 """Structured Streaming surface: event-time windows, watermarks,
 stateful dedup, arbitrary-stateful operators."""
 
-from .joins import interval_join, write_stream_with_contract
+from .joins import interval_join, write_stream_idempotent, write_stream_with_contract
 from .stateful import running_user_totals
 from .windows import (
     dedup_within_watermark,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..contracts.policies import SchemaPolicy
 from ..sources.io import Sink, write_df
 
-__all__ = ["interval_join", "interval_join_gate", "write_stream_with_contract"]
+__all__ = ["interval_join", "interval_join_gate", "write_stream_with_contract", "write_stream_idempotent", "idempotent_batch_writer"]
 
 
 def interval_join(
@@ -150,3 +150,55 @@ def interval_join_gate(
         .groupBy("user_id")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def idempotent_batch_writer(path: str):
+    """The per-batch writer `write_stream_idempotent` installs — exposed
+    so tests and gates can SIMULATE a post-crash redelivery by invoking
+    it again with the same (batch_df, batch_id) and asserting the sink
+    is unchanged."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    return write_batch
+
+
+def write_stream_idempotent(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str = "ctdc_idempotent_sink",
+    available_now: bool = True,
+):
+    """Exactly-once parquet sink via batch-id partitioning: each
+    micro-batch writes to ``path/__batch_id=N`` with DYNAMIC partition
+    overwrite, so a batch RE-DELIVERED after a crash between the data
+    write and the checkpoint commit (the at-least-once window of plain
+    ``foreachBatch`` + append) replaces its own partition instead of
+    duplicating rows.  This is the standard idempotent-sink recipe for
+    engines without a transactional table format: (output, batch_id) is
+    deterministic, and overwrite-by-batch-partition makes redelivery a
+    no-op.
+
+    Readers use ``spark.read.parquet(path)`` and simply never select
+    ``__batch_id``; at 100 TB the per-batch directories double as
+    retention/compaction units (`compact_parquet` on aged batches).
+    Returns the StreamingQuery.
+    """
+    writer = (
+        stream.writeStream.foreachBatch(idempotent_batch_writer(path))
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

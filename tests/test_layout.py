@@ -111,3 +111,60 @@ def test_zorder_value_roundtrip_random_pairs(spark):
         assert deinterleave(r["z"]) == (r["a"], r["b"])
     # codes are unique for distinct pairs (bijection)
     assert len({r["z"] for r in rows}) == len({(a, b) for a, b in pairs})
+
+
+def test_compact_parquet_unpartitioned(spark, tmp_path):
+    from compile_time_data_contracts_spark.sources.layout import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(10000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(p)
+    import glob as g
+
+    assert len(g.glob(p + "/*.parquet")) == 40
+    before = spark.read.parquet(p)
+    chk = before.agg(
+        F.count("*").alias("n"), F.sum(F.hash("id", "v")).alias("h")
+    ).first()
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(p)
+    got = after.agg(
+        F.count("*").alias("n"), F.sum(F.hash("id", "v")).alias("h")
+    ).first()
+    assert (got.n, got.h) == (chk.n, chk.h)
+
+
+def test_compact_parquet_partitioned_skips_compact_dirs(spark, tmp_path):
+    """Only fragmented partitions rewrite; already-compact partitions
+    stay byte-identical."""
+    import os
+
+    from compile_time_data_contracts_spark.sources.layout import compact_parquet
+
+    p = str(tmp_path / "part")
+    # partition a=0 fragmented (20 files), partition a=1 single-file
+    spark.range(5000).withColumn("a", F.lit(0)).repartition(20).write.partitionBy(
+        "a"
+    ).parquet(p)
+    spark.range(5000, 6000).withColumn("a", F.lit(1)).coalesce(
+        1
+    ).write.mode("append").partitionBy("a").parquet(p)
+
+    def state(d):
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(d, f))
+                out[f] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    keep = state(os.path.join(p, "a=1"))
+    chk = spark.read.parquet(p).agg(F.count("*").alias("n"), F.sum("id").alias("s")).first()
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30, partitioned=True)
+    assert stats["partitions_compacted"] == 1
+    assert state(os.path.join(p, "a=1")) == keep
+    got = spark.read.parquet(p).agg(F.count("*").alias("n"), F.sum("id").alias("s")).first()
+    assert (got.n, got.s) == (chk.n, chk.s)

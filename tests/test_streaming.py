@@ -384,3 +384,31 @@ def test_transform_with_state_gated_on_protobuf(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_idempotent_sink_redelivery_is_a_noop(spark, tmp_path):
+    """Re-invoking the batch writer with the same (rows, batch_id) must
+    leave the table row-identical; with CHANGED rows it must REPLACE the
+    batch partition (overwrite semantics), never append."""
+    from compile_time_data_contracts_spark.streaming.joins import (
+        idempotent_batch_writer,
+    )
+
+    out = str(tmp_path / "sink")
+    w = idempotent_batch_writer(out)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    w(b0, 0)
+    w(b1, 1)
+    rows = sorted(map(tuple, spark.read.parquet(out).drop("__batch_id").collect()))
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # same batch redelivered -> no duplicates
+    w(b0, 0)
+    assert sorted(
+        map(tuple, spark.read.parquet(out).drop("__batch_id").collect())
+    ) == rows
+    # changed batch 0 -> replaced, batch 1 untouched
+    w(spark.createDataFrame([(9, "z")], "id long, v string"), 0)
+    assert sorted(
+        map(tuple, spark.read.parquet(out).drop("__batch_id").collect())
+    ) == [(3, "c"), (9, "z")]
