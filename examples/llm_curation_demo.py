@@ -3,13 +3,16 @@ operator library — the pipeline a 100 TB corpus actually runs, at demo
 scale:
 
   1. contract-pinned load of the documents table,
-  2. quality gate (deterministic score >= corpus 25th percentile),
+  2. Gopher rule battery + quality gate (score >= corpus 25th pct),
   3. exact dedup (normalized-hash keep-best),
   4. MinHash-LSH near-dup pairs -> connected components -> keep the
      min-id representative per cluster,
-  5. language mixture sampling to target proportions,
-  6. sequence packing into fixed token budgets,
-  7. contract-pinned parquet sink (schema proven before the write).
+  5. SemDeDup semantic scrub over the embeddings table (cluster-local
+     cosine near-twin drop, joined back on doc id),
+  6. language mixture sampling to target proportions,
+  7. sequence packing into fixed token budgets,
+  8. contract-pinned parquet sink (schema proven before the write),
+     then small-file compaction of the output directory.
 
 Every stage is a pure function of the data (hash-based sampling, no
 RNG), so the whole pipeline is reproducible and resumable.
@@ -34,12 +37,16 @@ from compile_time_data_contracts_spark.operators.dedup import (
     connected_components,
     keep_best_dedup,
     minhash_near_dup_pairs,
+    semantic_dedup,
 )
 from compile_time_data_contracts_spark.operators.sampling import (
     mix_to_proportions,
     pack_sequences,
 )
-from compile_time_data_contracts_spark.operators.text import quality_score
+from compile_time_data_contracts_spark.operators.text import (
+    gopher_quality,
+    quality_score,
+)
 from compile_time_data_contracts_spark.sources.io import Sink, write_df
 
 
@@ -67,8 +74,15 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 2. quality gate at the corpus 25th percentile
-    scored = docs.withColumn("quality", quality_score("text"))
+    # 2. Gopher rule battery first (codegen, same scan), then the
+    # percentile quality gate
+    rules = docs.select("*", *gopher_quality("text", min_stop_hits=0))
+    ruled = rules.filter(F.col("gopher_keep")).drop(
+        "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "stop_hits", "gopher_keep",
+    )
+    n_ruled = ruled.count()
+    scored = ruled.withColumn("quality", quality_score("text"))
     cut = scored.agg(F.percentile("quality", F.lit(0.25)).alias("c"))
     gated = scored.crossJoin(F.broadcast(cut)).filter(
         F.col("quality") >= F.col("c")
@@ -95,6 +109,17 @@ def main() -> None:
     )
     n3 = scrubbed.count()
 
+    # 4b. semantic scrub: embeddings' cluster label plays the coarse
+    # quantizer; survivors join back on doc id (ids align by generator)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem_keep = semantic_dedup(emb, threshold=0.35).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    scrubbed = scrubbed.join(
+        F.broadcast(sem_keep), "doc_id", "semi"
+    ) if sem_keep.count() < 100000 else scrubbed.join(sem_keep, "doc_id", "semi")
+    n3b = scrubbed.count()
+
     # 5. deterministic mixture to target language proportions
     mixed = mix_to_proportions(
         scrubbed, "lang", "doc_id", {"en": 0.5, "fr": 0.3, "zh": 0.2}
@@ -110,14 +135,25 @@ def main() -> None:
     out = packed.select("doc_id", "lang", "text", "quality", "pack_id")
     n_packs = out.select("pack_id").distinct().count()
 
-    # 7. contract-pinned sink: the schema proof runs BEFORE the write
+    # 8. contract-pinned sink: the schema proof runs BEFORE the write;
+    # then compact the output (streaming appends fragment over time)
     dest = tempfile.mkdtemp(prefix="ctdc-curated-")
     write_df(out, Sink(CuratedDoc, dest), SchemaPolicy.EXACT)
+    from compile_time_data_contracts_spark.sources.layout import compact_parquet
+
+    cstats = compact_parquet(spark, dest, target_file_bytes=128 << 20)
 
     print(
-        f"loaded {n0} -> quality-gated {n1} -> exact-deduped {n2} "
-        f"-> near-dup-scrubbed {n3} -> mixed {n4} -> {n_packs} packs "
-        f"-> {dest}"
+        f"loaded {n0} -> gopher-ruled {n_ruled} -> quality-gated {n1} "
+        f"-> exact-deduped {n2} -> near-dup-scrubbed {n3} "
+        f"-> semantic-scrubbed {n3b} -> mixed {n4} -> {n_packs} packs "
+        f"-> {dest} ("
+        + (
+            f"compacted {cstats['files_before']} -> "
+            f"{cstats['files_after']} files)"
+            if cstats["partitions_compacted"]
+            else "already compact)"
+        )
     )
     spark.stop()
 
