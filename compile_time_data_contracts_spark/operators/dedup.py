@@ -901,6 +901,11 @@ def connected_components_star(
     )
 
 
+# chunk rows per block in semantic_dedup's lower-triangular scan;
+# module-level so tests can shrink it to exercise the multi-chunk path
+_SEMDEDUP_CHUNK = 2048
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -950,13 +955,23 @@ def semantic_dedup(
         nz = norms > 0
         mat[nz] = mat[nz] / norms[nz, None]
         mat[~nz] = 0.0  # zero vectors: cosine 0 against everything
-        sims = mat @ mat.T
         dense_idx = np.flatnonzero(~keep_null)
         survive = np.ones(len(ids), dtype=bool)
-        for pos in range(1, len(dense_idx)):
-            row = sims[pos, :pos]
-            if (row >= threshold).any():
-                survive[dense_idx[pos]] = False
+        # Chunked lower-triangular scan: a full m x m similarity matrix
+        # is 1.8 GB at m = 15k, so compute CHUNK rows against all
+        # PREDECESSOR rows at a time — peak transient is CHUNK * m
+        # doubles (~250 MB at m = 15k), same O(m^2/2) flops.  A row is
+        # dropped when ANY lower-position row reaches the threshold
+        # (kept or dropped itself — chain semantics, matching the
+        # oracle's NOT EXISTS over all lower ids).
+        CHUNK = _SEMDEDUP_CHUNK
+        m = len(dense_idx)
+        for s in range(1, m, CHUNK):
+            e = min(s + CHUNK, m)
+            block = mat[s:e] @ mat[:e].T  # (e-s, e)
+            for r in range(s, e):
+                if (block[r - s, :r] >= threshold).any():
+                    survive[dense_idx[r]] = False
         return pd.DataFrame({id_col: ids[survive]})
 
     return (

@@ -2032,3 +2032,33 @@ def test_ivf_append_grows_index_without_rewriting(spark, tmp_path):
 
     meta = spark.read.parquet(f"{idx}/meta").first()
     assert meta["n"] == 45
+
+
+def test_semantic_dedup_chunked_scan_matches_naive(spark, monkeypatch):
+    """Shrink the chunk to 3 so a 20-row cluster spans many blocks; the
+    survivors must match a naive full-matrix reference computed here."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators import dedup as D
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, 8))
+    # plant a few near-twins
+    vecs[5] = vecs[2] + 0.01 * rng.normal(size=8)
+    vecs[11] = vecs[2] + 0.01 * rng.normal(size=8)
+    vecs[17] = vecs[9] + 0.01 * rng.normal(size=8)
+    tau = 0.95
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    expect = {
+        i for i in range(20)
+        if not (sims[i, :i] >= tau).any()
+    }
+
+    monkeypatch.setattr(D, "_SEMDEDUP_CHUNK", 3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r.vec_id for r in D.semantic_dedup(df, threshold=tau).collect()}
+    assert got == expect
