@@ -19,6 +19,7 @@ __all__ = [
     "mix_to_proportions",
     "global_shuffle_positions",
     "upsample_by_factor",
+    "weighted_sample",
 ]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
@@ -255,3 +256,42 @@ def upsample_by_factor(
         F.array().cast("array<int>")
     )
     return df.withColumn(copy_col, F.explode(seq))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: row i is kept with
+    probability min(1, fraction * w_i / mean(w)) — expected kept
+    fraction equals ``fraction`` while higher-weight rows (e.g. higher
+    quality scores in a curation pipeline) are proportionally more
+    likely to survive.  The "quality-weighted sampling" step between
+    scoring and packing.
+
+    Membership is the Knuth multiplicative hash of ``key_col`` (exactly
+    reproducible in any 64-bit-integer engine, partitioning- and
+    order-independent — same recipe as :func:`deterministic_sample`),
+    so the sample is stable across runs and resumable.  Two passes:
+    one map-side-combined mean aggregate broadcast back as a single
+    row, then the filtered scan.  The per-row rate is rounded to 6 dp
+    in BOTH engines so an ulp of double drift can never flip a
+    membership decision at a bucket boundary.
+    """
+    stats = df.agg(F.avg(F.col(weight_col).cast("double")).alias("__mw"))
+    bucket = hash_bucket(F.col(key_col), 10000)
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(fraction)) * F.col(weight_col) / F.col("__mw"),
+        )
+        * 10000,
+        6,
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(bucket < rate)
+        .drop("__mw")
+    )

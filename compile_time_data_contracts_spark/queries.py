@@ -4706,3 +4706,26 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@q(
+    "q146_weighted_sample",
+    """WITH s AS (SELECT avg(n_chars) AS mw FROM documents)
+       SELECT doc_id, source
+       FROM documents, s
+       WHERE ((doc_id * 2654435761) % 4294967296) * 10000.0 / 4294967296
+             < round(least(1.0, 0.3 * n_chars / mw) * 10000, 6)""",
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability
+    proportional to n_chars (stand-in for a quality score), expected
+    kept fraction 0.3, membership by the portable Knuth hash — the
+    curation step that keeps more of the best data while staying
+    exactly reproducible and resumable (operators/sampling.py:
+    weighted_sample).  One mean broadcast + one filtered scan."""
+    from .operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    return weighted_sample(docs, "n_chars", "doc_id", 0.3).select(
+        "doc_id", "source"
+    )

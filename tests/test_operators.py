@@ -2062,3 +2062,39 @@ def test_semantic_dedup_chunked_scan_matches_naive(spark, monkeypatch):
     )
     got = {r.vec_id for r in D.semantic_dedup(df, threshold=tau).collect()}
     assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # 2000 rows, half weight 1, half weight 9 -> mean 5; rates 0.06 / 0.54
+    df = spark.createDataFrame(
+        [(i, 1 if i % 2 == 0 else 9) for i in range(2000)],
+        "k long, w int",
+    )
+    kept = weighted_sample(df, "w", "k", 0.3)
+    light = kept.filter(F.col("w") == 1).count()
+    heavy = kept.filter(F.col("w") == 9).count()
+    # expectations: 1000*0.06 = 60 light, 1000*0.54 = 540 heavy
+    assert 30 <= light <= 100
+    assert 450 <= heavy <= 630
+    # deterministic: second run identical
+    again = weighted_sample(df, "w", "k", 0.3)
+    assert sorted(r.k for r in kept.collect()) == sorted(
+        r.k for r in again.collect()
+    )
+
+
+def test_weighted_sample_caps_rate_at_one(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # one giant weight: rate capped at 1, never > 100% kept
+    df = spark.createDataFrame(
+        [(1, 1_000_000)] + [(i, 1) for i in range(2, 100)], "k long, w int"
+    )
+    kept = weighted_sample(df, "w", "k", 0.5)
+    assert kept.filter(F.col("k") == 1).count() == 1
