@@ -251,7 +251,38 @@ def main() -> None:
         len(set(approx_ids) & set(exact_ids)) / 10.0, 2
     )
 
+    # --- 5. SemDeDup at representative cluster sizes ---------------------
+    # the generator's mixture component IS the coarse-quantizer label
+    # (vector i draws component src % 64, its planted partner shares it),
+    # so the contract is exact: every planted partner (id >= n, higher id
+    # than its source, same cluster, cosine ~0.99) must drop and every
+    # original must survive.  At n=10^6 the 64 clusters hold ~15.6k
+    # vectors each — exactly the regime the chunked triangular scan's
+    # memory bound exists for.
+    from compile_time_data_contracts_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    labeled = emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") < n, F.pmod(F.col("vec_id"), F.lit(64)))
+        .otherwise(F.pmod(F.col("vec_id") - n, F.lit(64)))
+        .cast("int"),
+    )
+    t0 = time.perf_counter()
+    kept = semantic_dedup(labeled, threshold=THRESHOLD)
+    n_kept = kept.count()
+    results["semdedup_sec"] = round(time.perf_counter() - t0, 2)
+    results["semdedup_kept"] = n_kept
+    planted_dropped = total - n_kept
+    results["semdedup_dropped"] = planted_dropped
+    kept_partners = kept.filter(F.col("vec_id") >= n).count()
+    results["semdedup_partner_survivors"] = kept_partners
+
     ok = (
+        n_kept == n
+        and kept_partners == 0
+        and
         results["auto_bits_scales"]
         and chosen_bits == results["auto_bits_expected"]
         and planted_found == PLANTED_PAIRS
