@@ -4729,3 +4729,94 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample(docs, "n_chars", "doc_id", 0.3).select(
         "doc_id", "source"
     )
+
+
+@q(
+    "q147_merge_schema_evolution",
+    """WITH updates AS (
+         SELECT c_custkey,
+                CASE WHEN c_mktsegment = 'BUILDING' THEN 'gold'
+                     ELSE 'std' END AS c_tier,
+                round(c_acctbal + 50.0, 2) AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0),
+       merged AS (
+         SELECT c.c_custkey,
+                coalesce(u.c_acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+                u.c_tier
+         FROM customer c LEFT JOIN updates u USING (c_custkey))
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(c_tier) AS BIGINT) AS n_with_tier,
+              CAST(count(DISTINCT c_tier) AS BIGINT) AS n_tiers,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal,
+              TRUE AS evolution_proven
+       FROM merged""",
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE with schema evolution under a contract proof: the update
+    batch carries a NEW nullable column (c_tier) absent from the v1
+    snapshot.  Before any Spark action, `conforms(CustomerV1,
+    CustomerV2, BACKWARD)` proves v1 data remains readable under the
+    evolved contract (c_tier is Optional — reference Backward
+    semantics, SparkCore.scala:105-116: absence allowed iff nullable or
+    hasDefault), and the runtime pin re-checks the merged frame's live
+    schema against v2.  Old rows surface c_tier = NULL; the oracle
+    recomputes counts, tier cardinality, and balances.  The refusal
+    branch (evolving by REMOVING a required field) is test-pinned in
+    the conforms matrix."""
+    import dataclasses
+
+    from .catalog import Customer
+    from .contracts.conforms import conforms
+    from .contracts.shape import contract
+    from .runtime.pins import assert_matches_contract
+
+    @contract
+    @dataclasses.dataclass
+    class CustomerV2Agg:
+        c_custkey: int
+        c_acctbal: float
+        c_tier: Optional[str]
+
+    @contract
+    @dataclasses.dataclass
+    class CustomerV1Agg:
+        c_custkey: int
+        c_acctbal: float
+
+    # construction-time evolution proof: v1 producers stay valid under v2
+    conforms(CustomerV1Agg, CustomerV2Agg, SchemaPolicy.BACKWARD)
+
+    cust = load_table(spark, sf, "customer")
+    snapshot = cust.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 50.0, 2).alias("c_acctbal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "gold")
+        .otherwise("std")
+        .alias("c_tier"),
+    )
+    merged = (
+        snapshot.alias("c")
+        .join(updates.alias("u"), "c_custkey", "left")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.coalesce(F.col("u.c_acctbal"), F.col("c.c_acctbal")).alias(
+                "c_acctbal"
+            ),
+            F.col("u.c_tier").alias("c_tier"),
+        )
+    )
+    # runtime pin: the merged frame's live schema is exactly v2
+    assert_matches_contract(merged.schema, CustomerV2Agg, SchemaPolicy.EXACT)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("c_tier").cast("bigint").alias("n_with_tier"),
+        F.countDistinct("c_tier").cast("bigint").alias("n_tiers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.lit(True).alias("evolution_proven"),
+    )
