@@ -2098,3 +2098,61 @@ def test_weighted_sample_caps_rate_at_one(spark):
     )
     kept = weighted_sample(df, "w", "k", 0.5)
     assert kept.filter(F.col("k") == 1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# property tests: gopher_quality vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _gopher_ref(text: str) -> dict:
+    import re as _re
+
+    words = text.split(" ") if text else [""]
+    n = len(words)
+    mean_len = sum(len(w) for w in words) / n if n else 0.0
+    symbols = len(_re.findall(r"#|\.\.\.", text))
+    symbol_ratio = symbols / n if n else 0.0
+    alpha = sum(1 for w in words if _re.search("[A-Za-z]", w))
+    alpha_frac = alpha / n if n else 0.0
+    gsw = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+    stop_hits = len({w.lower() for w in words} & set(gsw))
+    keep = (
+        20 <= n <= 1000
+        and 3.0 <= mean_len <= 10.0
+        and symbol_ratio <= 0.1
+        and alpha_frac >= 0.8
+        and stop_hits >= 2
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": round(mean_len, 6),
+        "symbol_ratio": round(symbol_ratio, 6),
+        "alpha_frac": round(alpha_frac, 6),
+        "stop_hits": stop_hits,
+        "gopher_keep": keep,
+    }
+
+
+def test_gopher_quality_matches_reference_on_random_docs(spark):
+    import random
+
+    from compile_time_data_contracts_spark.operators.text import gopher_quality
+
+    rng = random.Random(7)
+    vocab = ["the", "cat", "a", "of", "x1", "#", "...", "zz", "table", "be",
+             "supercal", "and", "99", "...", "wo#rd"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 60)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in df.select("doc_id", *gopher_quality("text")).collect()
+    }
+    for i, text in docs:
+        ref = _gopher_ref(text)
+        row = got[i]
+        for k, v in ref.items():
+            assert row[k] == v, (i, k, row[k], v, text)
