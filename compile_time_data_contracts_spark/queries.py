@@ -4820,3 +4820,76 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         .alias("total_bal"),
         F.lit(True).alias("evolution_proven"),
     )
+
+
+@q(
+    "q148_data_expectations",
+    """WITH m AS (
+         SELECT count(*)::DOUBLE AS n,
+                (count(*) - count(DISTINCT o_orderkey))::DOUBLE AS dup_keys,
+                (sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END))::DOUBLE
+                  / count(*) AS null_frac,
+                sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                         THEN 1 ELSE 0 END)::DOUBLE AS oob,
+                sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END)::DOUBLE AS bad_status
+         FROM orders
+       ), orphans AS (
+         SELECT count(*)::DOUBLE AS m FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)
+       )
+       SELECT * FROM (
+         SELECT 'unique' AS rule, 'o_orderkey' AS "column",
+                round(dup_keys, 6) AS metric, '== 0' AS bound,
+                dup_keys = 0 AS passed FROM m
+         UNION ALL
+         SELECT 'not_null', 'o_totalprice', round(null_frac, 6), '<= 0.0',
+                null_frac <= 0.0 FROM m
+         UNION ALL
+         SELECT 'in_range', 'o_totalprice', round(oob, 6),
+                '0 outside [0.0, 1000000.0]', oob = 0 FROM m
+         UNION ALL
+         SELECT 'accepted_values', 'o_orderstatus', round(bad_status, 6),
+                '0 outside set', bad_status = 0 FROM m
+         UNION ALL
+         SELECT 'row_count_between', '*', round(n, 6), '[1, 100000000]',
+                n BETWEEN 1 AND 100000000 FROM m
+         UNION ALL
+         SELECT 'ref_integrity', 'o_custkey', round(orphans.m, 6),
+                '0 orphans', orphans.m = 0 FROM orphans
+       )""",
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-level data expectations — the runtime counterpart of the
+    schema contracts (shape proven before data moves; these prove the
+    DATA): key uniqueness, null fraction, value range, accepted set,
+    row-count band, all in ONE aggregate pass (rules add columns, not
+    scans), plus referential integrity orders->customer as a left-anti
+    join (broadcast at dimension scale).  One report row per rule;
+    a pipeline gates on `filter(~passed).count() == 0`."""
+    from .operators.expectations import (
+        accepted_values,
+        evaluate_expectations,
+        in_range,
+        not_null,
+        ref_integrity_report,
+        row_count_between,
+        unique,
+    )
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    suite = evaluate_expectations(
+        orders,
+        [
+            unique("o_orderkey"),
+            not_null("o_totalprice"),
+            in_range("o_totalprice", 0.0, 1_000_000.0),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            row_count_between(1, 100_000_000),
+        ],
+    )
+    ref = ref_integrity_report(orders, "o_custkey", cust, "c_custkey")
+    return suite.unionByName(ref)

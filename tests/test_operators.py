@@ -2156,3 +2156,64 @@ def test_gopher_quality_matches_reference_on_random_docs(spark):
         row = got[i]
         for k, v in ref.items():
             assert row[k] == v, (i, k, row[k], v, text)
+
+
+def test_expectations_fail_on_planted_violations(spark):
+    from compile_time_data_contracts_spark.operators.expectations import (
+        accepted_values,
+        evaluate_expectations,
+        in_range,
+        not_null,
+        ref_integrity_report,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (1, None, "B"), (3, -5.0, "X")],
+        "k long, v double, s string",
+    )
+    report = {
+        r.rule: r
+        for r in evaluate_expectations(
+            df,
+            [
+                unique("k"),                       # dup k=1 -> fail
+                not_null("v"),                     # one null -> fail
+                in_range("v", 0.0, 100.0),         # -5 -> fail
+                accepted_values("s", ["A", "B"]),  # X -> fail
+            ],
+        ).collect()
+    }
+    assert not report["unique"].passed and report["unique"].metric == 1.0
+    assert not report["not_null"].passed
+    assert abs(report["not_null"].metric - 1 / 3) < 1e-6
+    assert not report["in_range"].passed and report["in_range"].metric == 1.0
+    assert not report["accepted_values"].passed
+
+    parent = spark.createDataFrame([(1,), (3,)], "pk long")
+    ref = ref_integrity_report(df, "k", parent, "pk").first()
+    assert ref.passed and ref.metric == 0.0
+    ref2 = ref_integrity_report(
+        df, "k", parent.filter(F.col("pk") != 3), "pk"
+    ).first()
+    assert not ref2.passed and ref2.metric == 1.0
+
+
+def test_expectations_single_scan_plan(spark):
+    """The whole rule suite must evaluate as ONE aggregate over the
+    source — rules add metric columns, never extra scans."""
+    from compile_time_data_contracts_spark.operators.expectations import (
+        evaluate_expectations,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    df = spark.range(100).selectExpr("id AS k", "id * 1.0 AS v")
+    rep = evaluate_expectations(
+        df, [unique("k"), not_null("v"), in_range("v", 0, 1000)]
+    )
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Scan ") <= 1 or "Range" in plan

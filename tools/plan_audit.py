@@ -341,6 +341,17 @@ CHECKS = {
         ("no cartesian beyond the 1-row query-vector broadcast", True,
          lambda p: "CartesianProduct" not in p),
     ],
+    "q148_data_expectations": [
+        ("whole suite = one orders pass + one anti-join pass "
+         "(2 orders scans, 1 customer scan)", True,
+         lambda p: p.count("orders.parquet") == 2
+         and p.count("customer.parquet") == 1),
+        ("metrics partial-aggregated", True,
+         lambda p: "partial" in p.lower()),
+        ("ref integrity is a hash anti-join, not BNLJ", True,
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's
