@@ -40,6 +40,7 @@ __all__ = [
     "keep_best_dedup",
     "connected_components",
     "connected_components_star",
+    "connected_components_incremental",
     "simhash",
     "simhash_table",
     "contamination_check",
@@ -978,4 +979,54 @@ def semantic_dedup(
         df.select(id_col, vec_col, cluster_col)
         .groupBy(cluster_col)
         .applyInPandas(dedup_cluster, out_schema)
+    )
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Grow an existing component labeling with a NEW batch of edges
+    without re-walking the old graph: the prior (doc_id, cluster_id)
+    table — already a depth-1 star per component, the fixed point of
+    :func:`connected_components_star` — is re-entered as star edges and
+    unioned with the batch edges, then star alternation re-converges.
+
+    Why this is the incremental path at 100 TB: the old corpus's edge
+    set (built from the full MinHash/cosine machinery) is NEVER
+    recomputed or rescanned — labels are its complete, maximally
+    contracted summary (one row per node, depth 1), so convergence work
+    is proportional to the NEW edges' reach: a batch that touches no
+    old component converges in one alternation; a batch that bridges
+    two old components needs only the rounds to merge two stars
+    (O(log of the merged star count), not O(old diameter), since the
+    old chains are already contracted away).  Daily-ingest dedup runs
+    this after `near_dup_against` (the incremental pair producer);
+    result equals a from-scratch run over the union of all edges
+    (test- and oracle-asserted).
+    """
+    star_edges = labels.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(
+        F.col("doc_id").alias(a_col), F.col("cluster_id").alias(b_col)
+    )
+    # singleton-component nodes (doc_id == cluster_id) carry no star
+    # edge; keep them reachable via a self-loop so they still appear in
+    # the output when the new batch doesn't touch them
+    self_loops = labels.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select(
+        F.col("doc_id").alias(a_col), F.col("cluster_id").alias(b_col)
+    )
+    combined = star_edges.union(self_loops).union(
+        new_edges.select(
+            F.col(a_col).cast("long").alias(a_col),
+            F.col(b_col).cast("long").alias(b_col),
+        )
+    )
+    return connected_components_star(
+        combined, a_col, b_col, max_iterations
     )

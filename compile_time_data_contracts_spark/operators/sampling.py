@@ -20,6 +20,7 @@ __all__ = [
     "global_shuffle_positions",
     "upsample_by_factor",
     "weighted_sample",
+    "reservoir_per_group",
 ]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
@@ -294,4 +295,46 @@ def weighted_sample(
         df.crossJoin(F.broadcast(stats))
         .filter(bucket < rate)
         .drop("__mw")
+    )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly-k weighted sample PER GROUP (Efraimidis-Sirakis A-ES,
+    "Weighted random sampling with a reservoir", IPL 2006 — public
+    literature): each row gets key u^(1/w) with u deterministic in
+    (0, 1), and the k largest keys per group win.  Unlike
+    :func:`weighted_sample` (Bernoulli — kept COUNT varies), this
+    returns exactly min(k, group size) rows per group, the shape needed
+    when a mixture plan demands a fixed budget per source/language.
+
+    u comes from the Knuth multiplicative hash (exact 64-bit integer
+    arithmetic, same recipe as :func:`hash_bucket`) mapped to
+    (0, 1] — no RNG state, so the sample is identical across runs,
+    partitionings, and engines; the DuckDB oracle replays the exact
+    arithmetic.  Selection is one window top-k per group: partial
+    TakeOrdered per partition, then one shuffle on the group key — no
+    global sort.  Zero/negative weights are clamped to a tiny positive
+    mass (they lose to any real weight but remain sample-able in
+    all-zero groups).
+    """
+    u = (
+        (F.col(key_col).cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+        + F.lit(1)
+    ) / F.lit(float(_M32))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-9))
+    key = F.pow(u, F.lit(1.0) / w)
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("__res_key"), F.col(key_col)
+    )
+    return (
+        df.withColumn("__res_key", key)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__res_key", "__rn")
     )

@@ -45,6 +45,10 @@ __all__ = [
     "ivf_search",
     "ivf_topk",
     "quantize_int8",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_scores",
+    "pq_topk",
 ]
 
 
@@ -1130,3 +1134,179 @@ def normalize_embeddings(
         )
         .drop("__means", "__stds")
     )
+
+
+# =========================================================================
+# Product quantization (PQ) — compressed-domain ANN
+# =========================================================================
+
+def pq_train(
+    X,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 12,
+    seed: int = 42,
+):
+    """Train PQ codebooks on a bounded driver sample: the vector space
+    is split into ``m`` contiguous subspaces and each gets its own
+    ``ksub``-centroid k-means (classic ADC product quantization,
+    Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011 — public literature, not reference code).
+
+    Input rows are L2-normalized first so inner product == cosine.
+    Returns an ``(m, ksub, dim/m)`` float64 codebook array.  Size is
+    m·ksub·dsub doubles — a few KB; it travels as a broadcast, never
+    with the data.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, n)
+        C = sub[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = sub[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s, :k] = C
+        if k < ksub:  # degenerate tiny-sample case: pad with copies
+            books[s, k:] = C[0]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte codes (nearest codebook
+    entry per subspace) via one broadcast + Arrow-batched argmin per
+    partition — no shuffle, one pass.
+
+    At 100 TB this is THE point of PQ: a 64-dim float32 corpus (256 B/row)
+    becomes m=8 bytes/row — a 32x smaller table that fits hot storage;
+    persist it once and every subsequent search scans codes, not vectors.
+    """
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
+
+    def encode(batches):
+        books = bc.value
+        m, ksub, dsub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.zeros((len(V), m), dtype=np.int32)
+            for s in range(m):
+                sub = V[:, s * dsub : (s + 1) * dsub]
+                # ||x-c||² argmin == (c·c - 2 x·c) argmin; one matmul
+                cc = (books[s] ** 2).sum(axis=1)
+                codes[:, s] = (cc[None, :] - 2.0 * (sub @ books[s].T)).argmin(
+                    axis=1
+                )
+            out = pdf[[id_col]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_adc_scores(
+    codes_df: DataFrame,
+    query_vec,
+    codebooks,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance scores, entirely JVM-side: the query is
+    turned into an m×ksub lookup table of subspace inner products on the
+    driver (~1 KB of literals), and each row's score is
+    Σ_s LUT[s][code_s] — a zip_with/aggregate over the codes column
+    inside whole-stage codegen.  No Python touches the corpus."""
+    import numpy as np
+
+    books = np.asarray(codebooks)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.zeros((m, ksub))
+    for s in range(m):
+        lut[s] = books[s] @ q[s * dsub : (s + 1) * dsub]
+    flat = [float(x) for x in lut.ravel()]
+    lut_col = F.array(*[F.lit(v) for v in flat])
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(lut_col, i * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return codes_df.select(id_col, score.alias("adc_score"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 10000,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via product quantization with exact re-ranking:
+
+      1. train codebooks on a bounded driver sample (KB-sized),
+      2. encode the corpus to m-byte codes (one Arrow pass, no shuffle),
+      3. ADC-score every code row JVM-side against the query's LUT and
+         TakeOrdered the ``rerank`` best candidates (bytes compared, not
+         floats — the compressed-domain scan),
+      4. re-rank only those candidates with exact cosine over their true
+         vectors (broadcast semi-join pulls ``rerank`` rows, not the
+         corpus) and return the top ``k``.
+
+    Output schema matches topk_cosine (id, sim) — sims are EXACT for
+    returned rows because of the re-rank; PQ affects recall only.
+    Recall is governed by m/ksub/rerank; `topk_cosine` is the audit.
+    """
+    import numpy as np
+
+    vecs = df.select(id_col, vec_col)
+    n = vecs.count()
+    sample = (
+        vecs.sample(min(1.0, sample_size / max(n, 1)), seed=seed)
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.vstack(sample[vec_col].to_numpy())
+    books = pq_train(X, m=m, ksub=ksub, seed=seed)
+    codes = pq_encode(df, books, id_col, vec_col)
+    qv = query.select(vec_col).first()[0]
+    cand = (
+        pq_adc_scores(codes, qv, books, id_col)
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    hydrated = vecs.join(F.broadcast(cand), id_col, "semi")
+    return topk_cosine(hydrated, query, k, id_col, vec_col)

@@ -4893,3 +4893,347 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     )
     ref = ref_integrity_report(orders, "o_custkey", cust, "c_custkey")
     return suite.unionByName(ref)
+
+
+# =========================================================================
+# Round-4 additions II: reconciliation, entity resolution, PQ-ANN,
+# incremental components, cohort retention, weighted reservoir
+# =========================================================================
+
+@q(
+    "q149_snapshot_diff",
+    """WITH old AS (
+         SELECT c_custkey, round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+         FROM customer
+       ), new AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 5.0, 2)
+                     ELSE round(c_acctbal, 2) END AS bal,
+                c_mktsegment AS seg
+         FROM customer WHERE c_custkey % 97 <> 0
+         UNION ALL
+         SELECT c_custkey + 1000000, round(c_acctbal, 2), c_mktsegment
+         FROM customer WHERE c_custkey % 50 = 0
+       ), j AS (
+         SELECT coalesce(o.c_custkey, n.c_custkey) AS k,
+                CASE WHEN o.c_custkey IS NULL THEN 'added'
+                     WHEN n.c_custkey IS NULL THEN 'removed'
+                     WHEN o.bal = n.bal AND o.seg = n.seg THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+       )
+       SELECT status, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(k) AS BIGINT) AS key_sum
+       FROM j GROUP BY status""",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation: the audit step after a MERGE/backfill.
+    A simulated v2 of the customer snapshot (some keys dropped, some
+    balances bumped, some new keys appended) is diffed against v1 and
+    every key classified added/removed/changed/unchanged.  Each side is
+    reduced to (key, xxhash64 fingerprint) BEFORE the full-outer join,
+    so at 100 TB the shuffle carries 16 bytes/row regardless of row
+    width and 'changed' is one 8-byte compare, not N columns.  The
+    oracle re-derives the statuses by comparing columns directly —
+    agreeing with the fingerprint path unless xxhash64 collides."""
+    from .operators.reconcile import diff_summary, snapshot_diff
+
+    cust = load_table(spark, sf, "customer")
+    old = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 10 == 0,
+                F.round(F.col("c_acctbal") + 5.0, 2),
+            )
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.round("c_acctbal", 2).alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+        )
+    )
+    d = snapshot_diff(old, new, ["c_custkey"], ["bal", "seg"])
+    return diff_summary(d, "c_custkey")
+
+
+@q(
+    "q150_entity_resolution",
+    """WITH RECURSIVE tok AS (
+         SELECT p_partkey, p_brand, p_retailprice,
+                list_distinct(list_concat(
+                  string_split(p_name, ' '),
+                  string_split(lower(p_type), ' '))) AS toks
+         FROM part
+       ), pairs AS (
+         SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+         FROM tok a JOIN tok b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+               len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+       ), edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       ), lab AS (
+         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src
+       )
+       SELECT l.cluster_id AS entity_id,
+              CAST(count(*) AS BIGINT) AS n_members,
+              round(max(p.p_retailprice) - min(p.p_retailprice), 2)
+                AS price_spread_r
+       FROM lab l JOIN part p ON p.p_partkey = l.doc_id
+       GROUP BY l.cluster_id""",
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution (record linkage): parts whose name+type token
+    sets overlap at Jaccard >= 0.6 within a p_brand BLOCK are the same
+    entity; matched pairs are clustered with connected components and
+    each entity reports its size and price spread.  Blocking is the
+    scale lever — candidates are generated per brand block (bounded
+    block size, saltable if a block runs hot), never all-pairs across
+    the catalog; token arrays stay JVM-side (array_intersect/union in
+    codegen).  The oracle replays matching exactly and closes the
+    transitive match graph with a recursive CTE."""
+    from .operators.dedup import connected_components
+
+    parts = load_table(spark, sf, "part")
+    tok = parts.select(
+        "p_partkey",
+        "p_brand",
+        F.array_distinct(
+            F.concat(
+                F.split(F.col("p_name"), " "),
+                F.split(F.lower(F.col("p_type")), " "),
+            )
+        ).alias("toks"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    jac = F.size(
+        F.array_intersect(F.col("a.toks"), F.col("b.toks"))
+    ) / F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    matched = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(jac >= 0.6)
+        .select(
+            F.col("a.p_partkey").alias("doc_a"),
+            F.col("b.p_partkey").alias("doc_b"),
+        )
+    )
+    labels = connected_components(matched)
+    return (
+        labels.join(
+            parts.select(
+                F.col("p_partkey").alias("doc_id"), "p_retailprice"
+            ),
+            "doc_id",
+        )
+        .groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.max("p_retailprice") - F.min("p_retailprice"), 2
+            ).alias("price_spread_r"),
+        )
+    )
+
+
+@q(
+    "q151_pq_recall_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS pq_overlap_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization accuracy contract (same shape as the IVF
+    contract q107): the exact top-10 for a query vector, annotated with
+    whether the compressed-domain ADC search + exact re-rank recovered
+    >= 7 of them.  PQ is the 100 TB memory lever: the corpus scans as
+    m=8 one-byte codes per vector (32x smaller than float32), the
+    query-side lookup table is ~1 KB of literals evaluated inside
+    whole-stage codegen, and only the `rerank` best candidates ever
+    touch their true vectors."""
+    from .operators.similarity import pq_topk, topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 11)
+    exact = topk_cosine(emb, query, k=10)
+    approx = pq_topk(
+        emb, query, k=10, m=8, ksub=16, rerank=100
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("pq_overlap_ok"),
+    )
+
+
+@q(
+    "q152_components_incremental",
+    """WITH nodes AS (
+         SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id) AS n_user
+         FROM events)
+       SELECT event_id AS doc_id,
+              min(event_id) OVER (PARTITION BY user_id) AS cluster_id
+       FROM nodes WHERE n_user >= 2""",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental connected components: yesterday's labels + today's
+    edge batch, WITHOUT re-walking yesterday's graph.  The per-user
+    event chains are split into two batches; batch 1 is clustered from
+    scratch, then its (node, label) table re-enters as depth-1 star
+    edges alongside batch 2's edges only.  The result must equal the
+    full recompute — the oracle (per-user min event id) checks exactly
+    that.  At 100 TB the saving is the point: the old corpus's pair
+    machinery never reruns; daily work is proportional to the new
+    batch's reach."""
+    from .operators.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = (
+        ev.withColumn("__prev", F.lag("event_id").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev").alias("doc_a"), F.col("event_id").alias("doc_b")
+        )
+    )
+    batch1 = edges.filter(F.col("doc_b") % 3 != 0)
+    batch2 = edges.filter(F.col("doc_b") % 3 == 0)
+    labels1 = connected_components_star(batch1)
+    return connected_components_incremental(labels1, batch2)
+
+
+@q(
+    "q153_cohort_retention",
+    """WITH first AS (
+         SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+         FROM events GROUP BY user_id
+       ), act AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS act_wk
+         FROM events
+       ), sizes AS (
+         SELECT cohort_wk, count(*) AS cohort_n FROM first GROUP BY cohort_wk
+       ), j AS (
+         SELECT f.cohort_wk,
+                CAST(date_diff('day', f.cohort_wk, a.act_wk) / 7 AS INT)
+                  AS week_offset,
+                a.user_id
+         FROM act a JOIN first f USING (user_id)
+       )
+       SELECT strftime(j.cohort_wk, '%Y-%m-%d') AS cohort_week,
+              j.week_offset,
+              CAST(count(*) AS BIGINT) AS n_active,
+              round(count(*)::DOUBLE / any_value(s.cohort_n), 6)
+                AS retention_r
+       FROM j JOIN sizes s ON s.cohort_wk = j.cohort_wk
+       GROUP BY j.cohort_wk, j.week_offset""",
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-activity week, then
+    per (cohort, week-offset) active-user counts and retention rate.
+    Two map-side-combined aggregates (first-week per user; distinct
+    user-weeks) joined on user_id, cohort sizes broadcast back — no
+    row-level state, no window over the event table.  The canonical
+    product-analytics rollup over the events stream."""
+    ev = load_table(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_wk")
+    ).distinct()
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count("*").alias("cohort_n")
+    )
+    j = act.join(first, "user_id").select(
+        "cohort_wk",
+        (F.datediff(F.col("act_wk"), F.col("cohort_wk")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return (
+        j.join(F.broadcast(sizes), "cohort_wk")
+        .groupBy("cohort_wk", "week_offset")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.round(F.count("*") / F.first("cohort_n"), 6).alias(
+                "retention_r"
+            ),
+        )
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "retention_r",
+        )
+    )
+
+
+@q(
+    "q154_weighted_reservoir",
+    """WITH t AS (
+         SELECT lang, doc_id, n_chars,
+                pow(((doc_id * 2654435761) % 4294967296 + 1)
+                      / 4294967296.0,
+                    1.0 / greatest(n_chars::DOUBLE, 1e-9)) AS k
+         FROM documents
+       ), r AS (
+         SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY k DESC, doc_id) AS rn
+         FROM t
+       )
+       SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_chars AS BIGINT) AS n_chars
+       FROM r WHERE rn <= 5""",
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-k weighted reservoir per group (Efraimidis-Sirakis
+    A-ES): the 5 documents per language with the largest u^(1/w) keys,
+    u deterministic from the Knuth hash — the fixed-budget-per-source
+    sampling shape a mixture plan needs (vs q146's Bernoulli sampling,
+    whose kept count varies).  One window top-k per group: partial
+    TakeOrdered map-side, single shuffle on lang; the oracle replays
+    the identical integer arithmetic and pow, so selection matches
+    bit-for-bit."""
+    from .operators.sampling import reservoir_per_group
+
+    docs = load_table(spark, sf, "documents")
+    return reservoir_per_group(docs, "lang", "n_chars", "doc_id", 5).select(
+        "lang",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )

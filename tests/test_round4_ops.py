@@ -1,0 +1,263 @@
+"""Round-4 additions II: reconciliation, incremental components,
+weighted reservoir, product quantization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------- reconcile
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from compile_time_data_contracts_spark.operators.reconcile import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 changed, 3 removed (absent), 5 added
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    d = snapshot_diff(old, new, ["k"])
+    got = {r["k"]: r["status"] for r in d.collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "added",
+    }
+    summary = {
+        r["status"]: (r["n"], r["key_sum"])
+        for r in diff_summary(d, "k").collect()
+    }
+    assert summary["unchanged"] == (2, 5)
+    assert summary["added"] == (1, 5)
+    assert summary["removed"] == (1, 3)
+    assert summary["changed"] == (1, 2)
+
+
+def test_snapshot_diff_null_vs_literal_null_string_differ(spark):
+    from compile_time_data_contracts_spark.operators.reconcile import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "NULL")], "k long, s string")
+    [row] = snapshot_diff(old, new, ["k"]).collect()
+    assert row["status"] == "changed"
+
+
+def test_row_fingerprint_column_order_insensitive(spark):
+    from compile_time_data_contracts_spark.operators.reconcile import (
+        row_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, "x", 2.5)], "a long, b string, c double")
+    f1 = df.select(row_fingerprint(["a", "b", "c"]).alias("f")).first()["f"]
+    f2 = df.select(row_fingerprint(["c", "b", "a"]).alias("f")).first()["f"]
+    assert f1 == f2
+
+
+# ------------------------------------------------- incremental components
+
+def test_incremental_cc_equals_full_recompute(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    # batch1: {1-2-3}, {10-11}; batch2 bridges 3-10 and adds {20-21}
+    b1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    b2 = spark.createDataFrame(
+        [(3, 10), (20, 21)], "doc_a long, doc_b long"
+    )
+    labels1 = connected_components_star(b1)
+    incr = connected_components_incremental(labels1, b2)
+    full = connected_components_star(b1.union(b2))
+    got = {r["doc_id"]: r["cluster_id"] for r in incr.collect()}
+    want = {r["doc_id"]: r["cluster_id"] for r in full.collect()}
+    assert got == want
+    # the bridge merged both old components into min-label 1
+    assert got[11] == 1 and got[3] == 1 and got[21] == 20
+
+
+def test_incremental_cc_untouched_components_survive(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    b1 = spark.createDataFrame([(5, 6)], "doc_a long, doc_b long")
+    b2 = spark.createDataFrame([(100, 101)], "doc_a long, doc_b long")
+    labels1 = connected_components_star(b1)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_incremental(labels1, b2).collect()
+    }
+    assert got == {5: 5, 6: 5, 100: 100, 101: 100}
+
+
+# ------------------------------------------------------ weighted reservoir
+
+def test_reservoir_exact_k_per_group(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    rows = [(g, i, float(1 + i % 7)) for g in ("x", "y") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    out = reservoir_per_group(df, "g", "w", "id", 5)
+    counts = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"x": 5, "y": 5}
+
+
+def test_reservoir_small_group_returns_whole_group(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("x", 1, 1.0), ("x", 2, 1.0)], "g string, id long, w double"
+    )
+    assert reservoir_per_group(df, "g", "w", "id", 5).count() == 2
+
+
+def test_reservoir_deterministic_across_partitionings(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    rows = [("g", i, float(1 + (i * 13) % 11)) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "g string, id long, w double")
+    df2 = df1.repartition(7)
+    ids1 = sorted(
+        r["id"] for r in reservoir_per_group(df1, "g", "w", "id", 9).collect()
+    )
+    ids2 = sorted(
+        r["id"] for r in reservoir_per_group(df2, "g", "w", "id", 9).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_reservoir_weight_bias(spark):
+    """A group where one row holds ~all the mass: that row must always
+    be selected at k=1 (u^(1/w) -> 1 as w -> inf, and every other row's
+    key is pushed toward 0)."""
+    from compile_time_data_contracts_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    rows = [("g", i, 0.001) for i in range(50)] + [("g", 99, 1e9)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    [row] = reservoir_per_group(df, "g", "w", "id", 1).collect()
+    assert row["id"] == 99
+
+
+# ---------------------------------------------------- product quantization
+
+def _planted_vectors(n: int, dim: int, seed: int = 7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, dim))
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def test_pq_train_shapes_and_encode_range(spark):
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    X = _planted_vectors(300, 16)
+    books = pq_train(X, m=4, ksub=8)
+    assert books.shape == (4, 8, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = pq_encode(df, books).collect()
+    assert len(codes) == 300
+    arr = np.array([r["codes"] for r in codes])
+    assert arr.shape == (300, 4)
+    assert arr.min() >= 0 and arr.max() < 8
+
+
+def test_pq_topk_recall_on_planted_cluster(spark):
+    """Plant 5 near-copies of the query among 400 random vectors; the
+    PQ search with exact re-rank must put all 5 in its top-10 and the
+    returned sims must be exact (match brute force to 1e-9)."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        pq_topk,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(3)
+    X = _planted_vectors(400, 32, seed=3)
+    q = X[0]
+    for i in range(1, 6):  # near-duplicates of the query
+        v = q + 0.05 * rng.normal(size=32)
+        X[i] = v / np.linalg.norm(v)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    query = df.filter(F.col("vec_id") == 0)
+    approx = pq_topk(df, query, k=10, m=8, ksub=16, rerank=60)
+    got = {r["vec_id"]: r["sim"] for r in approx.collect()}
+    assert set(range(6)).issubset(got)
+    exact = {
+        r["vec_id"]: r["sim"]
+        for r in topk_cosine(df, query, k=10).collect()
+    }
+    for vid in set(range(6)):
+        assert got[vid] == pytest.approx(exact[vid], abs=1e-9)
+
+
+def test_pq_adc_scores_match_numpy_lut(spark):
+    """The JVM-side zip_with/aggregate ADC expression must equal the
+    straightforward numpy LUT sum."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_encode,
+        pq_train,
+    )
+
+    X = _planted_vectors(100, 16, seed=11)
+    books = pq_train(X, m=4, ksub=8, seed=11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    codes_df = pq_encode(df, books)
+    q = X[42]
+    got = {
+        r["vec_id"]: r["adc_score"]
+        for r in pq_adc_scores(codes_df, q, books).collect()
+    }
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    m, ksub, dsub = books.shape
+    lut = np.stack(
+        [books[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+    for vid, cs in codes.items():
+        want = float(sum(lut[s][cs[s]] for s in range(m)))
+        assert got[vid] == pytest.approx(want, abs=1e-9)
