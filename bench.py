@@ -84,6 +84,11 @@ HEADLINE = [
     "q137_gopher_quality",
     "q138_semantic_dedup",
     "q141_bm25_scores",
+    "q149_snapshot_diff",
+    "q150_entity_resolution",
+    "q151_pq_recall_contract",
+    "q153_cohort_retention",
+    "q154_weighted_reservoir",
 ]
 
 

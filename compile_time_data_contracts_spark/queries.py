@@ -5164,9 +5164,10 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention: users cohorted by first-activity week, then
     per (cohort, week-offset) active-user counts and retention rate.
     Two map-side-combined aggregates (first-week per user; distinct
-    user-weeks) joined on user_id, cohort sizes broadcast back — no
-    row-level state, no window over the event table.  The canonical
-    product-analytics rollup over the events stream."""
+    user-weeks) joined on user_id; the cohort SIZE is recovered from
+    the aggregated result itself (offset-0 actives == cohort size by
+    definition, via a window over the tiny rollup) instead of a third
+    events scan + join.  The canonical product-analytics rollup."""
     ev = load_table(spark, sf, "events")
     first = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_wk")
@@ -5174,31 +5175,23 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     act = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("act_wk")
     ).distinct()
-    sizes = first.groupBy("cohort_wk").agg(
-        F.count("*").alias("cohort_n")
-    )
     j = act.join(first, "user_id").select(
         "cohort_wk",
         (F.datediff(F.col("act_wk"), F.col("cohort_wk")) / 7)
         .cast("int")
         .alias("week_offset"),
-        "user_id",
     )
-    return (
-        j.join(F.broadcast(sizes), "cohort_wk")
-        .groupBy("cohort_wk", "week_offset")
-        .agg(
-            F.count("*").cast("bigint").alias("n_active"),
-            F.round(F.count("*") / F.first("cohort_n"), 6).alias(
-                "retention_r"
-            ),
-        )
-        .select(
-            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
-            "week_offset",
-            "n_active",
-            "retention_r",
-        )
+    agg = j.groupBy("cohort_wk", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("week_offset")
+    return agg.select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.first("n_active").over(w), 6
+        ).alias("retention_r"),
     )
 
 

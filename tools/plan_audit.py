@@ -341,6 +341,42 @@ CHECKS = {
         ("no cartesian beyond the 1-row query-vector broadcast", True,
          lambda p: "CartesianProduct" not in p),
     ],
+    "q149_snapshot_diff": [
+        ("per-side fingerprint projected below the join (shuffle "
+         "carries key+hash, not row width)", True,
+         lambda p: "xxhash64" in p),
+        ("equi-join on the key, no cartesian", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("summary partial-aggregated", True,
+         lambda p: "partial" in p.lower()),
+    ],
+    "q150_entity_resolution": [
+        ("block join has an extracted equi-key (brand), never BNLJ/"
+         "cartesian over the catalog", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("entity rollup partial-aggregated", True,
+         lambda p: "partial" in p.lower()),
+    ],
+    "q153_cohort_retention": [
+        ("events scanned exactly twice (first-week + activity); cohort "
+         "size from a post-agg window, not a third scan", True,
+         lambda p: p.count("events.parquet") == 2),
+        ("aggregates partial-combined", True,
+         lambda p: "partial" in p.lower()),
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+    ],
+    "q154_weighted_reservoir": [
+        ("single scan, single shuffle (window on lang)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("rank filter pushed into the window (WindowGroupLimit: "
+         "per-partition top-k heap, not full sort+filter)", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("selection arithmetic JVM-side (no Python stage)", True,
+         lambda p: "InPandas" not in p and "EvalPython" not in p),
+    ],
     "q148_data_expectations": [
         ("whole suite = one orders pass + one anti-join pass "
          "(2 orders scans, 1 customer scan)", True,
@@ -372,8 +408,35 @@ def _minhash_table_pipeline(spark, sf_dir):
 # Inner pipelines that gate queries materialize (checkpoint) before
 # returning — their plans are audited directly here since the final
 # query frame can no longer show them.
+def _pq_adc_pipeline(spark, sf_dir):
+    """The candidate-generation stage of q151's PQ search: encode +
+    ADC score + rerank-candidate top-k (the part of the search that
+    touches the whole corpus)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = emb.select("embedding").limit(500).toPandas()
+    X = np.vstack(sample["embedding"].to_numpy())
+    books = pq_train(X, m=8, ksub=16)
+    codes = pq_encode(emb, books)
+    return (
+        pq_adc_scores(codes, X[0], books)
+        .orderBy(F.desc("adc_score"), "vec_id")
+        .limit(100)
+    )
+
+
 PIPELINES = {
     "q54_inner_minhash_table": _minhash_table_pipeline,
+    "q151_inner_pq_candidates": _pq_adc_pipeline,
 }
 
 PIPELINE_CHECKS = {
@@ -385,6 +448,16 @@ PIPELINE_CHECKS = {
          and "ArrowEvalPython" not in p),
         ("single corpus scan", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q151_inner_pq_candidates": [
+        ("one corpus scan feeds encode+score", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("exactly one Python stage (the Arrow encode); ADC scoring is "
+         "JVM-side", True,
+         lambda p: len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+         and "ArrowEvalPython" not in p and "BatchEvalPython" not in p),
+        ("candidate top-k via TakeOrdered heap, no global sort", True,
+         lambda p: "TakeOrderedAndProject" in p),
     ],
 }
 

@@ -251,6 +251,26 @@ def main() -> None:
         len(set(approx_ids) & set(exact_ids)) / 10.0, 2
     )
 
+    # --- 4b. PQ compressed-domain ANN at representative n ----------------
+    # same query + exact ground truth as the IVF section: train on a
+    # bounded sample, encode the corpus once (Arrow pass), ADC-scan the
+    # m-byte codes JVM-side, exact-rerank 200 candidates
+    from compile_time_data_contracts_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    t0 = time.perf_counter()
+    pq_ids = [
+        r.vec_id
+        for r in pq_topk(
+            emb, query, k=10, m=8, ksub=16, rerank=200
+        ).collect()
+    ]
+    results["pq_search_sec"] = round(time.perf_counter() - t0, 2)
+    results["pq_recall_at_10"] = round(
+        len(set(pq_ids) & set(exact_ids)) / 10.0, 2
+    )
+
     # --- 5. SemDeDup at representative cluster sizes ---------------------
     # the generator's mixture component IS the coarse-quantizer label
     # (vector i draws component src % 64, its planted partner shares it),
@@ -290,6 +310,7 @@ def main() -> None:
         and precision_violations == 0
         and results["ivf_partition_pruned"]
         and results["ivf_recall_at_10"] >= 0.8
+        and results["pq_recall_at_10"] >= 0.8
     )
     if not big:
         ok = (
