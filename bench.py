@@ -89,6 +89,9 @@ HEADLINE = [
     "q151_pq_recall_contract",
     "q153_cohort_retention",
     "q154_weighted_reservoir",
+    "q155_temperature_mixture",
+    "q156_duplicate_spans",
+    "q157_containment_pairs",
 ]
 
 

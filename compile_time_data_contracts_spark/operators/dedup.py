@@ -29,6 +29,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_signature",
     "banded_signature_table",
     "shingle_set_table",
@@ -1029,4 +1030,57 @@ def connected_components_incremental(
     )
     return connected_components_star(
         combined, a_col, b_col, max_iterations
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(a,b) = |Sa ∩ Sb| / |Sa| —
+    "document a is mostly inside document b" — the relation Jaccard
+    misses when sizes differ (a 50-token quote inside a 5,000-token doc
+    has J ≈ 0.01 but C ≈ 1.0).  Returns (doc_a, doc_b, containment)
+    for ordered pairs a != b with C >= threshold; the dedup policy that
+    consumes this usually drops the contained (smaller) side.
+
+    Same co-occurrence-join shape as :func:`jaccard_pairs` (explode
+    distinct shingles, self-join on the shingle, partial-agg count —
+    never a cartesian), divided by the CONTAINED side's set size only,
+    and emitted in both orders since containment is directional.  Skew
+    and scale characteristics are identical to jaccard_pairs (work is
+    O(Σ_shingle df²)); for a 100 TB corpus run the MinHash banding
+    first and containment-score only the candidate pairs.
+    """
+    sh = shingle_rows(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("__inter"))
+    )
+    sz_a = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sz_a")
+    )
+    return (
+        inter.join(sz_a, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("__inter") / F.col("__sz_a"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )

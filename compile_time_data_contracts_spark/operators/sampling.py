@@ -21,6 +21,7 @@ __all__ = [
     "upsample_by_factor",
     "weighted_sample",
     "reservoir_per_group",
+    "temperature_mixture_rates",
 ]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
@@ -337,4 +338,43 @@ def reservoir_per_group(
         .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") <= k)
         .drop("__res_key", "__rn")
+    )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual
+    pretraining recipe from the XLM-R / mT5 line of work — public
+    literature): group g is sampled with probability p_g proportional to
+    (n_g)^alpha, flattening the head and boosting the tail as alpha
+    drops below 1.  Returns one row per group with its count, target
+    probability, and the per-ROW keep rate that realizes the target at
+    equal corpus size (rate_g = p_g * N_total / n_g, capped at 1 —
+    upsampling beyond 1 is `upsample_by_factor`'s job).
+
+    |groups|-row output from one map-side-combined count — the planning
+    step is corpus-size-independent; feed the rates into
+    `deterministic_sample(rates=...)` for the actual membership pass.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    # totals via a window over the |groups|-row count table — keeps the
+    # corpus at ONE scan (an agg+crossJoin would re-evaluate the count
+    # subtree and scan twice); the unpartitioned window only ever sees
+    # |groups| rows, so the single-partition exchange is metadata-sized
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pw = F.pow(F.col("n").cast("double"), F.lit(alpha))
+    z = F.sum(pw).over(w)
+    big_n = F.sum("n").over(w)
+    return counts.select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(pw / z, 6).alias("p_target"),
+        F.round(
+            F.least(F.lit(1.0), pw / z * big_n / F.col("n")), 6
+        ).alias("keep_rate"),
     )

@@ -1173,12 +1173,16 @@ def pq_train(
         k = min(ksub, n)
         C = sub[rng.choice(n, size=k, replace=False)]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(k):
-                members = sub[assign == j]
-                if len(members):
-                    C[j] = members.mean(axis=0)
+            # ||x-c||² argmin == (c·c - 2 x·c) argmin: one matmul per
+            # iter instead of an (n, k, dsub) broadcast tensor
+            cc = (C**2).sum(axis=1)
+            assign = (cc[None, :] - 2.0 * (sub @ C.T)).argmin(axis=1)
+            # vectorized per-cluster mean via bincount (k-means M-step)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, assign, sub)
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
         books[s, :k] = C
         if k < ksub:  # degenerate tiny-sample case: pad with copies
             books[s, k:] = C[0]
@@ -1236,9 +1240,11 @@ def pq_adc_scores(
 ) -> DataFrame:
     """Asymmetric-distance scores, entirely JVM-side: the query is
     turned into an m×ksub lookup table of subspace inner products on the
-    driver (~1 KB of literals), and each row's score is
-    Σ_s LUT[s][code_s] — a zip_with/aggregate over the codes column
-    inside whole-stage codegen.  No Python touches the corpus."""
+    driver (m·ksub doubles — KBs at 8-bit codebooks), shipped as a
+    BROADCAST one-row array rather than a literal (a 2048-element
+    literal would bloat every task's expression tree), and each row's
+    score is Σ_s LUT[s][code_s] — a zip_with/aggregate over the codes
+    column.  No Python touches the corpus."""
     import numpy as np
 
     books = np.asarray(codebooks)
@@ -1249,17 +1255,20 @@ def pq_adc_scores(
     for s in range(m):
         lut[s] = books[s] @ q[s * dsub : (s + 1) * dsub]
     flat = [float(x) for x in lut.ravel()]
-    lut_col = F.array(*[F.lit(v) for v in flat])
+    spark = codes_df.sparkSession
+    lut_df = spark.createDataFrame([(flat,)], "__lut array<double>")
     score = F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, i: F.element_at(lut_col, i * ksub + c + 1),
+            lambda c, i: F.element_at(F.col("__lut"), i * ksub + c + 1),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return codes_df.select(id_col, score.alias("adc_score"))
+    return codes_df.crossJoin(F.broadcast(lut_df)).select(
+        id_col, score.alias("adc_score")
+    )
 
 
 def pq_topk(

@@ -7,7 +7,7 @@ with a parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "gopher_quality",
     "GOPHER_STOP_WORDS",
     "bm25_scores",
+    "duplicate_span_stats",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -525,3 +526,100 @@ def bm25_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.sum("__s").alias("bm25"))
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (the token-level counterpart of
+    document near-dup — the public "Deduplicating Training Data Makes
+    Language Models Better" recipe, Lee et al. 2022, re-expressed
+    relationally): an ``ngram``-token window whose exact text appears
+    in MORE THAN ONE document marks its positions duplicated; runs of
+    overlapping/adjacent duplicated windows merge into spans, and each
+    document reports its span count, duplicated-token total, and
+    duplicated fraction.
+
+    Plan shape (all codegen, no Python):
+      1. one scan -> positional n-gram table via transform+posexplode
+         (shuffle carries (hash, doc, pos) longs, never the text),
+      2. cross-doc windows = one partial-combined aggregate keeping
+         hashes with >= 2 distinct docs (two-level distinct agg, no
+         pair join),
+      3. a semi-join back tags each doc's duplicated positions,
+      4. span merge is the classic gaps-and-islands window per doc
+         (new island when the next window start clears the previous
+         span's reach).
+
+    At 100 TB stage 2's aggregate is the only corpus-wide shuffle and
+    it moves 16 bytes per window; suffix-array approaches find longer
+    exact repeats but need a global sort — banded windows at fixed n
+    are the shuffle-friendly 95% answer.
+    """
+    # positional n-grams via arrays_zip of n shifted slice views +
+    # posexplode — same codegen-friendly construction as
+    # dedup.shingle_rows (transform lambdas are interpreted, ~0.5 ms/doc)
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= ngram
+    )
+    shifted = F.arrays_zip(
+        *[
+            F.slice(F.col("__t"), i + 1, F.size("__t")).alias(f"g{i}")
+            for i in range(ngram)
+        ]
+    )
+    rows = base.select(
+        F.col(id_col),
+        F.size("__t").alias("__n_toks"),
+        F.posexplode(shifted).alias("pos", "__g"),
+    )
+    pos_tbl = rows.filter(
+        F.col("pos") <= F.col("__n_toks") - ngram
+    ).select(
+        id_col,
+        "__n_toks",
+        "pos",
+        F.xxhash64(
+            F.concat_ws(" ", *[f"__g.g{i}" for i in range(ngram)])
+        ).alias("gh"),
+    )
+    shared = (
+        pos_tbl.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gh")
+    )
+    dup_pos = pos_tbl.join(shared, "gh", "semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup_pos.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new_island",
+            (
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > ngram)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            F.first("__n_toks").alias("__n_toks"),
+            (F.max("pos") - F.min("pos") + ngram).alias("__span_len"),
+        )
+    )
+    return spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.sum("__span_len").cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.sum("__span_len") / F.first("__n_toks"), 6
+        ).alias("dup_frac"),
+    )

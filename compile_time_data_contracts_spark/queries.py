@@ -5230,3 +5230,126 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+@q(
+    "q155_temperature_mixture",
+    """WITH c AS (
+         SELECT lang, count(*) AS n FROM documents GROUP BY lang
+       ), z AS (
+         SELECT sum(pow(n::DOUBLE, 0.5)) AS z, sum(n) AS N FROM c
+       )
+       SELECT c.lang, CAST(c.n AS BIGINT) AS n,
+              round(pow(c.n::DOUBLE, 0.5) / z.z, 6) AS p_target,
+              round(least(1.0,
+                    pow(c.n::DOUBLE, 0.5) / z.z * z.N / c.n), 6)
+                AS keep_rate
+       FROM c, z""",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual
+    pretraining recipe: sample language l with p_l ∝ n_l^α, α=0.5 —
+    head languages flattened, tail boosted).  One |languages|-row
+    planning aggregate from one map-combined count — corpus-size-
+    independent; the emitted keep_rate per language feeds the
+    deterministic stratified sampler (q63's machinery) for the
+    membership pass."""
+    from .operators.sampling import temperature_mixture_rates
+
+    docs = load_table(spark, sf, "documents")
+    return temperature_mixture_rates(docs, "lang", alpha=0.5)
+
+
+@q(
+    "q156_duplicate_spans",
+    """WITH pos AS (
+         SELECT doc_id, len(toks) AS n_toks,
+                CAST(gs - 1 AS BIGINT) AS pos,
+                concat_ws(' ', toks[gs], toks[gs+1], toks[gs+2],
+                          toks[gs+3], toks[gs+4], toks[gs+5],
+                          toks[gs+6], toks[gs+7]) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+              LATERAL UNNEST(generate_series(1, len(toks) - 7)) t(gs)
+         WHERE len(toks) >= 8
+       ), shared AS (
+         SELECT g FROM pos GROUP BY g
+         HAVING count(DISTINCT doc_id) >= 2
+       ), dup AS (
+         SELECT p.doc_id, p.n_toks, p.pos
+         FROM pos p JOIN shared s ON p.g = s.g
+       ), isl AS (
+         SELECT doc_id, n_toks, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > 8
+                     THEN 1 ELSE 0 END AS ni
+         FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       ), grp AS (
+         SELECT doc_id, n_toks, pos,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS island
+         FROM isl
+       ), spans AS (
+         SELECT doc_id, any_value(n_toks) AS n_toks,
+                max(pos) - min(pos) + 8 AS span_len
+         FROM grp GROUP BY doc_id, island
+       )
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(count(*) AS BIGINT) AS n_dup_spans,
+              CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+              round(sum(span_len)::DOUBLE / any_value(n_toks), 6)
+                AS dup_frac
+       FROM spans GROUP BY doc_id""",
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (token-level dedup, the public
+    'Deduplicating Training Data' recipe re-expressed relationally):
+    8-token windows whose exact text appears in >= 2 documents, merged
+    into per-document spans (gaps-and-islands window), reported as
+    span count / duplicated tokens / duplicated fraction.  The only
+    corpus-wide shuffle moves (hash, doc, pos) longs — never text; a
+    suffix array finds longer repeats but needs a global sort."""
+    from .operators.text import duplicate_span_stats
+
+    docs = load_table(spark, sf, "documents")
+    return duplicate_span_stats(docs, ngram=8)
+
+
+@q(
+    "q157_containment_pairs",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id,
+                concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+              LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1)))
+                t(gs)
+       ), sizes AS (
+         SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       ), inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM sh a JOIN sh b
+           ON a.s = b.s AND a.doc_id <> b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT CAST(doc_a AS BIGINT) AS doc_a,
+              CAST(doc_b AS BIGINT) AS doc_b,
+              round(i::DOUBLE / sz.sz, 6) AS containment
+       FROM inter JOIN sizes sz ON sz.doc_id = doc_a
+       WHERE round(i::DOUBLE / sz.sz, 6) >= 0.8""",
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup: C(a,b) = |Sa∩Sb| / |Sa| >= 0.8
+    finds documents mostly CONTAINED in another (quotes, excerpts,
+    supersets) that symmetric Jaccard misses when sizes differ.  Same
+    co-occurrence-join shape as exact Jaccard — shingle equi-join +
+    partial-agg count, never a cartesian; directional, so pairs emit
+    both ways.  The dedup policy downstream drops the contained side."""
+    from .operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return containment_pairs(docs, n=3, threshold=0.8).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "containment",
+    )

@@ -261,3 +261,114 @@ def test_pq_adc_scores_match_numpy_lut(spark):
     for vid, cs in codes.items():
         want = float(sum(lut[s][cs[s]] for s in range(m)))
         assert got[vid] == pytest.approx(want, abs=1e-9)
+
+
+# ------------------------------------------------- temperature mixture
+
+def test_temperature_alpha1_keeps_everything(spark):
+    """alpha=1 is proportional sampling == no rebalancing: every
+    group's keep_rate must be exactly 1."""
+    from compile_time_data_contracts_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    rows = [("en", i) for i in range(90)] + [("yo", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, id long")
+    out = temperature_mixture_rates(df, "lang", alpha=1.0).collect()
+    assert all(r["keep_rate"] == 1.0 for r in out)
+    p = {r["lang"]: r["p_target"] for r in out}
+    assert p["en"] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_temperature_alpha_half_flattens_head(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    rows = [("en", i) for i in range(90)] + [("yo", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, id long")
+    out = {
+        r["lang"]: r
+        for r in temperature_mixture_rates(df, "lang", alpha=0.5).collect()
+    }
+    # sqrt weighting: 90:10 head share drops from 0.9 toward 0.75
+    assert out["en"]["p_target"] < 0.9
+    assert out["yo"]["p_target"] > 0.1
+    # head is downsampled (rate < 1), tail capped at 1
+    assert out["en"]["keep_rate"] < 1.0
+    assert out["yo"]["keep_rate"] == 1.0
+
+
+# ---------------------------------------------------- duplicate spans
+
+def test_duplicate_span_stats_planted_span(spark):
+    """Two docs share one contiguous 10-token run; each must report
+    exactly one duplicated span of 10 tokens."""
+    from compile_time_data_contracts_spark.operators.text import (
+        duplicate_span_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = [
+        (1, f"a1 a2 a3 {shared} a4 a5 a6"),
+        (2, f"b1 b2 {shared} b3 b4 b5 b6 b7"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, ngram=8).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 10
+
+
+def test_duplicate_span_stats_two_separate_spans(spark):
+    """Two shared runs separated by unique text must stay two islands,
+    not merge."""
+    from compile_time_data_contracts_spark.operators.text import (
+        duplicate_span_stats,
+    )
+
+    s1 = " ".join(f"x{i}" for i in range(8))
+    s2 = " ".join(f"y{i}" for i in range(8))
+    gap = " ".join(f"u{i}" for i in range(12))
+    docs = [
+        (1, f"{s1} {gap} {s2}"),
+        (2, f"{s1} w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 {s2}"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, ngram=8).collect()}
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["dup_tokens"] == 16
+
+
+def test_duplicate_span_stats_short_docs_excluded(spark):
+    from compile_time_data_contracts_spark.operators.text import (
+        duplicate_span_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert duplicate_span_stats(df, ngram=8).count() == 0
+
+
+# ------------------------------------------------------- containment
+
+def test_containment_asymmetric(spark):
+    """A small doc fully inside a large one: containment 1.0 one way,
+    below threshold the other."""
+    from compile_time_data_contracts_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    small = "q1 q2 q3 q4 q5 q6"
+    big = "p1 p2 p3 p4 " + small + " p5 p6 p7 p8 p9 p10 p11 p12"
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert rows == {(1, 2): 1.0}

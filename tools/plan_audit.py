@@ -377,6 +377,33 @@ CHECKS = {
         ("selection arithmetic JVM-side (no Python stage)", True,
          lambda p: "InPandas" not in p and "EvalPython" not in p),
     ],
+    "q155_temperature_mixture": [
+        ("one map-combined count: single corpus scan", True,
+         lambda p: "partial_count" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("totals from a window over the |languages|-row count table "
+         "(no second corpus pass, no join)", True,
+         lambda p: "Window" in p and "Join" not in p),
+    ],
+    "q156_duplicate_spans": [
+        ("positional n-grams via codegen Generate, no Python stage",
+         True,
+         lambda p: "Generate" in p and "InPandas" not in p
+         and "EvalPython" not in p),
+        ("shuffle carries gram hashes (xxhash64), never text", True,
+         lambda p: "xxhash64" in p),
+        ("shared-gram filter is an aggregate + semi-join, not a pair "
+         "join", True,
+         lambda p: "LeftSemi" in p and "CartesianProduct" not in p),
+    ],
+    "q157_containment_pairs": [
+        ("co-occurrence equi-join on the shingle, never a cartesian",
+         True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("intersection counts partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
     "q148_data_expectations": [
         ("whole suite = one orders pass + one anti-join pass "
          "(2 orders scans, 1 customer scan)", True,

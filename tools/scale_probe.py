@@ -254,18 +254,30 @@ def main() -> None:
     # --- 4b. PQ compressed-domain ANN at representative n ----------------
     # same query + exact ground truth as the IVF section: train on a
     # bounded sample, encode the corpus once (Arrow pass), ADC-scan the
-    # m-byte codes JVM-side, exact-rerank 200 candidates
+    # m-byte codes JVM-side, exact-rerank 1000 candidates.  Standard
+    # 8-bit PQ (ksub=256): the gate-scale q151 runs ksub=16 because its
+    # corpus is 1k vectors; at 10^5-10^6 the clustered corpus has many
+    # near-tied neighbors and 4-bit codebooks can't separate them
     from compile_time_data_contracts_spark.operators.similarity import (
         pq_topk,
     )
 
+    # m scales with corpus size: a 10^6-row clustered corpus packs
+    # ~15k near-tied neighbors into the query's component, so ranking
+    # inside those tiny cosine gaps needs 4-dim subquantizers (m=16,
+    # 16 B/vector — still 16x smaller than float32) and a deeper
+    # rerank; at 10^5 the 8-byte m=8 code suffices
+    pq_m = 16 if big else 8
+    pq_rerank = 2000 if big else 1000
     t0 = time.perf_counter()
     pq_ids = [
         r.vec_id
         for r in pq_topk(
-            emb, query, k=10, m=8, ksub=16, rerank=200
+            emb, query, k=10, m=pq_m, ksub=256, rerank=pq_rerank
         ).collect()
     ]
+    results["pq_m"] = pq_m
+    results["pq_rerank"] = pq_rerank
     results["pq_search_sec"] = round(time.perf_counter() - t0, 2)
     results["pq_recall_at_10"] = round(
         len(set(pq_ids) & set(exact_ids)) / 10.0, 2
