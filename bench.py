@@ -92,6 +92,7 @@ HEADLINE = [
     "q155_temperature_mixture",
     "q156_duplicate_spans",
     "q157_containment_pairs",
+    "q158_psi_drift",
 ]
 
 

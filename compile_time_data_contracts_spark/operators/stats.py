@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["equi_width_histogram", "column_profile"]
+__all__ = ["equi_width_histogram", "column_profile", "psi_drift"]
 
 
 def equi_width_histogram(
@@ -82,4 +82,91 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) AS "
             "(column, n_null, n_distinct, min_str, max_str)"
         )
+    )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    nbuckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two versions of a numeric
+    column — DISTRIBUTION-level drift detection, the companion to
+    row-level `reconcile.snapshot_diff`: a backfill can leave every key
+    'changed' while the distribution is fine, or keys untouched while a
+    unit change shifts the whole distribution.
+
+    Bin edges are equal-width over the OLD (baseline) min/max — a 1-row
+    broadcast, deterministic in any engine (no approximate quantiles,
+    which would desync engines); new-side values outside the baseline
+    range clamp into the edge buckets.  Each side then pays one
+    map-side-combined count; the shuffle carries ``nbuckets`` rows.
+    Empty buckets are floored at ``eps`` before the log ratio (the
+    standard PSI guard).  Output: one row per bucket with both
+    proportions, the bucket's PSI contribution, and the TOTAL repeated
+    on every row (window over the nbuckets-row result).  Rule of thumb:
+    PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major drift.
+    """
+    from pyspark.sql import Window
+
+    mm = old.agg(
+        F.min(F.col(col).cast("double")).alias("__mn"),
+        F.max(F.col(col).cast("double")).alias("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(nbuckets))
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        bucket = F.when(
+            F.col("__mx") == F.col("__mn"), F.lit(0)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor(
+                        (F.col(col).cast("double") - F.col("__mn")) / width
+                    ),
+                    F.lit(nbuckets - 1),
+                ),
+            )
+        ).cast("int")
+        return (
+            df.filter(F.col(col).isNotNull())
+            .crossJoin(F.broadcast(mm))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias(name))
+        )
+
+    o = side_counts(old, "__n_old")
+    n = side_counts(new, "__n_new")
+    tot = Window.partitionBy()
+    joined = (
+        o.join(n, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("__n_old", F.lit(0)).alias("__n_old"),
+            F.coalesce("__n_new", F.lit(0)).alias("__n_new"),
+        )
+        .select(
+            "bucket",
+            F.greatest(
+                F.col("__n_old") / F.sum("__n_old").over(tot), F.lit(eps)
+            ).alias("__p_old"),
+            F.greatest(
+                F.col("__n_new") / F.sum("__n_new").over(tot), F.lit(eps)
+            ).alias("__p_new"),
+        )
+    )
+    contrib = (F.col("__p_new") - F.col("__p_old")) * F.log(
+        F.col("__p_new") / F.col("__p_old")
+    )
+    return joined.select(
+        "bucket",
+        F.round("__p_old", 6).alias("p_old_r"),
+        F.round("__p_new", 6).alias("p_new_r"),
+        F.round(contrib, 6).alias("psi_contrib_r"),
+        F.round(F.sum(contrib).over(Window.partitionBy()), 6).alias(
+            "psi_total_r"
+        ),
     )

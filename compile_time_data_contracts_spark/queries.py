@@ -5353,3 +5353,74 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_b").cast("bigint").alias("doc_b"),
         "containment",
     )
+
+
+@q(
+    "q158_psi_drift",
+    """WITH mm AS (
+         SELECT min(c_acctbal::DOUBLE) AS mn, max(c_acctbal::DOUBLE) AS mx
+         FROM customer
+       ), old_b AS (
+         SELECT CASE WHEN mm.mx = mm.mn THEN 0
+                ELSE CAST(greatest(0, least(
+                       floor((c_acctbal::DOUBLE - mm.mn)
+                             / ((mm.mx - mm.mn) / 10.0)), 9)) AS INT)
+                END AS bucket,
+                count(*) AS n_old
+         FROM customer, mm GROUP BY 1
+       ), newt AS (
+         SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                     THEN c_acctbal + 20000.0 ELSE c_acctbal END AS v
+         FROM customer
+       ), new_b AS (
+         SELECT CASE WHEN mm.mx = mm.mn THEN 0
+                ELSE CAST(greatest(0, least(
+                       floor((v::DOUBLE - mm.mn)
+                             / ((mm.mx - mm.mn) / 10.0)), 9)) AS INT)
+                END AS bucket,
+                count(*) AS n_new
+         FROM newt, mm GROUP BY 1
+       ), j AS (
+         SELECT coalesce(o.bucket, n.bucket) AS bucket,
+                coalesce(o.n_old, 0) AS n_old,
+                coalesce(n.n_new, 0) AS n_new
+         FROM old_b o FULL OUTER JOIN new_b n ON o.bucket = n.bucket
+       ), p AS (
+         SELECT bucket,
+                greatest(n_old * 1.0 / sum(n_old) OVER (), 1e-6) AS p_old,
+                greatest(n_new * 1.0 / sum(n_new) OVER (), 1e-6) AS p_new
+         FROM j
+       )
+       SELECT bucket,
+              round(p_old, 6) AS p_old_r,
+              round(p_new, 6) AS p_new_r,
+              round((p_new - p_old) * ln(p_new / p_old), 6)
+                AS psi_contrib_r,
+              round(sum((p_new - p_old) * ln(p_new / p_old)) OVER (), 6)
+                AS psi_total_r
+       FROM p""",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index drift detection: the DISTRIBUTION-
+    level companion to q149's row-level snapshot diff — a simulated v2
+    (two segments' balances shifted past the baseline range, clamping
+    into the top bucket — a broken-unit-conversion shape) is binned
+    against the v1 baseline's deterministic equal-width deciles and
+    each bucket's PSI contribution plus the total is reported.  Bin
+    edges come from one 1-row (min, max) broadcast — no approximate
+    quantiles, which would desync engines; each side then pays one
+    map-combined count and the shuffle carries 10 rows.  PSI > 0.25 =
+    major drift (this scenario lands ~0.6)."""
+    from .operators.stats import psi_drift
+
+    cust = load_table(spark, sf, "customer")
+    old = cust.select(F.col("c_acctbal").alias("bal"))
+    new = cust.select(
+        F.when(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+            F.col("c_acctbal") + 20000.0,
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal")
+    )
+    return psi_drift(old, new, "bal", nbuckets=10)

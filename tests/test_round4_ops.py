@@ -372,3 +372,54 @@ def test_containment_asymmetric(spark):
         for r in containment_pairs(df, n=3, threshold=0.8).collect()
     }
     assert rows == {(1, 2): 1.0}
+
+
+# -------------------------------------------------------------- PSI drift
+
+def test_psi_identical_distributions_near_zero(spark):
+    from compile_time_data_contracts_spark.operators.stats import psi_drift
+
+    df = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    out = psi_drift(df, df, "v").collect()
+    assert len(out) == 10
+    assert all(abs(r["psi_total_r"]) < 1e-9 for r in out)
+    assert all(abs(r["p_old_r"] - r["p_new_r"]) < 1e-9 for r in out)
+
+
+def test_psi_major_shift_trips_threshold(spark):
+    from compile_time_data_contracts_spark.operators.stats import psi_drift
+
+    import pyspark.sql.functions as SF
+
+    old = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    # half the mass pushed past the baseline max -> clamps to bucket 9
+    new = old.withColumn(
+        "v",
+        SF.when(SF.col("v") < 50, SF.col("v") + 1000.0).otherwise(
+            SF.col("v")
+        ),
+    )
+    [total] = {r["psi_total_r"] for r in psi_drift(old, new, "v").collect()}
+    assert total > 0.25
+
+
+def test_psi_empty_bucket_eps_guard(spark):
+    """A new-side distribution missing a baseline bucket entirely must
+    produce a finite contribution (eps floor), not an infinity/NaN."""
+    import math
+
+    from compile_time_data_contracts_spark.operators.stats import psi_drift
+
+    old = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    new = spark.createDataFrame(
+        [(float(i),) for i in range(50)], "v double"  # top half absent
+    )
+    out = psi_drift(old, new, "v").collect()
+    assert all(math.isfinite(r["psi_contrib_r"]) for r in out)
+    assert all(math.isfinite(r["psi_total_r"]) for r in out)

@@ -404,6 +404,17 @@ CHECKS = {
         ("intersection counts partial-aggregated", True,
          lambda p: "partial_count" in p),
     ],
+    "q158_psi_drift": [
+        ("bin edges from a 1-row broadcast (no approx quantiles, no "
+         "extra shuffle)", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("per-side counts partial-aggregated (shuffle carries "
+         "nbuckets rows)", True,
+         lambda p: "partial_count" in p),
+        ("no Python anywhere", True,
+         lambda p: "InPandas" not in p and "EvalPython" not in p),
+    ],
     "q148_data_expectations": [
         ("whole suite = one orders pass + one anti-join pass "
          "(2 orders scans, 1 customer scan)", True,
