@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["equi_width_histogram", "column_profile", "psi_drift"]
+__all__ = [
+    "equi_width_histogram",
+    "column_profile",
+    "psi_drift",
+    "count_min_frequencies",
+]
 
 
 def equi_width_histogram(
@@ -170,3 +175,43 @@ def psi_drift(
             "psi_total_r"
         ),
     )
+
+
+def count_min_frequencies(
+    df: DataFrame,
+    col: str,
+    keys: list[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> list[tuple[str, int, int]]:
+    """Point-queryable frequency estimates from ONE mergeable Count-Min
+    sketch built distributed (`count_min_sketch` aggregate — JVM-side,
+    map-side partial merge; the shuffle carries depth*width counters, not
+    rows).  The binary sketch is decoded on the driver with Spark's own
+    ``org.apache.spark.util.sketch.CountMinSketch`` (same murmur hashing
+    as the SQL aggregate, so estimates are exactly reproducible for a
+    fixed seed) and probed for each requested key.
+
+    Returns [(key, estimate, total_count)].  CMS guarantees
+    estimate >= true_count always, and estimate <= true_count + eps*N
+    with probability ``confidence`` per query — the q160 gate asserts
+    that contract against exact GROUP BY counts.
+
+    At 100 TB: the sketch is a few MB regardless of row count; per-key
+    frequency questions (heavy-hitter gating, stopword discovery,
+    contamination canaries) become O(1) lookups instead of a second
+    full-corpus GROUP BY.  Unlike the exact count it composes across
+    days/shards by sketch merge (`count_min_sketch` over stored sketch
+    bytes is not exposed as a SQL merge, but ``CountMinSketch.mergeInPlace``
+    on the driver is, and sketches are tiny).
+    """
+    spark = df.sparkSession
+    row = df.selectExpr(
+        f"count_min_sketch({col}, {eps}d, {confidence}d, {seed}) AS s",
+        "count(*) AS n",
+    ).collect()[0]
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytes(row.s))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    return [(k, int(cms.estimateCount(k)), int(row.n)) for k in keys]

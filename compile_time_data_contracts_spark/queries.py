@@ -5424,3 +5424,168 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
         .alias("bal")
     )
     return psi_drift(old, new, "bal", nbuckets=10)
+
+
+@q(
+    "q159_recursive_cte_closure",
+    """WITH RECURSIVE walk(leaf, node, depth) AS (
+         SELECT s_suppkey AS leaf, s_suppkey AS node, 0 AS depth
+         FROM supplier
+         UNION ALL
+         SELECT leaf, CAST(floor(node / 2) AS BIGINT) AS node,
+                depth + 1 AS depth
+         FROM walk WHERE node > 1
+       )
+       SELECT leaf AS s_suppkey, CAST(max(depth) AS INT) AS depth,
+              CAST(sum(node) AS BIGINT) AS path_sum,
+              CAST(count(*) AS BIGINT) AS chain_len
+       FROM walk GROUP BY leaf""",
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): ancestor-chain closure
+    over a derived hierarchy (parent(k) = floor(k/2), a binary tree
+    rooted at 1) — per-leaf depth, path node-sum, and chain length.
+    This is the SQL-standard spec for the iterative closures the engine
+    elsewhere runs by hand (q73/q101/q152 label propagation): Spark
+    executes it as iterated UNION ALL micro-plans, one join per level,
+    terminating when the recursive leg is empty.  Rounds ∝ hierarchy
+    DEPTH (log n here), and each round's shuffle carries only the still-
+    walking frontier — the same O(depth) alternation bound as the
+    hand-written CC loop, but optimizer-planned.  For 100 TB graphs with
+    unknown/deep diameter the explicit large-star/small-star operator
+    (q101) stays the scale path; recursive CTE is the right tool for
+    bounded-depth hierarchies (org charts, BOM explosions, paths)."""
+    for t in ("supplier",):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """WITH RECURSIVE walk(leaf, node, depth) AS (
+             SELECT s_suppkey AS leaf, s_suppkey AS node, 0 AS depth
+             FROM supplier
+             UNION ALL
+             SELECT leaf, CAST(floor(node / 2) AS BIGINT) AS node,
+                    depth + 1 AS depth
+             FROM walk WHERE node > 1
+           )
+           SELECT leaf AS s_suppkey, CAST(max(depth) AS INT) AS depth,
+                  CAST(sum(node) AS BIGINT) AS path_sum,
+                  CAST(count(*) AS BIGINT) AS chain_len
+           FROM walk GROUP BY leaf"""
+    )
+
+
+@q(
+    "q160_cms_frequency_contract",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt,
+              TRUE AS within_bound
+       FROM events GROUP BY event_type""",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min-sketch frequency contract: one mergeable CMS built by
+    the JVM `count_min_sketch` aggregate (map-side partial merge — the
+    shuffle carries depth x width counters, not rows), decoded on the
+    driver with Spark's own sketch library, and point-probed for every
+    event type.  The emitted `within_bound` asserts the CMS guarantee
+    (estimate >= exact, and <= exact + eps*N) against the exact GROUP BY
+    counts — the oracle predicts all-true, so a hashing mismatch between
+    the SQL aggregate and the decoder, or a broken merge, flips the gate.
+    At 100 TB the sketch is a few MB however many rows feed it, and
+    per-key frequency questions become O(1) probes instead of a second
+    full-corpus aggregate; sketches from different days/shards compose
+    by `mergeInPlace`."""
+    from .operators.stats import count_min_frequencies
+
+    eps = 0.001
+    events = load_table(spark, sf, "events")
+    exact = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    keys = [r.event_type for r in exact.select("event_type").collect()]
+    est = count_min_frequencies(
+        events, "event_type", keys, eps=eps, confidence=0.99, seed=42
+    )
+    import math
+
+    bound = math.ceil(eps * (est[0][2] if est else 0))
+    est_df = spark.createDataFrame(
+        [(k, e) for (k, e, _n) in est], "event_type string, est bigint"
+    )
+    return exact.join(F.broadcast(est_df), "event_type").select(
+        "event_type",
+        "exact_cnt",
+        (
+            (F.col("est") >= F.col("exact_cnt"))
+            & (F.col("est") <= F.col("exact_cnt") + F.lit(bound))
+        ).alias("within_bound"),
+    )
+
+
+@q(
+    "q161_sql_scalar_udf",
+    """SELECT doc_id,
+              round(least(n_chars, 2000) / 2000.0 +
+                    CASE WHEN text LIKE '%the%' THEN 0.1 ELSE 0.0 END,
+                    6) AS score
+       FROM documents""",
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`): a
+    reusable quality-score routine declared ONCE in the catalog and used
+    like a builtin.  Unlike a Python UDF there is no serialization
+    boundary at all — Catalyst inlines the body into the calling plan,
+    so the scored scan stays inside WholeStageCodegen and every
+    optimization (pushdown through it, constant folding, pruning)
+    applies as if the expression were written inline.  This is the right
+    home for org-wide curation formulas at 100 TB: one definition,
+    zero runtime cost, no UDF-server fleet."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q161_documents"
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION q161_score(
+             nc BIGINT, txt STRING) RETURNS DOUBLE
+           RETURN round(least(nc, 2000) / 2000.0 +
+             CASE WHEN txt LIKE '%the%' THEN 0.1 ELSE 0.0 END, 6)"""
+    )
+    return spark.sql(
+        "SELECT doc_id, q161_score(n_chars, text) AS score "
+        "FROM q161_documents"
+    )
+
+
+@q(
+    "q162_sql_table_udf_chunks",
+    """SELECT doc_id, CAST(gs AS INT) AS chunk_idx,
+              substr(text, CAST(gs AS INT) * 40 + 1, 40) AS chunk
+       FROM documents,
+            LATERAL UNNEST(generate_series(
+              0, CAST(ceil(length(text) / 40.0) AS INT) - 1)) t(gs)""",
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL table-valued UDF (`CREATE FUNCTION ... RETURNS TABLE`)
+    applied per-row via LATERAL: fixed-width document chunking as a
+    declarative, catalog-registered routine — the SQL twin of the
+    Python-UDTF chunker (q70/q83) with NO Python boundary.  Catalyst
+    rewrites the lateral TVF call into an inlined correlated generate
+    (sequence + explode), so chunk production is a generator inside the
+    scan stage: rows-out scales with text length, the shuffle (none
+    here) is untouched, and per-executor memory is one row's chunks.
+    The chunk width is a routine parameter — callers retarget context
+    windows without redeploying code."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q162_documents"
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION q162_chunks(
+             txt STRING, sz INT)
+           RETURNS TABLE(chunk_idx INT, chunk STRING)
+           RETURN SELECT CAST(i AS INT) AS chunk_idx,
+                         substr(txt, CAST(i AS INT) * sz + 1, sz) AS chunk
+                  FROM (SELECT explode(sequence(
+                          0,
+                          CAST(ceil(length(txt) / CAST(sz AS DOUBLE))
+                               AS INT) - 1)) AS i)"""
+    )
+    return spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.chunk
+           FROM q162_documents d, LATERAL q162_chunks(d.text, 40) c"""
+    )

@@ -423,3 +423,116 @@ def test_psi_empty_bucket_eps_guard(spark):
     out = psi_drift(old, new, "v").collect()
     assert all(math.isfinite(r["psi_contrib_r"]) for r in out)
     assert all(math.isfinite(r["psi_total_r"]) for r in out)
+
+
+# ------------------------------------------------- count-min / SQL routines
+
+def test_count_min_estimate_bounds_and_determinism(spark):
+    from compile_time_data_contracts_spark.operators.stats import (
+        count_min_frequencies,
+    )
+
+    rows = [("a",)] * 500 + [("b",)] * 120 + [("c",)] * 7 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    exact = {"a": 500, "b": 120, "c": 7, "d": 1}
+    eps = 0.01
+    est1 = count_min_frequencies(df, "k", list(exact), eps=eps, seed=7)
+    est2 = count_min_frequencies(df, "k", list(exact), eps=eps, seed=7)
+    assert est1 == est2  # fixed seed -> reproducible across runs
+    n = est1[0][2]
+    assert n == 628
+    for k, e, _ in est1:
+        assert e >= exact[k]  # CMS never underestimates
+        assert e <= exact[k] + int(eps * n) + 1
+
+
+def test_count_min_merge_composes_across_shards(spark):
+    # the 100 TB composition story: sketch(day1) ⊕ sketch(day2) answers
+    # the union's point queries — verified against a single-pass sketch
+    d1 = spark.createDataFrame([("x",)] * 50 + [("y",)] * 3, "k string")
+    d2 = spark.createDataFrame([("x",)] * 25 + [("z",)] * 9, "k string")
+    expr = "count_min_sketch(k, 0.01d, 0.95d, 11) AS s"
+    jvm = spark._jvm
+
+    def decode(df):
+        b = df.selectExpr(expr).collect()[0].s
+        return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(b))
+        )
+
+    s1, s2, sall = decode(d1), decode(d2), decode(d1.union(d2))
+    s1.mergeInPlace(s2)
+    for k in ("x", "y", "z"):
+        assert s1.estimateCount(k) == sall.estimateCount(k)
+
+
+def test_recursive_cte_closure_matches_python_walk(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 17)], "k bigint")
+    df.createOrReplaceTempView("t_rec")
+    got = {
+        r.k: (r.depth, r.path_sum)
+        for r in spark.sql(
+            """WITH RECURSIVE w(leaf, node, depth) AS (
+                 SELECT k, k, 0 FROM t_rec
+                 UNION ALL
+                 SELECT leaf, CAST(floor(node / 2) AS BIGINT), depth + 1
+                 FROM w WHERE node > 1
+               )
+               SELECT leaf AS k, max(depth) AS depth,
+                      sum(node) AS path_sum
+               FROM w GROUP BY leaf"""
+        ).collect()
+    }
+    for k in range(1, 17):
+        path, node = [], k
+        while True:
+            path.append(node)
+            if node <= 1:
+                break
+            node //= 2
+        assert got[k] == (len(path) - 1, sum(path))
+
+
+def test_sql_scalar_udf_inlined_no_python(spark):
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION t_sq(x INT)
+           RETURNS INT RETURN x * x"""
+    )
+    df = spark.range(10).selectExpr("t_sq(CAST(id AS INT)) AS v")
+    assert [r.v for r in df.orderBy("v").collect()] == [
+        i * i for i in range(10)
+    ]
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_sql_tvf_chunks_reassemble_to_original(spark):
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION t_chunks(
+             txt STRING, sz INT)
+           RETURNS TABLE(chunk_idx INT, chunk STRING)
+           RETURN SELECT CAST(i AS INT),
+                         substr(txt, CAST(i AS INT) * sz + 1, sz)
+                  FROM (SELECT explode(sequence(
+                          0,
+                          CAST(ceil(length(txt) / CAST(sz AS DOUBLE))
+                               AS INT) - 1)) AS i)"""
+    )
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, "a" * 25)], "id long, t string"
+    )
+    docs.createOrReplaceTempView("t_tvf_docs")
+    out = spark.sql(
+        """SELECT d.id, c.chunk_idx, c.chunk
+           FROM t_tvf_docs d, LATERAL t_chunks(d.t, 10) c"""
+    ).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append((r.chunk_idx, r.chunk))
+    originals = {1: "abcdefghij", 2: "xyz", 3: "a" * 25}
+    for i, txt in originals.items():
+        chunks = [c for _, c in sorted(by_id[i])]
+        assert "".join(chunks) == txt
+        assert all(len(c) <= 10 for c in chunks)

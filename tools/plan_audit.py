@@ -426,6 +426,33 @@ CHECKS = {
          lambda p: "BroadcastNestedLoopJoin" not in p
          and "CartesianProduct" not in p),
     ],
+    "q159_recursive_cte_closure": [
+        ("recursion planned as UnionLoop (iterated frontier), not an "
+         "unrolled self-join tower", True,
+         lambda p: "UnionLoop" in p and "UnionLoopRef" in p),
+        ("frontier filter (node > 1) present so the loop terminates on "
+         "an empty leg", True,
+         lambda p: "Filter" in p),
+        ("closure aggregate partial-combined", True,
+         lambda p: "partial_" in p),
+    ],
+    "q161_sql_scalar_udf": [
+        ("SQL UDF inlined: single codegen Project over the scan, no "
+         "Python boundary", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "Exchange" not in p),
+        ("column-pruned scan (only doc_id, n_chars, text read)", True,
+         lambda p: re.search(r"ReadSchema: [^\n]*n_chars", p)
+         and not re.search(r"ReadSchema: [^\n]*source", p)),
+    ],
+    "q162_sql_table_udf_chunks": [
+        ("TVF + LATERAL rewritten to an inlined Generate in the scan "
+         "stage — no join, no Python", True,
+         lambda p: "Generate" in p and "Join" not in p
+         and "EvalPython" not in p and "InPandas" not in p),
+        ("no shuffle at all: chunk production is embarrassingly "
+         "parallel", True, lambda p: "Exchange" not in p),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's
