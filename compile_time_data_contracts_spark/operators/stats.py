@@ -15,6 +15,7 @@ __all__ = [
     "column_profile",
     "psi_drift",
     "count_min_frequencies",
+    "ks_statistic",
 ]
 
 
@@ -215,3 +216,50 @@ def count_min_frequencies(
     bais = jvm.java.io.ByteArrayInputStream(bytes(row.s))
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
     return [(k, int(cms.estimateCount(k)), int(row.n)) for k in keys]
+
+
+def ks_statistic(
+    df: DataFrame, col: str, group_col: str, a: str, b: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``col``
+    distributions of groups ``a`` and ``b``: max over observed values of
+    |ECDF_a(x) - ECDF_b(x)|.  The exact nonparametric companion to
+    `psi_drift` (which is binned): KS catches any distributional change,
+    PSI localizes it to buckets.
+
+    Computed as one GROUP BY over distinct values (map-side combined —
+    the window below runs over |distinct values| rows, not |rows|)
+    followed by cumulative counts and a global max.  The unpartitioned
+    ORDER BY window is the honest cost: an exact ECDF needs a total
+    order.  At 100 TB run it on the distinct-value table (usually tiny
+    for measures) or pre-bin to a fixed grid first — the binned ECDF
+    bounds the exact KS within one bin's mass, and the window input
+    becomes nbins rows.
+    """
+    from pyspark.sql import Window
+
+    s = df.filter(F.col(group_col).isin(a, b)).select(
+        F.col(col).alias("__v"),
+        F.when(F.col(group_col) == a, 1).otherwise(0).alias("__g"),
+    )
+    c = s.groupBy("__v").agg(
+        F.sum("__g").alias("__d1"),
+        F.sum(F.lit(1) - F.col("__g")).alias("__d2"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = c.select(
+        F.sum("__d1").over(w).alias("__c1"),
+        F.sum("__d2").over(w).alias("__c2"),
+        F.sum("__d1").over(tot).alias("__n1"),
+        F.sum("__d2").over(tot).alias("__n2"),
+    )
+    gap = F.abs(
+        F.col("__c1").cast("double") / F.col("__n1")
+        - F.col("__c2").cast("double") / F.col("__n2")
+    )
+    return cum.agg(
+        F.max("__n1").cast("bigint").alias("n1"),
+        F.max("__n2").cast("bigint").alias("n2"),
+        F.round(F.max(gap), 6).alias("ks_stat"),
+    )

@@ -5589,3 +5589,142 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
         """SELECT d.doc_id, c.chunk_idx, c.chunk
            FROM q162_documents d, LATERAL q162_chunks(d.text, 40) c"""
     )
+
+
+@q(
+    "q163_regression_trend",
+    """WITH mn AS (SELECT min(epoch(ts)) AS t0 FROM events),
+       s AS (SELECT event_type, (epoch(ts) - mn.t0) / 86400.0 AS x,
+                    value AS y FROM events, mn)
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(regr_slope(y, x), 6) AS slope_r,
+              round(regr_intercept(y, x), 6) AS intercept_r,
+              round(corr(y, x) * corr(y, x), 6) AS r2_r
+       FROM s GROUP BY event_type""",
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group least-squares trend with the NATIVE regression
+    aggregates (`regr_slope` / `regr_intercept`, Spark 3.5+): daily
+    drift of event value per event type, with r² from corr.  These are
+    single-pass streaming aggregates (sum/sum-of-products moments) with
+    full map-side partial combine — the shuffle carries one moment
+    tuple per (partition, event_type), so a 100 TB trend scan costs
+    exactly one pass and a |groups|-row shuffle.  x is centered on the
+    global min timestamp (1-row broadcast) and scaled to days so the
+    slope is a human-sized number that rounds stably across engines."""
+    load_table(spark, sf, "events").createOrReplaceTempView("q163_events")
+    return spark.sql(
+        """WITH mn AS (SELECT min(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6)
+                         AS t0 FROM q163_events),
+           s AS (SELECT event_type,
+                        (unix_micros(CAST(ts AS TIMESTAMP)) / 1e6 - mn.t0)
+                          / 86400.0 AS x,
+                        value AS y FROM q163_events, mn)
+           SELECT event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(regr_slope(y, x), 6) AS slope_r,
+                  round(regr_intercept(y, x), 6) AS intercept_r,
+                  round(corr(y, x) * corr(y, x), 6) AS r2_r
+           FROM s GROUP BY event_type"""
+    )
+
+
+@q(
+    "q164_ks_drift",
+    """WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+           FROM events WHERE event_type IN ('click', 'purchase')),
+       c AS (SELECT v, sum(g) AS d1, sum(1 - g) AS d2 FROM s GROUP BY v),
+       cum AS (SELECT v,
+               sum(d1) OVER (ORDER BY v) AS c1,
+               sum(d2) OVER (ORDER BY v) AS c2,
+               sum(d1) OVER () AS n1, sum(d2) OVER () AS n2
+        FROM c)
+       SELECT CAST(max(n1) AS BIGINT) AS n1,
+              CAST(max(n2) AS BIGINT) AS n2,
+              round(max(abs(CAST(c1 AS DOUBLE) / n1
+                            - CAST(c2 AS DOUBLE) / n2)), 6) AS ks_stat
+       FROM cum""",
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the value
+    distributions of two event types — the EXACT nonparametric
+    companion to q158's binned PSI.  The per-value GROUP BY collapses
+    the window input to |distinct values| rows before the one total-
+    order cumulative pass (the honest cost of an exact ECDF); at 100 TB
+    pre-bin to a fixed grid and the same plan bounds KS within one
+    bin's mass.  click vs purchase here differ mildly (~0.03); the
+    q158 scenario pushed through this query reads ~0.5."""
+    from .operators.stats import ks_statistic
+
+    events = load_table(spark, sf, "events")
+    return ks_statistic(events, "value", "event_type", "click", "purchase")
+
+
+@q(
+    "q165_pagerank",
+    """WITH e AS (
+         SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                CAST(o_orderkey % 1500 AS BIGINT) AS dst FROM orders
+         UNION
+         SELECT CAST(c_custkey AS BIGINT),
+                CAST((c_custkey + 1) % 1500 AS BIGINT) FROM customer
+       ),
+       deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+       p0 AS (SELECT id, 1.0 / 1500 AS pr FROM nodes),
+       i1 AS (SELECT n.id, 0.15 / 1500 + 0.85
+                * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+              FROM nodes n LEFT JOIN e ON e.dst = n.id
+              LEFT JOIN p0 q ON q.id = e.src
+              LEFT JOIN deg g ON g.src = e.src
+              GROUP BY n.id),
+       i2 AS (SELECT n.id, 0.15 / 1500 + 0.85
+                * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+              FROM nodes n LEFT JOIN e ON e.dst = n.id
+              LEFT JOIN i1 q ON q.id = e.src
+              LEFT JOIN deg g ON g.src = e.src
+              GROUP BY n.id),
+       i3 AS (SELECT n.id, 0.15 / 1500 + 0.85
+                * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+              FROM nodes n LEFT JOIN e ON e.dst = n.id
+              LEFT JOIN i2 q ON q.id = e.src
+              LEFT JOIN deg g ON g.src = e.src
+              GROUP BY n.id)
+       SELECT id, round(pr * 1500, 6) AS pr_norm FROM i3""",
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration PageRank over a deterministic link graph derived
+    from orders (src = o_custkey, dst = o_orderkey mod |customers|,
+    plus a ring edge per customer so every node has outdeg >= 1 and
+    rank mass is conserved without a dangling-redistribution term).
+    The Spark side is the generic `operators.graph.pagerank` loop —
+    one src-keyed join + one dst-keyed partial-combined sum per round,
+    degrees attached to the edge list ONCE before the loop; the oracle
+    is the same three rounds unrolled as a SQL join tower.  Scores are
+    reported normalized (x N) and rounded so the two engines'
+    summation orders agree.  Link-graph rank is the classic corpus-
+    curation prior (rank-weighted sampling, spam demotion)."""
+    from .operators.graph import pagerank
+
+    customer = load_table(spark, sf, "customer")
+    n = customer.count()
+    orders = load_table(spark, sf, "orders")
+    edges = (
+        orders.select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.col("o_orderkey") % n).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .union(
+            customer.select(
+                F.col("c_custkey").cast("bigint"),
+                ((F.col("c_custkey") + 1) % n).cast("bigint"),
+            )
+        )
+        .distinct()
+    )
+    nodes = customer.select(F.col("c_custkey").cast("bigint").alias("id"))
+    pr = pagerank(nodes, edges, iters=3, damping=0.85)
+    return pr.select("id", F.round(F.col("pr") * n, 6).alias("pr_norm"))

@@ -536,3 +536,80 @@ def test_sql_tvf_chunks_reassemble_to_original(spark):
         chunks = [c for _, c in sorted(by_id[i])]
         assert "".join(chunks) == txt
         assert all(len(c) <= 10 for c in chunks)
+
+
+# -------------------------------------------------- trend / KS / pagerank
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from compile_time_data_contracts_spark.operators.stats import ks_statistic
+
+    same = spark.createDataFrame(
+        [(float(v), g) for v in range(20) for g in ("a", "b")],
+        "v double, g string",
+    )
+    r = ks_statistic(same, "v", "g", "a", "b").collect()[0]
+    assert (r.n1, r.n2, r.ks_stat) == (20, 20, 0.0)
+
+    disjoint = spark.createDataFrame(
+        [(float(v), "a") for v in range(10)]
+        + [(float(v + 100), "b") for v in range(10)],
+        "v double, g string",
+    )
+    r = ks_statistic(disjoint, "v", "g", "a", "b").collect()[0]
+    assert r.ks_stat == 1.0  # fully separated ECDFs
+
+
+def test_ks_statistic_known_half_shift(spark):
+    from compile_time_data_contracts_spark.operators.stats import ks_statistic
+
+    # a = {0..9}, b = {5..14}: ECDF gap peaks at 0.5 (values 4/9 boundary)
+    df = spark.createDataFrame(
+        [(float(v), "a") for v in range(10)]
+        + [(float(v + 5), "b") for v in range(10)],
+        "v double, g string",
+    )
+    r = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert r.ks_stat == 0.5
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    # star: every leaf points at node 0; 0 points at node 1
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+    )
+    pr = {r.id: r.pr for r in pagerank(nodes, edges, iters=10).collect()}
+    # the center and its sole successor (which inherits the center's
+    # whole mass each round) dominate; leaves 2..5 are symmetric
+    assert set(sorted(pr, key=pr.get)[-2:]) == {0, 1}
+    assert len({round(pr[i], 12) for i in range(2, 6)}) == 1
+    assert pr[0] > pr[2]
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # outdeg>=1 conserves mass
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    rng = [(i, (i * 7 + 3) % 10) for i in range(10)] + [
+        (i, (i * 3 + 1) % 10) for i in range(10)
+    ]
+    edges_py = sorted(set(rng))
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    got = {r.id: r.pr for r in pagerank(nodes, edges, iters=5).collect()}
+
+    M = np.zeros((10, 10))
+    outdeg = {}
+    for s, _d in edges_py:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for s, d in edges_py:
+        M[d, s] = 1.0 / outdeg[s]
+    v = np.full(10, 0.1)
+    for _ in range(5):
+        v = 0.15 / 10 + 0.85 * (M @ v)
+    for i in range(10):
+        assert abs(got[i] - v[i]) < 1e-12

@@ -453,6 +453,33 @@ CHECKS = {
         ("no shuffle at all: chunk production is embarrassingly "
          "parallel", True, lambda p: "Exchange" not in p),
     ],
+    "q163_regression_trend": [
+        ("regression moments partial-aggregated (one pass, "
+         "|groups|-row shuffle)", True,
+         lambda p: "partial_regr_slope" in p or "partial_" in p),
+        ("x centering is a 1-row broadcast, not a shuffle join", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q164_ks_drift": [
+        ("per-value collapse partial-aggregated BEFORE the total-order "
+         "window", True, lambda p: "partial_sum" in p),
+        ("value filter pushed to the scan", True,
+         lambda p: re.search(r"PushedFilters: \[[^\]]*event_type", p)),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q165_pagerank": [
+        ("per-round contributions partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("no cartesian / BNLJ in the round joins", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python anywhere (pure JVM loop)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's
