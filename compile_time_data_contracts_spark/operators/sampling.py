@@ -22,6 +22,7 @@ __all__ = [
     "weighted_sample",
     "reservoir_per_group",
     "temperature_mixture_rates",
+    "split_by_cluster",
 ]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
@@ -377,4 +378,52 @@ def temperature_mixture_rates(
         F.round(
             F.least(F.lit(1.0), pw / z * big_n / F.col("n")), 6
         ).alias("keep_rate"),
+    )
+
+
+def split_by_cluster(
+    doc_labels: DataFrame,
+    key: str = "doc_id",
+    cluster: str = "cluster_id",
+    nbuckets: int = 10,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a
+    deterministic hash of the (near-)duplicate CLUSTER id, not the
+    document id, so every member of a duplicate cluster lands in the
+    same split — near-copies of a validation document can never leak
+    into train.  Emits both the safe label and the naive doc-id label
+    so callers can quantify what naive splitting would have leaked.
+
+    Input: (key, cluster) pairs covering every document (singletons map
+    to themselves).  Pure codegen expressions on the Knuth hash — no
+    extra shuffle beyond what produced the labels; reruns, retries, and
+    corpus growth never move an existing cluster between splits (the
+    hash depends only on the cluster id), which is what makes the
+    split auditable at 100 TB: yesterday's held-out set is still held
+    out tomorrow.
+    """
+
+    def bucket(col: Column) -> Column:
+        return (
+            F.floor(
+                ((col * F.lit(_KNUTH)) % F.lit(_M32))
+                * F.lit(float(nbuckets))
+                / F.lit(_M32)
+            )
+        ).cast("int")
+
+    def label(b: Column) -> Column:
+        return (
+            F.when(b < train_buckets, "train")
+            .when(b < train_buckets + val_buckets, "val")
+            .otherwise("test")
+        )
+
+    return doc_labels.select(
+        key,
+        cluster,
+        label(bucket(F.col(cluster))).alias("split"),
+        label(bucket(F.col(key))).alias("naive_split"),
     )

@@ -5728,3 +5728,207 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     nodes = customer.select(F.col("c_custkey").cast("bigint").alias("id"))
     pr = pagerank(nodes, edges, iters=3, damping=0.85)
     return pr.select("id", F.round(F.col("pr") * n, 6).alias("pr_norm"))
+
+
+@q(
+    "q166_leakage_safe_split",
+    """WITH RECURSIVE pairs AS (
+         SELECT doc_a, doc_b FROM (
+           WITH sh AS (
+             SELECT DISTINCT doc_id,
+                    concat_ws('|', toks[gs], toks[gs+1], toks[gs+2])
+                      AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+                  LATERAL UNNEST(generate_series(
+                    1, greatest(len(toks) - 2, 1))) t(gs)
+           ), sizes AS (
+             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+           ), inter AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
+           )
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+         )
+       ), edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       ), cc AS (
+         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src
+       ), allc AS (
+         SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+       ), lab AS (
+         SELECT doc_id, cluster_id,
+           CASE WHEN floor(((cluster_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) < 8 THEN 'train'
+                WHEN floor(((cluster_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN floor(((doc_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) < 8 THEN 'train'
+                WHEN floor(((doc_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) = 8 THEN 'val'
+                ELSE 'test' END AS naive_split
+         FROM allc
+       ), leak AS (
+         SELECT CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT cluster_id FROM lab GROUP BY cluster_id
+           HAVING count(*) > 1 AND count(DISTINCT naive_split) > 1)
+       )
+       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+              (SELECT n FROM leak) AS leaked_clusters_naive
+       FROM lab GROUP BY split""",
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are split by a
+    deterministic hash of their NEAR-DUP CLUSTER id (MinHash-LSH pairs
+    -> connected components, q73's machinery; singletons are their own
+    cluster), so near-copies of an eval document can never sit in
+    train.  The report quantifies the hazard naive doc-id splitting
+    would have caused: `leaked_clusters_naive` counts multi-document
+    clusters that naive hashing scatters across splits (9 at sf0.01 —
+    each one an eval-contamination incident).  Split assignment itself
+    adds ZERO shuffle on top of the clustering (pure codegen hash of
+    the label), and because the hash depends only on the cluster id,
+    yesterday's held-out set stays held out as the corpus grows — the
+    auditability property an RNG-based split lacks.  Oracle: exact-
+    Jaccard closure (recursive CTE) + the same integer hash."""
+    from .operators.dedup import connected_components
+    from .operators.sampling import split_by_cluster
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=32
+    )
+    labels = connected_components(pairs)
+    allc = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    lab = split_by_cluster(allc)
+    leak = (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.countDistinct("naive_split").alias("ns"),
+        )
+        .filter("sz > 1 AND ns > 1")
+        .count()
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .withColumn(
+            "leaked_clusters_naive", F.lit(leak).cast("bigint")
+        )
+    )
+
+
+@q(
+    "q167_rocksdb_state_store",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS total_value_r,
+              TRUE AS rocksdb_engaged
+       FROM events GROUP BY event_type""",
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming aggregation through the ROCKSDB state store provider —
+    the scale path for keyed streaming state: the default provider
+    holds state on the executor heap (bounded by memory), RocksDB
+    spills to local disk with changelog checkpointing, scaling keyed
+    state to billions of keys.  A 3-batch replay accumulates per-type
+    totals across micro-batches; `rocksdb_engaged` is read back from
+    the query's own state-operator metrics, so the gate fails if the
+    provider conf silently didn't apply, and the totals must equal the
+    batch GROUP BY (the oracle).  The provider conf is restored after
+    the run — no session-wide side effect."""
+    from .streaming.stateful import rocksdb_totals_gate
+
+    return rocksdb_totals_gate(spark, sf)
+
+
+@q(
+    "q168_model_quality_filter",
+    """WITH feats AS (
+         SELECT doc_id, source,
+           least(len(string_split(text, ' ')), 512) / 512.0 AS f_len,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+                                                 'g')))
+             / length(text)::DOUBLE AS f_punct,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_stop,
+           len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_div
+         FROM documents),
+       scored AS (
+         SELECT doc_id, source,
+           1.0 / (1.0 + exp(-(-2.0 + 2.5 * f_len - 4.0 * f_punct
+                              + 6.0 * f_stop + 2.0 * f_div))) AS score
+         FROM feats)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+              round(avg(score), 6) AS mean_score_r
+       FROM scored GROUP BY source""",
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering: a logistic classifier with FIXED
+    (pre-trained, checked-in) weights over the q57 feature set — the
+    fasttext-style quality-filter shape every pretraining pipeline runs,
+    expressed entirely as codegen column arithmetic: features, dot
+    product, and sigmoid are one Project over the scan, so scoring
+    100 TB costs exactly the scan (no UDF server, no model runtime; a
+    real linear/fasttext head with thousands of hashed-ngram weights
+    becomes a broadcast map lookup in the same shape).  Reported
+    per-source keep rates are the mixture-shift audit reviewers ask for
+    before enabling a new filter.  Features are IEEE doubles in a fixed
+    expression order, so the oracle reproduces scores exactly."""
+    docs = load_table(spark, sf, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        (F.least(token_count("text"), F.lit(512)) / F.lit(512.0)).alias(
+            "f_len"
+        ),
+        punct_ratio("text").alias("f_punct"),
+        stopword_ratio("text").alias("f_stop"),
+        token_diversity("text").alias("f_div"),
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(2.5) * F.col("f_len")
+        - F.lit(4.0) * F.col("f_punct")
+        + F.lit(6.0) * F.col("f_stop")
+        + F.lit(2.0) * F.col("f_div")
+    )
+    scored = feats.select(
+        "doc_id",
+        "source",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("score") >= 0.5).cast("long"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(F.avg("score"), 6).alias("mean_score_r"),
+    )

@@ -279,3 +279,87 @@ def tws_totals_gate(
             F.round("total_value", 2).alias("total_value_r"),
         )
     )
+
+
+def rocksdb_totals_gate(
+    spark,
+    sf_dir: str,
+    query_name: str = "ctdc_q167_sink",
+) -> DataFrame:
+    """Streaming aggregation with the RocksDB state store provider —
+    the 100 TB streaming answer to state size: the default HDFS-backed
+    provider keeps every key's state on the executor HEAP (state must
+    fit in memory × partitions), while RocksDB spills state to local
+    disk with changelog checkpointing, so keyed state scales to
+    billions of keys per executor.
+
+    The provider conf is set only for the duration of this stream and
+    restored afterwards (no session-wide side effect).  A 3-batch
+    ordered replay accumulates per-event-type (count, sum) across
+    micro-batches through RocksDB; the emitted `rocksdb_engaged` column
+    asserts from the query's own state-operator metrics that the
+    RocksDB provider actually served the state (guarding against the
+    conf silently not applying), and the totals must equal the batch
+    GROUP BY — the DuckDB oracle.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+    from .windows import write_ordered_feed
+
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="ctdc-rocksfeed-")
+    mod = F.pmod(F.col("event_id"), F.lit(3))
+    write_ordered_feed([ev.filter(mod == i) for i in range(3)], base)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    totals = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    if query_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(query_name)
+
+    try:
+        prev = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev = None
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    try:
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        metrics = (progress or {}).get("stateOperators", [{}])[0].get(
+            "customMetrics"
+        ) or {}
+        engaged = any("rocksdb" in k.lower() for k in metrics)
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+
+    return spark.table(query_name).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value_r"),
+        F.lit(bool(engaged)).alias("rocksdb_engaged"),
+    )

@@ -613,3 +613,90 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         v = 0.15 / 10 + 0.85 * (M @ v)
     for i in range(10):
         assert abs(got[i] - v[i]) < 1e-12
+
+
+# ----------------------------------------------------- leakage-safe split
+
+def test_split_by_cluster_members_share_split(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        split_by_cluster,
+    )
+
+    # 3 clusters of 4 docs each with scattered doc_ids
+    rows = []
+    for c, base in [(1, 1), (2, 1000), (3, 123456)]:
+        for j in range(4):
+            rows.append((base + j * 97, c))
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    lab = split_by_cluster(df).collect()
+    by_cluster: dict[int, set] = {}
+    for r in lab:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_split_by_cluster_deterministic_and_partition_invariant(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        split_by_cluster,
+    )
+
+    rows = [(i, i // 3) for i in range(300)]
+    df1 = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    df2 = df1.repartition(13)
+    a = sorted(map(tuple, split_by_cluster(df1).collect()))
+    b = sorted(map(tuple, split_by_cluster(df2).collect()))
+    assert a == b
+    # roughly 80/10/10 by construction of the bucket thresholds
+    from collections import Counter
+
+    c = Counter(s for (_, _, s, _) in a)
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_split_by_cluster_naive_leak_detectable(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        split_by_cluster,
+    )
+
+    # a big cluster spread over many doc_ids must show naive-split
+    # disagreement (P(all 40 ids hash to one split) is negligible)
+    rows = [(i * 31, 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    lab = split_by_cluster(df).collect()
+    assert len({r.split for r in lab}) == 1
+    assert len({r.naive_split for r in lab}) > 1
+
+
+# ---------------------------------------------------- rocksdb state store
+
+def test_rocksdb_gate_matches_batch_and_engages(spark):
+    from compile_time_data_contracts_spark.streaming.stateful import (
+        rocksdb_totals_gate,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n_events, r.total_value_r, r.rocksdb_engaged)
+        for r in rocksdb_totals_gate(
+            spark, sfd, query_name="t_rocks_gate"
+        ).collect()
+    }
+    batch = {
+        r.event_type: (r.n, r.s)
+        for r in spark.read.parquet(f"{sfd}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for k, (n, s) in batch.items():
+        assert got[k] == (n, s, True)
+    # provider conf restored (no session-wide side effect)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        cur = spark.conf.get(key)
+    except Exception:
+        cur = None
+    assert cur is None or "RocksDB" not in cur

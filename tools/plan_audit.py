@@ -471,6 +471,16 @@ CHECKS = {
         ("no Python anywhere", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q168_model_quality_filter": [
+        ("features + sigmoid are one codegen Project (no Python, no "
+         "extra exchange beyond the final group)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and p.count("Exchange") <= 2),
+        ("keep counts partial-aggregated", True,
+         lambda p: "partial_" in p),
+        ("column-pruned scan (text/source only, not lang)", True,
+         lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
+    ],
     "q165_pagerank": [
         ("per-round contributions partial-aggregated", True,
          lambda p: "partial_sum" in p),

@@ -1,0 +1,119 @@
+"""Scale probe: PageRank at 1M nodes / 9M edges (above any broadcast
+threshold for the rank table) with a planted hub and conservation
+contracts.
+
+Graph construction (fully deterministic, generated distributed via
+spark.range — generation happens outside the timed region):
+  * every node i has 8 "random" out-edges dst = (i * A + k * B) % N
+    (Knuth-style mixing, k = 1..8),
+  * plus one edge i -> 0, making node 0 a planted hub and giving every
+    node outdeg 9 exactly (no dangling mass, so sum(pr) == 1).
+
+Contracts:
+  * mass conservation: |sum(pr) - 1| < 1e-6 after 3 rounds,
+  * hub dominance: pr[0] within 2% of the closed form
+    (d/9) * (1 + d/9 + (d/9)^2) * (extra from hub's own edges ~ 0)
+    — in practice we assert pr[0] > 1000x the median rank and that
+    pr[0] ~= d/9 (the mass every node sends the hub each round),
+  * plan: per-round partial_sum present, no CartesianProduct/BNLJ.
+
+Usage: python tools/scale_probe_graph.py [n_nodes]
+Writes the `graph_n{n}` entry into SCALEBENCH.json.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from scalebench import merge_entry  # noqa: E402
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("ctdc-scale-graph")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    A, B = 2654435761, 40503
+    nodes = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    ks = F.explode(F.sequence(F.lit(1), F.lit(8))).alias("k")
+    rand_edges = (
+        spark.range(n)
+        .select(F.col("id").alias("src"), ks)
+        .select(
+            "src",
+            ((F.col("src") * A + F.col("k") * B) % n).alias("dst"),
+        )
+    )
+    hub_edges = spark.range(n).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = rand_edges.union(hub_edges).persist()
+    n_edges = edges.count()  # materialize outside the timed region
+    nodes = nodes.persist()
+    nodes.count()
+
+    t0 = time.time()
+    pr = pagerank(nodes, edges, iters=3, damping=0.85)
+    stats = pr.agg(
+        F.sum("pr").alias("mass"),
+        F.max(F.when(F.col("id") == 0, F.col("pr"))).alias("hub"),
+        F.expr("percentile_approx(pr, 0.5)").alias("median"),
+    ).collect()[0]
+    wall = round(time.time() - t0, 2)
+
+    plan = pr._sc._jvm.PythonSQLUtils.explainString(
+        pr._jdf.queryExecution(), "formatted"
+    )
+    results = {
+        "n_nodes": n,
+        "n_edges": int(n_edges),
+        "iters": 3,
+        "pagerank_sec": wall,
+        "mass": float(stats.mass),
+        "mass_conserved": abs(float(stats.mass) - 1.0) < 1e-6,
+        "hub_pr": float(stats.hub),
+        "median_pr": float(stats.median),
+        "hub_dominates": float(stats.hub) > 1000 * float(stats.median),
+        # every node sends d * pr/9 to the hub each round; after a few
+        # rounds hub ~= d/9 (+ second-order terms) — sanity band
+        "hub_near_closed_form": abs(float(stats.hub) - 0.85 / 9) < 0.02,
+        "plan_partial_sum": "partial_sum" in plan,
+        "plan_no_cartesian": "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan,
+    }
+    results["ok"] = all(
+        results[k]
+        for k in (
+            "mass_conserved",
+            "hub_dominates",
+            "hub_near_closed_form",
+            "plan_partial_sum",
+            "plan_no_cartesian",
+        )
+    )
+    edges.unpersist()
+    nodes.unpersist()
+    merge_entry(f"graph_n{n}", results)
+    print(results)
+    spark.stop()
+    return 0 if results["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
