@@ -42,6 +42,7 @@ from compile_time_data_contracts_spark.operators.dedup import (
 from compile_time_data_contracts_spark.operators.sampling import (
     mix_to_proportions,
     pack_sequences,
+    split_by_cluster,
 )
 from compile_time_data_contracts_spark.operators.text import (
     gopher_quality,
@@ -126,6 +127,23 @@ def main() -> None:
     )
     n4 = mixed.count()
 
+    # 5b. leakage-safe train/val/test assignment: split by the hash of
+    # the near-dup CLUSTER id (not the doc id), so if any near-copies
+    # survive upstream relaxations they can never straddle splits
+    labels = (
+        mixed.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    assigned = split_by_cluster(labels).select("doc_id", "split")
+    mixed = mixed.join(F.broadcast(assigned), "doc_id")
+    split_counts = {
+        r["split"]: r["n"]
+        for r in mixed.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
     # 6. pack into 512-token sequences in doc-id order
     from compile_time_data_contracts_spark.operators.text import token_count
 
@@ -146,7 +164,8 @@ def main() -> None:
     print(
         f"loaded {n0} -> gopher-ruled {n_ruled} -> quality-gated {n1} "
         f"-> exact-deduped {n2} -> near-dup-scrubbed {n3} "
-        f"-> semantic-scrubbed {n3b} -> mixed {n4} -> {n_packs} packs "
+        f"-> semantic-scrubbed {n3b} -> mixed {n4} "
+        f"(split {split_counts}) -> {n_packs} packs "
         f"-> {dest} ("
         + (
             f"compacted {cstats['files_before']} -> "
