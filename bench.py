@@ -93,6 +93,12 @@ HEADLINE = [
     "q156_duplicate_spans",
     "q157_containment_pairs",
     "q158_psi_drift",
+    "q159_recursive_cte_closure",
+    "q164_ks_drift",
+    "q165_pagerank",
+    "q168_model_quality_filter",
+    "q169_anomaly_zscore",
+    "q170_session_transitions",
 ]
 
 

@@ -5932,3 +5932,87 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_kept"),
         F.round(F.avg("score"), 6).alias("mean_score_r"),
     )
+
+
+_Q169_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, value,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS nw
+  FROM {events}
+), z AS (
+  SELECT event_type,
+         CASE WHEN nw >= 5 AND sd > 1e-12
+              THEN abs(value - mu) / sd END AS zscore
+  FROM w
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(max(zscore), 6) AS max_z_r
+FROM z WHERE zscore IS NOT NULL GROUP BY event_type
+"""
+
+
+@q("q169_anomaly_zscore", _Q169_SQL.format(events="events"))
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each event scored
+    against ITS OWN USER's previous <=20 values (exclusive frame, so
+    the anomaly can't suppress itself; warm-up below 5 priors and
+    zero-variance windows abstain rather than emit infinities).  One
+    shuffle on user_id serves all three window aggregates — the frames
+    share a (user, time) sort — then a map-combined rollup per event
+    type.  This is the streaming-monitor shape run retrospectively;
+    the q84/q167 state-store path is the online twin.  stddev_samp and
+    the frame arithmetic are IEEE-identical across engines, so the
+    oracle reproduces scores exactly."""
+    load_table(spark, sf, "events").createOrReplaceTempView("q169_events")
+    return spark.sql(_Q169_SQL.format(events="q169_events"))
+
+
+_Q170_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              OR CAST(ts AS TIMESTAMP)
+                 - CAST(lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS TIMESTAMP)
+                 > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM {events}
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM ordered
+), trans AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS dst_type
+  FROM sess
+)
+SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+FROM trans WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
+ORDER BY n DESC, src_type, dst_type LIMIT 10
+"""
+
+
+@q("q170_session_transitions", _Q170_SQL.format(events="events"))
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """Session transition mining: 30-minute-gap sessionization (the
+    q113 gaps-and-islands machinery) followed by within-session
+    event-type bigrams, reporting the 10 most common transitions —
+    the \"what do users do next\" funnel-discovery query.  The lag
+    (session boundary), running session id, and lead (next event) all
+    ride ONE (user, time)-sorted shuffle; the transition rollup is
+    map-combined |types|^2 rows, and the global top-10 is a
+    TakeOrdered, not a full sort.  Ties broken lexically so the limit
+    is deterministic in any engine."""
+    load_table(spark, sf, "events").createOrReplaceTempView("q170_events")
+    return spark.sql(_Q170_SQL.format(events="q170_events"))

@@ -700,3 +700,54 @@ def test_rocksdb_gate_matches_batch_and_engages(spark):
     except Exception:
         cur = None
     assert cur is None or "RocksDB" not in cur
+
+
+# ---------------------------------------------------- anomaly / transitions
+
+def test_anomaly_zscore_warmup_and_spike(spark):
+    """First 5 events per user abstain (warm-up); a 100x spike after a
+    stable run must be flagged with a large z."""
+    rows = []
+    for i in range(10):
+        rows.append((i, 1, "t", 10.0 + (i % 2) * 0.5, i))  # stable-ish
+    rows.append((10, 1, "t", 1000.0, 10))  # spike
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "value double, tsec long"
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        F.timestamp_seconds("tsec").alias("ts"),
+    )
+    df.createOrReplaceTempView("q169_events")
+    import compile_time_data_contracts_spark.queries as Q
+
+    out = spark.sql(Q._Q169_SQL.format(events="q169_events")).collect()
+    [r] = out
+    # events 0-4 abstain (fewer than 5 priors); 5-10 scored = 6 rows
+    assert r.n_scored == 6
+    assert r.n_anomalies == 1  # only the spike crosses z > 3
+    assert r.max_z_r > 100
+
+
+def test_session_transitions_gap_splits_sessions(spark):
+    """Events 31+ minutes apart must NOT produce a transition bigram."""
+    rows = [
+        (1, 1, "a", 0),
+        (2, 1, "b", 60),        # same session: a->b
+        (3, 1, "c", 60 + 31 * 60),  # 31 min later: new session, no b->c
+        (4, 1, "d", 60 + 31 * 60 + 5),  # c->d
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, tsec long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("tsec").alias("ts"),
+    )
+    df.createOrReplaceTempView("q170_events")
+    import compile_time_data_contracts_spark.queries as Q
+
+    got = {
+        (r.src_type, r.dst_type): r.n
+        for r in spark.sql(Q._Q170_SQL.format(events="q170_events")).collect()
+    }
+    assert got == {("a", "b"): 1, ("c", "d"): 1}

@@ -481,6 +481,25 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q169_anomaly_zscore": [
+        ("all three trailing frames share one user-keyed sort (a "
+         "single window exchange)", True,
+         lambda p: p.count("Window") <= 2 and p.count("Sort") <= 3),
+        ("final rollup partial-aggregated", True,
+         lambda p: "partial_" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q170_session_transitions": [
+        ("boundary lag, session-id sum, and next-event lead ride the "
+         "same user/time sort — 2 exchanges total (windows + rollup)",
+         True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("global top-10 is TakeOrdered, not a full sort", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("transition rollup partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
     "q165_pagerank": [
         ("per-round contributions partial-aggregated", True,
          lambda p: "partial_sum" in p),
