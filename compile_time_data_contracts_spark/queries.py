@@ -5664,35 +5664,41 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "q165_pagerank",
-    """WITH e AS (
+    """WITH nc AS (SELECT count(*) AS n FROM customer),
+       e AS (
          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-                CAST(o_orderkey % 1500 AS BIGINT) AS dst FROM orders
+                CAST(o_orderkey % nc.n AS BIGINT) AS dst
+         FROM orders, nc
          UNION
          SELECT CAST(c_custkey AS BIGINT),
-                CAST((c_custkey + 1) % 1500 AS BIGINT) FROM customer
+                CAST((c_custkey + 1) % nc.n AS BIGINT)
+         FROM customer, nc
        ),
        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
-       p0 AS (SELECT id, 1.0 / 1500 AS pr FROM nodes),
-       i1 AS (SELECT n.id, 0.15 / 1500 + 0.85
+       p0 AS (SELECT id, 1.0 / nc.n AS pr FROM nodes, nc),
+       i1 AS (SELECT n.id, 0.15 / max(nc.n) + 0.85
                 * coalesce(sum(q.pr / g.outdeg), 0) AS pr
-              FROM nodes n LEFT JOIN e ON e.dst = n.id
+              FROM nodes n CROSS JOIN nc
+              LEFT JOIN e ON e.dst = n.id
               LEFT JOIN p0 q ON q.id = e.src
               LEFT JOIN deg g ON g.src = e.src
               GROUP BY n.id),
-       i2 AS (SELECT n.id, 0.15 / 1500 + 0.85
+       i2 AS (SELECT n.id, 0.15 / max(nc.n) + 0.85
                 * coalesce(sum(q.pr / g.outdeg), 0) AS pr
-              FROM nodes n LEFT JOIN e ON e.dst = n.id
+              FROM nodes n CROSS JOIN nc
+              LEFT JOIN e ON e.dst = n.id
               LEFT JOIN i1 q ON q.id = e.src
               LEFT JOIN deg g ON g.src = e.src
               GROUP BY n.id),
-       i3 AS (SELECT n.id, 0.15 / 1500 + 0.85
+       i3 AS (SELECT n.id, 0.15 / max(nc.n) + 0.85
                 * coalesce(sum(q.pr / g.outdeg), 0) AS pr
-              FROM nodes n LEFT JOIN e ON e.dst = n.id
+              FROM nodes n CROSS JOIN nc
+              LEFT JOIN e ON e.dst = n.id
               LEFT JOIN i2 q ON q.id = e.src
               LEFT JOIN deg g ON g.src = e.src
               GROUP BY n.id)
-       SELECT id, round(pr * 1500, 6) AS pr_norm FROM i3""",
+       SELECT id, round(pr * nc.n, 6) AS pr_norm FROM i3, nc""",
 )
 def q165(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-iteration PageRank over a deterministic link graph derived
