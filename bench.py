@@ -99,6 +99,7 @@ HEADLINE = [
     "q168_model_quality_filter",
     "q169_anomaly_zscore",
     "q170_session_transitions",
+    "q171_vocab_id_assignment",
 ]
 
 

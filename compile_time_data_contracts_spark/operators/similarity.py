@@ -28,6 +28,7 @@ __all__ = [
     "cosine",
     "topk_cosine",
     "topk_cosine_multi",
+    "mmr_select",
     "cosine_pairs",
     "cosine_pairs_exact",
     "cosine_pairs_exact_blas",
@@ -1319,3 +1320,66 @@ def pq_topk(
     )
     hydrated = vecs.join(F.broadcast(cand), id_col, "semi")
     return topk_cosine(hydrated, query, k, id_col, vec_col)
+
+
+def mmr_select(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    fetch_k: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: fetch the
+    ``fetch_k`` most relevant corpus vectors (one distributed pass —
+    `topk_cosine`'s TakeOrdered path), then greedily pick ``k`` of them
+    maximizing ``lam * relevance - (1 - lam) * max_sim_to_selected`` —
+    the standard RAG re-rank that stops near-duplicate passages from
+    crowding out coverage.
+
+    The greedy loop runs on the DRIVER over the fetch_k candidates
+    (candidate-sized — fetch_k rows and a fetch_k x fetch_k similarity
+    matrix — never corpus-sized; same locality contract as the topk
+    query batch).  At 100 TB the corpus pass is the cost; the rerank is
+    microseconds.  Fully deterministic: ties break by (higher
+    relevance, smaller id), and the first pick is always the single
+    most relevant candidate, so two runs (or two engines) select the
+    same set.
+
+    Returns (rank, id_col, sim): rank = selection order starting at 0.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    top = topk_cosine(df, query, k=fetch_k, id_col=id_col, vec_col=vec_col)
+    cand = top.join(df.select(id_col, vec_col), id_col, "inner")
+    rows = cand.collect()  # fetch_k rows by construction
+    if not rows:
+        return spark.createDataFrame(
+            [], f"rank int, {id_col} long, sim double"
+        )
+    # deterministic candidate order for reproducible argmax tie-breaks
+    rows.sort(key=lambda r: (-float(r["sim"]), r[id_col]))
+    ids = [r[id_col] for r in rows]
+    sims = np.array([float(r["sim"]) for r in rows])
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    S = (X / norms) @ (X / norms).T
+    selected = [0]  # rows are relevance-sorted: index 0 is the top-1
+    while len(selected) < min(k, len(ids)):
+        best_i, best_key = None, None
+        chosen = np.array(selected)
+        for i in range(len(ids)):
+            if i in selected:
+                continue
+            score = lam * sims[i] - (1.0 - lam) * float(S[i, chosen].max())
+            key = (score, sims[i], -ids[i])
+            if best_key is None or key > best_key:
+                best_i, best_key = i, key
+        selected.append(best_i)
+    out = [
+        (rank, ids[i], float(sims[i])) for rank, i in enumerate(selected)
+    ]
+    return spark.createDataFrame(out, f"rank int, {id_col} long, sim double")

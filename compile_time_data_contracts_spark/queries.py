@@ -6022,3 +6022,103 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     is deterministic in any engine."""
     load_table(spark, sf, "events").createOrReplaceTempView("q170_events")
     return spark.sql(_Q170_SQL.format(events="q170_events"))
+
+
+@q(
+    "q171_vocab_id_assignment",
+    """WITH toks AS (
+         SELECT unnest(string_split(lower(text), ' ')) AS token
+         FROM documents
+       ), counts AS (
+         SELECT token, count(*) AS n FROM toks
+         WHERE token <> '' GROUP BY token
+       )
+       SELECT token, CAST(n AS BIGINT) AS n,
+              CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                   AS BIGINT) AS vocab_id
+       FROM counts WHERE n >= 5""",
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable dense vocabulary-id assignment (the build-the-vocab step
+    before dictionary-encoding a corpus): tokens above a min-count
+    floor get ids 0..V-1 ordered by (frequency desc, token asc) — the
+    tie-break makes ids a pure function of the corpus, so two engines
+    (or two runs) assign identical ids, which is what lets token-id
+    shards from different workers interoperate.  Cost shape: one
+    explode + map-combined count collapses the corpus to |vocab| rows
+    BEFORE the min-count filter and the one ordered window — the
+    global sort runs over the filtered vocabulary (thousands of rows),
+    never the corpus.  At 100 TB the count aggregate dominates and is
+    one scan; ship the resulting id map as a broadcast dictionary."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q171_documents"
+    )
+    return spark.sql(
+        """WITH toks AS (
+             SELECT explode(split(lower(text), ' ')) AS token
+             FROM q171_documents
+           ), counts AS (
+             SELECT token, count(*) AS n FROM toks
+             WHERE token <> '' GROUP BY token
+           )
+           SELECT token, CAST(n AS BIGINT) AS n,
+                  CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                       AS BIGINT) AS vocab_id
+           FROM counts WHERE n >= 5"""
+    )
+
+
+@q(
+    "q172_mmr_diversified_retrieval",
+    """SELECT CAST(10 AS BIGINT) AS k,
+              CAST(10 AS BIGINT) AS from_fetchk,
+              TRUE AS top1_kept,
+              TRUE AS diversity_not_worse""",
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval contract: one
+    distributed corpus pass fetches the 50 most relevant vectors
+    (TakeOrdered, never a global sort), then the driver-side greedy
+    rerank picks 10 balancing relevance against similarity-to-already-
+    selected.  The gate asserts the MMR invariants the oracle can
+    state without replaying the greedy loop: every selection comes
+    from the fetched candidate set, the single most relevant vector is
+    always kept (rank 0), and the selected set is no LESS diverse than
+    the plain top-10 (max pairwise cosine does not increase).  The
+    greedy loop itself is pinned by unit tests on planted
+    duplicate-heavy candidates.  Like q106/q107, a contract oracle:
+    the selection math is not SQL-expressible, the properties are."""
+    import numpy as np
+
+    from .operators.similarity import mmr_select
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    sel = mmr_select(emb, query, k=10, fetch_k=50, lam=0.5)
+    top = topk_cosine(emb, query, k=50)
+    top_ids = [r.vec_id for r in top.collect()]
+    top10_ids = top_ids[:10]
+    sel_rows = sel.collect()
+    sel_ids = [r.vec_id for r in sel_rows]
+
+    def max_pair_sim(ids: list) -> float:
+        rows = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T
+        np.fill_diagonal(S, -np.inf)
+        return float(S.max())
+
+    from_fetchk = sum(1 for i in sel_ids if i in set(top_ids))
+    top1_kept = bool(sel_rows and sel_rows[0].rank == 0
+                     and sel_ids[0] == top_ids[0])
+    diversity_ok = max_pair_sim(sel_ids) <= max_pair_sim(top10_ids) + 1e-12
+    return spark.createDataFrame(
+        [(len(sel_ids), from_fetchk, top1_kept, diversity_ok)],
+        "k bigint, from_fetchk bigint, top1_kept boolean, "
+        "diversity_not_worse boolean",
+    )

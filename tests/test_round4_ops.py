@@ -751,3 +751,99 @@ def test_session_transitions_gap_splits_sessions(spark):
         for r in spark.sql(Q._Q170_SQL.format(events="q170_events")).collect()
     }
     assert got == {("a", "b"): 1, ("c", "d"): 1}
+
+
+def test_ks_statistic_matches_pure_python_reference(spark):
+    """Deterministic pseudo-random samples (several shapes/sizes)
+    against a pure-Python two-sample KS: max over pooled values of
+    |ECDF_a - ECDF_b|, ECDFs right-continuous (<= value)."""
+    import math
+
+    def py_ks(xs, ys):
+        pool = sorted(set(xs) | set(ys))
+        best = 0.0
+        for v in pool:
+            fa = sum(1 for x in xs if x <= v) / len(xs)
+            fb = sum(1 for y in ys if y <= v) / len(ys)
+            best = max(best, abs(fa - fb))
+        return round(best, 6)
+
+    from compile_time_data_contracts_spark.operators.stats import ks_statistic
+
+    cases = []
+    for seed, (na, nb) in [(1, (17, 23)), (2, (40, 40)), (3, (9, 31))]:
+        xs = [((seed * 1103515245 + i * 12345) % 1000) / 10.0
+              for i in range(na)]
+        ys = [((seed * 69069 + i * 54321) % 900) / 9.0 for i in range(nb)]
+        cases.append((xs, ys))
+    for xs, ys in cases:
+        df = spark.createDataFrame(
+            [(float(v), "a") for v in xs] + [(float(v), "b") for v in ys],
+            "v double, g string",
+        )
+        r = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+        assert (r.n1, r.n2) == (len(xs), len(ys))
+        assert r.ks_stat == py_ks(xs, ys)
+
+
+# -------------------------------------------------------- MMR retrieval
+
+def test_mmr_skips_near_duplicates_of_selected(spark):
+    """Candidates: the query itself, 4 near-copies of it, and 5
+    moderately-relevant but mutually-distant vectors.  Plain top-5 is
+    the duplicate pile; MMR at lam=0.5 must keep the top-1 and then
+    prefer the distant vectors over the remaining copies."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        mmr_select,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=16)
+    q /= np.linalg.norm(q)
+    rows = [(0, [float(x) for x in q])]
+    for i in range(1, 5):  # near-copies of the query
+        v = q + 0.01 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    for i in range(5, 10):  # distant-from-each-other, mild relevance
+        v = 0.3 * q + rng.normal(size=16)
+        rows.append((100 + i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = df.filter(F.col("vec_id") == 0)
+
+    top5 = [r.vec_id for r in topk_cosine(df, query, k=5).collect()]
+    assert set(top5) == {0, 1, 2, 3, 4}  # the duplicate pile wins top-5
+
+    sel = mmr_select(df, query, k=5, fetch_k=10, lam=0.3).collect()
+    sel_ids = [r.vec_id for r in sel]
+    assert sel[0].rank == 0 and sel_ids[0] == 0  # top-1 always kept
+    # at most one additional near-copy sneaks in; the distant vectors
+    # dominate the rest of the selection
+    assert sum(1 for i in sel_ids if i in {1, 2, 3, 4}) <= 1
+    assert sum(1 for i in sel_ids if i >= 105) >= 3
+
+
+def test_mmr_lambda_one_equals_plain_topk(spark):
+    """lam=1 ignores diversity entirely -> selection == plain top-k."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        mmr_select,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = df.filter(F.col("vec_id") == 0)
+    top = [r.vec_id for r in topk_cosine(df, query, k=6).collect()]
+    sel = [
+        r.vec_id
+        for r in mmr_select(df, query, k=6, fetch_k=12, lam=1.0).collect()
+    ]
+    assert sel == top

@@ -481,6 +481,16 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q171_vocab_id_assignment": [
+        ("corpus collapses via partial-agg count before the vocab "
+         "window", True, lambda p: "partial_count" in p),
+        ("token stream is a codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("the one global sort runs over the filtered vocab, after the "
+         "aggregate (window follows agg in the plan)", True,
+         lambda p: "Window" in p),
+    ],
     "q169_anomaly_zscore": [
         ("all three trailing frames share one user-keyed sort (a "
          "single window exchange)", True,

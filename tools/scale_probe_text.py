@@ -124,10 +124,42 @@ def main() -> None:
     results["cc_sec"] = round(time.perf_counter() - t0, 2)
     results["clusters"] = n_clusters
 
+    # leakage-safe split over the full corpus: every near-dup cluster
+    # must land in exactly ONE split (q166's operator at probe scale),
+    # and the naive doc-id split must visibly scatter planted clusters
+    # (partner ids differ from sources by n, so their hashes are
+    # independent)
+    from compile_time_data_contracts_spark.operators.sampling import (
+        split_by_cluster,
+    )
+
+    t0 = time.perf_counter()
+    allc = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    lab = split_by_cluster(allc)
+    agg = lab.groupBy("cluster_id").agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("split").alias("n_safe"),
+        F.countDistinct("naive_split").alias("n_naive"),
+    )
+    straddling_safe = agg.filter("n_safe > 1").count()
+    leaked_naive = agg.filter("sz > 1 AND n_naive > 1").count()
+    results["split_sec"] = round(time.perf_counter() - t0, 2)
+    results["split_straddling_clusters"] = straddling_safe
+    results["split_leaked_clusters_naive"] = leaked_naive
+
     ok = (
         results["planted_recall"] >= 0.95
         and results["unplanted_pairs"] == 0
         and n_clusters == planted_hit  # every pair collapses to one rep
+        and straddling_safe == 0  # cluster-keyed split never leaks
+        and leaked_naive > 0  # naive split demonstrably would
     )
     results["ok"] = ok
 
