@@ -100,6 +100,7 @@ HEADLINE = [
     "q169_anomaly_zscore",
     "q170_session_transitions",
     "q171_vocab_id_assignment",
+    "q173_chi_square_drift",
 ]
 
 

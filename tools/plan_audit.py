@@ -352,12 +352,12 @@ CHECKS = {
          lambda p: "partial" in p.lower()),
     ],
     "q150_entity_resolution": [
-        ("block join has an extracted equi-key (brand), never BNLJ/"
-         "cartesian over the catalog", True,
+        ("candidates via inverted-index equi-join on (brand, token), "
+         "never BNLJ/cartesian over the catalog", True,
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
         ("entity rollup partial-aggregated", True,
-         lambda p: "partial" in p.lower()),
+         lambda p: "partial_count" in p),
     ],
     "q153_cohort_retention": [
         ("events scanned exactly twice (first-week + activity); cohort "
@@ -481,6 +481,16 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q173_chi_square_drift": [
+        ("corpus collapses to |categories| rows via one partial-agg "
+         "count pass", True, lambda p: "partial_sum" in p
+         or "partial_count" in p),
+        ("expected-count join is a 1-row broadcast", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q171_vocab_id_assignment": [
         ("corpus collapses via partial-agg count before the vocab "
          "window", True, lambda p: "partial_count" in p),
@@ -565,9 +575,39 @@ def _pq_adc_pipeline(spark, sf_dir):
     )
 
 
+def _entity_candidates_pipeline(spark, sf_dir):
+    # q150's candidate generation BEFORE connected_components checkpoints
+    # truncate the plan: inverted (brand, token) postings -> equi-join ->
+    # partial-combined intersection counts -> Jaccard filter
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.catalog import load_table
+
+    parts = load_table(spark, sf_dir, "part")
+    tok = parts.select(
+        "p_partkey", "p_brand",
+        F.array_distinct(F.concat(
+            F.split(F.col("p_name"), " "),
+            F.split(F.lower(F.col("p_type")), " "))).alias("toks"))
+    ex = tok.select(
+        "p_partkey", "p_brand", F.size("toks").alias("sz"),
+        F.explode("toks").alias("t"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                    & (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .groupBy(F.col("a.p_partkey").alias("doc_a"),
+                      F.col("b.p_partkey").alias("doc_b"),
+                      F.col("a.sz").alias("sa"), F.col("b.sz").alias("sb"))
+             .agg(F.count("*").alias("i")))
+    return inter.filter(
+        F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")) >= 0.6)
+
+
 PIPELINES = {
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
+    "q150_inner_entity_candidates": _entity_candidates_pipeline,
 }
 
 PIPELINE_CHECKS = {
@@ -579,6 +619,16 @@ PIPELINE_CHECKS = {
          and "ArrowEvalPython" not in p),
         ("single corpus scan", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q150_inner_entity_candidates": [
+        ("token postings are a codegen Generate, no per-pair array "
+         "intersection", True,
+         lambda p: "Generate" in p and "array_intersect" not in p),
+        ("intersection counts partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("equi-join on (brand, token), never BNLJ/cartesian", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
     ],
     "q151_inner_pq_candidates": [
         ("one corpus scan feeds encode+score", True,
