@@ -6185,3 +6185,73 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
     healthy no-drift baseline (12.3 on 4 dof at sf0.01)."""
     load_table(spark, sf, "events").createOrReplaceTempView("q173_events")
     return spark.sql(_Q173_SQL.format(events="q173_events"))
+
+
+_Q174_SQL = """
+WITH a AS (SELECT o_orderpriority AS p FROM {orders}
+           WHERE o_custkey % 2 = 0),
+     b AS (SELECT o_orderpriority AS p FROM {orders}
+           WHERE o_custkey % 2 = 1),
+     ea AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+     ia AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+SELECT 'except_all' AS op, p, CAST(count(*) AS BIGINT) AS n
+FROM ea GROUP BY p
+UNION ALL
+SELECT 'intersect_all' AS op, p, CAST(count(*) AS BIGINT) AS n
+FROM ia GROUP BY p
+"""
+
+
+@q("q174_multiset_set_ops", _Q174_SQL.format(orders="orders"))
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL —
+    which q31's DISTINCT variants cannot express: per-value
+    MULTIPLICITY survives, so the except side reports max(0, cnt_a -
+    cnt_b) occurrences and the intersect side min(cnt_a, cnt_b).
+    Catalyst rewrites both into aggregate + generate (count per key,
+    then replicate) — no sort, no distinct pass, partial-combined like
+    any GROUP BY — making bag reconciliation of two 100 TB extracts a
+    pair of count aggregates rather than a row-by-row diff."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q174_orders")
+    return spark.sql(_Q174_SQL.format(orders="q174_orders"))
+
+
+_Q175_SQL = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT)
+         AS n_finished,
+       round(sum(o.o_totalprice) FILTER (WHERE o.o_orderpriority
+                                         LIKE '1-%'), 2) AS urgent_rev_r,
+       round(avg(o.o_totalprice) FILTER (WHERE o.o_orderstatus = 'O'), 2)
+         AS avg_open_r
+FROM {orders} o
+JOIN {customer} c ON c.c_custkey = o.o_custkey
+JOIN {nation} n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@q(
+    "q175_filtered_aggregates",
+    _Q175_SQL.format(orders="orders", customer="customer", nation="nation"),
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-standard FILTER (WHERE ...) conditional aggregation: four
+    differently-predicated aggregates over ONE scan of the fact table —
+    the declarative form of the CASE-WHEN pivot, and the shape every
+    metrics rollup wants at 100 TB (adding a filtered metric adds a
+    column, never a scan).  All four run inside one partial-combined
+    HashAggregate; the two dimension joins broadcast."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q175_orders")
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "q175_customer"
+    )
+    load_table(spark, sf, "nation").createOrReplaceTempView("q175_nation")
+    return spark.sql(
+        _Q175_SQL.format(
+            orders="q175_orders",
+            customer="q175_customer",
+            nation="q175_nation",
+        )
+    )

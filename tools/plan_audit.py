@@ -481,6 +481,19 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q174_multiset_set_ops": [
+        ("bag semantics via aggregate+replicate, no sort pass", True,
+         lambda p: "partial_count" in p
+         and len(re.findall(r"\(\d+\) Sort", p)) == 0),
+    ],
+    "q175_filtered_aggregates": [
+        ("four predicated metrics in ONE partial-combined aggregate "
+         "over one fact scan", True,
+         lambda p: "partial_count" in p
+         and p.count("orders.parquet") == 1),
+        ("dimension joins broadcast", True,
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+    ],
     "q173_chi_square_drift": [
         ("corpus collapses to |categories| rows via one partial-agg "
          "count pass", True, lambda p: "partial_sum" in p
