@@ -6255,3 +6255,39 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             nation="q175_nation",
         )
     )
+
+
+@q(
+    "q176_iterator_pandas_udf",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT)
+                AS bpe_tokens
+       FROM documents""",
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """ITERATOR-form pandas UDF (Iterator[pd.Series] ->
+    Iterator[pd.Series]): the per-worker setup — here a compiled regex,
+    in production a tokenizer or ONNX session — runs ONCE per task
+    before the batch loop, amortized over every Arrow batch, instead of
+    per-call like the scalar form.  This is THE pattern for model-
+    assisted scoring at 100 TB: load weights once per executor task,
+    stream batches through.  Matches q58's pure-SQL token count exactly
+    (the oracle), so the Python boundary is value-checked, and the
+    scalar-vs-iterator results are interchangeable — only the
+    amortization differs."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    # typing.Iterator (module-global) so the PEP-563 string annotation
+    # resolves when pyspark inspects the signature
+    @pandas_udf("int")
+    def tok_count(
+        it: typing.Iterator[pd.Series],
+    ) -> typing.Iterator[pd.Series]:
+        pat = _re.compile(r"\w+|[^\w\s]")  # once per task, not per batch
+        for s in it:
+            yield s.map(lambda t: len(pat.findall(t)))
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", tok_count("text").alias("bpe_tokens"))
