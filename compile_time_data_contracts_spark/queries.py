@@ -6291,3 +6291,75 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", tok_count("text").alias("bpe_tokens"))
+
+
+@q(
+    "q177_arrow_optimized_udf",
+    """SELECT doc_id,
+              upper(substr(source, 1, 2)) || CAST(length(source) % 10
+                                                  AS VARCHAR) AS code
+       FROM documents""",
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (`udf(..., useArrow=True)`):
+    same author-facing row-at-a-time signature as the legacy pickle
+    UDF, but executed as ArrowEvalPython — columnar Arrow batches
+    cross the boundary instead of per-row pickling (the plan audit
+    pins ArrowEvalPython and forbids BatchEvalPython).  The pragmatic
+    middle tier when logic doesn't vectorize but 100 TB can't afford
+    pickle serialization; the oracle recomputes the same derivation in
+    SQL, value-checking the boundary."""
+    fn = F.udf(
+        lambda s: (s[:2].upper() + str(len(s) % 10)) if s else None,
+        "string",
+        useArrow=True,
+    )
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", fn(F.col("source")).alias("code"))
+
+
+@q(
+    "q178_polymorphic_udtf",
+    """SELECT doc_id,
+              substr(source, 1, 1) AS c0,
+              substr(source, 2, 1) AS c1,
+              substr(source, 3, 1) AS c2
+       FROM documents""",
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (static `analyze()`, Spark 4): the
+    output schema is computed at ANALYSIS time from the call's literal
+    arguments — here n=3 produces columns c0..c2; a different call
+    site gets a different arity with no code change.  This is the
+    form that lets one UDTF serve schema-varying extraction (top-n
+    fields, configurable feature fan-out) while staying fully typed in
+    the plan — downstream pruning and codegen see concrete columns.
+    Rows flow through the same Arrow UDTF machinery as q70; the
+    oracle recomputes the fixed n=3 instance relationally."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadChars:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", "string")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            t = text or ""
+            yield tuple(t[i] if i < len(t) else None for i in range(n))
+
+    spark.udtf.register("q178_lead_chars", LeadChars)
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q178_documents"
+    )
+    return spark.sql(
+        """SELECT d.doc_id, t.c0, t.c1, t.c2
+           FROM q178_documents d, LATERAL q178_lead_chars(d.source, 3) t"""
+    )

@@ -481,6 +481,13 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q177_arrow_optimized_udf": [
+        ("Arrow batches cross the Python boundary, not pickled rows",
+         True,
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("column-pruned scan (doc_id + source only)", True,
+         lambda p: not re.search(r"ReadSchema: [^\n]*text", p)),
+    ],
     "q174_multiset_set_ops": [
         ("bag semantics via aggregate+replicate, no sort pass", True,
          lambda p: "partial_count" in p
