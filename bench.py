@@ -101,6 +101,7 @@ HEADLINE = [
     "q170_session_transitions",
     "q171_vocab_id_assignment",
     "q173_chi_square_drift",
+    "q179_lm_perplexity_filter",
 ]
 
 

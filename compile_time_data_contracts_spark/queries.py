@@ -6363,3 +6363,71 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         """SELECT d.doc_id, t.c0, t.c1, t.c2
            FROM q178_documents d, LATERAL q178_lead_chars(d.source, 3) t"""
     )
+
+
+@q(
+    "q179_lm_perplexity_filter",
+    """WITH toks AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS ws
+         FROM documents
+       ), bg AS (
+         SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         FROM toks, LATERAL UNNEST(generate_series(1, len(ws) - 1)) t(i)
+       ), cb AS (
+         SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+       ), cu AS (
+         SELECT w1, sum(c12) AS c1 FROM cb GROUP BY w1
+       ), p AS (
+         SELECT cb.w1, cb.w2, cb.c12 * 1.0 / cu.c1 AS prob
+         FROM cb JOIN cu ON cu.w1 = cb.w1
+       ), scored AS (
+         SELECT bg.doc_id, ln(p.prob) AS lp
+         FROM bg JOIN p ON p.w1 = bg.w1 AND p.w2 = bg.w2
+       )
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(exp(-avg(lp)), 4) AS perplexity_r
+       FROM scored GROUP BY doc_id""",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-model perplexity scoring (the CCNet/KenLM quality
+    recipe, re-expressed relationally on q98's bigram machinery): each
+    document's bigrams are scored against the MLE bigram model and
+    per-doc perplexity = exp(-mean log P(w2|w1)) reported — gibberish
+    and boilerplate score high, fluent text low, and the downstream
+    percentile gate (q116's machinery) drops the tail.  Here the model
+    is trained on the scored corpus itself; production trains `p` on a
+    clean reference corpus and broadcasts it (the model table is
+    |bigram vocab|-sized, metadata next to a 100 TB corpus).  Cost
+    shape: two map-combined counts build the model, one hash join
+    scores (bigram stream never carries text, just token pairs), one
+    partial-combined rollup per doc.  All probabilities are exact
+    rationals evaluated in fixed order, so the oracle reproduces
+    perplexities to the rounded digit."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q179_documents"
+    )
+    return spark.sql(
+        """WITH toks AS (
+             SELECT doc_id, split(lower(text), ' ') AS ws
+             FROM q179_documents
+           ), bg AS (
+             SELECT doc_id, ws[i-1] AS w1, ws[i] AS w2
+             FROM toks LATERAL VIEW explode(sequence(1, size(ws) - 1))
+               t AS i
+           ), cb AS (
+             SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+           ), cu AS (
+             SELECT w1, sum(c12) AS c1 FROM cb GROUP BY w1
+           ), p AS (
+             SELECT cb.w1, cb.w2, cb.c12 * 1.0 / cu.c1 AS prob
+             FROM cb JOIN cu ON cu.w1 = cb.w1
+           ), scored AS (
+             SELECT bg.doc_id, ln(p.prob) AS lp
+             FROM bg JOIN p ON p.w1 = bg.w1 AND p.w2 = bg.w2
+           )
+           SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS n_bigrams,
+                  round(exp(-avg(lp)), 4) AS perplexity_r
+           FROM scored GROUP BY doc_id"""
+    )

@@ -481,6 +481,17 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q179_lm_perplexity_filter": [
+        ("model counts partial-aggregated; bigram stream carries "
+         "token pairs, not text", True,
+         lambda p: "partial_count" in p),
+        ("scoring is a hash join, never BNLJ/cartesian", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("bigrams via codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
     "q177_arrow_optimized_udf": [
         ("Arrow batches cross the Python boundary, not pickled rows",
          True,
