@@ -6431,3 +6431,141 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
                   round(exp(-avg(lp)), 4) AS perplexity_r
            FROM scored GROUP BY doc_id"""
     )
+
+
+_Q180_SQL = """
+WITH updates AS (
+  SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+  FROM {customer} WHERE c_custkey % 10 = 0),
+expired AS (
+  SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal,
+         0 AS valid_from, 1 AS valid_to
+  FROM {customer} c JOIN updates u ON c.c_custkey = u.c_custkey),
+current_v AS (
+  SELECT c.c_custkey, coalesce(u.new_bal, round(c.c_acctbal, 2)) AS bal,
+         CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS valid_from,
+         CAST(NULL AS INT) AS valid_to
+  FROM {customer} c LEFT JOIN updates u ON c.c_custkey = u.c_custkey),
+dim AS (SELECT * FROM expired UNION ALL SELECT * FROM current_v),
+facts AS (SELECT o_orderkey, o_custkey, CAST(o_orderkey % 2 AS INT) AS t,
+                 o_totalprice FROM {orders}),
+pit AS (
+  SELECT f.t, d.bal, f.o_totalprice
+  FROM facts f JOIN dim d
+    ON d.c_custkey = f.o_custkey
+   AND f.t >= d.valid_from
+   AND (d.valid_to IS NULL OR f.t < d.valid_to))
+SELECT t, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(round(sum(CAST(bal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS bal_at_time
+FROM pit GROUP BY t
+"""
+
+
+@q(
+    "q180_scd2_point_in_time",
+    _Q180_SQL.format(customer="customer", orders="orders"),
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history (the
+    consumption side of q134's type-2 build): each fact joins the
+    dimension VERSION valid at the fact's time — equi-join on the
+    business key plus a validity-interval post-filter, so Catalyst
+    executes a hash join on c_custkey, never a range scan, and
+    versions-per-key (small) bounds the post-filter fan-in.  Every
+    fact matches exactly one version by SCD2 construction (verified:
+    per-epoch counts sum to |orders|); pre-update facts aggregate
+    against pre-update balances, the defining property time-travel-
+    free engines get wrong.  Money sums go through DECIMAL so both
+    engines agree to the cent regardless of summation order."""
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "q180_customer"
+    )
+    load_table(spark, sf, "orders").createOrReplaceTempView("q180_orders")
+    return spark.sql(
+        _Q180_SQL.format(customer="q180_customer", orders="q180_orders")
+    )
+
+
+@q(
+    "q181_score_calibration",
+    """WITH feats AS (
+         SELECT doc_id,
+           least(len(string_split(text, ' ')), 512) / 512.0 AS f_len,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+                                                 'g')))
+             / length(text)::DOUBLE AS f_punct,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_stop,
+           len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_div
+         FROM documents),
+       scored AS (
+         SELECT doc_id, f_stop,
+           1.0 / (1.0 + exp(-(-2.0 + 2.5 * f_len - 4.0 * f_punct
+                              + 6.0 * f_stop + 2.0 * f_div))) AS score
+         FROM feats),
+       bucketed AS (
+         SELECT ntile(10) OVER (ORDER BY score, doc_id) AS decile,
+                score, f_stop
+         FROM scored)
+       SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+              round(avg(score), 6) AS mean_score_r,
+              round(avg(CASE WHEN f_stop >= 0.12 THEN 1.0 ELSE 0.0 END),
+                    6) AS frac_stopword_rich_r
+       FROM bucketed GROUP BY decile""",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """Score-calibration table for the q168 quality model: documents
+    ranked into score deciles (deterministic ntile — ties broken by
+    doc_id) with per-decile mean score and the empirical rate of a
+    proxy signal (stopword-rich text).  A well-behaved filter shows
+    the proxy rate rising monotonically with the score decile; this
+    is the reliability audit reviewers demand before gating a corpus
+    on a model score.  ntile's single total-order window runs over
+    (score, id) PAIRS — at 100 TB, rank against quantile cut points
+    from `approx_percentile` instead (q116's machinery) and this
+    becomes a map-only bucket assignment; the report itself is a
+    |deciles|-row aggregate either way."""
+    from .operators.text import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+        token_diversity,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.least(token_count("text"), F.lit(512)) / F.lit(512.0)).alias(
+            "f_len"
+        ),
+        punct_ratio("text").alias("f_punct"),
+        stopword_ratio("text").alias("f_stop"),
+        token_diversity("text").alias("f_div"),
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(2.5) * F.col("f_len")
+        - F.lit(4.0) * F.col("f_punct")
+        + F.lit(6.0) * F.col("f_stop")
+        + F.lit(2.0) * F.col("f_div")
+    )
+    scored = feats.select(
+        "doc_id",
+        "f_stop",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+    )
+    bucketed = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("score", "doc_id"))
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score_r"),
+        F.round(
+            F.avg((F.col("f_stop") >= 0.12).cast("double")), 6
+        ).alias("frac_stopword_rich_r"),
+    )

@@ -481,6 +481,25 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q180_scd2_point_in_time": [
+        ("version lookup is an equi-hash-join on the business key "
+         "(validity check is a post-filter), never BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("per-epoch rollup partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q181_score_calibration": [
+        ("decile window consumes (score, id) pairs — the corpus text "
+         "never reaches the total-order exchange", True,
+         lambda p: not re.search(
+             r"Exchange SinglePartition[\s\S]{0,600}?Scan parquet", p
+         ) or re.search(r"ReadSchema: struct<doc_id", p)),
+        ("calibration rollup partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q179_lm_perplexity_filter": [
         ("model counts partial-aggregated; bigram stream carries "
          "token pairs, not text", True,
