@@ -102,6 +102,8 @@ HEADLINE = [
     "q171_vocab_id_assignment",
     "q173_chi_square_drift",
     "q179_lm_perplexity_filter",
+    "q181_score_calibration",
+    "q182_benford_audit",
 ]
 
 

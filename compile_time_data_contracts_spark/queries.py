@@ -6569,3 +6569,36 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
             F.avg((F.col("f_stop") >= 0.12).cast("double")), 6
         ).alias("frac_stopword_rich_r"),
     )
+
+
+_Q182_SQL = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+              / power(10, floor(log10(o_totalprice)))) AS INT) AS digit
+  FROM {orders} WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / t.tot, 6) AS observed_r,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_r,
+       round(abs(CAST(n AS DOUBLE) / t.tot - log10(1.0 + 1.0 / digit)),
+             6) AS abs_dev_r
+FROM c, t
+"""
+
+
+@q("q182_benford_audit", _Q182_SQL.format(orders="orders"))
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit: observed leading-digit frequencies of
+    order totals against the Benford expectation log10(1 + 1/d) — the
+    classic forensic screen for fabricated or truncated financial
+    columns, and a useful synthetic-data tell (TPC-H prices are
+    uniform-ish, so deviations here are LARGE by design; organic
+    multiplicative data hugs the curve).  The digit comes from pure
+    log/power arithmetic (identical IEEE semantics in any engine — no
+    string casts, which differ across dialects); cost is one
+    map-combined 9-group count plus a 1-row total broadcast."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q182_orders")
+    return spark.sql(_Q182_SQL.format(orders="q182_orders"))

@@ -481,6 +481,14 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q182_benford_audit": [
+        ("digit histogram is one map-combined 9-group count; total is "
+         "a 1-row broadcast", True,
+         lambda p: "partial_count" in p
+         and ("BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)),
+        ("no Python, no string casts in the digit path", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q180_scd2_point_in_time": [
         ("version lookup is an equi-hash-join on the business key "
          "(validity check is a post-filter), never BNLJ", True,
