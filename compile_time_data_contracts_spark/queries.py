@@ -6602,3 +6602,100 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     map-combined 9-group count plus a 1-row total broadcast."""
     load_table(spark, sf, "orders").createOrReplaceTempView("q182_orders")
     return spark.sql(_Q182_SQL.format(orders="q182_orders"))
+
+
+_Q183_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM {events}
+  GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+  FROM {events} e JOIN med m ON m.event_type = e.event_type
+), mad AS (
+  SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(m.med), 4) AS median_r,
+       round(max(m2.mad), 4) AS mad_r,
+       CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * m2.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d
+JOIN med m ON m.event_type = d.event_type
+JOIN mad m2 ON m2.event_type = d.event_type
+GROUP BY d.event_type
+"""
+
+
+@q("q183_mad_outliers", _Q183_SQL.format(events="events"))
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: the
+    breakdown-resistant companion to Q169's z-score (one extreme value
+    drags a mean/stddev but not a median/MAD, so contaminated columns
+    don't mask their own outliers).  Both medians are EXACT
+    (`median()` on each engine — q131 already pins the interpolation
+    parity); the 1.4826 factor scales MAD to sigma-equivalent under
+    normality, making the 3-sigma-style cut comparable to Q169's.
+    Cost shape: two grouped exact medians (each a per-group sort of
+    that group only) + two broadcast joins of the |types|-row stat
+    tables; at 100 TB swap `median` for `approx_percentile(0.5)` and
+    the shape is one scan + two tiny broadcasts."""
+    load_table(spark, sf, "events").createOrReplaceTempView("q183_events")
+    return spark.sql(_Q183_SQL.format(events="q183_events"))
+
+
+@q(
+    "q184_gini_concentration",
+    """WITH s AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+         FROM documents GROUP BY source
+       ), r AS (
+         SELECT source, toks,
+                row_number() OVER (ORDER BY toks, source) AS i,
+                count(*) OVER () AS n,
+                sum(toks) OVER () AS tot,
+                sum(toks) OVER (ORDER BY toks, source) AS cum
+         FROM s
+       )
+       SELECT source, toks,
+              round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share_r,
+              round(2.0 * sum(CAST(i AS DOUBLE) * toks) OVER ()
+                    / (CAST(n AS DOUBLE) * tot) - (n + 1.0) / n, 6)
+                AS gini_r
+       FROM r""",
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of the token budget across sources — the
+    corpus-balance audit behind mixture planning (q139/q155): the
+    Lorenz cumulative share per source plus the Gini coefficient
+    repeated on every row (0 = perfectly balanced, 1 = one source owns
+    the corpus; the synthetic tables land near 0.05).  One
+    map-combined token count collapses the corpus to |sources| rows;
+    every window after runs over that tiny aggregate, so the audit
+    costs one scan at any corpus size.  Deterministic tie-break
+    (tokens, source) keeps ranks — and therefore the Gini sum — exact
+    across engines."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q184_documents"
+    )
+    return spark.sql(
+        """WITH s AS (
+             SELECT source,
+                    CAST(sum(size(split(text, ' '))) AS BIGINT) AS toks
+             FROM q184_documents GROUP BY source
+           ), r AS (
+             SELECT source, toks,
+                    row_number() OVER (ORDER BY toks, source) AS i,
+                    count(*) OVER () AS n,
+                    sum(toks) OVER () AS tot,
+                    sum(toks) OVER (ORDER BY toks, source) AS cum
+             FROM s
+           )
+           SELECT source, toks,
+                  round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share_r,
+                  round(2.0 * sum(CAST(i AS DOUBLE) * toks) OVER ()
+                        / (CAST(n AS DOUBLE) * tot) - (n + 1.0) / n, 6)
+                    AS gini_r
+           FROM r"""
+    )

@@ -481,6 +481,21 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q183_mad_outliers": [
+        ("per-group stats join back as broadcasts (|types|-row "
+         "tables), no cartesian/BNLJ over events", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "CartesianProduct" not in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q184_gini_concentration": [
+        ("corpus collapses via partial-agg sum before any window",
+         True, lambda p: "partial_sum" in p),
+        ("token explode never happens: size(split()) is row-local "
+         "codegen, no Generate needed", True,
+         lambda p: "Generate" not in p),
+    ],
     "q182_benford_audit": [
         ("digit histogram is one map-combined 9-group count; total is "
          "a 1-row broadcast", True,
