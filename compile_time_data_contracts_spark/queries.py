@@ -6699,3 +6699,51 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
                     AS gini_r
            FROM r"""
     )
+
+
+_Q185_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue
+FROM {orders} GROUP BY ALL
+"""
+
+
+@q("q185_group_by_all", _Q185_SQL.format(orders="orders"))
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """`GROUP BY ALL` (Spark 4 / modern-SQL sugar): the grouping key
+    list is inferred from the non-aggregate select items, so adding a
+    dimension to a metrics rollup is a one-place edit — the analyst
+    ergonomics every warehouse dialect converged on.  Resolves at
+    analysis time to the ordinary partial-combined hash aggregate
+    (identical plan to the explicit form); money sums through DECIMAL
+    for cross-engine cent-exactness."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q185_orders")
+    return spark.sql(_Q185_SQL.format(orders="q185_orders"))
+
+
+@q(
+    "q186_parameterized_sql",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+       FROM orders
+       WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
+       GROUP BY o_orderpriority""",
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """Named-parameter SQL (`spark.sql(query, args={...})`, Spark 3.4+):
+    values bind as TYPED literals at parse time — no string
+    interpolation, so no injection surface and no accidental type
+    coercions; the bound plan is byte-identical to the inlined one, so
+    pushdown sees the literal (PushedFilters carries the bound
+    threshold).  The right template mechanism for the thousands of
+    parameterized curation/reporting runs a 100 TB pipeline schedules
+    daily."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q186_orders")
+    return spark.sql(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n "
+        "FROM q186_orders "
+        "WHERE o_totalprice >= :floor AND o_orderstatus = :status "
+        "GROUP BY o_orderpriority",
+        args={"floor": 150000.0, "status": "O"},
+    )

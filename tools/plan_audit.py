@@ -481,6 +481,17 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q185_group_by_all": [
+        ("GROUP BY ALL resolves to the ordinary partial-combined hash "
+         "aggregate", True, lambda p: "partial_count" in p),
+    ],
+    "q186_parameterized_sql": [
+        ("bound parameter reaches the scan as a pushed literal filter",
+         True,
+         lambda p: re.search(r"PushedFilters: \[[^\]]*o_totalprice", p)),
+        ("aggregate partial-combined", True,
+         lambda p: "partial_count" in p),
+    ],
     "q183_mad_outliers": [
         ("per-group stats join back as broadcasts (|types|-row "
          "tables), no cartesian/BNLJ over events", True,
