@@ -6747,3 +6747,75 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         "GROUP BY o_orderpriority",
         args={"floor": 150000.0, "status": "O"},
     )
+
+
+_Q187_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(5,2))), 2)
+            AS DOUBLE) AS revenue
+FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+GROUP BY l_returnflag
+"""
+
+
+@q(
+    "q187_bloom_runtime_filter",
+    _Q187_SQL.format(lineitem="lineitem", orders="orders"),
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (`InjectRuntimeFilter`,
+    Spark 3.3+): a selective filter on the orders side builds a Bloom
+    filter (`bloom_filter_agg` subquery) that is pushed into the
+    lineitem scan as `might_contain(xxhash64(l_orderkey))` — rows that
+    cannot join are dropped BEFORE the shuffle, which at 100 TB is the
+    difference between shuffling the whole fact table and shuffling the
+    ~few-% that survive.  The demo pins the scale posture explicitly:
+    broadcast is disabled (at real scale the filtered orders side is
+    past the broadcast threshold, which is precisely when the Bloom
+    filter earns its keep) and the application-side size gate is
+    dropped to zero so the sf0.01 fixture triggers the same plan a
+    100 TB table would.
+
+    Config hygiene: the optimizer confs are scoped — the physical plan
+    is forced (QueryExecution's lazy phases pin it) while they're set,
+    then every conf is restored, so the returned DataFrame stays lazy
+    with the Bloom-filtered plan and the session is left untouched.
+    """
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.expr(
+                    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * CAST(1 - l_discount AS DECIMAL(5,2))), 2)"
+                    " AS DOUBLE)"
+                ).alias("revenue"),
+            )
+        )
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -847,3 +847,32 @@ def test_mmr_lambda_one_equals_plain_topk(spark):
         for r in mmr_select(df, query, k=6, fetch_k=12, lam=1.0).collect()
     ]
     assert sel == top
+
+
+# ------------------------------------------------------- bloom runtime filter
+
+def test_bloom_filter_query_scopes_confs_and_pins_plan(spark, sf_dir):
+    """q187 must (a) leave every optimizer conf exactly as it found it,
+    and (b) still return a plan whose fact-side scan carries the
+    injected Bloom-filter probe — the physical plan is pinned while the
+    scoped confs are live, so restoring them cannot un-inject it."""
+    from compile_time_data_contracts_spark.queries import queries
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+    ]
+    before = {k: spark.conf.get(k) for k in keys}
+    df = queries()["q187_bloom_runtime_filter"](spark, sf_dir)
+    after = {k: spark.conf.get(k) for k in keys}
+    assert after == before  # no session side effects
+
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "might_contain" in plan  # Bloom probe reached the scan
+    assert "BroadcastHashJoin" not in plan  # scale posture held
+    assert df.count() > 0

@@ -481,6 +481,16 @@ CHECKS = {
         ("column-pruned scan (text/source only, not lang)", True,
          lambda p: not re.search(r"ReadSchema: [^\n]*lang", p)),
     ],
+    "q187_bloom_runtime_filter": [
+        ("runtime Bloom filter injected on the fact side "
+         "(might_contain(xxhash64(l_orderkey)) reaches the lineitem scan)",
+         True, lambda p: "might_contain" in p),
+        ("scale posture: shuffle join, not broadcast (the filtered dim "
+         "is past the broadcast threshold at 100 TB)", True,
+         lambda p: ("SortMergeJoin" in p or "ShuffledHashJoin" in p)
+         and "BroadcastHashJoin" not in p),
+        ("rollup partial-aggregated", True, lambda p: "partial_count" in p),
+    ],
     "q185_group_by_all": [
         ("GROUP BY ALL resolves to the ordinary partial-combined hash "
          "aggregate", True, lambda p: "partial_count" in p),
