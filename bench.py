@@ -104,6 +104,7 @@ HEADLINE = [
     "q179_lm_perplexity_filter",
     "q181_score_calibration",
     "q182_benford_audit",
+    "q187_bloom_runtime_filter",
 ]
 
 
