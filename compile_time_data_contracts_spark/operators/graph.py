@@ -24,22 +24,49 @@ def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
+    n_nodes: int | None = None,
+    checkpoint_every: int = 8,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank.
 
     ``nodes``: one column ``id``; ``edges``: columns ``src``, ``dst``
     (directed, deduplicated).  Returns (id, pr) after ``iters`` rounds
-    from the uniform start 1/N.  Nodes with no out-edges contribute no
-    mass (the caller decides dangling policy — the q165 edge derivation
-    guarantees outdeg >= 1 so total mass is conserved and the oracle
-    stays a pure unrolled SQL join tower).
+    from the uniform start 1/N.
+
+    ``n_nodes``: pass the (known) node count to keep construction fully
+    lazy; left ``None``, one eager ``nodes.count()`` job runs at build
+    time (a single columnar scan — fine interactively, but callers that
+    already know N, e.g. from a fixture or a prior agg, should pass it).
+
+    ``dangling`` — explicit policy for nodes with no out-edges:
+      * ``"drop"`` (default): their mass vanishes each round (total
+        mass shrinks).  This is the honest semantics of the plain
+        contribution join and keeps the operator a pure SQL join tower
+        (the q165 graph guarantees outdeg >= 1, so for it drop ==
+        conserve and the unrolled-SQL oracle stays exact).
+      * ``"redistribute"``: each round the dangling mass m (a 1-row
+        aggregate over pr ⟕̸ deg, never collected) is spread uniformly —
+        pr' = base + d*(contrib + m/N) — the textbook teleport fix;
+        total mass is conserved for ANY graph.
 
     Execution shape per round (all JVM-side, no Python):
       1. edges ⋈ pr on ``src``       — shuffle keyed by src,
       2. contributions grouped by ``dst`` — map-side partial sum, then
          shuffle keyed by dst,
       3. left join back to ``nodes`` for the (1-d)/N base term so
-         zero-in-degree nodes keep a row.
+         zero-in-degree nodes keep a row,
+      4. (redistribute only) one 1-row dangling-mass aggregate
+         cross-joined in — broadcast, no data-sized movement.
+
+    Lineage: when ``iters > checkpoint_every``, the degree-annotated
+    edge list is persisted for the loop and ``pr`` is cut with a
+    RELIABLE checkpoint every ``checkpoint_every`` rounds and once at
+    loop exit (same durability argument as ``connected_components``:
+    localCheckpoint blocks die with executors) — a 20+ iteration run
+    neither re-derives the edge join tower per round nor grows an
+    O(iters)-deep plan.  At or below ``checkpoint_every`` rounds the
+    result is fully lazy and plan-auditable, unchanged from before.
 
     At 100 TB: out-degrees are precomputed ONCE and joined onto the
     edge list before the loop, so each round moves only (dst, pr/deg)
@@ -48,33 +75,73 @@ def pagerank(
     exchange-free on the edge side — the edge list, the dominant
     volume, is then never reshuffled across rounds.  Rounds are a
     fixed small constant (rank stabilizes in tens of rounds; curation
-    uses the ORDER of scores, which converges much earlier), and each
-    round's lineage is cut by the loop variable being a fresh plan —
-    for very large iteration counts checkpoint every ~10 rounds as the
-    CC operator does.
+    uses the ORDER of scores, which converges much earlier).
     """
-    n_nodes = nodes.count()
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'drop' or 'redistribute', got {dangling!r}"
+        )
+    if n_nodes is None:
+        n_nodes = nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("__outdeg"))
     # edge list with degree attached once, reused every round
     ew = edges.join(deg, "src")
+    do_checkpoint = iters > checkpoint_every
+    if do_checkpoint:
+        from pyspark import StorageLevel
+
+        from .dedup import _ensure_checkpoint_dir
+
+        _ensure_checkpoint_dir(nodes.sparkSession.sparkContext)
+        ew = ew.persist(StorageLevel.MEMORY_AND_DISK)
+    # dangling nodes (no out-edges) computed once — the set is static
+    dang = nodes.join(
+        deg.select(F.col("src").alias("id")), "id", "left_anti"
+    )
     pr = nodes.select("id", F.lit(1.0 / n_nodes).alias("pr"))
     base = (1.0 - damping) / n_nodes
-    for _ in range(iters):
-        contrib = ew.join(pr, ew["src"] == pr["id"]).select(
-            ew["dst"].alias("id"),
-            (F.col("pr") / F.col("__outdeg")).alias("__c"),
-        )
-        pr = (
-            nodes.join(
-                contrib.groupBy("id").agg(F.sum("__c").alias("__s")),
-                "id",
-                "left",
-            ).select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
-                ).alias("pr"),
+    try:
+        for it in range(iters):
+            contrib = ew.join(pr, ew["src"] == pr["id"]).select(
+                ew["dst"].alias("id"),
+                (F.col("pr") / F.col("__outdeg")).alias("__c"),
             )
-        )
+            summed = contrib.groupBy("id").agg(F.sum("__c").alias("__s"))
+            if dangling == "redistribute":
+                # 1-row frame: this round's dangling mass / N
+                m = dang.join(pr, "id").agg(
+                    F.coalesce(
+                        F.sum("pr") / F.lit(float(n_nodes)), F.lit(0.0)
+                    ).alias("__mshare")
+                )
+                pr = (
+                    nodes.join(summed, "id", "left")
+                    .crossJoin(F.broadcast(m))
+                    .select(
+                        "id",
+                        (
+                            F.lit(base)
+                            + F.lit(damping)
+                            * (
+                                F.coalesce("__s", F.lit(0.0))
+                                + F.col("__mshare")
+                            )
+                        ).alias("pr"),
+                    )
+                )
+            else:
+                pr = nodes.join(summed, "id", "left").select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
+                    ).alias("pr"),
+                )
+            if do_checkpoint and (
+                (it + 1) % checkpoint_every == 0 or it == iters - 1
+            ):
+                pr = pr.checkpoint(eager=True)
+    finally:
+        if do_checkpoint:
+            ew.unpersist()
     return pr

@@ -5572,7 +5572,8 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
               substr(text, CAST(gs AS INT) * 40 + 1, 40) AS chunk
        FROM documents,
             LATERAL UNNEST(generate_series(
-              0, CAST(ceil(length(text) / 40.0) AS INT) - 1)) t(gs)""",
+              0, CAST(ceil(length(text) / 40.0) AS INT) - 1)) t(gs)
+       WHERE length(text) > 0""",
 )
 def q162(spark: SparkSession, sf: str) -> DataFrame:
     """SQL table-valued UDF (`CREATE FUNCTION ... RETURNS TABLE`)
@@ -5596,12 +5597,19 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
                          substr(txt, CAST(i AS INT) * sz + 1, sz) AS chunk
                   FROM (SELECT explode(sequence(
                           0,
-                          CAST(ceil(length(txt) / CAST(sz AS DOUBLE))
-                               AS INT) - 1)) AS i)"""
+                          greatest(
+                            CAST(ceil(length(txt) / CAST(sz AS DOUBLE))
+                                 AS INT) - 1, 0))) AS i)"""
     )
+    # Spark's sequence(a, b) runs DESCENDING when b < a, so empty text
+    # would emit chunk_idx [0, -1]; the greatest() clamp plus this
+    # empty-text filter (mirrored in the oracle, whose generate_series
+    # emits nothing for a negative stop) keeps both engines chunk-free
+    # for zero-length documents.
     return spark.sql(
         """SELECT d.doc_id, c.chunk_idx, c.chunk
-           FROM q162_documents d, LATERAL q162_chunks(d.text, 40) c"""
+           FROM q162_documents d, LATERAL q162_chunks(d.text, 40) c
+           WHERE length(d.text) > 0"""
     )
 
 
@@ -5681,11 +5689,11 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     """WITH nc AS (SELECT count(*) AS n FROM customer),
        e AS (
          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-                CAST(o_orderkey % nc.n AS BIGINT) AS dst
+                CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
          FROM orders, nc
          UNION
          SELECT CAST(c_custkey AS BIGINT),
-                CAST((c_custkey + 1) % nc.n AS BIGINT)
+                CAST(1 + (c_custkey % nc.n) AS BIGINT)
          FROM customer, nc
        ),
        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
@@ -5716,9 +5724,11 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q165(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-iteration PageRank over a deterministic link graph derived
-    from orders (src = o_custkey, dst = o_orderkey mod |customers|,
-    plus a ring edge per customer so every node has outdeg >= 1 and
-    rank mass is conserved without a dangling-redistribution term).
+    from orders (src = o_custkey, dst = 1 + (o_orderkey mod
+    |customers|) so every destination is a real customer key in 1..n,
+    plus a ring edge per customer so every node has outdeg >= 1 —
+    together these make rank mass genuinely conserved without a
+    dangling-redistribution term).
     The Spark side is the generic `operators.graph.pagerank` loop —
     one src-keyed join + one dst-keyed partial-combined sum per round,
     degrees attached to the edge list ONCE before the loop; the oracle
@@ -5731,16 +5741,20 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     customer = load_table(spark, sf, "customer")
     n = customer.count()
     orders = load_table(spark, sf, "orders")
+    # dst = 1 + (key mod n) keeps every destination inside the customer
+    # key range 1..n (a bare `mod n` emits node 0, which is NOT a
+    # customer — its contributions would silently vanish and the
+    # mass-conservation claim would be false for this graph).
     edges = (
         orders.select(
             F.col("o_custkey").cast("bigint").alias("src"),
-            (F.col("o_orderkey") % n).cast("bigint").alias("dst"),
+            (F.lit(1) + (F.col("o_orderkey") % n)).cast("bigint").alias("dst"),
         )
         .distinct()
         .union(
             customer.select(
                 F.col("c_custkey").cast("bigint"),
-                ((F.col("c_custkey") + 1) % n).cast("bigint"),
+                (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint"),
             )
         )
         .distinct()
@@ -6370,6 +6384,7 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     """WITH toks AS (
          SELECT doc_id, string_split(lower(text), ' ') AS ws
          FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 2
        ), bg AS (
          SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
          FROM toks, LATERAL UNNEST(generate_series(1, len(ws) - 1)) t(i)
@@ -6411,6 +6426,7 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
         """WITH toks AS (
              SELECT doc_id, split(lower(text), ' ') AS ws
              FROM q179_documents
+             WHERE size(split(lower(text), ' ')) >= 2
            ), bg AS (
              SELECT doc_id, ws[i-1] AS w1, ws[i] AS w2
              FROM toks LATERAL VIEW explode(sequence(1, size(ws) - 1))
@@ -6791,6 +6807,10 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     )
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # AQE reads its own threshold live at execution time (after the
+        # finally block restores confs) — pin it too, or the executed
+        # join can silently convert to broadcast behind the audited plan.
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter"
         ".applicationSideScanSizeThreshold": "0",

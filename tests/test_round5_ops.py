@@ -1,0 +1,163 @@
+"""Round-5 regression tests.
+
+Pins the ADVICE-r4 edge cases (Spark's DESCENDING ``sequence(a, b)``
+when b < a — q162 empty-text chunking, q179 <=1-token documents — and
+the q165 node-0 mass leak) plus the parameterized ``pagerank``
+(explicit dangling policy, precomputed n_nodes, checkpoint-every-k for
+long runs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _write_edge_documents(spark, path: str) -> None:
+    """A documents table whose rows hit the descending-sequence traps:
+    empty text, 1-token text, and ordinary multi-token docs."""
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, "solo", "en", "web", 4),
+        (3, "two tokens here now", "en", "web", 19),
+        (4, "x" * 95, "en", "web", 95),  # 2 full chunks + 15-char tail
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _oracle_rows(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    # Spark wrote a parquet DIRECTORY; DuckDB wants the part-file glob
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    return con.sql(sql).fetchall()
+
+
+def test_q162_empty_text_emits_no_chunks_and_matches_oracle(spark, tmp_path):
+    import __spark_entry__ as entrymod
+
+    sf = str(tmp_path / "sf_edge")
+    _write_edge_documents(spark, sf)
+    got = entrymod.queries()["q162_sql_table_udf_chunks"](spark, sf)
+    rows = {(r.doc_id, r.chunk_idx, r.chunk) for r in got.collect()}
+    # empty doc 1 contributes NOTHING (descending sequence would have
+    # emitted chunk_idx 0 and -1); doc 4 (95 chars / width 40) => 3 chunks
+    assert not any(d == 1 for d, _, _ in rows)
+    assert sorted(i for d, i, _ in rows if d == 4) == [0, 1, 2]
+    oracle = {
+        tuple(r)
+        for r in _oracle_rows(
+            entrymod.oracle_sql()["q162_sql_table_udf_chunks"], sf
+        )
+    }
+    assert rows == oracle
+
+
+def test_q179_short_docs_emit_no_bigrams_and_match_oracle(spark, tmp_path):
+    import __spark_entry__ as entrymod
+
+    sf = str(tmp_path / "sf_edge179")
+    _write_edge_documents(spark, sf)
+    got = entrymod.queries()["q179_lm_perplexity_filter"](spark, sf)
+    rows = {(r.doc_id, r.n_bigrams, r.perplexity_r) for r in got.collect()}
+    # docs 1 ('' -> ['']), 2 (one token), and 4 (one 95-char token) must
+    # produce NO bigram rows; the descending sequence(1, 0) bug emitted
+    # (w1, NULL)/(NULL, w2) pairs that skewed every doc sharing w1
+    assert {d for d, _, _ in rows} == {3}
+    oracle = {
+        (r[0], r[1], float(r[2]))
+        for r in _oracle_rows(
+            entrymod.oracle_sql()["q179_lm_perplexity_filter"], sf
+        )
+    }
+    assert {(d, n, float(p)) for d, n, p in rows} == oracle
+
+
+# ------------------------------------------------ parameterized pagerank
+
+
+def _ring_with_dangler(spark):
+    # 0 -> 1 -> 2 -> 0 ring plus dangler 3 fed by 0 (3 has no out-edges)
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src long, dst long"
+    )
+    return nodes, edges
+
+
+def test_pagerank_dangling_drop_loses_mass(spark):
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    nodes, edges = _ring_with_dangler(spark)
+    pr = pagerank(nodes, edges, iters=5, dangling="drop")
+    total = sum(r.pr for r in pr.collect())
+    assert total < 0.999  # dangler's mass vanished — honest drop policy
+
+
+def test_pagerank_dangling_redistribute_conserves_mass(spark):
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    nodes, edges = _ring_with_dangler(spark)
+    pr = pagerank(nodes, edges, iters=5, dangling="redistribute")
+    total = sum(r.pr for r in pr.collect())
+    assert abs(total - 1.0) < 1e-12
+
+
+def test_pagerank_redistribute_matches_numpy_teleport_model(spark):
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    nodes, edges = _ring_with_dangler(spark)
+    got = {
+        r.id: r.pr
+        for r in pagerank(
+            nodes, edges, iters=6, dangling="redistribute", n_nodes=4
+        ).collect()
+    }
+    edges_py = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    M = np.zeros((4, 4))
+    outdeg = {0: 2, 1: 1, 2: 1}
+    for s, d in edges_py:
+        M[d, s] = 1.0 / outdeg[s]
+    v = np.full(4, 0.25)
+    for _ in range(6):
+        dangling_mass = v[3]  # node 3 has no out-edges
+        v = 0.15 / 4 + 0.85 * (M @ v + dangling_mass / 4)
+    for i in range(4):
+        assert abs(got[i] - v[i]) < 1e-12
+
+
+def test_pagerank_invalid_dangling_policy_raises(spark):
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    nodes, edges = _ring_with_dangler(spark)
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(nodes, edges, dangling="teleport-maybe")
+
+
+def test_pagerank_checkpointed_long_run_matches_short_chain(spark):
+    """20 iterations with checkpoint_every=5 (lineage cut 4x) must agree
+    exactly with the same 20 rounds computed as one lazy chain — the
+    checkpoint is a pure lineage operation."""
+    from compile_time_data_contracts_spark.operators.graph import pagerank
+
+    nodes, edges = _ring_with_dangler(spark)
+    long_run = {
+        r.id: r.pr
+        for r in pagerank(
+            nodes, edges, iters=20, checkpoint_every=5, n_nodes=4
+        ).collect()
+    }
+    lazy = {
+        r.id: r.pr
+        for r in pagerank(
+            nodes, edges, iters=20, checkpoint_every=99, n_nodes=4
+        ).collect()
+    }
+    assert long_run == lazy
