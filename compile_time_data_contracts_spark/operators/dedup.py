@@ -30,6 +30,9 @@ __all__ = [
     "shingles",
     "jaccard_pairs",
     "containment_pairs",
+    "hot_shingle_report",
+    "banding_then_containment",
+    "prefix_filtered_jaccard_pairs",
     "minhash_signature",
     "banded_signature_table",
     "shingle_set_table",
@@ -82,12 +85,145 @@ def _jaccard(a: F.Column, b: F.Column) -> F.Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def hot_shingle_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 1024,
+) -> DataFrame:
+    """(shingle, df) for every shingle whose document frequency exceeds
+    ``max_df`` — the shingles a ``max_df``-capped pair operator drops
+    from its posting lists.  This is the NO-SILENT-TRUNCATION companion
+    to the ``max_df`` parameter of :func:`jaccard_pairs` /
+    :func:`containment_pairs`: run it (one explode + one partial-
+    combined count, the same first pass the capped operators do) to see
+    exactly which corpus stop-shingles ("terms of service …") were
+    excluded from candidate generation and how common each is."""
+    sh = shingle_rows(df, id_col, text_col, n).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
+def _capped_pair_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int,
+) -> DataFrame:
+    """Exact pair scores with df-capped CANDIDATE GENERATION: the fix
+    for the hot-shingle O(Σ df²) blowup of the plain co-occurrence
+    join.
+
+    Shape (the prefix-filtering idea from the exact set-similarity-join
+    literature, e.g. PPJoin's frequency ordering):
+
+      1. one posting pass counts each shingle's document frequency;
+         shingles with df > max_df are dropped from the posting lists
+         ONLY for candidate generation (the hot list is tiny — it is
+         broadcast into a left-anti join),
+      2. the capped self-join emits candidate id-pairs — each surviving
+         shingle contributes at most max_df² join rows, so a corpus
+         stop-shingle with df=10⁶ costs 0 instead of 10¹²,
+      3. every candidate is verified EXACTLY against the full
+         (uncapped) shingle sets of the candidate docs only
+         (broadcast semi-join restricts the corpus first, as in
+         lsh_candidate_pairs), so reported intersection/sizes — and
+         therefore every Jaccard/containment value — are identical to
+         the uncapped operator's.
+
+    Lossless condition (document it to callers): a qualifying pair is
+    missed ONLY if its entire shingle intersection is hot (df >
+    max_df).  A pair at Jaccard >= t has |A∩B| >= t/(1+t)·(|A|+|B|);
+    at containment >= t, |A∩B| >= t·|A|.  If documents carry fewer hot
+    shingles than that bound (true for any sane max_df — hot shingles
+    are corpus boilerplate, qualifying intersections are document
+    content), the capped pair set equals the exact one.  Use
+    :func:`hot_shingle_report` to see what was dropped.
+
+    Returns (doc_a, doc_b, __inter, __sz_a, __sz_b) for UNORDERED
+    candidate pairs (doc_a < doc_b) sharing >= 1 non-hot shingle.
+    """
+    import logging
+
+    from pyspark import StorageLevel
+
+    sh = shingle_rows(df, id_col, text_col, n).distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    hot = dfreq.filter(F.col("__df") > max_df).select("shingle")
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    # kept feeds both sides of the bucket self-join; same cache scope
+    # discipline as lsh_candidate_pairs (checkpoint the tiny id-pair
+    # set, then drop the cache in finally)
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        a, b = kept.alias("a"), kept.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .checkpoint(eager=True)
+        )
+        n_hot = hot.count()  # kept is cached — this re-reads postings once
+    finally:
+        kept.unpersist()
+    logging.getLogger(__name__).info(
+        "df-capped pair join: dropped %d shingles with df > %d from "
+        "candidate generation (verification stays exact; call "
+        "hot_shingle_report for the list)",
+        n_hot,
+        max_df,
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_full = shingle_set_table(
+        df.join(F.broadcast(cand_ids), id_col, "semi"), id_col, text_col, n
+    ).checkpoint(eager=True)
+    return (
+        cand.join(
+            sh_full.withColumnRenamed(id_col, "doc_a"), "doc_a"
+        )
+        .withColumnRenamed("sh", "__sh_a")
+        .join(
+            sh_full.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+                "sh", "__sh_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            .cast("long")
+            .alias("__inter"),
+            F.size("__sh_a").cast("long").alias("__sz_a"),
+            F.size("__sh_b").cast("long").alias("__sz_b"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard — the correctness baseline.
 
@@ -97,10 +233,31 @@ def jaccard_pairs(
     from per-doc set sizes.  Pairs sharing zero shingles never
     materialize (their Jaccard is 0 < any positive threshold), so work is
     O(Σ_shingle df²) — driven by shingle document-frequency, not n².
-    A stop-shingle shared by k docs still contributes k² join rows; that
-    skew is inherent to the exact answer — minhash_near_dup_pairs is the
-    100 TB path.
+
+    ``max_df``: the hot-shingle safety valve.  A stop-shingle shared by
+    k docs contributes k² join rows — a single corpus-boilerplate
+    shingle with df=10⁶ emits 10¹² pairs before any threshold can cut
+    them.  With ``max_df`` set, shingles with df > max_df are dropped
+    from CANDIDATE GENERATION only and every candidate is verified
+    against the full shingle sets, so scores are exact and the pair
+    set is unchanged whenever qualifying pairs share at least one
+    non-hot shingle (see :func:`_capped_pair_scores` for the precise
+    bound); the dropped shingles are reported via
+    :func:`hot_shingle_report` and an INFO log — never silently.
+    Default None preserves the plain exact join (the fixture-sized
+    oracle path); at 100 TB set max_df (or use
+    minhash_near_dup_pairs / banding_then_containment).
     """
+    if max_df is not None:
+        scored = _capped_pair_scores(df, id_col, text_col, n, max_df)
+        return scored.select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("__inter").cast("double")
+                / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter"))
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
     sh = shingle_rows(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     inter = (
@@ -1039,6 +1196,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: containment C(a,b) = |Sa ∩ Sb| / |Sa| —
     "document a is mostly inside document b" — the relation Jaccard
@@ -1050,11 +1208,42 @@ def containment_pairs(
     Same co-occurrence-join shape as :func:`jaccard_pairs` (explode
     distinct shingles, self-join on the shingle, partial-agg count —
     never a cartesian), divided by the CONTAINED side's set size only,
-    and emitted in both orders since containment is directional.  Skew
-    and scale characteristics are identical to jaccard_pairs (work is
-    O(Σ_shingle df²)); for a 100 TB corpus run the MinHash banding
-    first and containment-score only the candidate pairs.
+    and emitted in both orders since containment is directional.
+
+    ``max_df`` is the hot-shingle safety valve (same semantics as
+    :func:`jaccard_pairs`: df-capped candidate generation, EXACT
+    verification against full shingle sets, dropped shingles surfaced
+    via :func:`hot_shingle_report` + INFO log).  A pair at containment
+    >= t shares |A∩B| >= t·|Sa| shingles, so it escapes only if ALL of
+    those are corpus-boilerplate (df > max_df) — size max_df so that
+    bound can't bind (e.g. max_df well above the df of genuine shared
+    content) and the capped pair set is provably identical.  Default
+    None keeps the plain exact join (work O(Σ_shingle df²)); at 100 TB
+    set max_df, or run :func:`banding_then_containment` when the pair
+    sizes are comparable enough for MinHash banding to see them.
     """
+    if max_df is not None:
+        scored = _capped_pair_scores(df, id_col, text_col, n, max_df)
+        both = scored.select(
+            "doc_a", "doc_b", "__inter", F.col("__sz_a").alias("__sz")
+        ).union(
+            scored.select(
+                F.col("doc_b"),
+                F.col("doc_a"),
+                "__inter",
+                F.col("__sz_b").alias("__sz"),
+            )
+        )
+        return (
+            both.select(
+                "doc_a",
+                "doc_b",
+                F.round(F.col("__inter") / F.col("__sz"), 6).alias(
+                    "containment"
+                ),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
     sh = shingle_rows(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     inter = (
@@ -1081,6 +1270,175 @@ def containment_pairs(
             F.round(
                 F.col("__inter") / F.col("__sz_a"), 6
             ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact all-pairs token-set Jaccard with PREFIX-FILTERED candidate
+    generation (the PPJoin/AllPairs idea, Bayardo et al. WWW'07 —
+    public literature): order every document's tokens by global rarity
+    and index only its first |X| - ⌈t·|X|⌉ + 1 tokens.  Two sets with
+    J >= t have overlap >= ⌈t·max(|A|,|B|)⌉, so by pigeonhole their
+    rarity-ordered prefixes MUST share a token — candidate generation
+    from prefix postings is provably lossless for ANY data, unlike a
+    df-cap (which needs qualifying pairs to share a non-hot token:
+    q150's fixture has matched pairs sharing only 2 tokens, both
+    possibly common, so a cap there could silently drop matches).
+
+    Hot tokens are killed structurally rather than by a tuning knob:
+    rarity ordering puts a corpus stop-token LAST within every
+    document, so it enters a prefix only for documents made almost
+    entirely of stop-tokens — the posting list that was df-sized is
+    now near-empty, and Σ df² collapses without dropping anything.
+
+    Candidates are verified EXACTLY against the full token arrays
+    (array_intersect / array_union on candidate pairs only), so output
+    equals the naive all-pairs join bit-for-bit.
+
+    ``df``: one row per record, ``tokens_col`` an array<string> of
+    DISTINCT tokens.  ``block_col``: optional blocking key — postings
+    join within (block, token) and pairs never cross blocks (entity-
+    resolution blocking).  Returns (doc_a, doc_b, jaccard) unordered
+    pairs, doc_a < doc_b.
+
+    Cost shape: one global token-frequency aggregate, one per-document
+    rank (window keyed by the document id — same row volume as the
+    explode), the prefix-posting self-join (the pruned df² — at 100 TB
+    this is the term that matters), and a candidate-sized verification
+    join.  All JVM-side, no Python.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.col(tokens_col).alias("__toks"),
+        F.size(tokens_col).alias("__sz"),
+    )
+    ex = base.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        "__sz",
+        F.explode("__toks").alias("__t"),
+    )
+    dfreq = ex.groupBy("__t").agg(F.count("*").alias("__df"))
+    # rank tokens within each doc by global rarity (ties broken by the
+    # token string so the order is total and deterministic)
+    w = Window.partitionBy(id_col).orderBy("__df", "__t")
+    prefix = (
+        ex.join(dfreq, "__t")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz"))
+            + 1
+        )
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    join_cond = (F.col("a.__t") == F.col("b.__t")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        join_cond = join_cond & (
+            F.col(f"a.{block_col}") == F.col(f"b.{block_col}")
+        )
+    cand = (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ta = base.select(
+        F.col(id_col).alias("doc_a"), F.col("__toks").alias("__ta")
+    )
+    tb = base.select(
+        F.col(id_col).alias("doc_b"), F.col("__toks").alias("__tb")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("__ta", "__tb")).cast("double")
+                / F.size(F.array_union("__ta", "__tb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def banding_then_containment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Containment scoring restricted to MinHash-LSH candidates — the
+    banding-first composite the plain :func:`containment_pairs`
+    docstring prescribes for 100 TB corpora.
+
+    MinHash banding (:func:`lsh_candidate_pairs`) produces the
+    candidate pairs — O(colliding buckets), immune to hot-shingle df²
+    blowup because the per-doc signature is H mins, not a posting list
+    — and containment C(a,b) = |Sa∩Sb|/|Sa| is computed EXACTLY on the
+    candidates' full shingle sets, emitted in both directions like
+    containment_pairs (same output schema: doc_a = contained side).
+
+    Recall is governed by the pair's JACCARD (banding collides on
+    signature equality): with r = num_hashes/bands rows per band the
+    candidate probability at Jaccard s is 1-(1-s^r)^bands.  For
+    comparable-size pairs, C >= t implies J >= t/(2-t) (e.g. C >= 0.8
+    ⇒ J >= 2/3 ⇒ collision w.p. > 0.9999 at r=2, b=16), so this
+    composite is exact-in-practice for the dedup case.  The asymmetric
+    quote-inside-a-book case (|Sb| >> |Sa| ⇒ J ≈ |Sa|/|Sb| ≈ 0) is
+    invisible to plain MinHash banding BY CONSTRUCTION — for that,
+    use ``containment_pairs(..., max_df=...)`` (exact, df-capped) or
+    band over fixed-length document chunks so every window of the
+    container is its own bandable unit.
+    """
+    cand = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, bands)
+    scored = cand.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        .cast("long")
+        .alias("__inter"),
+        F.size("sh_a").cast("long").alias("__sz_a"),
+        F.size("sh_b").cast("long").alias("__sz_b"),
+    )
+    both = scored.select(
+        "doc_a", "doc_b", "__inter", F.col("__sz_a").alias("__sz")
+    ).union(
+        scored.select(
+            F.col("doc_b"),
+            F.col("doc_a"),
+            "__inter",
+            F.col("__sz_b").alias("__sz"),
+        )
+    )
+    return (
+        both.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__inter") / F.col("__sz"), 6).alias(
+                "containment"
+            ),
         )
         .filter(F.col("containment") >= threshold)
     )

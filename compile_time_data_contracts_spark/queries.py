@@ -5013,8 +5013,12 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     (measured 4.6x faster than the block cross join at sf0.1, identical
     pairs).  Blocking remains the outer scale lever (the join key is
     (brand, token)); a hot block salts like any skewed join.  The
-    oracle replays matching exactly and closes the transitive match
-    graph with a recursive CTE."""
+    hot-TOKEN df² exposure of this posting join is removed by q190's
+    prefix-filtered variant (provably identical output, rarity-ordered
+    prefixes prune the posting lists structurally) — that is the path
+    for corpora with stop-token skew.  The oracle replays matching
+    exactly and closes the transitive match graph with a recursive
+    CTE."""
     from .operators.dedup import connected_components
 
     parts = load_table(spark, sf, "part")
@@ -6839,3 +6843,131 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+# the exact all-pairs containment answer (q157's oracle): both q188's
+# df-capped path and q189's banding-first composite must reproduce it
+# bit-for-bit on the fixture — losslessness is the point of the gate
+_CONTAINMENT_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1)))
+             t(gs)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b
+        ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           round(i::DOUBLE / sz.sz, 6) AS containment
+    FROM inter JOIN sizes sz ON sz.doc_id = doc_a
+    WHERE round(i::DOUBLE / sz.sz, 6) >= 0.8
+"""
+
+
+@q("q188_capped_containment", _CONTAINMENT_ORACLE)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment dedup with the hot-shingle df-cap engaged
+    (``max_df=5`` drops the fixture's ~30 most common shingles from
+    candidate generation — the same shingles a 100 TB corpus would
+    contribute as df=10⁶ boilerplate, where the uncapped co-occurrence
+    join's O(Σ df²) is 10¹² rows for ONE stop-shingle).  Candidates
+    come from the capped posting self-join (each surviving shingle
+    contributes ≤ max_df² rows); every candidate is verified against
+    the FULL shingle sets, so values are exact and the oracle is the
+    plain uncapped all-pairs answer — the gate proves the cap is
+    lossless here, not merely fast.  Dropped shingles are surfaced by
+    ``hot_shingle_report`` + an INFO log, never silently."""
+    from .operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return containment_pairs(docs, n=3, threshold=0.8, max_df=5).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "containment",
+    )
+
+
+@q("q189_banding_then_containment", _CONTAINMENT_ORACLE)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """The banding-first containment composite: MinHash-LSH candidate
+    generation (O(colliding buckets), hot-shingle-immune — signatures
+    are H mins, not posting lists) followed by exact containment
+    scoring of the candidates' full shingle sets, both directions.
+    Recall rides on the pair's Jaccard (C >= 0.8 on comparable sizes ⇒
+    J >= 2/3 ⇒ collision w.p. > 0.9999 at r=2, b=16), so on this
+    fixture — where every containment pair has J >= 0.88 — the output
+    equals the exact all-pairs oracle; the extreme quote-inside-a-book
+    asymmetry that banding cannot see is q188's df-capped exact path."""
+    from .operators.dedup import banding_then_containment
+
+    docs = load_table(spark, sf, "documents")
+    return banding_then_containment(docs, n=3, threshold=0.8).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "containment",
+    )
+
+
+@q(
+    "q190_prefix_filtered_entity_resolution",
+    # the EXACT entity-resolution answer — q150's oracle verbatim: the
+    # prefix-filtered candidate path must reproduce it bit-for-bit
+    _ORACLES["q150_entity_resolution"],
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """q150's entity resolution with PREFIX-FILTERED candidate
+    generation (PPJoin/AllPairs, Bayardo et al. WWW'07): tokens are
+    ranked by global rarity and only each record's first
+    |X| - ceil(0.6·|X|) + 1 tokens are indexed — by pigeonhole any pair
+    at Jaccard >= 0.6 shares a prefix token, so candidates are
+    provably complete for ANY data (a df-cap is NOT: this fixture has
+    matched pairs sharing only 2 tokens, so dropping a hot token could
+    silently lose a match).  Hot tokens die structurally — rarity
+    ordering pushes a stop-token to the end of every record, so its
+    posting list (the df² term) only keeps records made almost
+    entirely of stop-tokens.  Candidates are verified exactly on full
+    token arrays; the oracle is q150's exact SQL, proving losslessness
+    end-to-end through the same connected-components clustering."""
+    from .operators.dedup import (
+        connected_components,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    parts = load_table(spark, sf, "part")
+    tok = parts.select(
+        "p_partkey",
+        "p_brand",
+        F.array_distinct(
+            F.concat(
+                F.split(F.col("p_name"), " "),
+                F.split(F.lower(F.col("p_type")), " "),
+            )
+        ).alias("toks"),
+    )
+    matched = prefix_filtered_jaccard_pairs(
+        tok, "p_partkey", "toks", 0.6, block_col="p_brand"
+    ).select("doc_a", "doc_b")
+    labels = connected_components(matched)
+    return (
+        labels.join(
+            parts.select(
+                F.col("p_partkey").alias("doc_id"), "p_retailprice"
+            ),
+            "doc_id",
+        )
+        .groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.max("p_retailprice") - F.min("p_retailprice"), 2
+            ).alias("price_spread_r"),
+        )
+    )

@@ -161,3 +161,160 @@ def test_pagerank_checkpointed_long_run_matches_short_chain(spark):
         ).collect()
     }
     assert long_run == lazy
+
+
+# ------------------------------------------ hot-shingle cap / prefix filter
+
+
+def _boilerplate_corpus(spark):
+    """8 docs: 0-1 near-identical (high containment both ways), 2 is a
+    quote contained in 3, 4-7 unrelated but ALL SHARING one boilerplate
+    trigram ("terms of service") — the hot shingle."""
+    boiler = " terms of service"
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta" + boiler),
+        (1, "alpha beta gamma delta epsilon zeta eta iota" + boiler),
+        (2, "red green blue cyan magenta"),
+        (3, "red green blue cyan magenta yellow black white pink gray"
+            + boiler),
+        (4, "one two three four five six" + boiler),
+        (5, "seven eight nine ten eleven twelve" + boiler),
+        (6, "aa bb cc dd ee ff" + boiler),
+        (7, "gg hh ii jj kk ll" + boiler),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_capped_jaccard_identical_to_exact(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    docs = _boilerplate_corpus(spark)
+    exact = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in jaccard_pairs(docs, threshold=0.3, max_df=3).collect()
+    }
+    assert exact == capped
+    assert any(a == 0 and b == 1 for a, b, _ in exact)  # the real pair
+
+
+def test_capped_containment_identical_and_finds_quote(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _boilerplate_corpus(spark)
+    exact = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(docs, threshold=0.8, max_df=3).collect()
+    }
+    assert exact == capped
+    assert any(a == 2 and b == 3 for a, b, _ in exact)  # quote-in-doc
+
+
+def test_hot_shingle_report_finds_boilerplate_only(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        hot_shingle_report,
+    )
+
+    docs = _boilerplate_corpus(spark)
+    hot = hot_shingle_report(docs, max_df=3).collect()
+    assert [(r.shingle, r.df) for r in hot] == [("terms|of|service", 7)]
+
+
+def test_banding_then_containment_matches_exact_on_comparable_sizes(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        banding_then_containment,
+        containment_pairs,
+    )
+
+    # comparable-size near-dups only (banding's home turf)
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in banding_then_containment(docs, threshold=0.8).collect()
+    }
+    assert banded == exact and len(exact) == 2  # both directions of (0,1)
+
+
+def test_prefix_filtered_jaccard_identical_to_naive(spark):
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    # token-set records, one stop-token ("common") in every record,
+    # with a block column; matched pair (10, 11) shares 3 of 4 tokens
+    rows = [
+        (10, "blk1", ["common", "aa", "bb", "cc"]),
+        (11, "blk1", ["common", "aa", "bb", "dd"]),
+        (12, "blk1", ["common", "xx", "yy", "zz"]),
+        (13, "blk2", ["common", "aa", "bb", "cc"]),  # other block: no pair
+        (14, "blk2", ["common", "pp", "qq", "rr"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, toks array<string>")
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in prefix_filtered_jaccard_pairs(
+            df, "id", "toks", 0.5, block_col="blk"
+        ).collect()
+    }
+    # naive within-block all-pairs
+    a, b = df.alias("a"), df.alias("b")
+    naive = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+                / F.size(F.array_union("a.toks", "b.toks"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == naive and (10, 11, 0.6) in got
+    assert not any(a_ == 10 and b_ == 13 for a_, b_, _ in got)  # blocked
+
+
+def test_prefix_filtered_jaccard_no_block(spark):
+    from compile_time_data_contracts_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),
+        (3, ["p", "q", "r", "s"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 2))
+        for r in prefix_filtered_jaccard_pairs(df, "id", "toks", 0.5).collect()
+    }
+    assert got == {(1, 2, 0.6)}
