@@ -105,6 +105,10 @@ HEADLINE = [
     "q181_score_calibration",
     "q182_benford_audit",
     "q187_bloom_runtime_filter",
+    "q188_capped_containment",
+    "q189_banding_then_containment",
+    "q190_prefix_filtered_entity_resolution",
+    "q191_expectations_quarantine",
 ]
 
 
@@ -132,7 +136,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
 
     # Warm-up protocol (mirrors the reference benchmark's warmup+measured
     # batches, benchmarks/run-benchmarks.sh): one untimed run of every
@@ -162,15 +165,27 @@ def main() -> None:
     # pass 2, ...) so a noisy minute degrades one sample of many queries
     # instead of every sample of one query.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            t = round(time.time() - t0, 3)
-            if name not in timings or t < timings[name]:
-                timings[name] = t
+            samples[name].append(round(time.time() - t0, 3))
+    timings = {name: min(ts) for name, ts in samples.items()}
+
+    # record the SPREAD next to the min (p50/p95 over the repeats) so a
+    # drift question dies in the artifact instead of needing a re-run:
+    # a wide p95/min gap says "noisy host", a moved min says "the code"
+    def _q(ts: list[float], f: float) -> float:
+        s = sorted(ts)
+        return s[min(len(s) - 1, int(f * len(s)))]
+
+    spread = {
+        name: {"p50": _q(ts, 0.5), "p95": _q(ts, 0.95)}
+        for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
 
@@ -232,6 +247,7 @@ def main() -> None:
                 "estimator": "min_per_query",
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -25,6 +25,7 @@ __all__ = [
     "accepted_values",
     "row_count_between",
     "evaluate_expectations",
+    "apply_expectations",
     "ref_integrity_report",
 ]
 
@@ -32,17 +33,27 @@ __all__ = [
 @dataclasses.dataclass(frozen=True)
 class Expect:
     """One declarative rule: ``metric`` is an aggregate Column producing
-    the observed value; ``passed`` is a boolean expression over it."""
+    the observed value; ``passed`` is a boolean expression over it.
+
+    ``row_ok`` — for ROW-LEVEL rules, a boolean Column that is true for
+    rows satisfying the rule; :func:`apply_expectations` uses it to
+    route failing rows to quarantine.  Table-level rules (unique,
+    row_count_between) have no per-row blame and leave it None."""
 
     rule: str
     column: str
     metric: "F.Column"
     bound: str
     check: typing.Callable[["F.Column"], "F.Column"]
+    row_ok: typing.Optional["F.Column"] = None
 
 
 def not_null(col: str, max_null_frac: float = 0.0) -> Expect:
-    """Null fraction of ``col`` must not exceed ``max_null_frac``."""
+    """Null fraction of ``col`` must not exceed ``max_null_frac``.
+
+    Row routing (:func:`apply_expectations`) is strict: every null row
+    is quarantined even when the AGGREGATE tolerance would pass —
+    tolerance gates pipelines, routing cleans rows."""
     m = (
         F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("double")
         / F.count(F.lit(1))
@@ -50,11 +61,14 @@ def not_null(col: str, max_null_frac: float = 0.0) -> Expect:
     return Expect(
         "not_null", col, m, f"<= {max_null_frac}",
         lambda v: v <= max_null_frac,
+        row_ok=F.col(col).isNotNull(),
     )
 
 
 def unique(col: str) -> Expect:
-    """``col`` must be unique: distinct count equals row count."""
+    """``col`` must be unique: distinct count equals row count.
+    Table-level — no per-row blame (which duplicate is 'the bad one' is
+    a dedup policy, see keep_best_dedup), so not routable."""
     m = (F.count(F.lit(1)) - F.countDistinct(F.col(col))).cast("double")
     return Expect("unique", col, m, "== 0", lambda v: v == 0)
 
@@ -65,7 +79,8 @@ def in_range(col: str, lo: float, hi: float) -> Expect:
         F.when(~F.col(col).between(lo, hi), 1).otherwise(0)
     ).cast("double")
     return Expect(
-        "in_range", col, m, f"0 outside [{lo}, {hi}]", lambda v: v == 0
+        "in_range", col, m, f"0 outside [{lo}, {hi}]", lambda v: v == 0,
+        row_ok=F.col(col).isNull() | F.col(col).between(lo, hi),
     )
 
 
@@ -77,12 +92,14 @@ def accepted_values(col: str, values: list) -> Expect:
         ).otherwise(0)
     ).cast("double")
     return Expect(
-        "accepted_values", col, m, "0 outside set", lambda v: v == 0
+        "accepted_values", col, m, "0 outside set", lambda v: v == 0,
+        row_ok=F.col(col).isNull() | F.col(col).isin(values),
     )
 
 
 def row_count_between(lo: int, hi: int) -> Expect:
-    """Table row count within [lo, hi] (freshness / completeness gate)."""
+    """Table row count within [lo, hi] (freshness / completeness gate).
+    Table-level — not routable."""
     m = F.count(F.lit(1)).cast("double")
     return Expect(
         "row_count_between", "*", m, f"[{lo}, {hi}]",
@@ -114,6 +131,82 @@ def evaluate_expectations(
     return metrics.select(
         F.explode(F.array(*reports)).alias("r")
     ).select("r.rule", "r.column", "r.metric", "r.bound", "r.passed")
+
+
+def apply_expectations(
+    df: DataFrame,
+    expectations: list[Expect],
+    quarantine_sink=None,
+    policy=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level expectation ROUTING: split ``df`` into (clean,
+    quarantined) on the rules' per-row predicates, optionally writing
+    the quarantined rows through a contract-pinned sink.
+
+    Real pipelines don't just *report* rule failures
+    (:func:`evaluate_expectations`) — they route failing rows to a
+    quarantine table carrying WHY each row failed, so the clean
+    partition flows on and the reject partition is re-driveable after
+    a fix.  Every rule must be row-routable (``row_ok`` set);
+    table-level rules (unique, row_count_between) raise — evaluate
+    those with evaluate_expectations, they have no per-row blame.
+
+    Returns ``(clean, quarantined)``: ``clean`` keeps ``df``'s exact
+    schema; ``quarantined`` appends ``failed_rules`` —
+    array<string> of '<rule>:<column>' labels, never empty, sorted for
+    determinism.  Both derive from ONE predicate evaluation per rule
+    inside the same projection (the split is two filters over the same
+    scan; at 100 TB the router costs one pass, and a persisted input
+    amortizes the two branches).
+
+    ``quarantine_sink``: an optional :class:`..sources.io.Sink` whose
+    contract describes the quarantine schema (source columns +
+    failed_rules) — the write goes through ``write_df``'s policy pin
+    (the reference's policy-aware sink pattern, SparkCore.scala:355-360),
+    so a drifted quarantine table is rejected before any row lands.
+    The write is EAGER (it is the point of the call); the returned
+    frames stay lazy.
+    """
+    not_routable = [e for e in expectations if e.row_ok is None]
+    if not_routable:
+        raise ValueError(
+            "apply_expectations needs row-routable rules; table-level "
+            f"rules {[e.rule for e in not_routable]} have no per-row "
+            "blame — gate them with evaluate_expectations instead"
+        )
+    # concat of per-rule 0/1-element arrays (not when(...).otherwise(null)
+    # + filter): keeps the element type containsNull=false, so the
+    # quarantine contract can declare list[str] under the strict nested
+    # comparator
+    from pyspark.sql.types import ArrayType, StringType
+
+    # DDL "array<string>" would default containsNull=true — be explicit
+    empty = F.array().cast(ArrayType(StringType(), False))
+    labels = F.array_sort(
+        F.concat(
+            *[
+                F.when(
+                    ~e.row_ok, F.array(F.lit(f"{e.rule}:{e.column}"))
+                ).otherwise(empty)
+                for e in expectations
+            ]
+        )
+    )
+    flagged = df.withColumn("failed_rules", labels)
+    clean = flagged.filter(F.size("failed_rules") == 0).drop(
+        "failed_rules"
+    )
+    quarantined = flagged.filter(F.size("failed_rules") > 0)
+    if quarantine_sink is not None:
+        from ..contracts.policies import SchemaPolicy
+        from ..sources.io import write_df
+
+        write_df(
+            quarantined,
+            quarantine_sink,
+            policy if policy is not None else SchemaPolicy.EXACT_UNORDERED_CI,
+        )
+    return clean, quarantined
 
 
 def ref_integrity_report(

@@ -6971,3 +6971,100 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("price_spread_r"),
         )
     )
+
+
+@q(
+    "q191_expectations_quarantine",
+    """WITH flags AS (
+         SELECT c_custkey,
+                (c_acctbal < 0.0 OR c_acctbal > 10000.0) AS f_range,
+                (c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                  ('AUTOMOBILE','BUILDING','HOUSEHOLD','MACHINERY'))
+                  AS f_seg,
+                (c_name IS NULL) AS f_null
+         FROM customer)
+       SELECT 'accepted_values:c_mktsegment' AS rule,
+              CAST(count(*) FILTER (WHERE f_seg) AS BIGINT) AS n_rows
+       FROM flags
+       UNION ALL
+       SELECT 'in_range:c_acctbal',
+              CAST(count(*) FILTER (WHERE f_range) AS BIGINT) FROM flags
+       UNION ALL
+       SELECT 'not_null:c_name',
+              CAST(count(*) FILTER (WHERE f_null) AS BIGINT) FROM flags
+       UNION ALL
+       SELECT '__clean__',
+              CAST(count(*) FILTER (WHERE NOT f_range AND NOT f_seg
+                                      AND NOT f_null) AS BIGINT)
+       FROM flags""",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """Expectation-driven quarantine routing (`apply_expectations`):
+    customers with negative/oversized balances or a market segment
+    outside the accepted set are routed to a CONTRACT-PINNED reject
+    sink (quarantine schema = source columns + failed_rules, enforced
+    by write_df's policy pin — the reference's policy-aware sink
+    pattern, SparkCore.scala:355-360) while clean rows flow on with the
+    source schema intact.  The gate reads the quarantine PARQUET BACK
+    (proving the eager write, not just the lazy split), explodes the
+    per-row blame labels into per-rule reject counts, and appends the
+    clean-partition count; the oracle recomputes the whole partition
+    from the rule predicates.  One predicate evaluation per rule, two
+    filters over one scan — at 100 TB routing costs the pass the
+    pipeline already makes."""
+    import dataclasses as _dc
+
+    from .contracts.shape import contract as contract_deco
+    from .contracts.types import int32
+    from .operators.expectations import (
+        accepted_values,
+        apply_expectations,
+        in_range,
+        not_null,
+    )
+    from .sources.io import Sink
+
+    @contract_deco
+    @_dc.dataclass
+    class QuarantinedCustomer:
+        c_custkey: int
+        c_name: str
+        c_nationkey: int32
+        c_acctbal: float
+        c_mktsegment: str
+        failed_rules: list[str]
+
+    customer = load_table(spark, sf, "customer")
+    rules = [
+        not_null("c_name"),
+        in_range("c_acctbal", 0.0, 10000.0),
+        accepted_values(
+            "c_mktsegment",
+            ["AUTOMOBILE", "BUILDING", "HOUSEHOLD", "MACHINERY"],
+        ),
+    ]
+    qpath = "/tmp/ctdc_q191_quarantine_parquet"
+    clean, _quarantined = apply_expectations(
+        customer, rules, quarantine_sink=Sink(QuarantinedCustomer, qpath)
+    )
+    back = spark.read.parquet(qpath)
+    per_rule = (
+        back.select(F.explode("failed_rules").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    # rules with zero rejects still need a row (the oracle emits all)
+    all_rules = spark.createDataFrame(
+        [(f"{r.rule}:{r.column}",) for r in rules], "rule string"
+    )
+    per_rule = (
+        all_rules.join(per_rule, "rule", "left")
+        .select(
+            "rule",
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+    )
+    clean_row = clean.agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    ).select(F.lit("__clean__").alias("rule"), "n_rows")
+    return per_rule.union(clean_row)

@@ -318,3 +318,91 @@ def test_prefix_filtered_jaccard_no_block(spark):
         for r in prefix_filtered_jaccard_pairs(df, "id", "toks", 0.5).collect()
     }
     assert got == {(1, 2, 0.6)}
+
+
+# --------------------------------------------------- expectations routing
+
+
+def test_apply_expectations_routes_and_labels(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.expectations import (
+        accepted_values,
+        apply_expectations,
+        in_range,
+        not_null,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0),
+            (2, None, 5.0),        # fails not_null
+            (3, "ok", -1.0),       # fails in_range
+            (4, "bad-seg", -2.0),  # fails accepted_values AND in_range
+        ],
+        "id long, seg string, bal double",
+    )
+    rules = [
+        not_null("seg"),
+        in_range("bal", 0.0, 10.0),
+        accepted_values("seg", ["ok"]),
+    ]
+    clean, quar = apply_expectations(df, rules)
+    assert [r.id for r in clean.orderBy("id").collect()] == [1]
+    got = {r.id: list(r.failed_rules) for r in quar.collect()}
+    assert got == {
+        2: ["not_null:seg"],
+        3: ["in_range:bal"],
+        4: ["accepted_values:seg", "in_range:bal"],  # sorted labels
+    }
+    # clean keeps the source schema exactly
+    assert clean.columns == df.columns
+    # quarantine label array is containsNull=false (strict nested pin)
+    fr = dict(zip(quar.schema.names, quar.schema.fields))["failed_rules"]
+    assert fr.dataType.containsNull is False
+
+
+def test_apply_expectations_rejects_table_level_rules(spark):
+    import pytest as _pytest
+
+    from compile_time_data_contracts_spark.operators.expectations import (
+        apply_expectations,
+        unique,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="unique"):
+        apply_expectations(df, [unique("id")])
+
+
+def test_apply_expectations_sink_pin_rejects_drift(spark, tmp_path):
+    import dataclasses
+
+    import pytest as _pytest
+
+    from compile_time_data_contracts_spark.contracts.conforms import (
+        ContractDriftError,
+    )
+    from compile_time_data_contracts_spark.contracts.shape import contract
+    from compile_time_data_contracts_spark.operators.expectations import (
+        apply_expectations,
+        not_null,
+    )
+    from compile_time_data_contracts_spark.runtime.pins import (
+        SchemaMismatchError,
+    )
+    from compile_time_data_contracts_spark.sources.io import Sink
+
+    @contract
+    @dataclasses.dataclass
+    class WrongQuarantine:  # missing failed_rules entirely
+        id: int
+        seg: str
+
+    df = spark.createDataFrame([(1, None)], "id long, seg string")
+    with _pytest.raises((ContractDriftError, SchemaMismatchError)):
+        apply_expectations(
+            df,
+            [not_null("seg")],
+            quarantine_sink=Sink(WrongQuarantine, str(tmp_path / "q")),
+        )

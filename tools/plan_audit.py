@@ -491,6 +491,43 @@ CHECKS = {
          and "BroadcastHashJoin" not in p),
         ("rollup partial-aggregated", True, lambda p: "partial_count" in p),
     ],
+    "q188_capped_containment": [
+        # cand + full shingle sets are checkpoint-materialized inside
+        # _capped_pair_scores (cache-leak-free contract, as q54): the
+        # final plan scores candidate-sized checkpoints only
+        ("verification is checkpoint-fed (no corpus re-scan)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 0),
+        ("exact verification via array_intersect on full sets", True,
+         lambda p: "array_intersect" in p),
+        ("no cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q189_banding_then_containment": [
+        ("candidates checkpoint-fed (corpus never re-shingled)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 0),
+        ("containment scored exactly on candidate shingle sets", True,
+         lambda p: "array_intersect" in p),
+        ("no cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q190_prefix_filtered_entity_resolution": [
+        ("entity rollup partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("no cartesian/BNLJ anywhere", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q191_expectations_quarantine": [
+        ("routing predicates are JVM codegen (no Python stage)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+        ("reject counts partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("no cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "q185_group_by_all": [
         ("GROUP BY ALL resolves to the ordinary partial-combined hash "
          "aggregate", True, lambda p: "partial_count" in p),
@@ -698,10 +735,57 @@ def _entity_candidates_pipeline(spark, sf_dir):
         F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")) >= 0.6)
 
 
+def _capped_posting_pipeline(spark, sf_dir):
+    # q188's candidate generation BEFORE the checkpoints truncate it:
+    # postings -> df histogram -> broadcast ANTI-join against the hot
+    # list -> capped self-join
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        shingle_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingle_rows(docs, "doc_id", "text").distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    hot = dfreq.filter(F.col("__df") > 5).select("shingle")
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _prefix_filter_pipeline(spark, sf_dir):
+    # q190's prefix-filtered candidate+verify plan, pre-CC (no internal
+    # checkpoints, so the whole shape is visible)
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.catalog import load_table
+    from compile_time_data_contracts_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    parts = load_table(spark, sf_dir, "part")
+    tok = parts.select(
+        "p_partkey", "p_brand",
+        F.array_distinct(F.concat(
+            F.split(F.col("p_name"), " "),
+            F.split(F.lower(F.col("p_type")), " "))).alias("toks"))
+    return prefix_filtered_jaccard_pairs(
+        tok, "p_partkey", "toks", 0.6, block_col="p_brand")
+
+
 PIPELINES = {
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
     "q150_inner_entity_candidates": _entity_candidates_pipeline,
+    "q188_inner_capped_candidates": _capped_posting_pipeline,
+    "q190_inner_prefix_postings": _prefix_filter_pipeline,
 }
 
 PIPELINE_CHECKS = {
@@ -723,6 +807,34 @@ PIPELINE_CHECKS = {
         ("equi-join on (brand, token), never BNLJ/cartesian", True,
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q188_inner_capped_candidates": [
+        ("hot-shingle exclusion is a BROADCAST anti-join (the hot list "
+         "is tiny by construction)", True,
+         lambda p: re.search(r"BroadcastHashJoin [^\n]*LeftAnti", p)),
+        ("df histogram partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("codegen shingle Generate, no Python stage", True,
+         lambda p: "Generate" in p and "InPandas" not in p
+         and "EvalPython" not in p),
+        ("capped self-join is an equi-join, never cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q190_inner_prefix_postings": [
+        ("per-doc rarity rank is a window keyed by the record id", True,
+         lambda p: "Window" in p and "row_number" in p),
+        ("prefix postings equi-join on the token, never cartesian/BNLJ",
+         True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("verification via array_intersect on candidate pairs only "
+         "(after dropDuplicates)", True,
+         lambda p: "array_intersect" in p),
+        ("token df histogram partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
     "q151_inner_pq_candidates": [
         ("one corpus scan feeds encode+score", True,
