@@ -1,0 +1,31 @@
+"""The declared query inventory (SURVEY.md §2.2), split by tier.
+
+Package layout (round-5 de-risking of the former 7,000-line module —
+same registry keys, same oracle artifact):
+
+  * ``_shared``          — the ``@q`` registry, shared imports, helpers
+  * ``tier_core_sql``    — relational/SQL/window/UDF surface
+  * ``tier_llm``         — dedup / similarity / text / sampling / drift
+  * ``tier_streaming``   — Structured Streaming queries
+  * ``tier_contracts_io``— typed IO round-trips, MERGE/SCD2, expectations
+
+Importing this package registers every query; ``queries()`` and
+``oracle_sql()`` remain the assembly points the driver consumes.
+"""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from ._shared import _ORACLES, _QUERIES, _ts_str, oracle_sql, q, queries  # noqa: F401
+
+# importing the tier modules registers their queries (order: core first
+# for the flagship; llm before nothing in particular — intra-module
+# registration order is preserved where it matters, e.g. q190 reading
+# q150's oracle inside tier_llm)
+from . import tier_core_sql  # noqa: E402,F401
+from . import tier_llm  # noqa: E402,F401
+from . import tier_streaming  # noqa: E402,F401
+from . import tier_contracts_io  # noqa: E402,F401
+from .tier_core_sql import flagship  # noqa: E402,F401
+# module-level SQL constants some tests exercise directly
+from .tier_core_sql import _Q169_SQL, _Q170_SQL  # noqa: E402,F401

@@ -1,0 +1,1099 @@
+"""Contract-pinned IO surface: typed source/sink round-trips across formats,
+schema evolution, MERGE/SCD2, expectations + quarantine, snapshot diff,
+compaction.
+
+Split from the original single-module inventory (round 5); registration
+order within a tier is preserved, and all modules share the `_shared`
+registry so `queries()` / `oracle_sql()` stay the single assembly point.
+"""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from ._shared import _ORACLES, _QUERIES, _ts_str, q  # noqa: F401
+
+
+# =========================================================================
+# Scans / sources / sinks (Q01-Q04)
+# =========================================================================
+
+@q("q01_parquet_count", "SELECT count(*) AS n FROM lineitem")
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "lineitem").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q02_csv_roundtrip",
+    """SELECT count(*) AS n_rows, count(c_acctbal) AS n_acctbal
+       FROM customer""",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference demo path (CtdcPoc.scala:114): CSV read with explicit
+    contract schema, never inferred.  Round-trips customer through CSV."""
+    from ..catalog import Customer
+    from ..sources.io import Source, read_df
+
+    path = "/tmp/ctdc_q02_customer_csv"
+    load_table(spark, sf, "customer").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
+    df = read_df(spark, Source(Customer, "csv", path, {"header": "true"}))
+    return df.agg(
+        F.count("*").alias("n_rows"), F.count("c_acctbal").alias("n_acctbal")
+    )
+
+
+@q(
+    "q03_json_scan",
+    """SELECT count(*) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+       FROM events""",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    parsed = ev.withColumn("k", F.from_json(F.col("props"), "k INT")["k"])
+    return parsed.agg(
+        F.count("*").alias("n"), F.sum("k").cast("bigint").alias("sum_k")
+    )
+
+
+@q("q04_parquet_sink_roundtrip", "SELECT r_regionkey, r_name FROM region")
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract-pinned parquet sink + re-read (R3, SparkCore.scala:355-360)."""
+    from ..catalog import Region
+    from ..sources.io import Sink, write_df
+
+    df = load_table(spark, sf, "region")
+    path = "/tmp/ctdc_q04_region_parquet"
+    write_df(df, Sink(Region, path), SchemaPolicy.EXACT)
+    return spark.read.parquet(path).select("r_regionkey", "r_name")
+
+
+@q(
+    "q52_multimodal_contract",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              source AS meta_source
+       FROM documents""",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested struct/map/array column built, contract-validated
+    (exercises derivation + deep comparator on nested types), written to
+    parquet, re-read, flattened."""
+    from dataclasses import dataclass
+    from typing import Optional
+
+    from ..contracts.shape import contract as contract_deco
+    from ..contracts.types import int32
+    from ..runtime.pins import assert_matches_contract
+    from ..contracts.schema import spark_schema
+
+    @contract_deco
+    @dataclass
+    class DocEnvelope:
+        doc_id: int
+        # map_from_arrays marks values nullable -> valueContainsNull=True,
+        # which the strict comparator checks; the contract must say so
+        meta: dict[str, Optional[str]]
+        tokens: list[str]
+        n_tokens: int32
+
+    docs = load_table(spark, sf, "documents")
+    enveloped = docs.select(
+        F.col("doc_id"),
+        F.map_from_arrays(
+            F.array(F.lit("lang"), F.lit("source")),
+            F.array(F.col("lang"), F.col("source")),
+        ).alias("meta"),
+        F.split("text", " ").alias("tokens"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    # containsNull/valueContainsNull come back False from these builders,
+    # matching the strict contract
+    assert_matches_contract(
+        enveloped.schema, spark_schema(DocEnvelope), SchemaPolicy.EXACT,
+        context="q52 envelope",
+    )
+    path = "/tmp/ctdc_q52_envelope_parquet"
+    enveloped.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.element_at("meta", "source").alias("meta_source"),
+    )
+
+
+@q(
+    "q92_orc_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC source/sink round-trip under the same contract pin as parquet
+    (R1/R3 generalize over DataSource formats): documents written as
+    ORC, re-read with the explicit contract schema (never inferred),
+    aggregated.  The oracle aggregates the original parquet — equality
+    proves the round-trip is lossless."""
+    from ..catalog import Documents
+    from ..sources.io import Sink, Source, read_df, write_df
+
+    docs = load_table(spark, sf, "documents")
+    path = "/tmp/ctdc_q92_documents_orc"
+    write_df(docs, Sink(Documents, path, format="orc"), SchemaPolicy.EXACT)
+    back = read_df(spark, Source(Documents, "orc", path))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q94_json_sink_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink + contract-pinned re-read (the interchange format
+    for pipeline handoffs): same format-generic Source/Sink path as
+    parquet/ORC, explicit schema on the re-read — no inference job ever
+    runs.  Oracle aggregates the original parquet; equality proves the
+    JSON round-trip is lossless for this contract."""
+    from ..catalog import Documents
+    from ..sources.io import Sink, Source, read_df, write_df
+
+    docs = load_table(spark, sf, "documents")
+    path = "/tmp/ctdc_q94_documents_json"
+    write_df(docs, Sink(Documents, path, format="json"), SchemaPolicy.EXACT)
+    back = read_df(spark, Source(Documents, "json", path))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q95_csv_sink_roundtrip",
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang""",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink + contract-pinned re-read, completing the format matrix
+    (CSV/JSON read since q02/q03; parquet/ORC/JSON/CSV write).  Reads
+    are PERMISSIVE by design (malformed cells become nulls — faithful
+    to the reference's schema-level-only pin), which the lossless
+    aggregate equality implicitly re-checks here."""
+    from ..catalog import Documents
+    from ..sources.io import Sink, Source, read_df, write_df
+
+    docs = load_table(spark, sf, "documents")
+    path = "/tmp/ctdc_q95_documents_csv"
+    write_df(
+        docs,
+        Sink(Documents, path, format="csv", options={"header": "true"}),
+        SchemaPolicy.EXACT,
+    )
+    back = read_df(
+        spark, Source(Documents, "csv", path, {"header": "true"})
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q115_policy_evolution_roundtrip",
+    """SELECT segment, CAST(count(*) AS BIGINT) AS n,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(28, 8))), 2)
+                    AS DOUBLE) AS total_r
+       FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                    substr(o_orderpriority, 1, 1) AS segment
+             FROM orders)
+       GROUP BY segment""",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution round-trip under the subset policies — the
+    reference's own Backward/Forward scenario
+    (SparkRuntimeSpec.scala:189-343) run end-to-end on real data:
+
+      1. the producer frame carries an EXTRA column (``extra_flag``) and
+         OMITS the consumer contract's defaulted field
+         (``priority_note: str = "NONE"``) — the BACKWARD pin on the
+         sink accepts both (extras allowed; absence allowed iff
+         nullable or ctdc.hasDefault, SparkCore.scala:105-116),
+      2. the written parquet is re-read self-describing and pinned
+         FORWARD against a wider reader contract: every written column
+         must exist in the reader's expectation
+         (SparkCore.scala:118-127),
+      3. the returned aggregate is oracle-checked on the data content,
+         so the evolution dance provably loses no rows/values.
+    """
+    import dataclasses
+    import hashlib
+    import tempfile
+
+    from ..contracts.schema import spark_schema
+    from ..contracts.shape import contract
+    from ..runtime.pins import assert_matches_contract
+    from ..sources.io import Sink, write_df
+
+    @contract
+    @dataclasses.dataclass
+    class OrderEvolved:  # consumer contract (v2): adds a defaulted field
+        o_orderkey: int
+        o_custkey: int
+        o_totalprice: float
+        segment: str
+        extra_flag: int
+        priority_note: str = "NONE"
+
+    @contract
+    @dataclasses.dataclass
+    class OrderReader:  # forward reader: superset of every written column
+        o_orderkey: int
+        o_custkey: int
+        o_totalprice: float
+        segment: str
+        extra_flag: int
+        priority_note: typing.Optional[str]
+        audit_tag: typing.Optional[str]
+
+    orders = load_table(spark, sf, "orders")
+    produced = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).alias("segment"),
+        F.lit(1).cast("long").alias("extra_flag"),
+    )
+    tag = hashlib.md5(f"{sf}|q115".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/ctdc-q115-{tag}"
+    # Backward: priority_note (defaulted) absent from the produced frame
+    write_df(produced, Sink(OrderEvolved, path), SchemaPolicy.BACKWARD)
+    back = spark.read.parquet(path)
+    # Forward: every column that reached storage exists in the reader
+    assert_matches_contract(
+        back.schema,
+        spark_schema(OrderReader),
+        SchemaPolicy.FORWARD,
+        context=f"q115 forward read {path}",
+    )
+    return back.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2
+        ).cast("double").alias("total_r"),
+    )
+
+
+@q(
+    "q120_text_source_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars
+       FROM documents""",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-text source/sink round-trip — the ingestion format LLM
+    corpora actually arrive in (one document per line).  Writes the
+    corpus as .txt, re-reads with spark.read.text (no schema inference
+    possible or needed: one string column), and proves the round-trip
+    loses no lines or characters against the parquet original.  Text
+    scans split by line across tasks, so ingestion parallelism is
+    file-size-, not file-count-, bound."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(f"{sf}|q120".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/ctdc-q120-{tag}"
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q121_python_datasource",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN ((id * 2654435761) % 4294967296)
+                                 < 2147483648 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low
+       FROM generate_series(0, 9999) t(id)""",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE (pyspark 4 DataSource API): a
+    deterministic synthetic generator registered as a real format —
+    ``spark.read.format("ctdc_synth")`` — with proper partition
+    planning (each InputPartition generates its own id range, so the
+    source parallelizes like any file source; no driver materialization).
+    The oracle regenerates the identical rows from generate_series.
+    This is the extension point for reading systems Spark has no
+    built-in connector for."""
+    from ..sources.pysource import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("ctdc_synth")
+        .option("n", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("hash32") < 2147483648, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+    )
+
+
+@q(
+    "q127_xml_source_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              CAST(sum(n_chars) AS BIGINT) AS total_n_chars
+       FROM documents""",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 ships the XML format
+    natively): documents write as <doc> rows and read back with an
+    explicit schema — entity escaping in the writer must round-trip
+    text content losslessly, proven by character-count conservation
+    against the parquet original."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    tag = hashlib.md5(f"{sf}|q127".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/ctdc-q127-{tag}"
+    docs.select("doc_id", "text", "n_chars").write.mode("overwrite").format(
+        "xml"
+    ).option("rootTag", "docs").option("rowTag", "doc").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, text string, n_chars long")
+        .load(path)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_n_chars"),
+    )
+
+
+@q(
+    "q133_merge_upsert",
+    """WITH updates AS (
+         SELECT c_custkey, c_name, c_nationkey,
+                round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT 900000 + r_regionkey, 'new-' || r_name,
+                r_regionkey, 0.0, 'NEW'
+         FROM region),
+       merged AS (
+         SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+                coalesce(u.c_name, c.c_name) AS c_name,
+                coalesce(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+                coalesce(u.c_acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+                coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+         FROM customer c FULL OUTER JOIN updates u
+           ON c.c_custkey = u.c_custkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN c_mktsegment = 'NEW' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_inserted,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal
+       FROM merged""",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE / upsert (SCD type-1) expressed Spark-first: without a
+    transactional table format, the merge is a FULL OUTER JOIN on the
+    key — matched rows take the update's values, unmatched-source rows
+    insert, unmatched-target rows carry forward — then an atomic
+    overwrite of the snapshot.  The join shuffles both sides by key
+    once (at 100 TB: partition the snapshot by key-bucket and only
+    rewrite buckets containing updates — the updates-side bucket list
+    prunes the rest; q136 + ``operators.merge.merge_upsert`` implement
+    exactly that and match this query's aggregate).  Updates here are
+    derived deterministically from the data so the oracle replays the
+    identical merge."""
+    cust = load_table(spark, sf, "customer")
+    region = load_table(spark, sf, "region")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        region.select(
+            (F.lit(900000) + F.col("r_regionkey")).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("r_name")).alias("c_name"),
+            F.col("r_regionkey").cast("long").alias("c_nationkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    u = updates.alias("u")
+    c = cust.alias("c")
+    merged = c.join(
+        u, F.col("c.c_custkey") == F.col("u.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("u.c_custkey"), F.col("c.c_custkey")).alias(
+            "c_custkey"
+        ),
+        F.coalesce(F.col("u.c_name"), F.col("c.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_nationkey"), F.col("c.c_nationkey")).alias(
+            "c_nationkey"
+        ),
+        F.coalesce(
+            F.col("u.c_acctbal"), F.round(F.col("c.c_acctbal"), 2)
+        ).alias("c_acctbal"),
+        F.coalesce(F.col("u.c_mktsegment"), F.col("c.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_mktsegment") == "NEW", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+@q(
+    "q134_scd2_history",
+    """WITH updates AS (
+         SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+         FROM customer WHERE c_custkey % 10 = 0),
+       expired AS (
+         SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal,
+                0 AS valid_from, 1 AS valid_to
+         FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey),
+       current_v AS (
+         SELECT c.c_custkey,
+                coalesce(u.new_bal, round(c.c_acctbal, 2)) AS bal,
+                CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END
+                  AS valid_from,
+                CAST(NULL AS INT) AS valid_to
+         FROM customer c LEFT JOIN updates u
+           ON c.c_custkey = u.c_custkey),
+       history AS (
+         SELECT * FROM expired UNION ALL SELECT * FROM current_v)
+       SELECT CAST(count(*) AS BIGINT) AS n_history,
+              CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_current,
+              CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_expired,
+              CAST(round(sum(CASE WHEN valid_to IS NULL
+                                  THEN CAST(bal AS DECIMAL(18, 2))
+                                  ELSE CAST(0 AS DECIMAL(18, 2)) END), 2)
+                   AS DOUBLE) AS current_bal
+       FROM history""",
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD TYPE-2 history build (q133's type-1 sibling): an update batch
+    EXPIRES the matched rows (valid_to set to the batch version) and
+    appends the new versions as current (valid_to NULL); untouched rows
+    stay current at their original version.  One left join + one union
+    — at scale the history table is partitioned by valid_from so each
+    batch appends one partition and expires in place only the buckets
+    carrying updates.  The version columns are batch ordinals here;
+    production uses the batch timestamp."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.round(F.col("bal") + 100.0, 2).alias("new_bal")
+    )
+    expired = cust.join(updates, "c_custkey").select(
+        "c_custkey",
+        "bal",
+        F.lit(0).alias("valid_from"),
+        F.lit(1).alias("valid_to"),
+    )
+    current = cust.join(updates, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("new_bal"), F.col("bal")).alias("bal"),
+        F.when(F.col("new_bal").isNull(), 0).otherwise(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    history = expired.unionByName(current)
+    return history.agg(
+        F.count("*").cast("bigint").alias("n_history"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_current"),
+        F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_expired"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNull(),
+                    F.col("bal").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("current_bal"),
+    )
+
+
+@q(
+    "q136_bucket_pruned_merge",
+    """WITH updates AS (
+         SELECT c_custkey, c_name, c_nationkey,
+                round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT 900000 + r_regionkey, 'new-' || r_name,
+                r_regionkey, 0.0, 'NEW'
+         FROM region),
+       merged AS (
+         SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+                coalesce(u.c_name, c.c_name) AS c_name,
+                coalesce(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+                coalesce(u.c_acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+                coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+         FROM customer c FULL OUTER JOIN updates u
+           ON c.c_custkey = u.c_custkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN c_mktsegment = 'NEW' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_inserted,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal
+       FROM merged""",
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """The bucket-pruned MERGE q133's docstring promises, executed for
+    real: the customer snapshot is written partitioned by
+    pmod(xxhash64(key), 64), the SAME update batch as q133 is merged via
+    ``merge_upsert`` — reading and rewriting ONLY the buckets carrying
+    updated keys (PartitionFilters directory pruning + dynamic partition
+    overwrite; untouched buckets stay byte-identical, asserted by test)
+    — and the post-merge snapshot must aggregate identically to q133's
+    full-outer rewrite, which is exactly what the oracle recomputes.
+    A fresh snapshot per call keeps the query deterministic."""
+    import tempfile
+
+    from ..operators.merge import merge_upsert, snapshot_read, snapshot_write
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    region = load_table(spark, sf, "region")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        region.select(
+            (F.lit(900000) + F.col("r_regionkey")).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("r_name")).alias("c_name"),
+            F.col("r_regionkey").cast("long").alias("c_nationkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="ctdc-merge-") + "/snap"
+    snapshot_write(cust, path, "c_custkey", num_buckets=64)
+    merge_upsert(spark, path, updates)
+    merged = snapshot_read(spark, path)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_mktsegment") == "NEW", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+@q(
+    "q140_observe_scan_metrics",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(round(sum(CAST(l_quantity AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_qty,
+              CAST(min(l_shipdate) AS DATE) AS min_ship,
+              CAST(max(l_shipdate) AS DATE) AS max_ship
+       FROM lineitem""",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality metrics via ``df.observe``: the counters ride on a
+    pass the pipeline is already making (here: a downstream row count),
+    so at 100 TB the profile costs ZERO extra scans — unlike a separate
+    aggregation job.  The observed metrics are collected driver-side
+    (4 scalars) and returned as a 1-row DataFrame; the oracle recomputes
+    the same aggregates relationally."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf, "lineitem")
+    obs = Observation("scan_qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    # the action the pipeline was going to run anyway; metrics piggyback
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(round(m["total_qty"], 2)),
+                m["min_ship"],
+                m["max_ship"],
+            )
+        ],
+        "n_rows bigint, total_qty double, min_ship date, max_ship date",
+    )
+
+
+@q(
+    "q144_compaction",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal,
+              CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+              TRUE AS compacted_ok
+       FROM customer""",
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction round-trip: customer is written as 40
+    fragment files, `compact_parquet` bin-packs them (atomic directory
+    swap; the table-maintenance pass every long-lived streaming-append
+    table needs), and the compacted table must aggregate identically to
+    the source (oracle recomputes over the original).  ``compacted_ok``
+    pins the file-count contract: a single file afterwards, fewer than
+    before."""
+    import glob
+    import tempfile
+
+    from ..sources.layout import compact_parquet
+
+    cust = load_table(spark, sf, "customer")
+    p = tempfile.mkdtemp(prefix="ctdc-compact-") + "/t"
+    cust.repartition(40).write.parquet(p)
+    n_before = len(glob.glob(p + "/*.parquet"))
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    n_after = len(glob.glob(p + "/*.parquet"))
+    ok = n_before == 40 and n_after == 1 and stats["files_after"] == 1
+    return spark.read.parquet(p).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.lit(bool(ok)).alias("compacted_ok"),
+    )
+
+
+@q(
+    "q147_merge_schema_evolution",
+    """WITH updates AS (
+         SELECT c_custkey,
+                CASE WHEN c_mktsegment = 'BUILDING' THEN 'gold'
+                     ELSE 'std' END AS c_tier,
+                round(c_acctbal + 50.0, 2) AS c_acctbal
+         FROM customer WHERE c_custkey % 10 = 0),
+       merged AS (
+         SELECT c.c_custkey,
+                coalesce(u.c_acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+                u.c_tier
+         FROM customer c LEFT JOIN updates u USING (c_custkey))
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(c_tier) AS BIGINT) AS n_with_tier,
+              CAST(count(DISTINCT c_tier) AS BIGINT) AS n_tiers,
+              CAST(round(sum(CAST(c_acctbal AS DECIMAL(18, 2))), 2)
+                   AS DOUBLE) AS total_bal,
+              TRUE AS evolution_proven
+       FROM merged""",
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE with schema evolution under a contract proof: the update
+    batch carries a NEW nullable column (c_tier) absent from the v1
+    snapshot.  Before any Spark action, `conforms(CustomerV1,
+    CustomerV2, BACKWARD)` proves v1 data remains readable under the
+    evolved contract (c_tier is Optional — reference Backward
+    semantics, SparkCore.scala:105-116: absence allowed iff nullable or
+    hasDefault), and the runtime pin re-checks the merged frame's live
+    schema against v2.  Old rows surface c_tier = NULL; the oracle
+    recomputes counts, tier cardinality, and balances.  The refusal
+    branch (evolving by REMOVING a required field) is test-pinned in
+    the conforms matrix."""
+    import dataclasses
+
+    from ..catalog import Customer
+    from ..contracts.conforms import conforms
+    from ..contracts.shape import contract
+    from ..runtime.pins import assert_matches_contract
+
+    @contract
+    @dataclasses.dataclass
+    class CustomerV2Agg:
+        c_custkey: int
+        c_acctbal: float
+        c_tier: Optional[str]
+
+    @contract
+    @dataclasses.dataclass
+    class CustomerV1Agg:
+        c_custkey: int
+        c_acctbal: float
+
+    # construction-time evolution proof: v1 producers stay valid under v2
+    conforms(CustomerV1Agg, CustomerV2Agg, SchemaPolicy.BACKWARD)
+
+    cust = load_table(spark, sf, "customer")
+    snapshot = cust.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 50.0, 2).alias("c_acctbal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "gold")
+        .otherwise("std")
+        .alias("c_tier"),
+    )
+    merged = (
+        snapshot.alias("c")
+        .join(updates.alias("u"), "c_custkey", "left")
+        .select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.coalesce(F.col("u.c_acctbal"), F.col("c.c_acctbal")).alias(
+                "c_acctbal"
+            ),
+            F.col("u.c_tier").alias("c_tier"),
+        )
+    )
+    # runtime pin: the merged frame's live schema is exactly v2
+    assert_matches_contract(merged.schema, CustomerV2Agg, SchemaPolicy.EXACT)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("c_tier").cast("bigint").alias("n_with_tier"),
+        F.countDistinct("c_tier").cast("bigint").alias("n_tiers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+        F.lit(True).alias("evolution_proven"),
+    )
+
+
+@q(
+    "q148_data_expectations",
+    """WITH m AS (
+         SELECT count(*)::DOUBLE AS n,
+                (count(*) - count(DISTINCT o_orderkey))::DOUBLE AS dup_keys,
+                (sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END))::DOUBLE
+                  / count(*) AS null_frac,
+                sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                         THEN 1 ELSE 0 END)::DOUBLE AS oob,
+                sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END)::DOUBLE AS bad_status
+         FROM orders
+       ), orphans AS (
+         SELECT count(*)::DOUBLE AS m FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)
+       )
+       SELECT * FROM (
+         SELECT 'unique' AS rule, 'o_orderkey' AS "column",
+                round(dup_keys, 6) AS metric, '== 0' AS bound,
+                dup_keys = 0 AS passed FROM m
+         UNION ALL
+         SELECT 'not_null', 'o_totalprice', round(null_frac, 6), '<= 0.0',
+                null_frac <= 0.0 FROM m
+         UNION ALL
+         SELECT 'in_range', 'o_totalprice', round(oob, 6),
+                '0 outside [0.0, 1000000.0]', oob = 0 FROM m
+         UNION ALL
+         SELECT 'accepted_values', 'o_orderstatus', round(bad_status, 6),
+                '0 outside set', bad_status = 0 FROM m
+         UNION ALL
+         SELECT 'row_count_between', '*', round(n, 6), '[1, 100000000]',
+                n BETWEEN 1 AND 100000000 FROM m
+         UNION ALL
+         SELECT 'ref_integrity', 'o_custkey', round(orphans.m, 6),
+                '0 orphans', orphans.m = 0 FROM orphans
+       )""",
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-level data expectations — the runtime counterpart of the
+    schema contracts (shape proven before data moves; these prove the
+    DATA): key uniqueness, null fraction, value range, accepted set,
+    row-count band, all in ONE aggregate pass (rules add columns, not
+    scans), plus referential integrity orders->customer as a left-anti
+    join (broadcast at dimension scale).  One report row per rule;
+    a pipeline gates on `filter(~passed).count() == 0`."""
+    from ..operators.expectations import (
+        accepted_values,
+        evaluate_expectations,
+        in_range,
+        not_null,
+        ref_integrity_report,
+        row_count_between,
+        unique,
+    )
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    suite = evaluate_expectations(
+        orders,
+        [
+            unique("o_orderkey"),
+            not_null("o_totalprice"),
+            in_range("o_totalprice", 0.0, 1_000_000.0),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            row_count_between(1, 100_000_000),
+        ],
+    )
+    ref = ref_integrity_report(orders, "o_custkey", cust, "c_custkey")
+    return suite.unionByName(ref)
+
+
+# =========================================================================
+# Round-4 additions II: reconciliation, entity resolution, PQ-ANN,
+# incremental components, cohort retention, weighted reservoir
+# =========================================================================
+
+@q(
+    "q149_snapshot_diff",
+    """WITH old AS (
+         SELECT c_custkey, round(c_acctbal, 2) AS bal, c_mktsegment AS seg
+         FROM customer
+       ), new AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 5.0, 2)
+                     ELSE round(c_acctbal, 2) END AS bal,
+                c_mktsegment AS seg
+         FROM customer WHERE c_custkey % 97 <> 0
+         UNION ALL
+         SELECT c_custkey + 1000000, round(c_acctbal, 2), c_mktsegment
+         FROM customer WHERE c_custkey % 50 = 0
+       ), j AS (
+         SELECT coalesce(o.c_custkey, n.c_custkey) AS k,
+                CASE WHEN o.c_custkey IS NULL THEN 'added'
+                     WHEN n.c_custkey IS NULL THEN 'removed'
+                     WHEN o.bal = n.bal AND o.seg = n.seg THEN 'unchanged'
+                     ELSE 'changed' END AS status
+         FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+       )
+       SELECT status, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(k) AS BIGINT) AS key_sum
+       FROM j GROUP BY status""",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation: the audit step after a MERGE/backfill.
+    A simulated v2 of the customer snapshot (some keys dropped, some
+    balances bumped, some new keys appended) is diffed against v1 and
+    every key classified added/removed/changed/unchanged.  Each side is
+    reduced to (key, xxhash64 fingerprint) BEFORE the full-outer join,
+    so at 100 TB the shuffle carries 16 bytes/row regardless of row
+    width and 'changed' is one 8-byte compare, not N columns.  The
+    oracle re-derives the statuses by comparing columns directly —
+    agreeing with the fingerprint path unless xxhash64 collides."""
+    from ..operators.reconcile import diff_summary, snapshot_diff
+
+    cust = load_table(spark, sf, "customer")
+    old = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 10 == 0,
+                F.round(F.col("c_acctbal") + 5.0, 2),
+            )
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.round("c_acctbal", 2).alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+        )
+    )
+    d = snapshot_diff(old, new, ["c_custkey"], ["bal", "seg"])
+    return diff_summary(d, "c_custkey")
+
+
+_Q180_SQL = """
+WITH updates AS (
+  SELECT c_custkey, round(c_acctbal + 100.0, 2) AS new_bal
+  FROM {customer} WHERE c_custkey % 10 = 0),
+expired AS (
+  SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal,
+         0 AS valid_from, 1 AS valid_to
+  FROM {customer} c JOIN updates u ON c.c_custkey = u.c_custkey),
+current_v AS (
+  SELECT c.c_custkey, coalesce(u.new_bal, round(c.c_acctbal, 2)) AS bal,
+         CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS valid_from,
+         CAST(NULL AS INT) AS valid_to
+  FROM {customer} c LEFT JOIN updates u ON c.c_custkey = u.c_custkey),
+dim AS (SELECT * FROM expired UNION ALL SELECT * FROM current_v),
+facts AS (SELECT o_orderkey, o_custkey, CAST(o_orderkey % 2 AS INT) AS t,
+                 o_totalprice FROM {orders}),
+pit AS (
+  SELECT f.t, d.bal, f.o_totalprice
+  FROM facts f JOIN dim d
+    ON d.c_custkey = f.o_custkey
+   AND f.t >= d.valid_from
+   AND (d.valid_to IS NULL OR f.t < d.valid_to))
+SELECT t, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(round(sum(CAST(bal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS bal_at_time
+FROM pit GROUP BY t
+"""
+
+
+@q(
+    "q180_scd2_point_in_time",
+    _Q180_SQL.format(customer="customer", orders="orders"),
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history (the
+    consumption side of q134's type-2 build): each fact joins the
+    dimension VERSION valid at the fact's time — equi-join on the
+    business key plus a validity-interval post-filter, so Catalyst
+    executes a hash join on c_custkey, never a range scan, and
+    versions-per-key (small) bounds the post-filter fan-in.  Every
+    fact matches exactly one version by SCD2 construction (verified:
+    per-epoch counts sum to |orders|); pre-update facts aggregate
+    against pre-update balances, the defining property time-travel-
+    free engines get wrong.  Money sums go through DECIMAL so both
+    engines agree to the cent regardless of summation order."""
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "q180_customer"
+    )
+    load_table(spark, sf, "orders").createOrReplaceTempView("q180_orders")
+    return spark.sql(
+        _Q180_SQL.format(customer="q180_customer", orders="q180_orders")
+    )
+
+
+@q(
+    "q191_expectations_quarantine",
+    """WITH flags AS (
+         SELECT c_custkey,
+                (c_acctbal < 0.0 OR c_acctbal > 10000.0) AS f_range,
+                (c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                  ('AUTOMOBILE','BUILDING','HOUSEHOLD','MACHINERY'))
+                  AS f_seg,
+                (c_name IS NULL) AS f_null
+         FROM customer)
+       SELECT 'accepted_values:c_mktsegment' AS rule,
+              CAST(count(*) FILTER (WHERE f_seg) AS BIGINT) AS n_rows
+       FROM flags
+       UNION ALL
+       SELECT 'in_range:c_acctbal',
+              CAST(count(*) FILTER (WHERE f_range) AS BIGINT) FROM flags
+       UNION ALL
+       SELECT 'not_null:c_name',
+              CAST(count(*) FILTER (WHERE f_null) AS BIGINT) FROM flags
+       UNION ALL
+       SELECT '__clean__',
+              CAST(count(*) FILTER (WHERE NOT f_range AND NOT f_seg
+                                      AND NOT f_null) AS BIGINT)
+       FROM flags""",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """Expectation-driven quarantine routing (`apply_expectations`):
+    customers with negative/oversized balances or a market segment
+    outside the accepted set are routed to a CONTRACT-PINNED reject
+    sink (quarantine schema = source columns + failed_rules, enforced
+    by write_df's policy pin — the reference's policy-aware sink
+    pattern, SparkCore.scala:355-360) while clean rows flow on with the
+    source schema intact.  The gate reads the quarantine PARQUET BACK
+    (proving the eager write, not just the lazy split), explodes the
+    per-row blame labels into per-rule reject counts, and appends the
+    clean-partition count; the oracle recomputes the whole partition
+    from the rule predicates.  One predicate evaluation per rule, two
+    filters over one scan — at 100 TB routing costs the pass the
+    pipeline already makes."""
+    import dataclasses as _dc
+
+    from ..contracts.shape import contract as contract_deco
+    from ..contracts.types import int32
+    from ..operators.expectations import (
+        accepted_values,
+        apply_expectations,
+        in_range,
+        not_null,
+    )
+    from ..sources.io import Sink
+
+    @contract_deco
+    @_dc.dataclass
+    class QuarantinedCustomer:
+        c_custkey: int
+        c_name: str
+        c_nationkey: int32
+        c_acctbal: float
+        c_mktsegment: str
+        failed_rules: list[str]
+
+    customer = load_table(spark, sf, "customer")
+    rules = [
+        not_null("c_name"),
+        in_range("c_acctbal", 0.0, 10000.0),
+        accepted_values(
+            "c_mktsegment",
+            ["AUTOMOBILE", "BUILDING", "HOUSEHOLD", "MACHINERY"],
+        ),
+    ]
+    qpath = "/tmp/ctdc_q191_quarantine_parquet"
+    clean, _quarantined = apply_expectations(
+        customer, rules, quarantine_sink=Sink(QuarantinedCustomer, qpath)
+    )
+    back = spark.read.parquet(qpath)
+    per_rule = (
+        back.select(F.explode("failed_rules").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    # rules with zero rejects still need a row (the oracle emits all)
+    all_rules = spark.createDataFrame(
+        [(f"{r.rule}:{r.column}",) for r in rules], "rule string"
+    )
+    per_rule = (
+        all_rules.join(per_rule, "rule", "left")
+        .select(
+            "rule",
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+    )
+    clean_row = clean.agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    ).select(F.lit("__clean__").alias("rule"), "n_rows")
+    return per_rule.union(clean_row)

@@ -1,0 +1,2893 @@
+"""LLM training-data pipeline surface: dedup (exact / MinHash-LSH / SimHash /
+containment / prefix-filtered), similarity + ANN, text quality + analysis,
+mixture sampling, retrieval, drift statistics, sketches, graph.
+
+Split from the original single-module inventory (round 5); registration
+order within a tier is preserved, and all modules share the `_shared`
+registry so `queries()` / `oracle_sql()` stay the single assembly point.
+"""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from ._shared import _ORACLES, _QUERIES, _ts_str, q  # noqa: F401
+
+
+# =========================================================================
+# LLM-data-pipeline extensions (Q48+)
+# =========================================================================
+
+@q(
+    "q48_exact_dedup",
+    """SELECT count(*) AS n_docs,
+              CAST(count(DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   AS BIGINT) AS n_unique
+       FROM documents""",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass form: count + distinct-hash count in one scan (the
+    exact_dedup operator itself — dropDuplicates on the hash — is
+    library API, exercised in tests)."""
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2(normalize_text("text"), 256))
+        .cast("bigint")
+        .alias("n_unique"),
+    )
+
+
+# embeddings are float32 on disk; both engines must do the cosine in
+# DOUBLE or the 4-dp rounding can disagree in the 7th decimal
+_COSINE_PAIRS_ORACLE = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim_r
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+@q("q49_neardup_cosine_exact", _COSINE_PAIRS_ORACLE)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact audit path via the size-guarded dispatcher: BLAS-broadcast
+    blocks when the matrix fits the broadcast bound, the fully-distributed
+    no-collect pair join above it — no gate query unconditionally
+    collects a data-sized table to the driver."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.45)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("sim", 4).alias("sim_r")
+    )
+
+
+@q(
+    "q50_topk_vector_search",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim_r
+       FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+       CROSS JOIN embeddings b
+       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    top = topk_cosine(emb, query, k=10)
+    return top.select("vec_id", F.round("sim", 4).alias("sim_r"))
+
+
+@q(
+    "q51_token_stats",
+    """SELECT lang,
+              count(*) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              round(avg(n_chars), 4) AS avg_chars
+       FROM documents GROUP BY lang""",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# co-occurrence form (shingle-join + per-doc set sizes) rather than an
+# O(n²) list_intersect cross join — same answer for any threshold > 0,
+# ~10× faster in the driver's correctness gate
+_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) t(gs)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard_r
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+@q("q53_ngram_jaccard_neardup", _JACCARD_ORACLE)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard — the correctness baseline for
+    near-dup detection."""
+    docs = load_table(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@q("q54_minhash_lsh_neardup", _JACCARD_ORACLE)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding + exact verification — the 100 TB path.  With
+    32 hashes / 16 bands the candidate recall at Jaccard>=0.5 is >0.9999,
+    so the verified output equals the exact all-pairs oracle."""
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@q("q55_simhash")  # 64-bit signature: not SQL-expressible, rows-only check
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """Explode + one map-side-combined aggregate (simhash_table) — no
+    interpreted HOF in the plan; bit-identical to the simhash()
+    expression form (pinned by test_simhash_table_matches_expression)."""
+    docs = load_table(spark, sf, "documents")
+    return simhash_table(docs, "doc_id", "text")
+
+
+@q("q56_cosine_lsh_pairs")  # recall<1 by construction: rows-only check
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine self-join — the ANN scale path; the
+    exact-join audit is q49."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_pairs_lsh(
+        emb, threshold=0.45, bits=None, tables=16, probes="auto", dim=64
+    )
+    return pairs.select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r"))
+
+
+@q(
+    "q57_text_quality",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / length(text)::DOUBLE, 6) AS punct_r,
+              round(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+                    / len(string_split(text, ' ')), 6) AS stopword_r,
+              round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / len(string_split(text, ' ')), 6) AS diversity
+       FROM documents""",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_r"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_r"),
+        F.round(token_diversity("text"), 6).alias("diversity"),
+    )
+
+
+@q(
+    "q58_token_count",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS bpe_tokens
+       FROM documents""",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "q59_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+       FROM documents""",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-document md5 fingerprint (oracle-checked); the winnowing
+    rolling-hash variant rides along as a rows-only extra column in q60."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
+
+
+@q("q60_winnow_fingerprint")  # xxhash64-based: rows-only check
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", winnow_fingerprint("text", k=5).alias("fp_winnow")
+    )
+
+
+@q(
+    "q61_language_id",
+    # the heuristic is deterministic and SQL-expressible: per-language
+    # stopword-hit ratio, argmax with ties broken by declared language
+    # order (en,es,fr,de,zh), 'und' when all scores are zero
+    """WITH t AS (
+         SELECT doc_id,
+                list_transform(regexp_split_to_array(text, '\\s+'),
+                               x -> lower(x)) AS toks
+         FROM documents
+       ), s AS (
+         SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE / greatest(len(toks), 1) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','que','y')))::DOUBLE / greatest(len(toks), 1) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','de','et','un')))::DOUBLE / greatest(len(toks), 1) AS s_fr,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ein')))::DOUBLE / greatest(len(toks), 1) AS s_de,
+           len(list_filter(toks, x -> x IN ('的','是','了','在','我')))::DOUBLE / greatest(len(toks), 1) AS s_zh
+         FROM t
+       )
+       SELECT doc_id,
+         CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+              WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+              WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+              ELSE 'zh' END AS lang_guess
+       FROM s""",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.text import language_id_table
+
+    docs = load_table(spark, sf, "documents")
+    return language_id_table(docs)
+
+
+@q(
+    "q62_multimodal_features",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len
+       FROM documents""",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media column + Arrow-batched mapInPandas feature extraction
+    (decode stubbed; plumbing real)."""
+    docs = load_table(spark, sf, "documents")
+    media = attach_fake_media(docs)
+    feats = extract_media_features(media)
+    return feats.select("doc_id", "byte_len")
+
+
+@q(
+    "q63_stratified_sample",
+    """SELECT lang, count(*) AS n_kept
+       FROM documents
+       WHERE ((doc_id * 2654435761) % 4294967296) * 10000 / 4294967296
+             < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)
+       GROUP BY lang""",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: multiplicative-hash bucket on
+    doc_id, per-language keep rates (en 50%, others 20%).  No RNG state:
+    a row's fate depends only on its key, so retries and repartitioning
+    never change the sample — required for resumable 100 TB jobs."""
+    docs = load_table(spark, sf, "documents")
+    kept = deterministic_sample(
+        docs, rate=0.2, key_col="doc_id", strata_col="lang",
+        rates={"en": 0.5},
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@q(
+    "q64_pii_redaction",
+    """SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  text || ' contact user' || doc_id ||
+                  '@example.com or +1 555-000-' || doc_id,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                '\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean
+       FROM documents""",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub: email/phone spans replaced with typed placeholders.
+    Patterns restricted to Java-regex/RE2-shared syntax so the oracle
+    evaluates identically; pure codegen regexp_replace, one scan."""
+    docs = load_table(spark, sf, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return with_pii.select("doc_id", redact_pii("text").alias("clean"))
+
+
+@q(
+    "q65_pack_sequences",
+    """SELECT doc_id, lang,
+              CAST(floor(
+                (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tok) / 2048.0
+              ) AS INT) AS pack_id
+       FROM (SELECT doc_id, lang,
+                    len(string_split(text, ' ')) AS n_tok
+             FROM documents)""",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for pretraining batches: contiguous token-budget
+    fill (2048 tokens) per language shard.  Sharded window => parallel
+    packing, one shuffle on the shard key."""
+    docs = load_table(spark, sf, "documents")
+    with_tok = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_tok")
+    )
+    return pack_sequences(
+        with_tok, budget=2048, order_col="doc_id", tokens_col="n_tok",
+        shard_col="lang",
+    ).select("doc_id", "lang", "pack_id")
+
+
+@q(
+    "q66_top_tokens",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+             FROM documents)
+       GROUP BY tok
+       ORDER BY n DESC, tok
+       LIMIT 20""",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus top-20 tokens: explode + count + TakeOrdered.  The shuffle
+    carries one row per (partition, token) after partial aggregation;
+    the final top-k is a per-partition heap merge, no global sort."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@q(
+    "q70_python_udtf",
+    """SELECT doc_id, CAST(sent_id AS INT) AS sent_id, sentence
+       FROM (SELECT doc_id,
+                    generate_subscripts(sents, 1) AS sent_id,
+                    unnest(list_transform(sents, s -> trim(s))) AS sentence
+             FROM (SELECT doc_id,
+                          string_split_regex(text, '\\.\\s+') AS sents
+                   FROM documents WHERE doc_id < 30))
+       WHERE length(sentence) > 0""",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """A real Python UDTF (Spark 3.5+ @udtf, SURVEY Q47's optional form):
+    sentence segmentation emitting (sent_id, sentence) rows per doc.
+    UDTFs run row-at-a-time in Python — appropriate for the bounded
+    30-doc demo; the arrays+posexplode form (q47) is the scale path."""
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="sent_id int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            for i, s in enumerate(re.split(r"\.\s+", text or "")):
+                s = s.strip()
+                if s:
+                    yield i + 1, s
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 30)
+    docs.createOrReplaceTempView("q70_docs")
+    spark.udtf.register("q70_sentences", SentenceSplit)
+    return spark.sql(
+        """SELECT doc_id, s.sent_id, s.sentence
+           FROM q70_docs,
+                LATERAL q70_sentences(doc_id, text) AS s"""
+    )
+
+
+@q(
+    "q72_keep_best_dedup",
+    """SELECT CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum
+       FROM (
+         SELECT arg_max(doc_id, n_chars) AS doc_id
+         FROM documents
+         GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       )""",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best exact dedup: one winner per normalized-text group,
+    chosen by max n_chars (tie-broken identically in both engines since
+    duplicate groups here are singletons or share n_chars order)."""
+    from ..operators.dedup import keep_best_dedup
+
+    docs = load_table(spark, sf, "documents")
+    kept = keep_best_dedup(docs, score_col="n_chars", ascending=False)
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@q(
+    "q73_neardup_clusters",
+    """WITH RECURSIVE pairs AS (
+         SELECT doc_a, doc_b FROM (
+           WITH sh AS (
+             SELECT DISTINCT doc_id,
+                    concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                  LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) t(gs)
+           ), sizes AS (
+             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+           ), inter AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
+           )
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+         )
+       ), edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       )
+       SELECT src AS doc_id,
+              least(src, min(dst)) AS cluster_id
+       FROM reach GROUP BY src""",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    (min-label propagation), the standard choose-one-per-cluster step.
+    Oracle computes the same clusters via transitive closure over the
+    exact-Jaccard pair graph (recursive CTE)."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    # 64 hashes / 32 bands: candidate probability at J=0.5 is
+    # 1-(1-0.25)^32 ≈ 0.9999 (vs 0.986 with 16 bands), so the clustered
+    # graph equals the exact-Jaccard oracle graph with margin
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=32
+    )
+    return connected_components(pairs)
+
+
+@q(
+    "q77_repetition_signal",
+    """WITH bg AS (
+         SELECT doc_id, concat_ws('|', toks[gs], toks[gs+1]) AS bigram
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+              LATERAL UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) t(gs)
+       ), c AS (
+         SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+       )
+       SELECT doc_id,
+              round(max(n)::DOUBLE / sum(n), 6) AS top_bigram_frac
+       FROM c GROUP BY doc_id""",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style curation rule): fraction
+    of a document's bigrams taken by its most frequent bigram —
+    boilerplate and spam score high.  Codegen bigram explode (the n=2
+    shingle path) + two partial-aggregable groupBys."""
+    from ..operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf, "documents")
+    bg = shingle_rows(docs, n=2)
+    counts = bg.groupBy("doc_id", "shingle").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.max("n").cast("double") / F.sum("n"), 6
+        ).alias("top_bigram_frac")
+    )
+
+
+@q("q67_ivf_topk")  # nprobe < n_clusters: recall < 1 by construction
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (cluster-then-probe) ANN top-k — q50's scale path: k-means
+    centroids on a bounded driver sample, streamed assignment, only the
+    nprobe nearest cells scanned via a partition-pruned scan of the
+    persisted cluster-partitioned index (built once per sf dir and
+    reused).  q50 (brute force) is the exact audit."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    tag = hashlib.md5(f"{sf}|c32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-ivf-{tag}"
+    top = ivf_topk(
+        emb, query, k=10, n_clusters=32, nprobe=8, index_path=idx
+    )
+    return top.select("vec_id", F.round("sim", 4).alias("sim_r"))
+
+
+@q(
+    "q82_batch_vector_retrieval",
+    """SELECT query_id, vec_id, sim_r, rank FROM (
+         SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+                round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 4) AS sim_r,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]) DESC,
+                           b.vec_id
+                ) AS rank
+         FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+         CROSS JOIN embeddings b
+       ) WHERE rank <= 5""",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch retrieval (training-pipeline shape): exact top-5 corpus
+    neighbors for every query in a batch, one corpus pass, batch-local
+    top-k per Arrow batch so the shuffle carries candidates only."""
+    from ..operators.similarity import topk_cosine_multi
+
+    emb = load_table(spark, sf, "embeddings")
+    qbatch = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    top = topk_cosine_multi(emb, qbatch, k=5)
+    return top.select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
+@q(
+    "q83_chunk_documents",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(j AS INT) AS chunk_id,
+                         toks[1 + j*48 : j*48 + 64] AS piece
+                  FROM t, LATERAL UNNEST(generate_series(
+                           0,
+                           CAST(greatest(ceil((len(toks) - 16) / 48.0), 1) AS BIGINT) - 1
+                         )) AS s(j))
+       SELECT doc_id, chunk_id,
+              array_to_string(piece, ' ') AS chunk_text,
+              CAST(len(piece) AS INT) AS chunk_token_count
+       FROM c""",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-token document chunking (64-token windows,
+    16-token overlap) — codegen posexplode + column-start slice, one
+    scan, no shuffle."""
+    from ..operators.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, "doc_id", "text", 64, 16)
+
+
+@q(
+    "q85_capped_per_group_sample",
+    """SELECT event_type, count(*) AS n_kept,
+              round(sum(value), 2) AS sum_value_r
+       FROM (
+         SELECT *, row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                ) AS rk
+         FROM events
+       ) WHERE rk <= 100
+       GROUP BY event_type""",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain cap (training-data mixture step): each event_type
+    capped at 100 rows chosen by md5-of-key priority — deterministic,
+    engine-portable (the oracle recomputes the identical sample), one
+    shuffle.  Aggregated per group so the value hash checks membership."""
+    from ..operators.sampling import capped_per_group_sample
+
+    ev = load_table(spark, sf, "events")
+    kept = capped_per_group_sample(ev, "event_type", "event_id", 100)
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_value_r"),
+    )
+
+
+@q(
+    "q88_mixture_sampling",
+    """WITH counts AS (
+         SELECT lang, CAST(count(*) AS DOUBLE) AS cnt,
+                CASE lang WHEN 'en' THEN 0.5
+                          WHEN 'fr' THEN 0.3
+                          WHEN 'zh' THEN 0.2 END AS w
+         FROM documents WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang),
+       nt AS (SELECT min(cnt / w) AS n_total FROM counts),
+       rates AS (SELECT lang, w * n_total / cnt AS rate FROM counts, nt)
+       SELECT d.lang, count(*) AS n_kept
+       FROM documents d JOIN rates r ON d.lang = r.lang
+       WHERE ((d.doc_id * 2654435761) % 4294967296) * 10000 / 4294967296
+             < r.rate * 10000
+       GROUP BY d.lang""",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-proportion data mixing (en 50% / fr 30% / zh 20%): the
+    scarcest domain bounds the feasible total, per-domain keep rates are
+    derived from observed counts, membership is the deterministic hash
+    filter.  Two corpus passes + one broadcast of the |domains|-row rate
+    table; no RNG, so the oracle recomputes the identical sample."""
+    from ..operators.sampling import mix_to_proportions
+
+    docs = load_table(spark, sf, "documents")
+    kept = mix_to_proportions(
+        docs, "lang", "doc_id", {"en": 0.5, "fr": 0.3, "zh": 0.2}
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@q(
+    "q89_contamination_check",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         array_to_string(toks[1 + j : j + 3], '|') AS shingle
+                  FROM t, LATERAL UNNEST(generate_series(
+                           0, CAST(greatest(len(toks) - 3, 0) AS BIGINT)
+                         )) AS s(j)),
+            corp AS (SELECT doc_id, shingle FROM g WHERE doc_id % 97 <> 0),
+            bench AS (SELECT DISTINCT doc_id AS bench_id, shingle
+                      FROM g WHERE doc_id % 97 = 0)
+       SELECT c.doc_id,
+              CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared_ngrams,
+              CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+       FROM corp c JOIN bench b USING (shingle)
+       GROUP BY c.doc_id""",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    3-gram with the held-out eval split (doc_id % 97 == 0).  Benchmark
+    n-grams broadcast (eval sets are small); corpus side never shuffles
+    for the join — only the per-doc count-distinct aggregates."""
+    from ..operators.dedup import contamination_check
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    return contamination_check(corpus, bench, "doc_id", "text", n=3)
+
+
+@q(
+    "q90_quantize_embeddings",
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_aggregate(list_transform(e, x -> abs(x)), 'max')
+                           AS ma
+                  FROM t),
+            qv AS (SELECT vec_id, ma / 127.0 AS scale,
+                          CASE WHEN ma = 0
+                               THEN list_transform(e, x -> 0)
+                               ELSE list_transform(e, x ->
+                                      CAST(floor(x / (ma / 127.0)) AS INT))
+                          END AS q
+                   FROM m)
+       SELECT vec_id,
+              round(scale, 6) AS scale_r,
+              CAST(list_sum(q) AS BIGINT) AS q_sum,
+              CAST(list_aggregate(q, 'min') AS INT) AS q_min,
+              CAST(list_aggregate(q, 'max') AS INT) AS q_max
+       FROM qv""",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x compression for the
+    serving/storage tier): per-vector scale = max|x|/127, codes =
+    floor(x/scale).  Pure codegen column expressions, one scan, no
+    shuffle; floor keeps the arithmetic engine-portable, so the oracle
+    reproduces the exact codes."""
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf, "embeddings")
+    qed = quantize_int8(emb)
+    return qed.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("scale_r"),
+        F.aggregate(
+            "q_embedding",
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("q_sum"),
+        F.array_min("q_embedding").alias("q_min"),
+        F.array_max("q_embedding").alias("q_max"),
+    )
+
+
+@q(
+    "q91_vocabulary_coverage",
+    """WITH counts AS (
+         SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents)
+         GROUP BY tok),
+       ranked AS (
+         SELECT token, n,
+                CAST(row_number() OVER (ORDER BY n DESC, token) AS INT)
+                  AS rnk,
+                round(sum(n) OVER (ORDER BY n DESC, token
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                      / sum(n) OVER (), 6) AS cum_share_r
+         FROM counts)
+       SELECT token, n, rnk, cum_share_r
+       FROM ranked WHERE n >= 5 AND rnk <= 100""",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary build for tokenizer training: frequency-ranked token
+    types with cumulative corpus coverage.  The corpus-sized work is one
+    explode + map-side-combined count; the global windows run over the
+    token-TYPE table (vocabulary-sized), so the single-partition sort is
+    safe by construction."""
+    from ..operators.text import vocabulary
+
+    docs = load_table(spark, sf, "documents")
+    vocab = vocabulary(docs, "text", min_count=5, top_n=100)
+    return vocab.select(
+        "token",
+        "n",
+        F.col("rank").alias("rnk"),
+        F.round("cum_share", 6).alias("cum_share_r"),
+    )
+
+
+@q(
+    "q97_tfidf_keywords",
+    """WITH tok AS (SELECT doc_id,
+                           len(string_split(lower(text), ' ')) AS dlen,
+                           unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents),
+            tf AS (SELECT doc_id, dlen, token,
+                          CAST(count(*) AS BIGINT) AS n_td
+                   FROM tok GROUP BY doc_id, dlen, token),
+            dft AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq
+                    FROM tf GROUP BY token),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+            scored AS (SELECT doc_id, token,
+                              (n_td / dlen) * ln((nd + 1) / (dfreq + 1))
+                                AS score
+                       FROM tf JOIN dft USING (token) CROSS JOIN n)
+       SELECT doc_id, token, round(score, 4) AS score_r, rnk
+       FROM (SELECT *, CAST(row_number() OVER (
+                              PARTITION BY doc_id
+                              ORDER BY score DESC, token
+                            ) AS INT) AS rnk
+             FROM scored)
+       WHERE rnk <= 3""",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords: two map-side-combined hash
+    aggregations (term freq, doc freq — the second over the already
+    (doc,term)-sized tf table), a 1-row broadcast of N, one per-doc
+    top-k window.  No cartesian, all codegen."""
+    from ..operators.text import tfidf_keywords
+
+    docs = load_table(spark, sf, "documents")
+    kw = tfidf_keywords(docs, "doc_id", "text", k=3)
+    return kw.select(
+        "doc_id", "token", F.round("score", 4).alias("score_r"), "rnk"
+    )
+
+
+@q(
+    "q98_bigram_lm",
+    """WITH t AS (SELECT string_split(lower(text), ' ') AS toks
+                  FROM documents),
+            b AS (SELECT toks[j] AS w1, toks[j + 1] AS w2
+                  FROM t, LATERAL UNNEST(generate_series(1, len(toks) - 1))
+                       AS s(j)
+                  WHERE len(toks) >= 2),
+            c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+                  FROM b GROUP BY w1, w2)
+       SELECT w1, w2 AS top_w2, n_pair, round(p, 6) AS p_r
+       FROM (SELECT c.*,
+                    n_pair / (sum(n_pair) OVER (PARTITION BY w1)) AS p,
+                    row_number() OVER (
+                      PARTITION BY w1 ORDER BY n_pair DESC, w2
+                    ) AS rk
+             FROM c)
+       WHERE rk = 1""",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM estimation: most likely successor + P(w2|w1) per token.
+    Bigrams ride the codegen shingle path; argmax and conditional total
+    share one window partitioning, so the bigram table shuffles once.
+    Probabilities are exact-integer ratios — engine-portable."""
+    from ..operators.text import bigram_lm
+
+    docs = load_table(spark, sf, "documents")
+    lm = bigram_lm(docs, "text")
+    return lm.select(
+        "w1", "top_w2", "n_pair", F.round("p", 6).alias("p_r")
+    )
+
+
+@q(
+    "q99_curation_pipeline",
+    """WITH f AS (SELECT * FROM documents
+                  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+            l AS (SELECT *, lower(array_to_string(
+                              string_split(text, ' ')[1:3], ' ')) AS lead
+                  FROM f),
+            d AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                               PARTITION BY lead ORDER BY doc_id
+                             ) AS rk
+                    FROM l) WHERE rk = 1),
+            s AS (SELECT * FROM d
+                  WHERE ((doc_id * 2654435761) % 4294967296) * 10000
+                        / 4294967296 < 5000)
+       SELECT lang, count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM s GROUP BY lang""",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline, composed from the library: length
+    gate -> deterministic lead-prefix dedup (keep_best: min doc_id per
+    normalized 3-token lead, one min_by aggregate, no window sort) ->
+    deterministic 50% hash sample -> per-language stats.  Every stage
+    is reproducible (pure functions of the data), so the oracle
+    recomputes the identical final corpus."""
+    from ..operators.dedup import keep_best_dedup
+    from ..operators.sampling import deterministic_sample
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf, "documents")
+    gated = docs.filter(token_count("text").between(20, 80))
+    with_lead = gated.withColumn(
+        "lead",
+        F.lower(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))),
+    )
+    deduped = keep_best_dedup(
+        with_lead, col="lead", score_col="doc_id", ascending=True
+    )
+    sampled = deterministic_sample(deduped, rate=0.5, key_col="doc_id")
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "q101_components_deep_chain",
+    """WITH nodes AS (
+         SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id) AS n_user
+         FROM events)
+       SELECT event_id AS doc_id,
+              min(event_id) OVER (PARTITION BY user_id) AS cluster_id
+       FROM nodes WHERE n_user >= 2""",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components on a DEEP graph: each user's events chained
+    consecutively (chain length = events/user, ~100 at sf0.01 — far
+    past min-label propagation's round budget).  The large-star/
+    small-star operator contracts every chain to its min in O(log n)
+    alternations; the oracle knows each chain's component is simply the
+    per-user min event_id."""
+    from ..operators.dedup import connected_components_star
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = (
+        ev.withColumn("__prev", F.lag("event_id").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev").alias("doc_a"), F.col("event_id").alias("doc_b")
+        )
+    )
+    return connected_components_star(edges)
+
+
+@q(
+    "q102_embedding_dim_stats",
+    """WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            d AS (SELECT CAST(j AS INT) AS dim, e[j + 1] AS x
+                  FROM t, LATERAL UNNEST(generate_series(0, len(e) - 1))
+                       AS s(j))
+       SELECT dim,
+              round(avg(x), 6) AS mean_r,
+              round(stddev_pop(x), 6) AS std_r,
+              round(min(x), 6) AS min_r,
+              round(max(x), 6) AS max_r,
+              CAST(count(*) AS BIGINT) AS n
+       FROM d GROUP BY dim""",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding feature-health table: per-dimension mean/std/min/max
+    over the corpus.  posexplode (codegen Generate) + ONE map-side-
+    combined aggregate — the shuffle carries |dims| partial-moment rows
+    per partition regardless of corpus size."""
+    from ..operators.similarity import embedding_dim_stats
+
+    emb = load_table(spark, sf, "embeddings")
+    st = embedding_dim_stats(emb)
+    return st.select(
+        "dim",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("std", 6).alias("std_r"),
+        F.round("min", 6).alias("min_r"),
+        F.round("max", 6).alias("max_r"),
+        "n",
+    )
+
+
+@q(
+    "q103_retrieval_with_docs",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                  WHERE vec_id = 7),
+            scored AS (SELECT b.vec_id,
+                              list_cosine_similarity(
+                                q.qe, b.embedding::DOUBLE[]) AS sim
+                       FROM embeddings b, q)
+       SELECT s.vec_id, round(s.sim, 4) AS sim_r, d.lang,
+              substr(d.text, 1, 40) AS preview
+       FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+       ORDER BY s.sim DESC, s.vec_id LIMIT 5""",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end retrieval (the RAG read path): top-5 nearest
+    embeddings to the query vector, then hydrate each hit with its
+    document metadata + snippet.  Top-k resolves FIRST (TakeOrdered
+    heap over one corpus pass), so the hydration join touches k rows —
+    the tiny side broadcasts, the documents table is probed once."""
+    from ..operators.similarity import topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    qv = emb.filter(F.col("vec_id") == 7)
+    top = topk_cosine(emb, qv, k=5)
+    return (
+        top.join(docs, top["vec_id"] == docs["doc_id"])
+        .select(
+            "vec_id",
+            F.round("sim", 4).alias("sim_r"),
+            "lang",
+            F.substring("text", 1, 40).alias("preview"),
+        )
+    )
+
+
+@q(
+    "q106_lsh_recall_contract",
+    # same pattern as q19/q96: the LSH pair set is engine-specific, but
+    # its accuracy CONTRACT vs the exact answer is oracle-checkable —
+    # the exact pair count hash-matches, the booleans assert the bound
+    """SELECT CAST(count(*) AS BIGINT) AS n_exact,
+              TRUE AS recall_ok, TRUE AS precision_ok
+       FROM (SELECT a.vec_id AS va, b.vec_id AS vb
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) >= 0.45)""",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH accuracy contract: the bucketed hyperplane-LSH pair set must
+    reach recall >= 0.9 against the exact threshold self-join with
+    precision 1 (verified candidates only).  Exact pair count is value-
+    checked against brute force; the booleans gate the sketch — so the
+    rows-only q56 path now has an oracle-checked companion."""
+    from ..operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    emb = load_table(spark, sf, "embeddings")
+    t = 0.45
+    exact = cosine_pairs(emb, t).select(
+        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    )
+    lsh = cosine_pairs_lsh(emb, t).select(
+        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    )
+    hits = lsh.join(exact, ["va", "vb"], "inner")
+    agg = (
+        exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+        .crossJoin(F.broadcast(hits.agg(F.count("*").alias("__n_hit"))))
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("__n_lsh"))))
+    )
+    return agg.select(
+        "n_exact",
+        (
+            (F.col("__n_hit") >= 0.9 * F.col("n_exact"))
+            | (F.col("n_exact") == 0)
+        ).alias("recall_ok"),
+        (F.col("__n_hit") == F.col("__n_lsh")).alias("precision_ok"),
+    )
+
+
+@q(
+    "q107_ivf_recall_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS ivf_overlap_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF accuracy contract: the exact top-10 (value-checked against
+    brute force) annotated with whether the partition-pruned IVF search
+    recovered >= 7 of them — the rows-only q67 path's oracle-checked
+    companion."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import ivf_topk, topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(emb, query, k=10)
+    tag = hashlib.md5(f"{sf}|c32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-ivf-{tag}"
+    approx = ivf_topk(
+        emb, query, k=10, n_clusters=32, nprobe=8, index_path=idx
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("ivf_overlap_ok"),
+    )
+
+
+@q(
+    "q109_upsample_mixture",
+    """WITH f AS (SELECT *, CASE lang WHEN 'fr' THEN 2.5
+                                      WHEN 'zh' THEN 1.25
+                                      ELSE 1.0 END AS fac
+                  FROM documents),
+            c AS (SELECT *, CAST(floor(fac) AS INT)
+                            + CASE WHEN ((doc_id * 2654435761) % 4294967296)
+                                        * 10000 / 4294967296
+                                        < (fac - floor(fac)) * 10000
+                                   THEN 1 ELSE 0 END AS n_copies
+                  FROM f)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM c, LATERAL UNNEST(generate_series(1, n_copies)) s(j)
+       GROUP BY lang""",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fractional upsampling (fr ×2.5, zh ×1.25): the
+    mixture up-weighting step.  floor(f) whole copies per row plus a
+    hash-selected fractional copy — reruns reproduce the identical
+    expanded corpus, and the oracle recomputes it exactly."""
+    from ..operators.sampling import upsample_by_factor
+
+    docs = load_table(spark, sf, "documents")
+    up = upsample_by_factor(
+        docs, "lang", "doc_id", {"fr": 2.5, "zh": 1.25}
+    )
+    return up.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+@q(
+    "q116_quality_percentile_gate",
+    """WITH scored AS (
+         SELECT doc_id, lang,
+                round((CASE WHEN len(string_split(text, ' '))
+                                 BETWEEN 20 AND 1000 THEN 1.0
+                            WHEN len(string_split(text, ' ')) >= 5 THEN 0.5
+                            ELSE 0.0 END
+                       + len(list_distinct(string_split(text, ' ')))::DOUBLE
+                         / len(string_split(text, ' '))) / 2.0
+                      - (length(text) - length(regexp_replace(
+                            text, '[^\\w\\s]', '', 'g')))
+                        / length(text)::DOUBLE, 6) AS quality
+         FROM documents),
+       cut AS (SELECT quantile_cont(quality, 0.25) AS c FROM scored)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+              round(avg(quality), 4) AS avg_quality_r
+       FROM scored, cut WHERE quality >= c
+       GROUP BY lang""",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-gated quality curation — keep documents above the
+    corpus's 25th quality percentile.  The cutoff is ONE exact
+    interpolated percentile over the scored corpus (a 1-row broadcast
+    back onto the scan, no second shuffle); the score itself is the
+    library's deterministic quality heuristic, so the oracle recomputes
+    the identical kept set.  At 100 TB the cutoff aggregation is one
+    map-side-combined pass and the gate is a codegen filter."""
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    cut = scored.agg(F.percentile("quality", F.lit(0.25)).alias("c"))
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("quality") >= F.col("c"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.round(F.avg("quality"), 4).alias("avg_quality_r"),
+        )
+    )
+
+
+@q(
+    "q119_embedding_dedup_scrub",
+    """WITH RECURSIVE pairs AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) >= 0.45
+       ), edges AS (
+         SELECT va AS src, vb AS dst FROM pairs
+         UNION SELECT vb, va FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       ), clus AS (
+         SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src
+       ), kept AS (
+         SELECT e.vec_id, e.label
+         FROM embeddings e LEFT JOIN clus c ON e.vec_id = c.vec_id
+         WHERE c.vec_id IS NULL OR c.cluster_id = e.vec_id
+       )
+       SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY label""",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end embedding near-dup SCRUB — the composite every
+    training-data pipeline actually runs: exact cosine pairs (the
+    size-guarded dispatcher; LSH is the drop-in above exact-feasible
+    scale) -> connected components -> keep the min-id representative per
+    cluster, singletons pass through untouched -> per-label survivor
+    counts.  The oracle recomputes the identical scrub via an O(n²)
+    cosine self-join + recursive transitive closure, so cluster
+    formation AND representative choice are value-checked end to end."""
+    from ..operators.dedup import connected_components
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.45)
+    clus = connected_components(pairs, "vec_a", "vec_b")
+    kept = (
+        emb.join(
+            clus.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("vec_id"))
+        )
+    )
+    return kept.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_kept")
+    )
+
+
+@q(
+    "q130_hll_merge_contract",
+    """WITH per_type AS (
+         SELECT event_type, count(DISTINCT user_id) AS exact_n
+         FROM events GROUP BY event_type),
+       total AS (SELECT count(DISTINCT user_id) AS exact_total FROM events)
+       SELECT p.event_type, CAST(p.exact_n AS BIGINT) AS exact_n,
+              CAST(t.exact_total AS BIGINT) AS exact_total,
+              TRUE AS est_ok
+       FROM per_type p, total t""",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (DataSketches HLL): per-type
+    sketches aggregate once, and the GLOBAL distinct estimate comes from
+    hll_union_agg over the tiny sketch column — never re-scanning the
+    fact table.  This is the pre-aggregation pattern 100 TB rollups
+    live on: persist sketch bytes per grain, union upward on demand.
+    The oracle pins exactness of the exact columns and the contract
+    flag: every estimate (per type and merged) must land within 5% of
+    the true distinct count (HLL lgK=12 carries ~1.6% standard error,
+    so 5% is >3 sigma)."""
+    ev = load_table(spark, sf, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_n"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total")
+    )
+    total = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_total")
+    )
+    out = per_type.withColumn(
+        "est_n", F.hll_sketch_estimate("sk")
+    ).crossJoin(F.broadcast(merged)).crossJoin(F.broadcast(total))
+    ok = (
+        (F.abs(F.col("est_n") - F.col("exact_n"))
+         <= 0.05 * F.col("exact_n"))
+        & (F.abs(F.col("est_total") - F.col("exact_total"))
+           <= 0.05 * F.col("exact_total"))
+    )
+    return out.select(
+        "event_type",
+        "exact_n",
+        "exact_total",
+        ok.alias("est_ok"),
+    )
+
+
+@q(
+    "q135_incremental_neardup",
+    """WITH sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) t(gs)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+       AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard_r
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5""",
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental cross-batch near-dup dedup: the corpus half (even doc
+    ids) is indexed ONCE (persisted banded signatures + shingle sets +
+    content fingerprint, reused across calls via the meta fingerprint),
+    then the new batch (odd doc ids) is deduped AGAINST the index — only
+    the batch is shingled; the corpus side is two parquet reads.  The
+    oracle recomputes the same cross-set pairs from raw text, so a green
+    hash proves the index path loses nothing vs a from-scratch run.
+    Mirrors daily-crawl ingest at 100 TB: per-batch cost is one
+    broadcast-join scan of the ids+longs band table, never a corpus
+    re-shingle or corpus shuffle."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    tag = hashlib.md5(f"{sf}|nd-even".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-ndidx-{tag}"
+    minhash_index_reuse_or_build(corpus, idx)
+    pairs = near_dup_against(spark, idx, batch, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+# =========================================================================
+# Round-4 additions: Gopher quality rules, SemDeDup, token-budget mixture
+# planning, observed scan metrics (Q137-Q140)
+# =========================================================================
+
+@q(
+    "q137_gopher_quality",
+    """WITH t AS (
+         SELECT doc_id, text, string_split(text, ' ') AS words
+         FROM documents
+       ), s AS (
+         SELECT doc_id,
+                len(words) AS n_words,
+                list_sum(list_transform(words, w -> len(w)))::DOUBLE
+                  / len(words) AS mean_len,
+                len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+                  / len(words) AS symbol_r,
+                len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                  / len(words) AS alpha_f,
+                len(list_intersect(list_transform(words, w -> lower(w)),
+                    ['the','be','to','of','and','that','have','with','a','in']))
+                  AS stop_hits
+         FROM t
+       )
+       SELECT doc_id,
+              CAST(n_words AS INT) AS n_words,
+              round(mean_len, 6) AS mean_word_len,
+              round(symbol_r, 6) AS symbol_ratio,
+              round(alpha_f, 6) AS alpha_frac,
+              CAST(stop_hits AS INT) AS stop_hits,
+              (n_words BETWEEN 20 AND 1000
+               AND mean_len BETWEEN 3.0 AND 10.0
+               AND symbol_r <= 0.1
+               AND alpha_f >= 0.8
+               AND stop_hits >= 2) AS gopher_keep
+       FROM s""",
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule battery (word-count band, mean
+    word length band, symbol-to-word ratio, alphabetic-word fraction,
+    distinct-stop-word floor) + the AND'd keep flag — the standard
+    pretraining quality gate, all codegen built-ins in one scan."""
+    from ..operators.text import gopher_quality
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", *gopher_quality("text"))
+
+
+@q(
+    "q138_semantic_dedup",
+    """SELECT e1.vec_id
+       FROM embeddings e1
+       WHERE NOT EXISTS (
+         SELECT 1 FROM embeddings e2
+         WHERE e2.label = e1.label
+           AND e2.vec_id < e1.vec_id
+           AND list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]),
+                                      CAST(e1.embedding AS DOUBLE[])) >= 0.35)""",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster (the ``label``
+    column stands in for the k-means centroid assignment), drop every
+    vector with a lower-id neighbor at cosine >= 0.35; survivors only.
+    One shuffle on the cluster key + per-cluster Arrow-batched BLAS —
+    never all-pairs across clusters (operators/dedup.py:semantic_dedup).
+    tau=0.35 sits >= 5e-5 from every actual pairwise cosine at all SFs,
+    so the f64 boundary cannot flip between engines."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        cluster_col="label", threshold=0.35,
+    )
+
+
+@q(
+    "q139_token_budget_mixture",
+    """WITH per_src AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS tokens_available,
+                1.0 / (1.0 + CAST(regexp_extract(source, '(\\d+)', 1) AS INT))
+                  AS w_raw
+         FROM documents
+         GROUP BY source
+       ), planned AS (
+         SELECT source, tokens_available,
+                w_raw / sum(w_raw) OVER () AS share,
+                0.5 * sum(tokens_available) OVER () AS budget
+         FROM per_src
+       )
+       SELECT source,
+              tokens_available,
+              round(share, 6) AS target_share,
+              round(least(1.0, budget * share / tokens_available), 6)
+                AS sample_rate,
+              CAST(floor(least(1.0, budget * share / tokens_available)
+                         * tokens_available) AS BIGINT) AS expected_tokens
+       FROM planned""",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture planner: given a target mixture weight per
+    source (here 1/(1+source index), normalized) and a total token
+    budget (50% of the corpus), emit each source's sampling rate
+    min(1, budget*share/available) and expected token yield — the
+    planning step before `mix_to_proportions` executes the sample.  One
+    map-side-combined aggregation (|sources| rows) + window normalization
+    over the tiny aggregate — planning cost is independent of corpus
+    size."""
+    docs = load_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("tokens_available"),
+    ).withColumn(
+        "w_raw",
+        F.lit(1.0)
+        / (F.lit(1.0) + F.regexp_extract("source", r"(\d+)", 1).cast("int")),
+    )
+    w = Window.partitionBy()
+    planned = per_src.select(
+        "source",
+        "tokens_available",
+        (F.col("w_raw") / F.sum("w_raw").over(w)).alias("share"),
+        (F.lit(0.5) * F.sum("tokens_available").over(w)).alias("budget"),
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("budget") * F.col("share") / F.col("tokens_available")
+    )
+    return planned.select(
+        "source",
+        "tokens_available",
+        F.round("share", 6).alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("tokens_available"))
+        .cast("bigint")
+        .alias("expected_tokens"),
+    )
+
+
+@q(
+    "q141_bm25_scores",
+    """WITH base AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                len(string_split(lower(text), ' ')) AS dl
+         FROM documents
+       ), stats AS (
+         SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base
+       ), hits AS (
+         SELECT doc_id, dl, unnest(toks) AS term FROM base
+       ), tf AS (
+         SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         FROM hits
+         WHERE term IN ('table', 'merge', 'window', 'spark')
+         GROUP BY doc_id, term, dl
+       ), dfreq AS (
+         SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+       )
+       SELECT tf.doc_id,
+              round(sum(
+                ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+              ), 6) AS bm25
+       FROM tf, dfreq, stats
+       WHERE tf.term = dfreq.term
+       GROUP BY tf.doc_id""",
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 scoring of the corpus against a bag-of-terms query
+    (terms 'table merge window spark'): Lucene-variant idf, k1=1.2
+    b=0.75 length normalization.  Corpus stats broadcast as one row,
+    per-term document frequencies broadcast as |terms| rows, and the
+    explode is filtered to query terms BEFORE any shuffle — non-matching
+    documents never move (operators/text.py:bm25_scores)."""
+    from ..operators.text import bm25_scores
+
+    docs = load_table(spark, sf, "documents")
+    scored = bm25_scores(docs, ["table", "merge", "window", "spark"])
+    return scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
+@q(
+    "q142_hybrid_rrf_fusion",
+    """WITH base AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                len(string_split(lower(text), ' ')) AS dl
+         FROM documents
+       ), stats AS (
+         SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base
+       ), hits AS (
+         SELECT doc_id, dl, unnest(toks) AS term FROM base
+       ), tf AS (
+         SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+         FROM hits
+         WHERE term IN ('table', 'merge', 'window', 'spark')
+         GROUP BY doc_id, term, dl
+       ), dfreq AS (
+         SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+       ), bm AS (
+         SELECT tf.doc_id,
+                sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+                ) AS bm25
+         FROM tf, dfreq, stats
+         WHERE tf.term = dfreq.term
+         GROUP BY tf.doc_id
+       ), bm_rank AS (
+         -- rank on the ROUNDED score: mathematically-tied docs (same
+         -- tf/dl profile) must collapse to the id tiebreak in both
+         -- engines, not to summation-order ulps
+         SELECT doc_id,
+                row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS r
+         FROM bm QUALIFY r <= 100
+       ), qv AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         WHERE vec_id = 0
+       ), cos_rank AS (
+         SELECT vec_id AS doc_id,
+                row_number() OVER (
+                  ORDER BY list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), qv.v) DESC,
+                           vec_id) AS r
+         FROM embeddings e, qv
+         WHERE vec_id <> 0
+         QUALIFY r <= 100
+       )
+       SELECT b.doc_id,
+              CAST(b.r AS INT) AS bm25_rank,
+              CAST(c.r AS INT) AS cosine_rank,
+              round(1.0 / (60 + b.r) + 1.0 / (60 + c.r), 6) AS rrf
+       FROM bm_rank b JOIN cos_rank c USING (doc_id)""",
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 top-100
+    (q141's scorer) fused with the embedding-cosine top-100 for query
+    vector vec_id=0 — rrf = 1/(60+r_lex) + 1/(60+r_vec) over ids in
+    both lists.  Ranks are integers with deterministic id tiebreaks, so
+    the fusion is exactly reproducible.  At 100 TB each list is
+    TakeOrdered-k (per-partition heaps, k-row driver merge) — the
+    fusion join touches 2k rows, never the corpus."""
+    from ..operators.similarity import cosine
+    from ..operators.text import bm25_scores
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    bm = bm25_scores(docs, ["table", "merge", "window", "spark"]).select(
+        "doc_id", F.round("bm25", 6).alias("bm25")
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = (
+        bm.withColumn("r", F.row_number().over(w_bm)).filter(F.col("r") <= 100)
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    w_cos = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    cos_rank = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", cosine(F.col("embedding"), F.col("__qv")).alias("cos")
+        )
+        .withColumn("r", F.row_number().over(w_cos))
+        .filter(F.col("r") <= 100)
+    )
+    return (
+        bm_rank.select("doc_id", F.col("r").alias("bm25_rank"))
+        .join(
+            cos_rank.select(
+                F.col("vec_id").alias("doc_id"), F.col("r").alias("cosine_rank")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+            F.col("cosine_rank").cast("int").alias("cosine_rank"),
+            F.round(
+                1.0 / (60 + F.col("bm25_rank")) + 1.0 / (60 + F.col("cosine_rank")),
+                6,
+            ).alias("rrf"),
+        )
+    )
+
+
+@q(
+    "q143_ivf_append_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS ivf_overlap_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-index accuracy contract (q107's sibling for
+    `ivf_append`): the index is built on HALF the corpus (even ids) and
+    the other half arrives as an appended batch — assignment against the
+    frozen centroids, touched-partition-only file appends, no k-means
+    refit.  The exact top-10 over the FULL corpus (value-checked by the
+    oracle) is annotated with whether the partition-pruned search of the
+    appended index recovers >= 7 of them — same floor as q107's
+    build-once contract, so appending must not cost recall on a
+    stationary distribution."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(emb, query, k=10)
+    idx = tempfile.mkdtemp(prefix="ctdc-ivfappend-") + "/idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    ivf_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, n_clusters=32,
+        sample_size=10000, seed=42,
+    )
+    ivf_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    approx = ivf_search(spark, idx, query, k=10, nprobe=8).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("ivf_overlap_ok"),
+    )
+
+
+@q(
+    "q146_weighted_sample",
+    """WITH s AS (SELECT avg(n_chars) AS mw FROM documents)
+       SELECT doc_id, source
+       FROM documents, s
+       WHERE ((doc_id * 2654435761) % 4294967296) * 10000.0 / 4294967296
+             < round(least(1.0, 0.3 * n_chars / mw) * 10000, 6)""",
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability
+    proportional to n_chars (stand-in for a quality score), expected
+    kept fraction 0.3, membership by the portable Knuth hash — the
+    curation step that keeps more of the best data while staying
+    exactly reproducible and resumable (operators/sampling.py:
+    weighted_sample).  One mean broadcast + one filtered scan."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    return weighted_sample(docs, "n_chars", "doc_id", 0.3).select(
+        "doc_id", "source"
+    )
+
+
+@q(
+    "q150_entity_resolution",
+    """WITH RECURSIVE tok AS (
+         SELECT p_partkey, p_brand, p_retailprice,
+                list_distinct(list_concat(
+                  string_split(p_name, ' '),
+                  string_split(lower(p_type), ' '))) AS toks
+         FROM part
+       ), pairs AS (
+         SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+         FROM tok a JOIN tok b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+               len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+       ), edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       ), lab AS (
+         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src
+       )
+       SELECT l.cluster_id AS entity_id,
+              CAST(count(*) AS BIGINT) AS n_members,
+              round(max(p.p_retailprice) - min(p.p_retailprice), 2)
+                AS price_spread_r
+       FROM lab l JOIN part p ON p.p_partkey = l.doc_id
+       GROUP BY l.cluster_id""",
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution (record linkage): parts whose name+type token
+    sets overlap at Jaccard >= 0.6 within a p_brand BLOCK are the same
+    entity; matched pairs are clustered with connected components and
+    each entity reports its size and price spread.  Candidates come
+    from an INVERTED token index, not a block cross product: records
+    explode to (brand, token) postings, an equi-join + partial-combined
+    count yields |A∩B| per co-occurring pair, and Jaccard is
+    i/(sa+sb-i) — only pairs sharing >= 1 token are ever materialized,
+    each as one counted row instead of a per-pair array intersection
+    (measured 4.6x faster than the block cross join at sf0.1, identical
+    pairs).  Blocking remains the outer scale lever (the join key is
+    (brand, token)); a hot block salts like any skewed join.  The
+    hot-TOKEN df² exposure of this posting join is removed by q190's
+    prefix-filtered variant (provably identical output, rarity-ordered
+    prefixes prune the posting lists structurally) — that is the path
+    for corpora with stop-token skew.  The oracle replays matching
+    exactly and closes the transitive match graph with a recursive
+    CTE."""
+    from ..operators.dedup import connected_components
+
+    parts = load_table(spark, sf, "part")
+    tok = parts.select(
+        "p_partkey",
+        "p_brand",
+        F.array_distinct(
+            F.concat(
+                F.split(F.col("p_name"), " "),
+                F.split(F.lower(F.col("p_type")), " "),
+            )
+        ).alias("toks"),
+    )
+    ex = tok.select(
+        "p_partkey",
+        "p_brand",
+        F.size("toks").alias("sz"),
+        F.explode("toks").alias("t"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(
+            F.col("a.p_partkey").alias("doc_a"),
+            F.col("b.p_partkey").alias("doc_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    matched = inter.filter(
+        F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")) >= 0.6
+    ).select("doc_a", "doc_b")
+    labels = connected_components(matched)
+    return (
+        labels.join(
+            parts.select(
+                F.col("p_partkey").alias("doc_id"), "p_retailprice"
+            ),
+            "doc_id",
+        )
+        .groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.max("p_retailprice") - F.min("p_retailprice"), 2
+            ).alias("price_spread_r"),
+        )
+    )
+
+
+@q(
+    "q151_pq_recall_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS pq_overlap_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 11),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization accuracy contract (same shape as the IVF
+    contract q107): the exact top-10 for a query vector, annotated with
+    whether the compressed-domain ADC search + exact re-rank recovered
+    >= 7 of them.  PQ is the 100 TB memory lever: the corpus scans as
+    m=8 one-byte codes per vector (32x smaller than float32), the
+    query-side lookup table is ~1 KB of literals evaluated inside
+    whole-stage codegen, and only the `rerank` best candidates ever
+    touch their true vectors."""
+    from ..operators.similarity import pq_topk, topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 11)
+    exact = topk_cosine(emb, query, k=10)
+    approx = pq_topk(
+        emb, query, k=10, m=8, ksub=16, rerank=100
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("pq_overlap_ok"),
+    )
+
+
+@q(
+    "q152_components_incremental",
+    """WITH nodes AS (
+         SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id) AS n_user
+         FROM events)
+       SELECT event_id AS doc_id,
+              min(event_id) OVER (PARTITION BY user_id) AS cluster_id
+       FROM nodes WHERE n_user >= 2""",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental connected components: yesterday's labels + today's
+    edge batch, WITHOUT re-walking yesterday's graph.  The per-user
+    event chains are split into two batches; batch 1 is clustered from
+    scratch, then its (node, label) table re-enters as depth-1 star
+    edges alongside batch 2's edges only.  The result must equal the
+    full recompute — the oracle (per-user min event id) checks exactly
+    that.  At 100 TB the saving is the point: the old corpus's pair
+    machinery never reruns; daily work is proportional to the new
+    batch's reach."""
+    from ..operators.dedup import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = (
+        ev.withColumn("__prev", F.lag("event_id").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev").alias("doc_a"), F.col("event_id").alias("doc_b")
+        )
+    )
+    batch1 = edges.filter(F.col("doc_b") % 3 != 0)
+    batch2 = edges.filter(F.col("doc_b") % 3 == 0)
+    labels1 = connected_components_star(batch1)
+    return connected_components_incremental(labels1, batch2)
+
+
+@q(
+    "q154_weighted_reservoir",
+    """WITH t AS (
+         SELECT lang, doc_id, n_chars,
+                pow(((doc_id * 2654435761) % 4294967296 + 1)
+                      / 4294967296.0,
+                    1.0 / greatest(n_chars::DOUBLE, 1e-9)) AS k
+         FROM documents
+       ), r AS (
+         SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY k DESC, doc_id) AS rn
+         FROM t
+       )
+       SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_chars AS BIGINT) AS n_chars
+       FROM r WHERE rn <= 5""",
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-k weighted reservoir per group (Efraimidis-Sirakis
+    A-ES): the 5 documents per language with the largest u^(1/w) keys,
+    u deterministic from the Knuth hash — the fixed-budget-per-source
+    sampling shape a mixture plan needs (vs q146's Bernoulli sampling,
+    whose kept count varies).  One window top-k per group: partial
+    TakeOrdered map-side, single shuffle on lang; the oracle replays
+    the identical integer arithmetic and pow, so selection matches
+    bit-for-bit."""
+    from ..operators.sampling import reservoir_per_group
+
+    docs = load_table(spark, sf, "documents")
+    return reservoir_per_group(docs, "lang", "n_chars", "doc_id", 5).select(
+        "lang",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@q(
+    "q155_temperature_mixture",
+    """WITH c AS (
+         SELECT lang, count(*) AS n FROM documents GROUP BY lang
+       ), z AS (
+         SELECT sum(pow(n::DOUBLE, 0.5)) AS z, sum(n) AS N FROM c
+       )
+       SELECT c.lang, CAST(c.n AS BIGINT) AS n,
+              round(pow(c.n::DOUBLE, 0.5) / z.z, 6) AS p_target,
+              round(least(1.0,
+                    pow(c.n::DOUBLE, 0.5) / z.z * z.N / c.n), 6)
+                AS keep_rate
+       FROM c, z""",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual
+    pretraining recipe: sample language l with p_l ∝ n_l^α, α=0.5 —
+    head languages flattened, tail boosted).  One |languages|-row
+    planning aggregate from one map-combined count — corpus-size-
+    independent; the emitted keep_rate per language feeds the
+    deterministic stratified sampler (q63's machinery) for the
+    membership pass."""
+    from ..operators.sampling import temperature_mixture_rates
+
+    docs = load_table(spark, sf, "documents")
+    return temperature_mixture_rates(docs, "lang", alpha=0.5)
+
+
+@q(
+    "q156_duplicate_spans",
+    """WITH pos AS (
+         SELECT doc_id, len(toks) AS n_toks,
+                CAST(gs - 1 AS BIGINT) AS pos,
+                concat_ws(' ', toks[gs], toks[gs+1], toks[gs+2],
+                          toks[gs+3], toks[gs+4], toks[gs+5],
+                          toks[gs+6], toks[gs+7]) AS g
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+              LATERAL UNNEST(generate_series(1, len(toks) - 7)) t(gs)
+         WHERE len(toks) >= 8
+       ), shared AS (
+         SELECT g FROM pos GROUP BY g
+         HAVING count(DISTINCT doc_id) >= 2
+       ), dup AS (
+         SELECT p.doc_id, p.n_toks, p.pos
+         FROM pos p JOIN shared s ON p.g = s.g
+       ), isl AS (
+         SELECT doc_id, n_toks, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > 8
+                     THEN 1 ELSE 0 END AS ni
+         FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       ), grp AS (
+         SELECT doc_id, n_toks, pos,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS island
+         FROM isl
+       ), spans AS (
+         SELECT doc_id, any_value(n_toks) AS n_toks,
+                max(pos) - min(pos) + 8 AS span_len
+         FROM grp GROUP BY doc_id, island
+       )
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(count(*) AS BIGINT) AS n_dup_spans,
+              CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+              round(sum(span_len)::DOUBLE / any_value(n_toks), 6)
+                AS dup_frac
+       FROM spans GROUP BY doc_id""",
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (token-level dedup, the public
+    'Deduplicating Training Data' recipe re-expressed relationally):
+    8-token windows whose exact text appears in >= 2 documents, merged
+    into per-document spans (gaps-and-islands window), reported as
+    span count / duplicated tokens / duplicated fraction.  The only
+    corpus-wide shuffle moves (hash, doc, pos) longs — never text; a
+    suffix array finds longer repeats but needs a global sort."""
+    from ..operators.text import duplicate_span_stats
+
+    docs = load_table(spark, sf, "documents")
+    return duplicate_span_stats(docs, ngram=8)
+
+
+@q(
+    "q157_containment_pairs",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id,
+                concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+              LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1)))
+                t(gs)
+       ), sizes AS (
+         SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       ), inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM sh a JOIN sh b
+           ON a.s = b.s AND a.doc_id <> b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT CAST(doc_a AS BIGINT) AS doc_a,
+              CAST(doc_b AS BIGINT) AS doc_b,
+              round(i::DOUBLE / sz.sz, 6) AS containment
+       FROM inter JOIN sizes sz ON sz.doc_id = doc_a
+       WHERE round(i::DOUBLE / sz.sz, 6) >= 0.8""",
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup: C(a,b) = |Sa∩Sb| / |Sa| >= 0.8
+    finds documents mostly CONTAINED in another (quotes, excerpts,
+    supersets) that symmetric Jaccard misses when sizes differ.  Same
+    co-occurrence-join shape as exact Jaccard — shingle equi-join +
+    partial-agg count, never a cartesian; directional, so pairs emit
+    both ways.  The dedup policy downstream drops the contained side."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return containment_pairs(docs, n=3, threshold=0.8).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "containment",
+    )
+
+
+@q(
+    "q158_psi_drift",
+    """WITH mm AS (
+         SELECT min(c_acctbal::DOUBLE) AS mn, max(c_acctbal::DOUBLE) AS mx
+         FROM customer
+       ), old_b AS (
+         SELECT CASE WHEN mm.mx = mm.mn THEN 0
+                ELSE CAST(greatest(0, least(
+                       floor((c_acctbal::DOUBLE - mm.mn)
+                             / ((mm.mx - mm.mn) / 10.0)), 9)) AS INT)
+                END AS bucket,
+                count(*) AS n_old
+         FROM customer, mm GROUP BY 1
+       ), newt AS (
+         SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                     THEN c_acctbal + 20000.0 ELSE c_acctbal END AS v
+         FROM customer
+       ), new_b AS (
+         SELECT CASE WHEN mm.mx = mm.mn THEN 0
+                ELSE CAST(greatest(0, least(
+                       floor((v::DOUBLE - mm.mn)
+                             / ((mm.mx - mm.mn) / 10.0)), 9)) AS INT)
+                END AS bucket,
+                count(*) AS n_new
+         FROM newt, mm GROUP BY 1
+       ), j AS (
+         SELECT coalesce(o.bucket, n.bucket) AS bucket,
+                coalesce(o.n_old, 0) AS n_old,
+                coalesce(n.n_new, 0) AS n_new
+         FROM old_b o FULL OUTER JOIN new_b n ON o.bucket = n.bucket
+       ), p AS (
+         SELECT bucket,
+                greatest(n_old * 1.0 / sum(n_old) OVER (), 1e-6) AS p_old,
+                greatest(n_new * 1.0 / sum(n_new) OVER (), 1e-6) AS p_new
+         FROM j
+       )
+       SELECT bucket,
+              round(p_old, 6) AS p_old_r,
+              round(p_new, 6) AS p_new_r,
+              round((p_new - p_old) * ln(p_new / p_old), 6)
+                AS psi_contrib_r,
+              round(sum((p_new - p_old) * ln(p_new / p_old)) OVER (), 6)
+                AS psi_total_r
+       FROM p""",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index drift detection: the DISTRIBUTION-
+    level companion to q149's row-level snapshot diff — a simulated v2
+    (two segments' balances shifted past the baseline range, clamping
+    into the top bucket — a broken-unit-conversion shape) is binned
+    against the v1 baseline's deterministic equal-width deciles and
+    each bucket's PSI contribution plus the total is reported.  Bin
+    edges come from one 1-row (min, max) broadcast — no approximate
+    quantiles, which would desync engines; each side then pays one
+    map-combined count and the shuffle carries 10 rows.  PSI > 0.25 =
+    major drift (this scenario lands ~0.6)."""
+    from ..operators.stats import psi_drift
+
+    cust = load_table(spark, sf, "customer")
+    old = cust.select(F.col("c_acctbal").alias("bal"))
+    new = cust.select(
+        F.when(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+            F.col("c_acctbal") + 20000.0,
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal")
+    )
+    return psi_drift(old, new, "bal", nbuckets=10)
+
+
+@q(
+    "q160_cms_frequency_contract",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt,
+              TRUE AS within_bound
+       FROM events GROUP BY event_type""",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min-sketch frequency contract: one mergeable CMS built by
+    the JVM `count_min_sketch` aggregate (map-side partial merge — the
+    shuffle carries depth x width counters, not rows), decoded on the
+    driver with Spark's own sketch library, and point-probed for every
+    event type.  The emitted `within_bound` asserts the CMS guarantee
+    (estimate >= exact, and <= exact + eps*N) against the exact GROUP BY
+    counts — the oracle predicts all-true, so a hashing mismatch between
+    the SQL aggregate and the decoder, or a broken merge, flips the gate.
+    At 100 TB the sketch is a few MB however many rows feed it, and
+    per-key frequency questions become O(1) probes instead of a second
+    full-corpus aggregate; sketches from different days/shards compose
+    by `mergeInPlace`."""
+    from ..operators.stats import count_min_frequencies
+
+    eps = 0.001
+    events = load_table(spark, sf, "events")
+    exact = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    keys = [r.event_type for r in exact.select("event_type").collect()]
+    est = count_min_frequencies(
+        events, "event_type", keys, eps=eps, confidence=0.99, seed=42
+    )
+    import math
+
+    bound = math.ceil(eps * (est[0][2] if est else 0))
+    est_df = spark.createDataFrame(
+        [(k, e) for (k, e, _n) in est], "event_type string, est bigint"
+    )
+    return exact.join(F.broadcast(est_df), "event_type").select(
+        "event_type",
+        "exact_cnt",
+        (
+            (F.col("est") >= F.col("exact_cnt"))
+            & (F.col("est") <= F.col("exact_cnt") + F.lit(bound))
+        ).alias("within_bound"),
+    )
+
+
+@q(
+    "q164_ks_drift",
+    """WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+           FROM events WHERE event_type IN ('click', 'purchase')),
+       c AS (SELECT v, sum(g) AS d1, sum(1 - g) AS d2 FROM s GROUP BY v),
+       cum AS (SELECT v,
+               sum(d1) OVER (ORDER BY v) AS c1,
+               sum(d2) OVER (ORDER BY v) AS c2,
+               sum(d1) OVER () AS n1, sum(d2) OVER () AS n2
+        FROM c)
+       SELECT CAST(max(n1) AS BIGINT) AS n1,
+              CAST(max(n2) AS BIGINT) AS n2,
+              round(max(abs(CAST(c1 AS DOUBLE) / n1
+                            - CAST(c2 AS DOUBLE) / n2)), 6) AS ks_stat
+       FROM cum""",
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the value
+    distributions of two event types — the EXACT nonparametric
+    companion to q158's binned PSI.  The per-value GROUP BY collapses
+    the window input to |distinct values| rows before the one total-
+    order cumulative pass (the honest cost of an exact ECDF); at 100 TB
+    pre-bin to a fixed grid and the same plan bounds KS within one
+    bin's mass.  click vs purchase here differ mildly (~0.03); the
+    q158 scenario pushed through this query reads ~0.5."""
+    from ..operators.stats import ks_statistic
+
+    events = load_table(spark, sf, "events")
+    return ks_statistic(events, "value", "event_type", "click", "purchase")
+
+
+@q(
+    "q165_pagerank",
+    """WITH nc AS (SELECT count(*) AS n FROM customer),
+       e AS (
+         SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
+         FROM orders, nc
+         UNION
+         SELECT CAST(c_custkey AS BIGINT),
+                CAST(1 + (c_custkey % nc.n) AS BIGINT)
+         FROM customer, nc
+       ),
+       deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+       p0 AS (SELECT id, 1.0 / nc.n AS pr FROM nodes, nc),
+       i1 AS (SELECT n.id, 0.15 / max(nc.n) + 0.85
+                * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+              FROM nodes n CROSS JOIN nc
+              LEFT JOIN e ON e.dst = n.id
+              LEFT JOIN p0 q ON q.id = e.src
+              LEFT JOIN deg g ON g.src = e.src
+              GROUP BY n.id),
+       i2 AS (SELECT n.id, 0.15 / max(nc.n) + 0.85
+                * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+              FROM nodes n CROSS JOIN nc
+              LEFT JOIN e ON e.dst = n.id
+              LEFT JOIN i1 q ON q.id = e.src
+              LEFT JOIN deg g ON g.src = e.src
+              GROUP BY n.id),
+       i3 AS (SELECT n.id, 0.15 / max(nc.n) + 0.85
+                * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+              FROM nodes n CROSS JOIN nc
+              LEFT JOIN e ON e.dst = n.id
+              LEFT JOIN i2 q ON q.id = e.src
+              LEFT JOIN deg g ON g.src = e.src
+              GROUP BY n.id)
+       SELECT id, round(pr * nc.n, 6) AS pr_norm FROM i3, nc""",
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration PageRank over a deterministic link graph derived
+    from orders (src = o_custkey, dst = 1 + (o_orderkey mod
+    |customers|) so every destination is a real customer key in 1..n,
+    plus a ring edge per customer so every node has outdeg >= 1 —
+    together these make rank mass genuinely conserved without a
+    dangling-redistribution term).
+    The Spark side is the generic `operators.graph.pagerank` loop —
+    one src-keyed join + one dst-keyed partial-combined sum per round,
+    degrees attached to the edge list ONCE before the loop; the oracle
+    is the same three rounds unrolled as a SQL join tower.  Scores are
+    reported normalized (x N) and rounded so the two engines'
+    summation orders agree.  Link-graph rank is the classic corpus-
+    curation prior (rank-weighted sampling, spam demotion)."""
+    from ..operators.graph import pagerank
+
+    customer = load_table(spark, sf, "customer")
+    n = customer.count()
+    orders = load_table(spark, sf, "orders")
+    # dst = 1 + (key mod n) keeps every destination inside the customer
+    # key range 1..n (a bare `mod n` emits node 0, which is NOT a
+    # customer — its contributions would silently vanish and the
+    # mass-conservation claim would be false for this graph).
+    edges = (
+        orders.select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.lit(1) + (F.col("o_orderkey") % n)).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .union(
+            customer.select(
+                F.col("c_custkey").cast("bigint"),
+                (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint"),
+            )
+        )
+        .distinct()
+    )
+    nodes = customer.select(F.col("c_custkey").cast("bigint").alias("id"))
+    pr = pagerank(nodes, edges, iters=3, damping=0.85)
+    return pr.select("id", F.round(F.col("pr") * n, 6).alias("pr_norm"))
+
+
+@q(
+    "q166_leakage_safe_split",
+    """WITH RECURSIVE pairs AS (
+         SELECT doc_a, doc_b FROM (
+           WITH sh AS (
+             SELECT DISTINCT doc_id,
+                    concat_ws('|', toks[gs], toks[gs+1], toks[gs+2])
+                      AS shingle
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+                  LATERAL UNNEST(generate_series(
+                    1, greatest(len(toks) - 2, 1))) t(gs)
+           ), sizes AS (
+             SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+           ), inter AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id
+           )
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+         )
+       ), edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       ), cc AS (
+         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src
+       ), allc AS (
+         SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+       ), lab AS (
+         SELECT doc_id, cluster_id,
+           CASE WHEN floor(((cluster_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) < 8 THEN 'train'
+                WHEN floor(((cluster_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN floor(((doc_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) < 8 THEN 'train'
+                WHEN floor(((doc_id * 2654435761) % 4294967296)
+                      * 10.0 / 4294967296) = 8 THEN 'val'
+                ELSE 'test' END AS naive_split
+         FROM allc
+       ), leak AS (
+         SELECT CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT cluster_id FROM lab GROUP BY cluster_id
+           HAVING count(*) > 1 AND count(DISTINCT naive_split) > 1)
+       )
+       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+              (SELECT n FROM leak) AS leaked_clusters_naive
+       FROM lab GROUP BY split""",
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are split by a
+    deterministic hash of their NEAR-DUP CLUSTER id (MinHash-LSH pairs
+    -> connected components, q73's machinery; singletons are their own
+    cluster), so near-copies of an eval document can never sit in
+    train.  The report quantifies the hazard naive doc-id splitting
+    would have caused: `leaked_clusters_naive` counts multi-document
+    clusters that naive hashing scatters across splits (9 at sf0.01 —
+    each one an eval-contamination incident).  Split assignment itself
+    adds ZERO shuffle on top of the clustering (pure codegen hash of
+    the label), and because the hash depends only on the cluster id,
+    yesterday's held-out set stays held out as the corpus grows — the
+    auditability property an RNG-based split lacks.  Oracle: exact-
+    Jaccard closure (recursive CTE) + the same integer hash."""
+    from ..operators.dedup import connected_components
+    from ..operators.sampling import split_by_cluster
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=32
+    )
+    labels = connected_components(pairs)
+    allc = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    lab = split_by_cluster(allc)
+    leak = (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.countDistinct("naive_split").alias("ns"),
+        )
+        .filter("sz > 1 AND ns > 1")
+        .count()
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .withColumn(
+            "leaked_clusters_naive", F.lit(leak).cast("bigint")
+        )
+    )
+
+
+@q(
+    "q168_model_quality_filter",
+    """WITH feats AS (
+         SELECT doc_id, source,
+           least(len(string_split(text, ' ')), 512) / 512.0 AS f_len,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+                                                 'g')))
+             / length(text)::DOUBLE AS f_punct,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_stop,
+           len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_div
+         FROM documents),
+       scored AS (
+         SELECT doc_id, source,
+           1.0 / (1.0 + exp(-(-2.0 + 2.5 * f_len - 4.0 * f_punct
+                              + 6.0 * f_stop + 2.0 * f_div))) AS score
+         FROM feats)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+              round(avg(score), 6) AS mean_score_r
+       FROM scored GROUP BY source""",
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering: a logistic classifier with FIXED
+    (pre-trained, checked-in) weights over the q57 feature set — the
+    fasttext-style quality-filter shape every pretraining pipeline runs,
+    expressed entirely as codegen column arithmetic: features, dot
+    product, and sigmoid are one Project over the scan, so scoring
+    100 TB costs exactly the scan (no UDF server, no model runtime; a
+    real linear/fasttext head with thousands of hashed-ngram weights
+    becomes a broadcast map lookup in the same shape).  Reported
+    per-source keep rates are the mixture-shift audit reviewers ask for
+    before enabling a new filter.  Features are IEEE doubles in a fixed
+    expression order, so the oracle reproduces scores exactly."""
+    docs = load_table(spark, sf, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        (F.least(token_count("text"), F.lit(512)) / F.lit(512.0)).alias(
+            "f_len"
+        ),
+        punct_ratio("text").alias("f_punct"),
+        stopword_ratio("text").alias("f_stop"),
+        token_diversity("text").alias("f_div"),
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(2.5) * F.col("f_len")
+        - F.lit(4.0) * F.col("f_punct")
+        + F.lit(6.0) * F.col("f_stop")
+        + F.lit(2.0) * F.col("f_div")
+    )
+    scored = feats.select(
+        "doc_id",
+        "source",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("score") >= 0.5).cast("long"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(F.avg("score"), 6).alias("mean_score_r"),
+    )
+
+
+@q(
+    "q171_vocab_id_assignment",
+    """WITH toks AS (
+         SELECT unnest(string_split(lower(text), ' ')) AS token
+         FROM documents
+       ), counts AS (
+         SELECT token, count(*) AS n FROM toks
+         WHERE token <> '' GROUP BY token
+       )
+       SELECT token, CAST(n AS BIGINT) AS n,
+              CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                   AS BIGINT) AS vocab_id
+       FROM counts WHERE n >= 5""",
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable dense vocabulary-id assignment (the build-the-vocab step
+    before dictionary-encoding a corpus): tokens above a min-count
+    floor get ids 0..V-1 ordered by (frequency desc, token asc) — the
+    tie-break makes ids a pure function of the corpus, so two engines
+    (or two runs) assign identical ids, which is what lets token-id
+    shards from different workers interoperate.  Cost shape: one
+    explode + map-combined count collapses the corpus to |vocab| rows
+    BEFORE the min-count filter and the one ordered window — the
+    global sort runs over the filtered vocabulary (thousands of rows),
+    never the corpus.  At 100 TB the count aggregate dominates and is
+    one scan; ship the resulting id map as a broadcast dictionary."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q171_documents"
+    )
+    return spark.sql(
+        """WITH toks AS (
+             SELECT explode(split(lower(text), ' ')) AS token
+             FROM q171_documents
+           ), counts AS (
+             SELECT token, count(*) AS n FROM toks
+             WHERE token <> '' GROUP BY token
+           )
+           SELECT token, CAST(n AS BIGINT) AS n,
+                  CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                       AS BIGINT) AS vocab_id
+           FROM counts WHERE n >= 5"""
+    )
+
+
+@q(
+    "q172_mmr_diversified_retrieval",
+    """SELECT CAST(10 AS BIGINT) AS k,
+              CAST(10 AS BIGINT) AS from_fetchk,
+              TRUE AS top1_kept,
+              TRUE AS diversity_not_worse""",
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval contract: one
+    distributed corpus pass fetches the 50 most relevant vectors
+    (TakeOrdered, never a global sort), then the driver-side greedy
+    rerank picks 10 balancing relevance against similarity-to-already-
+    selected.  The gate asserts the MMR invariants the oracle can
+    state without replaying the greedy loop: every selection comes
+    from the fetched candidate set, the single most relevant vector is
+    always kept (rank 0), and the selected set is no LESS diverse than
+    the plain top-10 (max pairwise cosine does not increase).  The
+    greedy loop itself is pinned by unit tests on planted
+    duplicate-heavy candidates.  Like q106/q107, a contract oracle:
+    the selection math is not SQL-expressible, the properties are."""
+    import numpy as np
+
+    from ..operators.similarity import mmr_select
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    sel = mmr_select(emb, query, k=10, fetch_k=50, lam=0.5)
+    top = topk_cosine(emb, query, k=50)
+    top_ids = [r.vec_id for r in top.collect()]
+    top10_ids = top_ids[:10]
+    sel_rows = sel.collect()
+    sel_ids = [r.vec_id for r in sel_rows]
+
+    def max_pair_sim(ids: list) -> float:
+        rows = (
+            emb.filter(F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ X.T
+        np.fill_diagonal(S, -np.inf)
+        return float(S.max())
+
+    from_fetchk = sum(1 for i in sel_ids if i in set(top_ids))
+    top1_kept = bool(sel_rows and sel_rows[0].rank == 0
+                     and sel_ids[0] == top_ids[0])
+    diversity_ok = max_pair_sim(sel_ids) <= max_pair_sim(top10_ids) + 1e-12
+    return spark.createDataFrame(
+        [(len(sel_ids), from_fetchk, top1_kept, diversity_ok)],
+        "k bigint, from_fetchk bigint, top1_kept boolean, "
+        "diversity_not_worse boolean",
+    )
+
+
+_Q173_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort
+  FROM {events}
+), o AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_a,
+         CAST(sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_b
+  FROM s GROUP BY event_type
+), t AS (
+  SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb
+  FROM o
+), e AS (
+  SELECT event_type, n_a, n_b,
+         (n_a + n_b) * ta / (ta + tb) AS e_a,
+         (n_a + n_b) * tb / (ta + tb) AS e_b
+  FROM o, t
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round((n_a - e_a) * (n_a - e_a) / e_a
+             + (n_b - e_b) * (n_b - e_b) / e_b, 6) AS chi2_contrib_r,
+       round(sum((n_a - e_a) * (n_a - e_a) / e_a
+             + (n_b - e_b) * (n_b - e_b) / e_b) OVER (), 6)
+         AS chi2_total_r,
+       CAST(count(*) OVER () - 1 AS BIGINT) AS dof
+FROM e
+"""
+
+
+@q("q173_chi_square_drift", _Q173_SQL.format(events="events"))
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square homogeneity test between two cohorts' event-type
+    distributions — the CATEGORICAL drift companion to q158 (binned
+    numeric PSI) and q164 (exact numeric KS): expected counts from the
+    pooled marginals, per-category contribution plus the total and
+    degrees of freedom repeated on every row (windows over the
+    |categories|-row aggregate).  One map-combined count pass collapses
+    the corpus to |categories| rows; everything after is arithmetic on
+    that tiny frame, so a 100 TB drift check costs one scan.  The
+    even/odd user split here is an A/A test — chi2 ~ dof signals the
+    healthy no-drift baseline (12.3 on 4 dof at sf0.01)."""
+    load_table(spark, sf, "events").createOrReplaceTempView("q173_events")
+    return spark.sql(_Q173_SQL.format(events="q173_events"))
+
+
+@q(
+    "q179_lm_perplexity_filter",
+    """WITH toks AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS ws
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 2
+       ), bg AS (
+         SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         FROM toks, LATERAL UNNEST(generate_series(1, len(ws) - 1)) t(i)
+       ), cb AS (
+         SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+       ), cu AS (
+         SELECT w1, sum(c12) AS c1 FROM cb GROUP BY w1
+       ), p AS (
+         SELECT cb.w1, cb.w2, cb.c12 * 1.0 / cu.c1 AS prob
+         FROM cb JOIN cu ON cu.w1 = cb.w1
+       ), scored AS (
+         SELECT bg.doc_id, ln(p.prob) AS lp
+         FROM bg JOIN p ON p.w1 = bg.w1 AND p.w2 = bg.w2
+       )
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(exp(-avg(lp)), 4) AS perplexity_r
+       FROM scored GROUP BY doc_id""",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-model perplexity scoring (the CCNet/KenLM quality
+    recipe, re-expressed relationally on q98's bigram machinery): each
+    document's bigrams are scored against the MLE bigram model and
+    per-doc perplexity = exp(-mean log P(w2|w1)) reported — gibberish
+    and boilerplate score high, fluent text low, and the downstream
+    percentile gate (q116's machinery) drops the tail.  Here the model
+    is trained on the scored corpus itself; production trains `p` on a
+    clean reference corpus and broadcasts it (the model table is
+    |bigram vocab|-sized, metadata next to a 100 TB corpus).  Cost
+    shape: two map-combined counts build the model, one hash join
+    scores (bigram stream never carries text, just token pairs), one
+    partial-combined rollup per doc.  All probabilities are exact
+    rationals evaluated in fixed order, so the oracle reproduces
+    perplexities to the rounded digit."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q179_documents"
+    )
+    return spark.sql(
+        """WITH toks AS (
+             SELECT doc_id, split(lower(text), ' ') AS ws
+             FROM q179_documents
+             WHERE size(split(lower(text), ' ')) >= 2
+           ), bg AS (
+             SELECT doc_id, ws[i-1] AS w1, ws[i] AS w2
+             FROM toks LATERAL VIEW explode(sequence(1, size(ws) - 1))
+               t AS i
+           ), cb AS (
+             SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+           ), cu AS (
+             SELECT w1, sum(c12) AS c1 FROM cb GROUP BY w1
+           ), p AS (
+             SELECT cb.w1, cb.w2, cb.c12 * 1.0 / cu.c1 AS prob
+             FROM cb JOIN cu ON cu.w1 = cb.w1
+           ), scored AS (
+             SELECT bg.doc_id, ln(p.prob) AS lp
+             FROM bg JOIN p ON p.w1 = bg.w1 AND p.w2 = bg.w2
+           )
+           SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS n_bigrams,
+                  round(exp(-avg(lp)), 4) AS perplexity_r
+           FROM scored GROUP BY doc_id"""
+    )
+
+
+@q(
+    "q181_score_calibration",
+    """WITH feats AS (
+         SELECT doc_id,
+           least(len(string_split(text, ' ')), 512) / 512.0 AS f_len,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+                                                 'g')))
+             / length(text)::DOUBLE AS f_punct,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('the', 'a', 'of', 'and', 'to')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_stop,
+           len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS f_div
+         FROM documents),
+       scored AS (
+         SELECT doc_id, f_stop,
+           1.0 / (1.0 + exp(-(-2.0 + 2.5 * f_len - 4.0 * f_punct
+                              + 6.0 * f_stop + 2.0 * f_div))) AS score
+         FROM feats),
+       bucketed AS (
+         SELECT ntile(10) OVER (ORDER BY score, doc_id) AS decile,
+                score, f_stop
+         FROM scored)
+       SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+              round(avg(score), 6) AS mean_score_r,
+              round(avg(CASE WHEN f_stop >= 0.12 THEN 1.0 ELSE 0.0 END),
+                    6) AS frac_stopword_rich_r
+       FROM bucketed GROUP BY decile""",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """Score-calibration table for the q168 quality model: documents
+    ranked into score deciles (deterministic ntile — ties broken by
+    doc_id) with per-decile mean score and the empirical rate of a
+    proxy signal (stopword-rich text).  A well-behaved filter shows
+    the proxy rate rising monotonically with the score decile; this
+    is the reliability audit reviewers demand before gating a corpus
+    on a model score.  ntile's single total-order window runs over
+    (score, id) PAIRS — at 100 TB, rank against quantile cut points
+    from `approx_percentile` instead (q116's machinery) and this
+    becomes a map-only bucket assignment; the report itself is a
+    |deciles|-row aggregate either way."""
+    from ..operators.text import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+        token_diversity,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.least(token_count("text"), F.lit(512)) / F.lit(512.0)).alias(
+            "f_len"
+        ),
+        punct_ratio("text").alias("f_punct"),
+        stopword_ratio("text").alias("f_stop"),
+        token_diversity("text").alias("f_div"),
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(2.5) * F.col("f_len")
+        - F.lit(4.0) * F.col("f_punct")
+        + F.lit(6.0) * F.col("f_stop")
+        + F.lit(2.0) * F.col("f_div")
+    )
+    scored = feats.select(
+        "doc_id",
+        "f_stop",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+    )
+    bucketed = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("score", "doc_id"))
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score_r"),
+        F.round(
+            F.avg((F.col("f_stop") >= 0.12).cast("double")), 6
+        ).alias("frac_stopword_rich_r"),
+    )
+
+
+@q(
+    "q184_gini_concentration",
+    """WITH s AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+         FROM documents GROUP BY source
+       ), r AS (
+         SELECT source, toks,
+                row_number() OVER (ORDER BY toks, source) AS i,
+                count(*) OVER () AS n,
+                sum(toks) OVER () AS tot,
+                sum(toks) OVER (ORDER BY toks, source) AS cum
+         FROM s
+       )
+       SELECT source, toks,
+              round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share_r,
+              round(2.0 * sum(CAST(i AS DOUBLE) * toks) OVER ()
+                    / (CAST(n AS DOUBLE) * tot) - (n + 1.0) / n, 6)
+                AS gini_r
+       FROM r""",
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of the token budget across sources — the
+    corpus-balance audit behind mixture planning (q139/q155): the
+    Lorenz cumulative share per source plus the Gini coefficient
+    repeated on every row (0 = perfectly balanced, 1 = one source owns
+    the corpus; the synthetic tables land near 0.05).  One
+    map-combined token count collapses the corpus to |sources| rows;
+    every window after runs over that tiny aggregate, so the audit
+    costs one scan at any corpus size.  Deterministic tie-break
+    (tokens, source) keeps ranks — and therefore the Gini sum — exact
+    across engines."""
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "q184_documents"
+    )
+    return spark.sql(
+        """WITH s AS (
+             SELECT source,
+                    CAST(sum(size(split(text, ' '))) AS BIGINT) AS toks
+             FROM q184_documents GROUP BY source
+           ), r AS (
+             SELECT source, toks,
+                    row_number() OVER (ORDER BY toks, source) AS i,
+                    count(*) OVER () AS n,
+                    sum(toks) OVER () AS tot,
+                    sum(toks) OVER (ORDER BY toks, source) AS cum
+             FROM s
+           )
+           SELECT source, toks,
+                  round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share_r,
+                  round(2.0 * sum(CAST(i AS DOUBLE) * toks) OVER ()
+                        / (CAST(n AS DOUBLE) * tot) - (n + 1.0) / n, 6)
+                    AS gini_r
+           FROM r"""
+    )
+
+
+# the exact all-pairs containment answer (q157's oracle): both q188's
+# df-capped path and q189's banding-first composite must reproduce it
+# bit-for-bit on the fixture — losslessness is the point of the gate
+_CONTAINMENT_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws('|', toks[gs], toks[gs+1], toks[gs+2]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           LATERAL UNNEST(generate_series(1, greatest(len(toks) - 2, 1)))
+             t(gs)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b
+        ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           round(i::DOUBLE / sz.sz, 6) AS containment
+    FROM inter JOIN sizes sz ON sz.doc_id = doc_a
+    WHERE round(i::DOUBLE / sz.sz, 6) >= 0.8
+"""
+
+
+@q("q188_capped_containment", _CONTAINMENT_ORACLE)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment dedup with the hot-shingle df-cap engaged
+    (``max_df=5`` drops the fixture's ~30 most common shingles from
+    candidate generation — the same shingles a 100 TB corpus would
+    contribute as df=10⁶ boilerplate, where the uncapped co-occurrence
+    join's O(Σ df²) is 10¹² rows for ONE stop-shingle).  Candidates
+    come from the capped posting self-join (each surviving shingle
+    contributes ≤ max_df² rows); every candidate is verified against
+    the FULL shingle sets, so values are exact and the oracle is the
+    plain uncapped all-pairs answer — the gate proves the cap is
+    lossless here, not merely fast.  Dropped shingles are surfaced by
+    ``hot_shingle_report`` + an INFO log, never silently."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return containment_pairs(docs, n=3, threshold=0.8, max_df=5).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "containment",
+    )
+
+
+@q("q189_banding_then_containment", _CONTAINMENT_ORACLE)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """The banding-first containment composite: MinHash-LSH candidate
+    generation (O(colliding buckets), hot-shingle-immune — signatures
+    are H mins, not posting lists) followed by exact containment
+    scoring of the candidates' full shingle sets, both directions.
+    Recall rides on the pair's Jaccard (C >= 0.8 on comparable sizes ⇒
+    J >= 2/3 ⇒ collision w.p. > 0.9999 at r=2, b=16), so on this
+    fixture — where every containment pair has J >= 0.88 — the output
+    equals the exact all-pairs oracle; the extreme quote-inside-a-book
+    asymmetry that banding cannot see is q188's df-capped exact path."""
+    from ..operators.dedup import banding_then_containment
+
+    docs = load_table(spark, sf, "documents")
+    return banding_then_containment(docs, n=3, threshold=0.8).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "containment",
+    )
+
+
+@q(
+    "q190_prefix_filtered_entity_resolution",
+    # the EXACT entity-resolution answer — q150's oracle verbatim: the
+    # prefix-filtered candidate path must reproduce it bit-for-bit
+    _ORACLES["q150_entity_resolution"],
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """q150's entity resolution with PREFIX-FILTERED candidate
+    generation (PPJoin/AllPairs, Bayardo et al. WWW'07): tokens are
+    ranked by global rarity and only each record's first
+    |X| - ceil(0.6·|X|) + 1 tokens are indexed — by pigeonhole any pair
+    at Jaccard >= 0.6 shares a prefix token, so candidates are
+    provably complete for ANY data (a df-cap is NOT: this fixture has
+    matched pairs sharing only 2 tokens, so dropping a hot token could
+    silently lose a match).  Hot tokens die structurally — rarity
+    ordering pushes a stop-token to the end of every record, so its
+    posting list (the df² term) only keeps records made almost
+    entirely of stop-tokens.  Candidates are verified exactly on full
+    token arrays; the oracle is q150's exact SQL, proving losslessness
+    end-to-end through the same connected-components clustering."""
+    from ..operators.dedup import (
+        connected_components,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    parts = load_table(spark, sf, "part")
+    tok = parts.select(
+        "p_partkey",
+        "p_brand",
+        F.array_distinct(
+            F.concat(
+                F.split(F.col("p_name"), " "),
+                F.split(F.lower(F.col("p_type")), " "),
+            )
+        ).alias("toks"),
+    )
+    matched = prefix_filtered_jaccard_pairs(
+        tok, "p_partkey", "toks", 0.6, block_col="p_brand"
+    ).select("doc_a", "doc_b")
+    labels = connected_components(matched)
+    return (
+        labels.join(
+            parts.select(
+                F.col("p_partkey").alias("doc_id"), "p_retailprice"
+            ),
+            "doc_id",
+        )
+        .groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.max("p_retailprice") - F.min("p_retailprice"), 2
+            ).alias("price_spread_r"),
+        )
+    )

@@ -1,0 +1,339 @@
+"""Structured Streaming surface: watermarks, stateful aggregation, stream
+joins, session windows, exactly-once sinks, RocksDB state store.
+
+Split from the original single-module inventory (round 5); registration
+order within a tier is preserved, and all modules share the `_shared`
+registry so `queries()` / `oracle_sql()` stay the single assembly point.
+"""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from ._shared import _ORACLES, _QUERIES, _ts_str, q  # noqa: F401
+
+
+@q(
+    "q44_watermark_stream",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """True Structured Streaming: file source -> watermark -> tumbling
+    window agg -> memory sink, run to completion with availableNow.
+    Complete output mode makes the final state equal the batch answer, so
+    the batch SQL oracle applies.  (Append-mode late-data drop semantics
+    are exercised in tests/test_streaming.py with a two-batch feed.)"""
+    from ..streaming.windows import run_stream_to_memory
+
+    return run_stream_to_memory(spark, sf)
+
+
+# =========================================================================
+# Scale-hardening gate queries (Q78-Q81): append-mode watermark semantics,
+# skew mitigation, bucketed co-located joins — each oracle-checked against
+# the plain (unsalted/unbucketed/batch) SQL so the physical rewrite is
+# proven result-identical.
+# =========================================================================
+
+@q(
+    "q78_watermark_late_drop",
+    """WITH nonlate AS (SELECT * FROM events WHERE event_id % 100 <> 0),
+            late AS (SELECT * FROM events WHERE event_id % 100 = 0),
+            wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM nonlate),
+            fin AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+            kept AS (
+              SELECT ts FROM nonlate
+              UNION ALL
+              SELECT l.ts FROM late l, wm
+              WHERE date_trunc('hour', l.ts) + INTERVAL 1 HOUR > wm.w
+            )
+       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              count(*) AS n
+       FROM kept, fin
+       WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= fin.w
+       GROUP BY 1""",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """TRUE append-mode watermark late-drop (SURVEY §2.2 Q44's original
+    description): a 3-batch ordered replay of events with late rows
+    injected last; Spark's watermark machinery drops expired late rows
+    and emits only closed windows, and the oracle recomputes both
+    effects from the same deterministic split."""
+    from ..streaming.windows import late_drop_counts
+
+    return late_drop_counts(spark, sf)
+
+
+@q(
+    "q84_stateful_running_totals",
+    """SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS total_value_r
+       FROM events GROUP BY user_id""",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary-stateful streaming (applyInPandasWithState): per-user
+    (count, sum) state accumulated across a 3-batch ordered replay; the
+    final per-user emission must equal the batch GROUP BY oracle — the
+    state-store path is value-checked at the gate, not only in tests."""
+    from ..streaming.stateful import stateful_totals_gate
+
+    return stateful_totals_gate(spark, sf)
+
+
+@q(
+    "q86_stream_interval_join",
+    """SELECT l.user_id, count(*) AS n_pairs
+       FROM (SELECT * FROM events WHERE user_id % 5 = 0) l
+       JOIN (SELECT * FROM events WHERE user_id % 5 = 0) r
+         ON l.user_id = r.user_id
+        AND r.ts >= l.ts - INTERVAL 30 MINUTE
+        AND r.ts <= l.ts
+       GROUP BY l.user_id""",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (dual watermarks + state-bounding
+    range condition) run to completion; per-user pair counts equal the
+    batch interval join, which is the oracle."""
+    from ..streaming.joins import interval_join_gate
+
+    return interval_join_gate(spark, sf)
+
+
+@q(
+    "q100_stream_dedup",
+    """SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS total_value_r
+       FROM events GROUP BY user_id""",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exactly-once dedup under replay: batch 1 re-emits exact
+    copies of every event_id % 10 == 0 row; dropDuplicatesWithinWatermark
+    (bounded state — entries evicted once the watermark passes their
+    event time) must drop every replay, so the emitted rows equal the
+    distinct originals and the batch GROUP BY is the oracle."""
+    from ..streaming.windows import stream_dedup_gate
+
+    return stream_dedup_gate(spark, sf)
+
+
+@q(
+    "q123_python_stream_source",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(id) AS BIGINT) AS sum_id,
+              CAST(sum(CASE WHEN ((id * 2654435761) % 4294967296)
+                                 < 2147483648 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low
+       FROM generate_series(0, 4999) t(id)""",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING over the custom Python data source: the same
+    ``ctdc_synth`` format read via ``readStream`` with a
+    SimpleDataSourceStreamReader — offset init, batch read, and the
+    readBetweenOffsets replay contract that underwrites exactly-once.
+    An availableNow run drains the configured range into a memory sink;
+    the oracle regenerates the identical rows.  This is the template
+    for streaming systems Spark ships no connector for (queues, change
+    feeds)."""
+    from ..sources.pysource import register_synth_source
+
+    register_synth_source(spark)
+    stream = (
+        spark.readStream.format("ctdc_synth")
+        .option("n", "5000")
+        .option("batch", "5000")
+        .load()
+    )
+    agg = stream.groupBy().agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum(F.when(F.col("hash32") < 2147483648, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+    )
+    name = "ctdc_q123_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@q(
+    "q124_stream_static_join",
+    """SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(round(sum(CAST(e.value *
+                    (CASE e.event_type WHEN 'click' THEN 1.5
+                                       WHEN 'purchase' THEN 3.0
+                                       WHEN 'view' THEN 1.0
+                                       ELSE 0.5 END) AS DECIMAL(28, 8))), 2)
+                    AS DOUBLE) AS weighted_r
+       FROM events e GROUP BY 1""",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STATIC enrichment join: the events stream joins a static
+    dimension (per-type weights) inside the streaming query — the
+    standard enrich-then-aggregate shape.  The dim is broadcast into
+    every micro-batch (no stream state for the join; only the windowed
+    agg keeps state), and a complete-mode availableNow replay must equal
+    the batch aggregation exactly."""
+    from ..streaming.windows import events_stream
+
+    weights = spark.createDataFrame(
+        [("click", 1.5), ("purchase", 3.0), ("view", 1.0)],
+        "event_type string, w double",
+    )
+    stream = events_stream(spark, sf, glob="events.parquet")
+    enriched = stream.join(F.broadcast(weights), "event_type", "left").select(
+        "ts",
+        "value",
+        F.coalesce(F.col("w"), F.lit(0.5)).alias("w"),
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("w")).cast("decimal(28,8)")
+                ),
+                2,
+            ).cast("double").alias("weighted_r"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "n",
+            "weighted_r",
+        )
+    )
+    name = "ctdc_q124_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@q(
+    "q132_stream_session_window",
+    """WITH marked AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS s
+         FROM marked
+       )
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM numbered GROUP BY user_id, s""",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING session windows (merge-on-arrival session_window state,
+    30-minute gap) replayed to completion over the static events feed —
+    the streaming twin of batch q43/q113: a complete-mode availableNow
+    run must produce exactly the sessions the batch gaps-and-islands
+    computation derives.  Session-window state merges adjacent windows
+    as events arrive; the watermark bounds it in production append
+    mode."""
+    from ..streaming.windows import events_stream, session_counts
+
+    stream = events_stream(spark, sf, glob="events.parquet")
+    agg = session_counts(stream, watermark="1 hour", gap="30 minutes")
+    name = "ctdc_q132_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "session_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@q(
+    "q145_stream_idempotent_sink",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY event_type""",
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once streaming sink under redelivery: the events table
+    replays as 3 ordered micro-batches into the batch-id-partitioned
+    idempotent sink, then batch 0 is RE-DELIVERED (simulating a crash
+    between the data write and the checkpoint commit — the window where
+    a plain append sink duplicates).  Dynamic partition overwrite makes
+    the redelivery replace its own partition, so the final table must
+    aggregate exactly to the batch recompute the oracle runs.  With an
+    append sink this query would double batch 0's counts and fail the
+    hash gate."""
+    import tempfile
+
+    from ..streaming.joins import idempotent_batch_writer, write_stream_idempotent
+    from ..streaming.windows import events_stream, write_ordered_feed
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="ctdc-idem-")
+    feed, out, ckpt = f"{base}/feed", f"{base}/out", f"{base}/ckpt"
+    slices = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    write_ordered_feed(slices, feed)
+    stream = events_stream(spark, feed, max_files_per_trigger=1)
+    q = write_stream_idempotent(stream, out, ckpt)
+    q.awaitTermination()
+    # post-crash redelivery of batch 0: same rows, same batch id
+    idempotent_batch_writer(out)(slices[0], 0)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "q167_rocksdb_state_store",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS total_value_r,
+              TRUE AS rocksdb_engaged
+       FROM events GROUP BY event_type""",
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming aggregation through the ROCKSDB state store provider —
+    the scale path for keyed streaming state: the default provider
+    holds state on the executor heap (bounded by memory), RocksDB
+    spills to local disk with changelog checkpointing, scaling keyed
+    state to billions of keys.  A 3-batch replay accumulates per-type
+    totals across micro-batches; `rocksdb_engaged` is read back from
+    the query's own state-operator metrics, so the gate fails if the
+    provider conf silently didn't apply, and the totals must equal the
+    batch GROUP BY (the oracle).  The provider conf is restored after
+    the run — no session-wide side effect."""
+    from ..streaming.stateful import rocksdb_totals_gate
+
+    return rocksdb_totals_gate(spark, sf)

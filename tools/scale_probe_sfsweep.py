@@ -1,0 +1,154 @@
+"""Scaling-exponent sweep: measure the GROWTH RATE, not just the level.
+
+The per-round bench proves the sf0.1 level; "within budget at 100x" is
+still extrapolation unless the exponent is measured.  This probe runs
+the top-15 most expensive headline queries (plus two scan/agg anchors)
+at sf0.001 / sf0.01 / sf0.1 on one host and records, per query:
+
+  * t(sf) at each scale (min of REPEATS interleaved passes, after a
+    warm-up pass — same estimator discipline as bench.py),
+  * exp_tail = log10(t(0.1) / t(0.01)) — the exponent over the decade
+    where fixed job overhead no longer dominates (at sf0.001 most of
+    these queries cost ~0.1-0.5 s of scheduler/setup, which would
+    artificially FLATTEN a full-range fit; using the top decade biases
+    the estimate UP, the conservative direction for flagging),
+  * expected_max — the exponent the query's PLAN predicts (1.3 covers
+    scan/agg/join n·log n shapes; connected components and adaptive
+    LSH get 1.5 for their round/bucket growth; the two exact
+    co-occurrence queries are honestly ~2 in block density — their
+    capped/prefix-filtered siblings q188/q190 are the scale paths),
+  * flagged = exp_tail > expected_max.
+
+ok requires zero flagged queries.  Results merge into SCALEBENCH.json
+under the `sf_sweep` key.
+
+Usage: python tools/scale_probe_sfsweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SFS = ["0.001", "0.01", "0.1"]
+REPEATS = 2
+
+# query -> plan-expected max exponent (log t / log rows)
+EXPECTED = {
+    # scan/agg/join shapes: n or n·log n
+    "q09_join5_revenue_by_nation": 1.3,
+    "q17_groupagg_tpch_q1": 1.3,
+    "q54_minhash_lsh_neardup": 1.3,
+    "q78_watermark_late_drop": 1.3,   # micro-batch machinery dominates
+    "q81_bucketed_join": 1.3,
+    "q97_tfidf_keywords": 1.3,
+    "q104_resample_interp": 1.3,
+    "q119_embedding_dedup_scrub": 1.3,
+    "q124_stream_static_join": 1.3,
+    "q135_incremental_neardup": 1.3,
+    "q151_pq_recall_contract": 1.3,
+    "q156_duplicate_spans": 1.3,
+    "q165_pagerank": 1.3,
+    # iterative / adaptive shapes: rounds or bucket sizes grow with n
+    "q73_neardup_clusters": 1.5,
+    "q56_cosine_lsh_pairs": 1.5,
+    # exact co-occurrence joins: candidate pairs grow with block
+    # DENSITY squared (TPC-H brand blocks and fixture near-dup pools
+    # get 10x denser per sf decade) — the honest exponent of the exact
+    # answer; q190 (prefix-filtered) and q188 (df-capped) are the scale
+    # paths and the bench tracks their levels
+    "q150_entity_resolution": 2.1,
+    "q157_containment_pairs": 2.1,
+}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ctdc-scale-probe-sfsweep")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = list(EXPECTED)
+
+    # warm-up: one untimed pass of every query at the smallest sf
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in names:
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception:
+            pass
+
+    timings: dict[str, dict[str, float]] = {n: {} for n in names}
+    for _ in range(REPEATS):
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+            for name in names:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                t = round(time.time() - t0, 3)
+                cur = timings[name].get(sf)
+                if cur is None or t < cur:
+                    timings[name][sf] = t
+
+    entries = {}
+    flagged = []
+    for name in names:
+        t = timings[name]
+        exp_tail = round(
+            math.log10(max(t["0.1"], 1e-3) / max(t["0.01"], 1e-3)), 3
+        )
+        exp_full = round(
+            math.log10(max(t["0.1"], 1e-3) / max(t["0.001"], 1e-3)) / 2, 3
+        )
+        is_flagged = exp_tail > EXPECTED[name]
+        if is_flagged:
+            flagged.append(name)
+        entries[name] = {
+            "t_sf0.001": t["0.001"],
+            "t_sf0.01": t["0.01"],
+            "t_sf0.1": t["0.1"],
+            "exp_tail": exp_tail,
+            "exp_full_range": exp_full,
+            "expected_max": EXPECTED[name],
+            "flagged": is_flagged,
+        }
+
+    results = {
+        "repeats": REPEATS,
+        "queries": entries,
+        "flagged": flagged,
+        "ok": not flagged,
+    }
+    from scalebench import merge_entry
+
+    merge_entry("sf_sweep", results)
+    print(json.dumps({"metric": "scale_probe_sfsweep", "results": results}))
+    sys.exit(0 if not flagged else 1)
+
+
+if __name__ == "__main__":
+    main()
