@@ -109,6 +109,7 @@ HEADLINE = [
     "q189_banding_then_containment",
     "q190_prefix_filtered_entity_resolution",
     "q191_expectations_quarantine",
+    "q192_chunked_containment",
 ]
 
 

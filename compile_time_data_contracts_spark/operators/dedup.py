@@ -32,6 +32,7 @@ __all__ = [
     "containment_pairs",
     "hot_shingle_report",
     "banding_then_containment",
+    "chunked_containment_pairs",
     "prefix_filtered_jaccard_pairs",
     "minhash_signature",
     "banded_signature_table",
@@ -152,16 +153,22 @@ def _capped_pair_scores(
 
     from pyspark import StorageLevel
 
-    sh = shingle_rows(df, id_col, text_col, n).distinct()
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    hot = dfreq.filter(F.col("__df") > max_df).select("shingle")
-    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
     _ensure_checkpoint_dir(df.sparkSession.sparkContext)
-    # kept feeds both sides of the bucket self-join; same cache scope
-    # discipline as lsh_candidate_pairs (checkpoint the tiny id-pair
-    # set, then drop the cache in finally)
-    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE corpus pass fills the posting cache; the df histogram, both
+    # sides of the capped self-join, the hot count, AND the full-set
+    # verification all derive from it — the corpus text is never
+    # re-scanned or re-shingled.  Same cache-scope discipline as
+    # lsh_candidate_pairs: tiny frames are checkpoint-materialized,
+    # then the cache is dropped in finally.
+    sh = (
+        shingle_rows(df, id_col, text_col, n)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_df).select("shingle")
+        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
         a, b = kept.alias("a"), kept.alias("b")
         cand = (
             a.join(
@@ -176,9 +183,22 @@ def _capped_pair_scores(
             .dropDuplicates(["doc_a", "doc_b"])
             .checkpoint(eager=True)
         )
-        n_hot = hot.count()  # kept is cached — this re-reads postings once
+        n_hot = hot.count()  # served from the posting cache
+        cand_ids = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .union(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        # full (uncapped) shingle sets for candidate docs only, straight
+        # from the cached postings — candidate-sized collect_set state
+        sh_full = (
+            sh.join(F.broadcast(cand_ids), id_col, "semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("sh"))
+            .checkpoint(eager=True)
+        )
     finally:
-        kept.unpersist()
+        sh.unpersist()
     logging.getLogger(__name__).info(
         "df-capped pair join: dropped %d shingles with df > %d from "
         "candidate generation (verification stays exact; call "
@@ -186,14 +206,6 @@ def _capped_pair_scores(
         n_hot,
         max_df,
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .union(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    sh_full = shingle_set_table(
-        df.join(F.broadcast(cand_ids), id_col, "semi"), id_col, text_col, n
-    ).checkpoint(eager=True)
     return (
         cand.join(
             sh_full.withColumnRenamed(id_col, "doc_a"), "doc_a"
@@ -316,7 +328,7 @@ def minhash_signature(
 
 def shingle_rows(
     df: DataFrame,
-    id_col: str = "doc_id",
+    id_col="doc_id",
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
@@ -329,9 +341,13 @@ def shingle_rows(
     ``concat_ws``.  Emits the same strings as :func:`shingles` minus the
     array_distinct (duplicates are harmless under min-aggregation and
     row-level distinct is available to callers that need it).
+
+    ``id_col`` may be one column name or a sequence of names (compound
+    key, e.g. (owner, window) for the chunked-containment pipeline).
     """
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col), toks.alias("__t"))
+    base = df.select(*[F.col(c) for c in id_cols], toks.alias("__t"))
     shifted = F.arrays_zip(
         *[
             F.slice(F.col("__t"), i + 1, F.size("__t")).alias(f"g{i}")
@@ -339,7 +355,7 @@ def shingle_rows(
         ]
     )
     rows = base.select(
-        F.col(id_col),
+        *[F.col(c) for c in id_cols],
         F.size("__t").alias("__sz"),
         F.posexplode(shifted).alias("__pos", "__g"),
     )
@@ -349,14 +365,14 @@ def shingle_rows(
     return rows.filter(
         F.col("__pos") <= F.greatest(F.col("__sz") - n, F.lit(0))
     ).select(
-        F.col(id_col),
+        *[F.col(c) for c in id_cols],
         F.concat_ws("|", *[f"__g.g{i}" for i in range(n)]).alias("shingle"),
     )
 
 
 def minhash_table(
     df: DataFrame,
-    id_col: str = "doc_id",
+    id_col="doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
@@ -371,13 +387,17 @@ def minhash_table(
     carries only |docs| × H longs regardless of document length.  Hash
     values are identical to minhash_signature's (xxhash64 of the
     (shingle, seed) pair), so the two forms are interchangeable.
+
+    ``id_col`` accepts one name or a sequence (compound key) — same
+    contract as :func:`shingle_rows`.
     """
-    sh_rows = shingle_rows(df, id_col, text_col, n)
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    sh_rows = shingle_rows(df, id_cols, text_col, n)
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(h))).alias(f"h{h}")
         for h in range(num_hashes)
     ]
-    return sh_rows.groupBy(id_col).agg(*aggs)
+    return sh_rows.groupBy(*id_cols).agg(*aggs)
 
 
 def banded_signature_table(
@@ -1269,6 +1289,140 @@ def containment_pairs(
             "doc_b",
             F.round(
                 F.col("__inter") / F.col("__sz_a"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def chunked_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    chunk_tokens: int = 32,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Asymmetric containment at scale: band WHOLE-document signatures
+    against CONTAINER-CHUNK signatures, then verify exactly.
+
+    Plain MinHash banding cannot see a small document inside a much
+    larger one (J ≈ |Sa|/|Sb| ≈ 0 — :func:`banding_then_containment`
+    documents this as its blind spot); the fix its docstring prescribes
+    is implemented here: every document is ALSO cut into overlapping
+    ``chunk_tokens``-token windows (step = chunk_tokens/2, so a quote
+    at any alignment overlaps at least one window by >= half), each
+    window gets its own MinHash signature, and banding runs between
+    whole-doc signatures (the potential CONTAINED side) and window
+    signatures (the potential CONTAINER side).  A quote sized near the
+    window length now meets a window at Jaccard ~1/3-1 instead of ~0,
+    which the band join sees fine.  Candidates are verified EXACTLY on
+    the two documents' full shingle sets (C(a,b) = |Sa∩Sb|/|Sa|), so
+    precision is exact; recall is probabilistic in the banding
+    (1-(1-s^r)^b at window-vs-doc Jaccard s) — tune chunk_tokens to
+    the quote sizes that matter, or fall back to the df-capped exact
+    join (``containment_pairs(max_df=...)``) when recall must be 1.
+
+    Cost shape: the window explode multiplies the signature table by
+    ~2·len/chunk_tokens rows of H longs each (ids + longs only — the
+    text never enters the banded table), the band join touches only
+    colliding buckets, and verification is candidate-sized.  No
+    Python, no cartesian, hot-shingle-immune (signatures, not posting
+    lists).  Returns (doc_a, doc_b, containment): doc_a contained in
+    doc_b, C >= threshold.
+    """
+    from pyspark import StorageLevel
+
+    step = max(1, chunk_tokens // 2)
+    rows = num_hashes // bands
+
+    # whole-doc signatures -> banded (the contained side)
+    whole = banded_signature_table(
+        df, id_col, text_col, n, num_hashes, bands
+    )
+
+    # container chunks: overlapping token windows re-joined to text,
+    # then the same shingle->minhash->band pipeline keyed by the OWNER
+    # doc id (chunk identity doesn't matter downstream — any colliding
+    # window implicates its document)
+    toks = F.split(F.col(text_col), " ")
+    nwin = F.greatest(
+        F.ceil((F.size(toks) - chunk_tokens) / step).cast("int") + 1,
+        F.lit(1),
+    )
+    chunks = df.select(
+        F.col(id_col).alias("__owner"),
+        toks.alias("__t"),
+        F.explode(F.sequence(F.lit(0), nwin - 1)).alias("__w"),
+    ).select(
+        "__owner",
+        "__w",
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("__w") * step + 1, chunk_tokens)
+        ).alias("__chunk_text"),
+    )
+    # compound (owner, window) key rides the shingle->minhash pipeline,
+    # so the owner needs no re-join (and no unstable synthetic chunk id)
+    chunk_sigs = minhash_table(
+        chunks, ["__owner", "__w"], "__chunk_text", n, num_hashes
+    )
+    band_cols = [
+        F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)])
+        for b in range(bands)
+    ]
+    chunk_banded = chunk_sigs.select(
+        F.col("__owner"),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    ).dropDuplicates(["__owner", "band_id", "band_hash"])
+
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    whole = whole.persist(StorageLevel.MEMORY_AND_DISK)
+    chunk_banded = chunk_banded.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cand = (
+            whole.alias("a")
+            .join(
+                chunk_banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_col}") != F.col("b.__owner")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col("b.__owner").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .checkpoint(eager=True)
+        )
+    finally:
+        whole.unpersist()
+        chunk_banded.unpersist()
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingle_set_table(
+        df.join(F.broadcast(cand_ids), id_col, "semi"), id_col, text_col, n
+    ).checkpoint(eager=True)
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "__sh_a")
+        .join(
+            sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+                "sh", "__sh_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                / F.size("__sh_a"),
+                6,
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)

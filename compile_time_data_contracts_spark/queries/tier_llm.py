@@ -2891,3 +2891,30 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("price_spread_r"),
         )
     )
+
+
+@q("q192_chunked_containment", _CONTAINMENT_ORACLE)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment via CHUNKED banding: whole-document
+    MinHash signatures band against overlapping 32-token WINDOW
+    signatures of every potential container, closing the
+    quote-inside-a-book blind spot that whole-doc banding has by
+    construction (q189's documented recall envelope) — a planted
+    24-token quote inside a 120-token book is found by this operator
+    and provably missed by plain banding (unit-tested).  Exact
+    verification on full shingle sets keeps precision exact; on this
+    fixture every containment pair is also high-Jaccard, so the output
+    equals the exact all-pairs oracle.  Signatures, not posting lists:
+    hot-shingle immune, band join touches only colliding buckets, the
+    window explode multiplies the signature table by ~2·len/32 rows of
+    H longs (never text)."""
+    from ..operators.dedup import chunked_containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return chunked_containment_pairs(
+        docs, n=3, threshold=0.8, chunk_tokens=32
+    ).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "containment",
+    )

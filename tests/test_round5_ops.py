@@ -406,3 +406,78 @@ def test_apply_expectations_sink_pin_rejects_drift(spark, tmp_path):
             [not_null("seg")],
             quarantine_sink=Sink(WrongQuarantine, str(tmp_path / "q")),
         )
+
+
+def test_chunked_containment_finds_quote_plain_banding_misses(spark):
+    """The asymmetric blind spot, pinned: a 24-token quote inside a
+    120-token book has J ~ 0.2 (invisible to whole-doc banding) but
+    C ~ 1.0; chunked banding must find it, plain banding must not,
+    and both must agree with the exact join elsewhere."""
+    import random
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        banding_then_containment,
+        chunked_containment_pairs,
+        containment_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    quote = [vocab[i * 7 % 5000] for i in range(24)]
+    book = (
+        [rng.choice(vocab) for _ in range(50)]
+        + quote
+        + [rng.choice(vocab) for _ in range(46)]
+    )
+    rows = [
+        (1, " ".join(quote)),
+        (2, " ".join(book)),
+        (3, " ".join(rng.choice(vocab) for _ in range(100))),
+        (4, " ".join(rng.choice(vocab) for _ in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact == {(1, 2)}
+    plain = {
+        (r.doc_a, r.doc_b)
+        for r in banding_then_containment(docs, threshold=0.8).collect()
+    }
+    assert plain == set()  # the documented whole-doc-banding blind spot
+    chunked = {
+        (r.doc_a, r.doc_b)
+        for r in chunked_containment_pairs(
+            docs, threshold=0.8, chunk_tokens=32
+        ).collect()
+    }
+    assert chunked == exact
+
+
+def test_minhash_table_compound_key_matches_single_key(spark):
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        minhash_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z p q r")], "doc_id long, text string"
+    )
+    single = {
+        r.doc_id: tuple(r[f"h{h}"] for h in range(8))
+        for r in minhash_table(docs, "doc_id", "text", 3, 8).collect()
+    }
+    # constant second key component must not change the signatures
+    two = {
+        r.doc_id: tuple(r[f"h{h}"] for h in range(8))
+        for r in minhash_table(
+            docs.withColumn("part", F.lit(0)),
+            ["doc_id", "part"],
+            "text",
+            3,
+            8,
+        ).collect()
+    }
+    assert single == two

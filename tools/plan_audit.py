@@ -528,6 +528,16 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "q192_chunked_containment": [
+        ("candidates checkpoint-fed (corpus never re-scanned in the "
+         "verification plan)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 0),
+        ("exact verification via array_intersect", True,
+         lambda p: "array_intersect" in p),
+        ("no cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "q185_group_by_all": [
         ("GROUP BY ALL resolves to the ordinary partial-combined hash "
          "aggregate", True, lambda p: "partial_count" in p),
