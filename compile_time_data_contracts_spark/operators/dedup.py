@@ -183,7 +183,18 @@ def _capped_pair_scores(
             .dropDuplicates(["doc_a", "doc_b"])
             .checkpoint(eager=True)
         )
-        n_hot = hot.count()  # served from the posting cache
+        logger = logging.getLogger(__name__)
+        if logger.isEnabledFor(logging.INFO):
+            # the count is one aggregate over the posting cache — only
+            # pay for it when the log line will actually be emitted;
+            # hot_shingle_report is the always-available reporting path
+            logger.info(
+                "df-capped pair join: dropped %d shingles with df > %d "
+                "from candidate generation (verification stays exact; "
+                "call hot_shingle_report for the list)",
+                hot.count(),
+                max_df,
+            )
         cand_ids = (
             cand.select(F.col("doc_a").alias(id_col))
             .union(cand.select(F.col("doc_b").alias(id_col)))
@@ -199,13 +210,6 @@ def _capped_pair_scores(
         )
     finally:
         sh.unpersist()
-    logging.getLogger(__name__).info(
-        "df-capped pair join: dropped %d shingles with df > %d from "
-        "candidate generation (verification stays exact; call "
-        "hot_shingle_report for the list)",
-        n_hot,
-        max_df,
-    )
     return (
         cand.join(
             sh_full.withColumnRenamed(id_col, "doc_a"), "doc_a"
@@ -400,6 +404,20 @@ def minhash_table(
     return sh_rows.groupBy(*id_cols).agg(*aggs)
 
 
+def _band_hash_columns(num_hashes: int, bands: int) -> list:
+    """One xxhash64 column per band over the aggregated h0..h{H-1}
+    signature columns.  THE banding-compatibility invariant: every
+    producer of a bandable table (whole-doc signatures, container-chunk
+    signatures, the persisted incremental index) must hash bands with
+    THIS function, or bucket joins between them silently stop
+    colliding (zero candidates, no error)."""
+    rows = num_hashes // bands
+    return [
+        F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)])
+        for b in range(bands)
+    ]
+
+
 def banded_signature_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -417,15 +435,12 @@ def banded_signature_table(
     never enter the b×-exploded table or its shuffle.  Band hashes are
     attribute refs over the aggregated h0..h{H-1} columns, so no
     expression re-evaluation."""
-    rows = num_hashes // bands
     sigs = minhash_table(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)])
-        for b in range(bands)
-    ]
     return sigs.select(
         F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+        F.posexplode(
+            F.array(*_band_hash_columns(num_hashes, bands))
+        ).alias("band_id", "band_hash"),
     )
 
 
@@ -1336,7 +1351,6 @@ def chunked_containment_pairs(
     from pyspark import StorageLevel
 
     step = max(1, chunk_tokens // 2)
-    rows = num_hashes // bands
 
     # whole-doc signatures -> banded (the contained side)
     whole = banded_signature_table(
@@ -1368,13 +1382,13 @@ def chunked_containment_pairs(
     chunk_sigs = minhash_table(
         chunks, ["__owner", "__w"], "__chunk_text", n, num_hashes
     )
-    band_cols = [
-        F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)])
-        for b in range(bands)
-    ]
+    # _band_hash_columns keeps chunk bands join-compatible with the
+    # whole-doc bands above — the shared helper IS the invariant
     chunk_banded = chunk_sigs.select(
         F.col("__owner"),
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+        F.posexplode(
+            F.array(*_band_hash_columns(num_hashes, bands))
+        ).alias("band_id", "band_hash"),
     ).dropDuplicates(["__owner", "band_id", "band_hash"])
 
     _ensure_checkpoint_dir(df.sparkSession.sparkContext)
@@ -1487,15 +1501,18 @@ def prefix_filtered_jaccard_pairs(
     # rank tokens within each doc by global rarity (ties broken by the
     # token string so the order is total and deterministic)
     w = Window.partitionBy(id_col).orderBy("__df", "__t")
+    # prefix length = |X| - ceil(t·|X|) + 1.  The epsilon guards IEEE
+    # round-UP of an exactly-integer product (0.28*25 = 7.0000…01 would
+    # ceil to 8 and SHORTEN the prefix — a silent recall hole); erring
+    # the other way only lengthens the prefix, which keeps the
+    # pigeonhole guarantee (a superset of the required prefix).
+    min_overlap = F.ceil(
+        F.lit(threshold) * F.col("__sz") - F.lit(1e-9)
+    )
     prefix = (
         ex.join(dfreq, "__t")
         .withColumn("__rn", F.row_number().over(w))
-        .filter(
-            F.col("__rn")
-            <= F.col("__sz")
-            - F.ceil(F.lit(threshold) * F.col("__sz"))
-            + 1
-        )
+        .filter(F.col("__rn") <= F.col("__sz") - min_overlap + 1)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     join_cond = (F.col("a.__t") == F.col("b.__t")) & (

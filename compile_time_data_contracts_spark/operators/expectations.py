@@ -167,6 +167,11 @@ def apply_expectations(
     The write is EAGER (it is the point of the call); the returned
     frames stay lazy.
     """
+    if not expectations:
+        raise ValueError(
+            "apply_expectations needs at least one rule — an empty "
+            "suite would route nothing and quarantine nothing"
+        )
     not_routable = [e for e in expectations if e.row_ok is None]
     if not_routable:
         raise ValueError(

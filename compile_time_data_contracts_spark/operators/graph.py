@@ -87,6 +87,10 @@ def pagerank(
     # edge list with degree attached once, reused every round
     ew = edges.join(deg, "src")
     do_checkpoint = iters > checkpoint_every
+    # dangling nodes (no out-edges) — the set is static across rounds
+    dang = nodes.join(
+        deg.select(F.col("src").alias("id")), "id", "left_anti"
+    )
     if do_checkpoint:
         from pyspark import StorageLevel
 
@@ -94,10 +98,11 @@ def pagerank(
 
         _ensure_checkpoint_dir(nodes.sparkSession.sparkContext)
         ew = ew.persist(StorageLevel.MEMORY_AND_DISK)
-    # dangling nodes (no out-edges) computed once — the set is static
-    dang = nodes.join(
-        deg.select(F.col("src").alias("id")), "id", "left_anti"
-    )
+        if dangling == "redistribute":
+            # each round's 1-row mass aggregate would otherwise rebuild
+            # deg + the anti-join from the raw edges EVERY round the
+            # checkpoints materialize — cache the static set once
+            dang = dang.persist(StorageLevel.MEMORY_AND_DISK)
     pr = nodes.select("id", F.lit(1.0 / n_nodes).alias("pr"))
     base = (1.0 - damping) / n_nodes
     try:
@@ -144,4 +149,6 @@ def pagerank(
     finally:
         if do_checkpoint:
             ew.unpersist()
+            if dangling == "redistribute":
+                dang.unpersist()
     return pr

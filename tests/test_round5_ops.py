@@ -481,3 +481,64 @@ def test_minhash_table_compound_key_matches_single_key(spark):
         ).collect()
     }
     assert single == two
+
+
+def test_prefix_filter_integer_product_float_roundup(spark):
+    """0.28 * 25 = 7.000000000000001 in IEEE doubles: a naive ceil()
+    shortens the prefix by one and can silently drop a qualifying pair
+    whose whole intersection is corpus-hot tokens.  Construct exactly
+    that adversarial case and require the pair to survive."""
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    hot = [f"h{i}" for i in range(7)]  # shared by EVERY record -> df max
+    rows = [
+        # A: 25 tokens, the 7 hot tokens + 18 rare ones
+        (1, hot + [f"a{i}" for i in range(18)]),
+        # B: exactly the 7 hot tokens => J(A,B) = 7/25 = 0.28
+        (2, hot),
+        # background records that make the hot tokens the most frequent
+        (3, hot + ["z1", "z2", "z3"]),
+        (4, hot + ["y1", "y2", "y3"]),
+        (5, hot + ["x1", "x2", "x3"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filtered_jaccard_pairs(
+            df, "id", "toks", 0.28
+        ).collect()
+    }
+    # naive all-pairs at threshold 0.28
+    a, b = df.alias("a"), df.alias("b")
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+                / F.size(F.array_union("a.toks", "b.toks"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.28)
+        .collect()
+    }
+    assert (1, 2) in naive  # the adversarial pair really qualifies
+    assert got == naive
+
+
+def test_apply_expectations_empty_suite_raises(spark):
+    import pytest as _pytest
+
+    from compile_time_data_contracts_spark.operators.expectations import (
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="at least one rule"):
+        apply_expectations(df, [])
