@@ -110,6 +110,7 @@ HEADLINE = [
     "q190_prefix_filtered_entity_resolution",
     "q191_expectations_quarantine",
     "q192_chunked_containment",
+    "q193_ivf_pq_recall_contract",
 ]
 
 

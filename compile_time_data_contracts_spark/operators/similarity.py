@@ -1195,6 +1195,7 @@ def pq_encode(
     codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Encode every vector to ``m`` one-byte codes (nearest codebook
     entry per subspace) via one broadcast + Arrow-batched argmin per
@@ -1203,10 +1204,20 @@ def pq_encode(
     At 100 TB this is THE point of PQ: a 64-dim float32 corpus (256 B/row)
     becomes m=8 bytes/row — a 32x smaller table that fits hot storage;
     persist it once and every subsequent search scans codes, not vectors.
+
+    ``extra_cols``: columns carried through the encode unchanged (e.g.
+    the IVF ``cluster`` id, so the code table can be written
+    partition-pruned alongside the index) — passthrough inside the same
+    Arrow batch, no re-join.
     """
     import numpy as np
 
     bc = df.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
+    extra_cols = tuple(extra_cols)
+    by_name = {f.name: f for f in df.schema.fields}
+    extra_schema = "".join(
+        f", {c} {by_name[c].dataType.simpleString()}" for c in extra_cols
+    )
 
     def encode(batches):
         books = bc.value
@@ -1224,12 +1235,12 @@ def pq_encode(
                 codes[:, s] = (cc[None, :] - 2.0 * (sub @ books[s].T)).argmin(
                     axis=1
                 )
-            out = pdf[[id_col]].copy()
+            out = pdf[[id_col, *extra_cols]].copy()
             out["codes"] = list(codes)
             yield out
 
-    return df.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, codes array<int>"
+    return df.select(id_col, *extra_cols, vec_col).mapInPandas(
+        encode, f"{id_col} long{extra_schema}, codes array<int>"
     )
 
 
@@ -1319,6 +1330,122 @@ def pq_topk(
         .select(id_col)
     )
     hydrated = vecs.join(F.broadcast(cand), id_col, "semi")
+    return topk_cosine(hydrated, query, k, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_clusters: int = 64,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index_path: str | None = None,
+    sample_size: int = 10000,
+) -> DataFrame:
+    """The production ANN composite — IVF-ADC (Jégou et al., TPAMI
+    2011; the FAISS ``IVFx,PQy`` shape): IVF cell pruning × PQ
+    compressed-domain scoring × exact re-rank, each stage cutting the
+    next stage's input.
+
+      1. build-or-reuse the persisted IVF index (centroids + vectors
+         partitioned by cell + content fingerprint — same staleness
+         contract as ``ivf_topk``), and alongside it a PQ CODE table,
+         also partitioned by cell (``pq_encode`` carries the cluster id
+         through the Arrow encode, no re-join),
+      2. rank centroids on the driver (metadata-sized) and read ONLY
+         the ``nprobe`` nearest cells' CODES — partition pruning ×
+         32x-smaller rows: the scan touches nprobe/n_clusters of an
+         already m-bytes-per-row table,
+      3. ADC-score the probed codes JVM-side (broadcast LUT, no Python
+         on the corpus) and TakeOrdered the ``rerank`` best,
+      4. exact cosine re-rank of those candidates against their true
+         vectors, read partition-pruned from the same probed cells.
+
+    Returned sims are EXACT (the re-rank); nprobe bounds IVF recall
+    and m/ksub/rerank bound PQ recall — ``topk_cosine`` is the audit,
+    and the q193 gate pins top-k equality on the fixture.  At 100 TB
+    the three stages multiply: 8/64 cells × 32x compression means the
+    hot scan is ~0.4% of the raw corpus bytes.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    if index_path is None:
+        import tempfile
+
+        index_path = tempfile.mkdtemp(prefix="ctdc-ivfpq-")
+    fp = _ivf_fingerprint(df, id_col)
+    try:
+        meta = spark.read.parquet(f"{index_path}/meta").first()
+        stale = meta is None or (int(meta["n"]), meta["max_id"]) != fp
+        spark.read.parquet(f"{index_path}/pq/books").first()
+    except Exception:
+        stale = True
+    if stale:
+        ivf_build(
+            df, index_path, n_clusters, id_col, vec_col,
+            sample_size=sample_size, seed=seed, fingerprint=fp,
+        )
+        vecs = spark.read.parquet(f"{index_path}/vectors")
+        n = vecs.count()
+        sample = (
+            vecs.sample(min(1.0, sample_size / max(n, 1)), seed=seed)
+            .limit(sample_size)
+            .toPandas()
+        )
+        books = pq_train(
+            np.vstack(sample[vec_col].to_numpy()), m=m, ksub=ksub, seed=seed
+        )
+        pq_encode(
+            vecs, books, id_col, vec_col, extra_cols=("cluster",)
+        ).write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{index_path}/pq/codes"
+        )
+        book_rows = [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            book_rows, "s int, c int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/pq/books"
+        )
+
+    # ---- search: driver-side centroid ranking, partition-pruned scans
+    cent = spark.read.parquet(f"{index_path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0].centroid)))
+    for r in cent:
+        C[r.cluster] = r.centroid
+    book_rows = spark.read.parquet(f"{index_path}/pq/books").collect()
+    mm = max(r.s for r in book_rows) + 1
+    kk = max(r.c for r in book_rows) + 1
+    books = np.zeros((mm, kk, len(book_rows[0].centroid)))
+    for r in book_rows:
+        books[r.s, r.c] = r.centroid
+    qv = np.asarray(query.select(vec_col).first()[0], dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = [int(c) for c in np.argsort(-(C @ qn))[: min(nprobe, len(C))]]
+
+    codes = spark.read.parquet(f"{index_path}/pq/codes").filter(
+        F.col("cluster").isin(probe)
+    )
+    cand = (
+        pq_adc_scores(codes, qv, books, id_col)
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    probed_vecs = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cluster").isin(probe)
+    )
+    hydrated = probed_vecs.join(F.broadcast(cand), id_col, "semi")
     return topk_cosine(hydrated, query, k, id_col, vec_col)
 
 

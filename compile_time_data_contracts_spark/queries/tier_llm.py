@@ -2918,3 +2918,43 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_b").cast("bigint").alias("doc_b"),
         "containment",
     )
+
+
+@q(
+    "q193_ivf_pq_recall_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 23),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS ivfpq_overlap_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 23),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ accuracy contract — the production ANN composite (the
+    FAISS IVFx,PQy shape: cell pruning x compressed-domain ADC scan x
+    exact re-rank) under the same contract pattern as q107 (IVF) and
+    q151 (PQ): the exact top-10 for a query vector, annotated with
+    whether the composite recovered >= 7 of them.  The three stages
+    multiply at 100 TB: nprobe/n_clusters of the cells x 32x byte
+    compression means the hot scan reads ~0.4% of the raw corpus
+    bytes, and the code table is partition-pruned per query exactly
+    like the vector table (PartitionFilters on cluster)."""
+    from ..operators.similarity import ivf_pq_topk, topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 23)
+    exact = topk_cosine(emb, query, k=10)
+    approx = ivf_pq_topk(
+        emb, query, k=10, n_clusters=16, nprobe=8, m=8, ksub=16,
+        rerank=200,
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("ivfpq_overlap_ok"),
+    )

@@ -542,3 +542,68 @@ def test_apply_expectations_empty_suite_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError, match="at least one rule"):
         apply_expectations(df, [])
+
+
+# --------------------------------------------------------- IVF-PQ composite
+
+
+def test_ivf_pq_full_probe_full_rerank_equals_exact(spark, tmp_path):
+    """With nprobe = n_clusters and rerank >= corpus the composite
+    degrades to exact search — output must equal topk_cosine."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_topk,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = emb.filter("vec_id = 7")
+    exact = [
+        (r.vec_id, round(r.sim, 6))
+        for r in topk_cosine(emb, query, k=10).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.sim, 6))
+        for r in ivf_pq_topk(
+            emb, query, k=10, n_clusters=4, nprobe=4, m=4, ksub=16,
+            rerank=300, index_path=str(tmp_path / "ivfpq"),
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_ivf_pq_index_reuse_skips_rebuild(spark, tmp_path):
+    import os
+
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = np.random.default_rng(12)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = emb.filter("vec_id = 3")
+    path = str(tmp_path / "ivfpq2")
+    first = {r.vec_id for r in ivf_pq_topk(
+        emb, query, k=5, n_clusters=4, nprobe=4, m=4, rerank=200,
+        index_path=path).collect()}
+    stamp = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, fs in os.walk(f"{path}/pq/codes") for f in fs
+    )
+    second = {r.vec_id for r in ivf_pq_topk(
+        emb, query, k=5, n_clusters=4, nprobe=4, m=4, rerank=200,
+        index_path=path).collect()}
+    stamp2 = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, fs in os.walk(f"{path}/pq/codes") for f in fs
+    )
+    assert first == second
+    assert stamp2 == stamp  # code table untouched on the second search

@@ -770,6 +770,24 @@ def _capped_posting_pipeline(spark, sf_dir):
     )
 
 
+def _ivf_pq_search_pipeline(spark, sf_dir):
+    # q193's composite SEARCH plan (build happens eagerly before): the
+    # probed code/vector scans must be partition-pruned on cluster and
+    # the ADC scoring must stay JVM-side
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 23)
+    return ivf_pq_topk(
+        emb, query, k=10, n_clusters=16, nprobe=8, m=8, ksub=16,
+        rerank=200,
+    )
+
+
 def _prefix_filter_pipeline(spark, sf_dir):
     # q190's prefix-filtered candidate+verify plan, pre-CC (no internal
     # checkpoints, so the whole shape is visible)
@@ -796,6 +814,7 @@ PIPELINES = {
     "q150_inner_entity_candidates": _entity_candidates_pipeline,
     "q188_inner_capped_candidates": _capped_posting_pipeline,
     "q190_inner_prefix_postings": _prefix_filter_pipeline,
+    "q193_inner_ivf_pq_search": _ivf_pq_search_pipeline,
 }
 
 PIPELINE_CHECKS = {
@@ -817,6 +836,20 @@ PIPELINE_CHECKS = {
         ("equi-join on (brand, token), never BNLJ/cartesian", True,
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q193_inner_ivf_pq_search": [
+        ("probed scans are PARTITION-pruned on cluster (codes + "
+         "vectors)", True,
+         lambda p: p.count("PartitionFilters: [") >= 2
+         and re.search(r"PartitionFilters: \[[^\]]*cluster", p)),
+        ("ADC scoring is JVM-side (no Python stage in the search "
+         "plan)", True,
+         lambda p: "BatchEvalPython" not in p
+         and "ArrowEvalPython" not in p and "MapInPandas" not in p),
+        ("candidate cut via TakeOrdered heap", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("rerank hydration is a broadcast semi-join", True,
+         lambda p: re.search(r"BroadcastHashJoin [^\n]*LeftSemi", p)),
     ],
     "q188_inner_capped_candidates": [
         ("hot-shingle exclusion is a BROADCAST anti-join (the hot list "
