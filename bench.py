@@ -111,6 +111,11 @@ HEADLINE = [
     "q191_expectations_quarantine",
     "q192_chunked_containment",
     "q193_ivf_pq_recall_contract",
+    "q194_pipe_syntax",
+    "q195_collated_group",
+    "q196_state_store_reader",
+    "q198_ewma_trailing",
+    "q200_dynamic_gap_sessions",
 ]
 
 

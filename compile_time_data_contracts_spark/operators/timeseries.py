@@ -19,7 +19,67 @@ from pyspark.sql import functions as F
 
 from .asof import asof_join
 
-__all__ = ["resample_ffill", "resample_interp"]
+__all__ = ["resample_ffill", "resample_interp", "ewma_trailing"]
+
+
+def ewma_trailing(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.1,
+    window: int = 8,
+    out_col: str = "ewma",
+    decimals: int = 4,
+) -> DataFrame:
+    """Trailing-window exponentially weighted moving average per key:
+    for each row, ewma = Σ_{j=0..m-1} (1-α)^j · x_{t-j} / Σ (1-α)^j over
+    the last ``window`` observations (m = rows actually in the frame, so
+    the head of each series normalizes over what exists — pandas
+    ``ewm(adjust=True)`` semantics, truncated to a bounded frame).
+
+    The truncation is the scale decision: the textbook recursive EWMA is
+    a sequential scan per key (unbounded state, no partial aggregation),
+    while the trailing form is ONE sort-based window over the key
+    exchange — no join, no Python, state bounded by ``window`` rows.
+    With (1-α)=0.9 and window=8 the dropped tail carries < 0.9^8 ≈ 4.3 %
+    of the weight; widen ``window`` to tighten, cost stays linear.
+
+    Implementation is entirely codegen expressions: ``collect_list``
+    over the rows frame (``order_cols`` must make the order total —
+    include a unique tiebreaker), ``zip_with`` against a descending
+    ``sequence`` of lags for the weighted terms, ``aggregate`` for the
+    numerator, and the closed-form geometric sum (1-(1-α)^m)/α for the
+    denominator.  Null values must be filtered upstream (``collect_list``
+    skips nulls, which would misalign lag weights).
+
+    Output: input key/order columns + ``out_col`` rounded to
+    ``decimals``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"ewma_trailing: alpha must be in (0,1), got {alpha}")
+    if window < 1:
+        raise ValueError(f"ewma_trailing: window must be >= 1, got {window}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    d = 1.0 - alpha
+    lst = F.collect_list(value_col).over(w)
+    num = F.expr(
+        f"aggregate(zip_with(__l, sequence(size(__l)-1, 0, -1),"
+        f" (x, j) -> x * pow({d!r}, j)), 0D, (acc, v) -> acc + v)"
+    )
+    den = (1.0 - F.pow(F.lit(d), F.size(F.col("__l")))) / alpha
+    return (
+        df.select(key_col, *order_cols, lst.alias("__l"))
+        .select(
+            key_col,
+            *order_cols,
+            F.round(num / den, decimals).alias(out_col),
+        )
+    )
 
 
 def resample_ffill(

@@ -2695,3 +2695,152 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+# =========================================================================
+# Round-5 Spark-4 SQL surface + time-series decay (Q194-Q198; q196 is in
+# tier_streaming)
+# =========================================================================
+
+_Q194_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("q194_pipe_syntax", _Q194_ORACLE)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the |> operator chain — FROM |> WHERE
+    |> EXTEND |> AGGREGATE … GROUP BY |> ORDER BY — each stage consuming
+    the previous stage's output, in execution order instead of SELECT's
+    inside-out order.  Purely parser-level sugar: the chain resolves to
+    the identical analyzed plan as the nested form (same partial-agg
+    hash aggregate, same pushdown — the WHERE reaches PushedFilters),
+    so the scale posture is exactly q17's; the oracle is the classic
+    spelling of the same query."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "q194_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM q194_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(disc_price), 2) AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_Q195_ORACLE = """
+SELECT lower(o_orderpriority) AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total
+FROM orders GROUP BY 1
+"""
+
+
+@q("q195_collated_group", _Q195_ORACLE)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 string collations): the group
+    key is COLLATE(…, 'UTF8_LCASE'), so 'URGENT' / 'urgent' / 'Urgent'
+    hash and compare as one group INSIDE the aggregate — no lower()
+    normalization column, and any index/partition stats on the original
+    column stay usable.  The fixture synthesizes deterministic
+    case-mangled keys (upper/lower/initcap by o_orderkey mod 3); the
+    oracle groups the clean column case-insensitively.  Output key is
+    min(lower(key)): identical for every member of a UTF8_LCASE group,
+    so the emission is deterministic even though the group retains an
+    arbitrary representative."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q195_orders")
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+                      WHEN o_orderkey % 3 = 1 THEN lower(o_orderpriority)
+                      ELSE initcap(lower(o_orderpriority)) END AS pr,
+                 o_totalprice
+          FROM q195_orders)
+        SELECT min(lower(pr)) AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS total
+        FROM mixed GROUP BY collate(pr, 'UTF8_LCASE')
+        """
+    )
+
+
+_Q197_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@q("q197_listagg", _Q197_ORACLE)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered LISTAGG (Spark 4 / SQL:2016 `WITHIN GROUP (ORDER BY …)`):
+    the denormalized-list rollup every report ends with, deterministic
+    because the within-group order is total.  Scale note: the result row
+    is O(group size) — LISTAGG is for bounded groups (here: nations per
+    region); unbounded-group concatenation belongs in collect_list +
+    downstream chunking, not a string column."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+_Q198_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE value IS NOT NULL
+)
+SELECT a.user_id, a.event_id,
+       round(sum(b.value * pow(0.9, a.rn - b.rn))
+             / sum(pow(0.9, a.rn - b.rn)), 4) AS ewma
+FROM t a JOIN t b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+GROUP BY a.user_id, a.event_id
+"""
+
+
+@q("q198_ewma_trailing", _Q198_ORACLE)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window EWMA per user over the events series
+    (`operators/timeseries.py: ewma_trailing`): the time-decayed feature
+    every telemetry/quality pipeline computes, expressed as ONE
+    sort-based window on the user_id exchange — collect_list over an
+    8-row frame, zip_with a descending lag sequence for the weights,
+    closed-form geometric normalizer; all codegen, no join, no Python,
+    state bounded by the frame.  The oracle computes the identical
+    truncated-adjusted EWMA as a bounded rank self-join — quadratic in
+    the window width, which is exactly why the window form is the scale
+    path."""
+    from ..operators.timeseries import ewma_trailing
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    return ewma_trailing(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.1, window=8
+    ).select("user_id", "event_id", "ewma")

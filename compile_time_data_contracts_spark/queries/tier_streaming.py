@@ -337,3 +337,104 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.stateful import rocksdb_totals_gate
 
     return rocksdb_totals_gate(spark, sf)
+
+
+@q(
+    "q196_state_store_reader",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS total_value_r
+       FROM events GROUP BY user_id""",
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """State Data Source (Spark 4, `spark.read.format("statestore")`):
+    a completed streaming aggregation's checkpoint read back as a BATCH
+    DataFrame — one task per state shard, no input replay — flattened
+    to (user_id, n_events, total_value_r).  The snapshot of a committed
+    per-user count/sum state must equal the batch GROUP BY over the same
+    feed, which is the oracle; see
+    `streaming/stateful.py: state_store_snapshot_totals` for why this is
+    the operational primitive (state audits, debugging, reseeding) a
+    1000-executor streaming deployment needs."""
+    from ..streaming.stateful import state_store_snapshot_totals
+
+    return state_store_snapshot_totals(spark, sf)
+
+
+@q(
+    "q199_stream_outer_join",
+    """WITH l AS (SELECT * FROM events WHERE user_id % 5 = 0),
+            r AS (SELECT * FROM events
+                  WHERE user_id % 5 = 0 AND event_type = 'purchase')
+       SELECT l.user_id,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN r.event_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_unmatched
+       FROM l LEFT JOIN r
+         ON l.user_id = r.user_id
+        AND r.ts >= l.ts - INTERVAL 30 MINUTE
+        AND r.ts <= l.ts
+       GROUP BY l.user_id""",
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: unmatched left rows must
+    emit with nulls — but only once the joint watermark proves no match
+    can arrive, so the gate drives the flush with a far-future sentinel
+    batch on both feeds (see `streaming/joins.py:
+    outer_interval_join_gate`).  Per-user (rows, unmatched) counts equal
+    the batch left join — the oracle.  Completes the stream-join surface
+    alongside q86's inner form; state is bounded by watermark + interval
+    exactly as there."""
+    from ..streaming.joins import outer_interval_join_gate
+
+    return outer_interval_join_gate(spark, sf)
+
+
+@q(
+    "q200_dynamic_gap_sessions",
+    """WITH t AS (SELECT user_id, ts,
+              ts + CASE WHEN event_type = 'purchase'
+                        THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 10 MINUTE END AS e_end
+            FROM events),
+       m AS (SELECT user_id, ts, e_end,
+               max(e_end) OVER (PARTITION BY user_id ORDER BY ts, e_end
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+             FROM t),
+       f AS (SELECT *, CASE WHEN prev_max IS NULL OR ts > prev_max
+                            THEN 1 ELSE 0 END AS brk FROM m),
+       s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+               ORDER BY ts, e_end ROWS UNBOUNDED PRECEDING) AS sid
+             FROM f)
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC-gap session windows: the gap duration is a per-event
+    expression (purchases hold a session open 30 min, everything else
+    10 min) — q43/q132's static gap can't express engagement-dependent
+    timeouts.  Spark merges an event into the running session when its
+    ts is <= the running max of (ts + gap) over earlier events
+    (boundary-equal MERGES — [start, end] inclusive at the merge step,
+    pinned by test); the oracle replays exactly that rule as a
+    running-max gaps-and-islands window.  Same single user_id exchange
+    + sort as the static form, so the scale posture is q43's."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 from ..contracts.policies import SchemaPolicy
 from ..sources.io import Sink, write_df
 
-__all__ = ["interval_join", "interval_join_gate", "write_stream_with_contract", "write_stream_idempotent", "idempotent_batch_writer"]
+__all__ = [
+    "interval_join",
+    "interval_join_gate",
+    "outer_interval_join_gate",
+    "write_stream_with_contract",
+    "write_stream_idempotent",
+    "idempotent_batch_writer",
+]
 
 
 def interval_join(
@@ -202,3 +209,101 @@ def write_stream_idempotent(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def outer_interval_join_gate(
+    spark,
+    sf_dir: str,
+    query_name: str = "ctdc_q199_sink",
+) -> DataFrame:
+    """Gate-checkable stream-stream LEFT OUTER interval join — the
+    semantics q86's inner join cannot express: a left row with no match
+    must still emit (with nulls) once the watermark proves no match can
+    ever arrive.
+
+    Why the null emission is the hard part: Spark holds an unmatched
+    left row in state until the joint watermark passes its last possible
+    match time; rows near the head of the stream would sit in state
+    forever if the watermark never advanced past them.  The gate drives
+    the flush deterministically with a SENTINEL second batch on BOTH
+    feeds — one far-future row per side (10 h past max(ts), key outside
+    the data's key space so it matches nothing) — which advances both
+    watermarks past every real row.  After the sentinel batch, every
+    matched pair AND every unmatched left row (as l.*, NULLs) has been
+    emitted exactly once, so per-user row/unmatched counts equal the
+    batch left join — the DuckDB oracle.  At 100 TB the same mechanism
+    is simply the arrival of later event time; state stays bounded by
+    watermark + interval exactly as in the inner case.
+
+    Left feed: events with user_id % 5 == 0.  Right feed: the purchase
+    subset of the same rows, so most left rows are unmatched.
+    """
+    import datetime
+    import tempfile
+
+    from ..catalog import load_table
+    from .windows import write_ordered_feed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    left = ev.filter(F.pmod(F.col("user_id"), F.lit(5)) == 0)
+    right = left.filter(F.col("event_type") == "purchase")
+
+    # one row, driver-side: the sentinel timestamp (NOT data-sized)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = max_ts + datetime.timedelta(hours=10)
+    sent_l = spark.createDataFrame(
+        [(-1, -998, sentinel, "sentinel")], ev.schema
+    )
+    sent_r = spark.createDataFrame(
+        [(-2, -999, sentinel, "sentinel")], ev.schema
+    )
+
+    lbase = tempfile.mkdtemp(prefix="ctdc-ossjoin-l-")
+    rbase = tempfile.mkdtemp(prefix="ctdc-ossjoin-r-")
+    write_ordered_feed([left, sent_l], lbase)
+    write_ordered_feed([right, sent_r], rbase)
+
+    def source(base: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base)
+        )
+
+    joined = interval_join(
+        source(lbase),
+        source(rbase),
+        on="user_id",
+        lower="0 seconds",
+        upper="30 minutes",
+        left_watermark="1 hour",
+        right_watermark="2 hours",
+        how="left_outer",
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.event_id").alias("r_event_id"),
+    )
+    if query_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(query_name)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(query_name)
+        .filter(F.col("user_id") >= 0)  # the left sentinel, if flushed
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("r_event_id").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+    )

@@ -24,6 +24,7 @@ __all__ = [
     "running_user_totals_tws",
     "tws_totals_gate",
     "tws_available",
+    "state_store_snapshot_totals",
 ]
 
 _OUT_SCHEMA = T.StructType(
@@ -362,4 +363,55 @@ def rocksdb_totals_gate(
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round("total_value", 2).alias("total_value_r"),
         F.lit(bool(engaged)).alias("rocksdb_engaged"),
+    )
+
+
+def state_store_snapshot_totals(spark, sf_dir: str) -> DataFrame:
+    """The state store itself read back as a BATCH DataFrame — the
+    Spark 4 State Data Source (``spark.read.format("statestore")``),
+    pointed at the checkpoint of a completed streaming aggregation.
+
+    This is the operational primitive streaming deployments need at
+    scale: debugging a misbehaving stateful query, auditing exactly what
+    per-key state a 1000-executor job is carrying, or seeding a
+    re-partitioned replacement query — all WITHOUT replaying the input.
+    The read plans one task per state-store shard (= shuffle partition
+    of the original query), so it parallelizes like any file source and
+    never routes state through the driver.
+
+    The gate run streams the events table (availableNow, one commit)
+    through a per-user count/sum aggregation into a noop sink, then
+    reads the committed state back and flattens the (key, value) structs.
+    Built-in agg state buffers expose canonical field names (``count``
+    for the count(*) buffer, ``sum`` for the sum buffer) regardless of
+    output aliases.  Because every key lives in exactly one shuffle
+    partition, the snapshot has one row per user and must equal the
+    batch GROUP BY over the same input — the DuckDB oracle.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    base = tempfile.mkdtemp(prefix="ctdc-statesrc-")
+    src, ckpt = f"{base}/feed", f"{base}/ckpt"
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.format("statestore").load(ckpt).select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        F.round(F.col("value.sum"), 2).alias("total_value_r"),
     )

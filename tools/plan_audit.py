@@ -670,6 +670,34 @@ CHECKS = {
         ("no Python anywhere (pure JVM loop)", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q194_pipe_syntax": [
+        ("pipe chain resolves to partial-combined hash aggregate",
+         True, lambda p: "partial_count" in p or "partial_sum" in p),
+        ("pipe WHERE reaches the scan as a pushed filter", True,
+         lambda p: re.search(r"PushedFilters: \[[^\]]*l_shipdate", p)),
+    ],
+    "q195_collated_group": [
+        ("collated group key partial-aggregates before the exchange",
+         True, lambda p: "partial_count" in p),
+        ("no Python (collation compares JVM-side)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q200_dynamic_gap_sessions": [
+        ("dynamic-gap sessionization rides one user_id exchange (plus "
+         "the final rollup)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+        ("session merge is JVM-side, no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q198_ewma_trailing": [
+        ("single sort-based window, no self-join", True,
+         lambda p: "Window" in p and "Join" not in p),
+        ("exactly one exchange (the user_id window shuffle; formatted "
+         "mode prints each node twice)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("weighted fold is codegen, no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's

@@ -55,6 +55,8 @@ EXPECTED = {
     "q151_pq_recall_contract": 1.3,
     "q156_duplicate_spans": 1.3,
     "q165_pagerank": 1.3,
+    "q198_ewma_trailing": 1.3,       # one window exchange, n·log n sort
+    "q200_dynamic_gap_sessions": 1.3,  # same shape as static sessions
     # iterative / adaptive shapes: rounds or bucket sizes grow with n
     "q73_neardup_clusters": 1.5,
     "q56_cosine_lsh_pairs": 1.5,

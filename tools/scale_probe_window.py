@@ -1,6 +1,7 @@
 """Scale probe: windowed behavioral analytics at 10M events / 100k
-users — the q169 (trailing z-score anomaly) and q170 (sessionization +
-transition mining) shapes at 100x the gate's data.
+users — the q169 (trailing z-score anomaly), q170 (sessionization +
+transition mining), q198 (trailing EWMA), and q200 (dynamic-gap session
+windows) shapes at 100x the gate's data.
 
 Event stream (deterministic, generated distributed, untimed): 10M
 events across 100k users; per-user timestamps step 60s with every
@@ -160,11 +161,74 @@ def main() -> int:
     )
     results["sessions_expected"] = expected_sessions
 
+    # --- q198 shape: trailing-window EWMA over the full stream
+    from compile_time_data_contracts_spark.operators.timeseries import (
+        ewma_trailing,
+    )
+
+    t0 = time.perf_counter()
+    ew = ewma_trailing(
+        events, "user_id", ["ts", "event_id"], "value",
+        alpha=0.1, window=8, decimals=6,
+    )
+    ew_sum = ew.agg(F.sum("ewma").alias("s")).collect()[0].s
+    results["ewma_sec"] = round(time.perf_counter() - t0, 2)
+    results["ewma_checksum"] = round(float(ew_sum), 2)
+
+    plan = ew._sc._jvm.PythonSQLUtils.explainString(
+        ew._jdf.queryExecution(), "formatted"
+    )
+    results["ewma_one_exchange"] = (
+        len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    )
+
+    # contract: one user's full series equals the pure-Python recursion
+    # (k-sized collect: EVENTS_PER_USER rows)
+    u0 = (
+        events.filter(F.col("user_id") == 0)
+        .orderBy("ts", "event_id")
+        .select("event_id", "value")
+        .collect()
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in ew.filter(F.col("user_id") == 0).collect()
+    }
+    vals = [r.value for r in u0]
+    d = 0.9
+    max_err = 0.0
+    for t, row in enumerate(u0):
+        frame = vals[max(0, t - 7): t + 1]
+        num = sum(
+            x * d ** (len(frame) - 1 - i) for i, x in enumerate(frame)
+        )
+        den = (1.0 - d ** len(frame)) / 0.1
+        max_err = max(max_err, abs(got[row.event_id] - num / den))
+    results["ewma_max_err_vs_python"] = round(max_err, 9)
+
+    # --- q200 shape: DYNAMIC-gap session windows (per-event gap
+    # expression -> MergingSessions plan); with every branch 30 min the
+    # session count must equal the lag-based sessionization above
+    t0 = time.perf_counter()
+    gap = F.when(
+        F.col("event_id") % 2 == 0, F.lit("30 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    n_dyn = (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*"))
+        .count()
+    )
+    results["dyn_session_sec"] = round(time.perf_counter() - t0, 2)
+    results["dyn_sessions"] = int(n_dyn)
+
     results["ok"] = (
         results["spike_recall"] >= 0.9
         and results["false_positive_rate"] < 0.01
         and results["anomaly_one_exchange"]
         and n_sessions == expected_sessions
+        and results["ewma_one_exchange"]
+        and results["ewma_max_err_vs_python"] < 1e-5
+        and n_dyn == expected_sessions
     )
     merge_entry(f"window_n{n}", results)
     print(results)
