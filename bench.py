@@ -116,6 +116,7 @@ HEADLINE = [
     "q196_state_store_reader",
     "q198_ewma_trailing",
     "q200_dynamic_gap_sessions",
+    "q201_approx_topk_contract",
 ]
 
 

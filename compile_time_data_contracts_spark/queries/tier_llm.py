@@ -2958,3 +2958,62 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
         F.round("sim", 4).alias("sim_r"),
         F.lit(overlap >= 7).alias("ivfpq_overlap_ok"),
     )
+
+
+@q(
+    "q201_approx_topk_contract",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS n, TRUE AS sketch_ok
+       FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+             FROM documents)
+       GROUP BY tok
+       ORDER BY n DESC, tok
+       LIMIT 10""",
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitters sketch contract (`approx_top_k`, Spark 4):
+    completes the mergeable-sketch family (HLL q130, Count-Min q160,
+    quantile q96) with the one-pass top-k summary.  Like CMS, the
+    sketch state is fixed-size and merges associatively across
+    partitions — at 100 TB the shuffle carries one sketch per map
+    partition instead of one row per distinct token, which is the whole
+    point versus the exact q66 path when the token space is huge.
+
+    Contract: every token of the EXACT top-10 (deterministic tiebreak:
+    count desc, token asc) must appear in the sketch's top-20 with an
+    estimated count within max(1, 1%) of truth; the emitted rows are
+    the exact top-10 (oracle-checkable) plus the sketch verdict, which
+    the oracle pins to TRUE.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(10)
+    )
+    sketch = (
+        toks.agg(F.expr("approx_top_k(tok, 20, 65536)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("tok"),
+            F.col("e.count").cast("bigint").alias("est"),
+        )
+    )
+    verdict = (
+        exact.join(F.broadcast(sketch), "tok", "left")
+        .agg(
+            F.min(
+                F.col("est").isNotNull()
+                & (
+                    F.abs(F.col("est") - F.col("n"))
+                    <= F.greatest(F.lit(1.0), 0.01 * F.col("n"))
+                )
+            ).alias("sketch_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(verdict)).select(
+        "tok", "n", "sketch_ok"
+    )

@@ -438,3 +438,26 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@q(
+    "q202_state_metadata",
+    """SELECT CAST(0 AS BIGINT) AS operator_id,
+              'stateStoreSave' AS operator_name,
+              'default' AS state_store_name,
+              CAST(0 AS BIGINT) AS min_batch_id,
+              CAST(0 AS BIGINT) AS max_batch_id""",
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint operator metadata (`state-metadata` data source,
+    Spark 4) — the discovery half of the state-reader story: q196 reads
+    a checkpoint's state, q202 discovers WHAT the checkpoint contains
+    (stateful operators, store names, committed batch range) without
+    replaying anything.  A single-commit availableNow aggregation has
+    exactly one stateStoreSave operator with batch range [0, 0], which
+    the oracle pins (numPartitions is deliberately dropped — it echoes
+    the runner's shuffle conf).  See `streaming/stateful.py:
+    state_metadata_gate`."""
+    from ..streaming.stateful import state_metadata_gate
+
+    return state_metadata_gate(spark, sf)

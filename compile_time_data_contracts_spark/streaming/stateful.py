@@ -25,6 +25,7 @@ __all__ = [
     "tws_totals_gate",
     "tws_available",
     "state_store_snapshot_totals",
+    "state_metadata_gate",
 ]
 
 _OUT_SCHEMA = T.StructType(
@@ -414,4 +415,53 @@ def state_store_snapshot_totals(spark, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
         F.round(F.col("value.sum"), 2).alias("total_value_r"),
+    )
+
+
+def state_metadata_gate(spark, sf_dir: str) -> DataFrame:
+    """Operator metadata of a committed streaming checkpoint via the
+    Spark 4 `state-metadata` data source — the discovery half of the
+    state-reader story (q196 reads the state itself): which stateful
+    operators a checkpoint contains, their store names, and the batch
+    range their state covers, WITHOUT replaying the query.  At scale
+    this is how tooling decides what a foreign checkpoint holds before
+    attaching a statestore read or planning a state migration.
+
+    The gate streams a small slice of events (availableNow, one commit)
+    through a per-user aggregate into a noop sink, then reads the
+    metadata back.  Every emitted column is run-deterministic
+    (numPartitions is intentionally dropped: it echoes the session's
+    shuffle-partition conf, which differs between runners), so the
+    oracle pins the exact row.
+    """
+    import tempfile
+
+    from ..catalog import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "value")
+    )
+    base = tempfile.mkdtemp(prefix="ctdc-statemeta-")
+    src, ckpt = f"{base}/feed", f"{base}/ckpt"
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.format("state-metadata").load(ckpt).select(
+        F.col("operatorId").cast("bigint").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("state_store_name"),
+        F.col("minBatchId").cast("bigint").alias("min_batch_id"),
+        F.col("maxBatchId").cast("bigint").alias("max_batch_id"),
     )

@@ -682,6 +682,15 @@ CHECKS = {
         ("no Python (collation compares JVM-side)", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q201_approx_topk_contract": [
+        ("sketch partial-aggregates map-side (one fixed-size sketch "
+         "per partition crosses the shuffle)", True,
+         lambda p: "partial_approx_top_k" in p),
+        ("exact top-10 is a TakeOrdered heap, no global sort", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q200_dynamic_gap_sessions": [
         ("dynamic-gap sessionization rides one user_id exchange (plus "
          "the final rollup)", True,
