@@ -2953,7 +2953,9 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
     exact = topk_cosine(emb, query, k=10)
     # stable fingerprinted index path (q67/q107 convention): the first
     # call builds, later calls reuse — a repeated gate/bench run measures
-    # the SEARCH, which is the amortized production posture
+    # the SEARCH, which is the amortized production posture.  Assumes
+    # one gate runner at a time (as q67/q107 do): concurrent first-runs
+    # could race the build; production indexes live behind a writer lock
     tag = hashlib.md5(f"{sf}|c16-m8-k16".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-ivfpq-{tag}"
     approx = ivf_pq_topk(

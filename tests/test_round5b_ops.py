@@ -140,7 +140,6 @@ def test_pipe_syntax_matches_classic_form(spark, sf_dir):
            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
            GROUP BY l_returnflag, l_linestatus"""
     )
-    key = lambda r: (r.l_returnflag, r.l_linestatus)  # noqa: E731
     assert sorted(map(tuple, piped.collect()), key=lambda t: t[:2]) == sorted(
         map(tuple, classic.select(*piped.columns).collect()),
         key=lambda t: t[:2],
@@ -185,8 +184,17 @@ def test_outer_join_gate_emits_unmatched_and_no_sentinels(spark, sf_dir):
     )
 
     rows = outer_interval_join_gate(spark, sf_dir).collect()
-    assert all(r.user_id >= 0 for r in rows)
-    # the purchase subset is sparse: unmatched left rows must exist and
-    # must be a strict subset of all rows
+    # the raw sink still holds everything the join EMITTED: the only
+    # rows the gate's user_id >= 0 filter may remove are the sentinels,
+    # so emitted real-user rows must equal the aggregated totals
+    raw = spark.table("ctdc_q199_sink")
+    from pyspark.sql import functions as F
+
+    emitted_real = raw.filter(F.col("user_id") >= 0).count()
+    assert emitted_real == sum(r.n_rows for r in rows)
+    # the purchase subset is sparse: unmatched left rows must exist,
+    # and at least one user must have a matched pair (n_unmatched <
+    # n_rows per-user would assume EVERY cohort user has a purchase,
+    # which the fixture does not guarantee)
     assert sum(r.n_unmatched for r in rows) > 0
-    assert all(r.n_unmatched < r.n_rows for r in rows)
+    assert sum(r.n_rows for r in rows) > sum(r.n_unmatched for r in rows)

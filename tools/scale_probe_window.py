@@ -207,19 +207,30 @@ def main() -> int:
     results["ewma_max_err_vs_python"] = round(max_err, 9)
 
     # --- q200 shape: DYNAMIC-gap session windows (per-event gap
-    # expression -> MergingSessions plan); with every branch 30 min the
-    # session count must equal the lag-based sessionization above
+    # expression -> MergingSessions plan).  The gap GENUINELY varies
+    # (30 vs 10 min by event parity — not constant-foldable), but the
+    # planted geometry pins the answer regardless of which gap each
+    # event draws: intra-session steps are 60 s (< both gaps, always
+    # merge) and planted breaks are 2,760 s (> both gaps, always
+    # break), so the dynamic session count must equal the lag-based
+    # count above.
     t0 = time.perf_counter()
     gap = F.when(
         F.col("event_id") % 2 == 0, F.lit("30 minutes")
-    ).otherwise(F.lit("30 minutes"))
-    n_dyn = (
-        events.groupBy("user_id", F.session_window("ts", gap))
-        .agg(F.count("*"))
-        .count()
-    )
+    ).otherwise(F.lit("10 minutes"))
+    dyn = events.groupBy(
+        "user_id", F.session_window("ts", gap)
+    ).agg(F.count("*"))
+    n_dyn = dyn.count()
     results["dyn_session_sec"] = round(time.perf_counter() - t0, 2)
     results["dyn_sessions"] = int(n_dyn)
+    dplan = dyn._sc._jvm.PythonSQLUtils.explainString(
+        dyn._jdf.queryExecution(), "formatted"
+    )
+    results["dyn_session_merging_plan"] = (
+        "MergingSessions" in dplan
+        and len(re.findall(r"\(\d+\) Exchange", dplan)) <= 2
+    )
 
     results["ok"] = (
         results["spike_recall"] >= 0.9
@@ -229,6 +240,7 @@ def main() -> int:
         and results["ewma_one_exchange"]
         and results["ewma_max_err_vs_python"] < 1e-5
         and n_dyn == expected_sessions
+        and results["dyn_session_merging_plan"]
     )
     merge_entry(f"window_n{n}", results)
     print(results)
