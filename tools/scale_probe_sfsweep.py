@@ -67,6 +67,10 @@ EXPECTED = {
     # paths and the bench tracks their levels
     "q150_entity_resolution": 2.1,
     "q157_containment_pairs": 2.1,
+    # prefix-filtered scale path: candidates shrink vs q150 but the
+    # fixture's block density still grows ~10x per sf decade, and the
+    # CC rounds ride along — same honest ceiling as the exact form
+    "q190_prefix_filtered_entity_resolution": 2.1,
 }
 
 
