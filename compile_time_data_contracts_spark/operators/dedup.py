@@ -52,6 +52,12 @@ __all__ = [
     "semantic_dedup",
 ]
 
+# Broadcasting the hot-shingle list into the anti-join is only safe
+# while the list is genuinely small; past this many entries (~tens of
+# MB of shingle strings) fall back to a shuffle anti-join rather than
+# ship an unbounded set to the driver and every executor.
+_HOT_BROADCAST_MAX = 1_000_000
+
 
 def normalize_text(col: str = "text") -> F.Column:
     """Canonical text form for exact dedup: trim, lowercase, collapse
@@ -125,8 +131,11 @@ def _capped_pair_scores(
 
       1. one posting pass counts each shingle's document frequency;
          shingles with df > max_df are dropped from the posting lists
-         ONLY for candidate generation (the hot list is tiny — it is
-         broadcast into a left-anti join),
+         ONLY for candidate generation (broadcast into a left-anti
+         join when the hot list is actually small — counted, not
+         assumed; a huge hot list, e.g. a tiny max_df over a diverse
+         corpus, falls back to a shuffle anti-join instead of
+         becoming a driver/executor memory hazard),
       2. the capped self-join emits candidate id-pairs — each surviving
          shingle contributes at most max_df² join rows, so a corpus
          stop-shingle with df=10⁶ costs 0 instead of 10¹²,
@@ -168,7 +177,16 @@ def _capped_pair_scores(
     try:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         hot = dfreq.filter(F.col("__df") > max_df).select("shingle")
-        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # the hot list is USUALLY tiny (corpus boilerplate), but with a
+        # small max_df over a large diverse corpus it can be
+        # arbitrarily large — count it (one aggregate over the cached
+        # postings, reused by the log line below) and only broadcast
+        # under the threshold; above it, a plain shuffle anti-join
+        n_hot = hot.count()
+        if n_hot <= _HOT_BROADCAST_MAX:
+            kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        else:
+            kept = sh.join(hot, "shingle", "left_anti")
         a, b = kept.alias("a"), kept.alias("b")
         cand = (
             a.join(
@@ -183,18 +201,13 @@ def _capped_pair_scores(
             .dropDuplicates(["doc_a", "doc_b"])
             .checkpoint(eager=True)
         )
-        logger = logging.getLogger(__name__)
-        if logger.isEnabledFor(logging.INFO):
-            # the count is one aggregate over the posting cache — only
-            # pay for it when the log line will actually be emitted;
-            # hot_shingle_report is the always-available reporting path
-            logger.info(
-                "df-capped pair join: dropped %d shingles with df > %d "
-                "from candidate generation (verification stays exact; "
-                "call hot_shingle_report for the list)",
-                hot.count(),
-                max_df,
-            )
+        logging.getLogger(__name__).info(
+            "df-capped pair join: dropped %d shingles with df > %d "
+            "from candidate generation (verification stays exact; "
+            "call hot_shingle_report for the list)",
+            n_hot,
+            max_df,
+        )
         cand_ids = (
             cand.select(F.col("doc_a").alias(id_col))
             .union(cand.select(F.col("doc_b").alias(id_col)))

@@ -1384,6 +1384,17 @@ def ivf_pq_topk(
     try:
         meta = spark.read.parquet(f"{index_path}/meta").first()
         stale = meta is None or (int(meta["n"]), meta["max_id"]) != fp
+        # the index is only valid for the parameters it was built with:
+        # a caller re-pointing a different (n_clusters, m, ksub) at the
+        # same path must rebuild, not silently search the old geometry
+        # with degraded recall (the q193 gate used to encode these in
+        # the path tag; the operator now enforces it itself)
+        pq_meta = spark.read.parquet(f"{index_path}/pq/meta").first()
+        stale = stale or pq_meta is None or (
+            int(pq_meta["n_clusters"]),
+            int(pq_meta["m"]),
+            int(pq_meta["ksub"]),
+        ) != (n_clusters, m, ksub)
         spark.read.parquet(f"{index_path}/pq/books").first()
     except Exception:
         stale = True
@@ -1416,6 +1427,11 @@ def ivf_pq_topk(
             book_rows, "s int, c int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{index_path}/pq/books"
+        )
+        spark.createDataFrame(
+            [(n_clusters, m, ksub)], "n_clusters int, m int, ksub int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/pq/meta"
         )
 
     # ---- search: driver-side centroid ranking, partition-pruned scans

@@ -53,8 +53,11 @@ def ewma_trailing(
     include a unique tiebreaker), ``zip_with`` against a descending
     ``sequence`` of lags for the weighted terms, ``aggregate`` for the
     numerator, and the closed-form geometric sum (1-(1-α)^m)/α for the
-    denominator.  Null values must be filtered upstream (``collect_list``
-    skips nulls, which would misalign lag weights).
+    denominator.  NULL values in ``value_col`` FAIL FAST at execution
+    (``raise_error`` on the first null row): ``collect_list`` silently
+    skips nulls, which would misalign the lag weights and produce
+    plausible-looking wrong numbers — filter or impute upstream, then
+    call this.
 
     Output: input key/order columns + ``out_col`` rounded to
     ``decimals``.
@@ -69,7 +72,20 @@ def ewma_trailing(
         .rowsBetween(-(window - 1), 0)
     )
     d = 1.0 - alpha
-    lst = F.collect_list(value_col).over(w)
+    # CASE WHEN branches evaluate lazily per row, so the error fires
+    # only if a null actually flows through — no extra pass, no action
+    checked = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"ewma_trailing: NULL in {value_col} — collect_list "
+                "would silently drop it and misalign the lag weights; "
+                "filter or impute nulls upstream"
+            )
+        )
+    )
+    lst = F.collect_list(checked).over(w)
     num = F.expr(
         f"aggregate(zip_with(__l, sequence(size(__l)-1, 0, -1),"
         f" (x, j) -> x * pow({d!r}, j)), 0D, (acc, v) -> acc + v)"

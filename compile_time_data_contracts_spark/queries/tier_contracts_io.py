@@ -1005,8 +1005,14 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "q191_expectations_quarantine",
     """WITH flags AS (
+         -- null-EXPLICIT predicates: in_range/accepted_values route
+         -- NULL values as clean (row_ok semantics), so every flag must
+         -- be a real boolean — a bare (c_acctbal < 0) is NULL for a
+         -- NULL balance and would silently drop the row from BOTH the
+         -- reject and the clean counts
          SELECT c_custkey,
-                (c_acctbal < 0.0 OR c_acctbal > 10000.0) AS f_range,
+                (c_acctbal IS NOT NULL AND
+                 (c_acctbal < 0.0 OR c_acctbal > 10000.0)) AS f_range,
                 (c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
                   ('AUTOMOBILE','BUILDING','HOUSEHOLD','MACHINERY'))
                   AS f_seg,
@@ -1023,8 +1029,10 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
               CAST(count(*) FILTER (WHERE f_null) AS BIGINT) FROM flags
        UNION ALL
        SELECT '__clean__',
-              CAST(count(*) FILTER (WHERE NOT f_range AND NOT f_seg
-                                      AND NOT f_null) AS BIGINT)
+              CAST(count(*) FILTER (WHERE NOT COALESCE(f_range, FALSE)
+                                      AND NOT COALESCE(f_seg, FALSE)
+                                      AND NOT COALESCE(f_null, FALSE))
+                   AS BIGINT)
        FROM flags""",
 )
 def q191(spark: SparkSession, sf: str) -> DataFrame:
