@@ -29,6 +29,7 @@ __all__ = [
     "GOPHER_STOP_WORDS",
     "bm25_scores",
     "duplicate_span_stats",
+    "remove_boilerplate_lines",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -622,4 +623,94 @@ def duplicate_span_stats(
         F.round(
             F.sum("__span_len") / F.first("__n_toks"), 6
         ).alias("dup_frac"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 10,
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level boilerplate-LINE removal (the CCNet / RefinedWeb
+    line-dedup recipe): drop every line whose normalized form appears
+    in MORE THAN ``max_doc_freq`` distinct documents — cookie banners,
+    nav menus, "terms of service" footers — and reassemble each
+    document with its surviving lines in original order.
+
+    Plan shape (all codegen, no Python):
+      1. one scan -> positional line table via posexplode(split),
+      2. line document-frequency = partial-combined count over the
+         per-doc-DISTINCT normalized lines (blank lines never count),
+      3. hot lines (df > max_doc_freq) leave via an anti-join —
+         broadcast only when the hot list is verifiably small
+         (counted, same guard as the dedup operators' hot-shingle
+         list), shuffle anti-join otherwise,
+      4. reassembly is one partial-combined collect_list of
+         (pos, line) structs + array_sort + array_join — per-doc
+         state is the document itself, never corpus-sized.
+
+    Documents whose every line is boilerplate survive with empty text
+    (dropping them is a policy choice — compose with a filter).
+    Output: (id_col, out_col, n_lines_kept, n_lines_dropped).  At
+    100 TB the corpus-wide shuffles move normalized lines once for the
+    frequency count and once for the anti-join — both key-partitioned,
+    both combiner-reduced; nothing is quadratic in df because lines are
+    counted, never self-joined.
+    """
+    from .dedup import _HOT_BROADCAST_MAX
+
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__norm", F.lower(F.trim(F.col("__line"))))
+    dfreq = (
+        lines.filter(F.length("__norm") > 0)
+        .select(id_col, "__norm")
+        .distinct()
+        .groupBy("__norm")
+        .agg(F.count("*").alias("__df"))
+    )
+    hot = dfreq.filter(F.col("__df") > max_doc_freq).select("__norm")
+    n_hot = hot.count()
+    hot_side = F.broadcast(hot) if n_hot <= _HOT_BROADCAST_MAX else hot
+    kept = lines.join(hot_side, "__norm", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit(sep), -1))
+        .cast("bigint")
+        .alias("__n_lines"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__clean", F.lit("")).alias(out_col),
+            F.coalesce("n_lines_kept", F.lit(0))
+            .cast("bigint")
+            .alias("n_lines_kept"),
+            (
+                F.col("__n_lines")
+                - F.coalesce("n_lines_kept", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_lines_dropped"),
+        )
     )

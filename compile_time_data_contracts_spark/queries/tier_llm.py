@@ -3027,3 +3027,101 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(verdict)).select(
         "tok", "n", "sketch_ok"
     )
+
+
+@q(
+    "q203_boilerplate_lines",
+    """WITH lined AS (
+         SELECT doc_id, source,
+                replace(text, ' batch ', chr(10)) AS text
+         FROM documents),
+       split AS (
+         SELECT doc_id, source, text,
+                string_split(text, chr(10)) AS ls
+         FROM lined),
+       lines AS (
+         SELECT doc_id, source, unnest(ls) AS line,
+                unnest(range(len(ls))) AS pos
+         FROM split),
+       docline AS (
+         SELECT DISTINCT doc_id, lower(trim(line)) AS norm
+         FROM lines WHERE length(trim(line)) > 0),
+       hot AS (
+         SELECT norm FROM (
+           SELECT norm, count(*) AS c FROM docline GROUP BY norm)
+         WHERE c > 5),
+       kept AS (
+         SELECT l.doc_id, l.source, l.line, l.pos
+         FROM lines l LEFT JOIN hot h
+           ON lower(trim(l.line)) = h.norm
+         WHERE h.norm IS NULL),
+       reasm AS (
+         SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS clean,
+                count(*) AS kept
+         FROM kept GROUP BY doc_id),
+       tot AS (
+         SELECT doc_id, source, len(ls) AS n_lines FROM split)
+       SELECT t.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(*) FILTER (WHERE r.clean IS NULL) AS BIGINT)
+                AS emptied,
+              CAST(COALESCE(sum(r.kept), 0) AS BIGINT) AS lines_kept,
+              CAST(sum(t.n_lines - COALESCE(r.kept, 0)) AS BIGINT)
+                AS lines_dropped,
+              CAST(COALESCE(sum(length(r.clean)), 0) AS BIGINT)
+                AS chars_kept
+       FROM tot t LEFT JOIN reasm r USING (doc_id)
+       GROUP BY t.source
+       ORDER BY t.source""",
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus boilerplate-LINE removal (`remove_boilerplate_lines` —
+    the CCNet/RefinedWeb line-dedup recipe): lines whose normalized
+    form appears in more than 5 distinct documents are dropped and
+    every document is reassembled from its surviving lines in original
+    order.  The fixture corpus has no newlines, so line structure is
+    synthesized IDENTICALLY in both engines by splitting on the
+    ' batch ' token (plain non-overlapping replace — dialect-checked);
+    the per-source rollup (doc counts, emptied docs, kept/dropped line
+    totals, surviving character mass) pins the reassembly byte-for-byte
+    without shipping 100k document bodies through the compare.
+
+    Plan shape: posexplode(split) postings -> partial-combined line
+    document-frequency -> counted-broadcast anti-join (shuffle
+    fallback above the guard, like the hot-shingle cap) ->
+    collect_list(struct(pos, line)) + array_sort reassembly.  At
+    100 TB both corpus-wide shuffles are key-partitioned line hashes
+    with map-side combine; nothing is quadratic in line frequency —
+    hot lines are counted and excluded, never self-joined.
+    """
+    from ..operators.text import remove_boilerplate_lines
+
+    docs = load_table(spark, sf, "documents")
+    lined = docs.select(
+        "doc_id",
+        "source",
+        F.replace(F.col("text"), F.lit(" batch "), F.lit("\n")).alias(
+            "text"
+        ),
+    )
+    cleaned = remove_boilerplate_lines(
+        lined, "doc_id", "text", max_doc_freq=5
+    )
+    return (
+        lined.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.length("text") == 0).cast("int"))
+            .cast("bigint")
+            .alias("emptied"),
+            F.sum("n_lines_kept").cast("bigint").alias("lines_kept"),
+            F.sum("n_lines_dropped")
+            .cast("bigint")
+            .alias("lines_dropped"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -209,3 +209,52 @@ def test_ivf_pq_param_mismatch_rebuilds(spark, tmp_path):
 
     # exact re-rank: the query vector itself is top-1 both times
     assert r1[0].vec_id == 11 and r2[0].vec_id == 11
+
+
+# --------------------------------------- boilerplate line removal
+
+
+def test_remove_boilerplate_lines_drops_hot_keeps_order(spark):
+    from compile_time_data_contracts_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "Accept cookies to continue"
+    rows = [
+        (1, f"intro one\n{banner}\nbody one"),
+        (2, f"{banner}\nbody two\noutro two"),
+        (3, f"body three\n{banner.upper()}"),   # case-insensitive hit
+        (4, f"  {banner}  "),                   # whitespace-insensitive
+        (5, "unique only\nsecond unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", max_doc_freq=2
+        ).collect()
+    }
+    assert out[1].text == "intro one\nbody one"
+    assert out[2].text == "body two\noutro two"
+    assert out[3].text == "body three"
+    # fully-boilerplate doc survives with empty text, counts intact
+    assert out[4].text == "" and out[4].n_lines_dropped == 1
+    assert out[5].text == "unique only\nsecond unique"
+    assert out[5].n_lines_dropped == 0
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_dropped == 1
+
+
+def test_remove_boilerplate_lines_blank_lines_never_hot(spark):
+    from compile_time_data_contracts_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    # blank lines appear in every doc but must never count as
+    # boilerplate — they are structure, not content
+    rows = [(i, "alpha %d\n\nomega %d" % (i, i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate_lines(
+        df, "doc_id", "text", max_doc_freq=1
+    ).collect()
+    assert all(r.n_lines_dropped == 0 for r in out)
+    assert all(r.text.count("\n") == 2 for r in out)

@@ -845,6 +845,26 @@ def _prefix_filter_pipeline(spark, sf_dir):
         tok, "p_partkey", "toks", 0.6, block_col="p_brand")
 
 
+def _boilerplate_lines_pipeline(spark, sf_dir):
+    # q203's full operator plan: posexplode postings -> line df
+    # histogram -> counted-broadcast anti-join -> ordered reassembly
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" batch "), F.lit("\n")).alias(
+            "text"
+        ),
+    )
+    return remove_boilerplate_lines(lined, "doc_id", "text", max_doc_freq=5)
+
+
+
 PIPELINES = {
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -852,6 +872,7 @@ PIPELINES = {
     "q188_inner_capped_candidates": _capped_posting_pipeline,
     "q190_inner_prefix_postings": _prefix_filter_pipeline,
     "q193_inner_ivf_pq_search": _ivf_pq_search_pipeline,
+    "q203_inner_boilerplate_lines": _boilerplate_lines_pipeline,
 }
 
 PIPELINE_CHECKS = {
@@ -915,6 +936,22 @@ PIPELINE_CHECKS = {
          lambda p: "partial_count" in p),
         ("no Python anywhere", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q203_inner_boilerplate_lines": [
+        ("line postings are a codegen Generate (posexplode), no Python "
+         "stage anywhere", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("line document-frequency partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("hot-line exclusion is a BROADCAST anti-join under the "
+         "counted guard", True,
+         lambda p: re.search(r"BroadcastHashJoin [^\n]*LeftAnti", p)),
+        ("reassembly collect_list partial-aggregated, join back is "
+         "never cartesian/BNLJ", True,
+         lambda p: "partial_collect_list" in p
+         and "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
     ],
     "q151_inner_pq_candidates": [
         ("one corpus scan feeds encode+score", True,
