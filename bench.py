@@ -117,6 +117,7 @@ HEADLINE = [
     "q198_ewma_trailing",
     "q200_dynamic_gap_sessions",
     "q201_approx_topk_contract",
+    "q203_boilerplate_lines",
 ]
 
 

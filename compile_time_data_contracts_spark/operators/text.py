@@ -30,6 +30,9 @@ __all__ = [
     "bm25_scores",
     "duplicate_span_stats",
     "remove_boilerplate_lines",
+    "line_doc_frequency",
+    "boilerplate_index_build",
+    "remove_boilerplate_against",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -660,23 +663,118 @@ def remove_boilerplate_lines(
     both combiner-reduced; nothing is quadratic in df because lines are
     counted, never self-joined.
     """
-    from .dedup import _HOT_BROADCAST_MAX
+    hot = line_doc_frequency(df, id_col, text_col, sep).filter(
+        F.col("line_df") > max_doc_freq
+    ).select("__norm")
+    return _drop_lines(df, hot, id_col, text_col, sep, out_col)
 
-    out_col = out_col or text_col
-    lines = df.select(
+
+def line_doc_frequency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-line corpus document frequency: one row per distinct
+    normalized (lowercased, trimmed) non-blank line with the count of
+    distinct documents containing it — the statistic every
+    boilerplate-removal policy keys on.  Output: (__norm, line_df)."""
+    return (
+        _line_table(df, id_col, text_col, sep)
+        .filter(F.length("__norm") > 0)
+        .select(id_col, "__norm")
+        .distinct()
+        .groupBy("__norm")
+        .agg(F.count("*").cast("bigint").alias("line_df"))
+    )
+
+
+def boilerplate_index_build(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 10,
+    sep: str = "\n",
+) -> None:
+    """Build and PERSIST the hot-line list so later batches strip
+    corpus boilerplate WITHOUT rescanning the corpus — the
+    incremental-ingest pattern (same posture as
+    ``dedup.minhash_index_build``): new crawl batches arrive daily,
+    the reference corpus is re-counted never.
+
+    Writes under ``index_path``:
+      * ``hot_lines`` — (__norm, line_df) for lines with df >
+        max_doc_freq (hot-list-sized, not corpus-sized),
+      * ``meta``      — (n_docs, max_doc_freq, sep) so
+        :func:`remove_boilerplate_against` refuses an index built
+        with different semantics.
+
+    Batch lines do NOT advance the corpus counts (a banner must
+    already be corpus-hot to be stripped from a new batch) — schedule
+    a periodic rebuild as corpus boilerplate drifts."""
+    hot = line_doc_frequency(df, id_col, text_col, sep).filter(
+        F.col("line_df") > max_doc_freq
+    )
+    hot.write.mode("overwrite").parquet(f"{index_path}/hot_lines")
+    df.sparkSession.createDataFrame(
+        [(df.count(), max_doc_freq, sep)],
+        "n_docs long, max_doc_freq int, sep string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def remove_boilerplate_against(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip a NEW batch's boilerplate lines against a persisted
+    corpus hot-line index (:func:`boilerplate_index_build`): cost is
+    O(batch) — one batch scan, one anti-join against the hot list —
+    never O(corpus).  Same output contract as
+    :func:`remove_boilerplate_lines`.  Raises if the index was built
+    with a different ``sep`` (different line semantics)."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").first()
+    if meta["sep"] != sep:
+        raise ValueError(
+            f"remove_boilerplate_against: index at {index_path} was "
+            f"built with sep={meta['sep']!r}, called with {sep!r}"
+        )
+    hot = spark.read.parquet(f"{index_path}/hot_lines").select("__norm")
+    return _drop_lines(batch, hot, id_col, text_col, sep, out_col)
+
+
+def _line_table(
+    df: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(id, __pos, __line, __norm) — one row per line via
+    posexplode(split), normalized for frequency counting."""
+    return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
             "__pos", "__line"
         ),
     ).withColumn("__norm", F.lower(F.trim(F.col("__line"))))
-    dfreq = (
-        lines.filter(F.length("__norm") > 0)
-        .select(id_col, "__norm")
-        .distinct()
-        .groupBy("__norm")
-        .agg(F.count("*").alias("__df"))
-    )
-    hot = dfreq.filter(F.col("__df") > max_doc_freq).select("__norm")
+
+
+def _drop_lines(
+    df: DataFrame,
+    hot: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    out_col: str | None,
+) -> DataFrame:
+    """Anti-join a document frame's lines against a hot-line frame
+    (column ``__norm``) and reassemble survivors in original order."""
+    from .dedup import _HOT_BROADCAST_MAX
+
+    out_col = out_col or text_col
+    lines = _line_table(df, id_col, text_col, sep)
     n_hot = hot.count()
     hot_side = F.broadcast(hot) if n_hot <= _HOT_BROADCAST_MAX else hot
     kept = lines.join(hot_side, "__norm", "left_anti")

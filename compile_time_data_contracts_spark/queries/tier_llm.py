@@ -3125,3 +3125,105 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q204_boilerplate_against_index",
+    """WITH lined AS (
+         SELECT doc_id, source,
+                replace(text, ' batch ', chr(10)) AS text
+         FROM documents),
+       corpus AS (SELECT * FROM lined WHERE doc_id % 5 <> 0),
+       batch AS (SELECT * FROM lined WHERE doc_id % 5 = 0),
+       csplit AS (
+         SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+       clines AS (
+         SELECT doc_id, unnest(ls) AS line FROM csplit),
+       hot AS (
+         SELECT norm FROM (
+           SELECT norm, count(*) AS c FROM (
+             SELECT DISTINCT doc_id, lower(trim(line)) AS norm
+             FROM clines WHERE length(trim(line)) > 0)
+           GROUP BY norm)
+         WHERE c > 3),
+       bsplit AS (
+         SELECT doc_id, source, string_split(text, chr(10)) AS ls
+         FROM batch),
+       blines AS (
+         SELECT doc_id, source, unnest(ls) AS line,
+                unnest(range(len(ls))) AS pos
+         FROM bsplit),
+       kept AS (
+         SELECT l.doc_id, l.source, l.line, l.pos
+         FROM blines l LEFT JOIN hot h
+           ON lower(trim(l.line)) = h.norm
+         WHERE h.norm IS NULL),
+       reasm AS (
+         SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS clean,
+                count(*) AS kept
+         FROM kept GROUP BY doc_id),
+       tot AS (
+         SELECT doc_id, source, len(ls) AS n_lines FROM bsplit)
+       SELECT t.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(COALESCE(sum(r.kept), 0) AS BIGINT) AS lines_kept,
+              CAST(sum(t.n_lines - COALESCE(r.kept, 0)) AS BIGINT)
+                AS lines_dropped,
+              CAST(COALESCE(sum(length(r.clean)), 0) AS BIGINT)
+                AS chars_kept
+       FROM tot t LEFT JOIN reasm r USING (doc_id)
+       GROUP BY t.source
+       ORDER BY t.source""",
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental boilerplate removal against a PERSISTED hot-line
+    index (`boilerplate_index_build` + `remove_boilerplate_against`):
+    the corpus partition (doc_id % 5 != 0) is counted ONCE into a
+    hot-line index; the arriving batch (doc_id % 5 == 0) is stripped
+    against that index with O(batch) work — one batch scan + one
+    anti-join, the corpus is never rescanned.  This is the daily-crawl
+    posture: a banner is stripped from new documents because it is
+    CORPUS-hot, even when the batch alone would never reach the
+    frequency threshold (batch lines do not advance corpus counts —
+    by design; the oracle computes the hot set from the corpus
+    partition only).  Per-source batch rollup pins the reassembly, as
+    q203 does for the one-shot operator."""
+    import hashlib
+    import tempfile
+
+    from ..operators.text import (
+        boilerplate_index_build,
+        remove_boilerplate_against,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    lined = docs.select(
+        "doc_id",
+        "source",
+        F.replace(F.col("text"), F.lit(" batch "), F.lit("\n")).alias(
+            "text"
+        ),
+    )
+    corpus = lined.filter(F.col("doc_id") % 5 != 0)
+    batch = lined.filter(F.col("doc_id") % 5 == 0)
+    tag = hashlib.md5(f"{sf}|bp-df3".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-bpidx-{tag}"
+    boilerplate_index_build(
+        corpus, idx, "doc_id", "text", max_doc_freq=3
+    )
+    cleaned = remove_boilerplate_against(batch, idx, "doc_id", "text")
+    return (
+        batch.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_lines_kept").cast("bigint").alias("lines_kept"),
+            F.sum("n_lines_dropped")
+            .cast("bigint")
+            .alias("lines_dropped"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

@@ -258,3 +258,33 @@ def test_remove_boilerplate_lines_blank_lines_never_hot(spark):
     ).collect()
     assert all(r.n_lines_dropped == 0 for r in out)
     assert all(r.text.count("\n") == 2 for r in out)
+
+
+def test_boilerplate_index_strips_corpus_hot_from_batch(spark, tmp_path):
+    from compile_time_data_contracts_spark.operators.text import (
+        boilerplate_index_build,
+        remove_boilerplate_against,
+    )
+
+    banner = "subscribe to our newsletter"
+    corpus = spark.createDataFrame(
+        [(i, f"corpus body {i}\n{banner}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    # the batch alone carries the banner ONCE — below any threshold —
+    # but it is corpus-hot, so the index strips it anyway
+    batch = spark.createDataFrame(
+        [(100, f"fresh content\n{banner}\nmore fresh")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bpidx")
+    boilerplate_index_build(corpus, idx, max_doc_freq=3)
+    out = remove_boilerplate_against(batch, idx).collect()[0]
+    assert out.text == "fresh content\nmore fresh"
+    assert out.n_lines_dropped == 1
+
+    # different line semantics must be refused, not silently misapplied
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sep"):
+        remove_boilerplate_against(batch, idx, sep="|")
