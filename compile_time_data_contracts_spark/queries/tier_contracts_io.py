@@ -1105,3 +1105,89 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows")
     ).select(F.lit("__clean__").alias("rule"), "n_rows")
     return per_rule.union(clean_row)
+
+
+@q(
+    "q206_incremental_rollup_merge",
+    """WITH g AS (
+         SELECT event_type,
+                strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS micros,
+                min(value) AS min_value,
+                max(value) AS max_value
+         FROM events GROUP BY event_type, day)
+       SELECT event_type, day, n,
+              CAST(micros AS DOUBLE) / 1000000 AS sum_value,
+              min_value, max_value,
+              CAST((2 * micros + 100 * n) // (200 * n) AS DOUBLE)
+                / 10000 AS avg_value
+       FROM g""",
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance
+    (operators/incremental.py): the per-(event_type, day) rollup is
+    refreshed by MERGING algebraic aggregate states, never by
+    re-scanning history.  The base partition (event_id % 4 != 3) is
+    aggregated once into a (n, sum, min, max) state table and
+    PERSISTED to parquet; the arriving batch (event_id % 4 == 3) is
+    aggregated alone and merged with the state read BACK from disk —
+    counts/sums add, mins min, maxs max, avg derives at finalize.
+    Work per refresh is O(batch) + O(|keys|); at 100 TB the corpus
+    scan happens once ever, and the merge is one partial-combined
+    hash aggregation (the same partial/final split Spark performs
+    inside a query, lifted across queries via the state table).  The
+    oracle recomputes the rollup from ALL events in one pass — merge
+    ≡ recompute is exactly the algebraic-correctness claim."""
+    import hashlib
+    import tempfile
+
+    from ..operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    # sums route through DECIMAL so state-merge summation order can
+    # never drift an ulp from the oracle's single-pass sum (the q180
+    # money convention); min/max stay on the raw doubles (order-free)
+    spec = dict(sums=["value_dec"], mins=["value"], maxs=["value"])
+    keys = ["event_type", "day"]
+    keyed = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day"),
+        "value",
+        F.col("value").cast("decimal(18,6)").alias("value_dec"),
+    )
+    base = keyed.filter(F.col("event_id") % 4 != 3)
+    batch = keyed.filter(F.col("event_id") % 4 == 3)
+    tag = hashlib.md5(f"{sf}|rollup-v1".encode()).hexdigest()[:12]
+    state_path = f"{tempfile.gettempdir()}/ctdc-rollup-state-{tag}"
+    aggregate_state(base, keys, **spec).write.mode("overwrite").parquet(
+        state_path
+    )
+    state = spark.read.parquet(state_path)
+    merged = merge_aggregate_states(
+        [state, aggregate_state(batch, keys, **spec)], keys, **spec
+    )
+    # every output digit is deterministic across engines: the decimal
+    # sums are EXACTLY equal (so their double casts are bit-identical),
+    # min/max are raw parquet doubles, and the derived avg is computed
+    # with integer half-up arithmetic at 4 dp instead of rounding a
+    # double quotient (Spark rounds the shortest decimal repr, DuckDB
+    # the true binary value — they disagree at exact midpoints like
+    # 307.03/8; values are non-negative so DIV == floor on both sides)
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("CAST(sum_value_dec AS DOUBLE)").alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.expr(
+            "CAST((2 * CAST(sum_value_dec * 1000000 AS BIGINT)"
+            " + 100 * n) DIV (200 * n) AS DOUBLE) / 10000"
+        ).alias("avg_value"),
+    )

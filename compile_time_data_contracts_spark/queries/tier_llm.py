@@ -3227,3 +3227,128 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q205_fuzzy_name_pairs",
+    """WITH names AS (SELECT c_custkey AS k, c_name AS s FROM customer),
+       vars AS (
+         SELECT k, s, s AS v FROM names
+         UNION ALL
+         SELECT k, s,
+                left(s, CAST(i AS INT)) || substr(s, CAST(i AS INT) + 2)
+                  AS v
+         FROM names, UNNEST(range(0, length(s))) AS t(i)),
+       dvars AS (SELECT DISTINCT k, s, v FROM vars),
+       cand AS (
+         SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+                a.s AS s_a, b.s AS s_b
+         FROM dvars a JOIN dvars b ON a.v = b.v AND a.k < b.k)
+       SELECT key_a, key_b,
+              CAST(levenshtein(s_a, s_b) AS INT) AS dist
+       FROM cand WHERE levenshtein(s_a, s_b) <= 1""",
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy matching without the cross product: all customer-name
+    pairs within Levenshtein distance 1, found by FastSS
+    deletion-neighborhood blocking (`edit_distance_pairs`,
+    operators/fuzzy.py).  Each name emits its radius-1 deletion
+    variants (a ×(len+1) linear blowup); an equi-join on the variant
+    string yields a COMPLETE candidate set (strings at distance ≤ 1
+    always share a variant), and one exact `levenshtein` per candidate
+    verifies.  The plan contains no cartesian/BNL join at any scale
+    (audited) — this is the string twin of the MinHash banding join:
+    collide, equi-join, verify.  The oracle replays the identical
+    neighborhood construction in SQL, so completeness is checked
+    against DuckDB's own levenshtein, not assumed."""
+    from ..operators.fuzzy import edit_distance_pairs
+
+    cust = load_table(spark, sf, "customer")
+    return edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_dist=1
+    ).select("key_a", "key_b", F.col("dist").cast("int").alias("dist"))
+
+
+@q(
+    "q207_bpe_merge_training",
+    """WITH tok AS (
+         SELECT unnest(string_split_regex(text, '\\s+')) AS w
+         FROM documents),
+       words0 AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                regexp_split_to_array(w, '') AS syms
+         FROM tok WHERE w <> '' GROUP BY w),
+       p1 AS (
+         SELECT syms[CAST(i AS INT)] AS lhs,
+                syms[CAST(i AS INT) + 1] AS rhs,
+                CAST(sum(freq) AS BIGINT) AS pair_freq
+         FROM words0, UNNEST(range(1, len(syms))) AS t(i)
+         GROUP BY 1, 2),
+       b1 AS (SELECT lhs, rhs, pair_freq FROM p1
+              ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+       words1 AS (
+         SELECT w, freq,
+           string_split(
+             CASE WHEN len(syms) = 1 THEN syms[1]
+             ELSE list_reduce(syms, (acc, x) -> CASE
+               WHEN (acc = b.lhs OR
+                     right(acc, 1 + len(b.lhs)) = chr(31) || b.lhs)
+                    AND x = b.rhs
+               THEN left(acc, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+               ELSE acc || chr(31) || x END)
+             END, chr(31)) AS syms
+         FROM words0, b1 b),
+       p2 AS (
+         SELECT syms[CAST(i AS INT)] AS lhs,
+                syms[CAST(i AS INT) + 1] AS rhs,
+                CAST(sum(freq) AS BIGINT) AS pair_freq
+         FROM words1, UNNEST(range(1, len(syms))) AS t(i)
+         GROUP BY 1, 2),
+       b2 AS (SELECT lhs, rhs, pair_freq FROM p2
+              ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+       words2 AS (
+         SELECT w, freq,
+           string_split(
+             CASE WHEN len(syms) = 1 THEN syms[1]
+             ELSE list_reduce(syms, (acc, x) -> CASE
+               WHEN (acc = b.lhs OR
+                     right(acc, 1 + len(b.lhs)) = chr(31) || b.lhs)
+                    AND x = b.rhs
+               THEN left(acc, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+               ELSE acc || chr(31) || x END)
+             END, chr(31)) AS syms
+         FROM words1, b2 b),
+       p3 AS (
+         SELECT syms[CAST(i AS INT)] AS lhs,
+                syms[CAST(i AS INT) + 1] AS rhs,
+                CAST(sum(freq) AS BIGINT) AS pair_freq
+         FROM words2, UNNEST(range(1, len(syms))) AS t(i)
+         GROUP BY 1, 2),
+       b3 AS (SELECT lhs, rhs, pair_freq FROM p3
+              ORDER BY pair_freq DESC, lhs, rhs LIMIT 1)
+       SELECT 1 AS step, * FROM b1
+       UNION ALL SELECT 2, * FROM b2
+       UNION ALL SELECT 3, * FROM b3""",
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016), three
+    steps over the documents corpus (`bpe_merge_steps`,
+    operators/bpe.py).  The corpus is scanned ONCE into a distinct-word
+    frequency table (partial-combined groupBy — the shuffle carries the
+    vocabulary, not the token stream); every merge iteration then
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    argmax with a deterministic (freq DESC, lhs, rhs) tie-break, and
+    rewrites symbol sequences with a JVM left-to-right non-rescanning
+    fold — canonical single-pass BPE, one driver row per step.  The
+    oracle unrolls the same three iterations as a DuckDB SQL tower
+    (list_reduce fold over a unit-separator string), so pair counts,
+    tie-breaks, AND the fold semantics on repeated-symbol runs are all
+    cross-checked."""
+    from ..operators.bpe import bpe_merge_steps, word_frequencies
+
+    docs = load_table(spark, sf, "documents")
+    merges, words = bpe_merge_steps(
+        spark, word_frequencies(docs, "text"), 3
+    )
+    words.unpersist()
+    return merges

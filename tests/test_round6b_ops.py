@@ -1,0 +1,208 @@
+"""Round-6 operators: FastSS edit-distance pairs, incremental rollup
+merge, distributed BPE merge training."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from compile_time_data_contracts_spark.operators.bpe import (
+    bpe_merge_steps,
+    word_frequencies,
+)
+from compile_time_data_contracts_spark.operators.fuzzy import (
+    deletion_variants,
+    edit_distance_pairs,
+)
+from compile_time_data_contracts_spark.operators.incremental import (
+    aggregate_state,
+    finalize_state,
+    merge_aggregate_states,
+)
+
+
+# ---------------------------------------------------------------- fuzzy
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+NAMES = [
+    "alpha", "alphb", "alpa", "alphax", "beta", "betas", "bets",
+    "gamma", "gamm", "gamma", "delta", "delt", "delte", "x", "y", "",
+]
+
+
+def test_edit_distance_pairs_matches_brute_force_k1(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(NAMES)], "k long, s string"
+    )
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in edit_distance_pairs(df, "k", "s", max_dist=1).collect()
+    }
+    want = {
+        (i, j, _py_lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(
+            enumerate(NAMES), 2
+        )
+        if _py_lev(a, b) <= 1
+    }
+    assert got == want
+
+
+def test_edit_distance_pairs_matches_brute_force_k2(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(NAMES)], "k long, s string"
+    )
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in edit_distance_pairs(df, "k", "s", max_dist=2).collect()
+    }
+    want = {
+        (i, j, _py_lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(
+            enumerate(NAMES), 2
+        )
+        if _py_lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_deletion_variants_counts_and_empty_string(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "k long, s string")
+    rows = deletion_variants(df, "k", "s", radius=1).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["__k"], set()).add(r["__v"])
+    # "abc": itself + 3 single deletions, all distinct
+    assert by_key[1] == {"abc", "bc", "ac", "ab"}
+    # "": only itself (no sequence(0,-1) descending surprise)
+    assert by_key[2] == {""}
+
+
+def test_edit_distance_pairs_rejects_zero(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "k", "s", max_dist=0)
+
+
+# ---------------------------------------------------------- incremental
+def test_merge_equals_recompute(spark):
+    rows = [
+        ("a", 1.0), ("a", 2.5), ("a", -3.0), ("b", 7.0), ("b", 0.0),
+        ("c", 4.25),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    spec = dict(sums=["v"], mins=["v"], maxs=["v"])
+    # split three ways, aggregate each, merge — must equal one pass
+    parts = [
+        df.filter(F.pmod(F.hash("v"), F.lit(3)) == i) for i in range(3)
+    ]
+    states = [aggregate_state(p, ["g"], **spec) for p in parts]
+    merged = merge_aggregate_states(states, ["g"], **spec)
+    full = aggregate_state(df, ["g"], **spec)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_disjoint_keys_pass_through(spark):
+    spec = dict(sums=["v"], mins=["v"], maxs=["v"])
+    a = aggregate_state(
+        spark.createDataFrame([("a", 1.0)], "g string, v double"),
+        ["g"], **spec,
+    )
+    b = aggregate_state(
+        spark.createDataFrame([("b", 2.0)], "g string, v double"),
+        ["g"], **spec,
+    )
+    m = {r.g: r for r in merge_aggregate_states([a, b], ["g"], **spec).collect()}
+    assert m["a"].n == 1 and m["a"].sum_v == 1.0
+    assert m["b"].n == 1 and m["b"].max_v == 2.0
+
+
+def test_finalize_derives_avg(spark):
+    spec = dict(sums=["v"])
+    st = aggregate_state(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0)], "g string, v double"
+        ),
+        ["g"], **spec,
+    )
+    out = finalize_state(st, avgs=["v"]).collect()[0]
+    assert out.avg_v == 2.0
+
+
+def test_merge_requires_state(spark):
+    with pytest.raises(ValueError):
+        merge_aggregate_states([], ["g"])
+
+
+# ------------------------------------------------------------------ bpe
+def test_bpe_canonical_fold_on_repeated_symbols(spark):
+    # corpus of one word "aaaa" x5: step 1 must merge (a,a) with pair
+    # freq 15 (3 adjacent pairs x 5) and the rewrite must yield
+    # [aa, aa] (left-to-right non-rescanning), so step 2 merges
+    # (aa, aa) with freq 5
+    docs = spark.createDataFrame([("aaaa " * 5,)], "text string")
+    merges, words = bpe_merge_steps(
+        spark, word_frequencies(docs, "text"), 2
+    )
+    got = [(r.step, r.lhs, r.rhs, r.pair_freq) for r in merges.collect()]
+    assert got == [(1, "a", "a", 15), (2, "aa", "aa", 5)]
+    # after both merges the word is a single symbol again
+    assert {tuple(r.syms) for r in words.collect()} == {("aaaa",)}
+    words.unpersist()
+
+
+def test_bpe_known_tiny_corpus(spark):
+    # Sennrich's classic shape: "low" x5, "lower" x2 — most frequent
+    # pair is (l,o) freq 7, then (lo,w) freq 7
+    docs = spark.createDataFrame(
+        [("low " * 5 + "lower " * 2,)], "text string"
+    )
+    merges, words = bpe_merge_steps(
+        spark, word_frequencies(docs, "text"), 2
+    )
+    got = [(r.step, r.lhs, r.rhs, r.pair_freq) for r in merges.collect()]
+    assert got == [(1, "l", "o", 7), (2, "lo", "w", 7)]
+    final = {r.word: list(r.syms) for r in words.collect()}
+    assert final["low"] == ["low"]
+    assert final["lower"] == ["low", "e", "r"]
+    words.unpersist()
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    # "ab" and "cd" each x3: pairs (a,b) and (c,d) tie at 3 — the
+    # deterministic tie-break must pick (a,b)
+    docs = spark.createDataFrame([("ab cd " * 3,)], "text string")
+    merges, words = bpe_merge_steps(
+        spark, word_frequencies(docs, "text"), 1
+    )
+    r = merges.collect()[0]
+    assert (r.lhs, r.rhs, r.pair_freq) == ("a", "b", 3)
+    words.unpersist()
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    # single word "ab" x2 fully merges in 1 step; asking for 5 merges
+    # must return only the achievable ones
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    merges, words = bpe_merge_steps(
+        spark, word_frequencies(docs, "text"), 5
+    )
+    assert merges.count() == 1
+    words.unpersist()

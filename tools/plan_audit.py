@@ -538,6 +538,27 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "q205_fuzzy_name_pairs": [
+        ("variant equi-join: no cartesian/BNLJ at any edit distance",
+         True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("deletion variants are codegen Generate (no Python stage)",
+         True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("one levenshtein per candidate: verification sits above the "
+         "pair dropDuplicates, which is partial-aggregated", True,
+         lambda p: "levenshtein" in p and "partial" in p.lower()),
+    ],
+    "q206_incremental_rollup_merge": [
+        ("merge is ONE hash aggregation with map-side partial combine",
+         True, lambda p: "partial_sum" in p),
+        ("state is read back from parquet (persisted, not lineage)",
+         True, lambda p: "ctdc-rollup-state" in p),
+        ("no join in the merge path (union + re-aggregate)", True,
+         lambda p: "Join" not in p),
+    ],
     "q185_group_by_all": [
         ("GROUP BY ALL resolves to the ordinary partial-combined hash "
          "aggregate", True, lambda p: "partial_count" in p),
@@ -865,8 +886,22 @@ def _boilerplate_lines_pipeline(spark, sf_dir):
 
 
 
+def _bpe_pair_count_pipeline(spark, sf_dir):
+    # q207's per-iteration plan (the final merge table is a k-row
+    # local relation, so the audit targets the iterated pipeline):
+    # corpus -> distinct-word frequencies -> adjacent-pair counts
+    from compile_time_data_contracts_spark.operators.bpe import (
+        _adjacent_pair_counts,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _adjacent_pair_counts(word_frequencies(docs, "text"))
+
+
 PIPELINES = {
     "q54_inner_minhash_table": _minhash_table_pipeline,
+    "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
     "q150_inner_entity_candidates": _entity_candidates_pipeline,
     "q188_inner_capped_candidates": _capped_posting_pipeline,
@@ -876,6 +911,19 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q207_inner_bpe_pair_counts": [
+        ("ONE corpus scan collapses to the vocabulary (shuffle carries "
+         "distinct words, not the token stream): word count is "
+         "partial-aggregated", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "partial_count" in p),
+        ("pair counts partial-aggregated over the vocabulary", True,
+         lambda p: "partial_sum" in p),
+        ("tokenize + pair explode are codegen Generates, no Python "
+         "stage anywhere", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
     "q54_inner_minhash_table": [
         ("partial min aggregation for signatures", True,
          lambda p: "partial_min" in p),
