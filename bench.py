@@ -118,6 +118,9 @@ HEADLINE = [
     "q200_dynamic_gap_sessions",
     "q201_approx_topk_contract",
     "q203_boilerplate_lines",
+    "q205_fuzzy_name_pairs",
+    "q206_incremental_rollup_merge",
+    "q207_bpe_merge_training",
 ]
 
 
