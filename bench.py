@@ -121,6 +121,8 @@ HEADLINE = [
     "q205_fuzzy_name_pairs",
     "q206_incremental_rollup_merge",
     "q207_bpe_merge_training",
+    "q208_bpe_tokenize",
+    "q209_negative_sampling",
 ]
 
 

@@ -427,3 +427,57 @@ def split_by_cluster(
         label(bucket(F.col(cluster))).alias("split"),
         label(bucket(F.col(key))).alias("naive_split"),
     )
+
+
+def negative_samples(
+    items: DataFrame,
+    item_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """For every distinct group value, ``k`` deterministic
+    pseudo-random negative items (rows whose ``group_col`` differs),
+    as ``(group, item, neg_rank)`` — the contrastive-training sampler
+    (in-batch negatives' distributed cousin): each retrieval query /
+    class label needs reproducible negatives drawn from the rest of
+    the corpus.
+
+    Determinism comes from ranking by ``md5(group || '|' || item ||
+    salt)`` — a keyed hash both engines compute identically — so the
+    sample is stable across runs, partitionings, and engines (no RNG
+    state).  Change ``salt`` to draw a fresh sample.
+
+    Scale shape: the distinct-group side is tiny and broadcast; the
+    non-equi join fans each item out |groups|−1 times (bounded,
+    deliberate — the same small-side pattern as a pivot); the rank
+    filter is a ``row_number() <= k`` that Spark's WindowGroupLimit
+    rewrites into a per-partition top-k heap BEFORE the group
+    exchange, so the shuffle carries ≈ k·|groups| rows per partition,
+    not the fanned-out corpus."""
+    groups = items.select(
+        F.col(group_col).alias("__g")
+    ).distinct()
+    cand = items.join(
+        F.broadcast(groups), F.col(group_col) != F.col("__g")
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("__g"),
+                F.col(item_col).cast("string"),
+                F.lit(salt),
+            )
+        ),
+        item_col,
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col(item_col),
+            "neg_rank",
+        )
+    )

@@ -3269,63 +3269,53 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     ).select("key_a", "key_b", F.col("dist").cast("int").alias("dist"))
 
 
+def _bpe_tower_sql(n_steps: int) -> str:
+    """DuckDB WITH-tower replicating ``bpe_merge_steps`` for
+    ``n_steps`` merges: per step, pair counts (p{s}), the argmax pair
+    (b{s}, tie-broken (freq DESC, lhs, rhs)), and the rewritten
+    vocabulary (words{s}) via a list_reduce fold over a unit-separator
+    string that mirrors the Spark ``aggregate`` fold exactly
+    (left-to-right, non-rescanning).  Composable: q207 selects the
+    b{s} rows, q208 tokenizes the corpus against words{n}."""
+    fold = (
+        "string_split(CASE WHEN len(syms) = 1 THEN syms[1] "
+        "ELSE list_reduce(syms, (acc, x) -> CASE "
+        "WHEN (acc = b.lhs OR "
+        "right(acc, 1 + len(b.lhs)) = chr(31) || b.lhs) "
+        "AND x = b.rhs "
+        "THEN left(acc, len(acc) - len(b.lhs)) || b.lhs || b.rhs "
+        "ELSE acc || chr(31) || x END) END, chr(31))"
+    )
+    parts = [
+        "tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w"
+        " FROM documents)",
+        "words0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,"
+        " regexp_split_to_array(w, '') AS syms"
+        " FROM tok WHERE w <> '' GROUP BY w)",
+    ]
+    for s in range(1, n_steps + 1):
+        parts.append(
+            f"p{s} AS (SELECT syms[CAST(i AS INT)] AS lhs,"
+            f" syms[CAST(i AS INT) + 1] AS rhs,"
+            f" CAST(sum(freq) AS BIGINT) AS pair_freq"
+            f" FROM words{s - 1}, UNNEST(range(1, len(syms))) AS t(i)"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{s} AS (SELECT lhs, rhs, pair_freq FROM p{s}"
+            f" ORDER BY pair_freq DESC, lhs, rhs LIMIT 1)"
+        )
+        parts.append(
+            f"words{s} AS (SELECT w, freq, {fold} AS syms"
+            f" FROM words{s - 1}, b{s} b)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
 @q(
     "q207_bpe_merge_training",
-    """WITH tok AS (
-         SELECT unnest(string_split_regex(text, '\\s+')) AS w
-         FROM documents),
-       words0 AS (
-         SELECT w, CAST(count(*) AS BIGINT) AS freq,
-                regexp_split_to_array(w, '') AS syms
-         FROM tok WHERE w <> '' GROUP BY w),
-       p1 AS (
-         SELECT syms[CAST(i AS INT)] AS lhs,
-                syms[CAST(i AS INT) + 1] AS rhs,
-                CAST(sum(freq) AS BIGINT) AS pair_freq
-         FROM words0, UNNEST(range(1, len(syms))) AS t(i)
-         GROUP BY 1, 2),
-       b1 AS (SELECT lhs, rhs, pair_freq FROM p1
-              ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
-       words1 AS (
-         SELECT w, freq,
-           string_split(
-             CASE WHEN len(syms) = 1 THEN syms[1]
-             ELSE list_reduce(syms, (acc, x) -> CASE
-               WHEN (acc = b.lhs OR
-                     right(acc, 1 + len(b.lhs)) = chr(31) || b.lhs)
-                    AND x = b.rhs
-               THEN left(acc, len(acc) - len(b.lhs)) || b.lhs || b.rhs
-               ELSE acc || chr(31) || x END)
-             END, chr(31)) AS syms
-         FROM words0, b1 b),
-       p2 AS (
-         SELECT syms[CAST(i AS INT)] AS lhs,
-                syms[CAST(i AS INT) + 1] AS rhs,
-                CAST(sum(freq) AS BIGINT) AS pair_freq
-         FROM words1, UNNEST(range(1, len(syms))) AS t(i)
-         GROUP BY 1, 2),
-       b2 AS (SELECT lhs, rhs, pair_freq FROM p2
-              ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
-       words2 AS (
-         SELECT w, freq,
-           string_split(
-             CASE WHEN len(syms) = 1 THEN syms[1]
-             ELSE list_reduce(syms, (acc, x) -> CASE
-               WHEN (acc = b.lhs OR
-                     right(acc, 1 + len(b.lhs)) = chr(31) || b.lhs)
-                    AND x = b.rhs
-               THEN left(acc, len(acc) - len(b.lhs)) || b.lhs || b.rhs
-               ELSE acc || chr(31) || x END)
-             END, chr(31)) AS syms
-         FROM words1, b2 b),
-       p3 AS (
-         SELECT syms[CAST(i AS INT)] AS lhs,
-                syms[CAST(i AS INT) + 1] AS rhs,
-                CAST(sum(freq) AS BIGINT) AS pair_freq
-         FROM words2, UNNEST(range(1, len(syms))) AS t(i)
-         GROUP BY 1, 2),
-       b3 AS (SELECT lhs, rhs, pair_freq FROM p3
-              ORDER BY pair_freq DESC, lhs, rhs LIMIT 1)
+    _bpe_tower_sql(3)
+    + """
        SELECT 1 AS step, * FROM b1
        UNION ALL SELECT 2, * FROM b2
        UNION ALL SELECT 3, * FROM b3""",
@@ -3352,3 +3342,96 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
     )
     words.unpersist()
     return merges
+
+
+@q(
+    "q208_bpe_tokenize",
+    _bpe_tower_sql(3)
+    + """,
+       tokc AS (
+         SELECT w, CAST(len(syms) AS BIGINT) AS ntok FROM words3),
+       docw AS (
+         SELECT doc_id, source,
+                unnest(string_split_regex(text, '\\s+')) AS w
+         FROM documents)
+       SELECT d.source,
+              CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(t.ntok) AS BIGINT) AS n_bpe_tokens
+       FROM docw d JOIN tokc t ON d.w = t.w
+       WHERE d.w <> ''
+       GROUP BY d.source""",
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale — the other half of
+    q207's training loop.  Tokenizing 100 TB with a trained vocabulary
+    is NOT per-document re-merging: the per-word token count is a pure
+    function of the word, so it lives in the vocabulary table (already
+    rewritten by training).  The corpus pass is explode(words) +
+    BROADCAST join against the vocab token counts + one
+    partial-combined rollup — tokenization costs the scan, with zero
+    per-row Python and zero re-folding.  The vocab side is
+    localCheckpoint-materialized so the corpus join never re-runs the
+    training lineage (cache-leak-free, the q54 contract).  Output:
+    per-source document/word/BPE-token counts after 3 trained merges;
+    the oracle extends the q207 tower with the identical corpus
+    join."""
+    from ..operators.bpe import bpe_merge_steps, word_frequencies
+
+    docs = load_table(spark, sf, "documents")
+    _merges, words = bpe_merge_steps(
+        spark, word_frequencies(docs, "text"), 3
+    )
+    tokc = words.select(
+        "word", F.size("syms").cast("long").alias("ntok")
+    ).localCheckpoint(eager=True)
+    words.unpersist()
+    docw = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        docw.join(F.broadcast(tokc), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@q(
+    "q209_negative_sampling",
+    """WITH l AS (SELECT DISTINCT lang AS g FROM documents),
+       cand AS (
+         SELECT l.g, d.doc_id,
+                row_number() OVER (
+                  PARTITION BY l.g
+                  ORDER BY md5(l.g || '|' ||
+                               CAST(d.doc_id AS VARCHAR) || '|'),
+                           d.doc_id) AS neg_rank
+         FROM l JOIN documents d ON d.lang <> l.g)
+       SELECT g AS lang, doc_id, CAST(neg_rank AS INT) AS neg_rank
+       FROM cand WHERE neg_rank <= 5""",
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling (`negative_samples`,
+    operators/sampling.py): for every language, 5 reproducible
+    pseudo-random documents NOT in that language — the contrastive /
+    retrieval-training sampler.  Determinism rides md5(group|item), a
+    keyed hash both engines compute identically, so the draw is stable
+    across runs, partitionings, and engines with no RNG state.  The
+    tiny distinct-group side broadcasts; the deliberate |groups|-way
+    fan-out is the pivot-style small-side pattern; and the
+    row_number() <= k filter is rewritten by WindowGroupLimit into a
+    per-partition top-k heap BEFORE the exchange (audited), so the
+    shuffle carries ~k·|groups| rows per partition, not the fanned-out
+    corpus."""
+    from ..operators.sampling import negative_samples
+
+    docs = load_table(spark, sf, "documents")
+    return negative_samples(
+        docs.select("doc_id", "lang"), "doc_id", "lang", k=5
+    ).select("lang", "doc_id", F.col("neg_rank").cast("int").alias("neg_rank"))

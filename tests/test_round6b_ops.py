@@ -206,3 +206,48 @@ def test_bpe_stops_when_fully_merged(spark):
     )
     assert merges.count() == 1
     words.unpersist()
+
+
+# ------------------------------------------------------ negative sample
+def test_negative_samples_deterministic_and_excluding(spark):
+    from compile_time_data_contracts_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(60)],
+        "doc_id long, lang string",
+    )
+    a = negative_samples(df, "doc_id", "lang", k=4)
+    rows = a.collect()
+    # 3 groups x 4 negatives
+    assert len(rows) == 12
+    # no sampled item belongs to its group
+    group_of = {i: "g" + str(i % 3) for i in range(60)}
+    for r in rows:
+        assert group_of[r.doc_id] != r.lang
+        assert 1 <= r.neg_rank <= 4
+    # determinism: second run identical
+    b = negative_samples(df, "doc_id", "lang", k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b))
+    # different salt draws a different sample
+    c = negative_samples(df, "doc_id", "lang", k=4, salt="x").collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, c))
+
+
+def test_bpe_tokenize_counts_consistent(spark):
+    # after 1 merge of "ab ab cd": (a,b) merged => ab:1 token, cd:2
+    from compile_time_data_contracts_spark.operators.bpe import (
+        bpe_merge_steps,
+        word_frequencies,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([("ab ab cd",)], "text string")
+    _m, words = bpe_merge_steps(
+        spark, word_frequencies(docs, "text"), 1
+    )
+    counts = {r.word: r.n for r in words.select(
+        "word", F.size("syms").alias("n")).collect()}
+    assert counts == {"ab": 1, "cd": 2}
+    words.unpersist()

@@ -559,6 +559,30 @@ CHECKS = {
         ("no join in the merge path (union + re-aggregate)", True,
          lambda p: "Join" not in p),
     ],
+    "q208_bpe_tokenize": [
+        ("vocab token counts join the corpus as a BROADCAST hash join "
+         "(vocab-sized side)", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("per-source rollup partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("corpus pass is pure codegen (no Python stage)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+        ("vocab side is checkpoint-fed (training lineage not re-run "
+         "by the corpus join)", True,
+         lambda p: "ExistingRDD" in p or "Scan ExistingRDD" in p
+         or "LogicalRDD" in p),
+    ],
+    "q209_negative_sampling": [
+        ("rank<=k rewritten to a per-partition top-k heap before the "
+         "exchange (WindowGroupLimit)", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("distinct-group side broadcast (deliberate small-side "
+         "fan-out, like a pivot)", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("no Python anywhere (md5 ranking is JVM-side)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q185_group_by_all": [
         ("GROUP BY ALL resolves to the ordinary partial-combined hash "
          "aggregate", True, lambda p: "partial_count" in p),
