@@ -123,6 +123,7 @@ HEADLINE = [
     "q207_bpe_merge_training",
     "q208_bpe_tokenize",
     "q209_negative_sampling",
+    "q210_cdc_apply",
 ]
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "snapshot_write",
     "snapshot_read",
     "merge_upsert",
+    "cdc_apply",
     "BUCKET_COL",
 ]
 
@@ -156,3 +157,43 @@ def merge_upsert(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(BUCKET_COL).parquet(f"{path}/data")
     return touched
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change stream (Debezium-style I/U/D rows) to derive
+    the current snapshot: per key, order by ``seq_cols`` and keep the
+    LAST change; if that change is a delete the key is absent from the
+    result, otherwise the row's payload is the current state.  A
+    delete followed by a later upsert correctly re-creates the key —
+    "last op wins" needs no per-key replay.
+
+    ``seq_cols`` must totally order each key's changes (include a
+    unique tiebreaker like the change's log offset); otherwise
+    concurrent changes resolve arbitrarily — the same contract as the
+    reference's ordered comparers.
+
+    Scale shape: ONE window over the key exchange (row_number desc +
+    rank filter, which Spark rewrites into a per-partition top-1 heap
+    via WindowGroupLimit before the shuffle), then a codegen filter.
+    No join against the previous snapshot is needed to answer "current
+    state" from a complete change log; to roll a PERSISTED snapshot
+    forward instead, feed ``snapshot ∪ changes`` in (the snapshot rows
+    carrying the lowest sequence value), which is exactly how q210's
+    oracle recomputes it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in seq_cols]
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("__rn")
+    )

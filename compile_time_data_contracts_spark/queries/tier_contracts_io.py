@@ -1191,3 +1191,56 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
             " + 100 * n) DIV (200 * n) AS DOUBLE) / 10000"
         ).alias("avg_value"),
     )
+
+
+@q(
+    "q210_cdc_apply",
+    """WITH ch AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+                  AS op
+         FROM events),
+       last AS (
+         SELECT user_id, ts, value, op,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC)
+                  AS rn
+         FROM ch)
+       SELECT user_id,
+              value AS last_value,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+       FROM last WHERE rn = 1 AND op <> 'D'""",
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC change-stream application (`cdc_apply`,
+    operators/merge.py): derive the current snapshot from a
+    Debezium-style I/U/D log — per key, the LAST change by (ts,
+    event_id) wins; keys whose last change is a delete are absent, and
+    a delete followed by a later upsert re-creates the key with no
+    replay.  Here the events table plays the change log (error ⇒
+    delete, anything else ⇒ upsert of `value`).  ONE window over the
+    user_id exchange; the row_number desc + rn=1 filter becomes a
+    per-partition top-1 heap (WindowGroupLimit, audited) so the
+    shuffle carries one candidate row per key per partition — at
+    100 TB the cost is the key exchange, never a join against the
+    previous snapshot.  Payload doubles pass through untouched
+    (bit-identical to the oracle's)."""
+    from ..operators.merge import cdc_apply
+
+    ev = load_table(spark, sf, "events")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_apply(
+        changes, ["user_id"], ["ts", "event_id"], op_col="op"
+    ).select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        _ts_str(F.col("ts")).alias("last_ts"),
+    )

@@ -251,3 +251,41 @@ def test_bpe_tokenize_counts_consistent(spark):
         "word", F.size("syms").alias("n")).collect()}
     assert counts == {"ab": 1, "cd": 2}
     words.unpersist()
+
+
+# ------------------------------------------------------------- cdc apply
+def test_cdc_apply_delete_then_recreate(spark):
+    from compile_time_data_contracts_spark.operators.merge import (
+        cdc_apply,
+    )
+
+    rows = [
+        # key 1: insert, update, delete -> absent
+        (1, 1, "U", 10.0), (1, 2, "U", 11.0), (1, 3, "D", None),
+        # key 2: insert, delete, RE-CREATE -> present with the new value
+        (2, 1, "U", 20.0), (2, 2, "D", None), (2, 3, "U", 22.0),
+        # key 3: single insert -> present
+        (3, 1, "U", 30.0),
+    ]
+    ch = spark.createDataFrame(
+        rows, "k long, seq long, op string, v double"
+    )
+    got = {
+        r.k: r.v
+        for r in cdc_apply(ch, ["k"], ["seq"], op_col="op").collect()
+    }
+    assert got == {2: 22.0, 3: 30.0}
+
+
+def test_cdc_apply_tiebreak_is_total(spark):
+    from compile_time_data_contracts_spark.operators.merge import (
+        cdc_apply,
+    )
+
+    # same primary seq, distinct tiebreaker: the higher tiebreak wins
+    ch = spark.createDataFrame(
+        [(1, 5, 1, "U", 1.0), (1, 5, 2, "U", 2.0)],
+        "k long, seq long, off long, op string, v double",
+    )
+    got = cdc_apply(ch, ["k"], ["seq", "off"], op_col="op").collect()
+    assert len(got) == 1 and got[0].v == 2.0

@@ -583,6 +583,14 @@ CHECKS = {
         ("no Python anywhere (md5 ranking is JVM-side)", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q210_cdc_apply": [
+        ("last-change-wins is a per-partition top-1 heap before the "
+         "key exchange (WindowGroupLimit)", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("no join against a snapshot, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
     "q185_group_by_all": [
         ("GROUP BY ALL resolves to the ordinary partial-combined hash "
          "aggregate", True, lambda p: "partial_count" in p),
