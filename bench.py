@@ -124,6 +124,7 @@ HEADLINE = [
     "q208_bpe_tokenize",
     "q209_negative_sampling",
     "q210_cdc_apply",
+    "q211_sql_scripting",
 ]
 
 

@@ -2844,3 +2844,51 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     return ewma_trailing(
         ev, "user_id", ["ts", "event_id"], "value", alpha=0.1, window=8
     ).select("user_id", "event_id", "ewma")
+
+
+@q(
+    "q211_sql_scripting",
+    """WITH tot AS (SELECT count(*) AS n FROM customer),
+       grid AS (SELECT unnest(range(0, 25)) * 500.0 AS t),
+       fr AS (SELECT g.t,
+                (SELECT count(*) FROM customer
+                 WHERE c_acctbal > g.t) AS n_above,
+              tot.n
+              FROM grid g, tot),
+       sel AS (SELECT t, n_above FROM fr
+               WHERE n_above * 1.0 / n <= 0.1
+               ORDER BY t LIMIT 1)
+       SELECT t AS threshold, CAST(n_above AS BIGINT) AS n_above
+       FROM sel""",
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN…END, DECLARE, WHILE): an iterative
+    threshold search executed entirely inside the SQL engine — raise a
+    balance cutoff in 500-unit steps until at most 10 % of customers
+    sit above it, then report the threshold and the population above.
+    Control flow lives in the script (no driver-side Python loop
+    besides submitting it); each iteration is one partial-combined
+    aggregate over the table.  The oracle replays the search as a
+    DuckDB grid scan — first multiple of 500 meeting the exit
+    condition — so the loop's exit semantics are cross-checked, not
+    assumed.  Complements q186 (named-parameter SQL) and q194 (pipe
+    syntax) on the Spark-4 SQL surface."""
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "q211_customer"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 0.0;
+          WHILE (SELECT count(*) FILTER (WHERE c_acctbal > t) * 1.0
+                        / count(*)
+                 FROM q211_customer) > 0.1 DO
+            SET t = t + 500.0;
+          END WHILE;
+          SELECT t AS threshold,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM q211_customer
+                  WHERE c_acctbal > t) AS n_above;
+        END
+        """
+    )

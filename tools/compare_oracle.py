@@ -169,6 +169,43 @@ def main() -> int:
                     print(f"        spark-only: {x[:160]}")
                 for x in sorted(d_set - s_set)[:3]:
                     print(f"        duck-only:  {x[:160]}")
+                # rounding-tie triage: if every differing cell is a
+                # float off by at most one unit in its last rounded
+                # decimal digit, this is the engine-rounding bug-class
+                # (Spark rounds the shortest decimal repr, DuckDB the
+                # true binary value — q206's 307.03/8) rather than a
+                # semantic divergence.  Say so, so the fix (exact
+                # DECIMAL sums / integer half-up arithmetic) is
+                # immediate instead of a debugging session.
+                def _near(sv: str, dv: str) -> bool:
+                    try:
+                        a, b = float(sv), float(dv)
+                    except ValueError:
+                        return sv == dv
+                    if a == b:
+                        return True
+                    d = abs(a - b)
+                    # one ULP of the last printed decimal digit
+                    frac = max(
+                        len(sv.split(".")[1]) if "." in sv else 0,
+                        len(dv.split(".")[1]) if "." in dv else 0,
+                    )
+                    return d <= 1.5 * 10 ** (-frac)
+                s_only, d_only = sorted(s_set - d_set), sorted(d_set - s_set)
+                if s_only and len(s_only) == len(d_only) and all(
+                    len(a.split("|")) == len(b.split("|"))
+                    and sum(
+                        not _near(x, y)
+                        for x, y in zip(a.split("|"), b.split("|"))
+                    ) == 0
+                    for a, b in zip(s_only, d_only)
+                ):
+                    print(
+                        "        ^ all diffs are last-digit rounding "
+                        "ties (engine double-rounding class, not "
+                        "semantics) — use DECIMAL sums / integer "
+                        "half-up as in q206"
+                    )
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if json_out:
