@@ -15,7 +15,7 @@ no cartesian in the plan (implied by completion: the naive cross
 product at 10⁶ is 5·10¹¹ comparisons), wall time recorded.  Merges
 ``fuzzy_n{N}`` into SCALEBENCH.json.
 
-Usage: python tools/scale_probe_fuzzy.py [n] (default 1000000)
+Usage: python tools/scale_probe_fuzzy.py [n] [radius] (default 1000000 1)
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ PLANT_EVERY = 100
 ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
-def generate(spark, path: str, n: int) -> None:
+def generate(spark, path: str, n: int, radius: int) -> None:
     import numpy as np
     import pandas as pd
 
@@ -53,14 +53,18 @@ def generate(spark, path: str, n: int) -> None:
                 strs.append(s)
                 planted.append(False)
                 if i % PLANT_EVERY == 0:
-                    pos = int(rng.integers(0, STR_LEN))
-                    # substitute with a guaranteed-different char
-                    repl = ALPHABET[
-                        (chars[pos] + 1 + int(rng.integers(0, 34)))
-                        % len(ALPHABET)
-                    ]
+                    # substitute `radius` DISTINCT positions with
+                    # guaranteed-different chars: exactly distance
+                    # `radius` from the base
+                    poss = rng.choice(STR_LEN, size=radius, replace=False)
+                    t = list(s)
+                    for pos in poss:
+                        t[pos] = ALPHABET[
+                            (chars[pos] + 1 + int(rng.integers(0, 34)))
+                            % len(ALPHABET)
+                        ]
                     keys.append(int(i) + n)
-                    strs.append(s[:pos] + repl + s[pos + 1 :])
+                    strs.append("".join(t))
                     planted.append(True)
             yield pd.DataFrame(
                 {"k": keys, "s": strs, "planted": planted}
@@ -73,6 +77,7 @@ def generate(spark, path: str, n: int) -> None:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
+    radius = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -93,18 +98,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    path = f"/tmp/ctdc-scale-probe-fuzzy-{n}"
-    results: dict = {"n_strings": n, "str_len": STR_LEN}
+    path = f"/tmp/ctdc-scale-probe-fuzzy-{n}-k{radius}"
+    results: dict = {"n_strings": n, "str_len": STR_LEN, "radius": radius}
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t0 = time.perf_counter()
-        generate(spark, path, n)
+        generate(spark, path, n, radius)
         results["generate_sec"] = round(time.perf_counter() - t0, 2)
     rows = spark.read.parquet(path)
     planted = rows.filter("planted").count()
     results["planted_pairs"] = planted
 
     t0 = time.perf_counter()
-    pairs = edit_distance_pairs(rows, "k", "s", max_dist=1)
+    pairs = edit_distance_pairs(rows, "k", "s", max_dist=radius)
     # a planted pair is (base id, base id + n) exactly
     agg = pairs.agg(
         F.count("*").alias("total"),
@@ -130,7 +135,7 @@ def main() -> None:
 
     from scalebench import merge_entry
 
-    merge_entry(f"fuzzy_n{n}", results)
+    merge_entry(f"fuzzy_n{n}" + (f"_k{radius}" if radius != 1 else ""), results)
     print(json.dumps({"metric": "scale_probe_fuzzy", "results": results}))
     sys.exit(0 if ok else 1)
 

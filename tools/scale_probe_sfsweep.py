@@ -71,6 +71,17 @@ EXPECTED = {
     # fixture's block density still grows ~10x per sf decade, and the
     # CC rounds ride along — same honest ceiling as the exact form
     "q190_prefix_filtered_entity_resolution": 2.1,
+    # round-6 operators
+    "q206_incremental_rollup_merge": 1.3,  # two aggs + state merge
+    "q207_bpe_merge_training": 1.3,  # corpus pass; iterations vocab-sized
+    "q208_bpe_tokenize": 1.3,        # explode + broadcast join + rollup
+    # fuzzy pairs: true distance-1 pairs among zero-padded sequential
+    # customer NAMES grow ~quadratically per sf decade (every id pairs
+    # with every id differing in one digit, and the in-range digit
+    # positions widen with n) — the candidate join rides that density.
+    # The random-string probe (scale_probe_fuzzy) shows the operator at
+    # constant pair density: 10^6 strings in 8.8 s.
+    "q205_fuzzy_name_pairs": 2.1,
 }
 
 
