@@ -125,6 +125,7 @@ HEADLINE = [
     "q209_negative_sampling",
     "q210_cdc_apply",
     "q211_sql_scripting",
+    "q212_stream_incremental_rollup",
 ]
 
 

@@ -461,3 +461,86 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.stateful import state_metadata_gate
 
     return state_metadata_gate(spark, sf)
+
+
+@q(
+    "q212_stream_incremental_rollup",
+    """WITH g AS (
+         SELECT event_type,
+                strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS micros,
+                min(value) AS min_value,
+                max(value) AS max_value
+         FROM events GROUP BY event_type, day)
+       SELECT event_type, day, n,
+              CAST(micros AS DOUBLE) / 1000000 AS sum_value,
+              min_value, max_value,
+              CAST((2 * micros + 100 * n) // (200 * n) AS DOUBLE)
+                / 10000 AS avg_value
+       FROM g""",
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING materialized-view maintenance
+    (`versioned_state_merger`, operators/incremental.py): the events
+    table replays as 3 ordered micro-batches through `foreachBatch`;
+    each epoch e writes state v{e} = merge(v{e-1},
+    aggregate_state(batch)) — O(batch)+O(|keys|) per epoch, history
+    never re-scanned.  Then epoch 1 is RE-DELIVERED (the crash window
+    between sink write and checkpoint commit, q145's scenario): the
+    redelivery rewrites v1 from the same inputs, so v2 — built before
+    the crash — still aggregates exactly to the batch recompute the
+    oracle runs.  An append-style state sink would double batch 1 here
+    and fail the hash gate.  Output digits are engine-deterministic the
+    q206 way: DECIMAL sums, raw-double min/max, integer half-up avg."""
+    import tempfile
+
+    from ..operators.incremental import versioned_state_merger
+    from ..streaming.windows import events_stream, write_ordered_feed
+
+    spec = dict(sums=["value_dec"], mins=["value"], maxs=["value"])
+    keys = ["event_type", "day"]
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+            ).alias("day"),
+            "value",
+            F.col("value").cast("decimal(18,6)").alias("value_dec"),
+        )
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="ctdc-incr-stream-")
+    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
+    slices = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    write_ordered_feed(slices, feed)
+    handler = versioned_state_merger(state, keys, **spec)
+    qh = (
+        keyed(events_stream(spark, feed, max_files_per_trigger=1))
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    # post-crash redelivery of epoch 1: same batch, same epoch id
+    handler(keyed(slices[1]), 1)
+    merged = spark.read.parquet(f"{state}/v2")
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("CAST(sum_value_dec AS DOUBLE)").alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.expr(
+            "CAST((2 * CAST(sum_value_dec * 1000000 AS BIGINT)"
+            " + 100 * n) DIV (200 * n) AS DOUBLE) / 10000"
+        ).alias("avg_value"),
+    )

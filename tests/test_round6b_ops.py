@@ -289,3 +289,39 @@ def test_cdc_apply_tiebreak_is_total(spark):
     )
     got = cdc_apply(ch, ["k"], ["seq", "off"], op_col="op").collect()
     assert len(got) == 1 and got[0].v == 2.0
+
+
+# -------------------------------------------------- versioned state merge
+def test_versioned_state_merger_redelivery_idempotent(spark, tmp_path):
+    from compile_time_data_contracts_spark.operators.incremental import (
+        versioned_state_merger,
+    )
+
+    base = str(tmp_path / "state")
+    spec = dict(sums=["v"], mins=["v"], maxs=["v"])
+    h = versioned_state_merger(base, ["g"], **spec)
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    b1 = spark.createDataFrame([("a", 3.0)], "g string, v double")
+    h(b0, 0)
+    h(b1, 1)
+    v1 = sorted(map(tuple, spark.read.parquet(f"{base}/v1").collect()))
+    # redelivery of epoch 1 rewrites v1 identically (exactly-once)
+    h(b1, 1)
+    assert sorted(map(tuple, spark.read.parquet(f"{base}/v1").collect())) == v1
+    got = {r.g: (r.n, r.sum_v) for r in spark.read.parquet(f"{base}/v1").collect()}
+    assert got == {"a": (2, 4.0), "b": (1, 2.0)}
+
+
+def test_versioned_state_merger_broken_lineage_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from compile_time_data_contracts_spark.operators.incremental import (
+        versioned_state_merger,
+    )
+
+    h = versioned_state_merger(
+        str(tmp_path / "state2"), ["g"], sums=["v"]
+    )
+    b = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError, match="lineage"):
+        h(b, 3)  # epoch 3 with no v2 on disk

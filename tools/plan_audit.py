@@ -583,6 +583,14 @@ CHECKS = {
         ("no Python anywhere (md5 ranking is JVM-side)", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q212_stream_incremental_rollup": [
+        ("final rollup reads the committed state VERSION from parquet "
+         "(v2), not streaming lineage", True,
+         lambda p: "ctdc-incr-stream" in p and "/v2" in p.replace("\\", "/")),
+        ("finalize is a projection over the state scan (no extra "
+         "exchange beyond none)", True,
+         lambda p: "Exchange" not in p),
+    ],
     "q210_cdc_apply": [
         ("last-change-wins is a per-partition top-1 heap before the "
          "key exchange (WindowGroupLimit)", True,
