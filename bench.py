@@ -126,6 +126,7 @@ HEADLINE = [
     "q210_cdc_apply",
     "q211_sql_scripting",
     "q212_stream_incremental_rollup",
+    "q213_triangle_count",
 ]
 
 

@@ -152,3 +152,84 @@ def pagerank(
             if dangling == "redistribute":
                 dang.unpersist()
     return pr
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count via the degree-ordered "compact-forward"
+    join (Latapy 2008; the MapReduce formulation is Suri & Vassilvitskii
+    2011's MR Node Iterator++): canonicalize the undirected edge set,
+    then orient every edge from the lower to the higher endpoint under
+    the total order (degree, id).  Each triangle has exactly one vertex
+    whose two incident edges both point OUT (the minimum under the
+    order), so counting = (oriented wedge a→b, a→c with b ≺ c) ⋈
+    (oriented edge b→c) — two plain equi-joins, each triangle counted
+    exactly once.
+
+    The orientation is the scale play: out-degree under the
+    (degree, id) order is O(√m) on ANY graph (arboricity bound), so the
+    wedge join emits O(m^1.5) rows worst-case instead of the Σ deg²
+    a naive neighbor join pays — a celebrity node with 10⁷ followers
+    contributes almost no wedges because nearly all its edges point IN.
+    Both joins are shuffle equi-joins; wedge/triangle totals
+    partial-aggregate.
+
+    Returns one row: (n_edges, n_wedges, n_triangles) over the
+    de-duplicated self-loop-free undirected graph; n_wedges counts
+    ordered open wedges (the join's left side), so
+    n_triangles ≤ n_wedges.
+    """
+    u, v = F.col(src), F.col(dst)
+    canon = (
+        edges.select(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # total-order key: (degree, id) packed into one BIGINT
+    key = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("ok")
+    okeys = deg.select("node", key)
+    withk = (
+        canon.join(okeys.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("ok", "ka")
+        .join(
+            okeys.withColumnRenamed("node", "b").withColumnRenamed(
+                "ok", "kb"
+            ),
+            "b",
+        )
+    )
+    oriented = withk.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("t"),
+        F.greatest("ka", "kb").alias("kt"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s"))
+        & (F.col("e1.kt") < F.col("e2.kt")),
+    ).select(F.col("e1.t").alias("wb"), F.col("e2.t").alias("wc"))
+    closing = oriented.select(
+        F.col("s").alias("wb"), F.col("t").alias("wc")
+    )
+    tri = wedges.join(closing, ["wb", "wc"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    stats = canon.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    wc = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    return stats.crossJoin(wc).crossJoin(tri)

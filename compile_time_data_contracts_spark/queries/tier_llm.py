@@ -3435,3 +3435,66 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
     return negative_samples(
         docs.select("doc_id", "lang"), "doc_id", "lang", k=5
     ).select("lang", "doc_id", F.col("neg_rank").cast("int").alias("neg_rank"))
+
+
+@q(
+    "q213_triangle_count",
+    """WITH nc AS (SELECT count(*) AS n FROM customer),
+       raw AS (
+         SELECT CAST(o_custkey AS BIGINT) AS u,
+                CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS v
+         FROM orders, nc),
+       canon AS (
+         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         FROM raw WHERE u <> v),
+       deg AS (
+         SELECT node, count(*) AS deg FROM (
+           SELECT a AS node FROM canon
+           UNION ALL SELECT b FROM canon)
+         GROUP BY node),
+       k AS (SELECT node, deg * 4294967296 + node AS ok FROM deg),
+       wk AS (
+         SELECT c.a, c.b, ka.ok AS ka, kb.ok AS kb
+         FROM canon c
+         JOIN k ka ON ka.node = c.a
+         JOIN k kb ON kb.node = c.b),
+       o AS (
+         SELECT CASE WHEN ka < kb THEN a ELSE b END AS s,
+                CASE WHEN ka < kb THEN b ELSE a END AS t,
+                greatest(ka, kb) AS kt
+         FROM wk),
+       w AS (
+         SELECT e1.t AS wb, e2.t AS wc
+         FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.kt < e2.kt),
+       tri AS (
+         SELECT count(*) AS nt
+         FROM w JOIN o ON o.s = w.wb AND o.t = w.wc)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges,
+              (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+              CAST(tri.nt AS BIGINT) AS n_triangles
+       FROM tri""",
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle counting (`triangle_count`, operators/graph.py)
+    on the q165 synthetic customer graph (orders hashed onto the
+    customer id range).  Degree-ordered compact-forward join: orient
+    each undirected edge toward the higher (degree, id) endpoint, so
+    every triangle is counted at exactly one vertex and the wedge
+    join's fan-out is bounded by the O(√m) oriented out-degree on ANY
+    degree distribution — the celebrity node contributes ~no wedges
+    because its edges point IN.  Two shuffle equi-joins + partial
+    aggregation; no cartesian (audited).  The oracle replays the
+    identical orientation and joins in SQL, pinning edge, wedge, and
+    triangle counts."""
+    from ..operators.graph import triangle_count
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    n = cust.count()  # |customer| — one columnar-count job, q165-style
+    edges = orders.select(
+        F.col("o_custkey").cast("bigint").alias("src"),
+        (F.lit(1) + F.col("o_orderkey") % F.lit(n))
+        .cast("bigint")
+        .alias("dst"),
+    )
+    return triangle_count(edges)

@@ -325,3 +325,52 @@ def test_versioned_state_merger_broken_lineage_raises(spark, tmp_path):
     b = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with _pytest.raises(ValueError, match="lineage"):
         h(b, 3)  # epoch 3 with no v2 on disk
+
+
+# ------------------------------------------------------------- triangles
+def test_triangle_count_known_graphs(spark):
+    from compile_time_data_contracts_spark.operators.graph import (
+        triangle_count,
+    )
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        return r.n_edges, r.n_triangles
+
+    # K4: 6 edges, 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tc(k4) == (6, 4)
+    # path: no triangles; star: no triangles
+    assert tc([(0, 1), (1, 2), (2, 3)]) == (3, 0)
+    assert tc([(0, i) for i in range(1, 6)]) == (5, 0)
+    # duplicates / reversed / self-loops are cleaned
+    messy = [(0, 1), (1, 0), (0, 1), (2, 2), (1, 2), (0, 2)]
+    assert tc(messy) == (3, 1)
+
+
+def test_triangle_count_matches_brute_force_random(spark):
+    import itertools
+    import random
+
+    from compile_time_data_contracts_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(20260814)
+    n = 25
+    edges = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.3
+    ]
+    adj = {frozenset(e) for e in edges}
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if {a, b} in adj and {b, c} in adj and {a, c} in adj
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = triangle_count(df).collect()[0].n_triangles
+    assert got == want

@@ -591,6 +591,20 @@ CHECKS = {
          "exchange beyond none)", True,
          lambda p: "Exchange" not in p),
     ],
+    "q213_triangle_count": [
+        ("wedge + closing joins are hash/sort-merge EQUI-joins (the "
+         "only cross joins are the two 1-row stats combiners)", True,
+         lambda p: len(re.findall(
+             r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|"
+             r"BroadcastHashJoin)", p)) >= 2
+         and len(re.findall(
+             r"\(\d+\) (?:CartesianProduct|"
+             r"BroadcastNestedLoopJoin)", p)) <= 2),
+        ("triangle/wedge totals partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q210_cdc_apply": [
         ("last-change-wins is a per-partition top-1 heap before the "
          "key exchange (WindowGroupLimit)", True,
