@@ -127,6 +127,7 @@ HEADLINE = [
     "q211_sql_scripting",
     "q212_stream_incremental_rollup",
     "q213_triangle_count",
+    "q214_incremental_distinct_rollup",
 ]
 
 

@@ -14,8 +14,11 @@ corpus-sized) — the same partial/final split Spark's own HashAggregate
 performs inside one query, lifted across *queries* via a persisted
 state table.
 
-Median/distinct-count are NOT algebraic; for those keep the sketch
-variants (HLL rollup q130, CMS q160) whose merge is union.
+Median is NOT algebraic; distinct-count is handled the way 100 TB
+rollups handle it — as an HLL SKETCH column in the state (``hlls``
+spec): fixed-size bytes per key, merged by union, estimated at
+finalize.  Exactness becomes a contract (est within tolerance of
+exact, gate-checked by q214) instead of a recompute.
 
 The merge itself is a union + re-aggregate — deliberately, instead of
 a full-outer join: Spark plans it as one hash aggregation with
@@ -53,15 +56,18 @@ def aggregate_state(
     sums: Sequence[str] = (),
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
+    hlls: Sequence[str] = (),
 ) -> DataFrame:
     """Per-key algebraic aggregate state: row count plus sum/min/max of
-    the named measure columns.  The output is keys-sized and mergeable
-    with any other state over the same spec via
-    :func:`merge_aggregate_states`."""
+    the named measure columns, plus an HLL sketch (fixed-size bytes,
+    DataSketches) per ``hlls`` column for mergeable distinct counts.
+    The output is keys-sized and mergeable with any other state over
+    the same spec via :func:`merge_aggregate_states`."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
     aggs += [F.min(c).alias(f"min_{c}") for c in mins]
     aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
+    aggs += [F.hll_sketch_agg(c).alias(f"hll_{c}") for c in hlls]
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -71,6 +77,7 @@ def merge_aggregate_states(
     sums: Sequence[str] = (),
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
+    hlls: Sequence[str] = (),
 ) -> DataFrame:
     """Merge any number of aggregate states over the same spec:
     counts and sums add, mins min, maxs max.  Keys present in only one
@@ -89,19 +96,26 @@ def merge_aggregate_states(
     aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums]
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in mins]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in maxs]
+    aggs += [F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}") for c in hlls]
     return u.groupBy(*keys).agg(*aggs)
 
 
 def finalize_state(
     state: DataFrame,
     avgs: Sequence[str] = (),
+    distinct_estimates: Sequence[str] = (),
 ) -> DataFrame:
     """Derive non-algebraic measures from a merged state:
-    ``avg_<c> = sum_<c> / n`` for each requested column.  Finalization
-    is a projection — no shuffle — so it can run on every refresh."""
+    ``avg_<c> = sum_<c> / n`` and ``est_distinct_<c>`` (HLL estimate)
+    for each requested column.  Finalization is a projection — no
+    shuffle — so it can run on every refresh."""
     out = state
     for c in avgs:
         out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n"))
+    for c in distinct_estimates:
+        out = out.withColumn(
+            f"est_distinct_{c}", F.hll_sketch_estimate(f"hll_{c}")
+        )
     return out
 
 
@@ -111,6 +125,7 @@ def versioned_state_merger(
     sums: Sequence[str] = (),
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
+    hlls: Sequence[str] = (),
 ):
     """``foreachBatch`` handler maintaining a VERSIONED aggregate-state
     table: epoch e writes ``{state_base}/v{e}`` = merge(v{e-1},
@@ -136,7 +151,9 @@ def versioned_state_merger(
         spark = batch_df.sparkSession
         e = int(epoch_id)
         parts = [
-            aggregate_state(batch_df, keys, sums=sums, mins=mins, maxs=maxs)
+            aggregate_state(
+                batch_df, keys, sums=sums, mins=mins, maxs=maxs, hlls=hlls
+            )
         ]
         if e > 0:
             prev = f"{state_base}/v{e - 1}"
@@ -146,7 +163,7 @@ def versioned_state_merger(
                 )
             parts.append(spark.read.parquet(prev))
         merge_aggregate_states(
-            parts, keys, sums=sums, mins=mins, maxs=maxs
+            parts, keys, sums=sums, mins=mins, maxs=maxs, hlls=hlls
         ).write.mode("overwrite").parquet(f"{state_base}/v{e}")
 
     return handle

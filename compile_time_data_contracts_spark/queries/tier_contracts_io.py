@@ -1244,3 +1244,61 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").alias("last_value"),
         _ts_str(F.col("ts")).alias("last_ts"),
     )
+
+
+@q(
+    "q214_incremental_distinct_rollup",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS est_ok
+       FROM events GROUP BY event_type""",
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct counts in the INCREMENTAL rollup (q206's missing
+    measure): COUNT DISTINCT is not algebraic, so the state carries an
+    HLL SKETCH column (`hlls` spec, DataSketches bytes) — fixed-size
+    per key, persisted to parquet with the rest of the state, merged
+    by `hll_union_agg` in the same single re-aggregate as the
+    counts/sums.  Refresh stays O(batch)+O(|keys|); exactness becomes
+    a CONTRACT: the estimate from the base+batch sketch merge must
+    land within 5% of the true distinct count (lgK=12 carries ~1.6%
+    standard error, so 5% is >3 sigma).  The oracle pins the exact
+    columns and the contract flag — q130 proves sketch mergeability
+    inside one query, this proves it across PERSISTED state
+    refreshes."""
+    import hashlib
+    import tempfile
+
+    from ..operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_aggregate_states,
+    )
+
+    spec = dict(hlls=["user_id"])
+    keys = ["event_type"]
+    ev = load_table(spark, sf, "events")
+    base = ev.filter(F.col("event_id") % 4 != 3)
+    batch = ev.filter(F.col("event_id") % 4 == 3)
+    tag = hashlib.md5(f"{sf}|hllrollup-v1".encode()).hexdigest()[:12]
+    state_path = f"{tempfile.gettempdir()}/ctdc-hll-state-{tag}"
+    aggregate_state(base, keys, **spec).write.mode(
+        "overwrite"
+    ).parquet(state_path)
+    state = spark.read.parquet(state_path)
+    merged = merge_aggregate_states(
+        [state, aggregate_state(batch, keys, **spec)], keys, **spec
+    )
+    est = finalize_state(merged, distinct_estimates=["user_id"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    out = est.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("est_distinct_user_id") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    return out.select(
+        "event_type", "n", "exact_users", ok.alias("est_ok")
+    )

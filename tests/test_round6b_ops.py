@@ -374,3 +374,30 @@ def test_triangle_count_matches_brute_force_random(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = triangle_count(df).collect()[0].n_triangles
     assert got == want
+
+
+def test_hll_state_roundtrip_and_merge(spark, tmp_path):
+    # sketch column survives the parquet state round-trip and unions to
+    # the true distinct count on small cardinalities (HLL exact regime)
+    from compile_time_data_contracts_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_aggregate_states,
+    )
+
+    a = spark.createDataFrame(
+        [("g", i) for i in range(50)], "g string, u long"
+    )
+    b = spark.createDataFrame(
+        [("g", i) for i in range(25, 75)], "g string, u long"
+    )
+    p = str(tmp_path / "hll")
+    aggregate_state(a, ["g"], hlls=["u"]).write.parquet(p)
+    st = spark.read.parquet(p)
+    merged = merge_aggregate_states(
+        [st, aggregate_state(b, ["g"], hlls=["u"])], ["g"], hlls=["u"]
+    )
+    r = finalize_state(merged, distinct_estimates=["u"]).collect()[0]
+    assert r.n == 100
+    # 75 distinct across both halves; HLL is exact at this cardinality
+    assert abs(r.est_distinct_u - 75) <= 2

@@ -605,6 +605,14 @@ CHECKS = {
         ("no Python anywhere", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q214_incremental_distinct_rollup": [
+        ("sketch union merges in ONE partial-combined hash aggregate "
+         "over the persisted state", True,
+         lambda p: "partial_hllsketchagg" in p.replace("_", "")
+         .lower() or "hll_union_agg" in p or "partial" in p.lower()),
+        ("state read back from parquet", True,
+         lambda p: "ctdc-hll-state" in p),
+    ],
     "q210_cdc_apply": [
         ("last-change-wins is a per-partition top-1 heap before the "
          "key exchange (WindowGroupLimit)", True,
