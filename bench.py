@@ -128,6 +128,7 @@ HEADLINE = [
     "q212_stream_incremental_rollup",
     "q213_triangle_count",
     "q214_incremental_distinct_rollup",
+    "q215_fuzzy_dedup_clusters",
 ]
 
 

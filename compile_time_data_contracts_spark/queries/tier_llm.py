@@ -3498,3 +3498,61 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
         .alias("dst"),
     )
     return triangle_count(edges)
+
+
+@q(
+    "q215_fuzzy_dedup_clusters",
+    """WITH RECURSIVE fpairs AS (
+         SELECT key_a, key_b FROM (
+           WITH names AS (
+             SELECT c_custkey AS k, c_name AS s FROM customer),
+           vars AS (
+             SELECT k, s, s AS v FROM names
+             UNION ALL
+             SELECT k, s,
+                    left(s, CAST(i AS INT)) ||
+                    substr(s, CAST(i AS INT) + 2) AS v
+             FROM names, UNNEST(range(0, length(s))) AS t(i)),
+           dvars AS (SELECT DISTINCT k, s, v FROM vars),
+           cand AS (
+             SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+                    a.s AS s_a, b.s AS s_b
+             FROM dvars a JOIN dvars b
+               ON a.v = b.v AND a.k < b.k)
+           SELECT key_a, key_b FROM cand
+           WHERE levenshtein(s_a, s_b) <= 1
+         )
+       ), edges AS (
+         SELECT key_a AS src, key_b AS dst FROM fpairs
+         UNION SELECT key_b, key_a FROM fpairs
+       ), reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       )
+       SELECT src AS doc_id,
+              least(src, min(dst)) AS cluster_id
+       FROM reach GROUP BY src""",
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end FUZZY dedup clustering — the string twin of the
+    MinHash pipeline (q54 → q73): FastSS deletion-neighborhood
+    candidate generation + exact levenshtein verification
+    (`edit_distance_pairs`) feeds large-star/small-star connected
+    components (`connected_components_star` — the DEEP-graph CC,
+    because digit-substitution chains over sequential customer names
+    produce long paths that would cost min-label propagation
+    O(diameter) rounds; the star variant converges in O(log n)
+    alternations).  Output is (doc_id, cluster_id = component min),
+    the keep-one-per-cluster contract; the oracle recomputes the
+    identical candidate set and closes it with a recursive CTE."""
+    from ..operators.dedup import connected_components_star
+    from ..operators.fuzzy import edit_distance_pairs
+
+    cust = load_table(spark, sf, "customer")
+    pairs = edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_dist=1
+    ).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    return connected_components_star(pairs)

@@ -613,6 +613,14 @@ CHECKS = {
         ("state read back from parquet", True,
          lambda p: "ctdc-hll-state" in p),
     ],
+    "q215_fuzzy_dedup_clusters": [
+        ("no cartesian/BNLJ anywhere (variant equi-join + star "
+         "rounds)", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q210_cdc_apply": [
         ("last-change-wins is a per-partition top-1 heap before the "
          "key exchange (WindowGroupLimit)", True,
