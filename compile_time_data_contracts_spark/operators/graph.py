@@ -194,8 +194,12 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # total-order key: (degree, id) packed into one BIGINT
-    key = (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("ok")
+    # total-order key: (degree, id) as a STRUCT compared
+    # lexicographically — NOT packed into one BIGINT, because packing
+    # (deg * 2^32 + id) aliases distinct nodes whenever ids reach 2^32
+    # (64-bit hashed ids are the norm at scale), breaking the total
+    # order and silently mis-counting triangles
+    key = F.struct(F.col("deg"), F.col("node")).alias("ok")
     okeys = deg.select("node", key)
     withk = (
         canon.join(okeys.withColumnRenamed("node", "a"), "a")

@@ -401,3 +401,32 @@ def test_hll_state_roundtrip_and_merge(spark, tmp_path):
     assert r.n == 100
     # 75 distinct across both halves; HLL is exact at this cardinality
     assert abs(r.est_distinct_u - 75) <= 2
+
+
+def test_triangle_count_large_ids_no_orderkey_alias(spark):
+    # ids beyond 2^32 with MIXED degrees: a packed (deg*2^32+id) order
+    # key would alias distinct nodes and corrupt the orientation; the
+    # struct key must keep the count exact
+    import itertools
+
+    B = 1 << 33
+    edges = (
+        # K4 on big ids
+        [(B + a, B + b) for a in range(4) for b in range(4) if a < b]
+        # a small-id node tied into two big nodes (one extra triangle)
+        + [(7, B + 0), (7, B + 1)]
+    )
+    from compile_time_data_contracts_spark.operators.graph import (
+        triangle_count,
+    )
+
+    adj = {frozenset(e) for e in edges}
+    nodes = sorted({x for e in edges for x in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {a, b} in adj and {b, c} in adj and {a, c} in adj
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == want == 5
