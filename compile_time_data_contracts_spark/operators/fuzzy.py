@@ -90,6 +90,11 @@ def edit_distance_pairs(
     equi-join, and the candidate-pair distinct (a pair sharing several
     variants is verified once).  No cartesian product exists in the
     plan at any ``max_dist`` (audited in ``tools/plan_audit.py``).
+
+    Contract: ``key_col`` must be unique (the pair distinct assumes a
+    key determines its string); rows with a NULL ``str_col`` silently
+    produce no pairs (NULL never equi-joins) — filter or impute
+    upstream if NULL-vs-NULL should count as a match.
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")

@@ -174,9 +174,10 @@ def cdc_apply(
     "last op wins" needs no per-key replay.
 
     ``seq_cols`` must totally order each key's changes (include a
-    unique tiebreaker like the change's log offset); otherwise
-    concurrent changes resolve arbitrarily — the same contract as the
-    reference's ordered comparers.
+    unique tiebreaker like the change's log offset) and must not be
+    NULL: engines disagree on NULL placement under DESC ordering, so a
+    NULL sequence value turns "last op wins" into "engine-dependent op
+    wins" — the same contract as the reference's ordered comparers.
 
     Scale shape: ONE window over the key exchange (row_number desc +
     rank filter, which Spark rewrites into a per-partition top-1 heap
