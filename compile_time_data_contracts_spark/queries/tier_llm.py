@@ -3556,3 +3556,52 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
         F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
     )
     return connected_components_star(pairs)
+
+
+@q(
+    "q216_distributed_centroids",
+    """WITH ex AS (
+         SELECT label, CAST(i AS INT) - 1 AS dim,
+                floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                      * 1000000) AS micros
+         FROM embeddings,
+              UNNEST(range(1, len(embedding) + 1)) AS t(i))
+       SELECT label, dim,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(micros) AS BIGINT) AS sum_micros,
+              CAST(sum(micros) AS DOUBLE) / count(*) AS mean_micros
+       FROM ex GROUP BY label, dim""",
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED centroid computation — the k-means update step at
+    corpus scale.  IVF training (q67/q107/q193) runs k-means on a
+    driver-side sample because centroids are k-sized; updating those
+    centroids over ALL 100 TB of vectors must instead be one
+    partial-combined aggregation: posexplode the vector into (label,
+    dim, value) and groupBy (label, dim) — the shuffle carries one
+    partial sum per (label, dim) per partition, never vectors.
+
+    Float-sum determinism: per-dimension values are floored to integer
+    MICROS before summing (floor, not cast — DuckDB's double→int CAST
+    rounds while Spark's truncates; floor agrees everywhere including
+    negatives), so the sums are exact integers on both engines and the
+    derived mean is a division of identical operands — no rounding
+    step exists to disagree at a midpoint.  The 1e-6 quantization is
+    inherent to cross-engine float-sum comparison, not to the
+    operator: swap micros for raw F.sum(val) in production and accept
+    ulp-order nondeterminism from reduction order instead."""
+    emb = load_table(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * 1000000).alias("micros"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("micros").cast("bigint").alias("sum_micros"),
+        (
+            F.sum("micros").cast("double") / F.count(F.lit(1))
+        ).alias("mean_micros"),
+    )
