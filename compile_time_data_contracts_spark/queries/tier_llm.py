@@ -3605,3 +3605,158 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("micros").cast("double") / F.count(F.lit(1))
         ).alias("mean_micros"),
     )
+
+
+_Q217_ORACLE = """
+WITH vm AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, m
+  FROM (SELECT * FROM vm ORDER BY vec_id LIMIT 4)),
+a1 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT v.vec_id, v.m, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (v.m[CAST(i AS INT)] - c.m[CAST(i AS INT)])
+                  * (v.m[CAST(i AS INT)] - c.m[CAST(i AS INT)]))),
+             c.cid) AS rn
+    FROM vm v CROSS JOIN c0 c) WHERE rn = 1),
+u1 AS (
+  SELECT cid, CAST(i AS INT) - 1 AS dim,
+         CAST(floor(CAST(sum(m[CAST(i AS INT)]) AS DOUBLE) / count(*))
+              AS BIGINT) AS c,
+         count(*) AS n
+  FROM a1, UNNEST(range(1, 65)) AS t(i)
+  GROUP BY cid, CAST(i AS INT) - 1),
+c1 AS (SELECT cid, list(c ORDER BY dim) AS m FROM u1 GROUP BY cid),
+a2 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT v.vec_id, v.m, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (v.m[CAST(i AS INT)] - c.m[CAST(i AS INT)])
+                  * (v.m[CAST(i AS INT)] - c.m[CAST(i AS INT)]))),
+             c.cid) AS rn
+    FROM vm v CROSS JOIN c1 c) WHERE rn = 1),
+u2 AS (
+  SELECT cid, CAST(i AS INT) - 1 AS dim,
+         CAST(floor(CAST(sum(m[CAST(i AS INT)]) AS DOUBLE) / count(*))
+              AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a2, UNNEST(range(1, 65)) AS t(i)
+  GROUP BY cid, CAST(i AS INT) - 1)
+SELECT CAST(cid AS INT) AS cid, CAST(dim AS INT) AS dim,
+       c AS c_micros, n
+FROM u2"""
+
+
+@q("q217_kmeans_lloyd", _Q217_ORACLE)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED k-means — two full Lloyd rounds over every vector
+    (`operators/clustering.py: kmeans_lloyd`), the corpus-scale
+    counterpart of the driver-side SAMPLE training that IVF uses
+    (q67/q107/q193).  Per round: assignment is a map-only codegen
+    stage (centroids are a k×d literal — zip_with difference,
+    aggregate fold, array_min over (dist, cid) structs with ties to
+    the smallest cid, NO join and NO shuffle), and the update is one
+    partial-combined groupBy(cid, dim) whose shuffle carries k·d
+    partial sums per partition, never vectors.  Only k·d cells reach
+    the driver between rounds; the final round is returned lazy.
+
+    Engine-exactness: components are floored to integer micros once,
+    distances are integer sums, and updated centroids are
+    floor(sum/n) back in micros — both engines run identical integer
+    arithmetic, so two fixed rounds give bit-identical centroids (the
+    q216 quantization contract extended through a full iterative
+    algorithm; same unrolled-SQL-tower oracle pattern as q165's
+    PageRank).  Seed = the k smallest vec_ids.  Empty clusters would
+    keep their previous centroid with n = 0 on the Spark side; this
+    fixture keeps all 4 clusters populated (133/117/129/121 at
+    sf0.01), so the tower oracle — which has no empty branch — is
+    exact for the gate data, as pinned by tests."""
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_lloyd(emb, k=4, iters=2)
+
+
+def _q218_oracle() -> str:
+    pairs = [(i, j) for i in range(8) for j in range(i, 8)]
+    sums = ", ".join(
+        [f"sum(m[{i + 1}]) AS s{i}" for i in range(8)]
+        + [f"sum(m[{i + 1}] * m[{j + 1}]) AS p{i}_{j}" for i, j in pairs]
+    )
+    arms = "\n       UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE) / (CAST(n AS DOUBLE) * n)"
+        f" AS cov_micros2 FROM s"
+        for i, j in pairs
+    )
+    return f"""
+WITH x AS (
+  SELECT list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS m
+  FROM embeddings),
+s AS (SELECT count(*) AS n, {sums} FROM x)
+{arms}"""
+
+
+@q("q218_covariance_matrix", _q218_oracle())
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-covariance matrix (upper triangle, leading 8 embedding
+    dims) as ONE partial-combined aggregate: 8 element_at projections,
+    8 + 36 sums and a count in a single groupBy-less agg — no join, no
+    explode, map-side combine reduces every partition to one row, so
+    at 100 TB the full covariance costs exactly the scan (the classic
+    single-pass moment method; whitening / PCA preprocessing for the
+    embedding pipeline).  cov(i,j) = (n·Σxy − Σx·Σy) / n² evaluated on
+    exact integer micros operands, so both engines divide identical
+    integers and the doubles agree bit-for-bit — no rounding step.
+
+    The 36 output rows are exploded from the 1-row aggregate IN-PLAN
+    (explode over a literal struct array), keeping the query lazy end
+    to end.  Integer-range note: BIGINT moment sums hold to ~10⁹ rows
+    at micros scale; beyond that, production shifts to DECIMAL(38)
+    sums (the q206 pattern) or the centered two-pass — the micros
+    quantization itself is only for cross-engine determinism (q216)."""
+    emb = load_table(spark, sf, "embeddings")
+    dims = list(range(8))
+    pairs = [(i, j) for i in dims for j in dims if j >= i]
+    sel = emb.select(
+        *[
+            F.floor(
+                F.element_at(F.col("embedding"), i + 1).cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias(f"x{i}")
+            for i in dims
+        ]
+    )
+    agg = sel.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f"x{i}")).alias(f"s{i}") for i in dims],
+        *[
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}")
+            for i, j in pairs
+        ],
+    )
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            (
+                (
+                    F.col("n") * F.col(f"p{i}_{j}")
+                    - F.col(f"s{i}") * F.col(f"s{j}")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+            ).alias("cov_micros2"),
+        )
+        for i, j in pairs
+    ]
+    return agg.select(F.explode(F.array(*cells)).alias("c")).select("c.*")
