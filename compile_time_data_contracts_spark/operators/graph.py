@@ -13,10 +13,10 @@ standard pretraining-data step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count", "label_propagation", "k_core"]
 
 
 def pagerank(
@@ -237,3 +237,154 @@ def triangle_count(
     )
     wc = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
     return stats.crossJoin(wc).crossJoin(tri)
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
+    synchronous rounds, deterministic): ``edges`` (src, dst) is
+    symmetrized and de-duplicated; ``seeds`` (id, label) are CLAMPED —
+    a seeded node never changes.  Each round, every unseeded node takes
+    the MAJORITY label among its labeled neighbors, ties broken to the
+    smallest label; nodes with no labeled neighbor keep their previous
+    state (possibly unlabeled).  Integer labels + integer counts make
+    every round engine-exact, so a fixed ``iters`` unrolls to an exact
+    SQL tower oracle (the q165 PageRank pattern).
+
+    Round shape, all JVM: edges ⋈ labels on src (shuffle keyed by
+    src), groupBy (dst, label) partial-combined counts, one
+    WindowGroupLimit-prunable row_number over dst to pick the mode,
+    then a left join back onto the node set with seed/previous
+    coalesce.  The symmetrized edge list — the dominant volume — is
+    computed once before the loop; pre-partitioning it by src makes
+    round joins exchange-free on the edge side, the same co-location
+    argument as ``pagerank``.  Classifier-light corpus labeling
+    (domain/topic spread from a small seeded set over a link graph) is
+    a standard curation step.
+
+    Returns (id, label) for every node that is labeled after ``iters``
+    rounds.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        # referenced by every round (votes) AND the node set: cache the
+        # dominant volume once instead of re-deriving it per reference
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+        labels = nodes.join(
+            seeds.select(
+                "id", F.col("label").cast("bigint").alias("label")
+            ),
+            "id",
+            "left",
+        ).checkpoint(eager=True)
+        seeded = seeds.select(
+            "id", F.col("label").cast("bigint").alias("__seed")
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("__n"), F.asc("label"))
+        for _ in range(iters):
+            votes = (
+                sym.join(
+                    labels.filter(F.col("label").isNotNull()).select(
+                        F.col("id").alias("src"), "label"
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"), "label")
+                .agg(F.count(F.lit(1)).alias("__n"))
+            )
+            mode = (
+                votes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("id", F.col("label").alias("__mode"))
+            )
+            # each round's state is node-sized; a reliable checkpoint
+            # cuts the join tower so the plan (and re-execution cost)
+            # stays linear in rounds, the connected_components pattern
+            labels = (
+                labels.join(mode, "id", "left")
+                .join(seeded, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("__seed", "__mode", "label").alias(
+                        "label"
+                    ),
+                )
+                .checkpoint(eager=True)
+            )
+    finally:
+        sym.unpersist()
+    return labels.filter(F.col("label").isNotNull())
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_peels: int = 3,
+) -> DataFrame:
+    """k-core peeling, ``max_peels`` synchronous rounds: symmetrize +
+    de-duplicate the undirected edge set, then repeatedly delete every
+    node whose CURRENT degree is below ``k`` (deleting a node deletes
+    its edges, which is what makes the step iterative).  A fixed round
+    budget keeps the operator an exact unrollable plan (the oracle
+    replays the same peels as a SQL tower); the returned frame reports
+    (id, degree) of the surviving subgraph, so callers can verify
+    convergence by checking min(degree) >= k — at the gate's budget the
+    fixture converges, as the test pins.
+
+    Per round, all JVM: one partial-combined degree count + one
+    semi-join of the edge list against surviving nodes on BOTH
+    endpoints (two shuffle equi-joins; broadcast when the survivor set
+    is small).  The edge list never grows; rounds only shrink it, so
+    at 100 TB the first peel — over the full corpus graph — dominates
+    and subsequent rounds ride the shrunken remainder.  Dense-core
+    extraction (spam link farms, boilerplate template webs) is a
+    standard crawl-curation signal.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    # each peel references the previous edge set three times (degree +
+    # both endpoint semi-joins); a reliable per-round checkpoint keeps
+    # the plan linear in peels instead of 3^peels (the
+    # connected_components pattern)
+    cur = sym.checkpoint(eager=True)
+    for _ in range(max_peels):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .checkpoint(eager=True)
+        )
+    return (
+        cur.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )

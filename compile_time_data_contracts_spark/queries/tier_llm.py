@@ -3760,3 +3760,147 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
         for i, j in pairs
     ]
     return agg.select(F.explode(F.array(*cells)).alias("c")).select("c.*")
+
+
+_Q219_GRAPH_SQL = """
+  nc AS (SELECT count(*) AS n FROM customer),
+  e0 AS (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
+    FROM orders, nc
+    UNION
+    SELECT CAST(c_custkey AS BIGINT),
+           CAST(1 + (c_custkey % nc.n) AS BIGINT)
+    FROM customer, nc),
+  sym AS (
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM e0
+      UNION ALL SELECT dst, src FROM e0)
+    WHERE src <> dst)"""
+
+_Q219_ROUND = """,
+  v{t} AS (
+    SELECT e.dst AS id, l.label, count(*) AS cnt
+    FROM sym e JOIN l{p} l ON l.id = e.src AND l.label IS NOT NULL
+    GROUP BY e.dst, l.label),
+  m{t} AS (
+    SELECT id, label FROM (
+      SELECT id, label,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cnt DESC, label) AS rn
+      FROM v{t}) WHERE rn = 1),
+  l{t} AS (
+    SELECT n.id,
+           coalesce(s.label, m.label, p.label) AS label
+    FROM nodes n
+    LEFT JOIN seeds s USING (id)
+    LEFT JOIN m{t} m USING (id)
+    LEFT JOIN l{p} p USING (id))"""
+
+_Q219_ORACLE = (
+    "WITH "
+    + _Q219_GRAPH_SQL
+    + """,
+  nodes AS (SELECT DISTINCT src AS id FROM sym),
+  seeds AS (
+    SELECT CAST(c_custkey AS BIGINT) AS id,
+           CAST(c_custkey % 3 AS BIGINT) AS label
+    FROM customer WHERE c_custkey % 10 = 1),
+  l0 AS (SELECT n.id, s.label FROM nodes n LEFT JOIN seeds s USING (id))"""
+    + _Q219_ROUND.format(t=1, p=0)
+    + _Q219_ROUND.format(t=2, p=1)
+    + """
+  SELECT id, label FROM l2 WHERE label IS NOT NULL"""
+)
+
+
+def _customer_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic q165 link graph: src = o_custkey,
+    dst = 1 + (o_orderkey mod |customers|), plus a ring edge per
+    customer so every node participates."""
+    customer = load_table(spark, sf, "customer")
+    n = customer.count()
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.lit(1) + (F.col("o_orderkey") % n))
+            .cast("bigint")
+            .alias("dst"),
+        )
+        .distinct()
+        .union(
+            customer.select(
+                F.col("c_custkey").cast("bigint"),
+                (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint"),
+            )
+        )
+        .distinct()
+    )
+
+
+@q("q219_label_propagation", _Q219_ORACLE)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-supervised label propagation (`operators/graph.py:
+    label_propagation`) over the deterministic q165 link graph: 10 %
+    of customers are seeded (c_custkey % 10 = 1) with label
+    c_custkey % 3 and CLAMPED; two synchronous rounds spread the
+    majority neighbor label (ties to the smallest label) across the
+    symmetrized graph.  Integer labels and integer vote counts make
+    each round engine-exact, so the oracle is the same two rounds
+    unrolled as a SQL tower (the q165 pattern).  Per round the plan is
+    one src-keyed edge join + one partial-combined (dst, label) count
+    + one WindowGroupLimit-prunable mode pick — the edge list, the
+    dominant volume, is built once before the loop.  Spreading sparse
+    human/classifier labels over a link graph is the classic
+    label-light corpus-curation step (domain/topic balancing)."""
+    from ..operators.graph import label_propagation
+
+    customer = load_table(spark, sf, "customer")
+    seeds = customer.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        (F.col("c_custkey") % 3).cast("bigint").alias("label"),
+    )
+    return label_propagation(
+        _customer_graph_edges(spark, sf), seeds, iters=2
+    )
+
+
+_Q220_PEEL = """,
+  d{t} AS (SELECT src, count(*) AS deg FROM e{p} GROUP BY src),
+  k{t} AS (SELECT src FROM d{t} WHERE deg >= 15),
+  e{t} AS (
+    SELECT e.src, e.dst FROM e{p} e
+    JOIN k{t} a ON e.src = a.src
+    JOIN k{t} b ON e.dst = b.src)"""
+
+_Q220_ORACLE = (
+    "WITH "
+    + _Q219_GRAPH_SQL.replace("sym AS (", "e0x AS (")
+    + """,
+  e0s AS (SELECT src, dst FROM e0x)"""
+    + _Q220_PEEL.format(t=1, p="0s")
+    + _Q220_PEEL.format(t=2, p=1)
+    + _Q220_PEEL.format(t=3, p=2)
+    + """
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+  FROM e3 GROUP BY src"""
+)
+
+
+@q("q220_k_core", _Q220_ORACLE)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    """15-core extraction (`operators/graph.py: k_core`, 3 synchronous
+    peels) over the same symmetrized q165 graph: repeatedly delete
+    nodes whose current degree is < 15, edges falling with their
+    endpoints.  The fixed peel budget keeps the operator an exact
+    unrollable plan — the oracle replays the identical three peels as
+    a SQL tower; the fixture converges within budget (pinned by the
+    round-6 test via min(degree) >= k on the survivors).  Per peel:
+    one partial-combined degree count + a semi-join on each endpoint;
+    the edge list only ever shrinks, so the first peel over the full
+    corpus dominates at scale.  Dense-core extraction is a standard
+    crawl-curation signal (link farms, template webs)."""
+    from ..operators.graph import k_core
+
+    return k_core(_customer_graph_edges(spark, sf), k=15, max_peels=3)
