@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_bucket",
+    "kfold_assign",
     "deterministic_sample",
     "pack_sequences",
     "capped_per_group_sample",
@@ -481,3 +482,33 @@ def negative_samples(
             "neg_rank",
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5, salt: str = "kfold-v1"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: adds a
+    ``fold`` column in [0, k) from the leading 32 bits of
+    md5(key || '|' || salt) — a keyed cryptographic hash, so the
+    assignment is engine-, partitioning-, and run-stable with no RNG
+    state (the q209 determinism contract), any engine can reproduce
+    it (``('0x' || substring(md5(...), 1, 8))::BIGINT % k`` in ANSI
+    SQL), and fold sizes concentrate at n/k by the hash's uniformity.
+    Pure projection — zero shuffle, zero Python; at 100 TB fold
+    assignment costs nothing beyond the scan it rides on.  Changing
+    ``salt`` yields an independent fold split (repeated CV) without
+    re-shuffling data."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn("fold", (h32 % k).cast("int"))

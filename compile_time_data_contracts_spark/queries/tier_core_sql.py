@@ -2892,3 +2892,332 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         END
         """
     )
+
+
+@q(
+    "q221_robust_group_stats",
+    """WITH c AS (
+         SELECT c_nationkey,
+                CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)
+                  AS cents,
+                c_custkey
+         FROM customer),
+       r AS (
+         SELECT c_nationkey, cents,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY cents, c_custkey) AS rn,
+                count(*) OVER (PARTITION BY c_nationkey) AS n
+         FROM c),
+       b AS (
+         SELECT *, CAST(floor(n / 10.0) AS BIGINT) AS g,
+                max(CASE WHEN rn = CAST(floor(n / 10.0) AS BIGINT) + 1
+                         THEN cents END)
+                  OVER (PARTITION BY c_nationkey) AS lo,
+                max(CASE WHEN rn = n - CAST(floor(n / 10.0) AS BIGINT)
+                         THEN cents END)
+                  OVER (PARTITION BY c_nationkey) AS hi
+         FROM r)
+       SELECT c_nationkey,
+              CAST(max(n) AS BIGINT) AS n,
+              round(CAST(sum(CASE WHEN rn > g AND rn <= n - g
+                                  THEN cents END) AS DOUBLE)
+                    / (max(n) - 2 * max(g)), 6) AS trimmed_mean_cents,
+              round(CAST(sum(least(greatest(cents, lo), hi)) AS DOUBLE)
+                    / max(n), 6) AS winsorized_mean_cents,
+              max(lo) AS lo_cents, max(hi) AS hi_cents
+       FROM b GROUP BY c_nationkey""",
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-based robust group statistics: per-nation 10 %-trimmed mean
+    and 10 %-winsorized mean of account balances.  RANK-based (drop /
+    clamp exactly g = floor(n/10) rows per tail, ranks tie-broken by
+    key) rather than quantile-based, so the statistic is exact integer
+    arithmetic on floored cents — engine-identical with no quantile-
+    interpolation divergence (Spark percentile vs DuckDB quantile_cont
+    interpolate differently; ranks don't).  ONE sort-based window per
+    group supplies rn / n / both clamp boundaries (the extra window
+    aggs reuse the same exchange+sort), then one partial-combined
+    groupBy finishes — two shuffles total, no join, no Python.
+    Winsorization is the standard heavy-tail guard for quality-score
+    aggregation at corpus scale where a single spam outlier can drag a
+    domain's mean."""
+    c = load_table(spark, sf, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "c_custkey",
+    )
+    wp = Window.partitionBy("c_nationkey")
+    r = c.select(
+        "c_nationkey",
+        "cents",
+        F.row_number()
+        .over(wp.orderBy("cents", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    g = F.floor(F.col("n") / 10.0).cast("bigint")
+    b = r.select(
+        "c_nationkey",
+        "cents",
+        "rn",
+        "n",
+        g.alias("g"),
+        F.max(F.when(F.col("rn") == g + 1, F.col("cents")))
+        .over(wp)
+        .alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - g, F.col("cents")))
+        .over(wp)
+        .alias("hi"),
+    )
+    return b.groupBy("c_nationkey").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rn") > F.col("g"))
+                    & (F.col("rn") <= F.col("n") - F.col("g")),
+                    F.col("cents"),
+                )
+            ).cast("double")
+            / (F.max("n") - 2 * F.max("g")),
+            6,
+        ).alias("trimmed_mean_cents"),
+        F.round(
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+            ).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("winsorized_mean_cents"),
+        F.max("lo").alias("lo_cents"),
+        F.max("hi").alias("hi_cents"),
+    )
+
+
+@q(
+    "q222_pareto_skyline",
+    """WITH p AS (
+         SELECT DISTINCT
+                CAST(floor(CAST(p_retailprice AS DOUBLE) * 100) AS BIGINT)
+                  AS price_cents,
+                CAST(p_size AS BIGINT) AS p_size
+         FROM part)
+       SELECT price_cents, p_size
+       FROM p a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM p b
+         WHERE b.price_cents <= a.price_cents
+           AND b.p_size >= a.p_size
+           AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))""",
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto frontier (`operators/pareto.py: skyline_2d`): the
+    non-dominated (minimize retail price, maximize size) part
+    configurations.  The operator NEVER self-joins: a partial-combined
+    groupBy collapses min-axis ties to their best max, then ONE
+    ordered pass marks dominance with a strictly-preceding running max
+    (rangeBetween ending at -1 on the price axis) — O(n log n) against
+    the textbook O(n²) dominance anti-join, which is exactly what the
+    ORACLE runs (NOT EXISTS over all pairs): the two independent
+    algorithms agreeing IS the check.  The phase-2 window is
+    unpartitioned by design but runs over the reduced |distinct price|
+    set (grid-bounded), as the operator docstring's 100 TB note
+    spells out.  Pareto sweeps (threshold-vs-recall, cost-vs-quality)
+    are the standard way to pick pipeline operating points."""
+    from ..operators.pareto import skyline_2d
+
+    p = load_table(spark, sf, "part").select(
+        F.floor(F.col("p_retailprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    return skyline_2d(p, "price_cents", "p_size")
+
+
+def _q224_lag_arm(lag: int) -> str:
+    return f"""
+  SELECT {lag} AS lag,
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(count(*) * sum(a.x * b.y) - sum(a.x) * sum(b.y)
+                    AS DOUBLE)
+               / sqrt(CAST(count(*) * sum(a.x * a.x) - sum(a.x) * sum(a.x)
+                           AS DOUBLE)
+                      * CAST(count(*) * sum(b.y * b.y) - sum(b.y) * sum(b.y)
+                             AS DOUBLE)), 6) AS r
+  FROM grid a JOIN grid b ON b.h = a.h + INTERVAL {lag} HOUR"""
+
+
+_Q224_ORACLE = (
+    """WITH cnt AS (
+  SELECT date_trunc('hour', ts) AS h,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+grid AS (
+  SELECT g.h, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+  FROM (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds) g
+  LEFT JOIN cnt c ON c.h = g.h)
+"""
+    + "\nUNION ALL".join(_q224_lag_arm(i) for i in range(4))
+)
+
+
+@q("q224_lagged_crosscorr", _Q224_ORACLE)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams: Pearson r
+    between hourly click counts and purchase counts L hours later,
+    L in 0..3 — the lead-indicator scan behind pipeline monitoring
+    (does ingest volume predict dedup load an hour later?).  The hour
+    grid is DENSE (sequence() between the observed bounds, gaps
+    coalesced to zero counts — a missing hour IS data), each lag is a
+    timestamp-shifted equi-JOIN of the grid to itself (shuffle-
+    parallel; never a single-partition lag window), and r is assembled
+    from the five integer moment sums, so both engines divide and
+    sqrt identical integers and round(., 6) is bit-safe.  Grid length
+    is the corpus timespan in hours — tiny relative to the corpus —
+    while the counting pass is one partial-combined aggregate over the
+    events scan."""
+    ev = load_table(spark, sf, "events")
+    cnt = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    bounds = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    "h0", "h1", F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("h")
+        )
+        .join(cnt, "h", "left")
+        .select(
+            "h",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    arms = []
+    for lag in range(4):
+        a = grid.alias("a")
+        b = grid.alias("b")
+        joined = a.join(
+            b,
+            F.col("b.h")
+            == F.col("a.h") + F.expr(f"INTERVAL {lag} HOUR"),
+        ).select(F.col("a.x").alias("x"), F.col("b.y").alias("y"))
+        num = (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        ).cast("double")
+        denx = (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        ).cast("double")
+        deny = (
+            F.count(F.lit(1)) * F.sum(F.col("y") * F.col("y"))
+            - F.sum("y") * F.sum("y")
+        ).cast("double")
+        arms.append(
+            joined.agg(
+                F.lit(lag).alias("lag"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(num / F.sqrt(denx * deny), 6).alias("r"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionAll(arm)
+    return out
+
+
+@q(
+    "q225_association_rules",
+    """WITH it AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       n AS (SELECT count(DISTINCT o) AS norders FROM it),
+       sup AS (SELECT p, count(*) AS s FROM it GROUP BY p),
+       freq AS (SELECT p FROM sup WHERE s >= 2),
+       fit AS (SELECT it.o, it.p FROM it JOIN freq ON it.p = freq.p),
+       pairs AS (
+         SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+         FROM fit a JOIN fit b ON a.o = b.o AND a.p < b.p
+         GROUP BY a.p, b.p HAVING count(*) >= 2)
+       SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+              round(CAST(support AS DOUBLE) / sa.s, 6) AS confidence,
+              round(CAST(support * norders AS DOUBLE) / (sa.s * sb.s), 6)
+                AS lift
+       FROM pairs
+       JOIN sup sa ON sa.p = part_a
+       JOIN sup sb ON sb.p = part_b
+       CROSS JOIN n""",
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules (A-priori shape): support /
+    confidence / lift for part pairs co-ordered at least twice.  The
+    scale lever is the A-PRIORI PRUNE: items below min-support are
+    semi-joined OUT before the pair join (pair support <= item
+    support, so the prune is lossless), and the pair join is an
+    order-keyed equi-join whose per-order fan-out is C(items,2) —
+    bounded by basket size (13 max here), never a cross join.
+    Supports are integers and lift/confidence are ratios of exact
+    integers, so round(., 6) matches bit-for-bit.  Co-occurrence
+    mining is the same posting-join shape as q150's entity resolution
+    and q203's boilerplate postings — here emitting the rules
+    themselves."""
+    it = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    sup = it.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    freq = sup.filter(F.col("s") >= 2).select("p")
+    fit = it.join(freq, "p", "left_semi")
+    a, b = fit.alias("a"), fit.alias("b")
+    pairs = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    n = it.agg(F.countDistinct("o").alias("norders"))
+    return (
+        pairs.join(
+            sup.select(F.col("p").alias("part_a"), F.col("s").alias("sa")),
+            "part_a",
+        )
+        .join(
+            sup.select(F.col("p").alias("part_b"), F.col("s").alias("sb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(
+                F.col("support").cast("double") / F.col("sa"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("support") * F.col("norders")).cast("double")
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+    )

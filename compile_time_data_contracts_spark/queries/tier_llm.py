@@ -3904,3 +3904,38 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import k_core
 
     return k_core(_customer_graph_edges(spark, sf), k=15, max_peels=3)
+
+
+@q(
+    "q223_kfold_assignment",
+    """WITH f AS (
+         SELECT (('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || '|' || 'kfold-v1'),
+                    1, 8))::BIGINT % 5) AS fold,
+                n_chars
+         FROM documents)
+       SELECT CAST(fold AS INT) AS fold,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM f GROUP BY fold""",
+)
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic k-fold assignment (`operators/sampling.py:
+    kfold_assign`): fold = 32 leading md5(key|salt) bits mod k — a
+    pure projection with NO shuffle and NO RNG state, so the split is
+    engine-/partitioning-/run-stable (the q209 hash-determinism
+    contract) and any engine reproduces it from the formula alone.
+    The gate aggregates per-fold doc and char counts; the round-6 test
+    pins the balance contract (each fold within 15 % of n/k — hash
+    uniformity) and fold-disjointness by construction.  Fold
+    assignment that costs zero extra passes is how 100 TB cross-
+    validation stays one-scan."""
+    from ..operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf, "documents")
+    return kfold_assign(docs, "doc_id", k=5).groupBy(
+        F.col("fold").cast("int").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
