@@ -19,6 +19,66 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 CHECKS = {
+    "q216_distributed_centroids": [
+        ("per-(label, dim) sums partial-aggregated (shuffle carries "
+         "partials, never vectors)", True,
+         lambda p: "partial_count" in p or "partial_sum" in p),
+        ("posexplode is a codegen Generate, no Python stage", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("single scan of the vector table", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q217_kmeans_lloyd": [
+        ("assignment is a map-only literal-centroid expression "
+         "(no join feeding the Generate) and the update is "
+         "partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("no Python stage anywhere in the final round", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q218_covariance_matrix": [
+        ("all 45 moments in ONE partial-combined aggregate over ONE "
+         "scan", True,
+         lambda p: "partial_sum" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python stage", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q221_robust_group_stats": [
+        ("one sort-based window pass + one agg: at most two exchanges",
+         True, lambda p: p.count("Exchange") <= 2),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p),
+    ],
+    "q222_pareto_skyline": [
+        ("reduce phase partial-aggregated", True,
+         lambda p: "partial_max" in p),
+        ("NO self-join anywhere (the O(n^2) dominance join is the "
+         "oracle's job)", True,
+         lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
+    "q223_kfold_assignment": [
+        ("fold assignment is pure projection: only the groupBy "
+         "exchange remains", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("md5 stays JVM-side", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q224_lagged_crosscorr": [
+        ("lag shift is an equi-join, never cartesian", True,
+         lambda p: "CartesianProduct" not in p),
+        ("moment sums partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+    ],
+    "q225_association_rules": [
+        ("a-priori prune is a semi-join before the pair join", True,
+         lambda p: "LeftSemi" in p),
+        ("pair join is an order-keyed equi-join, no cartesian", True,
+         lambda p: "CartesianProduct" not in p),
+        ("pair supports partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,
@@ -969,6 +1029,59 @@ def _bpe_pair_count_pipeline(spark, sf_dir):
     return _adjacent_pair_counts(word_frequencies(docs, "text"))
 
 
+
+
+def _lpa_round_pipeline(spark, sf_dir):
+    # one label_propagation round (operators/graph.py:
+    # label_propagation loop body) rebuilt un-checkpointed so the
+    # pre-checkpoint subtree is auditable (the connected_components
+    # PIPELINES pattern): edge join -> (dst, label) partial counts ->
+    # row_number mode pick
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    edges = cust.select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint").alias("dst"),
+    )
+    labels = cust.select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        (F.col("c_custkey") % 3).cast("bigint").alias("label"),
+    ).filter(F.col("src") % 10 == 1)
+    votes = (
+        edges.join(labels, "src")
+        .groupBy(F.col("dst").alias("id"), "label")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__n"), F.asc("label"))
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "label")
+    )
+
+
+def _kcore_peel_pipeline(spark, sf_dir):
+    # one k_core peel (operators/graph.py: k_core loop body)
+    # un-checkpointed: partial-combined degree count + endpoint
+    # semi-joins
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    sym = cust.select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint").alias("dst"),
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    keep = deg.filter(F.col("__deg") >= 2).select("src")
+    return sym.join(keep, "src", "left_semi").join(
+        keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+    )
+
+
 PIPELINES = {
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
@@ -978,9 +1091,28 @@ PIPELINES = {
     "q190_inner_prefix_postings": _prefix_filter_pipeline,
     "q193_inner_ivf_pq_search": _ivf_pq_search_pipeline,
     "q203_inner_boilerplate_lines": _boilerplate_lines_pipeline,
+    "q219_inner_lpa_round": _lpa_round_pipeline,
+    "q220_inner_kcore_peel": _kcore_peel_pipeline,
 }
 
 PIPELINE_CHECKS = {
+    "q219_inner_lpa_round": [
+        ("vote counts partial-aggregated before the dst shuffle", True,
+         lambda p: "partial_count" in p),
+        ("mode pick is a WindowGroupLimit heap (rn == 1 prunes "
+         "before the exchange)", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("no Python stage in the round", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q220_inner_kcore_peel": [
+        ("degree count partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("survivor filter is a semi-join on each endpoint, no "
+         "cartesian", True,
+         lambda p: p.count("LeftSemi") >= 2
+         and "CartesianProduct" not in p),
+    ],
     "q207_inner_bpe_pair_counts": [
         ("ONE corpus scan collapses to the vocabulary (shuffle carries "
          "distinct words, not the token stream): word count is "
