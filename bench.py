@@ -129,6 +129,21 @@ HEADLINE = [
     "q213_triangle_count",
     "q214_incremental_distinct_rollup",
     "q215_fuzzy_dedup_clusters",
+    "q216_distributed_centroids",
+    "q217_kmeans_lloyd",
+    "q218_covariance_matrix",
+    "q219_label_propagation",
+    "q220_k_core",
+    "q221_robust_group_stats",
+    "q222_pareto_skyline",
+    "q223_kfold_assignment",
+    "q224_lagged_crosscorr",
+    "q225_association_rules",
+    "q226_bfs_levels",
+    "q227_ols_normal_equations",
+    "q228_weighted_median",
+    "q229_seasonal_index",
+    "q230_deterministic_walks",
 ]
 
 

@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "label_propagation", "k_core"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "label_propagation",
+    "k_core",
+    "bfs_levels",
+    "deterministic_random_walks",
+]
 
 
 def pagerank(
@@ -388,3 +395,139 @@ def k_core(
         cur.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distance, ``max_hops`` synchronous rounds:
+    every node reachable from the seed set within ``max_hops`` hops is
+    returned as (id, hop) where hop is the EXACT shortest hop count —
+    BFS discovers each node at its minimum distance by construction, so
+    no min-aggregation re-pass is needed.  Integer hops make every
+    round engine-exact; a fixed round budget unrolls to a frontier/
+    visited SQL tower oracle (the q165 pattern — DuckDB's recursive CTE
+    would also express it, but the tower mirrors the operator round for
+    round).
+
+    ``seeds``: one column ``id``.  ``symmetric=True`` (default)
+    symmetrizes + de-duplicates the edge list first (undirected
+    reachability); ``False`` walks directed edges as given.
+
+    Round shape, all JVM: frontier ⋈ edges on src (shuffle keyed by
+    src) → distinct candidate dsts → LEFT ANTI join against the visited
+    set — one equi-join, one partial-combined distinct, one anti-join
+    per hop.  The frontier is the moving volume; the edge list — the
+    dominant volume — is built once, and pre-partitioning it by src
+    makes round joins exchange-free on the edge side (the ``pagerank``
+    co-location argument).  Per-round reliable checkpoints keep the
+    visited set's plan linear in hops (the ``connected_components``
+    durability pattern).  Hop-bounded reachability is the crawl-
+    frontier / link-spam-neighborhood / citation-radius primitive of
+    corpus curation.
+    """
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    e = edges.select("src", "dst")
+    if symmetric:
+        e = e.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    e = e.filter(F.col("src") != F.col("dst")).distinct()
+    visited = (
+        seeds.select(F.col("id").cast("bigint").alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("int").alias("hop"))
+        .checkpoint(eager=True)
+    )
+    frontier = visited.select("id")
+    for t in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.withColumnRenamed("id", "src"), "src"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .select("id", F.lit(t).cast("int").alias("hop"))
+            .checkpoint(eager=True)
+        )
+        visited = visited.union(nxt).checkpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited
+
+
+def deterministic_random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+) -> DataFrame:
+    """Fixed-length HASH-DRIVEN random walks (the node2vec/DeepWalk
+    corpus-prep primitive, made reproducible): from every start node,
+    take ``steps`` steps where the next hop from node v at step t is
+    the out-neighbor d minimizing md5(v || '|t|' || d) — a uniform-ish
+    but fully DETERMINISTIC choice (the q209 hash-determinism
+    contract: no RNG state, so walks are engine-, partitioning-, and
+    run-stable, and any engine reproduces them from the formula
+    alone).  Walks at nodes with no out-edge simply stop.
+
+    Returns (walk, step, node): walk = start node id, step 0..steps.
+
+    Per step, all JVM: current positions ⋈ edges on src (shuffle keyed
+    by the current node) + one WindowGroupLimit-prunable row_number
+    over (hash, dst) per walk — the rank-1 filter is pushed into a
+    per-partition heap before the exchange, so the shuffle carries one
+    candidate row per (walk, partition), not the full neighbor
+    fan-out.  The edge list is the static dominant volume:
+    pre-partitioning it by src makes every step's join exchange-free
+    on the edge side (the ``pagerank`` co-location argument).  A
+    reliable checkpoint per step keeps the plan linear in steps.
+    """
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).distinct()
+    pos = (
+        starts.select(F.col("id").cast("bigint").alias("walk"))
+        .distinct()
+        .select("walk", F.col("walk").alias("node"))
+        .checkpoint(eager=True)
+    )
+    out = pos.select(
+        "walk", F.lit(0).cast("int").alias("step"), "node"
+    )
+    for t in range(1, steps + 1):
+        cand = pos.join(e, pos["node"] == e["src"]).select(
+            "walk",
+            F.col("dst").alias("nxt"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.col("node").cast("string"),
+                    F.lit(f"|{t}|"),
+                    F.col("dst").cast("string"),
+                )
+            ).alias("__h"),
+        )
+        w = Window.partitionBy("walk").orderBy("__h", "nxt")
+        pos = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("walk", F.col("nxt").alias("node"))
+            .checkpoint(eager=True)
+        )
+        out = out.union(
+            pos.select(
+                "walk", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    return out

@@ -3221,3 +3221,263 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_Q227_ORACLE = """
+  WITH m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x1) AS BIGINT) AS s1,
+           CAST(sum(x2) AS BIGINT) AS s2,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x1 * x1) AS BIGINT) AS s11,
+           CAST(sum(x1 * x2) AS BIGINT) AS s12,
+           CAST(sum(x2 * x2) AS BIGINT) AS s22,
+           CAST(sum(x1 * y) AS BIGINT) AS s1y,
+           CAST(sum(x2 * y) AS BIGINT) AS s2y
+    FROM (
+      SELECT CAST(floor(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS x1,
+             CAST(floor(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS x2,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+               AS y
+      FROM lineitem)),
+  d AS (
+    SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+           CAST(n AS DOUBLE) AS fn, CAST(s1 AS DOUBLE) AS f1,
+           CAST(s2 AS DOUBLE) AS f2, CAST(sy AS DOUBLE) AS fy,
+           CAST(s11 AS DOUBLE) AS f11, CAST(s12 AS DOUBLE) AS f12,
+           CAST(s22 AS DOUBLE) AS f22, CAST(s1y AS DOUBLE) AS f1y,
+           CAST(s2y AS DOUBLE) AS f2y
+    FROM m),
+  k AS (
+    SELECT n,
+           fn * (f11 * f22 - f12 * f12)
+             - f1 * (f1 * f22 - f12 * f2)
+             + f2 * (f1 * f12 - f11 * f2) AS det,
+           fy * (f11 * f22 - f12 * f12)
+             - f1 * (f1y * f22 - f12 * f2y)
+             + f2 * (f1y * f12 - f11 * f2y) AS d0,
+           fn * (f1y * f22 - f12 * f2y)
+             - fy * (f1 * f22 - f12 * f2)
+             + f2 * (f1 * f2y - f1y * f2) AS d1,
+           fn * (f11 * f2y - f1y * f12)
+             - f1 * (f1 * f2y - f1y * f2)
+             + fy * (f1 * f12 - f11 * f2) AS d2
+    FROM d)
+  SELECT n, round(d0 / det, 6) AS intercept_cents,
+         round(d1 / det, 6) AS beta_qty_cents,
+         round(d2 / det, 6) AS beta_disc_cents
+  FROM k"""
+
+
+@q("q227_ols_normal_equations", _Q227_ORACLE)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed multiple linear regression by NORMAL EQUATIONS:
+    y = extended price (cents) on [1, quantity, discount (cents)],
+    solved in closed form from ONE partial-combined, groupBy-less
+    moment aggregate (n + 3 first moments + 5 second moments) — the
+    multi-feature extension of q163's regr_slope and q218's
+    single-pass covariance.  At 100 TB the fit costs exactly the scan:
+    the shuffle carries nine numbers per partition, the 3x3 Cramer
+    solve happens IN-PLAN on the 1-row aggregate (no driver math, no
+    Python), and the result stays lazy end to end.
+
+    Engine-exactness: inputs are floored to integer quantities/cents,
+    so the BIGINT moment sums are exact on both engines (largest,
+    Σ x1·y <= 50 · 1e7 · 6e6 rows ~ 3e15 at sf1, inside BIGINT); the
+    Cramer determinants are then computed in DOUBLE with the SAME
+    expression tree on both engines — identical integer operands
+    through identical IEEE operations give identical doubles, and
+    round(., 6) pins the comparison.  For p features this generalizes
+    to the p²/2-moment Gram aggregate + a driver-side k-sized solve
+    (p ~ tens), never a per-row Python stage."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.floor(F.col("l_quantity").cast("double"))
+        .cast("bigint")
+        .alias("x1"),
+        F.floor(F.col("l_discount").cast("double") * 100)
+        .cast("bigint")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    d = m.select(
+        "n",
+        *[
+            F.col(c).cast("double").alias("f" + c[1:])
+            for c in ("sn", "s1", "s2", "sy", "s11", "s12", "s22",
+                      "s1y", "s2y")
+            if c != "sn"
+        ],
+        F.col("n").cast("double").alias("fn"),
+    )
+    c = F.col
+    det = (
+        c("fn") * (c("f11") * c("f22") - c("f12") * c("f12"))
+        - c("f1") * (c("f1") * c("f22") - c("f12") * c("f2"))
+        + c("f2") * (c("f1") * c("f12") - c("f11") * c("f2"))
+    )
+    d0 = (
+        c("fy") * (c("f11") * c("f22") - c("f12") * c("f12"))
+        - c("f1") * (c("f1y") * c("f22") - c("f12") * c("f2y"))
+        + c("f2") * (c("f1y") * c("f12") - c("f11") * c("f2y"))
+    )
+    d1 = (
+        c("fn") * (c("f1y") * c("f22") - c("f12") * c("f2y"))
+        - c("fy") * (c("f1") * c("f22") - c("f12") * c("f2"))
+        + c("f2") * (c("f1") * c("f2y") - c("f1y") * c("f2"))
+    )
+    d2 = (
+        c("fn") * (c("f11") * c("f2y") - c("f1y") * c("f12"))
+        - c("f1") * (c("f1") * c("f2y") - c("f1y") * c("f2"))
+        + c("fy") * (c("f1") * c("f12") - c("f11") * c("f2"))
+    )
+    return d.select(
+        "n",
+        F.round(d0 / det, 6).alias("intercept_cents"),
+        F.round(d1 / det, 6).alias("beta_qty_cents"),
+        F.round(d2 / det, 6).alias("beta_disc_cents"),
+    )
+
+
+_Q228_ORACLE = """
+  WITH x AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+             AS cents,
+           CAST(floor(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS w
+    FROM lineitem),
+  c AS (
+    SELECT flag, cents, w,
+           sum(w) OVER (PARTITION BY flag ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cw,
+           sum(w) OVER (PARTITION BY flag) AS tw
+    FROM x)
+  SELECT flag, CAST(min(tw) AS BIGINT) AS total_weight,
+         CAST(min(cents) AS BIGINT) AS weighted_median_cents
+  FROM c WHERE cw * 2 >= tw GROUP BY flag"""
+
+
+@q("q228_weighted_median", _Q228_ORACLE)
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group WEIGHTED median (lower median): smallest price whose
+    cumulative quantity-weight reaches half the group's total — the
+    robust location estimate for weight-skewed corpora (median
+    document quality weighted by token count is the canonical 100 TB
+    use).  RANK-BASED like q221: integer cents values and integer
+    weights mean every comparison is exact on both engines — no
+    quantile interpolation exists to diverge (Spark's
+    percentile/approx_percentile and DuckDB's quantile_cont would).
+
+    One sort-based window per group computes the running weight AND
+    the group total on the SAME exchange+sort (the q221 shape), then a
+    partial-combined groupBy takes min(value) over qualifying rows —
+    two shuffles total, no join, no Python.  Determinism under ties:
+    orderings differing within equal values permute cumulative sums
+    only INSIDE a tie run; the qualifying condition is monotone and
+    run-boundary sums are order-invariant, so the chosen value —
+    min over qualifiers — is unique regardless of tie order."""
+    x = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.floor(F.col("l_quantity").cast("double"))
+        .cast("bigint")
+        .alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("flag")
+    c = x.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("tw").cast("bigint").alias("total_weight"),
+            F.min("cents").cast("bigint").alias("weighted_median_cents"),
+        )
+    )
+
+
+_Q229_ORACLE = """
+  WITH x AS (
+    SELECT EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+           CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+             AS micros
+    FROM events),
+  h AS (
+    SELECT hod, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(micros) AS BIGINT) AS sum_micros
+    FROM x GROUP BY hod),
+  g AS (
+    SELECT CAST(count(*) AS BIGINT) AS gn,
+           CAST(sum(micros) AS BIGINT) AS gs
+    FROM x)
+  SELECT CAST(hod AS INT) AS hod, n_events, sum_micros,
+         round((CAST(sum_micros AS DOUBLE) / n_events)
+               / (CAST(gs AS DOUBLE) / gn), 6) AS seasonal_index
+  FROM h CROSS JOIN g"""
+
+
+@q("q229_seasonal_index", _Q229_ORACLE)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day SEASONAL INDEX — the multiplicative-decomposition
+    seasonal component: per hour h, (mean value in h) / (global mean).
+    Ingest and engagement volumes breathe daily; the index is how a
+    pipeline normalizes load forecasts and spots hours whose quality
+    mix drifts (a 3 a.m. spam wave shows up as an index spike before
+    any classifier does).
+
+    Shape: ONE partial-combined groupBy(hour) — 24 output rows — plus
+    a 1-row global aggregate broadcast in with a crossJoin; at 100 TB
+    both cost exactly the scan and the shuffle carries 24 partial
+    tuples per partition.  Engine-exactness: values floored to integer
+    micros so both sums are exact BIGINTs, and the index is computed
+    with the identical (sum/n)/(gs/gn) DOUBLE expression tree on both
+    engines — identical integer operands through identical IEEE
+    operations, pinned by round(., 6) (the q227 contract)."""
+    x = load_table(spark, sf, "events").select(
+        F.hour(F.col("ts").cast("timestamp")).alias("hod"),
+        F.floor(F.col("value").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("micros"),
+    )
+    h = x.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("micros").cast("bigint").alias("sum_micros"),
+    )
+    g = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("micros").cast("bigint").alias("gs"),
+    )
+    return h.crossJoin(F.broadcast(g)).select(
+        F.col("hod").cast("int").alias("hod"),
+        "n_events",
+        "sum_micros",
+        F.round(
+            (F.col("sum_micros").cast("double") / F.col("n_events"))
+            / (F.col("gs").cast("double") / F.col("gn")),
+            6,
+        ).alias("seasonal_index"),
+    )

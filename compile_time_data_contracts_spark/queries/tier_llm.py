@@ -3906,6 +3906,59 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(_customer_graph_edges(spark, sf), k=15, max_peels=3)
 
 
+_Q226_ROUND = """,
+  f{t} AS (
+    SELECT DISTINCT e.dst AS id
+    FROM sym e JOIN f{p} f ON e.src = f.id
+    WHERE e.dst NOT IN (SELECT id FROM v{p})),
+  v{t} AS (
+    SELECT id, hop FROM v{p}
+    UNION ALL SELECT id, {t} AS hop FROM f{t})"""
+
+_Q226_ORACLE = (
+    "WITH "
+    + _Q219_GRAPH_SQL
+    + """,
+  f0 AS (
+    SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id
+    FROM customer WHERE c_custkey % 100 = 1),
+  v0 AS (SELECT id, 0 AS hop FROM f0)"""
+    + _Q226_ROUND.format(t=1, p=0)
+    + _Q226_ROUND.format(t=2, p=1)
+    + _Q226_ROUND.format(t=3, p=2)
+    + """
+  SELECT id, CAST(hop AS INT) AS hop FROM v3"""
+)
+
+
+@q("q226_bfs_levels", _Q226_ORACLE)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop distance (`operators/graph.py: bfs_levels`,
+    3 synchronous rounds) over the symmetrized q165 link graph from a
+    1 % customer seed set: every reached node reports its EXACT
+    shortest hop count — BFS discovers nodes at minimum distance by
+    construction, so no min re-aggregation exists to get wrong.
+    Integer hops make each round engine-exact and the oracle is the
+    identical frontier/visited tower unrolled in SQL (a recursive CTE
+    would express it too; the tower mirrors the operator round for
+    round).  Per hop the plan is one src-keyed frontier join + one
+    partial-combined distinct + one anti-join against the visited set;
+    the edge list is built once outside the loop.  Hop-bounded
+    reachability is the crawl-frontier / spam-neighborhood /
+    citation-radius primitive of corpus curation — completing the
+    graph family alongside PageRank (q165), components (q73/q101),
+    triangles (q213), label propagation (q219), and k-core (q220)."""
+    from ..operators.graph import bfs_levels
+
+    customer = load_table(spark, sf, "customer")
+    seeds = customer.filter(F.col("c_custkey") % 100 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    return bfs_levels(
+        _customer_graph_edges(spark, sf), seeds, max_hops=3
+    )
+
+
 @q(
     "q223_kfold_assignment",
     """WITH f AS (
@@ -3938,4 +3991,60 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_Q230_STEP = """,
+  p{t} AS (
+    SELECT walk, node FROM (
+      SELECT s.walk, e.dst AS node,
+             row_number() OVER (
+               PARTITION BY s.walk
+               ORDER BY md5(CAST(s.node AS VARCHAR) || '|{t}|'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+      FROM p{p} s JOIN e0 e ON e.src = s.node) WHERE rn = 1)"""
+
+_Q230_ORACLE = (
+    "WITH "
+    + _Q219_GRAPH_SQL
+    + """,
+  p0 AS (
+    SELECT CAST(c_custkey AS BIGINT) AS walk,
+           CAST(c_custkey AS BIGINT) AS node
+    FROM customer WHERE c_custkey % 50 = 1)"""
+    + _Q230_STEP.format(t=1, p=0)
+    + _Q230_STEP.format(t=2, p=1)
+    + _Q230_STEP.format(t=3, p=2)
+    + """
+  SELECT walk, CAST(0 AS INT) AS step, node FROM p0
+  UNION ALL SELECT walk, CAST(1 AS INT), node FROM p1
+  UNION ALL SELECT walk, CAST(2 AS INT), node FROM p2
+  UNION ALL SELECT walk, CAST(3 AS INT), node FROM p3"""
+)
+
+
+@q("q230_deterministic_walks", _Q230_ORACLE)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-length deterministic random walks (`operators/graph.py:
+    deterministic_random_walks`, 3 steps) over the DIRECTED q165 link
+    graph from a 2 % start set — the node2vec/DeepWalk corpus-prep
+    primitive with the q209/q223 hash-determinism contract in place of
+    RNG state: next hop = argmin over out-neighbors of
+    md5(node|step|neighbor), so walks are run-/engine-/partitioning-
+    stable and the oracle replays them exactly, step for step, as a
+    SQL tower.  Per step: one src-keyed equi-join + one
+    WindowGroupLimit-pruned rank-1 pick (the per-partition heap runs
+    BEFORE the exchange); the static edge list is the dominant volume
+    and pre-partitioning it by src makes every step exchange-free on
+    the edge side.  Walk corpora feed skip-gram embedding training —
+    the graph-structured sibling of the text pipeline's q65 sequence
+    packing."""
+    from ..operators.graph import deterministic_random_walks
+
+    customer = load_table(spark, sf, "customer")
+    starts = customer.filter(F.col("c_custkey") % 50 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    return deterministic_random_walks(
+        _customer_graph_edges(spark, sf), starts, steps=3
     )

@@ -79,6 +79,28 @@ CHECKS = {
         ("pair supports partial-aggregated", True,
          lambda p: "partial_count" in p),
     ],
+    "q227_ols_normal_equations": [
+        ("all nine moments in ONE partial-combined aggregate over ONE "
+         "scan; Cramer solve stays in-plan", True,
+         lambda p: "partial_sum" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q228_weighted_median": [
+        ("one sort-based window pass + one agg: at most two exchanges",
+         True, lambda p: p.count("Exchange") <= 2),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p),
+    ],
+    "q229_seasonal_index": [
+        ("hourly and global sums partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("global stat joined as a 1-row broadcast", True,
+         lambda p: "BroadcastNestedLoopJoin" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 2),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,
@@ -1082,6 +1104,66 @@ def _kcore_peel_pipeline(spark, sf_dir):
     )
 
 
+def _bfs_hop_pipeline(spark, sf_dir):
+    # one bfs_levels hop (operators/graph.py: bfs_levels loop body)
+    # un-checkpointed: frontier join -> distinct candidates -> anti-join
+    # against the visited set
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    edges = cust.select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint").alias("dst"),
+    )
+    frontier = cust.filter(F.col("c_custkey") % 100 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("src")
+    )
+    visited = frontier.select(F.col("src").alias("id"))
+    return (
+        edges.join(frontier, "src")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(visited, "id", "left_anti")
+    )
+
+
+def _walk_step_pipeline(spark, sf_dir):
+    # one deterministic_random_walks step (operators/graph.py) un-
+    # checkpointed: position join -> md5-ranked neighbor pick
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    edges = cust.select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint").alias("dst"),
+    )
+    pos = cust.filter(F.col("c_custkey") % 50 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("walk"),
+        F.col("c_custkey").cast("bigint").alias("node"),
+    )
+    cand = pos.join(edges, pos["node"] == edges["src"]).select(
+        "walk",
+        F.col("dst").alias("nxt"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.col("node").cast("string"),
+                F.lit("|1|"),
+                F.col("dst").cast("string"),
+            )
+        ).alias("__h"),
+    )
+    w = Window.partitionBy("walk").orderBy("__h", "nxt")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("walk", F.col("nxt").alias("node"))
+    )
+
+
 PIPELINES = {
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
@@ -1093,9 +1175,27 @@ PIPELINES = {
     "q203_inner_boilerplate_lines": _boilerplate_lines_pipeline,
     "q219_inner_lpa_round": _lpa_round_pipeline,
     "q220_inner_kcore_peel": _kcore_peel_pipeline,
+    "q226_inner_bfs_hop": _bfs_hop_pipeline,
+    "q230_inner_walk_step": _walk_step_pipeline,
 }
 
 PIPELINE_CHECKS = {
+    "q226_inner_bfs_hop": [
+        ("visited-set exclusion is a LEFT ANTI join, never NOT IN "
+         "subquery re-evaluation", True, lambda p: "LeftAnti" in p),
+        ("candidate distinct partial-aggregated before the shuffle",
+         True, lambda p: "HashAggregate" in p),
+        ("no cartesian, no Python in the hop", True,
+         lambda p: "CartesianProduct" not in p
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q230_inner_walk_step": [
+        ("rank-1 neighbor pick is a WindowGroupLimit heap (prunes "
+         "before the exchange)", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("md5 choice stays JVM-side, no Python stage", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q219_inner_lpa_round": [
         ("vote counts partial-aggregated before the dst shuffle", True,
          lambda p: "partial_count" in p),

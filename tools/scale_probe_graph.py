@@ -1,6 +1,6 @@
-"""Scale probe: PageRank at 1M nodes / 9M edges (above any broadcast
-threshold for the rank table) with a planted hub and conservation
-contracts.
+"""Scale probe: PageRank, label propagation, and k-core at 1M nodes /
+9M edges (above any broadcast threshold for the rank table) with a
+planted hub and conservation contracts.
 
 Graph construction (fully deterministic, generated distributed via
 spark.range — generation happens outside the timed region):
@@ -114,6 +114,88 @@ def main() -> int:
         abs(float(stats20.mass) - 1.0) < 1e-6
     )
 
+    # --- label propagation at the same scale: clamp 10% seeds
+    # (id % 10 == 1, label = id % 3), two synchronous rounds.
+    # Contracts: every seed keeps its label (clamping), propagation
+    # labels strictly more nodes than the seed set, and no label
+    # escapes the seed alphabet {0, 1, 2}.
+    from compile_time_data_contracts_spark.operators.graph import (
+        k_core,
+        label_propagation,
+    )
+
+    seeds = (
+        spark.range(n)
+        .where(F.col("id") % 10 == 1)
+        .select("id", (F.col("id") % 3).cast("int").alias("label"))
+        .persist()
+    )
+    n_seeds = seeds.count()
+    t0 = time.time()
+    lpa = label_propagation(edges, seeds, iters=2)
+    lpa_stats = (
+        lpa.join(seeds.withColumnRenamed("label", "seed_label"), "id", "left")
+        .agg(
+            F.count("*").alias("labeled"),
+            F.sum(
+                F.when(
+                    F.col("seed_label").isNotNull()
+                    & (F.col("label") != F.col("seed_label")),
+                    1,
+                ).otherwise(0)
+            ).alias("seed_flips"),
+            F.max("label").alias("max_label"),
+            F.min("label").alias("min_label"),
+        )
+        .collect()[0]
+    )
+    results["lpa_sec"] = round(time.time() - t0, 2)
+    results["lpa_seeds"] = int(n_seeds)
+    results["lpa_labeled"] = int(lpa_stats.labeled)
+    results["lpa_seeds_clamped"] = int(lpa_stats.seed_flips) == 0
+    results["lpa_spread"] = int(lpa_stats.labeled) > int(n_seeds)
+    results["lpa_alphabet_ok"] = (
+        int(lpa_stats.min_label) >= 0 and int(lpa_stats.max_label) <= 2
+    )
+    seeds.unpersist()
+
+    # --- k-core at the same scale.  The PageRank graph is degree-
+    # uniform by construction (each per-k map i -> (i*A + k*B) % n is a
+    # bijection, so in-degree is exactly 8 everywhere — k=15 would peel
+    # nothing).  Build a VARIABLE-degree graph instead: node i emits
+    # 1 + (i % 12) out-edges, so symmetrized degrees spread over ~2..24
+    # and k=8 peeling actually cascades.  Contracts: someone was
+    # peeled, someone survived, and every survivor sits at degree >= k
+    # within the peel budget (monotone: edges only ever shrink).
+    vks = F.explode(
+        F.sequence(F.lit(1), (F.col("src") % 12 + 1).cast("int"))
+    ).alias("k")
+    var_edges = (
+        spark.range(n)
+        .select(F.col("id").alias("src"))
+        .select("src", vks)
+        .select("src", ((F.col("src") * A + F.col("k") * B) % n).alias("dst"))
+        .persist()
+    )
+    var_edges.count()
+    t0 = time.time()
+    core = k_core(var_edges, k=8, max_peels=14).persist()
+    core_stats = core.agg(
+        F.count("*").alias("survivors"), F.min("degree").alias("min_deg")
+    ).collect()[0]
+    results["kcore_sec"] = round(time.time() - t0, 2)
+    results["kcore_k"] = 8
+    results["kcore_survivors"] = int(core_stats.survivors)
+    results["kcore_min_deg"] = (
+        int(core_stats.min_deg) if core_stats.min_deg is not None else 0
+    )
+    results["kcore_peeled_some"] = int(core_stats.survivors) < n
+    results["kcore_converged"] = (
+        int(core_stats.survivors) > 0 and results["kcore_min_deg"] >= 8
+    )
+    core.unpersist()
+    var_edges.unpersist()
+
     results["ok"] = all(
         results[k]
         for k in (
@@ -123,6 +205,11 @@ def main() -> int:
             "plan_partial_sum",
             "plan_no_cartesian",
             "pagerank20_mass_conserved",
+            "lpa_seeds_clamped",
+            "lpa_spread",
+            "lpa_alphabet_ok",
+            "kcore_peeled_some",
+            "kcore_converged",
         )
     )
     edges.unpersist()
