@@ -144,6 +144,9 @@ HEADLINE = [
     "q228_weighted_median",
     "q229_seasonal_index",
     "q230_deterministic_walks",
+    "q231_sliding_hll_contract",
+    "q232_equidepth_binning",
+    "q233_referential_audit",
 ]
 
 

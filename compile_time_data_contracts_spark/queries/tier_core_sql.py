@@ -3481,3 +3481,225 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+_Q231_ORACLE = """
+  WITH d AS (
+    SELECT DISTINCT event_type AS t,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+           user_id
+    FROM events),
+  obs AS (SELECT DISTINCT t, day FROM d),
+  c AS (
+    SELECT t, day + i AS w, user_id
+    FROM d, UNNEST(range(0, 3)) AS u(i)),
+  e AS (
+    SELECT t, w, count(DISTINCT user_id) AS n FROM c GROUP BY t, w)
+  SELECT obs.t AS event_type, CAST(obs.day AS INT) AS day_num,
+         CAST(e.n AS BIGINT) AS exact_unique, TRUE AS within_5pct
+  FROM obs JOIN e ON e.t = obs.t AND e.w = obs.day"""
+
+
+@q("q231_sliding_hll_contract", _Q231_ORACLE)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    """SLIDING-window distinct users via HLL sketch algebra — the
+    sketch ∘ window composition: per (event_type, day) one fixed-size
+    HLL sketch of user ids, then the trailing 3-day unique count is
+    hll_union_agg over a RANGE frame and one estimate call.  This is
+    the 100 TB shape for "rolling uniques" dashboards: the corpus scan
+    happens ONCE (per-day sketch build, partial-combined — sketches
+    merge map-side); the window then runs over the |types|×|days|
+    sketch table, which is tiny, and re-windowing to 7/28-day frames
+    needs NO rescan — the q130/q214 mergeability argument lifted into
+    a window frame.
+
+    Gate contract (the q130/q160/q201 sketch pattern): the query also
+    computes the EXACT trailing distinct (each (type, day, user) row
+    explodes to the <= 3 window days it feeds — codegen Generate, one
+    distinct agg) and emits within_5pct = |est/exact − 1| <= 0.05;
+    the oracle recomputes the exact counts and expects TRUE (HLL at
+    default lgK=12 is ~1.6 % rel-err, and exact below sparse-mode
+    cutoffs).  The estimate itself stays out of the output — sketch
+    internals are engine-specific by construction."""
+    ev = load_table(spark, sf, "events")
+    d = ev.select(
+        F.col("event_type").alias("t"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    per = d.groupBy("t", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per.createOrReplaceTempView("q231_per")
+    est = spark.sql(
+        """SELECT t, day,
+             CAST(hll_sketch_estimate(hll_union_agg(sk) OVER (
+               PARTITION BY t ORDER BY day
+               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT)
+               AS est
+           FROM q231_per"""
+    )
+    contrib = d.select(
+        "t",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 2)
+        ).alias("w"),
+        "user_id",
+    ).distinct()
+    exact = contrib.groupBy("t", "w").agg(
+        F.countDistinct("user_id").alias("exact_unique")
+    )
+    return (
+        est.join(
+            exact,
+            (est["t"] == exact["t"]) & (est["day"] == exact["w"]),
+        )
+        .select(
+            est["t"].alias("event_type"),
+            est["day"].cast("int").alias("day_num"),
+            F.col("exact_unique").cast("bigint").alias("exact_unique"),
+            (
+                F.abs(
+                    F.col("est").cast("double") / F.col("exact_unique")
+                    - 1.0
+                )
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
+_Q232_ORACLE = """
+  WITH x AS (
+    SELECT p_partkey,
+           CAST(floor(CAST(p_retailprice AS DOUBLE) * 100) AS BIGINT)
+             AS cents
+    FROM part),
+  b AS (
+    SELECT cents,
+           ntile(4) OVER (ORDER BY cents, p_partkey) AS bin
+    FROM x)
+  SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(cents) AS BIGINT) AS lo_cents,
+         CAST(max(cents) AS BIGINT) AS hi_cents
+  FROM b GROUP BY bin"""
+
+
+@q("q232_equidepth_binning", _Q232_ORACLE)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    """EQUI-DEPTH feature binning (quantile discretization for model
+    features): ntile(4) over retail price assigns each part to one of
+    four equal-population buckets; the output is the bucket spec
+    (count + [lo, hi] boundaries) a trainer ships with the model.
+    Rank-based like q221/q228 — ntile splits by ROW COUNT with an
+    identical definition on both engines, so there is no quantile
+    interpolation to diverge; ties are pinned by the compound
+    (cents, p_partkey) sort key, making bucket ASSIGNMENTS (not just
+    counts) engine- and run-deterministic.
+
+    Shape: one global sort-window + one partial-combined groupBy.
+    The unpartitioned ntile window is the honest cost of globally
+    consistent bin EDGES; at 100 TB production swaps the exact pass
+    for approx_percentile edges (q96) or runs this per shard — but
+    the spec table this emits is 4 rows either way."""
+    x = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.orderBy("cents", "p_partkey")
+    return (
+        x.select("cents", F.ntile(4).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n",
+                "lo_cents", "hi_cents")
+    )
+
+
+_Q233_ORACLE = """
+  WITH dim AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey % 97 <> 0),
+  orphan_li AS (
+    SELECT count(*) AS viol FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM dim d WHERE d.o_orderkey = l.l_orderkey)),
+  orphan_ord AS (
+    SELECT count(*) AS viol FROM dim d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = d.o_custkey)),
+  dup_pk AS (
+    SELECT count(*) AS viol FROM (
+      SELECT o_orderkey FROM dim
+      GROUP BY o_orderkey HAVING count(*) > 1))
+  SELECT 'lineitem_fk_orders' AS check_name,
+         CAST(viol AS BIGINT) AS violations FROM orphan_li
+  UNION ALL
+  SELECT 'orders_fk_customer', CAST(viol AS BIGINT) FROM orphan_ord
+  UNION ALL
+  SELECT 'orders_pk_unique', CAST(viol AS BIGINT) FROM dup_pk"""
+
+
+@q("q233_referential_audit", _Q233_ORACLE)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table REFERENTIAL-INTEGRITY audit — the missing third of
+    the expectations family: q148/q191 check value rules within one
+    table; this checks the relationships BETWEEN tables that a
+    partial or out-of-order load breaks.  The fixture simulates a
+    partial dimension load (orders with o_orderkey % 97 = 0 dropped),
+    so the foreign-key check reports real nonzero orphan counts
+    instead of a vacuous all-green.
+
+    Three checks, each the scale-correct shape: FK orphans are LEFT
+    ANTI joins (never NOT IN subquery re-evaluation — null-safe and
+    shuffle-parallel), PK uniqueness is one partial-combined
+    groupBy-HAVING.  Each check reduces to a 1-row count, so the
+    audit's output is |checks|-sized regardless of corpus size; at
+    100 TB the FK anti-joins ride the same hash exchange a normal
+    dim join would (or a Bloom pre-filter, q187)."""
+    orders = load_table(spark, sf, "orders")
+    dim = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf, "lineitem")
+    cust = load_table(spark, sf, "customer")
+    orphan_li = (
+        li.join(
+            dim.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(
+            F.lit("lineitem_fk_orders").alias("check_name"), "violations"
+        )
+    )
+    orphan_ord = (
+        dim.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(
+            F.lit("orders_fk_customer").alias("check_name"), "violations"
+        )
+    )
+    dup_pk = (
+        dim.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(
+            F.lit("orders_pk_unique").alias("check_name"), "violations"
+        )
+    )
+    return orphan_li.union(orphan_ord).union(dup_pk)

@@ -176,3 +176,67 @@ def test_seasonal_index_weighted_mean_is_one(spark, sf_dir):
     acc = sum(r.n_events * r.seasonal_index for r in rows) / n
     assert abs(acc - 1.0) < 1e-4
     assert 0 <= min(r.hod for r in rows) and max(r.hod for r in rows) <= 23
+
+
+# ------------------------------------------------- sliding HLL contract
+def test_sliding_hll_exact_matches_brute_force(spark, sf_dir):
+    from compile_time_data_contracts_spark.queries.tier_core_sql import (  # noqa: E501
+        q231,
+    )
+
+    rows = q231(spark, sf_dir).collect()
+    assert rows and all(r.within_5pct for r in rows)
+    # brute-force the exact trailing-3-day distinct for one (type, day)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+            "user_id",
+        )
+        .collect()
+    )
+    probe = rows[0]
+    want = len(
+        {
+            r.user_id
+            for r in ev
+            if r.t == probe.event_type
+            and probe.day_num - 2 <= r.day <= probe.day_num
+        }
+    )
+    assert probe.exact_unique == want
+
+
+# ---------------------------------------------------- equi-depth bins
+def test_equidepth_bins_are_balanced_and_ordered(spark, sf_dir):
+    from compile_time_data_contracts_spark.queries.tier_core_sql import (  # noqa: E501
+        q232,
+    )
+
+    rows = sorted(q232(spark, sf_dir).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == [1, 2, 3, 4]
+    # equal population within 1 (ntile's contract)
+    ns = [r.n for r in rows]
+    assert max(ns) - min(ns) <= 1
+    # bins tile the value range in order (boundaries may touch on ties)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents <= b.lo_cents
+
+
+# ----------------------------------------------- referential audit
+def test_referential_audit_counts(spark, sf_dir):
+    from compile_time_data_contracts_spark.queries.tier_core_sql import (  # noqa: E501
+        q233,
+    )
+
+    got = {r.check_name: r.violations for r in q233(spark, sf_dir).collect()}
+    # the simulated partial load drops orders with o_orderkey % 97 == 0;
+    # their lineitems must be flagged as orphans, exactly
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = li.filter(F.col("l_orderkey") % 97 == 0).count()
+    assert got["lineitem_fk_orders"] == want and want > 0
+    assert got["orders_fk_customer"] == 0  # custkeys are intact
+    assert got["orders_pk_unique"] == 0

@@ -101,6 +101,31 @@ CHECKS = {
          lambda p: "BroadcastNestedLoopJoin" in p
          and len(re.findall(r"\(\d+\) Scan parquet", p)) == 2),
     ],
+    "q231_sliding_hll_contract": [
+        ("per-day sketches partial-aggregated (fixed-size sketch per "
+         "partition crosses the shuffle)", True,
+         lambda p: "partial_hll_sketch_agg" in p
+         and "ObjectHashAggregate" in p),
+        ("exact-side window explode is a codegen Generate, no Python",
+         True, lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("no cartesian", True, lambda p: "CartesianProduct" not in p),
+    ],
+    "q232_equidepth_binning": [
+        ("one global sort-window + one agg", True,
+         lambda p: "Window" in p and "Join" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q233_referential_audit": [
+        ("FK orphan checks are LEFT ANTI joins, never NOT IN "
+         "re-evaluation", True, lambda p: p.count("LeftAnti") >= 2),
+        ("PK uniqueness partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("no cartesian, no Python", True,
+         lambda p: "CartesianProduct" not in p
+         and "EvalPython" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

@@ -196,6 +196,52 @@ def main() -> int:
     core.unpersist()
     var_edges.unpersist()
 
+    # --- BFS at the same scale: the hub graph has diameter ~2 through
+    # node 0 (every node points at the hub), so from ONE seed the
+    # 3-hop frontier must reach every node: reached == n, all hops
+    # exact by construction (hop 1 covers the hub + the seed's rand
+    # neighbors, hop 2 fans out from the hub to everyone).
+    from compile_time_data_contracts_spark.operators.graph import (
+        bfs_levels,
+        deterministic_random_walks,
+    )
+
+    seed1 = spark.range(1).select(F.lit(12345).cast("long").alias("id"))
+    t0 = time.time()
+    bfs = bfs_levels(edges, seed1, max_hops=3).persist()
+    bfs_stats = bfs.agg(
+        F.count("*").alias("reached"), F.max("hop").alias("maxhop")
+    ).collect()[0]
+    results["bfs_sec"] = round(time.time() - t0, 2)
+    results["bfs_reached"] = int(bfs_stats.reached)
+    results["bfs_reaches_all"] = int(bfs_stats.reached) == n
+    results["bfs_max_hop"] = int(bfs_stats.maxhop)
+    bfs.unpersist()
+
+    # --- deterministic walks: 10k starts, 5 steps; every walk must
+    # emit exactly 6 rows (outdeg >= 9 everywhere, walks never die)
+    # and be reproducible — run twice, hash both, compare.
+    starts = spark.range(n).where(F.col("id") % (n // 10_000) == 7)
+    t0 = time.time()
+    w1 = deterministic_random_walks(edges, starts.select("id"), steps=5)
+    h1 = w1.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.hash("walk", "step", "node").cast("long")).alias("sig"),
+    ).collect()[0]
+    results["walks_sec"] = round(time.time() - t0, 2)
+    w2 = deterministic_random_walks(edges, starts.select("id"), steps=5)
+    h2 = w2.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.hash("walk", "step", "node").cast("long")).alias("sig"),
+    ).collect()[0]
+    n_starts = starts.count()
+    results["walks_starts"] = int(n_starts)
+    results["walks_rows"] = int(h1.rows)
+    results["walks_complete"] = int(h1.rows) == 6 * int(n_starts)
+    results["walks_reproducible"] = (
+        int(h1.rows) == int(h2.rows) and int(h1.sig) == int(h2.sig)
+    )
+
     results["ok"] = all(
         results[k]
         for k in (
@@ -210,6 +256,9 @@ def main() -> int:
             "lpa_alphabet_ok",
             "kcore_peeled_some",
             "kcore_converged",
+            "bfs_reaches_all",
+            "walks_complete",
+            "walks_reproducible",
         )
     )
     edges.unpersist()

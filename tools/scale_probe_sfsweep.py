@@ -82,6 +82,18 @@ EXPECTED = {
     # The random-string probe (scale_probe_fuzzy) shows the operator at
     # constant pair density: 10^6 strings in 8.8 s.
     "q205_fuzzy_name_pairs": 2.1,
+    # round-6 batch C/D: fixed-round iterative graph ops (edge volume
+    # grows linearly, round count fixed), single-pass moment aggs, and
+    # sort-window statistics — all n or n·log n shapes
+    "q217_kmeans_lloyd": 1.3,
+    "q220_k_core": 1.3,
+    "q225_association_rules": 1.3,   # basket size bounded
+    "q226_bfs_levels": 1.3,
+    "q228_weighted_median": 1.3,     # one sort window + agg
+    "q230_deterministic_walks": 1.3,  # walk count grows linearly
+    "q231_sliding_hll_contract": 1.3,
+    # triangle counting is O(m^1.5) worst case (compact-forward bound)
+    "q213_triangle_count": 1.5,
 }
 
 
