@@ -439,27 +439,39 @@ def bfs_levels(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-    e = e.filter(F.col("src") != F.col("dst")).distinct()
-    visited = (
-        seeds.select(F.col("id").cast("bigint").alias("id"))
+    from pyspark import StorageLevel
+
+    # the symmetrize+dedup edge list is referenced by EVERY hop's
+    # eager checkpoint — cache the dominant volume once instead of
+    # re-deriving it per round (the label_propagation pattern)
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .select("id", F.lit(0).cast("int").alias("hop"))
-        .checkpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    frontier = visited.select("id")
-    for t in range(1, max_hops + 1):
-        nxt = (
-            e.join(
-                frontier.withColumnRenamed("id", "src"), "src"
-            )
-            .select(F.col("dst").alias("id"))
+    try:
+        visited = (
+            seeds.select(F.col("id").cast("bigint").alias("id"))
             .distinct()
-            .join(visited, "id", "left_anti")
-            .select("id", F.lit(t).cast("int").alias("hop"))
+            .select("id", F.lit(0).cast("int").alias("hop"))
             .checkpoint(eager=True)
         )
-        visited = visited.union(nxt).checkpoint(eager=True)
-        frontier = nxt.select("id")
+        frontier = visited.select("id")
+        for t in range(1, max_hops + 1):
+            nxt = (
+                e.join(
+                    frontier.withColumnRenamed("id", "src"), "src"
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .select("id", F.lit(t).cast("int").alias("hop"))
+                .checkpoint(eager=True)
+            )
+            visited = visited.union(nxt).checkpoint(eager=True)
+            frontier = nxt.select("id")
+    finally:
+        e.unpersist()
     return visited
 
 
@@ -492,10 +504,20 @@ def deterministic_random_walks(
     from .dedup import _ensure_checkpoint_dir
 
     _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
-    e = edges.select(
-        F.col("src").cast("bigint").alias("src"),
-        F.col("dst").cast("bigint").alias("dst"),
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # the de-duplicated edge list feeds every step's eager checkpoint —
+    # cache it once (the label_propagation pattern).  NOTE: it stays
+    # persisted until the returned frame is consumed; steps' checkpoints
+    # are the expensive part and they read it while cached.
+    e = (
+        edges.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pos = (
         starts.select(F.col("id").cast("bigint").alias("walk"))
         .distinct()
@@ -530,4 +552,7 @@ def deterministic_random_walks(
                 "walk", F.lit(t).cast("int").alias("step"), "node"
             )
         )
+    # all steps are checkpointed; the cached edge list is no longer
+    # needed by the returned (checkpoint-backed) union
+    e.unpersist()
     return out
