@@ -147,6 +147,10 @@ HEADLINE = [
     "q231_sliding_hll_contract",
     "q232_equidepth_binning",
     "q233_referential_audit",
+    "q234_cohens_kappa",
+    "q235_source_token_entropy",
+    "q236_js_divergence",
+    "q237_time_decayed_popularity",
 ]
 
 

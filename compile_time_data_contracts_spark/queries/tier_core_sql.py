@@ -3703,3 +3703,59 @@ def q233(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return orphan_li.union(orphan_ord).union(dup_pk)
+
+
+_Q237_ORACLE = """
+  WITH x AS (
+    SELECT event_type,
+           date_diff('day', CAST(ts AS DATE), r.mx) AS age_days,
+           CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+             AS vm
+    FROM events
+    CROSS JOIN (SELECT max(CAST(ts AS DATE)) AS mx FROM events) r)
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(CAST(vm AS DOUBLE)
+               * exp(-(ln(2) / 7.0) * age_days) ) AS BIGINT))
+           AS BIGINT) AS decayed_micros
+  FROM x GROUP BY event_type"""
+
+
+@q("q237_time_decayed_popularity", _Q237_ORACLE)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-DECAYED value aggregate (7-day half-life): per event type,
+    Σ value·2^(−age/7) against the corpus's newest day — the freshness-
+    weighted popularity/ranking feature (trending detection, recency-
+    weighted sampling priors) that a plain windowed sum can't express
+    because every row carries its own continuous weight.
+
+    Shape: the reference date is a 1-row broadcast (max date), then ONE
+    partial-combined groupBy over the scan — the decay weight is a
+    per-row codegen expression, so at 100 TB the feature costs exactly
+    the scan and re-scoring under a different half-life is another
+    one-liner, not a new pipeline.  Engine-exactness: each row's
+    value·exp(−λ·age) term is computed from integer micros and integer
+    age through the identical IEEE expression tree, floored to integer
+    micros, and summed EXACTLY (the q235 micro-nat contract) — double
+    summation order never matters."""
+    ev = load_table(spark, sf, "events")
+    r = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    x = ev.crossJoin(F.broadcast(r)).select(
+        "event_type",
+        F.datediff(F.col("mx"), F.to_date("ts")).alias("age_days"),
+        F.floor(F.col("value").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("vm"),
+    )
+    lam = float(__import__("math").log(2)) / 7.0
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("vm").cast("double")
+                * F.exp(-F.lit(lam) * F.col("age_days"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("decayed_micros"),
+    )

@@ -4048,3 +4048,275 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
     return deterministic_random_walks(
         _customer_graph_edges(spark, sf), starts, steps=3
     )
+
+
+_Q234_ORACLE = """
+  WITH r AS (
+    SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+           CASE WHEN len(string_split(text, ' ')) >= 50
+                THEN 1 ELSE 0 END AS b
+    FROM documents),
+  c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a * b) AS BIGINT) AS n11,
+           CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+           CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+    FROM r)
+  SELECT n, n11, n10, n01, n00,
+         round((CAST(n11 + n00 AS DOUBLE) / n
+                - (CAST(n11 + n10 AS DOUBLE) / n)
+                  * (CAST(n11 + n01 AS DOUBLE) / n)
+                - (CAST(n01 + n00 AS DOUBLE) / n)
+                  * (CAST(n10 + n00 AS DOUBLE) / n))
+               / (1.0
+                  - (CAST(n11 + n10 AS DOUBLE) / n)
+                    * (CAST(n11 + n01 AS DOUBLE) / n)
+                  - (CAST(n01 + n00 AS DOUBLE) / n)
+                    * (CAST(n10 + n00 AS DOUBLE) / n)), 6) AS kappa
+  FROM c"""
+
+
+@q("q234_cohens_kappa", _Q234_ORACLE)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document raters
+    (length >= 300 chars vs whitespace tokens >= 50) — chance-corrected
+    agreement, THE quality-control statistic for labeling pipelines:
+    before sparse human/classifier labels are trusted to drive
+    curation (q219's seeds, q168's model filter), their agreement with
+    a second rater has to beat chance, and kappa is that measurement.
+
+    One partial-combined, groupBy-less aggregate builds the full 2x2
+    contingency (n11/n10/n01/n00) in a single scan — the q218/q227
+    moment shape, so at 100 TB the statistic costs the scan and the
+    shuffle carries five integers per partition.  kappa =
+    (po - pe)/(1 - pe) is evaluated on the exact integer margins with
+    the identical DOUBLE expression tree on both engines (the q227
+    contract), pinned by round(., 6)."""
+    docs = load_table(spark, sf, "documents")
+    from ..operators.text import token_count
+
+    r = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(token_count("text") >= 50, 1).otherwise(0).alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    pa = (F.col("n11") + F.col("n10")).cast("double") / n
+    pb = (F.col("n11") + F.col("n01")).cast("double") / n
+    qa = (F.col("n01") + F.col("n00")).cast("double") / n
+    qb = (F.col("n10") + F.col("n00")).cast("double") / n
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (po - pa * pb - qa * qb) / (F.lit(1.0) - pa * pb - qa * qb), 6
+        ).alias("kappa"),
+    )
+
+
+_Q235_ORACLE = """
+  WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+  c AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY source, token),
+  t AS (
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+                 * ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+             AS BIGINT) AS s_micros
+    FROM c GROUP BY source)
+  SELECT source, n, vocab,
+         round(ln(CAST(n AS DOUBLE))
+               - (CAST(s_micros AS DOUBLE) / 1000000.0) / n,
+               6) AS entropy_nats
+  FROM t"""
+
+
+@q("q235_source_token_entropy", _Q235_ORACLE)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution — the
+    corpus-DIVERSITY metric behind mixture design: a source whose
+    entropy collapses is template spam or a crawler trap (the
+    aggregate sibling of q57's per-document diversity and q184's Gini
+    concentration), and entropy-vs-size is the standard curve for
+    deciding how hard to dedup a source.
+
+    H = ln(N) - (Σ c·ln c)/N over per-(source, token) counts: one
+    explode + one partial-combined (source, token) count + one
+    partial-combined per-source rollup — two exchanges, both carrying
+    counts, never the token stream.  Engine-exactness: the per-token
+    terms c·ln(c) are deterministic doubles (integer operand through
+    identical IEEE ops) but SUMMING millions of doubles is
+    order-dependent — so each term is floored to integer MICRO-NATS
+    first and the sum is an exact BIGINT (the q216 micros contract
+    applied to a transcendental), removing summation order from the
+    statistic entirely.  Residual caveat, stated honestly: JVM
+    Math.log and libm ln are each <= 1 ulp but not guaranteed
+    identical, so a term lying within ~c·1e-10 of an integer micro-nat
+    boundary could floor differently — gate-verified identical at
+    sf0.001/0.01/0.1; a production contract would widen to a +/-
+    vocab-count tolerance on the micro-nat sum."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    c = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    t = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(
+            F.floor(
+                F.col("c").cast("double")
+                * F.log(F.col("c").cast("double"))
+                * 1000000
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_micros"),
+    )
+    return t.select(
+        "source",
+        "n",
+        "vocab",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - (F.col("s_micros").cast("double") / 1000000.0) / F.col("n"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+_Q236_ORACLE = """
+  WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE source IN ('src0', 'src1')),
+  c AS (
+    SELECT token,
+           CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+           CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+             AS BIGINT) AS b
+    FROM tok GROUP BY token),
+  n AS (
+    SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+    FROM c),
+  terms AS (
+    SELECT
+      CAST(sum(CASE WHEN a > 0 THEN CAST(floor(CAST(a AS DOUBLE)
+            * ln(CAST(2 * a * nb AS DOUBLE)
+                 / CAST(a * nb + b * na AS DOUBLE)) * 1000000) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS sp_micros,
+      CAST(sum(CASE WHEN b > 0 THEN CAST(floor(CAST(b AS DOUBLE)
+            * ln(CAST(2 * b * na AS DOUBLE)
+                 / CAST(a * nb + b * na AS DOUBLE)) * 1000000) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS sq_micros
+    FROM c CROSS JOIN n)
+  SELECT na, nb,
+         round(((CAST(sp_micros AS DOUBLE) / 1000000.0) / na
+                + (CAST(sq_micros AS DOUBLE) / 1000000.0) / nb)
+               / 2.0, 6) AS js_nats
+  FROM terms CROSS JOIN n"""
+
+
+@q("q236_js_divergence", _Q236_ORACLE)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' token
+    distributions — the symmetric, bounded (<= ln 2) distribution
+    distance used to decide whether two crawl sources are near-copies
+    (merge and dedup them) or genuinely complementary (keep both in
+    the mixture); the distributional sibling of q158's PSI and q164's
+    KS, which compare scalar score distributions rather than
+    vocabularies.
+
+    JS = (KL(P||M) + KL(Q||M))/2 with M the even mixture; per token,
+    P/M = 2a·NB/(a·NB + b·NA) keeps every log argument a ratio of
+    exact BIGINT products.  The per-token terms are floored to integer
+    MICRO-NATS and summed exactly (the q235 contract — double
+    summation order can never matter), then the two KL sums divide by
+    their totals in one identical expression tree, pinned by
+    round(., 6).  Plan shape: one explode + one partial-combined
+    (token, a, b) pivot count + a 1-row total broadcast + one
+    partial-combined term rollup — the vocabulary, not the corpus,
+    crosses the wire."""
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    c = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    n = c.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    cn = c.crossJoin(F.broadcast(n))
+    term_p = F.when(
+        F.col("a") > 0,
+        F.floor(
+            F.col("a").cast("double")
+            * F.log(
+                (2 * F.col("a") * F.col("nb")).cast("double")
+                / (
+                    F.col("a") * F.col("nb") + F.col("b") * F.col("na")
+                ).cast("double")
+            )
+            * 1000000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    term_q = F.when(
+        F.col("b") > 0,
+        F.floor(
+            F.col("b").cast("double")
+            * F.log(
+                (2 * F.col("b") * F.col("na")).cast("double")
+                / (
+                    F.col("a") * F.col("nb") + F.col("b") * F.col("na")
+                ).cast("double")
+            )
+            * 1000000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    terms = cn.agg(
+        F.sum(term_p).cast("bigint").alias("sp_micros"),
+        F.sum(term_q).cast("bigint").alias("sq_micros"),
+    )
+    return terms.crossJoin(F.broadcast(n)).select(
+        "na",
+        "nb",
+        F.round(
+            (
+                (F.col("sp_micros").cast("double") / 1000000.0)
+                / F.col("na")
+                + (F.col("sq_micros").cast("double") / 1000000.0)
+                / F.col("nb")
+            )
+            / 2.0,
+            6,
+        ).alias("js_nats"),
+    )

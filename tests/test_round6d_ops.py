@@ -240,3 +240,119 @@ def test_referential_audit_counts(spark, sf_dir):
     assert got["lineitem_fk_orders"] == want and want > 0
     assert got["orders_fk_customer"] == 0  # custkeys are intact
     assert got["orders_pk_unique"] == 0
+
+
+# ---------------------------------------------------- agreement / info
+def test_cohens_kappa_matches_pure_python(spark, sf_dir):
+    from compile_time_data_contracts_spark.queries.tier_llm import q234
+
+    row = q234(spark, sf_dir).collect()[0]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("n_chars", "text")
+        .collect()
+    )
+    pairs = [
+        (1 if d.n_chars >= 300 else 0, 1 if len(d.text.split(" ")) >= 50 else 0)
+        for d in docs
+    ]
+    n = len(pairs)
+    n11 = sum(1 for a, b in pairs if a and b)
+    n10 = sum(1 for a, b in pairs if a and not b)
+    n01 = sum(1 for a, b in pairs if not a and b)
+    n00 = n - n11 - n10 - n01
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * (
+        (n10 + n00) / n
+    )
+    kappa = (po - pe) / (1 - pe)
+    assert (row.n11, row.n10, row.n01, row.n00) == (n11, n10, n01, n00)
+    assert abs(row.kappa - kappa) < 1e-6
+
+
+def test_entropy_matches_pure_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from compile_time_data_contracts_spark.queries.tier_llm import q235
+
+    rows = {r.source: r for r in q235(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    counts = Counter()
+    for d in docs:
+        if d.source == "src0":
+            counts.update(d.text.split(" "))
+    n = sum(counts.values())
+    h = -sum((c / n) * math.log(c / n) for c in counts.values())
+    got = rows["src0"]
+    assert got.n == n and got.vocab == len(counts)
+    # micro-nat flooring loses < vocab / (n * 1e6) nats
+    assert abs(got.entropy_nats - h) < 1e-4
+
+
+def test_js_divergence_bounds_and_python_parity(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from compile_time_data_contracts_spark.queries.tier_llm import q236
+
+    row = q236(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.js_nats <= math.log(2) + 1e-9
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    ca, cb = Counter(), Counter()
+    for d in docs:
+        if d.source == "src0":
+            ca.update(d.text.split(" "))
+        elif d.source == "src1":
+            cb.update(d.text.split(" "))
+    na, nb = sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for t in set(ca) | set(cb):
+        p = ca.get(t, 0) / na
+        q_ = cb.get(t, 0) / nb
+        m = (p + q_) / 2
+        if p > 0:
+            js += 0.5 * p * math.log(p / m)
+        if q_ > 0:
+            js += 0.5 * q_ * math.log(q_ / m)
+    assert abs(row.js_nats - js) < 1e-4
+    assert row.na == na and row.nb == nb
+
+
+def test_time_decayed_popularity_matches_pure_python(spark, sf_dir):
+    import math
+
+    from compile_time_data_contracts_spark.queries.tier_core_sql import (  # noqa: E501
+        q237,
+    )
+
+    rows = {r.event_type: r for r in q237(spark, sf_dir).collect()}
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type", "CAST(ts AS DATE) AS d", "CAST(value AS DOUBLE) AS v"
+        )
+        .collect()
+    )
+    mx = max(r.d for r in ev)
+    lam = math.log(2) / 7.0
+    acc: dict = {}
+    cnt: dict = {}
+    for r in ev:
+        age = (mx - r.d).days
+        vm = math.floor(r.v * 1_000_000)
+        acc[r.event_type] = acc.get(r.event_type, 0) + math.floor(
+            vm * math.exp(-lam * age)
+        )
+        cnt[r.event_type] = cnt.get(r.event_type, 0) + 1
+    for t, want in acc.items():
+        assert rows[t].decayed_micros == want
+        assert rows[t].n == cnt[t]

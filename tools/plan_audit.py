@@ -126,6 +126,42 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "EvalPython" not in p),
     ],
+    "q234_cohens_kappa": [
+        ("2x2 contingency in ONE partial-combined aggregate over ONE "
+         "scan; kappa evaluated in-plan", True,
+         lambda p: "partial_sum" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q235_source_token_entropy": [
+        ("token explode is a codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("token counts and micro-nat sums partial-aggregated (counts "
+         "cross the wire, never the token stream)", True,
+         lambda p: "partial_count" in p and "partial_sum" in p),
+        ("no join", True, lambda p: "Join" not in p),
+    ],
+    "q236_js_divergence": [
+        ("source filter pushed to the scan", True,
+         lambda p: re.search(r"PushedFilters: \[[^\]]*source", p)),
+        ("pivot counts and KL term sums partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("totals joined as 1-row broadcasts, no data-sized cartesian",
+         True, lambda p: "BroadcastNestedLoopJoin" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3),
+    ],
+    "q237_time_decayed_popularity": [
+        ("decay weight is a per-row codegen expression over ONE "
+         "grouped partial-combined aggregate", True,
+         lambda p: "partial_sum" in p),
+        ("reference date joined as a 1-row broadcast", True,
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,
