@@ -518,41 +518,44 @@ def deterministic_random_walks(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pos = (
-        starts.select(F.col("id").cast("bigint").alias("walk"))
-        .distinct()
-        .select("walk", F.col("walk").alias("node"))
-        .checkpoint(eager=True)
-    )
-    out = pos.select(
-        "walk", F.lit(0).cast("int").alias("step"), "node"
-    )
-    for t in range(1, steps + 1):
-        cand = pos.join(e, pos["node"] == e["src"]).select(
-            "walk",
-            F.col("dst").alias("nxt"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.col("node").cast("string"),
-                    F.lit(f"|{t}|"),
-                    F.col("dst").cast("string"),
-                )
-            ).alias("__h"),
-        )
-        w = Window.partitionBy("walk").orderBy("__h", "nxt")
+    try:
         pos = (
-            cand.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("walk", F.col("nxt").alias("node"))
+            starts.select(F.col("id").cast("bigint").alias("walk"))
+            .distinct()
+            .select("walk", F.col("walk").alias("node"))
             .checkpoint(eager=True)
         )
-        out = out.union(
-            pos.select(
-                "walk", F.lit(t).cast("int").alias("step"), "node"
-            )
+        out = pos.select(
+            "walk", F.lit(0).cast("int").alias("step"), "node"
         )
-    # all steps are checkpointed; the cached edge list is no longer
-    # needed by the returned (checkpoint-backed) union
-    e.unpersist()
+        for t in range(1, steps + 1):
+            cand = pos.join(e, pos["node"] == e["src"]).select(
+                "walk",
+                F.col("dst").alias("nxt"),
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.col("node").cast("string"),
+                        F.lit(f"|{t}|"),
+                        F.col("dst").cast("string"),
+                    )
+                ).alias("__h"),
+            )
+            w = Window.partitionBy("walk").orderBy("__h", "nxt")
+            pos = (
+                cand.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("walk", F.col("nxt").alias("node"))
+                .checkpoint(eager=True)
+            )
+            out = out.union(
+                pos.select(
+                    "walk", F.lit(t).cast("int").alias("step"), "node"
+                )
+            )
+    finally:
+        # all steps are checkpointed, so the returned union never
+        # re-reads the cached edge list; release it even if a step
+        # raised mid-loop (the bfs_levels pattern)
+        e.unpersist()
     return out

@@ -3316,9 +3316,8 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         *[
             F.col(c).cast("double").alias("f" + c[1:])
-            for c in ("sn", "s1", "s2", "sy", "s11", "s12", "s22",
+            for c in ("s1", "s2", "sy", "s11", "s12", "s22",
                       "s1y", "s2y")
-            if c != "sn"
         ],
         F.col("n").cast("double").alias("fn"),
     )
@@ -3449,10 +3448,10 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
     mix drifts (a 3 a.m. spam wave shows up as an index spike before
     any classifier does).
 
-    Shape: ONE partial-combined groupBy(hour) — 24 output rows — plus
-    a 1-row global aggregate broadcast in with a crossJoin; at 100 TB
-    both cost exactly the scan and the shuffle carries 24 partial
-    tuples per partition.  Engine-exactness: values floored to integer
+    Shape: ONE partial-combined groupBy(hour) — 24 output rows — with
+    the global totals as unpartitioned window sums over those 24 rows
+    (one corpus scan total; a separate agg branch would re-evaluate
+    the scan); the shuffle carries 24 partial tuples per partition.  Engine-exactness: values floored to integer
     micros so both sums are exact BIGINTs, and the index is computed
     with the identical (sum/n)/(gs/gn) DOUBLE expression tree on both
     engines — identical integer operands through identical IEEE
@@ -3467,11 +3466,20 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("micros").cast("bigint").alias("sum_micros"),
     )
-    g = x.agg(
-        F.count(F.lit(1)).cast("bigint").alias("gn"),
-        F.sum("micros").cast("bigint").alias("gs"),
+    # the global totals are exactly the column sums of the 24-row
+    # hourly aggregate — unpartitioned window sums over h (24 rows)
+    # keep the query to ONE corpus scan; a separate h.agg branch would
+    # re-evaluate h's lineage including the scan (no common-subtree
+    # reuse in the logical plan), which is what this replaced
+    wall = Window.partitionBy()
+    withg = h.select(
+        "hod",
+        "n_events",
+        "sum_micros",
+        F.sum("n_events").over(wall).cast("bigint").alias("gn"),
+        F.sum("sum_micros").over(wall).cast("bigint").alias("gs"),
     )
-    return h.crossJoin(F.broadcast(g)).select(
+    return withg.select(
         F.col("hod").cast("int").alias("hod"),
         "n_events",
         "sum_micros",
@@ -3541,13 +3549,17 @@ def q231(spark: SparkSession, sf: str) -> DataFrame:
                AS est
            FROM q231_per"""
     )
+    # no distinct before the agg: countDistinct already deduplicates
+    # (t, w, user_id) in its own partial aggregation — an explicit
+    # distinct would repeat the same keyed exchange over the exploded
+    # volume, the largest intermediate in the query
     contrib = d.select(
         "t",
         F.explode(
             F.sequence(F.col("day"), F.col("day") + 2)
         ).alias("w"),
         "user_id",
-    ).distinct()
+    )
     exact = contrib.groupBy("t", "w").agg(
         F.countDistinct("user_id").alias("exact_unique")
     )

@@ -4094,11 +4094,15 @@ def q234(spark: SparkSession, sf: str) -> DataFrame:
     the identical DOUBLE expression tree on both engines (the q227
     contract), pinned by round(., 6)."""
     docs = load_table(spark, sf, "documents")
-    from ..operators.text import token_count
-
+    # rater b splits on a literal single space, matching the oracle's
+    # string_split(text, ' ') exactly (operators.text.token_count
+    # splits on \s+, which diverges on tabs/doubled spaces — the
+    # q235/q236 tokenizer-alignment rule)
     r = docs.select(
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
-        F.when(token_count("text") >= 50, 1).otherwise(0).alias("b"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 50, 1)
+        .otherwise(0)
+        .alias("b"),
     )
     c = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -4254,9 +4258,10 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
     summation order can never matter), then the two KL sums divide by
     their totals in one identical expression tree, pinned by
     round(., 6).  Plan shape: one explode + one partial-combined
-    (token, a, b) pivot count + a 1-row total broadcast + one
-    partial-combined term rollup — the vocabulary, not the corpus,
-    crosses the wire."""
+    (token, a, b) pivot count + unpartitioned window sums for the
+    totals (over the VOCAB-sized pivot — the corpus is scanned exactly
+    once) + one partial-combined term rollup — the vocabulary, not the
+    corpus, crosses the wire."""
     docs = load_table(spark, sf, "documents").filter(
         F.col("source").isin("src0", "src1")
     )
@@ -4271,11 +4276,17 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("b"),
     )
-    n = c.agg(
-        F.sum("a").cast("bigint").alias("na"),
-        F.sum("b").cast("bigint").alias("nb"),
+    # totals as unpartitioned window sums over the VOCAB-sized pivot
+    # table (not a second corpus pass): c is |vocabulary| rows, so the
+    # single-partition window is cheap and the whole query reads the
+    # corpus exactly once
+    wall = Window.partitionBy()
+    cn = c.select(
+        "a",
+        "b",
+        F.sum("a").over(wall).cast("bigint").alias("na"),
+        F.sum("b").over(wall).cast("bigint").alias("nb"),
     )
-    cn = c.crossJoin(F.broadcast(n))
     term_p = F.when(
         F.col("a") > 0,
         F.floor(
@@ -4305,8 +4316,10 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
     terms = cn.agg(
         F.sum(term_p).cast("bigint").alias("sp_micros"),
         F.sum(term_q).cast("bigint").alias("sq_micros"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
     )
-    return terms.crossJoin(F.broadcast(n)).select(
+    return terms.select(
         "na",
         "nb",
         F.round(

@@ -97,9 +97,10 @@ CHECKS = {
     "q229_seasonal_index": [
         ("hourly and global sums partial-aggregated", True,
          lambda p: "partial_sum" in p),
-        ("global stat joined as a 1-row broadcast", True,
-         lambda p: "BroadcastNestedLoopJoin" in p
-         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 2),
+        ("global stat is a window sum over the 24-row hourly agg: ONE "
+         "corpus scan, no join", True,
+         lambda p: "Join" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
     ],
     "q231_sliding_hll_contract": [
         ("per-day sketches partial-aggregated (fixed-size sketch per "
@@ -149,9 +150,10 @@ CHECKS = {
          lambda p: re.search(r"PushedFilters: \[[^\]]*source", p)),
         ("pivot counts and KL term sums partial-aggregated", True,
          lambda p: "partial_sum" in p),
-        ("totals joined as 1-row broadcasts, no data-sized cartesian",
-         True, lambda p: "BroadcastNestedLoopJoin" in p
-         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3),
+        ("ONE corpus scan: totals are window sums over the vocab-sized "
+         "pivot, not a second pass", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Join" not in p),
     ],
     "q237_time_decayed_popularity": [
         ("decay weight is a per-row codegen expression over ONE "

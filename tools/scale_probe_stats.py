@@ -4,15 +4,17 @@ q227 (OLS by normal equations), q228 (weighted median), and q232
 
 Data (generated inline by spark.range, nothing persisted):
   * OLS at n rows: x1 = i % 1000, x2 = (i * 2654435761) % 500,
-    y = 7000 + 3 * x1 - 2 * x2 + noise, noise = (i * 40503) % 101 - 50
-    (zero-mean-ish deterministic pseudo-noise, bounded |50|).  The
-    moment aggregate must recover beta ~ (7000 + E[noise] shift,
-    3, -2) to within 0.01 — the fit is one partial-combined agg, so
-    wall time ~= the scan.
+    y = 7000 + 3*x1 - 2*x2 + noise,
+    noise = (x1 * 40503 + x2 * 69069) % 101 - 50 (deterministic
+    pseudo-noise, bounded |50|; it is a function of x1/x2 so it
+    correlates weakly with the regressors).  The moment aggregate must
+    recover the slope coefficients (3, -2) to within 0.02 — the fit is
+    one partial-combined agg, so wall time ~= the scan.
   * weighted median at n/10 rows over 25 groups: group g holds values
-    v = 1..m with weight 1 each except v = m gets weight m (pulling
-    the weighted median to ~m/sqrt(2) vs the unweighted ~m/2) —
-    closed-form check per group.
+    v = 1..m with weight 1 each except v = m, which gets weight m.
+    Total weight is 2m - 1, so the first v with 2·cumweight >= total
+    is v = m itself (2(m-1) = 2m-2 falls short) — the heavy tail row
+    IS the weighted median, closed-form per group.
   * ntile(4) equi-depth binning at n/10 rows: bucket populations must
     differ by <= 1 and boundaries must tile in order.
 
@@ -131,13 +133,9 @@ def main() -> int:
         .collect()
     )
     results["wmedian_sec"] = round(time.time() - t0, 2)
-    # total weight = (m-1) + m ~ 2m - 1; half = m - 0.5; cumulative
-    # weight at value v (v < m) is v, so the weighted median is
-    # ceil(m - 0.5) = m - 0 ... the first v with 2v >= 2m - 1,
-    # i.e. v = m / 1 ... closed form: ceil((2m - 1) / 2) = m (since
-    # 2v >= 2m-1 first holds at v = m - 0 when v integer => v = m
-    # only via the heavy row itself? No: 2(m-1) = 2m-2 < 2m-1, so the
-    # qualifying row IS the heavy one: median = m_per exactly.
+    # total weight = (m-1)·1 + m = 2m - 1 and cumulative weight at
+    # value v < m is v, so 2v >= 2m-1 first holds at v = m: the
+    # heavy tail row IS the weighted median (see module docstring)
     want = m_per
     results["wmedian_correct"] = all(r.med == want for r in med)
     results["wmedian_groups"] = len(med)

@@ -21,11 +21,23 @@ BENCH_PATH = os.path.join(os.path.dirname(__file__), "..", "SCALEBENCH.json")
 
 
 def _load() -> dict:
-    try:
-        with open(BENCH_PATH) as f:
-            doc = json.loads(f.read().strip())
-    except Exception:
+    # A missing file is a legitimate fresh start; an UNREADABLE file is
+    # not — silently resetting here once destroyed 20 committed probe
+    # entries (a concurrent probe's in-flight write was read back as
+    # truncated JSON and the empty doc was written over everything).
+    # Fail loudly instead and leave the bad bytes for inspection.
+    if not os.path.exists(BENCH_PATH):
         doc = {}
+    else:
+        with open(BENCH_PATH) as f:
+            raw = f.read().strip()
+        try:
+            doc = json.loads(raw) if raw else {}
+        except Exception as ex:
+            raise RuntimeError(
+                f"SCALEBENCH.json is unreadable ({ex}); refusing to "
+                "reset it — restore from git or fix it by hand"
+            ) from ex
     entries = doc.get("entries", {})
     # migrate the legacy single-run shape
     legacy_vec = doc.get("results")
@@ -40,6 +52,10 @@ def _load() -> dict:
 def merge_entry(key: str, results: dict) -> dict:
     doc = _load()
     doc["entries"][key] = results
-    with open(BENCH_PATH, "w") as f:
+    # atomic replace: a concurrently-running probe can never observe a
+    # half-written file (the original data-loss mechanism)
+    tmp = BENCH_PATH + ".tmp"
+    with open(tmp, "w") as f:
         f.write(json.dumps(doc) + "\n")
+    os.replace(tmp, BENCH_PATH)
     return doc
