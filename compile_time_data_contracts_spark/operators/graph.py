@@ -227,6 +227,20 @@ def triangle_count(
         .alias("t"),
         F.greatest("ka", "kb").alias("kt"),
     )
+    from .dedup import _ensure_checkpoint_dir
+
+    # the three output branches (edge count, wedge count, triangle
+    # join) are independent plan subtrees: un-materialized, each would
+    # re-execute the canon/degree/orient pipeline, and the O(m^1.5)
+    # wedge join would run twice.  Checkpoint the oriented edge list
+    # ONCE (edge-sized write, reused by every branch — the
+    # connected_components posture), derive n_wedges ANALYTICALLY
+    # (kt is distinct within each s under the total order, so the
+    # wedge join emits exactly C(out_deg, 2) rows per source — a
+    # node-sized aggregate instead of a second execution of the
+    # dominant join), and keep the returned 1-row frame lazy
+    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    oriented = oriented.checkpoint(eager=True)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
@@ -239,10 +253,20 @@ def triangle_count(
     tri = wedges.join(closing, ["wb", "wc"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
-    stats = canon.agg(
+    wc = (
+        oriented.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__d") * (F.col("__d") - 1) / 2), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_wedges")
+        )
+    )
+    stats = oriented.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_edges")
     )
-    wc = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
     return stats.crossJoin(wc).crossJoin(tri)
 
 
@@ -294,7 +318,15 @@ def label_propagation(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        nodes = sym.select(F.col("src").alias("id")).distinct()
+        # node set = edge endpoints ∪ seed ids: a seeded node with no
+        # edges must still appear in the output (clamped at its seed
+        # label) — deriving nodes from the edge list alone would
+        # silently drop it, violating the "every labeled node" contract
+        nodes = (
+            sym.select(F.col("src").alias("id"))
+            .union(seeds.select("id"))
+            .distinct()
+        )
         labels = nodes.join(
             seeds.select(
                 "id", F.col("label").cast("bigint").alias("label")

@@ -178,6 +178,10 @@ def cdc_apply(
     NULL: engines disagree on NULL placement under DESC ordering, so a
     NULL sequence value turns "last op wins" into "engine-dependent op
     wins" — the same contract as the reference's ordered comparers.
+    ``op_col`` must not be NULL either: a malformed op on the winning
+    change is a data fault, and the operator FAILS FAST on it
+    (``raise_error``) rather than letting ``NULL != delete_op``
+    evaluate to NULL and silently delete the key.
 
     Scale shape: ONE window over the key exchange (row_number desc +
     rank filter, which Spark rewrites into a per-partition top-1 heap
@@ -192,9 +196,18 @@ def cdc_apply(
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.desc(c) for c in seq_cols]
     )
+    guarded_op = F.when(
+        F.col(op_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "cdc_apply: NULL op on a winning change row — a NULL "
+                f"{op_col} would be silently treated as a delete"
+            )
+        ),
+    ).otherwise(F.col(op_col))
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .filter(F.col(op_col) != delete_op)
+        .filter(guarded_op != delete_op)
         .drop("__rn")
     )

@@ -30,9 +30,12 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
          rows.
       2. scan — one ordered pass: a reduced pair is dominated iff the
          running max of ``max_col`` over STRICTLY smaller min-values
-         reaches it (``rangeBetween(unboundedPreceding, -1)`` on the
-         min axis, so min-ties never dominate each other — they were
-         already collapsed).
+         reaches it.  After the reduce every ``min_col`` value is
+         unique, so ``rowsBetween(unboundedPreceding, -1)`` ordered by
+         the min axis IS the strictly-smaller set — exact for any
+         numeric axis, fractional included (a ``rangeBetween(…, -1)``
+         frame would mean "value <= current - 1" and silently skip
+         neighbours less than 1 apart).
 
     The phase-2 window is deliberately unpartitioned: it runs over the
     REDUCED set, which is at most |distinct min_col| rows — for priced
@@ -42,9 +45,8 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     buckets exactly; the frontier of the bucket maxima is a superset
     filter with the same dominance rule.
 
-    ``min_col`` must be numeric (the range frame requires it); ties on
-    the frontier are impossible by construction, so the result is
-    deterministic with no tie-break column.
+    Ties on the frontier are impossible by construction, so the result
+    is deterministic with no tie-break column.
     """
     reduced = (
         df.select(min_col, max_col)
@@ -52,8 +54,8 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
         .agg(F.max(max_col).alias(max_col))
     )
     w_prev = (
-        Window.orderBy(F.col(min_col).cast("double"))
-        .rangeBetween(Window.unboundedPreceding, -1)
+        Window.orderBy(F.col(min_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev_best = F.max(F.col(max_col)).over(w_prev)
     return (

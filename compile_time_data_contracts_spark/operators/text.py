@@ -663,9 +663,20 @@ def remove_boilerplate_lines(
     both combiner-reduced; nothing is quadratic in df because lines are
     counted, never self-joined.
     """
-    hot = line_doc_frequency(df, id_col, text_col, sep).filter(
-        F.col("line_df") > max_doc_freq
-    ).select("__norm")
+    from .dedup import _ensure_checkpoint_dir
+
+    # checkpoint-materialize the hot list ONCE: _drop_lines both
+    # counts it (broadcast guard) and anti-joins against it — without
+    # materialization the corpus-wide line_doc_frequency aggregation
+    # would execute twice (the dominant stage).  Hot-list-sized write,
+    # same discipline as dedup._capped_pair_scores.
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    hot = (
+        line_doc_frequency(df, id_col, text_col, sep)
+        .filter(F.col("line_df") > max_doc_freq)
+        .select("__norm")
+        .checkpoint(eager=True)
+    )
     return _drop_lines(df, hot, id_col, text_col, sep, out_col)
 
 
@@ -748,6 +759,14 @@ def remove_boilerplate_against(
     return _drop_lines(batch, hot, id_col, text_col, sep, out_col)
 
 
+def _sep_pattern(sep: str) -> str:
+    """Quote a literal separator for ``F.split`` (whose pattern arg is
+    a Java regex): ``sep='|'`` or ``'.'`` must split on the LITERAL
+    character, not regex alternation / any-char.  ``\\Q…\\E`` quoting,
+    with embedded ``\\E`` handled the standard way."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _line_table(
     df: DataFrame, id_col: str, text_col: str, sep: str
 ) -> DataFrame:
@@ -755,9 +774,9 @@ def _line_table(
     posexplode(split), normalized for frequency counting."""
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(_sep_pattern(sep)), -1)
+        ).alias("__pos", "__line"),
     ).withColumn("__norm", F.lower(F.trim(F.col("__line"))))
 
 
@@ -792,7 +811,7 @@ def _drop_lines(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), F.lit(sep), -1))
+        F.size(F.split(F.col(text_col), F.lit(_sep_pattern(sep)), -1))
         .cast("bigint")
         .alias("__n_lines"),
     )

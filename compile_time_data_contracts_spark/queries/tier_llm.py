@@ -3114,7 +3114,13 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sum((F.length("text") == 0).cast("int"))
+            # emptied = ZERO KEPT LINES, matching the oracle's
+            # `r.clean IS NULL` (no reassembly row) exactly; counting
+            # length(text)==0 instead would diverge on a document
+            # whose kept lines reassemble to an empty string (a single
+            # blank line is never hot, so it is kept) — the q191
+            # null-ambiguity bug-class, closed here by construction
+            F.sum((F.col("n_lines_kept") == 0).cast("int"))
             .cast("bigint")
             .alias("emptied"),
             F.sum("n_lines_kept").cast("bigint").alias("lines_kept"),

@@ -288,3 +288,25 @@ def test_boilerplate_index_strips_corpus_hot_from_batch(spark, tmp_path):
 
     with _pt.raises(ValueError, match="sep"):
         remove_boilerplate_against(batch, idx, sep="|")
+
+
+def test_remove_boilerplate_lines_metachar_separator(spark):
+    from compile_time_data_contracts_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    # F.split's pattern is a Java regex: sep='|' (alternation) or '.'
+    # (any-char) must be quoted, or every character becomes a "line"
+    banner = "hot line"
+    rows = [(i, f"body {i}|{banner}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", max_doc_freq=2, sep="|"
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i].text == f"body {i}"
+        assert out[i].n_lines_kept == 1
+        assert out[i].n_lines_dropped == 1

@@ -430,3 +430,28 @@ def test_triangle_count_large_ids_no_orderkey_alias(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     r = triangle_count(df).collect()[0]
     assert r.n_triangles == want == 5
+
+
+# ------------------------------- round-6 review-fix regressions
+def test_cdc_apply_null_op_fails_fast(spark):
+    from compile_time_data_contracts_spark.operators.merge import cdc_apply
+
+    changes = spark.createDataFrame(
+        [(1, 1, "U", 10), (1, 2, None, 11)],
+        "k long, seq long, op string, v long",
+    )
+    with pytest.raises(Exception, match="NULL op"):
+        cdc_apply(changes, ["k"], ["seq"]).collect()
+
+
+def test_cdc_apply_null_op_on_losing_row_ok(spark):
+    from compile_time_data_contracts_spark.operators.merge import cdc_apply
+
+    # CASE WHEN evaluates lazily AFTER the top-1 filter: a NULL op on a
+    # superseded change row must not trip the guard
+    changes = spark.createDataFrame(
+        [(1, 1, None, 10), (1, 2, "U", 11)],
+        "k long, seq long, op string, v long",
+    )
+    rows = cdc_apply(changes, ["k"], ["seq"]).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 11)]

@@ -282,3 +282,27 @@ def test_trimmed_and_winsorized_bounded_by_extremes(spark, sf_dir):
     for r in out:
         assert r.lo_cents <= r.trimmed_mean_cents <= r.hi_cents
         assert r.lo_cents <= r.winsorized_mean_cents <= r.hi_cents
+
+
+# ------------------------------- round-6 review-fix regressions
+def test_skyline_fractional_axis(spark):
+    # rangeBetween(-1) regression: (2.0, 50) is dominated by (1.5, 100)
+    # even though their min-axis gap is < 1
+    df = spark.createDataFrame(
+        [(1.5, 100.0), (2.0, 50.0), (2.25, 120.0)],
+        "c double, s double",
+    )
+    got = {(r.c, r.s) for r in skyline_2d(df, "c", "s").collect()}
+    assert got == {(1.5, 100.0), (2.25, 120.0)}
+
+
+def test_label_propagation_isolated_seed_returned(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(5, 7), (1, 3)], "id long, label long")
+    got = {
+        (r.id, r.label)
+        for r in label_propagation(edges, seeds, iters=2).collect()
+    }
+    # node 5 has no edges but is seeded: it must appear, clamped
+    assert (5, 7) in got
+    assert (1, 3) in got
