@@ -16,6 +16,7 @@ __all__ = [
     "psi_drift",
     "count_min_frequencies",
     "ks_statistic",
+    "roc_auc",
 ]
 
 
@@ -262,4 +263,76 @@ def ks_statistic(
         F.max("__n1").cast("bigint").alias("n1"),
         F.max("__n2").cast("bigint").alias("n2"),
         F.round(F.max(gap), 6).alias("ks_stat"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT ROC-AUC (= the Mann-Whitney U statistic, midrank tie
+    handling) per group — the ranking-quality metric for every learned
+    scorer in the pipeline (q168's model filter, q141's BM25, q179's
+    quality model): AUC = P(score(pos) > score(neg)) +
+    ½·P(score(pos) = score(neg)).
+
+    Scale shape — never a global sort of the raw rows:
+
+      1. ``groupBy(score)`` collapses the corpus to the DISTINCT-SCORE
+         histogram with per-score positive/negative counts — one
+         partial-combined shuffle agg (the ks_statistic pattern).
+         Window input is |distinct scores| rows per group, not |rows|.
+      2. one ordered pass over the histogram accumulates negatives
+         strictly below each score; the doubled numerator
+         ``num2 = Σ_s p_s·(2·neg_below(s) + n_s)`` stays INTEGER
+         (ties contribute exactly half), so the statistic is
+         engine-exact up to the final division.
+
+    For continuous scores whose distinct count approaches |rows|,
+    quantize first (e.g. ``F.round(score, 6)``) — the binned AUC is
+    within one bin's probability mass of the exact one, the same
+    trade documented on :func:`ks_statistic`.
+
+    ``label_col`` must be 0/1 integers.  Returns one row per group:
+    (group_cols..., n_pos, n_neg, auc_r) with auc_r = round(auc, 6);
+    groups with no positives or no negatives return NULL auc_r (AUC is
+    undefined there) rather than failing.
+    """
+    from pyspark.sql import Window
+
+    gb = list(group_cols or [])
+    lab = F.col(label_col).cast("long")
+    hist = df.groupBy(*gb, F.col(score_col).alias("__s")).agg(
+        F.sum(lab).alias("__p"),
+        F.sum(F.lit(1) - lab).alias("__n"),
+    )
+    w = (
+        Window.partitionBy(*gb)
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    neg_below = F.coalesce(F.sum("__n").over(w), F.lit(0))
+    per_s = hist.withColumn(
+        "__num2", F.col("__p") * (2 * neg_below + F.col("__n"))
+    )
+    agg = per_s.groupBy(*gb).agg(
+        F.sum("__p").cast("bigint").alias("n_pos"),
+        F.sum("__n").cast("bigint").alias("n_neg"),
+        F.sum("__num2").cast("bigint").alias("__num2"),
+    )
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        *gb,
+        "n_pos",
+        "n_neg",
+        F.when(
+            defined,
+            F.round(
+                F.col("__num2")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc_r"),
     )

@@ -3771,3 +3771,61 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("decayed_micros"),
     )
+
+
+_Q239_ORACLE = """
+  WITH s0 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id),
+  s1 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+  s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    GROUP BY e.user_id),
+  counts AS (
+    SELECT 0 AS step_idx, 'view' AS step,
+           CAST(count(*) AS BIGINT) AS users_reached FROM s0
+    UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2)
+  SELECT step_idx, step, users_reached,
+         CASE WHEN step_idx > 0
+                   AND lag(users_reached) OVER (ORDER BY step_idx) > 0
+              THEN round(users_reached /
+                   CAST(lag(users_reached) OVER (ORDER BY step_idx)
+                        AS DOUBLE), 6) END AS conversion_from_prev_r,
+         CASE WHEN step_idx > 0
+                   AND first_value(users_reached)
+                       OVER (ORDER BY step_idx) > 0
+              THEN round(users_reached /
+                   CAST(first_value(users_reached)
+                        OVER (ORDER BY step_idx) AS DOUBLE), 6)
+              END AS conversion_from_first_r
+  FROM counts ORDER BY step_idx"""
+
+
+@q("q239_funnel_conversion", _Q239_ORACLE)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase over the event log
+    (`timeseries.funnel_conversion`): a user reaches step k iff a
+    steps[k] event exists strictly after their earliest qualifying
+    steps[k-1] event — the greedy earliest-completion rule (earliest
+    qualifying times maximize downstream completions).  Product-funnel
+    conversion is the telemetry twin of the curation pipeline's
+    stage-yield reports (q99): same monotone-reach contract, same
+    |steps|-row result.
+
+    Plan: per step one pushed-down filter scan + user-keyed min-agg,
+    user-to-user equi-joins between steps (co-partitioned after the
+    first exchange), conversions from one window over the |steps|-row
+    union — fully lazy, no driver-side actions, the raw log is never
+    globally sorted."""
+    from ..operators.timeseries import funnel_conversion
+
+    ev = load_table(spark, sf, "events")
+    return funnel_conversion(
+        ev, ["view", "click", "purchase"], "user_id", "ts", "event_type"
+    )

@@ -4339,3 +4339,58 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("js_nats"),
     )
+
+
+_Q238_ORACLE = """
+  WITH h AS (
+    SELECT source, n_chars AS s,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS p,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n
+    FROM documents GROUP BY source, n_chars),
+  c AS (
+    SELECT source, p, n,
+           COALESCE(sum(n) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS nb
+    FROM h),
+  a AS (
+    SELECT source,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * nb + n)) AS BIGINT) AS num2
+    FROM c GROUP BY source)
+  SELECT source, n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN round(num2 / (2.0 * n_pos * n_neg), 6) END AS auc_r
+  FROM a ORDER BY source"""
+
+
+@q("q238_roc_auc", _Q238_ORACLE)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source EXACT ROC-AUC (`stats.roc_auc` — Mann-Whitney with
+    midrank ties) for a deterministic scorer/label pair: score =
+    n_chars, label = (doc_id % 3 == 0).  AUC is THE threshold-free
+    ranking metric for the pipeline's learned scorers (q168 model
+    filter, q179 quality model, q141 BM25): a curation gate on a
+    scorer should pin its AUC the same way q106 pins LSH recall.
+
+    Scale shape (the operator's contract): the corpus collapses to the
+    per-group DISTINCT-SCORE histogram in one partial-combined agg,
+    the ordered pass runs per group (partitioned window — no global
+    sort), and the doubled numerator Σ p_s·(2·neg_below + n_s) stays
+    integer, so both engines agree exactly up to one final rounded
+    division.  The synthetic label makes expected AUC ≈ 0.5; the
+    contract is engine-exactness, not model quality."""
+    from ..operators.stats import roc_auc
+
+    docs = load_table(spark, sf, "documents")
+    labeled = docs.select(
+        "source",
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+        F.col("n_chars").alias("score"),
+    )
+    return roc_auc(labeled, "label", "score", ["source"]).orderBy(
+        "source"
+    )

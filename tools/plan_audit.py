@@ -164,6 +164,30 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q238_roc_auc": [
+        ("corpus collapses to the distinct-score histogram via a "
+         "partial-combined aggregate before any window", True,
+         lambda p: "partial_sum" in p),
+        ("ordered pass is a PER-GROUP window (partitioned by source "
+         "— no global single-partition sort of the histogram)", True,
+         lambda p: re.search(r"windowspecdefinition\(source", p)
+         is not None),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q239_funnel_conversion": [
+        ("step filters pushed to the event scan", True,
+         lambda p: re.search(
+             r"PushedFilters: \[[^\]]*event_type", p) is not None),
+        ("user-to-user funnel joins are equi-joins (no cartesian, "
+         "no BNLJ)", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("per-step reach aggregates are partial-combined", True,
+         lambda p: "partial_min" in p or "partial_count" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,
