@@ -23,6 +23,7 @@ __all__ = [
     "k_core",
     "bfs_levels",
     "deterministic_random_walks",
+    "sssp_bounded",
 ]
 
 
@@ -591,3 +592,64 @@ def deterministic_random_walks(
         # raised mid-loop (the bfs_levels pattern)
         e.unpersist()
     return out
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Bounded-hop single/multi-source WEIGHTED shortest paths —
+    synchronous Bellman-Ford, ``max_hops`` relaxation rounds: returns
+    (id, dist) with the exact minimum path weight among paths of at
+    most ``max_hops`` edges (the weighted generalization of
+    :func:`bfs_levels`; with unit weights the two agree).  Integer
+    weights keep every round engine-exact, and the fixed round budget
+    unrolls to a min-aggregation SQL tower oracle round for round.
+
+    Round shape, all JVM: dist ⋈ edges on src (shuffle keyed by src) →
+    candidate (dst, dist+w) → union with the current dists → ONE
+    partial-combined min per node.  Unlike BFS there is no anti-join:
+    a node can improve after first discovery, so every round
+    re-minimizes — the map-side partial min keeps the shuffle at
+    |nodes| rows.  The edge list — the dominant volume — is cached
+    once across rounds and per-round checkpoints keep the plan linear
+    in hops (the bfs_levels pattern).  Negative weights are rejected:
+    with a bounded hop budget they would make "shortest within k hops"
+    ill-ordered for pruning, and every corpus-graph use (link distance,
+    crawl cost, citation radius) is nonnegative.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col(weight_col).cast("bigint").alias("__w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dist = (
+            seeds.select(F.col("id").cast("bigint").alias("id"))
+            .distinct()
+            .select("id", F.lit(0).cast("bigint").alias("dist"))
+            .checkpoint(eager=True)
+        )
+        for _ in range(max_hops):
+            relax = dist.join(
+                e, dist["id"] == e["src"]
+            ).select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("__w")).alias("dist"),
+            )
+            dist = (
+                dist.unionByName(relax)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .checkpoint(eager=True)
+            )
+        return dist
+    finally:
+        e.unpersist()

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["row_fingerprint", "snapshot_diff", "diff_summary"]
+__all__ = ["row_fingerprint", "snapshot_diff", "diff_summary", "table_fingerprint"]
 
 
 def row_fingerprint(cols: list[str]) -> F.Column:
@@ -86,4 +86,44 @@ def diff_summary(diff: DataFrame, key: str) -> DataFrame:
     return diff.groupBy("status").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col(key).cast("bigint")).cast("bigint").alias("key_sum"),
+    )
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """ONE-row, order-independent content fingerprint of a table over
+    ``cols`` — the replication/migration integrity check: two engines
+    (or two snapshots, or a table before/after a rewrite that must be
+    content-neutral, q136's byte-identity cousin at the LOGICAL level)
+    agree on the fingerprint iff they hold the same multiset of rows,
+    without either side sorting or shipping the data.
+
+    Per row: 60 bits of sha256 over the null-tagged, canonically
+    separated column rendering (sha256, not xxhash64, so ANY engine
+    reproduces it — xxhash64 seeds are Spark-specific).  Rows combine
+    by XOR (order-independent, but blind to duplicate-pair swaps) AND
+    by a modular sum of the low 40 bits (catches what XOR cancels);
+    with the row count that gives three independent invariants.  Both
+    combiners are partial-aggregated: the shuffle carries 3 numbers
+    per partition at any scale.  Output: (n_rows, fp_xor, fp_sum_mod).
+    """
+    tagged = [
+        F.coalesce(
+            F.concat(F.lit("v:"), F.col(c).cast("string")),
+            F.lit("@NULL@"),
+        )
+        for c in cols
+    ]
+    h = F.conv(
+        F.substring(F.sha2(F.concat_ws("|", *tagged), 256), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(__h)").cast("bigint").alias("fp_xor"),
+        F.sum(F.col("__h") % F.lit(1 << 40)).cast("bigint").alias(
+            "fp_sum_mod"
+        ),
     )

@@ -17,6 +17,10 @@ __all__ = [
     "count_min_frequencies",
     "ks_statistic",
     "roc_auc",
+    "kaplan_meier",
+    "eb_rate_shrinkage",
+    "poisson_bootstrap_mean_ci",
+    "quantile_normalize",
 ]
 
 
@@ -335,4 +339,391 @@ def roc_auc(
                 6,
             ),
         ).alias("auc_r"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator per group: input is
+    one row per subject with an integer ``duration_col`` and a 0/1
+    ``event_col`` (1 = event observed at duration, 0 = right-censored at
+    duration).  Output: one row per (group, distinct EVENT time t) with
+    n_risk (subjects whose duration >= t), d_events, and
+    surv_r = round(Π_{t'<=t} (1 − d_t'/n_t'), 6).
+
+    Scale shape — the ks_statistic/roc_auc histogram pattern: subjects
+    collapse to the per-duration (events, censored) histogram in ONE
+    partial-combined aggregate, and everything after runs windows over
+    |distinct durations| rows per group, never |subjects|.  n_risk is
+    N minus the cumulative removals strictly before t (exact integers);
+    the product is exp(Σ ln(1−d/n)) — the only doubles in the operator,
+    rounded on output.  Subjects removed (event or censor) AT t still
+    count as at-risk AT t — standard KM right-continuity.
+    """
+    from pyspark.sql import Window
+
+    gb = list(group_cols or [])
+    ev = F.col(event_col).cast("long")
+    hist = df.groupBy(*gb, F.col(duration_col).alias("__t")).agg(
+        F.sum(ev).alias("__d"),
+        F.sum(F.lit(1) - ev).alias("__c"),
+    )
+    wprev = (
+        Window.partitionBy(*gb)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(*gb)
+    at_risk = hist.select(
+        *gb,
+        "__t",
+        "__d",
+        (
+            F.sum(F.col("__d") + F.col("__c")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("__d") + F.col("__c")).over(wprev), F.lit(0)
+            )
+        ).alias("__n"),
+    )
+    wcum = (
+        Window.partitionBy(*gb)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # ln term is 0 where d=0 (censor-only times), so including every
+    # histogram row in the cumulative sum is exact; rows are then
+    # filtered to event times for the output.  d = n (everyone at risk
+    # dies at t — the final event time) makes the factor exactly 0:
+    # handled as an explicit flag, NOT ln(0) (Spark's log returns NULL
+    # there and sum() would silently SKIP it, yielding a plausible
+    # nonzero survival; DuckDB raises instead)
+    lnterm = F.when(
+        (F.col("__d") > 0) & (F.col("__d") < F.col("__n")),
+        F.log(F.lit(1.0) - F.col("__d").cast("double") / F.col("__n")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        ((F.col("__d") > 0) & (F.col("__d") == F.col("__n"))).cast("int")
+    ).over(wcum)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(lnterm).over(wcum))
+    )
+    return (
+        at_risk.withColumn("__surv", surv)
+        .filter(F.col("__d") > 0)
+        .select(
+            *gb,
+            F.col("__t").cast("bigint").alias("t"),
+            F.col("__n").cast("bigint").alias("n_risk"),
+            F.col("__d").cast("bigint").alias("d_events"),
+            F.round("__surv", 6).alias("surv_r"),
+        )
+    )
+
+
+def eb_rate_shrinkage(
+    df: DataFrame,
+    key_cols: list[str],
+    success_col: str,
+    min_var: float = 1e-9,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-key success
+    rates toward the corpus prior — the standard fix for "this part has
+    a 100 % return rate (n=1)" artifacts in per-key quality/defect/CTR
+    tables.  Method-of-moments prior over the per-key raw rates:
+    m = mean(rate), v = var_pop(rate), prior strength
+    s = m(1−m)/v − 1 (floored at 0 when the rates are over-dispersed
+    past the beta family), α = m·s, β = (1−m)·s, and
+    shrunk = (k+α)/(n+α+β) per key.
+
+    Two aggregate passes — per-key (k, n) with map-side partial
+    combine, then ONE 1-row prior broadcast joined back — so cost is
+    the scan plus a |keys|-row shuffle at any scale; nothing driver-
+    side, no iteration.  Output per key: (key_cols…, n, k, rate_r,
+    shrunk_r) — rates rounded to 6 dp.
+    """
+    suc = F.col(success_col).cast("long")
+    per = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(suc).cast("bigint").alias("k"),
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    prior = per.agg(
+        F.avg(rate).alias("__m"),
+        F.var_pop(rate).alias("__v"),
+    ).select(
+        "__m",
+        F.greatest(F.col("__v"), F.lit(min_var)).alias("__v"),
+    ).select(
+        "__m",
+        F.greatest(
+            F.col("__m") * (1.0 - F.col("__m")) / F.col("__v") - 1.0,
+            F.lit(0.0),
+        ).alias("__s"),
+    )
+    alpha = F.col("__m") * F.col("__s")
+    beta = (1.0 - F.col("__m")) * F.col("__s")
+    return per.crossJoin(F.broadcast(prior)).select(
+        *key_cols,
+        "n",
+        "k",
+        F.round(rate, 6).alias("rate_r"),
+        F.round(
+            (F.col("k") + alpha) / (F.col("n") + alpha + beta), 6
+        ).alias("shrunk_r"),
+    )
+
+
+# P(X<=k) for Poisson(1), cumulative: e^-1 * (1 + 1 + 1/2 + 1/6 + 1/24)
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726562,
+]
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_boot: int = 200,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    salt: str = "boot-v1",
+    scale: int = 100,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean of ``value_col`` via
+    the POISSON bootstrap — the resampling scheme that actually
+    distributes: instead of drawing n rows with replacement (which
+    needs a global sample per replicate), each row independently
+    receives a Poisson(1) weight per replicate, which converges to the
+    multinomial bootstrap for large n (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012).
+
+    Determinism contract (the q209/q223 md5 scheme): the weight for
+    (row, replicate b) is the Poisson(1) inverse-CDF of
+    u = first-52-md5-bits(key|b|salt)/2^52 — no RNG state, so any
+    engine replays the exact replicate weights from the formula alone
+    (weights are capped at 5; P(X>=6) < 6e-5 of weight mass).
+    Engine-exactness: values are fixed-pointed by ``scale`` so each
+    replicate's weighted sum is an exact INTEGER pair (Σwx, Σw); the
+    replicate mean divides two exact integers — bit-identical anywhere.
+
+    Shape: rows × n_boot exploded in the map stage, then ONE
+    partial-combined aggregate to n_boot rows; the shuffle carries
+    n_boot rows per partition regardless of table size.  The CI is the
+    nearest-rank order statistic over the n_boot replicate means (a
+    window over n_boot rows).  Returns ONE row:
+    (n_rows, n_boot, mean_r, ci_lo_r, ci_hi_r).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    vi = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    base = df.select(
+        F.col(key_col).cast("string").alias("__k"), vi.alias("__v")
+    )
+    ex = base.select(
+        "__k",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("__k"), F.col("__b"), F.lit(salt)
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 52))
+    )
+    w = (
+        F.when(u < _POIS1_CDF[0], 0)
+        .when(u < _POIS1_CDF[1], 1)
+        .when(u < _POIS1_CDF[2], 2)
+        .when(u < _POIS1_CDF[3], 3)
+        .when(u < _POIS1_CDF[4], 4)
+        .otherwise(5)
+    )
+    reps = ex.groupBy("__b").agg(
+        F.sum(w * F.col("__v")).alias("__swx"),
+        F.sum(w).alias("__sw"),
+    )
+    mean_b = F.col("__swx").cast("double") / F.col("__sw") / scale
+    ranked = reps.select(
+        mean_b.alias("__m"),
+        F.row_number()
+        .over(Window.orderBy(mean_b.asc(), F.col("__b").asc()))
+        .alias("__rn"),
+    )
+    lo_rank = max(1, math.ceil(lo_q * n_boot))
+    hi_rank = max(1, math.ceil(hi_q * n_boot))
+    full = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("__v").cast("double") / F.count(F.lit(1)) / scale).alias(
+            "__mean"
+        ),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("__rn") == lo_rank, F.col("__m"))).alias(
+            "__lo"
+        ),
+        F.min(F.when(F.col("__rn") == hi_rank, F.col("__m"))).alias(
+            "__hi"
+        ),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(n_boot).cast("bigint").alias("n_boot"),
+        F.round("__mean", 4).alias("mean_r"),
+        F.round("__lo", 4).alias("ci_lo_r"),
+        F.round("__hi", 4).alias("ci_hi_r"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups: each row's value is
+    replaced by the GLOBAL value at the same quantile position its
+    value occupies WITHIN its group — after which every group has (up
+    to rank granularity) the pooled distribution.  The cross-corpus
+    score-mixing fix: per-source quality scores with different scales/
+    spreads become comparable before a single global threshold or
+    mixture weight is applied (q139/q155 consumers).
+
+    Mapping is nearest-rank: p = percent_rank within group (ties share
+    p), target = global sorted value at index 1 + floor(p·(N−1)) —
+    integer arithmetic on ranks, so engine-exact for integer inputs.
+
+    Shape: one group-partitioned window for p (parallel across
+    groups), one GLOBAL ordered window for the pooled rank table — the
+    honest total-order cost, same trade as ks_statistic: at 100 TB
+    pre-bin to a fixed grid (the binned map is within one bin of
+    exact) or run on the distinct-value histogram.  The rank join is
+    an integer equi-join of |rows| against |rows| — shuffle-heavy but
+    never all-pairs.  Output: (id_col, group_col, col, normalized).
+    """
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(col).asc(), F.col(id_col).asc()
+    )
+    src = df.select(
+        id_col,
+        group_col,
+        col,
+        F.percent_rank().over(wg).alias("__p"),
+    )
+    wglob = Window.orderBy(F.col(col).asc(), F.col(id_col).asc())
+    pooled = df.select(
+        F.col(col).alias("__gv"),
+        F.row_number().over(wglob).alias("__grn"),
+    )
+    # N as a lazy 1-row broadcast, not an eager .count() — no job runs
+    # unless the caller executes the result
+    nrow = df.agg(F.count(F.lit(1)).alias("__N"))
+    target = (
+        F.lit(1) + F.floor(F.col("__p") * (F.col("__N") - 1))
+    ).cast("int")
+    return (
+        src.crossJoin(F.broadcast(nrow))
+        .withColumn("__trn", target)
+        .join(pooled, F.col("__trn") == F.col("__grn"), "left")
+        .select(
+            id_col,
+            group_col,
+            col,
+            F.col("__gv").alias("normalized"),
+        )
+    )
+
+
+def winsorized_group_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    scale: int = 100,
+) -> DataFrame:
+    """Winsorized mean per group: values are clamped to the group's
+    nearest-rank [lo_q, hi_q] percentiles before averaging — the
+    outlier-robust mean that, unlike trimming, keeps n constant (the
+    q183 MAD / q221 robust-stats companion for MONEY columns where a
+    fat-fingered 100× entry would otherwise own the mean).
+
+    Nearest-rank percentiles (rank = ceil(q·n), ties broken by the
+    value order itself) instead of interpolated quantiles: integer
+    rank arithmetic on fixed-point values is engine-exact, where
+    percentile interpolation differs across engines.  Shape: one
+    group-partitioned ordered window for ranks, one conditional
+    aggregate for the two bounds per group (|groups| rows), a
+    broadcast-sized join back, and one partial-combined clamped sum —
+    never a global sort.  Output per group: (group_cols…, n, lo_r,
+    hi_r, mean_r, winsorized_mean_r), money rounded to 2 dp, means to
+    4 dp.
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    vi = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    s = df.select(*group_cols, vi.alias("__v"))
+    wrank = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+    wall = Window.partitionBy(*group_cols)
+    ranked = s.select(
+        *group_cols,
+        "__v",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1), F.ceil(F.lit(lo_q) * F.col("__n")).cast("int")
+    )
+    hi_rank = F.greatest(
+        F.lit(1), F.ceil(F.lit(hi_q) * F.col("__n")).cast("int")
+    )
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("__rn") == lo_rank, F.col("__v"))).alias(
+            "__lo"
+        ),
+        F.min(F.when(F.col("__rn") == hi_rank, F.col("__v"))).alias(
+            "__hi"
+        ),
+    )
+    clamped = s.join(F.broadcast(bounds), group_cols).select(
+        *group_cols,
+        "__v",
+        F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi"))
+        .alias("__cv"),
+        "__lo",
+        "__hi",
+    )
+    return clamped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("__lo") / scale, 2).alias("lo_r"),
+        F.round(F.min("__hi") / scale, 2).alias("hi_r"),
+        F.round(
+            F.sum("__v").cast("double") / F.count(F.lit(1)) / scale, 4
+        ).alias("mean_r"),
+        F.round(
+            F.sum("__cv").cast("double") / F.count(F.lit(1)) / scale, 4
+        ).alias("winsorized_mean_r"),
     )

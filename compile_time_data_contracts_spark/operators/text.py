@@ -33,6 +33,8 @@ __all__ = [
     "line_doc_frequency",
     "boilerplate_index_build",
     "remove_boilerplate_against",
+    "ngram_novelty",
+    "vocabulary_growth",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -830,4 +832,148 @@ def _drop_lines(
             .cast("bigint")
             .alias("n_lines_dropped"),
         )
+    )
+
+
+def ngram_novelty(
+    df: "DataFrame",
+    ref: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> "DataFrame":
+    """Per-document novelty against a reference corpus: the fraction of
+    the doc's distinct word n-gram shingles NOT present anywhere in
+    ``ref`` — the inverse of q89's contamination check (that asks "does
+    eval text leak into training", this asks "does a new batch add
+    anything the corpus doesn't already say"), the dedup-adjacent
+    signal for pruning near-redundant acquisitions before the expensive
+    MinHash pass.
+
+    Shape: both sides explode to (doc, shingle) rows; the reference
+    collapses to its DISTINCT shingle set (partial-combined), and seen
+    counts come from a LEFT SEMI equi-join on the shingle — never
+    all-pairs, the same posting-list discipline as jaccard_pairs.  At
+    100 TB the reference set is the q135/q204 move: build it once,
+    persist, reuse per batch.  Counts are exact integers; only the
+    final ratio is floating (rounded 6 dp).  Output: (id_col,
+    n_shingles, n_seen, novelty_r).
+    """
+    from .dedup import shingles
+
+    d = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__s")
+    )
+    r = (
+        ref.select(F.explode(shingles(text_col, n)).alias("__s"))
+        .distinct()
+    )
+    tot = d.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    seen = (
+        d.join(r, "__s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seen"))
+    )
+    return tot.join(seen, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_seen", F.lit(0)).cast("bigint").alias("n_seen"),
+        F.round(
+            (F.col("n_shingles") - F.coalesce("n_seen", F.lit(0)))
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty_r"),
+    )
+
+
+def vocabulary_growth(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str = "text",
+    n_points: int = 10,
+) -> "DataFrame":
+    """Heaps-law vocabulary growth curve: cumulative distinct-token
+    count vs cumulative token count, sampled at ``n_points`` evenly
+    spaced corpus positions (by ``id_col`` order), plus the implied
+    growth exponent β vs the first sample (V ≈ K·Tᵝ) — the
+    corpus-acquisition planning signal: a flattening curve says new
+    data is re-saying the old data (q245's novelty, corpus-level).
+
+    The distributed trick: "cumulative distinct" is NOT a running set —
+    each token contributes at exactly its FIRST document (min doc per
+    token, one partial-combined aggregate), so cumulative vocabulary is
+    a plain cumulative SUM of per-doc first-occurrence counts.  Tokens
+    never cross the shuffle after the min; the ordered windows run over
+    |docs| rows, not |tokens| (the ks_statistic total-order trade —
+    pre-bucket by id range at 100 TB).  All counts are exact integers;
+    only β divides logs at the end (rounded 4 dp).  Output per sample
+    point: (pt, doc_rank, cum_tokens, cum_vocab, beta_r; beta_r NULL
+    at the first point).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__tk"),
+    )
+    first = tok.groupBy("__tk").agg(F.min("__id").alias("__fd"))
+    new_per_doc = first.groupBy("__fd").agg(
+        F.count(F.lit(1)).alias("__n_new")
+    )
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.size(tokens(text_col)).cast("bigint").alias("__nt"),
+        )
+        .join(
+            new_per_doc,
+            F.col("__id") == F.col("__fd"),
+            "left",
+        )
+        .select(
+            "__id", "__nt", F.coalesce("__n_new", F.lit(0)).alias("__nn")
+        )
+    )
+    wcum = Window.orderBy("__id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = per_doc.select(
+        "__id",
+        F.sum("__nt").over(wcum).alias("cum_tokens"),
+        F.sum("__nn").over(wcum).alias("cum_vocab"),
+        F.row_number().over(Window.orderBy("__id")).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__N"),
+    )
+    pts = df.sparkSession.range(1, n_points + 1).select(
+        F.col("id").cast("int").alias("pt")
+    )
+    sampled = cum.join(
+        F.broadcast(pts),
+        F.col("__rn")
+        == F.ceil(
+            F.col("pt") * F.col("__N") / F.lit(float(n_points))
+        ).cast("int"),
+    )
+    wpt = Window.orderBy("pt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t1 = F.first("cum_tokens").over(wpt)
+    v1 = F.first("cum_vocab").over(wpt)
+    beta = F.when(
+        (F.col("pt") > 1) & (F.col("cum_tokens") > t1) & (v1 > 0),
+        F.round(
+            F.log(F.col("cum_vocab") / v1)
+            / F.log(F.col("cum_tokens") / t1),
+            4,
+        ),
+    )
+    return sampled.select(
+        "pt",
+        F.col("__rn").cast("bigint").alias("doc_rank"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        beta.alias("beta_r"),
     )

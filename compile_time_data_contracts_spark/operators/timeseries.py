@@ -24,6 +24,7 @@ __all__ = [
     "resample_interp",
     "ewma_trailing",
     "funnel_conversion",
+    "cusum_changepoint",
 ]
 
 
@@ -304,3 +305,76 @@ def funnel_conversion(
         ratio(prev).alias("conversion_from_prev_r"),
         ratio(first).alias("conversion_from_first_r"),
     ).orderBy("step_idx")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Single most likely mean-shift changepoint per group by the CUSUM
+    statistic: with S_i = Σ_{j<=i} (x_j − x̄), the changepoint is the
+    time index maximizing |S_i| (ties → earliest time).  The offline
+    twin of PSI/KS drift (q158/q164): those say "the distribution
+    moved", CUSUM says WHEN the level moved in an ordered series.
+
+    Input is one row per (group, tick) — pre-aggregate raw rows to the
+    tick grid first, exactly like `resample_ffill` callers.  Shape: one
+    group-partitioned ordered window over the |ticks|-per-group series
+    (never the raw table) plus a per-group argmax — so the scan+pre-agg
+    dominates at 100 TB and the window input stays bounded by the grid.
+
+    Engine-exactness: ``value_col`` is fixed-pointed to integers via
+    ``scale`` (cents for money), and the comparison statistic is kept
+    as the INTEGER n·S_i = n·cum_i − i·total — no division, no doubles —
+    so the argmax and tie-break are bit-exact in any engine; only the
+    reported magnitude divides back to value units at the end.
+    Returns one row per group: (group_cols…, cp_ts, max_abs_cusum_r,
+    n_points).
+    """
+    gb = list(group_cols or [])
+    v = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    s = df.select(*gb, F.col(ts_col).alias("__t"), v.alias("__v"))
+    wcum = (
+        Window.partitionBy(*gb)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*gb)
+    cur = s.select(
+        *gb,
+        "__t",
+        F.sum("__v").over(wcum).alias("__cum"),
+        F.row_number()
+        .over(Window.partitionBy(*gb).orderBy("__t"))
+        .alias("__i"),
+        F.sum("__v").over(wall).alias("__tot"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    # n·S_i as an exact integer; argmax by (|n·S_i| desc, t asc)
+    ns = (F.col("__n") * F.col("__cum") - F.col("__i") * F.col("__tot"))
+    ranked = cur.select(
+        *gb,
+        "__t",
+        F.abs(ns).alias("__a"),
+        "__n",
+        F.row_number()
+        .over(
+            Window.partitionBy(*gb).orderBy(
+                F.abs(ns).desc(), F.col("__t").asc()
+            )
+        )
+        .alias("__rn"),
+    ).filter(F.col("__rn") == 1)
+    return ranked.select(
+        *gb,
+        F.col("__t").alias("cp_ts"),
+        F.round(
+            F.col("__a").cast("double")
+            / (F.col("__n") * F.lit(float(scale))),
+            4,
+        ).alias("max_abs_cusum_r"),
+        F.col("__n").cast("bigint").alias("n_points"),
+    )

@@ -1302,3 +1302,42 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_type", "n", "exact_users", ok.alias("est_ok")
     )
+
+
+_Q248_ORACLE = """
+  WITH h AS (
+    SELECT (('0x' || substring(sha256(
+              concat_ws('|',
+                coalesce('v:' || CAST(c_custkey AS VARCHAR), '@NULL@'),
+                coalesce('v:' || c_name, '@NULL@'),
+                coalesce('v:' || CAST(c_nationkey AS VARCHAR),
+                         '@NULL@'),
+                coalesce('v:' || c_mktsegment, '@NULL@'))),
+            1, 15))::BIGINT) AS hh
+    FROM customer)
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(hh) AS BIGINT) AS fp_xor,
+         CAST(sum(hh % 1099511627776) AS BIGINT) AS fp_sum_mod
+  FROM h"""
+
+
+@q("q248_table_fingerprint", _Q248_ORACLE)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent content fingerprint of the customer table
+    (`reconcile.table_fingerprint`) — the replication/migration
+    integrity check: engines agree on (n_rows, XOR of 60-bit sha256
+    row hashes, modular sum of their low 40 bits) iff they hold the
+    same multiset of rows, with NO global sort and a shuffle of 3
+    numbers per partition.  sha256 (not xxhash64) so the hash is
+    engine-portable — this oracle IS the cross-engine replay.
+    Columns are null-tagged and canonically separated, so NULL vs the
+    string 'NULL' can't collide (row_fingerprint's convention).
+    Doubles are excluded from the fingerprint column set by the
+    caller: shortest-roundtrip float rendering is not a cross-engine
+    contract."""
+    from ..operators.reconcile import table_fingerprint
+
+    customer = load_table(spark, sf, "customer")
+    return table_fingerprint(
+        customer, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )

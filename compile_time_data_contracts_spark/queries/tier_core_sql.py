@@ -3829,3 +3829,310 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_conversion(
         ev, ["view", "click", "purchase"], "user_id", "ts", "event_type"
     )
+
+
+_Q240_ORACLE = """
+  WITH m AS (
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS v
+    FROM orders GROUP BY 1, 2),
+  c AS (
+    SELECT o_orderpriority, mth, v,
+           sum(v) OVER (PARTITION BY o_orderpriority ORDER BY mth
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY mth) AS i,
+           sum(v) OVER (PARTITION BY o_orderpriority) AS tot,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM m),
+  r AS (
+    SELECT o_orderpriority, mth,
+           abs(n * cum - i * tot) AS a, n,
+           row_number() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY abs(n * cum - i * tot) DESC, mth ASC) AS rn
+    FROM c)
+  SELECT o_orderpriority, mth AS cp_ts,
+         round(CAST(a AS DOUBLE) / (n * 1.0), 4) AS max_abs_cusum_r,
+         CAST(n AS BIGINT) AS n_points
+  FROM r WHERE rn = 1"""
+
+
+@q("q240_cusum_changepoint", _Q240_ORACLE)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint per order priority over the monthly revenue
+    series (`timeseries.cusum_changepoint`): the month maximizing
+    |Σ_{j<=i}(x_j − x̄)| — WHERE the level shifted, the ordered-series
+    companion to the PSI/KS "did it shift" detectors (q158/q164).
+    Raw orders collapse to the |months|-per-priority grid in one
+    partial-combined aggregate before any window runs, and the whole
+    argmax is INTEGER arithmetic on cents (n·S_i = n·cum_i − i·total),
+    so the changepoint and tie-break are engine-bit-exact; only the
+    reported magnitude divides back to a rounded double."""
+    from ..operators.timeseries import cusum_changepoint
+
+    orders = load_table(spark, sf, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("mth"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("v")
+    )
+    return cusum_changepoint(
+        monthly, "mth", "v", group_cols=["o_orderpriority"], scale=1
+    )
+
+
+_Q241_ORACLE = """
+  WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS mxd FROM orders),
+  s AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           lead(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS nxt
+    FROM orders),
+  subj AS (
+    SELECT c_mktsegment,
+           CASE WHEN nxt IS NULL
+                THEN date_diff('day', d, (SELECT mxd FROM mx))
+                ELSE date_diff('day', d, nxt) END AS dur,
+           CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+    FROM s JOIN customer ON o_custkey = c_custkey),
+  hist AS (
+    SELECT c_mktsegment, dur AS t,
+           sum(ev) AS d, sum(1 - ev) AS c
+    FROM subj GROUP BY 1, 2),
+  ar AS (
+    SELECT c_mktsegment, t, d,
+           sum(d + c) OVER (PARTITION BY c_mktsegment)
+           - coalesce(sum(d + c) OVER (
+               PARTITION BY c_mktsegment ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n
+    FROM hist),
+  km AS (
+    SELECT c_mktsegment, t, d, n,
+           CASE WHEN max(CASE WHEN d > 0 AND d = n THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY c_mktsegment ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE exp(sum(CASE WHEN d > 0 AND d < n
+                             THEN ln(1.0 - d / CAST(n AS DOUBLE))
+                             ELSE 0.0 END) OVER (
+                  PARTITION BY c_mktsegment ORDER BY t
+                  ROWS UNBOUNDED PRECEDING)) END AS surv
+    FROM ar)
+  SELECT c_mktsegment, CAST(t AS BIGINT) AS t,
+         CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+         round(surv, 6) AS surv_r
+  FROM km WHERE d > 0"""
+
+
+@q("q241_kaplan_meier", _Q241_ORACLE)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival of customer inter-order gaps per market
+    segment (`stats.kaplan_meier`): subjects are consecutive-order gaps
+    (event) plus each customer's final open gap censored at the global
+    max order date — the churn/retention estimator that handles
+    censoring correctly where q153's cohort retention counts raw
+    presence.  Subjects collapse to the per-duration histogram in one
+    partial-combined aggregate; every window after runs over |distinct
+    durations| per segment, never |orders|.  n_risk/d_events are exact
+    integers; only the survival product is floating (exp∘Σln, rounded
+    to 6 dp on both sides)."""
+    from ..operators.stats import kaplan_meier
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__mxd")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    s = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("__d"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("__nxt"),
+    )
+    subj = (
+        s.crossJoin(F.broadcast(mx))
+        .join(customer, s.o_custkey == customer.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.when(
+                F.col("__nxt").isNull(),
+                F.datediff(F.col("__mxd"), F.col("__d")),
+            )
+            .otherwise(F.datediff(F.col("__nxt"), F.col("__d")))
+            .alias("dur"),
+            F.when(F.col("__nxt").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    return kaplan_meier(subj, "dur", "ev", group_cols=["c_mktsegment"])
+
+
+_Q242_ORACLE = """
+  WITH per AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM lineitem GROUP BY 1),
+  pr AS (
+    SELECT avg(k / CAST(n AS DOUBLE)) AS m,
+           var_pop(k / CAST(n AS DOUBLE)) AS v
+    FROM per),
+  pr2 AS (
+    SELECT m,
+           greatest(m * (1.0 - m) / greatest(v, 1e-9) - 1.0, 0.0) AS s
+    FROM pr)
+  SELECT l_partkey, n, k,
+         round(k / CAST(n AS DOUBLE), 6) AS rate_r,
+         round((k + m * s) / (n + s), 6) AS shrunk_r
+  FROM per CROSS JOIN pr2"""
+
+
+@q("q242_eb_rate_shrinkage", _Q242_ORACLE)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-part return rates
+    (`stats.eb_rate_shrinkage`): method-of-moments prior over the raw
+    per-key rates, then shrunk = (k+α)/(n+α+β) — the fix for "100 %
+    return rate, n=1" artifacts before any per-key rate is thresholded
+    or ranked (the q168 model-filter / q181 calibration companion for
+    COUNTED outcomes).  Two partial-combined aggregate passes and one
+    1-row broadcast prior — cost is the scan plus a |keys|-row shuffle
+    at any scale, no iteration, no driver math."""
+    from ..operators.stats import eb_rate_shrinkage
+
+    li = load_table(spark, sf, "lineitem")
+    return eb_rate_shrinkage(
+        li.withColumn(
+            "__ret", (F.col("l_returnflag") == "R").cast("int")
+        ),
+        ["l_partkey"],
+        "__ret",
+    )
+
+
+_Q243_ORACLE = """
+  WITH base AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS kk,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders),
+  ex AS (
+    SELECT kk, v, b
+    FROM base CROSS JOIN
+         (SELECT unnest(generate_series(0, 199)) AS b) r),
+  wtab AS (
+    SELECT v, b,
+           CASE
+             WHEN u < 0.36787944117144233 THEN 0
+             WHEN u < 0.7357588823428847 THEN 1
+             WHEN u < 0.9196986029286058 THEN 2
+             WHEN u < 0.9810118431238462 THEN 3
+             WHEN u < 0.9963401531726562 THEN 4
+             ELSE 5 END AS w
+    FROM (SELECT v, b,
+                 (('0x' || substring(
+                     md5(kk || '|' || CAST(b AS VARCHAR)
+                         || '|' || 'boot-v1'), 1, 13))::BIGINT
+                  / 4503599627370496.0) AS u
+          FROM ex)),
+  reps AS (
+    SELECT b, CAST(sum(w * v) AS BIGINT) AS swx,
+           CAST(sum(w) AS BIGINT) AS sw
+    FROM wtab GROUP BY b),
+  ranked AS (
+    SELECT CAST(swx AS DOUBLE) / sw / 100 AS m,
+           row_number() OVER (
+             ORDER BY CAST(swx AS DOUBLE) / sw / 100 ASC, b ASC) AS rn
+    FROM reps),
+  full_m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(v) AS DOUBLE) / count(*) / 100 AS fm
+    FROM base),
+  ci AS (
+    SELECT min(CASE WHEN rn = 5 THEN m END) AS lo,
+           min(CASE WHEN rn = 195 THEN m END) AS hi
+    FROM ranked)
+  SELECT n_rows, CAST(200 AS BIGINT) AS n_boot,
+         round(fm, 4) AS mean_r,
+         round(lo, 4) AS ci_lo_r, round(hi, 4) AS ci_hi_r
+  FROM full_m CROSS JOIN ci"""
+
+
+@q("q243_poisson_bootstrap_ci", _Q243_ORACLE)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap 95 % CI for mean order value
+    (`stats.poisson_bootstrap_mean_ci`, 200 replicates): each row draws
+    a DETERMINISTIC Poisson(1) weight per replicate from md5(key|b|salt)
+    — the q209/q223 hash-determinism contract replacing RNG state — so
+    the resample distributes as a map-side expression (never a global
+    per-replicate sample) and any engine replays the exact replicate
+    means.  Values fixed-pointed to cents make every replicate's
+    (Σwx, Σw) an exact integer pair; the shuffle carries 200 rows per
+    partition regardless of table size, and the CI is an order
+    statistic over the 200-row replicate table."""
+    from ..operators.stats import poisson_bootstrap_mean_ci
+
+    orders = load_table(spark, sf, "orders")
+    return poisson_bootstrap_mean_ci(
+        orders, "o_totalprice", "o_orderkey", n_boot=200
+    )
+
+
+_Q246_ORACLE = """
+  WITH s AS (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+    FROM lineitem),
+  ranked AS (
+    SELECT l_returnflag, v,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY v ASC) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM s),
+  bounds AS (
+    SELECT l_returnflag,
+           min(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS INT))
+                    THEN v END) AS lo,
+           min(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS INT))
+                    THEN v END) AS hi
+    FROM ranked GROUP BY l_returnflag),
+  clamped AS (
+    SELECT s.l_returnflag, v,
+           least(greatest(v, lo), hi) AS cv, lo, hi
+    FROM s JOIN bounds ON s.l_returnflag = bounds.l_returnflag)
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         round(min(lo) / 100.0, 2) AS lo_r,
+         round(min(hi) / 100.0, 2) AS hi_r,
+         round(CAST(sum(v) AS DOUBLE) / count(*) / 100, 4) AS mean_r,
+         round(CAST(sum(cv) AS DOUBLE) / count(*) / 100, 4)
+           AS winsorized_mean_r
+  FROM clamped GROUP BY l_returnflag"""
+
+
+@q("q246_winsorized_stats", _Q246_ORACLE)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean of extended price per return flag
+    (`stats.winsorized_group_stats`, nearest-rank p05/p95 clamp): the
+    outlier-robust mean that keeps n constant — q183/q221's robust
+    family for money columns, where one fat-fingered 100× entry owns
+    the plain mean.  Nearest-rank percentiles are INTEGER rank
+    arithmetic on cents (engine-exact where interpolated quantiles
+    diverge across engines); one per-group ordered window + a
+    |groups|-row broadcast join + one partial-combined clamped sum —
+    never a global sort."""
+    from ..operators.stats import winsorized_group_stats
+
+    li = load_table(spark, sf, "lineitem")
+    return winsorized_group_stats(
+        li, "l_extendedprice", ["l_returnflag"]
+    )

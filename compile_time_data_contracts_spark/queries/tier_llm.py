@@ -4394,3 +4394,210 @@ def q238(spark: SparkSession, sf: str) -> DataFrame:
     return roc_auc(labeled, "label", "score", ["source"]).orderBy(
         "source"
     )
+
+
+_Q244_ORACLE = """
+  WITH src AS (
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS p
+    FROM documents),
+  pooled AS (
+    SELECT n_chars AS gv,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS grn
+    FROM documents),
+  nn AS (SELECT count(*) AS n FROM documents)
+  SELECT s.doc_id, s.source,
+         CAST(s.n_chars AS BIGINT) AS n_chars,
+         CAST(p2.gv AS BIGINT) AS normalized
+  FROM src s CROSS JOIN nn
+  JOIN pooled p2
+    ON (1 + CAST(floor(s.p * (nn.n - 1)) AS BIGINT)) = p2.grn"""
+
+
+@q("q244_quantile_normalize", _Q244_ORACLE)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths
+    (`stats.quantile_normalize`): each doc's n_chars is replaced by the
+    GLOBAL length at the same within-source quantile position — after
+    which every source shares the pooled distribution, so one global
+    threshold or mixture weight (q139/q155) applies fairly across
+    sources with different length scales.  Nearest-rank mapping is
+    integer arithmetic on window ranks (engine-exact for integer
+    inputs); one group-partitioned window + one global ordered window
+    (the ks_statistic total-order trade: pre-bin at 100 TB) + an
+    integer equi-join, never all-pairs."""
+    from ..operators.stats import quantile_normalize
+
+    docs = load_table(spark, sf, "documents")
+    out = quantile_normalize(docs, "n_chars", "source", "doc_id")
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("normalized").cast("bigint").alias("normalized"),
+    )
+
+
+_Q245_ORACLE = """
+  WITH tk AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, source,
+           array_to_string(t[i:least(i + 2, len(t))], '|') AS s
+    FROM (SELECT doc_id, source, t,
+                 unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                   AS i
+          FROM tk)),
+  ref AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+  d AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+  tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM d GROUP BY doc_id),
+  seen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seen
+           FROM d SEMI JOIN ref ON d.s = ref.s GROUP BY doc_id)
+  SELECT t.doc_id, t.n_shingles,
+         CAST(coalesce(seen.n_seen, 0) AS BIGINT) AS n_seen,
+         round((t.n_shingles - coalesce(seen.n_seen, 0))
+               / CAST(t.n_shingles AS DOUBLE), 6) AS novelty_r
+  FROM tot t LEFT JOIN seen ON t.doc_id = seen.doc_id"""
+
+
+@q("q245_ngram_novelty", _Q245_ORACLE)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 3-gram novelty of every non-src0 document against
+    the src0 reference corpus (`text.ngram_novelty`): the fraction of
+    the doc's distinct shingles absent from the reference — the
+    corpus-acquisition signal between exact dedup (q48) and MinHash
+    near-dup (q54): a batch can be 0 % duplicate yet 5 % novel.
+    Posting-list discipline throughout: the reference collapses to its
+    distinct shingle set once (build-and-persist at 100 TB, the
+    q135/q204 index move), seen counts are a LEFT SEMI equi-join on
+    the shingle — never all-pairs; counts exact, one rounded ratio."""
+    from ..operators.text import ngram_novelty
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_novelty(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
+_Q247_ROUND = """,
+  d{t} AS (
+    SELECT id, min(dist) AS dist FROM (
+      SELECT id, dist FROM d{p}
+      UNION ALL
+      SELECT e.dst AS id, d.dist + e.w AS dist
+      FROM d{p} d JOIN e0 e ON e.src = d.id) GROUP BY id)"""
+
+_Q247_ORACLE = (
+    """WITH ne AS (SELECT count(*) AS n FROM customer),
+  raw AS (
+    SELECT CAST(o_custkey AS BIGINT) AS src,
+           CAST(1 + (o_orderkey % (SELECT n FROM ne)) AS BIGINT) AS dst
+    FROM orders
+    UNION
+    SELECT CAST(c_custkey AS BIGINT),
+           CAST(1 + (c_custkey % (SELECT n FROM ne)) AS BIGINT)
+    FROM customer),
+  e0 AS (
+    SELECT src, dst, CAST(1 + ((src + dst) % 7) AS BIGINT) AS w
+    FROM raw),
+  d0 AS (
+    SELECT CAST(c_custkey AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+    FROM customer WHERE c_custkey % 100 = 1)"""
+    + _Q247_ROUND.format(t=1, p=0)
+    + _Q247_ROUND.format(t=2, p=1)
+    + _Q247_ROUND.format(t=3, p=2)
+    + """
+  SELECT id, CAST(dist AS BIGINT) AS dist FROM d3"""
+)
+
+
+@q("q247_sssp_weighted", _Q247_ORACLE)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (`graph.sssp_bounded`,
+    3 Bellman-Ford rounds) over the DIRECTED q165 link graph with
+    deterministic integer weights w = 1 + (src+dst) mod 7, from the
+    1 % customer seed set: exact minimum path weight among paths of
+    ≤ 3 edges — the weighted generalization of BFS hop distance
+    (q226), completing the graph family's distance column (PageRank
+    q165, components q73/q101, triangles q213, LPA q219, k-core q220,
+    walks q230).  Per round one src-keyed equi-join + one partial-
+    combined min per node; integer weights make every round
+    engine-exact, and the oracle replays the identical min-tower."""
+    from ..operators.graph import sssp_bounded
+
+    customer = load_table(spark, sf, "customer")
+    edges = _customer_graph_edges(spark, sf).select(
+        "src",
+        "dst",
+        (F.lit(1) + (F.col("src") + F.col("dst")) % 7)
+        .cast("bigint")
+        .alias("w"),
+    )
+    seeds = customer.filter(F.col("c_custkey") % 100 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    return sssp_bounded(edges, seeds, max_hops=3)
+
+
+_Q249_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+    FROM documents),
+  first_occ AS (SELECT tk, min(doc_id) AS fd FROM tok GROUP BY tk),
+  newd AS (SELECT fd, count(*) AS n_new FROM first_occ GROUP BY fd),
+  perdoc AS (
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS nt,
+           coalesce(n.n_new, 0) AS nn
+    FROM documents d LEFT JOIN newd n ON d.doc_id = n.fd),
+  cum AS (
+    SELECT doc_id,
+           sum(nt) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           sum(nn) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_vocab,
+           row_number() OVER (ORDER BY doc_id) AS rn,
+           count(*) OVER () AS nd
+    FROM perdoc),
+  sampled AS (
+    SELECT pt, rn AS doc_rank, cum_tokens, cum_vocab
+    FROM cum JOIN
+         (SELECT unnest(generate_series(1, 10)) AS pt) p
+      ON rn = CAST(ceil(pt * nd / 10.0) AS BIGINT)),
+  anchored AS (
+    SELECT pt, doc_rank, cum_tokens, cum_vocab,
+           first_value(cum_tokens) OVER (ORDER BY pt) AS t1,
+           first_value(cum_vocab) OVER (ORDER BY pt) AS v1
+    FROM sampled)
+  SELECT CAST(pt AS INT) AS pt, CAST(doc_rank AS BIGINT) AS doc_rank,
+         CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         CAST(cum_vocab AS BIGINT) AS cum_vocab,
+         CASE WHEN pt > 1 AND cum_tokens > t1 AND v1 > 0
+              THEN round(ln(cum_vocab / CAST(v1 AS DOUBLE))
+                         / ln(cum_tokens / CAST(t1 AS DOUBLE)), 4)
+              END AS beta_r
+  FROM anchored"""
+
+
+@q("q249_vocabulary_growth", _Q249_ORACLE)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary growth over the document corpus
+    (`text.vocabulary_growth`, 10 sample points): cumulative distinct
+    tokens vs cumulative tokens, plus the implied growth exponent β —
+    the corpus-acquisition planning curve (a flattening β says new
+    data re-says the old; q245's novelty at corpus level).  The
+    distributed trick: cumulative-distinct is NOT a running set —
+    each token contributes at its FIRST document (one partial-combined
+    min per token), so the curve is a plain cumulative sum over the
+    |docs|-row table; tokens never cross the shuffle after the min.
+    Counts exact; β is one rounded log-ratio per sample point."""
+    from ..operators.text import vocabulary_growth
+
+    docs = load_table(spark, sf, "documents")
+    return vocabulary_growth(docs, "doc_id", "text", n_points=10)

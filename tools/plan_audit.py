@@ -188,6 +188,111 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q240_cusum_changepoint": [
+        ("raw orders collapse to the monthly grid via a partial-"
+         "combined aggregate before any window", True,
+         lambda p: "partial_sum" in p),
+        ("all windows are PER-PRIORITY partitions (no global "
+         "single-partition sort)", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(o_orderpriority", p) is not None),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q241_kaplan_meier": [
+        ("subjects collapse to the per-duration histogram via a "
+         "partial-combined aggregate", True,
+         lambda p: "partial_sum" in p),
+        ("customer join is an equi-join, no cartesian", True,
+         lambda p: "CartesianProduct" not in p),
+        ("KM windows are per-segment partitions", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(c_mktsegment", p) is not None),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q242_eb_rate_shrinkage": [
+        ("per-key (k,n) partial-combined", True,
+         lambda p: "partial_sum" in p or "partial_count" in p),
+        ("prior is a 1-row broadcast join back (BNLJ on a 1-row "
+         "side), never a shuffle", True,
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("no Python, no global window", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q243_poisson_bootstrap_ci": [
+        ("replicates fan out via codegen Generate (explode), no "
+         "Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("replicate sums partial-combined: the shuffle carries "
+         "n_boot rows per partition, not the exploded rows", True,
+         lambda p: "partial_sum" in p),
+        ("CI + full-mean recombination are 1-row broadcasts", True,
+         lambda p: "BroadcastNestedLoopJoin" in p),
+    ],
+    "q244_quantile_normalize": [
+        ("within-group rank window partitioned by source", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(source", p) is not None),
+        ("rank mapping is an integer equi-join (shuffled hash or "
+         "sort-merge), never cartesian", True,
+         lambda p: "CartesianProduct" not in p),
+        ("N is a lazy 1-row broadcast, not a driver count", True,
+         lambda p: "BroadcastNestedLoopJoin" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q245_ngram_novelty": [
+        ("shingle explode is a codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("seen counts via LEFT SEMI equi-join on the shingle, never "
+         "all-pairs", True,
+         lambda p: "LeftSemi" in p and "CartesianProduct" not in p),
+        ("per-doc counts partial-combined", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q246_winsorized_stats": [
+        ("clamped sums partial-combined", True,
+         lambda p: "partial_sum" in p),
+        ("rank window is PER-GROUP (partitioned by l_returnflag)",
+         True,
+         lambda p: re.search(
+             r"windowspecdefinition\(l_returnflag", p) is not None),
+        ("bounds joined back as a broadcast", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q247_sssp_weighted": [
+        ("relaxation rounds are src-keyed equi-joins, no cartesian",
+         True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q248_table_fingerprint": [
+        ("fingerprint combiners partial-aggregated: 3 numbers per "
+         "partition cross the wire", True,
+         lambda p: "partial_count" in p),
+        ("no join, no sort, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q249_vocabulary_growth": [
+        ("token explode is a codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("first-occurrence min per token partial-combined (tokens "
+         "never cross the shuffle after the min)", True,
+         lambda p: "partial_min" in p),
+        ("sample points joined as a broadcast", True,
+         lambda p: "BroadcastHashJoin" in p
+         or "BroadcastNestedLoopJoin" in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,
@@ -1215,6 +1320,34 @@ def _bfs_hop_pipeline(spark, sf_dir):
     )
 
 
+def _sssp_relax_pipeline(spark, sf_dir):
+    # one sssp_bounded relaxation round (operators/graph.py:
+    # sssp_bounded loop body) un-checkpointed: dist join edges on src
+    # -> candidate (dst, dist+w) -> union -> partial-combined min
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    edges = cust.select(
+        F.col("c_custkey").cast("bigint").alias("src"),
+        (F.lit(1) + (F.col("c_custkey") % n)).cast("bigint").alias("dst"),
+        (1 + (F.col("c_custkey") % 7)).cast("bigint").alias("__w"),
+    )
+    dist = cust.filter(F.col("c_custkey") % 100 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    relax = dist.join(edges, dist["id"] == edges["src"]).select(
+        F.col("dst").alias("id"),
+        (F.col("dist") + F.col("__w")).alias("dist"),
+    )
+    return (
+        dist.unionByName(relax)
+        .groupBy("id")
+        .agg(F.min("dist").alias("dist"))
+    )
+
+
 def _walk_step_pipeline(spark, sf_dir):
     # one deterministic_random_walks step (operators/graph.py) un-
     # checkpointed: position join -> md5-ranked neighbor pick
@@ -1264,9 +1397,19 @@ PIPELINES = {
     "q220_inner_kcore_peel": _kcore_peel_pipeline,
     "q226_inner_bfs_hop": _bfs_hop_pipeline,
     "q230_inner_walk_step": _walk_step_pipeline,
+    "q247_inner_sssp_relax": _sssp_relax_pipeline,
 }
 
 PIPELINE_CHECKS = {
+    "q247_inner_sssp_relax": [
+        ("per-node min partial-combined (shuffle carries nodes, not "
+         "candidate paths)", True, lambda p: "partial_min" in p),
+        ("relaxation is a src-keyed equi-join, no cartesian / BNLJ",
+         True, lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python in the round", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q226_inner_bfs_hop": [
         ("visited-set exclusion is a LEFT ANTI join, never NOT IN "
          "subquery re-evaluation", True, lambda p: "LeftAnti" in p),
