@@ -27,6 +27,7 @@ __all__ = [
     "evaluate_expectations",
     "apply_expectations",
     "ref_integrity_report",
+    "k_anonymity_publish",
 ]
 
 
@@ -237,3 +238,50 @@ def ref_integrity_report(
         F.lit("0 orphans").alias("bound"),
         (F.col("__m") == 0).alias("passed"),
     )
+
+
+def k_anonymity_publish(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """k-anonymity gate for published aggregates: group means are
+    released ONLY for groups with at least ``k`` members; smaller
+    groups collapse into one ``__suppressed__`` rollup row carrying
+    their group count and total row count but NO value statistic —
+    the minimum-cell-size rule every data-release policy starts with
+    (a mean over 2 rows plus knowledge of 1 discloses the other).
+
+    One partial-combined aggregate per group, then a |groups|-row
+    split — publish vs suppress — with the suppressed side
+    re-aggregated to a single row: cost is the scan at any scale, and
+    the suppressed MASS is surfaced (no silent truncation — the
+    q188/q201 reporting discipline).  Output: (group_cols… as
+    strings, n, avg_r) with avg_r NULL on the rollup row.
+    """
+    vi = F.floor(F.col(value_col).cast("double") * scale).cast(
+        "bigint"
+    )
+    per = df.select(
+        *[F.col(c).cast("string").alias(c) for c in group_cols],
+        vi.alias("__v"),
+    ).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__v").alias("__s"),
+    )
+    ok = per.filter(F.col("n") >= k).select(
+        *group_cols,
+        "n",
+        F.round(F.col("__s").cast("double") / F.col("n") / scale, 4)
+        .alias("avg_r"),
+    )
+    suppressed = per.filter(F.col("n") < k).agg(
+        F.sum("n").cast("bigint").alias("n")
+    ).select(
+        *[F.lit("__suppressed__").alias(c) for c in group_cols],
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("avg_r"),
+    )
+    return ok.unionByName(suppressed)

@@ -24,6 +24,7 @@ __all__ = [
     "reservoir_per_group",
     "temperature_mixture_rates",
     "split_by_cluster",
+    "target_encode_loo",
 ]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
@@ -512,3 +513,54 @@ def kfold_assign(
         10,
     ).cast("bigint")
     return df.withColumn("fold", (h32 % k).cast("int"))
+
+
+def target_encode_loo(
+    df: DataFrame,
+    key_cols: list[str],
+    target_col: str,
+    fold_key_col: str,
+    k: int = 5,
+    salt: str = "kfold-v1",
+    scale: int = 100,
+) -> DataFrame:
+    """Leakage-free (leave-fold-out) target encoding: the mean of
+    ``target_col`` per key computed EXCLUDING each row's own fold —
+    the standard high-cardinality categorical feature that, computed
+    naively (plain per-key mean), leaks each row's own label into its
+    feature and silently inflates validation scores.  Folds come from
+    :func:`kfold_assign`'s md5 determinism contract, so the encoding
+    is run-/engine-stable and any engine reproduces it.
+
+    The distributed trick: NO per-fold re-aggregation of the corpus —
+    one partial-combined pass builds the (key, fold) cell sums, and
+    the leave-one-out mean is (key_total − cell) / (key_n − cell_n)
+    via window sums over the |keys|·k-row cell table.  Fixed-point
+    ``scale`` keeps every numerator/denominator an exact integer, so
+    the encoded value is a ratio of exact integers (rounded 4 dp).
+    Keys entirely inside one fold get NULL for that fold (no
+    out-of-fold data exists — surfaced, not imputed).  Output:
+    (key_cols…, fold, n_in_fold, encoded_r).
+    """
+    from pyspark.sql import Window
+
+    vi = F.floor(F.col(target_col).cast("double") * scale).cast(
+        "bigint"
+    )
+    folded = kfold_assign(df, fold_key_col, k=k, salt=salt)
+    cells = folded.groupBy(*key_cols, "fold").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(vi).alias("__s"),
+    )
+    wk = Window.partitionBy(*key_cols)
+    loo_n = F.sum("__n").over(wk) - F.col("__n")
+    loo_s = F.sum("__s").over(wk) - F.col("__s")
+    return cells.select(
+        *key_cols,
+        "fold",
+        F.col("__n").cast("bigint").alias("n_in_fold"),
+        F.when(
+            loo_n > 0,
+            F.round(loo_s.cast("double") / loo_n / scale, 4),
+        ).alias("encoded_r"),
+    )

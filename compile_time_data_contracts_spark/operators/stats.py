@@ -21,6 +21,10 @@ __all__ = [
     "eb_rate_shrinkage",
     "poisson_bootstrap_mean_ci",
     "quantile_normalize",
+    "winsorized_group_stats",
+    "mutual_information",
+    "percentile_bands",
+    "two_proportion_ztest",
 ]
 
 
@@ -726,4 +730,171 @@ def winsorized_group_stats(
         F.round(
             F.sum("__cv").cast("double") / F.count(F.lit(1)) / scale, 4
         ).alias("winsorized_mean_r"),
+    )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information (and the sqrt-normalized NMI) between two
+    categorical columns — the association strength the drift family
+    lacks: chi-square (q173) tests IF two categoricals are dependent,
+    JS divergence (q236) compares two distributions of ONE variable;
+    MI measures HOW MUCH one variable tells you about the other, in
+    nats, comparable across column pairs (via NMI) — the
+    feature-redundancy / leakage-screen metric.
+
+    One partial-combined aggregate collapses the corpus to the
+    |X|·|Y| contingency table; marginals and totals are window sums
+    OVER THAT TABLE (never a second scan), and MI = Σ p·ln(p/(px·py))
+    with the entropies for NMI from the same windows.  Counts are
+    exact; the log arithmetic is the identical expression tree both
+    engines round to 6 dp.  Output ONE row: (n, mi_r, nmi_r); NMI is
+    NULL when either marginal entropy is 0 (a constant column carries
+    no information to normalize by).
+    """
+    from pyspark.sql import Window
+
+    joint = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    wall = Window.partitionBy()
+    t = joint.select(
+        "__x",
+        "__y",
+        "__c",
+        F.sum("__c").over(wx).alias("__cx"),
+        F.sum("__c").over(wy).alias("__cy"),
+        F.sum("__c").over(wall).alias("__n"),
+        F.count(F.lit(1)).over(wx).alias("__kx"),
+        F.count(F.lit(1)).over(wy).alias("__ky"),
+    )
+    p = F.col("__c") / F.col("__n")
+    px = F.col("__cx") / F.col("__n")
+    py = F.col("__cy") / F.col("__n")
+    mi_term = p * F.log(p / (px * py))
+    # entropy terms would double-count across the joint table: divide
+    # each marginal's contribution by the number of joint cells that
+    # share it (count over the same partition)
+    hx_term = -(px / F.col("__kx")) * F.log(px)
+    hy_term = -(py / F.col("__ky")) * F.log(py)
+    agg = t.agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum(mi_term).alias("__mi"),
+        F.sum(hx_term).alias("__hx"),
+        F.sum(hy_term).alias("__hy"),
+    )
+    return agg.select(
+        "n",
+        F.round("__mi", 6).alias("mi_r"),
+        F.when(
+            (F.col("__hx") > 0) & (F.col("__hy") > 0),
+            F.round(
+                F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy")),
+                6,
+            ),
+        ).alias("nmi_r"),
+    )
+
+
+def percentile_bands(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bands: dict[str, float] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact nearest-rank percentile bands per group — the p50/p90/p99
+    latency/value report every telemetry pipeline publishes, computed
+    EXACTLY (rank = ceil(q·n) on the group's sort order) instead of
+    via approx_percentile (q96), so two engines — or two runs — never
+    disagree on a published SLO number.
+
+    One per-group ordered window for ranks + ONE conditional aggregate
+    for all bands (|groups| result rows): the honest cost is the
+    per-group sort, same as any exact percentile; at 100 TB pre-bin to
+    a value histogram and take band edges from cumulative counts (the
+    ks_statistic trade).  Fixed-point ``scale`` keeps rank selection
+    on exact integers.  Output: (group_cols…, n, <band>_r…, money
+    rounded 2 dp).
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    bands = bands or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    vi = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
+    s = df.select(*group_cols, vi.alias("__v"))
+    wrank = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+    wall = Window.partitionBy(*group_cols)
+    ranked = s.select(
+        *group_cols,
+        "__v",
+        F.row_number().over(wrank).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    aggs = [F.max("__n").cast("bigint").alias("n")]
+    for name, q in bands.items():
+        rank = F.greatest(
+            F.lit(1), F.ceil(F.lit(q) * F.col("__n")).cast("int")
+        )
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("__rn") == rank, F.col("__v")))
+                / scale,
+                2,
+            ).alias(f"{name}_r")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    a: str,
+    b: str,
+) -> DataFrame:
+    """Two-proportion z-test between groups ``a`` and ``b`` — the A/B
+    experiment readout: z = (p̂a − p̂b) / √(p̂(1−p̂)(1/na + 1/nb))
+    with the pooled p̂, the standard normal-approximation test for
+    conversion deltas.  ONE partial-combined aggregate produces all
+    four counts (na, ka, nb, kb) in a single pass — conditional sums,
+    no join, no second scan; the z statistic is a closed-form
+    expression over the 1-row result.  Counts exact; z is the
+    identical IEEE expression tree both engines round to 4 dp.
+    Output ONE row: (n_a, k_a, n_b, k_b, rate_a_r, rate_b_r, z_r,
+    significant_95) — significance compared on the UNROUNDED z.
+    """
+    in_a = (F.col(group_col) == a).cast("long")
+    in_b = (F.col(group_col) == b).cast("long")
+    suc = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(in_a).cast("bigint").alias("n_a"),
+        F.sum(in_a * suc).cast("bigint").alias("k_a"),
+        F.sum(in_b).cast("bigint").alias("n_b"),
+        F.sum(in_b * suc).cast("bigint").alias("k_b"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    pa = F.col("k_a") / F.col("n_a")
+    pb = F.col("k_b") / F.col("n_b")
+    pool = (F.col("k_a") + F.col("k_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # every branch sits under a CASE guard: an empty arm or a
+    # degenerate pooled rate (all success / all failure -> se = 0)
+    # yields NULL, never an ANSI divide-by-zero
+    z = F.when(ok & (se > 0), (pa - pb) / se)
+    return agg.select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.when(F.col("n_a") > 0, F.round(pa, 6)).alias("rate_a_r"),
+        F.when(F.col("n_b") > 0, F.round(pb, 6)).alias("rate_b_r"),
+        F.round(z, 4).alias("z_r"),
+        (F.abs(z) > 1.959963984540054).alias("significant_95"),
     )

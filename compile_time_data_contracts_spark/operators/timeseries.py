@@ -25,6 +25,7 @@ __all__ = [
     "ewma_trailing",
     "funnel_conversion",
     "cusum_changepoint",
+    "interarrival_stats",
 ]
 
 
@@ -377,4 +378,58 @@ def cusum_changepoint(
             4,
         ).alias("max_abs_cusum_r"),
         F.col("__n").cast("bigint").alias("n_points"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Inter-arrival-time statistics per key: gap count, mean gap,
+    coefficient of variation, and the burstiness index
+    B = (σ−μ)/(σ+μ) ∈ [−1, 1] (Goh & Barabási 2008): B ≈ −1 for a
+    regular clock, 0 for a Poisson process, → 1 for bursty arrivals —
+    the telemetry signal that separates schedulers from humans from
+    incidents, complementing WHEN-shaped detectors (q240 CUSUM) with
+    HOW arrivals cluster.
+
+    One per-key ordered window (lag) produces the gap stream in
+    place; one partial-combined aggregate reduces it — two exchanges
+    total, no self-join, never a global sort.  Gaps are exact integer
+    MICROSECONDS (unix_micros ↔ ANSI epoch_us — second-truncation
+    would desync engines on sub-second data); Σg stays an exact
+    integer, while Σg² runs in doubles (micros² would overflow int64)
+    with each g·g term exactly representable, so engines agree to
+    summation-order ulps, absorbed by the 4 dp rounding (mean
+    reported in seconds).  Keys with fewer than 2 events yield no row
+    (no gaps exist).  σ is the population std of gaps.  Output:
+    (key_col, n_gaps, mean_gap_s_r, cv_r, burstiness_r) — CV/B NULL
+    when the mean or σ+μ is 0.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    t = F.unix_micros(F.col(ts_col))
+    gaps = df.select(
+        key_col,
+        (t - F.lag(t).over(w)).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("__g").alias("__s"),
+        F.sum(
+            F.col("__g").cast("double") * F.col("__g").cast("double")
+        ).alias("__s2"),
+    )
+    mu = F.col("__s").cast("double") / F.col("n_gaps")
+    var = F.col("__s2") / F.col("n_gaps") - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        key_col,
+        "n_gaps",
+        F.round(mu / 1000000.0, 4).alias("mean_gap_s_r"),
+        F.when(mu > 0, F.round(sigma / mu, 4)).alias("cv_r"),
+        F.when(
+            (sigma + mu) > 0, F.round((sigma - mu) / (sigma + mu), 4)
+        ).alias("burstiness_r"),
     )

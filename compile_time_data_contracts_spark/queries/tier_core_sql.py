@@ -4136,3 +4136,132 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
     return winsorized_group_stats(
         li, "l_extendedprice", ["l_returnflag"]
     )
+
+
+_Q252_ORACLE = """
+  WITH s AS (
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders),
+  ranked AS (
+    SELECT o_orderpriority, v,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY v ASC) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM s)
+  SELECT o_orderpriority,
+         CAST(max(n) AS BIGINT) AS n,
+         round(min(CASE WHEN rn = greatest(1,
+                 CAST(ceil(0.5 * n) AS INT)) THEN v END) / 100.0, 2)
+           AS p50_r,
+         round(min(CASE WHEN rn = greatest(1,
+                 CAST(ceil(0.9 * n) AS INT)) THEN v END) / 100.0, 2)
+           AS p90_r,
+         round(min(CASE WHEN rn = greatest(1,
+                 CAST(ceil(0.99 * n) AS INT)) THEN v END) / 100.0, 2)
+           AS p99_r
+  FROM ranked GROUP BY o_orderpriority"""
+
+
+@q("q252_percentile_bands", _Q252_ORACLE)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of order value per priority
+    (`stats.percentile_bands`) — the published-SLO percentile report
+    computed exactly (rank = ceil(q·n) on cents) where q96's
+    approx_percentile trades determinism for speed: two engines or
+    two runs never disagree on a published number.  One per-group
+    ordered window + ONE conditional aggregate for all bands; the
+    honest cost is the per-group sort (pre-bin to a histogram at
+    100 TB, the ks_statistic trade)."""
+    from ..operators.stats import percentile_bands
+
+    orders = load_table(spark, sf, "orders")
+    return percentile_bands(
+        orders, "o_totalprice", ["o_orderpriority"]
+    )
+
+
+_Q254_ORACLE = """
+  WITH folded AS (
+    SELECT o_orderpriority,
+           CAST((('0x' || substring(
+               md5(CAST(o_orderkey AS VARCHAR) || '|' || 'kfold-v1'),
+               1, 8))::BIGINT % 5) AS INT) AS fold,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders),
+  cells AS (
+    SELECT o_orderpriority, fold,
+           CAST(count(*) AS BIGINT) AS n, sum(v) AS s
+    FROM folded GROUP BY 1, 2),
+  w AS (
+    SELECT o_orderpriority, fold, n,
+           sum(n) OVER (PARTITION BY o_orderpriority) - n AS loo_n,
+           sum(s) OVER (PARTITION BY o_orderpriority) - s AS loo_s
+    FROM cells)
+  SELECT o_orderpriority, fold, n AS n_in_fold,
+         CASE WHEN loo_n > 0
+              THEN round(CAST(loo_s AS DOUBLE) / loo_n / 100, 4)
+              END AS encoded_r
+  FROM w"""
+
+
+@q("q254_target_encoding_loo", _Q254_ORACLE)
+def q254(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free leave-fold-out target encoding of order priority
+    by mean order value (`sampling.target_encode_loo`, 5 md5 folds):
+    each row's feature excludes its own fold's labels — the naive
+    per-key mean leaks every row's own label into its feature and
+    inflates validation scores (the q166 leakage-safe-split
+    discipline, feature-level).  NO per-fold corpus re-aggregation:
+    one partial-combined (key, fold) cell pass + window sums over the
+    |keys|·k cell table; cents fixed-pointing keeps every encoded
+    value a ratio of exact integers."""
+    from ..operators.sampling import target_encode_loo
+
+    orders = load_table(spark, sf, "orders")
+    return target_encode_loo(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        k=5,
+    )
+
+
+_Q255_ORACLE = """
+  WITH per AS (
+    SELECT CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+           c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS s
+    FROM customer GROUP BY 1, 2),
+  ok AS (
+    SELECT c_nationkey, c_mktsegment, n,
+           round(CAST(s AS DOUBLE) / n / 100, 4) AS avg_r
+    FROM per WHERE n >= 15),
+  sup AS (
+    SELECT '__suppressed__' AS c_nationkey,
+           '__suppressed__' AS c_mktsegment,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS avg_r
+    FROM per WHERE n < 15)
+  SELECT * FROM ok UNION ALL SELECT * FROM sup"""
+
+
+@q("q255_k_anonymity_publish", _Q255_ORACLE)
+def q255(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity release gate over per-(nation, segment) account
+    balances (`expectations.k_anonymity_publish`, k=15): means are
+    published only for groups with >= k members; smaller groups
+    collapse into ONE __suppressed__ rollup row carrying their total
+    row count and no statistic — the minimum-cell-size rule of every
+    data-release policy, with the suppressed MASS surfaced (the
+    q188/q201 no-silent-truncation discipline).  One partial-combined
+    aggregate + a |groups|-row split; cost is the scan at any
+    scale."""
+    from ..operators.expectations import k_anonymity_publish
+
+    customer = load_table(spark, sf, "customer")
+    return k_anonymity_publish(
+        customer, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=15
+    )

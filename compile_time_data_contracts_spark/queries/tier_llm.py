@@ -4601,3 +4601,178 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return vocabulary_growth(docs, "doc_id", "text", n_points=10)
+
+
+_Q250_ORACLE = """
+  WITH joint AS (
+    SELECT lang AS x, source AS y, count(*) AS c
+    FROM documents GROUP BY 1, 2),
+  t AS (
+    SELECT x, y, c,
+           sum(c) OVER (PARTITION BY x) AS cx,
+           sum(c) OVER (PARTITION BY y) AS cy,
+           sum(c) OVER () AS n,
+           count(*) OVER (PARTITION BY x) AS kx,
+           count(*) OVER (PARTITION BY y) AS ky
+    FROM joint),
+  a AS (
+    SELECT max(n) AS n,
+           sum((c / CAST(n AS DOUBLE))
+               * ln((c / CAST(n AS DOUBLE))
+                    / ((cx / CAST(n AS DOUBLE))
+                       * (cy / CAST(n AS DOUBLE))))) AS mi,
+           sum(-(cx / CAST(n AS DOUBLE)) / kx
+               * ln(cx / CAST(n AS DOUBLE))) AS hx,
+           sum(-(cy / CAST(n AS DOUBLE)) / ky
+               * ln(cy / CAST(n AS DOUBLE))) AS hy
+    FROM t)
+  SELECT CAST(n AS BIGINT) AS n, round(mi, 6) AS mi_r,
+         CASE WHEN hx > 0 AND hy > 0
+              THEN round(mi / sqrt(hx * hy), 6) END AS nmi_r
+  FROM a"""
+
+
+@q("q250_mutual_information", _Q250_ORACLE)
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information (+ sqrt-normalized NMI) between document
+    language and source (`stats.mutual_information`) — the
+    association-STRENGTH metric completing the dependence family:
+    chi-square (q173) tests IF, JS divergence (q236) compares one
+    variable's two distributions, MI says HOW MUCH one column tells
+    you about another (feature redundancy / leakage screening before
+    training).  One partial-combined aggregate to the |X|·|Y|
+    contingency; marginals, totals, AND both entropies come from
+    windows over that table — the corpus is scanned once."""
+    from ..operators.stats import mutual_information
+
+    docs = load_table(spark, sf, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+_Q251_ORACLE = """
+  WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY event_type
+             ORDER BY ts, event_id) AS gap
+    FROM events),
+  f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+  a AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           sum(gap) AS s,
+           sum(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)) AS s2
+    FROM f GROUP BY 1),
+  m AS (
+    SELECT event_type, n_gaps,
+           CAST(s AS DOUBLE) / n_gaps AS mu,
+           sqrt(greatest(
+             s2 / n_gaps
+             - (CAST(s AS DOUBLE) / n_gaps)
+               * (CAST(s AS DOUBLE) / n_gaps),
+             0.0)) AS sigma
+    FROM a)
+  SELECT event_type, n_gaps,
+         round(mu / 1000000.0, 4) AS mean_gap_s_r,
+         CASE WHEN mu > 0 THEN round(sigma / mu, 4) END AS cv_r,
+         CASE WHEN (sigma + mu) > 0
+              THEN round((sigma - mu) / (sigma + mu), 4)
+              END AS burstiness_r
+  FROM m"""
+
+
+@q("q251_interarrival_burstiness", _Q251_ORACLE)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival statistics per event type
+    (`timeseries.interarrival_stats`): mean gap, CV, and the
+    Goh-Barabási burstiness index B = (σ−μ)/(σ+μ) — the arrival-
+    PATTERN telemetry signal (clock ≈ −1, Poisson ≈ 0, bursts → 1)
+    complementing the WHEN-shaped CUSUM (q240).  Gaps are exact
+    integer microseconds from one per-key lag window (unix_micros ↔
+    epoch_us — second truncation would desync engines); one
+    partial-combined aggregate reduces them — two exchanges total,
+    no self-join."""
+    from ..operators.timeseries import interarrival_stats
+
+    ev = load_table(spark, sf, "events")
+    return interarrival_stats(ev, "event_type", "ts", "event_id")
+
+
+_Q253_ORACLE = """
+  WITH users AS (
+    SELECT user_id,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) > 13
+                THEN 1 ELSE 0 END AS conv,
+           CASE WHEN (('0x' || substring(
+                  md5(CAST(user_id AS VARCHAR) || '|' || 'ab-v1'),
+                  1, 8))::BIGINT % 2) = 0
+                THEN 'A' ELSE 'B' END AS arm
+    FROM events GROUP BY user_id),
+  agg AS (
+    SELECT
+      CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_a,
+      CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+        AS k_a,
+      CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_b,
+      CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+        AS k_b
+    FROM users)
+  SELECT n_a, k_a, n_b, k_b,
+         round(k_a / CAST(n_a AS DOUBLE), 6) AS rate_a_r,
+         round(k_b / CAST(n_b AS DOUBLE), 6) AS rate_b_r,
+         round((k_a / CAST(n_a AS DOUBLE) - k_b / CAST(n_b AS DOUBLE))
+               / sqrt(((k_a + k_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - (k_a + k_b)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / n_a + 1.0 / n_b)), 4) AS z_r,
+         abs((k_a / CAST(n_a AS DOUBLE) - k_b / CAST(n_b AS DOUBLE))
+             / sqrt(((k_a + k_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - (k_a + k_b)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)))
+           > 1.959963984540054 AS significant_95
+  FROM agg"""
+
+
+@q("q253_ab_test_ztest", _Q253_ORACLE)
+def q253(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic A/B split of event
+    users (`stats.two_proportion_ztest`): arms from the q209/q223 md5
+    contract (no RNG — assignment is engine-replayable, the
+    experiment-bucketing primitive), success = a high-value user
+    (> 13 purchase events — ~50 % base rate, so the test is
+    non-degenerate at every gate scale factor).
+    One per-user partial-combined rollup + ONE aggregate producing
+    all four counts via conditional sums — no join, no second scan;
+    z is a closed form over the 1-row result, significance compared
+    on the unrounded statistic."""
+    from ..operators.stats import two_proportion_ztest
+
+    ev = load_table(spark, sf, "events")
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("user_id").cast("string"), F.lit("ab-v1")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            > 13
+        )
+        .cast("int")
+        .alias("conv")
+    ).withColumn(
+        "arm", F.when(h32 % 2 == 0, "A").otherwise("B")
+    )
+    return two_proportion_ztest(users, "arm", "conv", "A", "B")

@@ -293,6 +293,68 @@ CHECKS = {
          lambda p: "BroadcastHashJoin" in p
          or "BroadcastNestedLoopJoin" in p),
     ],
+    "q250_mutual_information": [
+        ("contingency built by ONE partial-combined aggregate over "
+         "ONE scan", True,
+         lambda p: "partial_count" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("marginals/entropies are windows over the contingency, "
+         "never a second scan or join", True,
+         lambda p: "Join" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q251_interarrival_burstiness": [
+        ("gap stream from a per-type lag window (partitioned, not "
+         "global)", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(event_type", p) is not None),
+        ("moment sums partial-combined", True,
+         lambda p: "partial_sum" in p),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q252_percentile_bands": [
+        ("rank window is PER-GROUP (partitioned by priority)", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(o_orderpriority", p) is not None),
+        ("all bands from ONE conditional aggregate (no per-band "
+         "scan)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q253_ab_test_ztest": [
+        ("per-user rollup partial-combined", True,
+         lambda p: "partial_sum" in p or "partial_max" in p),
+        ("all four arm counts from ONE aggregate over ONE scan — "
+         "no join, no second pass", True,
+         lambda p: "Join" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q254_target_encoding_loo": [
+        ("(key, fold) cells partial-combined; no per-fold corpus "
+         "re-aggregation (one scan)", True,
+         lambda p: "partial_count" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("leave-one-out sums are windows over the cell table, no "
+         "self-join", True, lambda p: "Join" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q255_k_anonymity_publish": [
+        ("per-group aggregate partial-combined", True,
+         lambda p: "partial_sum" in p),
+        ("publish/suppress split is a union over the |groups|-row "
+         "aggregate (scan count <= 2, no join)", True,
+         lambda p: "Join" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,
