@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features"]
+__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features", "extract_frame_samples"]
 
 # the media envelope: opaque payload + typed metadata (SURVEY §2.2 Q52 +
 # north-star multimodal requirement)
@@ -96,3 +96,77 @@ def extract_media_features(
             )
 
     return df.select(id_col, "media").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def extract_frame_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 32,
+    stride: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Strided frame sampling over the binary payload — the video
+    keyframe-extraction batch shape: treat the payload as a sequence
+    of fixed-size ``frame_bytes`` blocks and emit every ``stride``-th
+    block's (index, byte offset, md5) via Arrow-batched mapInPandas.
+    The md5-of-slice stands in for the real per-frame decode (a
+    deterministic, ENGINE-PORTABLE digest, so the DuckDB oracle can
+    replay byte-exact frame identities with substring+md5 — unlike the
+    q52/q62 checksum stub this one is cross-checkable per frame).
+    ``decode_stub=False`` raises where a real frame decoder (ffmpeg)
+    would run, the multimodal.py env contract.
+
+    Scale shape: each batch crosses the JVM→Python boundary ONCE
+    (Arrow), the per-doc loop is bounded by payload_size/
+    (frame_bytes·stride), and output rows carry 16-byte digests —
+    never the frames themselves.  Trailing partial blocks are
+    dropped (a real sampler emits only whole frames).
+    """
+
+    def extract(
+        batches: typing.Iterator["pd.DataFrame"],
+    ) -> typing.Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg; run with "
+                    "decode_stub=True in this environment"
+                )
+            ids, idxs, offs, digests = [], [], [], []
+            for did, m in zip(pdf[id_col], pdf["media"]):
+                payload = m["payload"] or b""
+                n_frames = len(payload) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    off = fi * frame_bytes
+                    ids.append(int(did))
+                    idxs.append(fi)
+                    offs.append(off)
+                    digests.append(
+                        hashlib.md5(
+                            payload[off : off + frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(extract, FRAME_SCHEMA)

@@ -25,6 +25,7 @@ __all__ = [
     "temperature_mixture_rates",
     "split_by_cluster",
     "target_encode_loo",
+    "split_exact_stratified",
 ]
 
 # Knuth's multiplicative constant; exact in 64-bit SQL integer math
@@ -564,3 +565,54 @@ def target_encode_loo(
             F.round(loo_s.cast("double") / loo_n / scale, 4),
         ).alias("encoded_r"),
     )
+
+
+def split_exact_stratified(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test assignment with EXACT per-stratum proportions:
+    rows are ranked within each stratum by md5(id|salt) — a
+    deterministic pseudo-random order with no RNG state (the
+    q209/q223 contract) — and assigned by POSITION against cumulative
+    fraction thresholds (rank ≤ ceil(f₁·n) → first split, etc.), so
+    every stratum's split sizes are exact to ±1 row, where the hash-
+    modulo split (`kfold_assign`, q223) is only exact in expectation
+    (a 50-doc language can land 13/2/35 by hash luck — fatal for a
+    small eval slice).
+
+    The cost of exactness is one per-stratum ordered window (rank by
+    hash) — strata sort independently in parallel; the hash-modulo
+    split stays the zero-shuffle choice when approximate proportions
+    are fine.  Output: input columns + ``split``.
+    """
+    from pyspark.sql import Window
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    h = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(id_col))
+    wall = Window.partitionBy(*strata_cols)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wall)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = rn <= F.ceil(F.lit(cum) * n).cast("int")
+        expr = F.when(cond, name) if expr is None else expr.when(
+            cond, name
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)

@@ -25,6 +25,9 @@ __all__ = [
     "mutual_information",
     "percentile_bands",
     "two_proportion_ztest",
+    "price_volume_mix",
+    "classification_report",
+    "prefix_zscore_anomalies",
 ]
 
 
@@ -897,4 +900,216 @@ def two_proportion_ztest(
         F.when(F.col("n_b") > 0, F.round(pb, 6)).alias("rate_b_r"),
         F.round(z, 4).alias("z_r"),
         (F.abs(z) > 1.959963984540054).alias("significant_95"),
+    )
+
+
+def price_volume_mix(
+    df0: DataFrame,
+    df1: DataFrame,
+    key_cols: list[str],
+    qty_col: str,
+    amount_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Price-volume-mix decomposition of a revenue delta between two
+    periods, per key: with Q = Σqty, R = Σamount, u = R/Q,
+    ΔR = (Q₁−Q₀)·u₀ [volume] + (u₁−u₀)·Q₀ [price] +
+    (Q₁−Q₀)(u₁−u₀) [cross]; keys present in only one period land in
+    'new'/'lost' buckets carrying their full revenue — the FP&A "why
+    did revenue move" answer the plain GROUP BY delta can't give
+    (a −2 % revenue print can hide +5 % volume against −7 % price).
+
+    One partial-combined aggregate per side to |keys| rows, one
+    full-outer equi-join of the two key tables — cost is the two
+    scans at any scale.  Q and R are exact integers (amounts
+    fixed-pointed by ``scale``); unit prices and effects are the
+    identical IEEE expression tree over those integers, summed only
+    by the caller (round at the report edge).  Output per key:
+    (key_cols…, status ∈ {both, new, lost}, q0, q1, r0, r1,
+    volume_eff, price_eff, cross_eff) — revenue/effect columns in
+    VALUE units (already divided by ``scale``), unrounded.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        amt = F.floor(
+            F.col(amount_col).cast("double") * scale
+        ).cast("bigint")
+        qty = F.floor(F.col(qty_col).cast("double")).cast("bigint")
+        return df.groupBy(*key_cols).agg(
+            F.sum(qty).alias(f"__q{tag}"),
+            F.sum(amt).alias(f"__r{tag}"),
+        )
+
+    a = side(df0, "0")
+    b = side(df1, "1")
+    j = a.join(b, key_cols, "full_outer")
+    has0 = F.col("__q0").isNotNull()
+    has1 = F.col("__q1").isNotNull()
+    q0 = F.coalesce("__q0", F.lit(0)).cast("bigint")
+    q1 = F.coalesce("__q1", F.lit(0)).cast("bigint")
+    r0 = F.coalesce("__r0", F.lit(0)).cast("double") / scale
+    r1 = F.coalesce("__r1", F.lit(0)).cast("double") / scale
+    u0 = F.when(q0 > 0, r0 / q0)
+    u1 = F.when(q1 > 0, r1 / q1)
+    both = has0 & has1
+    return j.select(
+        *key_cols,
+        F.when(both, "both")
+        .when(has1, "new")
+        .otherwise("lost")
+        .alias("status"),
+        q0.alias("q0"),
+        q1.alias("q1"),
+        r0.alias("r0"),
+        r1.alias("r1"),
+        F.when(both, (q1 - q0) * u0)
+        .when(has1, r1)
+        .otherwise(-r0)
+        .alias("volume_eff"),
+        F.when(both, (u1 - u0) * q0).otherwise(F.lit(0.0))
+        .alias("price_eff"),
+        F.when(both, (q1 - q0) * (u1 - u0)).otherwise(F.lit(0.0))
+        .alias("cross_eff"),
+    )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 + support from (label,
+    prediction) pairs — the multi-class companion to ROC-AUC (q238,
+    threshold-free ranking) and Cohen's kappa (q234, chance-corrected
+    agreement): the per-class view that says WHICH class a quality /
+    language / topic classifier fails on.
+
+    One partial-combined aggregate to the |L|·|P| confusion matrix,
+    then each cell EXPLODES into exactly two (class, margin)
+    contributions — one to its label's row margin (+tp if diagonal),
+    one to its prediction's column margin — and ONE |classes|-row
+    aggregate finishes: a single consumer chain, so the corpus is
+    scanned ONCE (the margins-as-joins formulation re-inlines the
+    contingency aggregate into every branch — N scans — which the
+    plan audit forbids).  Classes appearing only as labels (never
+    predicted) or only as predictions still get a row, with NULL
+    precision (no predictions to be precise about) or NULL recall
+    respectively — the undefined-metric convention, never a divide
+    error.  Output: (class, support, tp, fp, fn, precision_r,
+    recall_r, f1_r), 6 dp.
+    """
+    cont = df.groupBy(
+        F.col(label_col).cast("string").alias("__l"),
+        F.col(pred_col).cast("string").alias("__p"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    tp_c = F.when(
+        F.col("__l") == F.col("__p"), F.col("__c")
+    ).otherwise(F.lit(0))
+    contrib = cont.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__l").alias("class"),
+                    F.col("__c").alias("rc"),
+                    F.lit(0).cast("long").alias("cc"),
+                    tp_c.alias("tpc"),
+                ),
+                F.struct(
+                    F.col("__p").alias("class"),
+                    F.lit(0).cast("long").alias("rc"),
+                    F.col("__c").alias("cc"),
+                    F.lit(0).cast("long").alias("tpc"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*")
+    m = contrib.groupBy("class").agg(
+        F.sum("rc").cast("bigint").alias("support"),
+        F.sum("tpc").cast("bigint").alias("tp"),
+        (F.sum("cc") - F.sum("tpc")).cast("bigint").alias("fp"),
+        (F.sum("rc") - F.sum("tpc")).cast("bigint").alias("fn"),
+    )
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    rec = F.when(
+        (F.col("tp") + F.col("fn")) > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return m.select(
+        "class",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision_r"),
+        F.round(rec, 6).alias("recall_r"),
+        F.round(f1, 6).alias("f1_r"),
+    )
+
+
+def prefix_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    min_history: int = 30,
+    z_threshold: float = 3.0,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Leakage-free online anomaly detection per key: each point is
+    scored against the mean/σ of STRICTLY PRIOR observations (rows
+    frame ... to −1) — the causally-valid twin of q169's global
+    z-score, which scores every point against statistics that include
+    the anomaly itself (self-masking: a huge spike inflates the very
+    σ it is judged by, and sneaks under the threshold).
+
+    One per-key ordered window computes prefix count/Σv/Σv² in place
+    — no self-join, no second scan; prefix sums accumulate in a
+    DETERMINISTIC order (the window's), so engines agree exactly on
+    the integer Σv and to per-term rounding on Σv².  Points with
+    fewer than ``min_history`` prior observations are never flagged
+    (the cold-start guard).  Returns FLAGGED rows only:
+    (key_col, ts_col, tiebreak_col, value, z_r).
+    """
+    from pyspark.sql import Window
+
+    vi = F.floor(F.col(value_col).cast("double") * scale).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        vi.alias("__v"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(vi).over(w).alias("__s"),
+        F.sum(vi.cast("double") * vi.cast("double")).over(w).alias(
+            "__s2"
+        ),
+    )
+    mu = F.col("__s").cast("double") / F.col("__n")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("__s2") / F.col("__n") - mu * mu, F.lit(0.0)
+        )
+    )
+    z = F.when(
+        (F.col("__n") >= min_history) & (sigma > 0),
+        (F.col("__v") - mu) / sigma,
+    )
+    return s.filter(F.abs(z) > z_threshold).select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        (F.col("__v").cast("double") / scale).alias("value"),
+        F.round(z, 4).alias("z_r"),
     )

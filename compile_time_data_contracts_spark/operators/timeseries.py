@@ -26,6 +26,8 @@ __all__ = [
     "funnel_conversion",
     "cusum_changepoint",
     "interarrival_stats",
+    "time_weighted_average",
+    "yoy_growth",
 ]
 
 
@@ -228,6 +230,7 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     step_col: str = "event_type",
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis (the product-analytics staple, e.g.
     view -> click -> purchase): a user reaches step k iff an
@@ -251,6 +254,13 @@ def funnel_conversion(
     for deep funnels persist intermediate reaches, for the usual 3-5
     steps the redundancy is noise next to the event scan.  At 100 TB
     partition-prune the scan by day first.
+
+    ``max_gap_s`` bounds each hop: with it set, step k counts only
+    within ``max_gap_s`` seconds of the user's step k-1 time — the
+    attribution-window form ("click within 30 min of the view"),
+    which changes semantics, not shape: the bound is one more pushed
+    predicate on the same co-partitioned join.  Unbounded (None) is
+    the q239 greedy-earliest contract unchanged.
 
     Returns |steps| rows: (step_idx, step, users_reached,
     conversion_from_prev_r, conversion_from_first_r) ordered by
@@ -283,7 +293,18 @@ def funnel_conversion(
         reached = (
             ev.filter(F.col("__step") == s)
             .join(reached, "__u")
-            .filter(F.col("__ts") > F.col("__t"))
+            .filter(
+                (F.col("__ts") > F.col("__t"))
+                if max_gap_s is None
+                else (
+                    (F.col("__ts") > F.col("__t"))
+                    & (
+                        F.unix_micros(F.col("__ts"))
+                        <= F.unix_micros(F.col("__t"))
+                        + F.lit(int(max_gap_s) * 1000000)
+                    )
+                )
+            )
             .groupBy("__u")
             .agg(F.min("__ts").alias("__t"))
         )
@@ -432,4 +453,120 @@ def interarrival_stats(
         F.when(
             (sigma + mu) > 0, F.round((sigma - mu) / (sigma + mu), 4)
         ).alias("burstiness_r"),
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled value per group
+    (TWAP): each observation is weighted by its HOLDING TIME — the
+    milliseconds until the group's next observation; the final
+    observation carries no weight (nothing is held after it).  The
+    correct aggregate for irregularly-sampled prices/gauges, where the
+    plain mean over-counts bursts: ten readings in a quiet minute must
+    not outweigh one reading that held for an hour.
+
+    One per-group lead() window produces holding times in place; one
+    partial-combined aggregate reduces — two exchanges, no self-join.
+    Engine-exactness: values fixed-pointed by ``value_scale`` (milli
+    units) and holding times as integer MILLISECONDS keep every
+    value·dt term and both sums exact integers (term bound
+    value_milli · span_ms < 2⁶³ — document your units; micros would
+    overflow), so the TWAP is a ratio of exact integers.  Output:
+    (group_cols…, n_obs, held_ms, twap_r 4 dp); groups with a single
+    observation yield NULL twap (no holding interval exists).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, tiebreak_col)
+    t = F.unix_micros(F.col(ts_col))
+    vm = F.floor(
+        F.col(value_col).cast("double") * value_scale
+    ).cast("bigint")
+    s = df.select(
+        *group_cols,
+        vm.alias("__v"),
+        # floor, not cast: Spark's double->bigint cast truncates while
+        # DuckDB's rounds — floor() agrees everywhere (diffs are >= 0)
+        F.floor((F.lead(t).over(w) - t) / 1000).cast("bigint").alias(
+            "__dt"
+        ),
+    )
+    agg = s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("__dt").cast("bigint").alias("held_ms"),
+        F.sum(F.col("__v") * F.col("__dt")).alias("__wv"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_obs",
+        F.coalesce("held_ms", F.lit(0)).cast("bigint").alias(
+            "held_ms"
+        ),
+        F.when(
+            F.col("held_ms") > 0,
+            F.round(
+                F.col("__wv").cast("double")
+                / F.col("held_ms")
+                / value_scale,
+                4,
+            ),
+        ).alias("twap_r"),
+    )
+
+
+def yoy_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Month-over-same-month-last-year growth: monthly totals joined
+    to themselves on month = add_months(month, 12) — a JOIN, not
+    lag(12), because a calendar gap (no sales in a month) silently
+    shifts every lag-based comparison one month off; the join aligns
+    by CALENDAR month and yields NULL where last year has no row —
+    surfaced, not misaligned.  The BI time-intelligence primitive
+    (period-over-period at any grain follows the same shape).
+
+    One partial-combined aggregate to |months| rows + one self-join
+    of that tiny table (broadcast at any realistic month count):
+    cost is the scan.  Totals are exact cents; the growth ratio is
+    one rounded division.  Output: (month, rev_r, prev_year_rev_r,
+    yoy_pct_r) — yoy_pct NULL when last year is absent or zero.
+    """
+    m = df.groupBy(
+        F.date_trunc("month", F.col(ts_col)).cast("date").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(
+            F.floor(F.col(value_col).cast("double") * scale).cast(
+                "bigint"
+            )
+        ).alias("__v")
+    )
+    prev = m.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("__v").alias("__pv"),
+    )
+    j = m.join(F.broadcast(prev), "month", "left")
+    return j.select(
+        "month",
+        F.round(F.col("__v") / F.lit(float(scale)), 2).alias("rev_r"),
+        F.round(F.col("__pv") / F.lit(float(scale)), 2).alias(
+            "prev_year_rev_r"
+        ),
+        F.when(
+            F.col("__pv") > 0,
+            F.round(
+                (F.col("__v") - F.col("__pv"))
+                / F.col("__pv").cast("double"),
+                4,
+            ),
+        ).alias("yoy_pct_r"),
     )

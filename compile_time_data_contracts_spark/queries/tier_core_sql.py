@@ -4265,3 +4265,209 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
     return k_anonymity_publish(
         customer, ["c_nationkey", "c_mktsegment"], "c_acctbal", k=15
     )
+
+
+_Q256_ORACLE = """
+  WITH s0 AS (
+    SELECT l_partkey,
+           sum(CAST(floor(l_quantity) AS BIGINT)) AS q,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS r
+    FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+  s1 AS (
+    SELECT l_partkey,
+           sum(CAST(floor(l_quantity) AS BIGINT)) AS q,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS r
+    FROM lineitem WHERE year(l_shipdate) = 1998 GROUP BY 1),
+  j AS (
+    SELECT s0.q AS q0x, s1.q AS q1x, s0.r AS r0x, s1.r AS r1x
+    FROM s0 FULL OUTER JOIN s1 ON s0.l_partkey = s1.l_partkey),
+  e AS (
+    SELECT CASE WHEN q0x IS NOT NULL AND q1x IS NOT NULL THEN 'both'
+                WHEN q1x IS NOT NULL THEN 'new' ELSE 'lost' END
+             AS status,
+           coalesce(q0x, 0) AS q0, coalesce(q1x, 0) AS q1,
+           coalesce(r0x, 0) / 100.0 AS r0,
+           coalesce(r1x, 0) / 100.0 AS r1
+    FROM j),
+  f AS (
+    SELECT status, q0, q1, r0, r1,
+           CASE WHEN status = 'both' THEN (q1 - q0) * (r0 / q0)
+                WHEN status = 'new' THEN r1 ELSE -r0 END AS vol,
+           CASE WHEN status = 'both'
+                THEN (r1 / q1 - r0 / q0) * q0 ELSE 0.0 END AS pr,
+           CASE WHEN status = 'both'
+                THEN (q1 - q0) * (r1 / q1 - r0 / q0)
+                ELSE 0.0 END AS cr
+    FROM e)
+  SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+         round(sum(r0), 2) AS rev0_r, round(sum(r1), 2) AS rev1_r,
+         round(sum(vol), 2) AS volume_eff_r,
+         round(sum(pr), 2) AS price_eff_r,
+         round(sum(cr), 2) AS cross_eff_r
+  FROM f GROUP BY status"""
+
+
+@q("q256_price_volume_mix", _Q256_ORACLE)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    """Price-volume-mix decomposition of the 1997→1998 revenue delta
+    per part, rolled up by status (`stats.price_volume_mix`): the
+    FP&A "WHY did revenue move" answer — volume effect (q·Δ at old
+    price), price effect (Δu at old volume), cross term, and
+    new/lost-part buckets carrying their full revenue — where a plain
+    GROUP BY delta can hide +5 % volume against −7 % price.  One
+    partial-combined aggregate per period + one full-outer equi-join
+    of |keys| rows; Q/R exact integers, effects the identical IEEE
+    tree, rounded at the report edge only."""
+    from ..operators.stats import price_volume_mix
+
+    li = load_table(spark, sf, "lineitem")
+    pvm = price_volume_mix(
+        li.filter(F.year("l_shipdate") == 1997),
+        li.filter(F.year("l_shipdate") == 1998),
+        ["l_partkey"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return pvm.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.sum("r0"), 2).alias("rev0_r"),
+        F.round(F.sum("r1"), 2).alias("rev1_r"),
+        F.round(F.sum("volume_eff"), 2).alias("volume_eff_r"),
+        F.round(F.sum("price_eff"), 2).alias("price_eff_r"),
+        F.round(F.sum("cross_eff"), 2).alias("cross_eff_r"),
+    )
+
+
+_Q257_ORACLE = """
+  WITH scored AS (
+    SELECT l_returnflag AS label,
+           CASE WHEN floor(l_quantity) <= 17 THEN 'N'
+                WHEN floor(l_quantity) <= 34 THEN 'A'
+                ELSE 'R' END AS pred
+    FROM lineitem),
+  cont AS (
+    SELECT label AS l, pred AS p, count(*) AS c
+    FROM scored GROUP BY 1, 2),
+  classes AS (
+    SELECT l AS class FROM cont UNION SELECT p FROM cont),
+  rows_m AS (SELECT l AS class, sum(c) AS rs FROM cont GROUP BY 1),
+  cols_m AS (SELECT p AS class, sum(c) AS cs FROM cont GROUP BY 1),
+  diag AS (SELECT l AS class, c AS tp FROM cont WHERE l = p),
+  m AS (
+    SELECT cl.class,
+           CAST(coalesce(rs, 0) AS BIGINT) AS support,
+           CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+           CAST(coalesce(cs, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+           CAST(coalesce(rs, 0) - coalesce(tp, 0) AS BIGINT) AS fn
+    FROM classes cl
+    LEFT JOIN rows_m USING (class)
+    LEFT JOIN cols_m USING (class)
+    LEFT JOIN diag USING (class))
+  SELECT class, support, tp, fp, fn,
+         CASE WHEN tp + fp > 0
+              THEN round(tp / CAST(tp + fp AS DOUBLE), 6)
+              END AS precision_r,
+         CASE WHEN tp + fn > 0
+              THEN round(tp / CAST(tp + fn AS DOUBLE), 6)
+              END AS recall_r,
+         CASE WHEN tp + fp > 0 AND tp + fn > 0
+                   AND (tp / CAST(tp + fp AS DOUBLE)
+                        + tp / CAST(tp + fn AS DOUBLE)) > 0
+              THEN round(2.0 * (tp / CAST(tp + fp AS DOUBLE))
+                             * (tp / CAST(tp + fn AS DOUBLE))
+                         / (tp / CAST(tp + fp AS DOUBLE)
+                            + tp / CAST(tp + fn AS DOUBLE)), 6)
+              END AS f1_r
+  FROM m"""
+
+
+@q("q257_classification_report", _Q257_ORACLE)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class precision/recall/F1 of a rule-based return-flag
+    classifier (`stats.classification_report`) — the multi-class eval
+    view completing q238's AUC (threshold-free ranking) and q234's
+    kappa (chance-corrected agreement): WHICH class does the
+    classifier fail on, with never-predicted / never-labeled classes
+    surfaced as NULL precision/recall rather than dropped rows or
+    divide errors.  One partial-combined pass to the confusion
+    matrix; everything after operates on |classes|-row margins."""
+    from ..operators.stats import classification_report
+
+    li = load_table(spark, sf, "lineitem")
+    qf = F.floor(F.col("l_quantity"))
+    scored = li.select(
+        F.col("l_returnflag").alias("label"),
+        F.when(qf <= 17, "N").when(qf <= 34, "A").otherwise("R")
+        .alias("pred"),
+    )
+    return classification_report(scored, "label", "pred")
+
+
+_Q261_ORACLE = """
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               / 100.0, 2) AS revenue_r
+  FROM orders GROUP BY o_orderpriority"""
+
+
+@q("q261_identifier_clause", _Q261_ORACLE)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark-4 IDENTIFIER() clause: table AND column names arrive as
+    named SQL PARAMETERS (never string-interpolated — the SQL-
+    injection-safe form of dynamic table routing every multi-tenant /
+    per-day-table pipeline needs), resolved at parse time so the plan
+    is identical to the literal query: same pushdown, same
+    partial-combined aggregate.  Completes the Spark-4 SQL surface
+    family (named-parameter SQL q186, pipe syntax q194, SQL scripting
+    q211, recursive CTE q159)."""
+    orders = load_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("ctdc_q261_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:gcol) AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(floor(IDENTIFIER(:vcol) * 100)
+                              AS BIGINT)) / 100.0, 2) AS revenue_r
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:gcol)
+        """,
+        args={
+            "tbl": "ctdc_q261_orders",
+            "gcol": "o_orderpriority",
+            "vcol": "o_totalprice",
+        },
+    )
+
+
+_Q264_ORACLE = """
+  WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS v
+    FROM orders GROUP BY 1),
+  p AS (
+    SELECT CAST(month + INTERVAL 12 MONTH AS DATE) AS month,
+           v AS pv
+    FROM m)
+  SELECT m.month,
+         round(m.v / 100.0, 2) AS rev_r,
+         round(p.pv / 100.0, 2) AS prev_year_rev_r,
+         CASE WHEN p.pv > 0
+              THEN round((m.v - p.pv) / CAST(p.pv AS DOUBLE), 4)
+              END AS yoy_pct_r
+  FROM m LEFT JOIN p ON m.month = p.month"""
+
+
+@q("q264_yoy_growth", _Q264_ORACLE)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-same-month-last-year revenue growth
+    (`timeseries.yoy_growth`): aligned by a CALENDAR self-join
+    (month = add_months(month, 12)), not lag(12) — a calendar gap
+    silently shifts every lag-based comparison one month off, the
+    classic quietly-wrong BI number; missing prior years surface as
+    NULL.  One partial-combined aggregate to |months| rows + one
+    broadcast self-join of that tiny table; totals exact cents."""
+    from ..operators.timeseries import yoy_growth
+
+    orders = load_table(spark, sf, "orders")
+    return yoy_growth(orders, "o_orderdate", "o_totalprice")

@@ -4776,3 +4776,317 @@ def q253(spark: SparkSession, sf: str) -> DataFrame:
         "arm", F.when(h32 % 2 == 0, "A").otherwise("B")
     )
     return two_proportion_ztest(users, "arm", "conv", "A", "B")
+
+
+_Q258_ORACLE = """
+  WITH v AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY 1),
+  p AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > v.t GROUP BY 1),
+  s AS (
+    SELECT 'all' AS grp,
+           epoch_us(p.t) - epoch_us(v.t) AS v
+    FROM p JOIN v ON p.user_id = v.user_id),
+  ranked AS (
+    SELECT grp, v,
+           row_number() OVER (PARTITION BY grp ORDER BY v ASC) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM s)
+  SELECT grp,
+         CAST(max(n) AS BIGINT) AS n,
+         round(min(CASE WHEN rn = greatest(1,
+                 CAST(ceil(0.5 * n) AS INT)) THEN v END) / 1.0, 2)
+           AS p50_r,
+         round(min(CASE WHEN rn = greatest(1,
+                 CAST(ceil(0.9 * n) AS INT)) THEN v END) / 1.0, 2)
+           AS p90_r,
+         round(min(CASE WHEN rn = greatest(1,
+                 CAST(ceil(0.99 * n) AS INT)) THEN v END) / 1.0, 2)
+           AS p99_r
+  FROM ranked GROUP BY grp"""
+
+
+@q("q258_conversion_latency_bands", _Q258_ORACLE)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of view→purchase conversion
+    latency in MICROSECONDS — the q239 funnel's "how fast", computed
+    by COMPOSING two existing operators: the funnel's earliest-
+    qualifying-times rule produces per-user latencies (pushed-down
+    per-step scans + user-keyed min-aggs + one co-partitioned
+    equi-join), and `stats.percentile_bands` publishes the exact
+    bands (scale=1 — latencies are already exact integer µs, the
+    q251 unix_micros ↔ epoch_us contract).  The published-SLO number
+    two engines can never disagree on."""
+    from ..operators.stats import percentile_bands
+
+    ev = load_table(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("__vt"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("__vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__pt"))
+    )
+    lat = p.join(v, "user_id").select(
+        F.lit("all").alias("grp"),
+        (
+            F.unix_micros(F.col("__pt")) - F.unix_micros(F.col("__vt"))
+        ).alias("lat_us"),
+    )
+    return percentile_bands(lat, "lat_us", ["grp"], scale=1)
+
+
+_Q259_ORACLE = """
+  WITH s AS (
+    SELECT event_type, ts, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS v
+    FROM events),
+  w AS (
+    SELECT event_type, ts, event_id, v,
+           count(*) OVER pw AS n,
+           sum(v) OVER pw AS s,
+           sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) OVER pw AS s2
+    FROM s
+    WINDOW pw AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+  z AS (
+    SELECT event_type, ts, event_id,
+           v / 1000000.0 AS value,
+           CASE WHEN n >= 30
+                     AND sqrt(greatest(
+                           s2 / n - (CAST(s AS DOUBLE) / n)
+                                    * (CAST(s AS DOUBLE) / n),
+                           0.0)) > 0
+                THEN (v - CAST(s AS DOUBLE) / n)
+                     / sqrt(greatest(
+                         s2 / n - (CAST(s AS DOUBLE) / n)
+                                  * (CAST(s AS DOUBLE) / n),
+                         0.0))
+                END AS zz
+    FROM w)
+  SELECT event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         CAST(event_id AS BIGINT) AS event_id,
+         round(value, 6) AS value_r,
+         round(zz, 4) AS z_r
+  FROM z WHERE abs(zz) > 3.0"""
+
+
+@q("q259_prefix_zscore_anomaly", _Q259_ORACLE)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free online anomaly flags over the event stream
+    (`stats.prefix_zscore_anomalies`, ≥30 prior obs, |z| > 3): each
+    point is scored against STRICTLY PRIOR statistics — the causally
+    valid twin of q169's global z-score, which lets a spike inflate
+    the very σ it is judged by (self-masking).  One per-type ordered
+    window computes prefix count/Σv/Σv² in place; prefix sums
+    accumulate in the window's deterministic order, so both engines
+    agree exactly; micro-fixed-pointing keeps Σv an exact integer."""
+    from ..operators.stats import prefix_zscore_anomalies
+
+    ev = load_table(spark, sf, "events")
+    out = prefix_zscore_anomalies(
+        ev, "event_type", "ts", "event_id", "value",
+        min_history=30, z_threshold=3.0,
+    )
+    return out.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.round("value", 6).alias("value_r"),
+        "z_r",
+    )
+
+
+_Q260_ORACLE = """
+  WITH s AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(floor(value * 1000) AS BIGINT) AS v,
+           CAST(floor((lead(epoch_us(ts)) OVER (
+                  PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY ts, event_id)
+                - epoch_us(ts)) / 1000) AS BIGINT) AS dt
+    FROM events),
+  a AS (
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(coalesce(sum(dt), 0) AS BIGINT) AS held_ms,
+           sum(v * dt) AS wv
+    FROM s GROUP BY 1, 2)
+  SELECT event_type, day, n_obs, held_ms,
+         CASE WHEN held_ms > 0
+              THEN round(CAST(wv AS DOUBLE) / held_ms / 1000, 4)
+              END AS twap_r
+  FROM a"""
+
+
+@q("q260_time_weighted_average", _Q260_ORACLE)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average event value per (type, day)
+    (`timeseries.time_weighted_average`): each observation weighted
+    by its holding time to the group's next observation — the correct
+    aggregate for irregularly-sampled gauges, where the plain daily
+    mean lets ten readings in a quiet minute outweigh one that held
+    for hours.  One per-group lead window + one partial-combined
+    aggregate; milli-fixed-pointed values × integer millisecond
+    holds keep both sums exact integers, so the TWAP is a ratio of
+    exact integers in any engine."""
+    from ..operators.timeseries import time_weighted_average
+
+    ev = load_table(spark, sf, "events")
+    return time_weighted_average(
+        ev.withColumn("day", F.col("ts").cast("date")),
+        ["event_type", "day"],
+        "ts",
+        "event_id",
+        "value",
+    )
+
+
+_Q262_ORACLE = """
+  WITH ranked AS (
+    SELECT lang,
+           row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || 'split-v1'),
+                      doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents),
+  assigned AS (
+    SELECT lang,
+           CASE WHEN rn <= CAST(ceil(0.8 * n) AS INT) THEN 'train'
+                WHEN rn <= CAST(ceil(0.9 * n) AS INT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked)
+  SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY lang, split"""
+
+
+@q("q262_exact_stratified_split", _Q262_ORACLE)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-proportion stratified train/val/test split per language
+    (`sampling.split_exact_stratified`, 80/10/10): rows rank within
+    each stratum by md5(id|salt) — deterministic pseudo-random, no
+    RNG — and assign by POSITION against cumulative thresholds, so
+    every stratum's sizes are exact to ±1 where q223's hash-modulo
+    split is exact only in expectation (a 50-doc language can land
+    13/2/35 by hash luck, fatal for a small eval slice).  One
+    per-stratum ordered window is the cost of exactness; strata sort
+    independently in parallel."""
+    from ..operators.sampling import split_exact_stratified
+
+    docs = load_table(spark, sf, "documents")
+    return split_exact_stratified(
+        docs, ["lang"], "doc_id"
+    ).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+_Q263_ORACLE = """
+  WITH s0 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id),
+  s1 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click' AND e.ts > s0.t
+      AND epoch_us(e.ts) <= epoch_us(s0.t) + 1800000000
+    GROUP BY e.user_id),
+  s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t
+      AND epoch_us(e.ts) <= epoch_us(s1.t) + 1800000000
+    GROUP BY e.user_id),
+  counts AS (
+    SELECT 0 AS step_idx, 'view' AS step,
+           CAST(count(*) AS BIGINT) AS users_reached FROM s0
+    UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2)
+  SELECT step_idx, step, users_reached,
+         CASE WHEN step_idx > 0
+                   AND lag(users_reached) OVER (ORDER BY step_idx) > 0
+              THEN round(users_reached /
+                   CAST(lag(users_reached) OVER (ORDER BY step_idx)
+                        AS DOUBLE), 6) END AS conversion_from_prev_r,
+         CASE WHEN step_idx > 0
+                   AND first_value(users_reached)
+                       OVER (ORDER BY step_idx) > 0
+              THEN round(users_reached /
+                   CAST(first_value(users_reached)
+                        OVER (ORDER BY step_idx) AS DOUBLE), 6)
+              END AS conversion_from_first_r
+  FROM counts ORDER BY step_idx"""
+
+
+@q("q263_time_bounded_funnel", _Q263_ORACLE)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution-window funnel: view → click → purchase where each
+    hop must land within 30 MINUTES of the previous step's time
+    (`timeseries.funnel_conversion(max_gap_s=1800)`) — the marketing-
+    attribution form of q239's unbounded funnel; the bound is one
+    more pushed predicate on the same co-partitioned user join (same
+    plan shape, different semantics), with hop times compared in
+    exact integer microseconds (the q251 contract)."""
+    from ..operators.timeseries import funnel_conversion
+
+    ev = load_table(spark, sf, "events")
+    return funnel_conversion(
+        ev,
+        ["view", "click", "purchase"],
+        "user_id",
+        "ts",
+        "event_type",
+        max_gap_s=1800,
+    )
+
+
+_Q265_ORACLE = """
+  WITH d AS (
+    SELECT doc_id, text FROM documents
+    WHERE length(text) = strlen(text)),
+  fr AS (
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 32 AS INT) AS "offset",
+           md5(substring(text, CAST(fi * 32 + 1 AS INT), 32))
+             AS frame_md5
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(
+                   0,
+                   CAST(floor(strlen(text) / 32) AS INT) - 1,
+                   4)) AS fi
+          FROM d))
+  SELECT doc_id, frame_idx, "offset", frame_md5 FROM fr"""
+
+
+@q("q265_multimodal_framesample", _Q265_ORACLE)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    """Strided frame sampling over binary media payloads
+    (`multimodal.extract_frame_samples`, 32-byte frames, stride 4):
+    the video keyframe-extraction batch shape — Arrow-batched
+    mapInPandas, one JVM→Python crossing per batch, 16-byte digests
+    out (never the frames).  Unlike the q52/q62 checksum stub, the
+    md5-of-slice digest is ENGINE-PORTABLE: the oracle replays every
+    frame identity byte-exactly with substring+md5 (docs filtered to
+    ASCII so char offsets == byte offsets on both sides), making
+    this the only Python-boundary multimodal query with a full value
+    hash check."""
+    from ..operators.multimodal import (
+        attach_fake_media,
+        extract_frame_samples,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    return extract_frame_samples(
+        attach_fake_media(docs), "doc_id", frame_bytes=32, stride=4
+    ).withColumnRenamed("offset", "offset")

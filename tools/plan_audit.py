@@ -355,6 +355,104 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q256_price_volume_mix": [
+        ("year filters pushed to both period scans", True,
+         lambda p: len(re.findall(
+             r"PushedFilters: \[[^\]]*l_shipdate", p)) >= 2),
+        ("per-period (Q, R) partial-combined before the key join",
+         True, lambda p: "partial_sum" in p),
+        ("period reconciliation is a full-outer equi-join, no "
+         "cartesian", True,
+         lambda p: "FullOuter" in p and "CartesianProduct" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q257_classification_report": [
+        ("ONE corpus scan builds the confusion matrix; margins "
+         "derive from it", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("contingency partial-combined", True,
+         lambda p: "partial_count" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q258_conversion_latency_bands": [
+        ("step filters pushed to the event scans", True,
+         lambda p: re.search(
+             r"PushedFilters: \[[^\]]*event_type", p) is not None),
+        ("per-user mins partial-combined; user joins are equi-joins",
+         True,
+         lambda p: "partial_min" in p
+         and "CartesianProduct" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q259_prefix_zscore_anomaly": [
+        ("prefix statistics from ONE per-type ordered window "
+         "(partitioned, not global)", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(event_type", p) is not None),
+        ("no join, no second scan", True,
+         lambda p: "Join" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q260_time_weighted_average": [
+        ("holding times from a per-(type, day) lead window", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(event_type", p) is not None),
+        ("weighted sums partial-combined", True,
+         lambda p: "partial_sum" in p),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q261_identifier_clause": [
+        ("IDENTIFIER parameters resolve at parse time: plan is the "
+         "literal aggregate (partial-combined)", True,
+         lambda p: "partial_sum" in p),
+        ("no Python, no join", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q262_exact_stratified_split": [
+        ("rank window is PER-STRATUM (partitioned by lang)", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(lang", p) is not None),
+        ("split counts partial-combined", True,
+         lambda p: "partial_count" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q263_time_bounded_funnel": [
+        ("step filters pushed to the event scan", True,
+         lambda p: re.search(
+             r"PushedFilters: \[[^\]]*event_type", p) is not None),
+        ("attribution bound rides the same co-partitioned equi-join "
+         "(no cartesian, no BNLJ)", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q264_yoy_growth": [
+        ("monthly totals partial-combined before the self-join", True,
+         lambda p: "partial_sum" in p),
+        ("calendar alignment is a broadcast equi-join of the "
+         "|months|-row table", True,
+         lambda p: "BroadcastHashJoin" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q265_multimodal_framesample": [
+        ("exactly ONE Arrow-batched Python stage (mapInPandas), "
+         "never row-pickled BatchEvalPython", True,
+         lambda p: p.count("MapInPandas") >= 1
+         and "BatchEvalPython" not in p),
+        ("ascii filter evaluated before the Python boundary", True,
+         lambda p: "Filter" in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

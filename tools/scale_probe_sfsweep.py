@@ -94,6 +94,36 @@ EXPECTED = {
     "q231_sliding_hll_contract": 1.3,
     # triangle counting is O(m^1.5) worst case (compact-forward bound)
     "q213_triangle_count": 1.5,
+    # round-6 batch F/G/H: histogram-collapse statistics (windows run
+    # over distinct values/cells, never raw rows), fixed-round graph
+    # relaxation, posting-list semi-joins, per-group sort windows,
+    # single-pass aggregates — all n or n·log n shapes
+    "q240_cusum_changepoint": 1.3,
+    "q241_kaplan_meier": 1.3,
+    "q242_eb_rate_shrinkage": 1.3,
+    "q243_poisson_bootstrap_ci": 1.3,   # explode is a constant 200x
+    "q244_quantile_normalize": 1.3,     # global sort window: n·log n
+    "q245_ngram_novelty": 1.3,
+    "q246_winsorized_stats": 1.3,
+    "q247_sssp_weighted": 1.3,          # fixed rounds, linear edges
+    "q248_table_fingerprint": 1.3,
+    "q249_vocabulary_growth": 1.3,
+    "q250_mutual_information": 1.3,
+    "q251_interarrival_burstiness": 1.3,
+    "q252_percentile_bands": 1.3,
+    "q253_ab_test_ztest": 1.3,
+    "q254_target_encoding_loo": 1.3,
+    "q255_k_anonymity_publish": 1.3,
+    "q256_price_volume_mix": 1.3,
+    "q257_classification_report": 1.3,
+    "q258_conversion_latency_bands": 1.3,
+    "q259_prefix_zscore_anomaly": 1.3,
+    "q260_time_weighted_average": 1.3,
+    "q261_identifier_clause": 1.3,
+    "q262_exact_stratified_split": 1.3,
+    "q263_time_bounded_funnel": 1.3,
+    "q264_yoy_growth": 1.3,
+    "q265_multimodal_framesample": 1.3,
 }
 
 
