@@ -151,6 +151,36 @@ HEADLINE = [
     "q235_source_token_entropy",
     "q236_js_divergence",
     "q237_time_decayed_popularity",
+    "q238_roc_auc",
+    "q239_funnel_conversion",
+    "q240_cusum_changepoint",
+    "q241_kaplan_meier",
+    "q242_eb_rate_shrinkage",
+    "q243_poisson_bootstrap_ci",
+    "q244_quantile_normalize",
+    "q245_ngram_novelty",
+    "q246_winsorized_stats",
+    "q247_sssp_weighted",
+    "q248_table_fingerprint",
+    "q249_vocabulary_growth",
+    "q250_mutual_information",
+    "q251_interarrival_burstiness",
+    "q252_percentile_bands",
+    "q253_ab_test_ztest",
+    "q254_target_encoding_loo",
+    "q255_k_anonymity_publish",
+    "q256_price_volume_mix",
+    "q257_classification_report",
+    "q258_conversion_latency_bands",
+    "q259_prefix_zscore_anomaly",
+    "q260_time_weighted_average",
+    "q262_exact_stratified_split",
+    "q263_time_bounded_funnel",
+    "q264_yoy_growth",
+    "q265_multimodal_framesample",
+    "q266_pseudonymize_joinable",
+    "q267_rolling_correlation",
+    "q268_personalized_pagerank",
 ]
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "apply_expectations",
     "ref_integrity_report",
     "k_anonymity_publish",
+    "pseudonymize",
 ]
 
 
@@ -285,3 +286,52 @@ def k_anonymity_publish(
         F.lit(None).cast("double").alias("avg_r"),
     )
     return ok.unionByName(suppressed)
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    prefix: str = "anon_",
+    hex_chars: int = 16,
+) -> DataFrame:
+    """Deterministic keyed pseudonymization: each value in ``cols`` is
+    replaced by ``prefix`` + the first ``hex_chars`` hex of
+    md5(salt|value) — the privacy transform that PRESERVES REFERENTIAL
+    INTEGRITY: the same key pseudonymizes identically in every table
+    (joins, group-bys, and distinct counts survive), unlike q64's
+    redaction (which destroys the value) or random tokenization (which
+    needs a shared lookup table — a distributed-state liability this
+    pure projection avoids).  NULLs stay NULL.
+
+    Privacy contract honestly stated: this is PSEUDONYMIZATION, not
+    anonymization — anyone holding the salt can replay the mapping
+    (that is the point: the salt is the revocation/linkage secret),
+    and small value domains are dictionary-attackable by design of any
+    deterministic scheme; rotate the salt per release and pair with
+    :func:`k_anonymity_publish` for published aggregates.  Zero
+    shuffle, zero Python, costs the scan it rides on; 64 hash bits
+    make collisions across 10^8 keys a ~3e-4 event (birthday bound) —
+    raise ``hex_chars`` for larger key spaces.
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(
+                    F.lit(prefix),
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(salt), F.col(c).cast("string")
+                            )
+                        ),
+                        1,
+                        hex_chars,
+                    ),
+                ),
+            ),
+        )
+    return out

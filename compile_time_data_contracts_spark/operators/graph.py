@@ -24,6 +24,7 @@ __all__ = [
     "bfs_levels",
     "deterministic_random_walks",
     "sssp_bounded",
+    "personalized_pagerank",
 ]
 
 
@@ -653,3 +654,57 @@ def sssp_bounded(
         return dist
     finally:
         e.unpersist()
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: the teleport distribution concentrates
+    on ``seeds`` (uniform 1/|S| over the seed set, 0 elsewhere)
+    instead of 1/N over all nodes — rank becomes "importance AS SEEN
+    FROM the seeds", the recommendation / related-items / trusted-
+    neighborhood primitive (global PageRank q165 answers "important
+    overall").  Start vector = the teleport vector; dangling mass
+    drops (the q165 graph guarantees outdeg >= 1, keeping the
+    operator a pure SQL join tower and the unrolled oracle exact).
+
+    Per round, identical shape to :func:`pagerank`: edges ⋈ pr on src
+    (degrees attached once, outside the loop), partial-summed by dst,
+    left-joined back to nodes with the seed-indicator base term —
+    all JVM, no Python, no driver state.  The seed base term rides a
+    broadcast-sized join (|S| rows).  Returns (id, pr).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("__outdeg"))
+    ew = edges.join(deg, "src")
+    s = seeds.select(F.col("id").cast("bigint").alias("id")).distinct()
+    # teleport share as a 1-row lazy broadcast (no eager count job)
+    ns = s.agg(F.count(F.lit(1)).alias("__ns"))
+    tele = s.crossJoin(F.broadcast(ns)).select(
+        "id", (F.lit(1.0) / F.col("__ns")).alias("__e")
+    )
+    pr = nodes.join(tele, "id", "left").select(
+        "id", F.coalesce("__e", F.lit(0.0)).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = ew.join(pr, ew["src"] == pr["id"]).select(
+            ew["dst"].alias("id"),
+            (F.col("pr") / F.col("__outdeg")).alias("__c"),
+        )
+        summed = contrib.groupBy("id").agg(F.sum("__c").alias("__s"))
+        pr = (
+            nodes.join(summed, "id", "left")
+            .join(tele, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    * F.coalesce("__e", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr

@@ -103,10 +103,14 @@ def table_fingerprint(
     separated column rendering (sha256, not xxhash64, so ANY engine
     reproduces it — xxhash64 seeds are Spark-specific).  Rows combine
     by XOR (order-independent, but blind to duplicate-pair swaps) AND
-    by a modular sum of the low 40 bits (catches what XOR cancels);
-    with the row count that gives three independent invariants.  Both
-    combiners are partial-aggregated: the shuffle carries 3 numbers
-    per partition at any scale.  Output: (n_rows, fp_xor, fp_sum_mod).
+    by a modular sum of the low 20 bits (catches what XOR cancels);
+    with the row count that gives three independent invariants.  The
+    20-bit term bounds the sum at n·2²⁰ — exact in int64 to ~8×10¹²
+    rows (the 1e8-row scale probe caught the 40-bit version
+    overflowing ANSI long addition; a wider residue needs a modular
+    aggregate Spark doesn't ship).  Both combiners are
+    partial-aggregated: the shuffle carries 3 numbers per partition
+    at any scale.  Output: (n_rows, fp_xor, fp_sum_mod).
     """
     tagged = [
         F.coalesce(
@@ -123,7 +127,7 @@ def table_fingerprint(
     return df.select(h.alias("__h")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.expr("bit_xor(__h)").cast("bigint").alias("fp_xor"),
-        F.sum(F.col("__h") % F.lit(1 << 40)).cast("bigint").alias(
+        F.sum(F.col("__h") % F.lit(1 << 20)).cast("bigint").alias(
             "fp_sum_mod"
         ),
     )

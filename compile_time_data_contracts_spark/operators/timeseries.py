@@ -28,6 +28,7 @@ __all__ = [
     "interarrival_stats",
     "time_weighted_average",
     "yoy_growth",
+    "rolling_correlation",
 ]
 
 
@@ -569,4 +570,66 @@ def yoy_growth(
                 4,
             ),
         ).alias("yoy_pct_r"),
+    )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 30,
+    min_rows: int = 10,
+    scale: int = 1000000,
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned series — the
+    time-LOCAL dependence view where q224's lagged cross-correlation
+    is global: a relationship that flips sign mid-year averages to
+    zero globally but screams in the rolling view (regime detection,
+    metric-coupling drift).
+
+    Input is one row per tick with both series' values (pivot
+    upstream).  One ordered rows-frame window computes all five
+    moment sums (n, Σx, Σy, Σx², Σy², Σxy) over the trailing
+    ``window_rows`` ticks in a single pass — no self-join, no
+    per-window re-aggregation; frame sums accumulate in the window's
+    deterministic order.  Values are fixed-pointed so Σx/Σy are
+    exact integers; the square/cross sums run in doubles of exact
+    products.  r is NULL until ``min_rows`` ticks exist or when
+    either variance is 0.  Output: (ts_col, n_window, r_r 6 dp).
+    """
+    xi = F.floor(F.col(x_col).cast("double") * scale).cast("bigint")
+    yi = F.floor(F.col(y_col).cast("double") * scale).cast("bigint")
+    w = Window.orderBy(ts_col).rowsBetween(-(window_rows - 1), 0)
+    s = df.select(
+        ts_col,
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(xi).over(w).alias("__sx"),
+        F.sum(yi).over(w).alias("__sy"),
+        F.sum(xi.cast("double") * xi.cast("double")).over(w).alias(
+            "__sxx"
+        ),
+        F.sum(yi.cast("double") * yi.cast("double")).over(w).alias(
+            "__syy"
+        ),
+        F.sum(xi.cast("double") * yi.cast("double")).over(w).alias(
+            "__sxy"
+        ),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    # the integer sums must square as DOUBLES: sx*sx on bigints
+    # overflows int64 the moment a window's sum passes 3e9
+    num = n * F.col("__sxy") - sx * sy
+    denx = n * F.col("__sxx") - sx * sx
+    deny = n * F.col("__syy") - sy * sy
+    r = F.when(
+        (F.col("__n") >= min_rows) & (denx > 0) & (deny > 0),
+        num / F.sqrt(denx * deny),
+    )
+    return s.select(
+        ts_col,
+        F.col("__n").cast("bigint").alias("n_window"),
+        F.round(r, 6).alias("r_r"),
     )

@@ -1317,7 +1317,7 @@ _Q248_ORACLE = """
     FROM customer)
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
          CAST(bit_xor(hh) AS BIGINT) AS fp_xor,
-         CAST(sum(hh % 1099511627776) AS BIGINT) AS fp_sum_mod
+         CAST(sum(hh % 1048576) AS BIGINT) AS fp_sum_mod
   FROM h"""
 
 
@@ -1329,7 +1329,9 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
     row hashes, modular sum of their low 40 bits) iff they hold the
     same multiset of rows, with NO global sort and a shuffle of 3
     numbers per partition.  sha256 (not xxhash64) so the hash is
-    engine-portable — this oracle IS the cross-engine replay.
+    engine-portable — this oracle IS the cross-engine replay; the
+    20-bit modular term keeps the sum int64-exact to ~8e12 rows
+    (probe-verified at 1e8).
     Columns are null-tagged and canonically separated, so NULL vs the
     string 'NULL' can't collide (row_fingerprint's convention).
     Doubles are excluded from the fingerprint column set by the
@@ -1340,4 +1342,63 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
     customer = load_table(spark, sf, "customer")
     return table_fingerprint(
         customer, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+_Q266_ORACLE = """
+  WITH c AS (
+    SELECT 'anon_' || substring(
+             md5('pseud-v1|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+             AS pk,
+           c_mktsegment
+    FROM customer),
+  o AS (
+    SELECT 'anon_' || substring(
+             md5('pseud-v1|' || CAST(o_custkey AS VARCHAR)), 1, 16)
+             AS pk,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders)
+  SELECT c_mktsegment,
+         CAST(count(DISTINCT c.pk) AS BIGINT) AS n_pseudonyms,
+         CAST(count(o.pk) AS BIGINT) AS n_orders,
+         round(sum(cents) / 100.0, 2) AS revenue_r
+  FROM c LEFT JOIN o ON c.pk = o.pk
+  GROUP BY c_mktsegment"""
+
+
+@q("q266_pseudonymize_joinable", _Q266_ORACLE)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed pseudonymization that PRESERVES JOINS
+    (`expectations.pseudonymize`): customer and order keys are
+    independently replaced by md5(salt|value) tokens, and the revenue
+    rollup still joins on the pseudonym — referential integrity
+    survives the privacy transform (q64's redaction destroys it; a
+    random-token table is distributed state this pure projection
+    avoids).  Zero extra shuffle: the pseudonym is a per-row codegen
+    expression, the join is the same equi-join it replaces.  The
+    oracle replays the identical mapping — engine-portable by the
+    q209 md5 contract."""
+    from ..operators.expectations import pseudonymize
+
+    customer = pseudonymize(
+        load_table(spark, sf, "customer"), ["c_custkey"], "pseud-v1"
+    )
+    orders = pseudonymize(
+        load_table(spark, sf, "orders"), ["o_custkey"], "pseud-v1"
+    )
+    j = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct(customer["c_custkey"])
+        .cast("bigint")
+        .alias("n_pseudonyms"),
+        F.count(orders["o_custkey"]).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            / 100.0,
+            2,
+        ).alias("revenue_r"),
     )

@@ -5090,3 +5090,140 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
     return extract_frame_samples(
         attach_fake_media(docs), "doc_id", frame_bytes=32, stride=4
     ).withColumnRenamed("offset", "offset")
+
+
+_Q267_ORACLE = """
+  WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           sum(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 1000000) AS BIGINT)
+                    ELSE 0 END) AS x,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 1000000) AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM events GROUP BY 1),
+  m AS (
+    SELECT day,
+           count(*) OVER w AS n,
+           sum(x) OVER w AS sx,
+           sum(y) OVER w AS sy,
+           sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) OVER w AS sxx,
+           sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS syy,
+           sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS sxy
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING
+                 AND CURRENT ROW))
+  SELECT day,
+         CAST(n AS BIGINT) AS n_window,
+         CASE WHEN n >= 10
+                   AND (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+              THEN round((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))), 6)
+              END AS r_r
+  FROM m"""
+
+
+@q("q267_rolling_correlation", _Q267_ORACLE)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    """30-day rolling Pearson correlation between daily click and
+    purchase value (`timeseries.rolling_correlation`) — the time-LOCAL
+    dependence view where q224's lagged cross-correlation is global
+    (a coupling that flips sign mid-year averages to zero globally
+    but shows in every rolling window).  Daily sums are exact integer
+    micros (one conditional-sum aggregate, no pivot join); ONE
+    ordered rows-frame window carries all five moment sums in a
+    single pass — no self-join, no per-window re-aggregation."""
+    from ..operators.timeseries import rolling_correlation
+
+    ev = load_table(spark, sf, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("bigint")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", vm).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", vm).otherwise(0)
+        ).alias("y"),
+    )
+    return rolling_correlation(
+        daily, "day", "x", "y", window_rows=30, min_rows=10, scale=1
+    )
+
+
+_Q268_ORACLE = """
+  WITH nc AS (SELECT count(*) AS n FROM customer),
+  e AS (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
+    FROM orders, nc
+    UNION
+    SELECT CAST(c_custkey AS BIGINT),
+           CAST(1 + (c_custkey % nc.n) AS BIGINT)
+    FROM customer, nc),
+  deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+  nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+  s AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+        WHERE c_custkey % 100 = 1),
+  ns AS (SELECT count(*) AS n FROM s),
+  tele AS (
+    SELECT n.id,
+           CASE WHEN s.id IS NOT NULL
+                THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS e
+    FROM nodes n LEFT JOIN s ON n.id = s.id),
+  p0 AS (SELECT id, e AS pr FROM tele),
+  i1 AS (SELECT n.id, (1.0 - 0.85) * max(t.e) + 0.85
+           * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+         FROM nodes n JOIN tele t ON t.id = n.id
+         LEFT JOIN e ON e.dst = n.id
+         LEFT JOIN p0 q ON q.id = e.src
+         LEFT JOIN deg g ON g.src = e.src
+         GROUP BY n.id),
+  i2 AS (SELECT n.id, (1.0 - 0.85) * max(t.e) + 0.85
+           * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+         FROM nodes n JOIN tele t ON t.id = n.id
+         LEFT JOIN e ON e.dst = n.id
+         LEFT JOIN i1 q ON q.id = e.src
+         LEFT JOIN deg g ON g.src = e.src
+         GROUP BY n.id),
+  i3 AS (SELECT n.id, (1.0 - 0.85) * max(t.e) + 0.85
+           * coalesce(sum(q.pr / g.outdeg), 0) AS pr
+         FROM nodes n JOIN tele t ON t.id = n.id
+         LEFT JOIN e ON e.dst = n.id
+         LEFT JOIN i2 q ON q.id = e.src
+         LEFT JOIN deg g ON g.src = e.src
+         GROUP BY n.id)
+  SELECT id, round(pr, 6) AS pr_r FROM i3"""
+
+
+@q("q268_personalized_pagerank", _Q268_ORACLE)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from the 1 % customer seed set over the
+    q165 link graph (`graph.personalized_pagerank`, 3 rounds):
+    teleport mass concentrates on the seeds, so rank means "important
+    AS SEEN FROM the seeds" — the related-items / trusted-
+    neighborhood / recommendation primitive, vs q165's global
+    importance.  Same per-round shape as PageRank (degree-annotated
+    edge join, partial-summed by dst, seed base term on a broadcast-
+    sized join); the oracle replays the identical 3-round tower with
+    the seed-restricted teleport vector."""
+    from ..operators.graph import personalized_pagerank
+
+    customer = load_table(spark, sf, "customer")
+    nodes = customer.select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    seeds = customer.filter(F.col("c_custkey") % 100 == 1).select(
+        F.col("c_custkey").cast("bigint").alias("id")
+    )
+    return personalized_pagerank(
+        nodes, _customer_graph_edges(spark, sf), seeds, iters=3
+    ).select("id", F.round("pr", 6).alias("pr_r"))

@@ -453,6 +453,36 @@ CHECKS = {
         ("ascii filter evaluated before the Python boundary", True,
          lambda p: "Filter" in p),
     ],
+    "q266_pseudonymize_joinable": [
+        ("pseudonym is a per-row codegen expression; the rollup "
+         "joins on it as a plain equi-join (no cartesian)", True,
+         lambda p: "CartesianProduct" not in p
+         and ("SortMergeJoin" in p or "BroadcastHashJoin" in p
+              or "ShuffledHashJoin" in p)),
+        ("rollup partial-combined", True,
+         lambda p: "partial_count" in p or "partial_sum" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q267_rolling_correlation": [
+        ("daily sums from ONE conditional aggregate over ONE scan "
+         "(no pivot join)", True,
+         lambda p: "Join" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("all five moment sums ride ONE rows-frame window", True,
+         lambda p: p.count("windowspecdefinition") >= 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q268_personalized_pagerank": [
+        ("per-round contributions partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("no cartesian in the round joins; seed base term is a "
+         "small-side join", True,
+         lambda p: "CartesianProduct" not in p),
+        ("no Python anywhere (pure JVM loop)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

@@ -124,6 +124,9 @@ EXPECTED = {
     "q263_time_bounded_funnel": 1.3,
     "q264_yoy_growth": 1.3,
     "q265_multimodal_framesample": 1.3,
+    "q266_pseudonymize_joinable": 1.3,
+    "q267_rolling_correlation": 1.3,
+    "q268_personalized_pagerank": 1.3,
 }
 
 
