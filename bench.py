@@ -181,6 +181,9 @@ HEADLINE = [
     "q266_pseudonymize_joinable",
     "q267_rolling_correlation",
     "q268_personalized_pagerank",
+    "q269_cross_validated_auc",
+    "q270_interval_overlap_join",
+    "q271_pii_scan",
 ]
 
 

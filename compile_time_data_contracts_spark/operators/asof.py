@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_binned"]
+__all__ = ["asof_join", "range_join_binned", "interval_overlap_join"]
 
 
 def asof_join(
@@ -183,3 +183,64 @@ def range_join_binned(
     if extra_cond is not None:
         cond = cond & extra_cond
     return lb.join(rb, cond, "inner").drop("__lbin", "__rbin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int = 3600,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (l.start <= r.end AND
+    r.start <= l.end) without the BroadcastNestedLoopJoin a bare
+    overlap predicate plans to — the sessions × campaigns / outages ×
+    requests / shifts × incidents primitive that
+    :func:`range_join_binned` (point-in-window) cannot express.
+
+    Each interval explodes to the ``bin_seconds`` buckets it covers
+    (≈ duration/bin + 1 — size bins to typical duration), the join is
+    an EQUI-join on the bucket id, the exact overlap predicate filters
+    candidates, and each surviving pair is kept ONLY in the FIRST
+    bucket both intervals occupy (max of the two start-bins) — the
+    rendezvous-bin trick, so multi-bin pairs emit exactly once with
+    NO distinct/dedup pass.  Work is O(pairs within bin co-residence),
+    hash-partitionable, AQE/skew-eligible.  Intervals longer than a
+    few hundred bins should be split upstream (their explode factor
+    IS their bin count — the documented trade).  Returns the joined
+    frame with both sides aliased ``l``/``r``.
+    """
+    w = int(bin_seconds)
+    ls = F.col(f"l.{l_start}").cast("double")
+    le = F.col(f"l.{l_end}").cast("double")
+    rs = F.col(f"r.{r_start}").cast("double")
+    re_ = F.col(f"r.{r_end}").cast("double")
+    lb = left.alias("l").withColumn(
+        "__lbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"l.{l_start}").cast("double") / w),
+                F.floor(F.col(f"l.{l_end}").cast("double") / w),
+            )
+        ),
+    )
+    rb = right.alias("r").withColumn(
+        "__rbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"r.{r_start}").cast("double") / w),
+                F.floor(F.col(f"r.{r_end}").cast("double") / w),
+            )
+        ),
+    )
+    overlap = (ls <= re_) & (rs <= le)
+    rendezvous = F.col("__lbin") == F.greatest(
+        F.floor(ls / w), F.floor(rs / w)
+    )
+    cond = (F.col("__lbin") == F.col("__rbin")) & overlap & rendezvous
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return lb.join(rb, cond).drop("__lbin", "__rbin")

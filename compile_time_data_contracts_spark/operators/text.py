@@ -35,6 +35,7 @@ __all__ = [
     "remove_boilerplate_against",
     "ngram_novelty",
     "vocabulary_growth",
+    "pii_scan",
 ]
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -976,4 +977,46 @@ def vocabulary_growth(
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
         beta.alias("beta_r"),
+    )
+
+
+_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def pii_scan(df: "DataFrame", cols: list[str]) -> "DataFrame":
+    """Column-level PII detection battery: for each string column, the
+    count of rows matching email / phone / SSN-shaped patterns (the
+    same regexes :func:`redact_pii` scrubs with) — the GOVERNANCE
+    half of redaction: before scrubbing, a release review needs to
+    know WHERE PII lives and at what rate, per column, across every
+    table (the q111 column-profile discipline applied to privacy).
+
+    One scan, one wide conditional-sum aggregate, ``stack``ed to a
+    row per column (the column_profile single-consumer trick — a
+    union of projections would re-inline the aggregate into N scans).
+    Patterns are RE2-safe character classes, so any engine replays
+    the counts.  Output: (column, n_rows, n_email, n_phone, n_ssn).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).rlike(_EMAIL_RE).cast("long"))
+            .cast("bigint")
+            .alias(f"__em_{c}"),
+            F.sum(F.col(c).rlike(_PHONE_RE).cast("long"))
+            .cast("bigint")
+            .alias(f"__ph_{c}"),
+            F.sum(F.col(c).rlike(_SSN_RE).cast("long"))
+            .cast("bigint")
+            .alias(f"__ss_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__n`, `__em_{c}`, `__ph_{c}`, `__ss_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_email, n_phone, n_ssn)"
+        )
     )

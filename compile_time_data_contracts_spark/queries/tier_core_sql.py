@@ -4471,3 +4471,117 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
 
     orders = load_table(spark, sf, "orders")
     return yoy_growth(orders, "o_orderdate", "o_totalprice")
+
+
+_Q269_ORACLE = """
+  WITH scored AS (
+    SELECT CAST((('0x' || substring(
+             md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
+                 || '|' || 'cv-v1'), 1, 8))::BIGINT % 5) AS INT)
+             AS fold,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab,
+           round(l_quantity + l_discount * 10, 2) AS s
+    FROM lineitem),
+  hist AS (
+    SELECT fold, s, sum(lab) AS p, sum(1 - lab) AS n
+    FROM scored GROUP BY 1, 2),
+  w AS (
+    SELECT fold, s, p, n,
+           coalesce(sum(n) OVER (
+             PARTITION BY fold ORDER BY s ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS nb
+    FROM hist),
+  a AS (
+    SELECT fold,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * nb + n)) AS BIGINT) AS num2
+    FROM w GROUP BY fold)
+  SELECT fold, n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0
+              THEN round(num2 / (2.0 * n_pos * n_neg), 6)
+              END AS auc_r
+  FROM a"""
+
+
+@q("q269_cross_validated_auc", _Q269_ORACLE)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-validated ROC-AUC: the q238 exact Mann-Whitney AUC of a
+    rule scorer for return flags, evaluated PER md5 FOLD (q223's
+    determinism contract) in one shot — `roc_auc(group_cols=['fold'])`
+    — the eval loop every learned filter needs (is the AUC stable
+    across folds, or did one lucky slice carry it?).  Folds are a
+    zero-shuffle projection; the per-fold AUC reuses the
+    histogram-collapse shape, windows over |folds|·|distinct scores|
+    rows.  Composition, not new machinery: kfold_assign ∘ roc_auc."""
+    from ..operators.sampling import kfold_assign
+    from ..operators.stats import roc_auc
+
+    li = load_table(spark, sf, "lineitem")
+    scored = kfold_assign(
+        li.withColumn(
+            "__k",
+            (
+                F.col("l_orderkey") * 10 + F.col("l_linenumber")
+            ).cast("string"),
+        ),
+        "__k",
+        k=5,
+        salt="cv-v1",
+    ).select(
+        "fold",
+        (F.col("l_returnflag") == "R").cast("int").alias("lab"),
+        F.round(
+            F.col("l_quantity") + F.col("l_discount") * 10, 2
+        ).alias("s"),
+    )
+    return roc_auc(scored, "lab", "s", group_cols=["fold"])
+
+
+_Q270_ORACLE = """
+  WITH s AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           min(ts) AS st, max(ts) AS en
+    FROM events GROUP BY 1, 2),
+  p AS (
+    SELECT a.day
+    FROM s a JOIN s b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.st <= b.en AND b.st <= a.en)
+  SELECT day, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM p GROUP BY day"""
+
+
+@q("q270_interval_overlap_join", _Q270_ORACLE)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval × interval overlap join (`asof.interval_overlap_join`):
+    pairs of DIFFERENT users whose daily activity sessions
+    [first event, last event] overlap in time — the sessions ×
+    campaigns / outages × requests primitive q87's point-in-window
+    range join cannot express.  Both interval sets explode to hour
+    bins, the join is an equi-join on the bin (never BNLJ/cartesian),
+    and the rendezvous-bin rule (keep a pair only in the max of the
+    two start bins) emits each pair exactly once with NO dedup pass.
+    The oracle is the direct quadratic overlap join — affordable at
+    gate scale, which is exactly why the binned form exists for the
+    real one."""
+    from ..operators.asof import interval_overlap_join
+
+    ev = load_table(spark, sf, "events")
+    s = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    j = interval_overlap_join(
+        s,
+        s,
+        "st",
+        "en",
+        "st",
+        "en",
+        bin_seconds=3600,
+        extra_cond=F.col("l.user_id") < F.col("r.user_id"),
+    )
+    return j.groupBy(F.col("l.day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

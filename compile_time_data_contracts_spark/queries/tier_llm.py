@@ -5227,3 +5227,98 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
     return personalized_pagerank(
         nodes, _customer_graph_edges(spark, sf), seeds, iters=3
     ).select("id", F.round("pr", 6).alias("pr_r"))
+
+
+_Q271_ORACLE = """
+  WITH planted AS (
+    SELECT CASE
+             WHEN doc_id % 10 = 0 THEN text || ' reach me at user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com'
+             WHEN doc_id % 10 = 5 THEN text || ' call +1 555-010-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text2,
+           CASE WHEN doc_id % 20 = 0
+                THEN 'ssn ' || lpad(CAST(doc_id % 900 AS VARCHAR),
+                                    3, '0')
+                     || '-' || lpad(CAST(doc_id % 90 AS VARCHAR),
+                                    2, '0')
+                     || '-' || lpad(CAST(doc_id % 9000 AS VARCHAR),
+                                    4, '0')
+                ELSE 'none' END AS notes
+    FROM documents),
+  wide AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN regexp_matches(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+') THEN 1 ELSE 0 END)
+             AS BIGINT) AS em_t,
+           CAST(sum(CASE WHEN regexp_matches(text2,
+             '\\+?[0-9][0-9 -]{6,}[0-9]') THEN 1 ELSE 0 END)
+             AS BIGINT) AS ph_t,
+           CAST(sum(CASE WHEN regexp_matches(text2,
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}') THEN 1 ELSE 0 END)
+             AS BIGINT) AS ss_t,
+           CAST(sum(CASE WHEN regexp_matches(notes,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+') THEN 1 ELSE 0 END)
+             AS BIGINT) AS em_n,
+           CAST(sum(CASE WHEN regexp_matches(notes,
+             '\\+?[0-9][0-9 -]{6,}[0-9]') THEN 1 ELSE 0 END)
+             AS BIGINT) AS ph_n,
+           CAST(sum(CASE WHEN regexp_matches(notes,
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}') THEN 1 ELSE 0 END)
+             AS BIGINT) AS ss_n
+    FROM planted)
+  SELECT 'text2' AS "column", n AS n_rows, em_t AS n_email,
+         ph_t AS n_phone, ss_t AS n_ssn FROM wide
+  UNION ALL
+  SELECT 'notes', n, em_n, ph_n, ss_n FROM wide"""
+
+
+@q("q271_pii_scan", _Q271_ORACLE)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-level PII detection battery (`text.pii_scan`) over a
+    corpus with deterministically planted emails / phones / SSNs —
+    the governance half of q64's redaction: a release review needs
+    WHERE PII lives and at what rate per column BEFORE scrubbing.
+    One scan, one wide conditional-sum aggregate stacked to a row per
+    column (the q111 single-consumer trick — a union of projections
+    would re-inline the aggregate into N scans); RE2-safe patterns so
+    the oracle replays the exact counts."""
+    from ..operators.text import pii_scan
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        F.when(
+            did % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            did % 10 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+        F.when(
+            did % 20 == 0,
+            F.concat(
+                F.lit("ssn "),
+                F.lpad((did % 900).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 90).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((did % 9000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.lit("none"))
+        .alias("notes"),
+    )
+    return pii_scan(planted, ["text2", "notes"])

@@ -483,6 +483,36 @@ CHECKS = {
         ("no Python anywhere (pure JVM loop)", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q269_cross_validated_auc": [
+        ("per-fold AUC windows are PARTITIONED by fold (no global "
+         "sort)", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(fold", p) is not None),
+        ("histogram collapse partial-combined; one corpus scan", True,
+         lambda p: "partial_sum" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q270_interval_overlap_join": [
+        ("overlap join is a bin EQUI-join, never BNLJ/cartesian",
+         True,
+         lambda p: "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("bin fan-out is a codegen Generate", True,
+         lambda p: "Generate" in p),
+        ("pair counts partial-combined; no distinct de-dup pass "
+         "(rendezvous bin)", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q271_pii_scan": [
+        ("battery is ONE wide conditional aggregate over ONE scan "
+         "(stack, not a union of projections)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

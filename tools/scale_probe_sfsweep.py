@@ -127,6 +127,9 @@ EXPECTED = {
     "q266_pseudonymize_joinable": 1.3,
     "q267_rolling_correlation": 1.3,
     "q268_personalized_pagerank": 1.3,
+    "q269_cross_validated_auc": 1.3,
+    "q270_interval_overlap_join": 1.3,
+    "q271_pii_scan": 1.3,
 }
 
 
