@@ -184,6 +184,10 @@ HEADLINE = [
     "q269_cross_validated_auc",
     "q270_interval_overlap_join",
     "q271_pii_scan",
+    "q272_rfm_scores",
+    "q273_abc_analysis",
+    "q274_cohort_ltv",
+    "q275_seasonal_naive_backtest",
 ]
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "price_volume_mix",
     "classification_report",
     "prefix_zscore_anomalies",
+    "rfm_scores",
 ]
 
 
@@ -1112,4 +1113,75 @@ def prefix_zscore_anomalies(
         tiebreak_col,
         (F.col("__v").cast("double") / scale).alias("value"),
         F.round(z, 4).alias("z_r"),
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    canonical segmentation deliverable: per key, days since last
+    event (vs the corpus max date), event count, and fixed-point
+    total spend, each quantile-bucketed into ``n_tiles`` scores
+    (recency REVERSED: most recent = highest score), plus the
+    concatenated segment label.
+
+    One partial-combined aggregate to |keys| rows, a 1-row broadcast
+    for the anchor date, and three ntile windows over the |keys|-row
+    table (ordered with the key as tiebreak, so bucket boundaries are
+    engine-deterministic under ties — plain ntile on a tied column is
+    not).  Output: (key, recency_days, frequency, monetary_r, r_score,
+    f_score, m_score, segment).
+    """
+    from pyspark.sql import Window
+
+    amt = F.floor(F.col(amount_col).cast("double") * scale).cast(
+        "bigint"
+    )
+    mx = df.agg(F.max(F.col(ts_col).cast("date")).alias("__mxd"))
+    per = (
+        df.groupBy(key_col)
+        .agg(
+            F.max(F.col(ts_col).cast("date")).alias("__last"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(amt).alias("__cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            key_col,
+            F.datediff(F.col("__mxd"), F.col("__last")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "__cents",
+        )
+    )
+    wr = Window.orderBy(
+        F.col("recency_days").asc(), F.col(key_col).asc()
+    )
+    wf = Window.orderBy(F.col("frequency").asc(), F.col(key_col).asc())
+    wm = Window.orderBy(F.col("__cents").asc(), F.col(key_col).asc())
+    r_sc = (F.lit(n_tiles + 1) - F.ntile(n_tiles).over(wr)).cast("int")
+    f_sc = F.ntile(n_tiles).over(wf).cast("int")
+    m_sc = F.ntile(n_tiles).over(wm).cast("int")
+    return per.select(
+        key_col,
+        F.col("recency_days").cast("int").alias("recency_days"),
+        "frequency",
+        F.round(F.col("__cents") / F.lit(float(scale)), 2).alias(
+            "monetary_r"
+        ),
+        r_sc.alias("r_score"),
+        f_sc.alias("f_score"),
+        m_sc.alias("m_score"),
+        F.concat(
+            r_sc.cast("string"),
+            f_sc.cast("string"),
+            m_sc.cast("string"),
+        ).alias("segment"),
     )

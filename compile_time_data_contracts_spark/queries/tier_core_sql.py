@@ -4585,3 +4585,264 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(F.col("l.day").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+_Q272_ORACLE = """
+  WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS mxd FROM orders),
+  per AS (
+    SELECT o_custkey,
+           CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_d,
+           CAST(count(*) AS BIGINT) AS frequency,
+           sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1),
+  e AS (
+    SELECT o_custkey,
+           date_diff('day', last_d, (SELECT mxd FROM mx))
+             AS recency_days,
+           frequency, cents
+    FROM per),
+  t AS (
+    SELECT o_custkey, recency_days, frequency, cents,
+           (6 - ntile(5) OVER (ORDER BY recency_days ASC,
+                               o_custkey ASC)) AS r_score,
+           ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC)
+             AS f_score,
+           ntile(5) OVER (ORDER BY cents ASC, o_custkey ASC)
+             AS m_score
+    FROM e)
+  SELECT o_custkey,
+         CAST(recency_days AS INT) AS recency_days,
+         frequency,
+         round(cents / 100.0, 2) AS monetary_r,
+         CAST(r_score AS INT) AS r_score,
+         CAST(f_score AS INT) AS f_score,
+         CAST(m_score AS INT) AS m_score,
+         CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+  FROM t"""
+
+
+@q("q272_rfm_scores", _Q272_ORACLE)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (`stats.rfm_scores`, quintiles):
+    recency (days since last order, anchor = corpus max date —
+    broadcast, never now()), frequency, fixed-point monetary, each
+    ntile-bucketed WITH the key as tiebreak (plain ntile on a tied
+    column is partitioning-dependent — the determinism bug every
+    naive RFM ships), recency reversed so recent = 5.  One
+    partial-combined aggregate to |customers| rows + three windows
+    over that table."""
+    from ..operators.stats import rfm_scores
+
+    orders = load_table(spark, sf, "orders")
+    return rfm_scores(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+_Q273_ORACLE = """
+  WITH per AS (
+    SELECT l_partkey,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem GROUP BY 1),
+  ranked AS (
+    SELECT l_partkey, cents,
+           sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cents) OVER () AS tot
+    FROM per),
+  classed AS (
+    SELECT l_partkey, cents,
+           CASE WHEN cum / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN cum / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked)
+  SELECT abc_class,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         round(sum(cents) / 100.0, 2) AS revenue_r
+  FROM classed GROUP BY abc_class"""
+
+
+@q("q273_abc_analysis", _Q273_ORACLE)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto revenue classification: parts ranked by revenue,
+    classed A/B/C at 80 %/95 % cumulative share — the inventory-
+    management cousin of the Pareto skyline (q222): WHERE does the
+    revenue concentrate, as a published three-row report.  One
+    partial-combined aggregate to |parts| rows; the ordered
+    cumulative window runs over that table (tiebreak by key so class
+    boundaries are engine-deterministic); shares are ratios of exact
+    integer cents."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    wcum = Window.orderBy(
+        F.col("cents").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    share = F.sum("cents").over(wcum) / F.sum("cents").over(wall).cast(
+        "double"
+    )
+    classed = per.select(
+        "cents",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue_r"),
+    )
+
+
+_Q274_ORACLE = """
+  WITH fo AS (
+    SELECT o_custkey,
+           CAST(date_trunc('month', min(o_orderdate)) AS DATE)
+             AS cohort
+    FROM orders GROUP BY 1),
+  sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+         FROM fo GROUP BY 1),
+  rev AS (
+    SELECT fo.cohort,
+           date_diff('month', fo.cohort,
+                     CAST(date_trunc('month', o.o_orderdate) AS DATE))
+             AS age_months,
+           sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    GROUP BY 1, 2),
+  cum AS (
+    SELECT cohort, age_months,
+           sum(cents) OVER (PARTITION BY cohort ORDER BY age_months
+                            ROWS UNBOUNDED PRECEDING) AS cum_cents
+    FROM rev)
+  SELECT c.cohort, CAST(c.age_months AS INT) AS age_months,
+         s.cohort_size,
+         CAST((c.cum_cents * 10) // s.cohort_size AS BIGINT)
+           AS ltv_per_customer_milli
+  FROM cum c JOIN sz s ON c.cohort = s.cohort"""
+
+
+@q("q274_cohort_ltv", _Q274_ORACLE)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month, cumulative revenue per customer by months-since-cohort —
+    the MONETARY twin of q153's presence-count retention (retention
+    says who came back; LTV says what coming back was worth).  One
+    first-order aggregate, one cohort-keyed revenue rollup
+    (co-partitioned join), one per-cohort cumulative window over the
+    |cohorts|·|ages| table; LTV is an exact INTEGER division
+    (tenths of a cent per customer) — a rounded 2-dp double here
+    lands on .xx5 half-boundaries whenever the cohort size divides
+    the cents evenly, where Spark's HALF_UP and DuckDB's nearest
+    disagree (caught at gate time; integer division has no boundary
+    to disagree on)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort")
+    )
+    sz = fo.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        orders.join(fo, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")).cast(
+                    "date"
+                ),
+                F.col("cohort"),
+            )
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "cohort",
+        "age_months",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+    )
+    return cum.join(sz, "cohort").select(
+        "cohort",
+        "age_months",
+        "cohort_size",
+        F.expr("CAST((cum_cents * 10) DIV cohort_size AS BIGINT)")
+        .alias("ltv_per_customer_milli"),
+    )
+
+
+_Q275_ORACLE = """
+  WITH m AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS v
+    FROM orders GROUP BY 1),
+  f AS (
+    SELECT CAST(month + INTERVAL 12 MONTH AS DATE) AS month,
+           v AS fc
+    FROM m),
+  j AS (
+    SELECT m.month, m.v, f.fc
+    FROM m JOIN f ON m.month = f.month)
+  SELECT CAST(count(*) AS BIGINT) AS n_months,
+         round(avg(abs(v - fc) / CAST(v AS DOUBLE)), 6) AS mape_r,
+         round(avg(2.0 * abs(v - fc) / (CAST(v AS DOUBLE) + fc)), 6)
+           AS smape_r
+  FROM j"""
+
+
+@q("q275_seasonal_naive_backtest", _Q275_ORACLE)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (forecast(m) = actual
+    revenue at m−12, the q264 calendar alignment reused as a MODEL):
+    MAPE and sMAPE over every month with a prior-year observation —
+    the baseline every fancier forecaster must beat, and the eval
+    harness shape for any of them (swap the forecast CTE, keep the
+    error aggregate).  |months|-row tables throughout; errors are
+    ratios of exact integer cents."""
+    orders = load_table(spark, sf, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("v")
+    )
+    f = m.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("v").alias("fc"),
+    )
+    j = m.join(f, "month")
+    ape = F.abs(F.col("v") - F.col("fc")) / F.col("v").cast("double")
+    sape = (
+        2.0
+        * F.abs(F.col("v") - F.col("fc"))
+        / (F.col("v").cast("double") + F.col("fc"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.avg(ape), 6).alias("mape_r"),
+        F.round(F.avg(sape), 6).alias("smape_r"),
+    )

@@ -513,6 +513,40 @@ CHECKS = {
          lambda p: "Join" not in p and "EvalPython" not in p
          and "InPandas" not in p),
     ],
+    "q272_rfm_scores": [
+        ("per-customer rollup partial-combined before the windows",
+         True, lambda p: "partial_sum" in p),
+        ("anchor date is a 1-row broadcast (BNLJ on the 1-row side)",
+         True, lambda p: "BroadcastNestedLoopJoin" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q273_abc_analysis": [
+        ("per-part revenue partial-combined before the cumulative "
+         "window", True, lambda p: "partial_sum" in p),
+        ("one corpus scan; class report from the |parts|-row table",
+         True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q274_cohort_ltv": [
+        ("cohort revenue rollup partial-combined; cohort joins are "
+         "equi-joins", True,
+         lambda p: "partial_sum" in p and "CartesianProduct" not in p),
+        ("cumulative window is PER-COHORT", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(cohort", p) is not None),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q275_seasonal_naive_backtest": [
+        ("monthly totals partial-combined; forecast join is an "
+         "equi-join of |months|-row tables", True,
+         lambda p: "partial_sum" in p and "CartesianProduct" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

@@ -130,6 +130,10 @@ EXPECTED = {
     "q269_cross_validated_auc": 1.3,
     "q270_interval_overlap_join": 1.3,
     "q271_pii_scan": 1.3,
+    "q272_rfm_scores": 1.3,
+    "q273_abc_analysis": 1.3,
+    "q274_cohort_ltv": 1.3,
+    "q275_seasonal_naive_backtest": 1.3,
 }
 
 
