@@ -174,6 +174,7 @@ HEADLINE = [
     "q258_conversion_latency_bands",
     "q259_prefix_zscore_anomaly",
     "q260_time_weighted_average",
+    "q261_identifier_clause",
     "q262_exact_stratified_split",
     "q263_time_bounded_funnel",
     "q264_yoy_growth",

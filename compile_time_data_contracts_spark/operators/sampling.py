@@ -602,10 +602,16 @@ def split_exact_stratified(
     rn = F.row_number().over(w)
     n = F.count(F.lit(1)).over(wall)
     expr = None
-    cum = 0.0
+    # accumulate thresholds in exact rationals: float accumulation
+    # makes 0.1+0.1+0.1 = 0.30000000000000004, shifting a ceil(cum*n)
+    # boundary by one row vs an engine replaying ceil(0.3*n)
+    from fractions import Fraction
+
+    cum_frac = Fraction(0)
     names = list(fractions)
     for name in names[:-1]:
-        cum += fractions[name]
+        cum_frac += Fraction(fractions[name]).limit_denominator(10**9)
+        cum = float(cum_frac)
         cond = rn <= F.ceil(F.lit(cum) * n).cast("int")
         expr = F.when(cond, name) if expr is None else expr.when(
             cond, name

@@ -473,14 +473,17 @@ def eb_rate_shrinkage(
         ).alias("__s"),
     )
     alpha = F.col("__m") * F.col("__s")
-    beta = (1.0 - F.col("__m")) * F.col("__s")
+    # denominator is n + s DIRECTLY, not n + alpha + beta: m·s +
+    # (1−m)·s is not guaranteed bit-equal to s in IEEE arithmetic,
+    # and a shrunk rate on a round(...,6) half-boundary would then
+    # flip between engines (the oracle computes n + s)
     return per.crossJoin(F.broadcast(prior)).select(
         *key_cols,
         "n",
         "k",
         F.round(rate, 6).alias("rate_r"),
         F.round(
-            (F.col("k") + alpha) / (F.col("n") + alpha + beta), 6
+            (F.col("k") + alpha) / (F.col("n") + F.col("__s")), 6
         ).alias("shrunk_r"),
     )
 
@@ -616,9 +619,12 @@ def quantile_normalize(
     spreads become comparable before a single global threshold or
     mixture weight is applied (q139/q155 consumers).
 
-    Mapping is nearest-rank: p = percent_rank within group (ties share
-    p), target = global sorted value at index 1 + floor(p·(N−1)) —
-    integer arithmetic on ranks, so engine-exact for integer inputs.
+    Mapping is nearest-rank: p = percent_rank within group over the
+    (value, id) order — ties are broken by id, so equal raw values in
+    a group map to ADJACENT (not identical) pooled targets; the id
+    tiebreak is what makes the mapping engine-deterministic.  Target =
+    global sorted value at index 1 + floor(p·(N−1)) — integer
+    arithmetic on ranks, engine-exact for integer inputs.
 
     Shape: one group-partitioned window for p (parallel across
     groups), one GLOBAL ordered window for the pooled rank table — the
@@ -688,8 +694,6 @@ def winsorized_group_stats(
     hi_r, mean_r, winsorized_mean_r), money rounded to 2 dp, means to
     4 dp.
     """
-    import math as _math
-
     from pyspark.sql import Window
 
     vi = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
@@ -824,8 +828,6 @@ def percentile_bands(
     on exact integers.  Output: (group_cols…, n, <band>_r…, money
     rounded 2 dp).
     """
-    import math as _math
-
     from pyspark.sql import Window
 
     bands = bands or {"p50": 0.5, "p90": 0.9, "p99": 0.99}

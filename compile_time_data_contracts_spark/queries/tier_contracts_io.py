@@ -1326,7 +1326,7 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
     """Order-independent content fingerprint of the customer table
     (`reconcile.table_fingerprint`) — the replication/migration
     integrity check: engines agree on (n_rows, XOR of 60-bit sha256
-    row hashes, modular sum of their low 40 bits) iff they hold the
+    row hashes, modular sum of their low 20 bits) iff they hold the
     same multiset of rows, with NO global sort and a shuffle of 3
     numbers per partition.  sha256 (not xxhash64) so the hash is
     engine-portable — this oracle IS the cross-engine replay; the

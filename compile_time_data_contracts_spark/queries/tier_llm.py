@@ -5089,7 +5089,7 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
     )
     return extract_frame_samples(
         attach_fake_media(docs), "doc_id", frame_bytes=32, stride=4
-    ).withColumnRenamed("offset", "offset")
+    )
 
 
 _Q267_ORACLE = """

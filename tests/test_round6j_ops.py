@@ -142,3 +142,18 @@ def test_frame_samples_short_payload_empty(spark):
         attach_fake_media(df), "doc_id", frame_bytes=32, stride=1
     ).collect()
     assert out == []  # payload shorter than one frame
+
+
+def test_split_float_accumulation_boundary_exact(spark):
+    # 0.1+0.1+0.1 accumulated in floats is 0.30000000000000004, which
+    # would push ceil(cum*10) from 3 to 4 and steal a row from the
+    # residual split; exact-rational accumulation must give 1/1/1/7
+    rows = [("g", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    out = split_exact_stratified(
+        df, ["g"], "id",
+        fractions={"a": 0.1, "b": 0.1, "c": 0.1, "d": 0.7},
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 1, "b": 1, "c": 1, "d": 7}
