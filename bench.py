@@ -189,6 +189,10 @@ HEADLINE = [
     "q273_abc_analysis",
     "q274_cohort_ltv",
     "q275_seasonal_naive_backtest",
+    "q276_golden_record",
+    "q277_activity_streaks",
+    "q278_scd2_validity_audit",
+    "q279_percent_of_parent",
 ]
 
 

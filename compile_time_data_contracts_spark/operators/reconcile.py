@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["row_fingerprint", "snapshot_diff", "diff_summary", "table_fingerprint"]
+__all__ = ["row_fingerprint", "snapshot_diff", "diff_summary", "table_fingerprint", "golden_record", "scd2_validity_audit"]
 
 
 def row_fingerprint(cols: list[str]) -> F.Column:
@@ -130,4 +130,112 @@ def table_fingerprint(
         F.sum(F.col("__h") % F.lit(1 << 20)).cast("bigint").alias(
             "fp_sum_mod"
         ),
+    )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Survivorship / golden-record merge — the step AFTER entity
+    resolution (q150/q215 produce clusters; something must still pick
+    the record): per cluster, the survivor id is the most recent row
+    (ts desc, id asc tiebreak — deterministic under ts ties), and
+    each value column takes its FIRST NON-NULL in that recency order
+    — field-level survivorship, so a newer row with a missing phone
+    doesn't erase the older row's phone (the MDM rule the naive
+    "keep latest row" gets wrong).
+
+    ONE per-cluster ordered window computes the survivor flag and
+    every field's first-non-null in a single pass (first(...,
+    ignorenulls) over the full frame) — no self-join, no per-field
+    re-aggregation; then one filter keeps the rn=1 row per cluster.
+    Output: (cluster_col, survivor_id, n_members, value_cols…).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sel = [
+        F.col(cluster_col),
+        F.row_number().over(w).alias("__rn"),
+        F.col(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_members"),
+    ]
+    for c in value_cols:
+        sel.append(
+            F.first(F.col(c), ignorenulls=True).over(wall).alias(c)
+        )
+    return (
+        df.select(*sel).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def scd2_validity_audit(
+    df: DataFrame,
+    key_col: str,
+    from_col: str,
+    to_col: str,
+) -> DataFrame:
+    """Validity-window audit for an SCD2 dimension — the quality gate
+    q134/q180 outputs should pass before anyone runs point-in-time
+    joins against them: per key ordered by ``from_col``, counts of
+    OVERLAP rows (next version starts before this one ends — a
+    point-in-time join returns two truths), GAP rows (next version
+    starts after this one ends — history silently missing), and
+    MULTI-CURRENT keys (more than one NULL ``to_col`` — two open
+    versions).  One per-key lead() window + one partial-combined
+    conditional aggregate; output is a fixed 3-row report
+    (violation, n) with zero counts PRESENT (a clean audit proves it
+    ran — the q188/q201 no-silent-anything discipline).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(from_col).asc(), F.col(to_col).asc_nulls_last()
+    )
+    nxt = F.lead(F.col(from_col)).over(w)
+    flags = df.select(
+        F.col(key_col),
+        F.when(
+            nxt.isNotNull()
+            & F.col(to_col).isNotNull()
+            & (nxt < F.col(to_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__overlap"),
+        F.when(
+            nxt.isNotNull()
+            & F.col(to_col).isNotNull()
+            & (nxt > F.col(to_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("__gap"),
+        F.col(to_col).isNull().cast("int").alias("__open"),
+    )
+    agg = flags.groupBy().agg(
+        F.sum("__overlap").cast("bigint").alias("__n_overlap"),
+        F.sum("__gap").cast("bigint").alias("__n_gap"),
+    )
+    multi = (
+        flags.groupBy(key_col)
+        .agg(F.sum("__open").alias("__opens"))
+        .agg(
+            F.sum((F.col("__opens") > 1).cast("long"))
+            .cast("bigint")
+            .alias("__n_multi")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(multi))
+    return j.selectExpr(
+        "stack(3, 'overlap', __n_overlap, 'gap', __n_gap, "
+        "'multi_current', __n_multi) AS (violation, n)"
     )

@@ -29,6 +29,7 @@ __all__ = [
     "time_weighted_average",
     "yoy_growth",
     "rolling_correlation",
+    "gaps_islands",
 ]
 
 
@@ -633,3 +634,36 @@ def rolling_correlation(
         F.col("__n").cast("bigint").alias("n_window"),
         F.round(r, 6).alias("r_r"),
     )
+
+
+def gaps_islands(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE integers per key
+    (activity streaks, contiguous id ranges, unbroken SLA days) via
+    the classic seq − row_number() island key — consecutive values
+    share it, any gap shifts it; one per-key ordered window + one
+    partial-combined aggregate, no self-join, no recursion.
+
+    Input is deduplicated internally (duplicate seq values would
+    corrupt the row_number delta).  Output: one row per island:
+    (key_col, island_start, island_end, length).
+    """
+    from pyspark.sql import Window
+
+    s = df.select(
+        key_col, F.col(seq_col).cast("bigint").alias("__s")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__s")
+    isl = s.select(
+        key_col,
+        "__s",
+        (F.col("__s") - F.row_number().over(w)).alias("__island"),
+    )
+    return isl.groupBy(key_col, "__island").agg(
+        F.min("__s").cast("bigint").alias("island_start"),
+        F.max("__s").cast("bigint").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("length"),
+    ).drop("__island")

@@ -1402,3 +1402,169 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
             2,
         ).alias("revenue_r"),
     )
+
+
+_Q276_ORACLE = """
+  WITH base AS (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+           nullif(o_orderstatus, 'O') AS status2
+    FROM orders),
+  w AS (
+    SELECT o_custkey,
+           row_number() OVER pw AS rn,
+           o_orderkey AS survivor_id,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+             AS n_members,
+           first_value(o_orderpriority IGNORE NULLS) OVER pwf
+             AS o_orderpriority,
+           first_value(status2 IGNORE NULLS) OVER pwf AS status2
+    FROM base
+    WINDOW pw AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey ASC),
+           pwf AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING))
+  SELECT o_custkey, CAST(survivor_id AS BIGINT) AS survivor_id,
+         n_members, o_orderpriority, status2
+  FROM w WHERE rn = 1"""
+
+
+@q("q276_golden_record", _Q276_ORACLE)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship / golden-record merge per customer over their
+    orders (`reconcile.golden_record`) — the step AFTER entity
+    resolution (q150/q215 cluster; something must still pick the
+    record): survivor = most recent row (id tiebreak), but each FIELD
+    takes its first non-null in recency order — so the newest row's
+    NULL (status2 is nulled for 'O' orders here, exercising the
+    fallback) doesn't erase an older row's value, the MDM rule
+    "keep latest row" gets wrong.  ONE per-cluster window pass
+    computes the survivor flag and every field's first-non-null —
+    no self-join, no per-field re-aggregation."""
+    from ..operators.reconcile import golden_record
+
+    orders = load_table(spark, sf, "orders")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status2"),
+    )
+    return golden_record(
+        base,
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        ["o_orderpriority", "status2"],
+    )
+
+
+_Q278_ORACLE = """
+  WITH v0 AS (
+    SELECT o_custkey,
+           CAST(o_orderdate AS TIMESTAMP)
+             + to_microseconds((o_orderkey % 86400) * 1000000)
+             AS valid_from,
+           o_orderkey
+    FROM orders),
+  v1 AS (
+    SELECT o_custkey, valid_from,
+           row_number() OVER pw AS rn,
+           count(*) OVER (PARTITION BY o_custkey) AS cnt,
+           lead(valid_from) OVER pw AS nxt
+    FROM v0
+    WINDOW pw AS (PARTITION BY o_custkey ORDER BY valid_from)),
+  scd AS (
+    SELECT o_custkey AS k, valid_from,
+           CASE WHEN o_custkey % 20 = 7 AND rn = cnt - 1 THEN NULL
+                WHEN nxt IS NULL THEN NULL
+                WHEN o_custkey % 10 = 0
+                  THEN nxt - INTERVAL 1 DAY
+                WHEN o_custkey % 10 = 5
+                  THEN nxt + INTERVAL 1 DAY
+                ELSE nxt END AS valid_to
+    FROM v1),
+  flags AS (
+    SELECT k,
+           CASE WHEN nxt2 IS NOT NULL AND valid_to IS NOT NULL
+                     AND nxt2 < valid_to THEN 1 ELSE 0 END AS ov,
+           CASE WHEN nxt2 IS NOT NULL AND valid_to IS NOT NULL
+                     AND nxt2 > valid_to THEN 1 ELSE 0 END AS gp,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS op
+    FROM (SELECT k, valid_to,
+                 lead(valid_from) OVER (
+                   PARTITION BY k
+                   ORDER BY valid_from ASC, valid_to ASC NULLS LAST)
+                   AS nxt2
+          FROM scd)),
+  tot AS (
+    SELECT CAST(sum(ov) AS BIGINT) AS n_ov,
+           CAST(sum(gp) AS BIGINT) AS n_gp
+    FROM flags),
+  mc AS (
+    SELECT CAST(sum(CASE WHEN opens > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mc
+    FROM (SELECT k, sum(op) AS opens FROM flags GROUP BY k))
+  SELECT 'overlap' AS violation, n_ov AS n FROM tot
+  UNION ALL SELECT 'gap', n_gp FROM tot
+  UNION ALL SELECT 'multi_current', n_mc FROM mc"""
+
+
+@q("q278_scd2_validity_audit", _Q278_ORACLE)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 validity-window audit (`reconcile.scd2_validity_audit`)
+    over a dimension with deterministically PLANTED defects (gap
+    customers, overlap customers, a multi-current stripe): counts of
+    overlap rows (a point-in-time join returns two truths), gap rows
+    (history silently missing), and multi-current keys (two open
+    versions) — the quality gate q134/q180's outputs should pass
+    before anyone point-in-time joins them.  One per-key lead window
+    + one conditional aggregate; zero counts are PRESENT in the
+    3-row report (a clean audit proves it ran)."""
+    from pyspark.sql import Window
+
+    from ..operators.reconcile import scd2_validity_audit
+
+    orders = load_table(spark, sf, "orders")
+    v0 = orders.select(
+        "o_custkey",
+        (
+            F.col("o_orderdate").cast("timestamp")
+            + F.expr(
+                "make_interval(0, 0, 0, 0, 0, 0, "
+                "o_orderkey % 86400)"
+            )
+        ).alias("valid_from"),
+    )
+    pw = Window.partitionBy("o_custkey").orderBy("valid_from")
+    wall = Window.partitionBy("o_custkey")
+    v1 = v0.select(
+        "o_custkey",
+        "valid_from",
+        F.row_number().over(pw).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+        F.lead("valid_from").over(pw).alias("__nxt"),
+    )
+    scd = v1.select(
+        F.col("o_custkey").alias("k"),
+        "valid_from",
+        F.when(
+            (F.col("o_custkey") % 20 == 7)
+            & (F.col("__rn") == F.col("__cnt") - 1),
+            F.lit(None).cast("timestamp"),
+        )
+        .when(F.col("__nxt").isNull(), F.lit(None).cast("timestamp"))
+        .when(
+            F.col("o_custkey") % 10 == 0,
+            F.col("__nxt") - F.expr("INTERVAL 1 DAY"),
+        )
+        .when(
+            F.col("o_custkey") % 10 == 5,
+            F.col("__nxt") + F.expr("INTERVAL 1 DAY"),
+        )
+        .otherwise(F.col("__nxt"))
+        .alias("valid_to"),
+    )
+    return scd2_validity_audit(scd, "k", "valid_from", "valid_to")

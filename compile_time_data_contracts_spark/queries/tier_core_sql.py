@@ -4846,3 +4846,65 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg(ape), 6).alias("mape_r"),
         F.round(F.avg(sape), 6).alias("smape_r"),
     )
+
+
+_Q279_ORACLE = """
+  WITH rev AS (
+    SELECT n.n_name, r.r_name,
+           sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2)
+  SELECT n_name, r_name,
+         round(cents / 100.0, 2) AS rev_r,
+         round(cents / CAST(sum(cents) OVER (PARTITION BY r_name)
+                            AS DOUBLE), 6) AS share_of_region_r,
+         round(sum(cents) OVER (PARTITION BY r_name)
+               / CAST(sum(cents) OVER () AS DOUBLE), 6)
+           AS region_share_of_total_r
+  FROM rev"""
+
+
+@q("q279_percent_of_parent", _Q279_ORACLE)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    """Percent-of-parent hierarchy shares: each nation's revenue as a
+    share of its region, and each region's share of the total — the
+    BI drill-down metric a plain ROLLUP (q20) doesn't give (rollup
+    emits parent totals; percent-of-parent needs the child/parent
+    RATIO on every child row, i.e. windows over the |nations|-row
+    rollup, never a second scan).  Dimension joins broadcast; shares
+    are ratios of exact integer cents."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    rev = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "r_name",
+        F.round(F.col("cents") / 100.0, 2).alias("rev_r"),
+        F.round(
+            F.col("cents") / F.sum("cents").over(wr).cast("double"), 6
+        ).alias("share_of_region_r"),
+        F.round(
+            F.sum("cents").over(wr)
+            / F.sum("cents").over(wall).cast("double"),
+            6,
+        ).alias("region_share_of_total_r"),
+    )

@@ -5322,3 +5322,47 @@ def q271(spark: SparkSession, sf: str) -> DataFrame:
         .alias("notes"),
     )
     return pii_scan(planted, ["text2", "notes"])
+
+
+_Q277_ORACLE = """
+  WITH days AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             AS d
+    FROM events),
+  isl AS (
+    SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+             AS island
+    FROM days),
+  runs AS (
+    SELECT user_id, island, count(*) AS len
+    FROM isl GROUP BY 1, 2)
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_streaks,
+         CAST(max(len) AS BIGINT) AS longest_streak
+  FROM runs GROUP BY user_id"""
+
+
+@q("q277_activity_streaks", _Q277_ORACLE)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity streaks (`timeseries.gaps_islands`): maximal
+    runs of CONSECUTIVE active days via the classic seq −
+    row_number() island key — the engagement metric (current/longest
+    streak) and the contiguous-range primitive (unbroken SLA days,
+    id-range compaction) in one shape: one per-key ordered window +
+    one partial-combined aggregate, no self-join, no recursion."""
+    from ..operators.timeseries import gaps_islands
+
+    ev = load_table(spark, sf, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    )
+    islands = gaps_islands(days, "user_id", "d")
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("length").cast("bigint").alias("longest_streak"),
+    )

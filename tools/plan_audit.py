@@ -547,6 +547,46 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q276_golden_record": [
+        ("one per-cluster window pass: survivor + every field's "
+         "first-non-null, no self-join", True,
+         lambda p: "Join" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("window is PER-CLUSTER (partitioned by o_custkey)", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(o_custkey", p) is not None),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q277_activity_streaks": [
+        ("island key from a per-user ordered window", True,
+         lambda p: re.search(
+             r"windowspecdefinition\(user_id", p) is not None),
+        ("streak rollup partial-combined; no join", True,
+         lambda p: "partial_count" in p and "Join" not in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q278_scd2_validity_audit": [
+        ("per-key lead windows, no self-join of the dimension", True,
+         lambda p: re.search(r"windowspecdefinition\(", p) is not None
+         and "SortMergeJoin" not in p),
+        ("violation counts partial-combined", True,
+         lambda p: "partial_sum" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q279_percent_of_parent": [
+        ("dimension joins broadcast", True,
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("revenue rollup partial-combined; shares are windows over "
+         "the |nations|-row result (4 scans total: fact + 3 dims, "
+         "never a per-share re-scan)", True,
+         lambda p: "partial_sum" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 4),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

@@ -134,6 +134,10 @@ EXPECTED = {
     "q273_abc_analysis": 1.3,
     "q274_cohort_ltv": 1.3,
     "q275_seasonal_naive_backtest": 1.3,
+    "q276_golden_record": 1.3,
+    "q277_activity_streaks": 1.3,
+    "q278_scd2_validity_audit": 1.3,
+    "q279_percent_of_parent": 1.3,
 }
 
 
