@@ -193,6 +193,8 @@ HEADLINE = [
     "q277_activity_streaks",
     "q278_scd2_validity_audit",
     "q279_percent_of_parent",
+    "q280_cumulative_unique_users",
+    "q281_rolling_active_users",
 ]
 
 

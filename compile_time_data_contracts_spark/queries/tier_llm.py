@@ -5366,3 +5366,112 @@ def q277(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.max("length").cast("bigint").alias("longest_streak"),
     )
+
+
+_Q280_ORACLE = """
+  WITH du AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+  dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+          FROM du GROUP BY day),
+  fu AS (SELECT user_id, min(day) AS fd FROM du GROUP BY user_id),
+  newu AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS new_users
+           FROM fu GROUP BY fd)
+  SELECT d.day, d.dau,
+         CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+         CAST(sum(coalesce(n.new_users, 0)) OVER (
+           ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_unique
+  FROM dau d LEFT JOIN newu n ON d.day = n.day"""
+
+
+@q("q280_cumulative_unique_users", _Q280_ORACLE)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active / new / cumulative-unique users — the growth
+    dashboard's top row, computed WITHOUT a running set: each user
+    contributes to 'new' at exactly their FIRST active day (one
+    partial-combined min per user — the q249 vocabulary-growth trick
+    on users instead of tokens), so cumulative-unique is a plain
+    cumulative sum over the |days|-row table and users never cross
+    the shuffle after the min."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    du = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    fu = du.groupBy("user_id").agg(F.min("day").alias("fd"))
+    newu = fu.groupBy(F.col("fd").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dau.join(newu, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_unique",
+            F.sum("new_users").over(wcum).cast("bigint"),
+        )
+    )
+
+
+_Q281_ORACLE = """
+  WITH du AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+  mx AS (SELECT max(day) AS mxd FROM du),
+  contrib AS (
+    SELECT user_id,
+           CAST(day + to_days(CAST(o AS INT)) AS DATE) AS target
+    FROM du CROSS JOIN
+         (SELECT unnest(generate_series(0, 6)) AS o) offs
+    WHERE day + to_days(CAST(o AS INT)) <= (SELECT mxd FROM mx))
+  SELECT target AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_7d_users
+  FROM contrib GROUP BY target"""
+
+
+@q("q281_rolling_active_users", _Q281_ORACLE)
+def q281(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT trailing-7-day active users per day — the WAU/rolling-
+    retention headline, where q231's sliding HLL trades exactness for
+    state: each (user, day) activity contributes itself to the 7
+    target days it stays inside the window (a bounded codegen
+    fan-out — explode of a 7-element sequence, the q87 bin-replication
+    move applied to time windows), then ONE distinct-count per target
+    day.  No self-join of the activity table against a date range,
+    no per-day re-scan; fan-out is the window length, fixed."""
+    ev = load_table(spark, sf, "events")
+    du = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    mx = du.agg(F.max("day").alias("__mxd"))
+    contrib = (
+        du.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("__o"),
+            "day",
+        )
+        .select(
+            "user_id",
+            F.date_add(F.col("day"), F.col("__o")).alias("target"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("target") <= F.col("__mxd"))
+    )
+    return contrib.groupBy(F.col("target").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias(
+            "rolling_7d_users"
+        )
+    )

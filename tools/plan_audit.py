@@ -587,6 +587,26 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q280_cumulative_unique_users": [
+        ("first-active-day min per user partial-combined (users "
+         "never cross the shuffle after the min)", True,
+         lambda p: "partial_min" in p),
+        ("one corpus scan feeds DAU and new-user counts", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q281_rolling_active_users": [
+        ("window fan-out is a bounded codegen Generate (7 targets), "
+         "never a date-range self-join", True,
+         lambda p: "Generate" in p
+         and "SortMergeJoin" not in p
+         and "CartesianProduct" not in p),
+        ("distinct-per-day partial-aggregated", True,
+         lambda p: "partial_count" in p or "HashAggregate" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

@@ -138,6 +138,8 @@ EXPECTED = {
     "q277_activity_streaks": 1.3,
     "q278_scd2_validity_audit": 1.3,
     "q279_percent_of_parent": 1.3,
+    "q280_cumulative_unique_users": 1.3,
+    "q281_rolling_active_users": 1.3,
 }
 
 
