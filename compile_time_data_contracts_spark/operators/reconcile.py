@@ -186,14 +186,17 @@ def scd2_validity_audit(
     """Validity-window audit for an SCD2 dimension — the quality gate
     q134/q180 outputs should pass before anyone runs point-in-time
     joins against them: per key ordered by ``from_col``, counts of
-    OVERLAP rows (next version starts before this one ends — a
-    point-in-time join returns two truths), GAP rows (next version
-    starts after this one ends — history silently missing), and
-    MULTI-CURRENT keys (more than one NULL ``to_col`` — two open
-    versions).  One per-key lead() window + one partial-combined
-    conditional aggregate; output is a fixed 3-row report
-    (violation, n) with zero counts PRESENT (a clean audit proves it
-    ran — the q188/q201 no-silent-anything discipline).
+    OVERLAP rows (next version starts while this one is still valid
+    — a point-in-time join returns two truths; an OPEN version with a
+    NULL end followed by any later version is the worst case of this,
+    not a clean row), GAP rows (next version starts after this one
+    ends — history silently missing), and MULTI-CURRENT keys (more
+    than one NULL ``to_col`` — two open versions).  One per-key
+    lead() window, then one per-key partial-combined rollup feeding
+    one global 1-row aggregate — the source is scanned ONCE; output
+    is a fixed 3-row report (violation, n) with zero counts PRESENT
+    (a clean audit proves it ran — the q188/q201 no-silent-anything
+    discipline).
     """
     from pyspark.sql import Window
 
@@ -201,12 +204,14 @@ def scd2_validity_audit(
         F.col(from_col).asc(), F.col(to_col).asc_nulls_last()
     )
     nxt = F.lead(F.col(from_col)).over(w)
+    # an open version (NULL end) extends to infinity: ANY later
+    # version overlaps it — requiring a non-null end here would pass
+    # exactly the two-truths defect the audit exists to catch
     flags = df.select(
         F.col(key_col),
         F.when(
             nxt.isNotNull()
-            & F.col(to_col).isNotNull()
-            & (nxt < F.col(to_col)),
+            & (F.col(to_col).isNull() | (nxt < F.col(to_col))),
             1,
         )
         .otherwise(0)
@@ -221,21 +226,19 @@ def scd2_validity_audit(
         .alias("__gap"),
         F.col(to_col).isNull().cast("int").alias("__open"),
     )
-    agg = flags.groupBy().agg(
-        F.sum("__overlap").cast("bigint").alias("__n_overlap"),
-        F.sum("__gap").cast("bigint").alias("__n_gap"),
+    per_key = flags.groupBy(key_col).agg(
+        F.sum("__overlap").alias("__ov"),
+        F.sum("__gap").alias("__gp"),
+        F.sum("__open").alias("__opens"),
     )
-    multi = (
-        flags.groupBy(key_col)
-        .agg(F.sum("__open").alias("__opens"))
-        .agg(
-            F.sum((F.col("__opens") > 1).cast("long"))
-            .cast("bigint")
-            .alias("__n_multi")
-        )
+    agg = per_key.agg(
+        F.sum("__ov").cast("bigint").alias("__n_overlap"),
+        F.sum("__gp").cast("bigint").alias("__n_gap"),
+        F.sum((F.col("__opens") > 1).cast("long"))
+        .cast("bigint")
+        .alias("__n_multi"),
     )
-    j = agg.crossJoin(F.broadcast(multi))
-    return j.selectExpr(
+    return agg.selectExpr(
         "stack(3, 'overlap', __n_overlap, 'gap', __n_gap, "
         "'multi_current', __n_multi) AS (violation, n)"
     )

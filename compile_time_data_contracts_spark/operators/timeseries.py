@@ -648,14 +648,20 @@ def gaps_islands(
     partial-combined aggregate, no self-join, no recursion.
 
     Input is deduplicated internally (duplicate seq values would
-    corrupt the row_number delta).  Output: one row per island:
+    corrupt the row_number delta) and NULL seq values are dropped
+    (a NULL would otherwise survive distinct() and emit a phantom
+    length-1 island per key).  Output: one row per island:
     (key_col, island_start, island_end, length).
     """
     from pyspark.sql import Window
 
-    s = df.select(
-        key_col, F.col(seq_col).cast("bigint").alias("__s")
-    ).distinct()
+    s = (
+        df.select(
+            key_col, F.col(seq_col).cast("bigint").alias("__s")
+        )
+        .filter(F.col("__s").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(key_col).orderBy("__s")
     isl = s.select(
         key_col,

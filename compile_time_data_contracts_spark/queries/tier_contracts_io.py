@@ -1488,8 +1488,9 @@ _Q278_ORACLE = """
     FROM v1),
   flags AS (
     SELECT k,
-           CASE WHEN nxt2 IS NOT NULL AND valid_to IS NOT NULL
-                     AND nxt2 < valid_to THEN 1 ELSE 0 END AS ov,
+           CASE WHEN nxt2 IS NOT NULL
+                     AND (valid_to IS NULL OR nxt2 < valid_to)
+                THEN 1 ELSE 0 END AS ov,
            CASE WHEN nxt2 IS NOT NULL AND valid_to IS NOT NULL
                      AND nxt2 > valid_to THEN 1 ELSE 0 END AS gp,
            CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS op

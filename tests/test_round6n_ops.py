@@ -83,7 +83,9 @@ def test_scd2_audit_detects_each_defect(spark):
     ]
     out = {r["violation"]: r["n"] for r in
            scd2_validity_audit(_scd(spark, rows), "k", "vf", "vt").collect()}
-    assert out["overlap"] == 1
+    # key 1's explicit overlap, PLUS key 3's first open version
+    # followed by a later one (open-to-infinity overlaps anything)
+    assert out["overlap"] == 2
     assert out["gap"] == 1
     assert out["multi_current"] == 1
 
@@ -108,3 +110,28 @@ def test_gaps_islands_dedups_and_isolates_keys(spark):
     )
     # duplicate (a,1) collapses; keys never merge islands
     assert got == [("a", 1, 2), ("b", 2, 1), ("b", 4, 1)]
+
+
+def test_scd2_audit_open_version_followed_by_later_is_overlap(spark):
+    # an OPEN version (NULL valid_to) covers [from, infinity): any
+    # later version overlaps it — requiring a non-null end would pass
+    # exactly the two-truths defect the audit exists to catch
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, None),
+        (1, base + timedelta(days=31), base + timedelta(days=59)),
+    ]
+    out = {r["violation"]: r["n"] for r in
+           scd2_validity_audit(_scd(spark, rows), "k", "vf", "vt").collect()}
+    assert out["overlap"] == 1
+    assert out["multi_current"] == 0  # only one open version
+
+
+def test_gaps_islands_null_seq_dropped(spark):
+    rows = [("a", 1), ("a", 2), ("a", None)]
+    df = spark.createDataFrame(rows, "k string, s long")
+    got = sorted(
+        (r["island_start"], r["length"])
+        for r in gaps_islands(df, "k", "s").collect()
+    )
+    assert got == [(1, 2)]  # no phantom NULL island

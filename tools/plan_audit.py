@@ -591,7 +591,8 @@ CHECKS = {
         ("first-active-day min per user partial-combined (users "
          "never cross the shuffle after the min)", True,
          lambda p: "partial_min" in p),
-        ("one corpus scan feeds DAU and new-user counts", True,
+        ("at most two scans of the (user, day) base feed DAU and "
+         "new-user counts (never a per-metric re-scan)", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),

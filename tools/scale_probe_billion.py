@@ -54,6 +54,10 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # the planted contracts are exact only over whole residue cycles:
+    # truncate to a multiple of lcm(16, 200, 1000) = 2000 so ANY argv
+    # n yields exact closed forms instead of a spurious ok:false
+    n = (n // 2000) * 2000
     results: dict = {"n_rows": n}
 
     # ---- mutual information at n rows: exact zero on a uniform grid
@@ -72,12 +76,9 @@ def main() -> int:
 
     # ---- two-proportion z-test: planted 30% vs 27% conversion
     t0 = time.time()
-    # arm A: id%2==0; conversion: A iff id%20 < 6 gives 6/10 of A's
-    # residues -> rate 0.6? No: among even ids, id%20 in
-    # {0,2,...,18}; conv iff id%20 in {0,2,4} -> 3/10 = 0.30.
-    # B (odd): conv iff id%20 in {1,3,5} minus {5} -> {1,3} plus
-    # id%20==7 gives 0.27? Use exact stripes: B conv iff
-    # id % 200 in 27 odd residues -> 27/100 = 0.27.
+    # arm A = even ids; conv iff id%20 in {0,2,4} — 3 of A's 10
+    # residues -> exactly 0.30.  arm B = odd ids; conv iff
+    # id%200 in {1,3,...,53} — 27 of B's 100 residues -> exactly 0.27.
     odd_conv = F.col("id") % 200
     users = spark.range(n).select(
         F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("arm"),
