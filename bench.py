@@ -195,6 +195,8 @@ HEADLINE = [
     "q279_percent_of_parent",
     "q280_cumulative_unique_users",
     "q281_rolling_active_users",
+    "q282_degree_distribution",
+    "q283_freshness_report",
 ]
 
 

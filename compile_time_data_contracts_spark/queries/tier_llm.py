@@ -5475,3 +5475,103 @@ def q281(spark: SparkSession, sf: str) -> DataFrame:
             "rolling_7d_users"
         )
     )
+
+
+_Q282_ORACLE = """
+  WITH nc AS (SELECT count(*) AS n FROM customer),
+  e AS (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
+    FROM orders, nc
+    UNION
+    SELECT CAST(c_custkey AS BIGINT),
+           CAST(1 + (c_custkey % nc.n) AS BIGINT)
+    FROM customer, nc),
+  deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+  hist AS (SELECT d AS degree, count(*) AS n_nodes FROM deg
+           GROUP BY d),
+  c AS (
+    SELECT degree, n_nodes,
+           sum(n_nodes) OVER (ORDER BY degree DESC
+                              ROWS UNBOUNDED PRECEDING) AS at_least,
+           sum(n_nodes) OVER () AS tot
+    FROM hist)
+  SELECT CAST(degree AS BIGINT) AS degree,
+         CAST(n_nodes AS BIGINT) AS n_nodes,
+         round(at_least / CAST(tot AS DOUBLE), 6) AS ccdf_r
+  FROM c"""
+
+
+@q("q282_degree_distribution", _Q282_ORACLE)
+def q282(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-degree distribution + CCDF of the q165 link graph — the
+    graph-diagnostics first look that decides every downstream knob
+    (is there a hub that needs the q79 salting? how heavy is the tail
+    PageRank/LPA will hammer?): nodes collapse to per-degree counts
+    in two partial-combined aggregates, and the CCDF (share of nodes
+    with degree ≥ d) is one window over the |distinct degrees|-row
+    histogram — the corpus is never sorted, only the tiny histogram."""
+    from pyspark.sql import Window
+
+    deg = _customer_graph_edges(spark, sf).groupBy("src").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    wc = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return hist.select(
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.round(
+            F.sum("n_nodes").over(wc)
+            / F.sum("n_nodes").over(wall).cast("double"),
+            6,
+        ).alias("ccdf_r"),
+    )
+
+
+_Q283_ORACLE = """
+  WITH mx AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+  per AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(epoch_us(ts)) AS last_us,
+           max(ts) AS last_ts
+    FROM events GROUP BY event_type)
+  SELECT event_type, n_events,
+         strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts_s,
+         round(((SELECT anchor FROM mx) - last_us)
+               / 3600000000.0, 4) AS hours_behind_r
+  FROM per"""
+
+
+@q("q283_freshness_report", _Q283_ORACLE)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-freshness report per event stream: row count, last event
+    time, and hours behind the freshest stream (anchor = corpus max,
+    a 1-row broadcast — never now(), which would make the report
+    non-reproducible) — the ops staple that pages someone when a
+    source stalls, computed in ONE partial-combined aggregate pass;
+    lateness is a ratio of exact integer microseconds (the q251
+    unix_micros ↔ epoch_us contract)."""
+    ev = load_table(spark, sf, "events")
+    mx = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("__anchor"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.unix_micros(F.col("ts"))).alias("__last_us"),
+        F.max("ts").alias("__last_ts"),
+    )
+    return per.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n_events",
+        F.date_format("__last_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_ts_s"
+        ),
+        F.round(
+            (F.col("__anchor") - F.col("__last_us")) / 3600000000.0, 4
+        ).alias("hours_behind_r"),
+    )

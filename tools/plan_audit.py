@@ -608,6 +608,22 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q282_degree_distribution": [
+        ("degree histogram from partial-combined aggregates; CCDF is "
+         "a window over the |degrees|-row histogram, never a corpus "
+         "sort", True, lambda p: "partial_count" in p),
+        ("no cartesian, no Python", True,
+         lambda p: "CartesianProduct" not in p
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q283_freshness_report": [
+        ("one partial-combined aggregate pass; anchor is a 1-row "
+         "broadcast", True,
+         lambda p: "partial_max" in p
+         and "BroadcastNestedLoopJoin" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

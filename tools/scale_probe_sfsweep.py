@@ -140,6 +140,8 @@ EXPECTED = {
     "q279_percent_of_parent": 1.3,
     "q280_cumulative_unique_users": 1.3,
     "q281_rolling_active_users": 1.3,
+    "q282_degree_distribution": 1.3,
+    "q283_freshness_report": 1.3,
 }
 
 
