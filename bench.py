@@ -197,6 +197,8 @@ HEADLINE = [
     "q281_rolling_active_users",
     "q282_degree_distribution",
     "q283_freshness_report",
+    "q284_tokenizer_fertility",
+    "q285_langid_quality_report",
 ]
 
 

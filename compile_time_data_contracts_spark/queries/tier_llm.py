@@ -5575,3 +5575,128 @@ def q283(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("__anchor") - F.col("__last_us")) / 3600000000.0, 4
         ).alias("hours_behind_r"),
     )
+
+
+_Q284_ORACLE = """
+  WITH per AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(CAST(length(text) AS BIGINT)) AS chars,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS wtok,
+           sum(CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                    AS BIGINT)) AS btok
+    FROM documents GROUP BY lang)
+  SELECT lang, n_docs,
+         round(chars / CAST(wtok AS DOUBLE), 4)
+           AS chars_per_ws_token_r,
+         round(chars / CAST(btok AS DOUBLE), 4)
+           AS chars_per_bpe_token_r
+  FROM per"""
+
+
+@q("q284_tokenizer_fertility", _Q284_ORACLE)
+def q284(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per whitespace
+    token and per BPE-ish token — the tokenizer-evaluation staple (a
+    language whose fertility is 2× the corpus mean pays 2× the
+    context budget per character; the metric that decides vocabulary
+    allocation before training).  One partial-combined aggregate
+    pass; character and token counts are exact integers, fertility
+    is one rounded ratio per language."""
+    from ..operators.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text").cast("bigint")).alias("__chars"),
+        F.sum(token_count("text").cast("bigint")).alias("__wtok"),
+        F.sum(bpe_ish_token_count("text").cast("bigint")).alias(
+            "__btok"
+        ),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.col("__chars") / F.col("__wtok").cast("double"), 4
+        ).alias("chars_per_ws_token_r"),
+        F.round(
+            F.col("__chars") / F.col("__btok").cast("double"), 4
+        ).alias("chars_per_bpe_token_r"),
+    )
+
+
+_Q285_ORACLE = """
+  WITH t AS (
+    SELECT doc_id, lang,
+           list_transform(regexp_split_to_array(text, '\\s+'),
+                          x -> lower(x)) AS toks
+    FROM documents),
+  s AS (
+    SELECT doc_id, lang,
+      len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE / greatest(len(toks), 1) AS s_en,
+      len(list_filter(toks, x -> x IN ('el','la','de','que','y')))::DOUBLE / greatest(len(toks), 1) AS s_es,
+      len(list_filter(toks, x -> x IN ('le','la','de','et','un')))::DOUBLE / greatest(len(toks), 1) AS s_fr,
+      len(list_filter(toks, x -> x IN ('der','die','das','und','ein')))::DOUBLE / greatest(len(toks), 1) AS s_de,
+      len(list_filter(toks, x -> x IN ('的','是','了','在','我')))::DOUBLE / greatest(len(toks), 1) AS s_zh
+    FROM t),
+  scored AS (
+    SELECT lang AS l,
+      CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+           WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+           WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+           WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+           ELSE 'zh' END AS p
+    FROM s),
+  cont AS (SELECT l, p, count(*) AS c FROM scored GROUP BY 1, 2),
+  contrib AS (
+    SELECT l AS class, c AS rc, 0 AS cc,
+           CASE WHEN l = p THEN c ELSE 0 END AS tpc FROM cont
+    UNION ALL
+    SELECT p, 0, c, 0 FROM cont),
+  m AS (
+    SELECT class,
+           CAST(sum(rc) AS BIGINT) AS support,
+           CAST(sum(tpc) AS BIGINT) AS tp,
+           CAST(sum(cc) - sum(tpc) AS BIGINT) AS fp,
+           CAST(sum(rc) - sum(tpc) AS BIGINT) AS fn
+    FROM contrib GROUP BY class)
+  SELECT class, support, tp, fp, fn,
+         CASE WHEN tp + fp > 0
+              THEN round(tp / CAST(tp + fp AS DOUBLE), 6)
+              END AS precision_r,
+         CASE WHEN tp + fn > 0
+              THEN round(tp / CAST(tp + fn AS DOUBLE), 6)
+              END AS recall_r,
+         CASE WHEN tp + fp > 0 AND tp + fn > 0
+                   AND (tp / CAST(tp + fp AS DOUBLE)
+                        + tp / CAST(tp + fn AS DOUBLE)) > 0
+              THEN round(2.0 * (tp / CAST(tp + fp AS DOUBLE))
+                             * (tp / CAST(tp + fn AS DOUBLE))
+                         / (tp / CAST(tp + fp AS DOUBLE)
+                            + tp / CAST(tp + fn AS DOUBLE)), 6)
+              END AS f1_r
+  FROM m"""
+
+
+@q("q285_langid_quality_report", _Q285_ORACLE)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class quality report of the q61 language classifier
+    against the labeled languages — q257's classification_report
+    composed with q61's language_id_table: WHICH language does the
+    stopword heuristic confuse, with never-predicted classes
+    surfaced as NULL precision.  The eval every corpus-curation
+    classifier needs before its output gates anything; the oracle
+    replays the full heuristic + confusion-margin pipeline in SQL."""
+    from ..operators.stats import classification_report
+    from ..operators.text import language_id_table
+
+    docs = load_table(spark, sf, "documents")
+    guessed = language_id_table(docs).withColumnRenamed(
+        "lang_guess", "pred"
+    )
+    labeled = docs.select("doc_id", F.col("lang").alias("label")).join(
+        guessed, "doc_id"
+    )
+    return classification_report(labeled, "label", "pred")

@@ -624,6 +624,24 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q284_tokenizer_fertility": [
+        ("fertility from ONE partial-combined aggregate over ONE "
+         "scan", True,
+         lambda p: "partial_sum" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("token counting is codegen, no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q285_langid_quality_report": [
+        ("language scoring explodes tokens via codegen Generate, no "
+         "Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("label join is an equi-join; confusion margins from the "
+         "exploded-cell aggregate (no per-margin re-scan)", True,
+         lambda p: "CartesianProduct" not in p
+         and "partial_count" in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

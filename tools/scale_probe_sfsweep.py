@@ -142,6 +142,8 @@ EXPECTED = {
     "q281_rolling_active_users": 1.3,
     "q282_degree_distribution": 1.3,
     "q283_freshness_report": 1.3,
+    "q284_tokenizer_fertility": 1.3,
+    "q285_langid_quality_report": 1.3,
 }
 
 
