@@ -199,6 +199,7 @@ HEADLINE = [
     "q283_freshness_report",
     "q284_tokenizer_fertility",
     "q285_langid_quality_report",
+    "q286_sample_representativeness",
 ]
 
 

@@ -5700,3 +5700,86 @@ def q285(spark: SparkSession, sf: str) -> DataFrame:
         guessed, "doc_id"
     )
     return classification_report(labeled, "label", "pred")
+
+
+_Q286_ORACLE = """
+  WITH corpus AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_corpus
+    FROM documents GROUP BY lang),
+  samp AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sample
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) * 10000
+          / 4294967296 < 3000
+    GROUP BY lang),
+  j AS (
+    SELECT c.lang, c.n_corpus,
+           coalesce(s.n_sample, 0) AS n_sample,
+           sum(coalesce(s.n_sample, 0)) OVER () AS tot_s,
+           sum(c.n_corpus) OVER () AS tot_c
+    FROM corpus c LEFT JOIN samp s ON c.lang = s.lang),
+  terms AS (
+    SELECT lang, n_corpus, n_sample,
+           n_corpus * (tot_s / CAST(tot_c AS DOUBLE)) AS expected
+    FROM j)
+  SELECT CAST(sum(n_sample) AS BIGINT) AS n_sample,
+         CAST(count(*) AS BIGINT) AS n_strata,
+         round(sum((n_sample - expected) * (n_sample - expected)
+                   / expected), 4) AS chi2_r,
+         sum((n_sample - expected) * (n_sample - expected) / expected)
+           > 9.487729036781154 AS biased_at_95
+  FROM terms"""
+
+
+@q("q286_sample_representativeness", _Q286_ORACLE)
+def q286(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-representativeness audit: a chi-square goodness-of-fit
+    of the q63-style deterministic 30 % hash sample's language mix
+    against the corpus mix — "is my sample representative" answered
+    BEFORE the sample feeds anything (the governance twin of q173's
+    drift chi-square: that compares two corpora, this compares a
+    sample to its own population).  Two partial-combined counts +
+    windows over the |langs|-row join; counts exact, the statistic
+    is the identical IEEE tree both engines round; significance
+    compared on the unrounded value against the dof=4 95 % critical
+    point."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+    )
+    keep = (
+        (F.col("doc_id") * 2654435761) % 4294967296
+    ) * 10000 / 4294967296 < 3000
+    samp = docs.filter(keep).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample")
+    )
+    wall = Window.partitionBy()
+    j = corpus.join(samp, "lang", "left").select(
+        "lang",
+        "n_corpus",
+        F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
+    ).select(
+        "lang",
+        "n_corpus",
+        "n_sample",
+        (
+            F.col("n_corpus")
+            * (
+                F.sum("n_sample").over(wall)
+                / F.sum("n_corpus").over(wall).cast("double")
+            )
+        ).alias("expected"),
+    )
+    term = (
+        (F.col("n_sample") - F.col("expected"))
+        * (F.col("n_sample") - F.col("expected"))
+        / F.col("expected")
+    )
+    return j.agg(
+        F.sum("n_sample").cast("bigint").alias("n_sample"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.round(F.sum(term), 4).alias("chi2_r"),
+        (F.sum(term) > 9.487729036781154).alias("biased_at_95"),
+    )

@@ -642,6 +642,15 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "partial_count" in p),
     ],
+    "q286_sample_representativeness": [
+        ("corpus and sample counts partial-combined; chi-square over "
+         "the |langs|-row join", True,
+         lambda p: "partial_count" in p),
+        ("sample filter is a codegen predicate (no Python, no "
+         "cartesian)", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "CartesianProduct" not in p),
+    ],
     # query -> list of (name, required, predicate on formatted plan text)
     "q05_projection": [
         ("column-pruned scan", True,

@@ -144,6 +144,7 @@ EXPECTED = {
     "q283_freshness_report": 1.3,
     "q284_tokenizer_fertility": 1.3,
     "q285_langid_quality_report": 1.3,
+    "q286_sample_representativeness": 1.3,
 }
 
 
