@@ -208,7 +208,10 @@ def gopher_quality(
 
 
 def language_id_table(
-    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> "DataFrame":
     """(id, lang_guess) via explode + codegen aggregation — the scale
     form of :func:`language_id`.
@@ -220,12 +223,18 @@ def language_id_table(
     exact semantics: first language in declared order whose score
     strictly exceeds the running best, 'und' when all are zero.  The
     shuffle carries |docs| × (1 + n_langs) longs.
+
+    ``carry_cols``: per-row columns functionally dependent on the id
+    (e.g. a label) carried THROUGH the aggregate as extra group keys,
+    so callers that need (label, guess) pairs don't pay a second
+    corpus scan + |docs|-row join to re-attach what was on the row.
     """
+    carry = list(carry_cols or [])
     toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+        F.col(id_col), *carry, F.explode(tokens(text_col)).alias("__tok")
     )
     lowered = F.lower(F.col("__tok"))
-    counts = toks.groupBy(id_col).agg(
+    counts = toks.groupBy(id_col, *carry).agg(
         F.count("*").alias("__n"),
         *[
             F.sum(F.when(lowered.isin(words), 1).otherwise(0)).alias(
@@ -242,7 +251,9 @@ def language_id_table(
         is_better = score > best_score
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, score).otherwise(best_score)
-    return counts.select(F.col(id_col), best_lang.alias("lang_guess"))
+    return counts.select(
+        F.col(id_col), *carry, best_lang.alias("lang_guess")
+    )
 
 
 def fingerprint_md5(col: str = "text") -> Column:

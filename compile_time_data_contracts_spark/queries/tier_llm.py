@@ -5552,27 +5552,32 @@ _Q283_ORACLE = """
 @q("q283_freshness_report", _Q283_ORACLE)
 def q283(spark: SparkSession, sf: str) -> DataFrame:
     """Data-freshness report per event stream: row count, last event
-    time, and hours behind the freshest stream (anchor = corpus max,
-    a 1-row broadcast — never now(), which would make the report
-    non-reproducible) — the ops staple that pages someone when a
-    source stalls, computed in ONE partial-combined aggregate pass;
+    time, and hours behind the freshest stream (anchor = corpus max —
+    never now(), which would make the report non-reproducible;
+    derived as a window over the |streams|-row aggregate itself, so
+    the event table is scanned ONCE) — the ops staple that pages
+    someone when a source stalls;
     lateness is a ratio of exact integer microseconds (the q251
     unix_micros ↔ epoch_us contract)."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf, "events")
-    mx = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("__anchor"))
     per = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max(F.unix_micros(F.col("ts"))).alias("__last_us"),
         F.max("ts").alias("__last_ts"),
     )
-    return per.crossJoin(F.broadcast(mx)).select(
+    # the anchor IS max(__last_us) over the |streams|-row aggregate —
+    # a window over the tiny result, never a second scan of events
+    anchor = F.max("__last_us").over(Window.partitionBy())
+    return per.select(
         "event_type",
         "n_events",
         F.date_format("__last_ts", "yyyy-MM-dd HH:mm:ss").alias(
             "last_ts_s"
         ),
         F.round(
-            (F.col("__anchor") - F.col("__last_us")) / 3600000000.0, 4
+            (anchor - F.col("__last_us")) / 3600000000.0, 4
         ).alias("hours_behind_r"),
     )
 
@@ -5693,42 +5698,51 @@ def q285(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text import language_id_table
 
     docs = load_table(spark, sf, "documents")
-    guessed = language_id_table(docs).withColumnRenamed(
-        "lang_guess", "pred"
-    )
-    labeled = docs.select("doc_id", F.col("lang").alias("label")).join(
-        guessed, "doc_id"
-    )
-    return classification_report(labeled, "label", "pred")
+    # lang rides THROUGH the language aggregate as a carried group key
+    # (functionally dependent on doc_id) — no second corpus scan, no
+    # |docs|-row join to re-attach the label
+    guessed = language_id_table(docs, carry_cols=["lang"])
+    return classification_report(guessed, "lang", "lang_guess")
 
 
 _Q286_ORACLE = """
-  WITH corpus AS (
-    SELECT lang, CAST(count(*) AS BIGINT) AS n_corpus
+  WITH per AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN ((doc_id * 2654435761) % 4294967296)
+                              * 10000 / 4294967296 < 3000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
     FROM documents GROUP BY lang),
-  samp AS (
-    SELECT lang, CAST(count(*) AS BIGINT) AS n_sample
-    FROM documents
-    WHERE ((doc_id * 2654435761) % 4294967296) * 10000
-          / 4294967296 < 3000
-    GROUP BY lang),
   j AS (
-    SELECT c.lang, c.n_corpus,
-           coalesce(s.n_sample, 0) AS n_sample,
-           sum(coalesce(s.n_sample, 0)) OVER () AS tot_s,
-           sum(c.n_corpus) OVER () AS tot_c
-    FROM corpus c LEFT JOIN samp s ON c.lang = s.lang),
+    SELECT lang, n_corpus, n_sample,
+           sum(n_sample) OVER () AS tot_s,
+           sum(n_corpus) OVER () AS tot_c
+    FROM per),
   terms AS (
     SELECT lang, n_corpus, n_sample,
            n_corpus * (tot_s / CAST(tot_c AS DOUBLE)) AS expected
-    FROM j)
-  SELECT CAST(sum(n_sample) AS BIGINT) AS n_sample,
-         CAST(count(*) AS BIGINT) AS n_strata,
-         round(sum((n_sample - expected) * (n_sample - expected)
-                   / expected), 4) AS chi2_r,
-         sum((n_sample - expected) * (n_sample - expected) / expected)
-           > 9.487729036781154 AS biased_at_95
-  FROM terms"""
+    FROM j),
+  a AS (
+    SELECT CAST(sum(n_sample) AS BIGINT) AS n_sample,
+           CAST(count(*) AS BIGINT) AS n_strata,
+           sum((n_sample - expected) * (n_sample - expected)
+               / expected) AS chi2
+    FROM terms)
+  SELECT n_sample, n_strata,
+         CAST(n_strata - 1 AS BIGINT) AS dof,
+         round(chi2, 4) AS chi2_r,
+         CASE n_strata - 1
+           WHEN 1 THEN chi2 > 3.841458820694124
+           WHEN 2 THEN chi2 > 5.991464547107979
+           WHEN 3 THEN chi2 > 7.814727903251179
+           WHEN 4 THEN chi2 > 9.487729036781154
+           WHEN 5 THEN chi2 > 11.070497693516351
+           WHEN 6 THEN chi2 > 12.591587243743977
+           WHEN 7 THEN chi2 > 14.067140449340169
+           WHEN 8 THEN chi2 > 15.50731305586545
+           WHEN 9 THEN chi2 > 16.918977604620448
+           ELSE NULL END AS biased_at_95
+  FROM a"""
 
 
 @q("q286_sample_representativeness", _Q286_ORACLE)
@@ -5738,29 +5752,28 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
     against the corpus mix — "is my sample representative" answered
     BEFORE the sample feeds anything (the governance twin of q173's
     drift chi-square: that compares two corpora, this compares a
-    sample to its own population).  Two partial-combined counts +
-    windows over the |langs|-row join; counts exact, the statistic
-    is the identical IEEE tree both engines round; significance
-    compared on the unrounded value against the dof=4 95 % critical
-    point."""
+    sample to its own population).  ONE conditional-sum scan (the
+    q173 one-pass discipline) + windows over the |langs|-row result;
+    counts exact, the statistic the identical IEEE tree both engines
+    round; significance compared on the unrounded value against the
+    dof-APPROPRIATE 95 % critical point from a shared lookup — dof
+    follows the data, so a corpus with a different language count is
+    never judged against the wrong threshold."""
     from pyspark.sql import Window
 
+    from ..operators.sampling import hash_bucket
+
     docs = load_table(spark, sf, "documents")
-    corpus = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
-    )
-    keep = (
-        (F.col("doc_id") * 2654435761) % 4294967296
-    ) * 10000 / 4294967296 < 3000
-    samp = docs.filter(keep).groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sample")
+    # the q63 sampling contract via the SHARED helper (no re-inlined
+    # magic constants), as a conditional sum so corpus and sample
+    # counts come from ONE scan — the q173 one-pass discipline
+    keep = hash_bucket(F.col("doc_id"), 10000) < F.lit(3000)
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        F.sum(keep.cast("long")).cast("bigint").alias("n_sample"),
     )
     wall = Window.partitionBy()
-    j = corpus.join(samp, "lang", "left").select(
-        "lang",
-        "n_corpus",
-        F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
-    ).select(
+    j = per.select(
         "lang",
         "n_corpus",
         "n_sample",
@@ -5777,9 +5790,31 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
         * (F.col("n_sample") - F.col("expected"))
         / F.col("expected")
     )
-    return j.agg(
+    a = j.agg(
         F.sum("n_sample").cast("bigint").alias("n_sample"),
         F.count(F.lit(1)).cast("bigint").alias("n_strata"),
-        F.round(F.sum(term), 4).alias("chi2_r"),
-        (F.sum(term) > 9.487729036781154).alias("biased_at_95"),
+        F.sum(term).alias("__chi2"),
+    )
+    # 95% chi-square critical values by dof — dof follows the data; a
+    # hardcoded df=4 verdict would silently misjudge any corpus with a
+    # different language count
+    crits = {
+        1: 3.841458820694124, 2: 5.991464547107979,
+        3: 7.814727903251179, 4: 9.487729036781154,
+        5: 11.070497693516351, 6: 12.591587243743977,
+        7: 14.067140449340169, 8: 15.50731305586545,
+        9: 16.918977604620448,
+    }
+    dof = F.col("n_strata") - 1
+    verdict = F.lit(None).cast("boolean")
+    for d in sorted(crits, reverse=True):
+        verdict = F.when(
+            dof == d, F.col("__chi2") > crits[d]
+        ).otherwise(verdict)
+    return a.select(
+        "n_sample",
+        "n_strata",
+        dof.cast("bigint").alias("dof"),
+        F.round("__chi2", 4).alias("chi2_r"),
+        verdict.alias("biased_at_95"),
     )

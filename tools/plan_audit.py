@@ -617,10 +617,11 @@ CHECKS = {
          and "EvalPython" not in p and "InPandas" not in p),
     ],
     "q283_freshness_report": [
-        ("one partial-combined aggregate pass; anchor is a 1-row "
-         "broadcast", True,
+        ("ONE scan of events: anchor is a window over the "
+         "|streams|-row aggregate, never a second pass", True,
          lambda p: "partial_max" in p
-         and "BroadcastNestedLoopJoin" in p),
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Join" not in p),
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
