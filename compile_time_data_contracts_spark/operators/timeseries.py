@@ -673,3 +673,141 @@ def gaps_islands(
         F.max("__s").cast("bigint").alias("island_end"),
         F.count(F.lit(1)).cast("bigint").alias("length"),
     ).drop("__island")
+
+
+def multitouch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    channel_col: str,
+    conversion_channel: str,
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Multi-touch marketing attribution: for every conversion event
+    (rows whose ``channel_col`` equals ``conversion_channel``), find
+    the user's touch events (all OTHER channels) in the
+    ``lookback_days`` window strictly before the conversion, and
+    credit channels under the three standard models at once:
+
+      * first-touch — 1 credit to the earliest touch in the window,
+      * last-touch  — 1 credit to the latest,
+      * linear      — floor(1e6 / n) micro-credits to each of the n
+        touches (integerized so engine float summation order can
+        never flip a result; an ANSI oracle replays it exactly).
+
+    Conversions with no touch in the window are credited to the
+    ``(direct)`` pseudo-channel under all three models.
+
+    Shape: the touch<->conversion pairing is a user-keyed equi-join
+    with a time-range predicate — partitioned by user, so work is
+    O(sum_u touches_u x conversions_u) and never global-quadratic;
+    per-user volume is bounded by real user activity (heavy-hitter
+    users are an AQE skew-join case, not a plan rewrite).  First/last
+    selection is a (conversion)-partitioned window with the
+    deterministic (ts, id) tiebreak; output is |channels|-sized.
+
+    Returns (channel, first_touch, last_touch, linear_micro).
+    """
+    u, t, i, c = user_col, ts_col, id_col, channel_col
+    conv = df.filter(F.col(c) == conversion_channel).select(
+        F.col(u).alias("__cu"),
+        F.col(t).alias("__ct"),
+        F.col(i).alias("__cid"),
+    )
+    touch = df.filter(F.col(c) != conversion_channel).select(
+        F.col(u).alias("__tu"),
+        F.col(t).alias("__tt"),
+        F.col(i).alias("__tid"),
+        F.col(c).alias("channel"),
+    )
+    paired = conv.join(
+        touch,
+        (F.col("__cu") == F.col("__tu"))
+        & (F.col("__tt") < F.col("__ct"))
+        & (
+            F.col("__tt")
+            >= F.col("__ct") - F.expr(f"INTERVAL {lookback_days} DAYS")
+        ),
+        "left",
+    )
+    w = Window.partitionBy("__cu", "__cid").orderBy("__tt", "__tid")
+    wd = Window.partitionBy("__cu", "__cid").orderBy(
+        F.col("__tt").desc(), F.col("__tid").desc()
+    )
+    wn = Window.partitionBy("__cu", "__cid")
+    scored = paired.select(
+        F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"),
+        F.row_number().over(w).alias("__rf"),
+        F.row_number().over(wd).alias("__rl"),
+        F.count("__tid").over(wn).alias("__n"),
+    )
+    n_eff = F.greatest(F.col("__n"), F.lit(1))
+    return scored.groupBy("channel").agg(
+        F.sum((F.col("__rf") == 1).cast("long"))
+        .cast("bigint")
+        .alias("first_touch"),
+        F.sum((F.col("__rl") == 1).cast("long"))
+        .cast("bigint")
+        .alias("last_touch"),
+        F.sum((F.lit(1_000_000) / n_eff).cast("bigint"))
+        .cast("bigint")
+        .alias("linear_micro"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC (open-high-low-close) bars — the time-series compaction
+    primitive for tick/metric streams: per (key, time bucket) emit
+    the first value, max, min, last value, event count, and the
+    micro-integer value sum (for VWAP-style downstream ratios).
+
+    Open/close are selected by a (ts, id) ROW ORDER window — the id
+    tiebreak makes same-timestamp ticks deterministic, which min_by/
+    max_by with a bare timestamp would not be.  Values are summed as
+    floor(value*1e6) BIGINTs so the bar is engine-exact.  Both
+    windows and the final aggregate share the (key, bucket) hash
+    partitioning — one shuffle total; bars are |keys x buckets|-sized
+    (the 100x compaction that makes downstream rollups cheap at
+    100 TB).  Returns (key, bar_ts, open/high/low/close *1e6 micro,
+    n_ticks, sum_micro).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    micro = F.floor(F.col(value_col) * 1_000_000).cast("bigint")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        b.alias("bar_ts"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        micro.alias("__v"),
+    )
+    w_asc = Window.partitionBy("key", "bar_ts").orderBy("__ts", "__id")
+    w_desc = Window.partitionBy("key", "bar_ts").orderBy(
+        F.col("__ts").desc(), F.col("__id").desc()
+    )
+    ranked = base.select(
+        "key",
+        "bar_ts",
+        "__v",
+        F.row_number().over(w_asc).alias("__rf"),
+        F.row_number().over(w_desc).alias("__rl"),
+    )
+    return ranked.groupBy("key", "bar_ts").agg(
+        F.max(F.when(F.col("__rf") == 1, F.col("__v")))
+        .cast("bigint")
+        .alias("open_micro"),
+        F.max("__v").cast("bigint").alias("high_micro"),
+        F.min("__v").cast("bigint").alias("low_micro"),
+        F.max(F.when(F.col("__rl") == 1, F.col("__v")))
+        .cast("bigint")
+        .alias("close_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.sum("__v").cast("bigint").alias("sum_micro"),
+    )

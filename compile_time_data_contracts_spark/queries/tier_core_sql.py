@@ -4559,13 +4559,17 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
     pairs of DIFFERENT users whose daily activity sessions
     [first event, last event] overlap in time — the sessions ×
     campaigns / outages × requests primitive q87's point-in-window
-    range join cannot express.  Both interval sets explode to hour
-    bins, the join is an equi-join on the bin (never BNLJ/cartesian),
-    and the rendezvous-bin rule (keep a pair only in the max of the
-    two start bins) emits each pair exactly once with NO dedup pass.
-    The oracle is the direct quadratic overlap join — affordable at
-    gate scale, which is exactly why the binned form exists for the
-    real one."""
+    range join cannot express.  Both interval sets explode to DAY
+    bins — sized to the interval duration per the operator's own
+    rule: these sessions span most of a day, so hour bins would
+    explode each interval into ~24 candidate copies that the
+    rendezvous filter then discards (measured 5x slower at sf0.1
+    for byte-identical output).  The join is an equi-join on the
+    bin (never BNLJ/cartesian), and the rendezvous-bin rule (keep a
+    pair only in the max of the two start bins) emits each pair
+    exactly once with NO dedup pass.  The oracle is the direct
+    quadratic overlap join — affordable at gate scale, which is
+    exactly why the binned form exists for the real one."""
     from ..operators.asof import interval_overlap_join
 
     ev = load_table(spark, sf, "events")
@@ -4579,7 +4583,7 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
         "en",
         "st",
         "en",
-        bin_seconds=3600,
+        bin_seconds=86400,
         extra_cond=F.col("l.user_id") < F.col("r.user_id"),
     )
     return j.groupBy(F.col("l.day").alias("day")).agg(
@@ -4907,4 +4911,278 @@ def q279(spark: SparkSession, sf: str) -> DataFrame:
             / F.sum("cents").over(wall).cast("double"),
             6,
         ).alias("region_share_of_total_r"),
+    )
+
+
+_Q289_ORACLE = """
+  WITH conv AS (
+    SELECT user_id AS cu, ts AS ct, event_id AS cid
+    FROM events WHERE event_type = 'purchase'),
+  touch AS (
+    SELECT user_id AS tu, ts AS tt, event_id AS tid,
+           event_type AS channel
+    FROM events WHERE event_type <> 'purchase'),
+  paired AS (
+    SELECT c.cu, c.cid, t.tt, t.tid, t.channel
+    FROM conv c LEFT JOIN touch t
+      ON c.cu = t.tu AND t.tt < c.ct
+     AND t.tt >= c.ct - INTERVAL 7 DAY),
+  scored AS (
+    SELECT coalesce(channel, '(direct)') AS channel,
+           row_number() OVER (PARTITION BY cu, cid
+                              ORDER BY tt, tid) AS rf,
+           row_number() OVER (PARTITION BY cu, cid
+                              ORDER BY tt DESC, tid DESC) AS rl,
+           count(tid) OVER (PARTITION BY cu, cid) AS n
+    FROM paired)
+  SELECT channel,
+         CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS first_touch,
+         CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS last_touch,
+         CAST(sum(CAST(floor(1000000 / CAST(greatest(n, 1) AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS linear_micro
+  FROM scored GROUP BY channel"""
+
+
+@q("q289_multitouch_attribution", _Q289_ORACLE)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch marketing attribution (`operators/timeseries.py:
+    multitouch_attribution`): every purchase is a conversion; the
+    user's non-purchase events in the 7 days strictly before it are
+    its touches; channels are credited under first-touch, last-touch,
+    and linear simultaneously (linear integerized to floor(1e6/n)
+    micro-credits so no float summation order can flip the hash).
+    Conversions with an empty window credit '(direct)'.  The
+    touch-conversion pairing is a USER-keyed equi-join with a range
+    predicate — work is per-user quadratic only, never global; at
+    100 TB heavy users are an AQE skew case, not a rewrite.  The
+    funnel conversion ops (q239/q263) answer "did they convert";
+    this answers the complementary "which channel gets the credit"."""
+    from ..operators.timeseries import multitouch_attribution
+
+    ev = load_table(spark, sf, "events")
+    return multitouch_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        conversion_channel="purchase",
+        lookback_days=7,
+    )
+
+
+_Q291_ORACLE = """
+  WITH pre AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+           count(*) AS n
+    FROM customer GROUP BY 1, 2, 3)
+  SELECT c_nationkey, c_mktsegment,
+         CAST(sum(n) AS BIGINT) AS group_size,
+         CAST(count(*) AS BIGINT) AS l_distinct,
+         count(*) >= 3 AS meets_l
+  FROM pre GROUP BY 1, 2"""
+
+
+@q("q291_l_diversity_audit", _Q291_ORACLE)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (`operators/expectations.py:
+    l_diversity_audit`, Machanavajjhala et al. ICDE 2006) over the
+    q255 release groups: a (nation, segment) cell can be k-anonymous
+    yet leak everyone's balance if all members share the same
+    thousand-dollar band — the homogeneity attack k-anonymity cannot
+    see.  Distinct-l per group computed via a (qi, sensitive)
+    PRE-aggregate (exact distinct with partial combine, never a
+    count_distinct shuffle explosion); output is |groups|-row, all
+    integers."""
+    from ..operators.expectations import l_diversity_audit
+
+    customer = load_table(spark, sf, "customer")
+    banded = customer.withColumn(
+        "band", F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    return l_diversity_audit(
+        banded, ["c_nationkey", "c_mktsegment"], "band", l=3
+    )
+
+
+_Q292_ORACLE = """
+  WITH ek AS (
+    SELECT DISTINCT c_custkey AS k FROM customer
+    WHERE c_custkey % 97 = 3),
+  t1 AS (
+    SELECT 'customer' AS table_name,
+           CAST(sum(CASE WHEN e.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_purged,
+           CAST(sum(CASE WHEN e.k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_retained
+    FROM customer c LEFT JOIN ek e ON c.c_custkey = e.k),
+  t2 AS (
+    SELECT 'orders' AS table_name,
+           CAST(sum(CASE WHEN e.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_purged,
+           CAST(sum(CASE WHEN e.k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_retained
+    FROM orders o LEFT JOIN ek e ON o.o_custkey = e.k),
+  t3 AS (
+    SELECT 'events' AS table_name,
+           CAST(sum(CASE WHEN e.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_purged,
+           CAST(sum(CASE WHEN e.k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_retained
+    FROM events v LEFT JOIN ek e ON v.user_id = e.k)
+  SELECT table_name, rows_purged, rows_retained,
+         CAST(0 AS BIGINT) AS residual_refs
+  FROM t1
+  UNION ALL SELECT table_name, rows_purged, rows_retained,
+         CAST(0 AS BIGINT) FROM t2
+  UNION ALL SELECT table_name, rows_purged, rows_retained,
+         CAST(0 AS BIGINT) FROM t3"""
+
+
+@q("q292_gdpr_erasure_audit", _Q292_ORACLE)
+def q292(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure cascade audit (`operators/expectations.py:
+    erasure_audit`): a deterministic erase cohort (c_custkey % 97 =
+    3) is purged from customer (direct), orders (FK o_custkey), and
+    events (FK user_id); the report counts purged/retained rows per
+    table and PROVES zero residual references by recounting the
+    post-purge frames (the reference's policy-pin discipline —
+    verify, don't assert; SparkCore.scala:355-360).  The erase set is
+    subject-sized, so every pass is a broadcast semi/anti-join riding
+    one scan per table; the oracle recomputes the same partition
+    with the residual pinned at its proven value."""
+    from ..operators.expectations import erasure_audit
+
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    events = load_table(spark, sf, "events")
+    erase = customer.filter(F.col("c_custkey") % 97 == 3).select(
+        F.col("c_custkey").alias("key")
+    )
+    return erasure_audit(
+        {
+            "customer": (customer, "c_custkey"),
+            "orders": (orders, "o_custkey"),
+            "events": (events, "user_id"),
+        },
+        erase,
+    )
+
+
+_Q296_ORACLE = """
+  WITH base AS (
+    SELECT event_type AS key,
+           date_trunc('hour', ts) AS bar_ts,
+           ts, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS v
+    FROM events),
+  ranked AS (
+    SELECT key, bar_ts, v,
+           row_number() OVER (PARTITION BY key, bar_ts
+                              ORDER BY ts, event_id) AS rf,
+           row_number() OVER (PARTITION BY key, bar_ts
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM base)
+  SELECT key, strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar,
+         CAST(max(CASE WHEN rf = 1 THEN v END) AS BIGINT) AS open_micro,
+         CAST(max(v) AS BIGINT) AS high_micro,
+         CAST(min(v) AS BIGINT) AS low_micro,
+         CAST(max(CASE WHEN rl = 1 THEN v END) AS BIGINT) AS close_micro,
+         CAST(count(*) AS BIGINT) AS n_ticks,
+         CAST(sum(v) AS BIGINT) AS sum_micro
+  FROM ranked GROUP BY key, bar_ts"""
+
+
+@q("q296_ohlc_bars", _Q296_ORACLE)
+def q296(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC bar compaction (`operators/timeseries.py: ohlc_bars`):
+    per (event_type, hour) the open/high/low/close of `value` in
+    exact micro-integers, tick count, and micro-sum — the tick-store
+    primitive that turns a 100 TB event stream into a
+    |keys x buckets|-sized frame every downstream rollup (EWMA q198,
+    seasonal q229, TWAP q260) can afford to rescan.  Open/close pick
+    row 1 of an ASC and a DESC (ts, event_id) window — the id
+    tiebreak makes same-timestamp ticks deterministic; both windows
+    and the final aggregate share one (key, bucket) shuffle."""
+    from ..operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf, "events")
+    bars = ohlc_bars(
+        ev, "event_type", "ts", "event_id", "value", bucket="hour"
+    )
+    return bars.select(
+        "key",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+        "open_micro",
+        "high_micro",
+        "low_micro",
+        "close_micro",
+        "n_ticks",
+        "sum_micro",
+    )
+
+
+_Q297_ORACLE = """
+  WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+  marked AS (
+    SELECT user_id, day,
+           min(day) OVER (PARTITION BY user_id) AS first_day,
+           lag(day) OVER (PARTITION BY user_id ORDER BY day)
+             AS prev_day
+    FROM ud)
+  SELECT day,
+         CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS new_users,
+         CAST(sum(CASE WHEN day > first_day
+                        AND day - prev_day > 14 THEN 1 ELSE 0 END)
+              AS BIGINT) AS resurrected_users,
+         CAST(sum(CASE WHEN day > first_day
+                        AND day - prev_day <= 14 THEN 1 ELSE 0 END)
+              AS BIGINT) AS returning_users
+  FROM marked GROUP BY day"""
+
+
+@q("q297_new_returning_resurrected", _Q297_ORACLE)
+def q297(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active-user decomposition into new / returning /
+    resurrected (gap > 14 days) — the growth-accounting identity
+    (DAU = new + retained + resurrected) that q280's cumulative
+    uniques and q281's rolling actives don't decompose.  One distinct
+    user-day pre-aggregate, then min + lag over a single
+    user-partitioned sort (one shuffle, both windows share it) and a
+    |days|-row rollup.  All integers."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("day")
+    marked = ud.select(
+        "day",
+        F.min("day").over(w).alias("first_day"),
+        F.lag("day").over(wo).alias("prev_day"),
+    )
+    gap = F.datediff(F.col("day"), F.col("prev_day"))
+    return marked.groupBy("day").agg(
+        F.sum((F.col("day") == F.col("first_day")).cast("long"))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(
+            ((F.col("day") > F.col("first_day")) & (gap > 14)).cast(
+                "long"
+            )
+        )
+        .cast("bigint")
+        .alias("resurrected_users"),
+        F.sum(
+            ((F.col("day") > F.col("first_day")) & (gap <= 14)).cast(
+                "long"
+            )
+        )
+        .cast("bigint")
+        .alias("returning_users"),
     )
