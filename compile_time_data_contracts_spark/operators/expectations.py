@@ -428,3 +428,44 @@ def erasure_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def filter_funnel(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Sequential filter-funnel report: how many rows survive each
+    successive rule when rules apply in ORDER — the observability
+    layer every curation pipeline needs before it trusts a combined
+    keep-flag (q137's ANDed gopher_keep says 40% survived; the funnel
+    says WHICH rule took the other 60%).
+
+    One conditional-sum pass computes every cumulative-AND count in a
+    single scan (no per-stage jobs, no re-reads); the |rules|-row
+    report is then unpivoted from the 1-row aggregate, so the cost at
+    100 TB is exactly one read of the input regardless of rule count.
+    Returns (stage, rule, n_in, n_out, n_dropped) with stage 1-based
+    and n_in of stage k = n_out of stage k-1.
+    """
+    if not rules:
+        raise ValueError("filter_funnel needs at least one rule")
+    cum = None
+    aggs = [F.count(F.lit(1)).alias("__c0")]
+    for i, (_, cond) in enumerate(rules, start=1):
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(F.sum(cum.cast("long")).alias(f"__c{i}"))
+    one = df.agg(*aggs)
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(f"__c{i - 1}").cast("bigint").alias("n_in"),
+                F.col(f"__c{i}").cast("bigint").alias("n_out"),
+                (F.col(f"__c{i - 1}") - F.col(f"__c{i}"))
+                .cast("bigint")
+                .alias("n_dropped"),
+            )
+            for i, (name, _) in enumerate(rules, start=1)
+        ]
+    )
+    return one.select(F.explode(stages).alias("s")).select("s.*")

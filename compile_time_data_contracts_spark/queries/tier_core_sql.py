@@ -5186,3 +5186,129 @@ def q297(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("returning_users"),
     )
+
+
+_Q299_ORACLE = """
+  WITH scored AS (
+    SELECT round(l_quantity + l_discount * 10, 2) AS s,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab,
+           l_orderkey, l_linenumber
+    FROM lineitem),
+  d AS (
+    SELECT lab,
+           ntile(10) OVER (ORDER BY s DESC, l_orderkey, l_linenumber)
+             AS decile
+    FROM scored),
+  per AS (
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(lab) AS BIGINT) AS pos
+    FROM d GROUP BY decile),
+  cum AS (
+    SELECT decile, n, pos,
+           sum(n) OVER (ORDER BY decile) AS cum_n,
+           sum(pos) OVER (ORDER BY decile) AS cum_pos,
+           sum(n) OVER () AS tot_n,
+           sum(pos) OVER () AS tot_pos
+    FROM per)
+  SELECT decile, n, pos,
+         CAST(cum_pos AS BIGINT) AS cum_pos,
+         round(cum_pos / CAST(tot_pos AS DOUBLE), 6) AS capture_r,
+         round((cum_pos / CAST(cum_n AS DOUBLE))
+               / (tot_pos / CAST(tot_n AS DOUBLE)), 6) AS lift_r
+  FROM cum"""
+
+
+@q("q299_decile_lift", _Q299_ORACLE)
+def q299(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile lift/gains table for the q269 rule scorer: rows ranked
+    by score descending into ntile(10) buckets (deterministic
+    orderkey/linenumber tiebreak), then per decile the positive
+    count, cumulative capture rate, and lift over base rate — the
+    model-eval artifact between q238's scalar AUC (threshold-free but
+    opaque) and q181's calibration deciles (reliability, not
+    targeting value): "mail the top 2 deciles" decisions read this
+    table.  Ratios of exact integer counts rounded at 6 dp; the
+    global ntile is one total-order sort — the same cost class as
+    q28/q93, acceptable because the output contract is a global
+    ranking (per-group variants ride q272's window shape)."""
+    li = load_table(spark, sf, "lineitem")
+    scored = li.select(
+        F.round(F.col("l_quantity") + F.col("l_discount") * 10, 2).alias(
+            "s"
+        ),
+        (F.col("l_returnflag") == "R").cast("int").alias("lab"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wd = Window.orderBy(
+        F.col("s").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    d = scored.select("lab", F.ntile(10).over(wd).alias("decile"))
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lab").cast("bigint").alias("pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = per.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("pos").over(wall).alias("tot_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "pos",
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        F.round(
+            F.col("cum_pos") / F.col("tot_pos").cast("double"), 6
+        ).alias("capture_r"),
+        F.round(
+            (F.col("cum_pos") / F.col("cum_n").cast("double"))
+            / (F.col("tot_pos") / F.col("tot_n").cast("double")),
+            6,
+        ).alias("lift_r"),
+    )
+
+
+_Q300_ORACLE = """
+  SELECT l_returnflag, l_linestatus,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_r,
+         round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_r,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_r,
+         round(quantile_cont(l_extendedprice, 0.90), 4) AS p90_r,
+         round(quantile_cont(l_extendedprice, 0.75)
+               - quantile_cont(l_extendedprice, 0.25), 4) AS iqr_r
+  FROM lineitem GROUP BY 1, 2"""
+
+
+@q("q300_percentile_cont_spread", _Q300_ORACLE)
+def q300(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (`percentile()`, the
+    ANSI percentile_cont semantics: linear interpolation at rank
+    (n-1)p): p25/p50/p75/p90 and the IQR of extended price by
+    (returnflag, linestatus) — the exact twin of q96's
+    approx_percentile and the spread companion to q131's
+    median/mode.  Both engines implement the identical (n-1)p
+    interpolation over a per-group sort, so values hash-match to the
+    bit (verified raw-equal before rounding at gate scale); one
+    shuffle on the 6-group key, percentile state is per-group
+    sorted-values — at 100 TB you reach for q96's sketch unless the
+    contract demands exactness, which is precisely the trade the
+    q96/q300 pair documents."""
+    li = load_table(spark, sf, "lineitem")
+    pc = lambda p: F.expr(f"percentile(l_extendedprice, {p})")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(pc(0.25), 4).alias("p25_r"),
+        F.round(pc(0.50), 4).alias("p50_r"),
+        F.round(pc(0.75), 4).alias("p75_r"),
+        F.round(pc(0.90), 4).alias("p90_r"),
+        F.round(pc(0.75) - pc(0.25), 4).alias("iqr_r"),
+    )

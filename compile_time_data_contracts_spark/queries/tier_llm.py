@@ -6241,3 +6241,138 @@ def q295(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hard"),
     )
+
+
+_Q298_ORACLE = """
+  WITH t AS (
+    SELECT text, string_split(text, ' ') AS words FROM documents),
+  s AS (
+    SELECT len(words) AS n_words,
+           list_sum(list_transform(words, w -> len(w)))::DOUBLE
+             / len(words) AS mean_len,
+           len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+             / len(words) AS symbol_r,
+           len(list_filter(words,
+               w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+             / len(words) AS alpha_f,
+           len(list_intersect(list_transform(words, w -> lower(w)),
+               ['the','be','to','of','and','that','have','with','a','in']))
+             AS stop_hits
+    FROM t),
+  f AS (
+    -- flags recomputed from the ROUNDED signals, matching the Spark
+    -- side exactly (gopher_quality exposes round(.,6) columns and the
+    -- funnel recomputes its rules from those)
+    SELECT n_words BETWEEN 20 AND 1000 AS r1,
+           round(mean_len, 6) BETWEEN 3.0 AND 10.0 AS r2,
+           round(symbol_r, 6) <= 0.1 AS r3,
+           round(alpha_f, 6) >= 0.8 AS r4,
+           stop_hits >= 2 AS r5
+    FROM s),
+  a AS (
+    SELECT CAST(count(*) AS BIGINT) AS c0,
+           CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c2,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c3,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c4,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c5
+    FROM f)
+  SELECT 1 AS stage, 'word_count_band' AS rule,
+         c0 AS n_in, c1 AS n_out, c0 - c1 AS n_dropped FROM a
+  UNION ALL SELECT 2, 'mean_word_len_band', c1, c2, c1 - c2 FROM a
+  UNION ALL SELECT 3, 'symbol_ratio_max', c2, c3, c2 - c3 FROM a
+  UNION ALL SELECT 4, 'alpha_frac_min', c3, c4, c3 - c4 FROM a
+  UNION ALL SELECT 5, 'stop_word_floor', c4, c5, c4 - c5 FROM a"""
+
+
+@q("q298_filter_funnel", _Q298_ORACLE)
+def q298(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation filter funnel (`operators/expectations.py:
+    filter_funnel`): the q137 Gopher rules applied in ORDER, with
+    per-stage survivor/drop counts — q137's ANDed keep flag says how
+    many documents survived; this says WHICH rule took the rest,
+    which is what you tune when the survival rate surprises you.
+    All cumulative-AND counts come from ONE conditional-sum scan
+    (never one job per rule); the 5-row report unpivots from the
+    1-row aggregate."""
+    from ..operators.expectations import filter_funnel
+    from ..operators.text import gopher_quality
+
+    docs = load_table(spark, sf, "documents")
+    cols = gopher_quality("text")
+    # per-rule booleans recomputed from the same signal columns the
+    # battery exposes (names pinned by q137's output contract)
+    flagged = docs.select(*cols)
+    rules = [
+        ("word_count_band", F.col("n_words").between(20, 1000)),
+        ("mean_word_len_band", F.col("mean_word_len").between(3.0, 10.0)),
+        ("symbol_ratio_max", F.col("symbol_ratio") <= 0.1),
+        ("alpha_frac_min", F.col("alpha_frac") >= 0.8),
+        ("stop_word_floor", F.col("stop_hits") >= 2),
+    ]
+    return filter_funnel(flagged, rules)
+
+
+_Q301_ORACLE = """
+  WITH n AS (
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                        x -> x * x))) AS nrm
+    FROM embeddings),
+  m AS (SELECT quantile_cont(nrm, 0.5) AS med FROM n),
+  a AS (
+    SELECT quantile_cont(abs(n.nrm - m.med), 0.5) AS mad
+    FROM n, m)
+  SELECT n.vec_id,
+         round(n.nrm, 6) AS norm_r,
+         round((n.nrm - m.med) / (1.4826 * a.mad), 4) AS z_mad_r
+  FROM n, m, a
+  WHERE abs((n.nrm - m.med) / (1.4826 * a.mad)) > 2.5"""
+
+
+@q("q301_embedding_norm_outliers", _Q301_ORACLE)
+def q301(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding norm-outlier audit: per-vector L2 norm via ONE
+    sequential in-row fold (engine-exact — same left-to-right IEEE
+    sum both sides, no shuffle-order hazard), then robust MAD
+    z-scores against the corpus median (q183's estimator on the
+    embedding table) and the |z| > 2.5 outlier rows — collapsed or
+    exploded embeddings are the classic silent poison in a vector
+    corpus, invisible to q102's per-DIMENSION stats because a bad
+    VECTOR hides inside 64 healthy dimension means.  The median/MAD
+    pair is two exact interpolated percentiles (q300's verified
+    bit-parity); the two scalars broadcast back over one more pass.
+    Cost: two scans of the norms projection + the row filter."""
+    emb = load_table(spark, sf, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    med = nrm.agg(F.expr("percentile(nrm, 0.5)").alias("med"))
+    a = nrm.crossJoin(F.broadcast(med)).agg(
+        F.expr("percentile(abs(nrm - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    z = (F.col("nrm") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        nrm.crossJoin(F.broadcast(a))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("norm_r"),
+            F.round(z, 4).alias("z_mad_r"),
+        )
+    )

@@ -287,3 +287,44 @@ def test_ohlc_bars_deterministic_open_close(spark):
     assert b1["n_ticks"] == 4
     assert b1["sum_micro"] == 42_500_000
     assert bars[t0 + timedelta(hours=1)]["n_ticks"] == 1
+
+
+# --------------------------------------------------- filter funnel
+def test_filter_funnel_sequential_counts(spark):
+    from compile_time_data_contracts_spark.operators.expectations import (
+        filter_funnel,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)], "x long"
+    )
+    out = {
+        r["stage"]: r
+        for r in filter_funnel(
+            df,
+            [
+                ("lt8", F.col("x") < 8),   # drops 2
+                ("even", F.col("x") % 2 == 0),  # drops 4 of the 8
+                ("ge4", F.col("x") >= 4),  # keeps 4,6 of 0,2,4,6
+            ],
+        ).collect()
+    }
+    assert out[1]["n_in"] == 10 and out[1]["n_out"] == 8
+    assert out[2]["n_in"] == 8 and out[2]["n_out"] == 4
+    assert out[3]["n_in"] == 4 and out[3]["n_out"] == 2
+    assert out[3]["rule"] == "ge4"
+    assert out[2]["n_dropped"] == 4
+
+
+def test_filter_funnel_single_scan_plan(spark):
+    # the funnel must not re-scan per rule: exactly one aggregate over
+    # the input, stages unpivoted from the 1-row result
+    from compile_time_data_contracts_spark.operators.expectations import (
+        filter_funnel,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("x"))
+    plan = filter_funnel(
+        df, [("a", F.col("x") > 1), ("b", F.col("x") > 2)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range") == 1
