@@ -4026,24 +4026,28 @@ _Q243_ORACLE = """
            CAST(floor(o_totalprice * 100) AS BIGINT) AS v
     FROM orders),
   ex AS (
-    SELECT kk, v, b
+    SELECT kk, v, g
     FROM base CROSS JOIN
-         (SELECT unnest(generate_series(0, 199)) AS b) r),
+         (SELECT unnest(generate_series(0, 24)) AS g) r),
+  dig AS (
+    SELECT v, g,
+           md5(kk || '|' || CAST(g AS VARCHAR) || '|' || 'boot-v1')
+             AS d
+    FROM ex),
+  lanes AS (
+    SELECT v, g, lane, substring(d, 1 + 4 * lane, 4) AS h
+    FROM dig CROSS JOIN
+         (SELECT unnest(generate_series(0, 7)) AS lane) l),
   wtab AS (
-    SELECT v, b,
+    SELECT v, g * 8 + lane AS b,
            CASE
-             WHEN u < 0.36787944117144233 THEN 0
-             WHEN u < 0.7357588823428847 THEN 1
-             WHEN u < 0.9196986029286058 THEN 2
-             WHEN u < 0.9810118431238462 THEN 3
-             WHEN u < 0.9963401531726562 THEN 4
+             WHEN h < '5e2d' THEN 0
+             WHEN h < 'bc5a' THEN 1
+             WHEN h < 'eb71' THEN 2
+             WHEN h < 'fb23' THEN 3
+             WHEN h < 'ff10' THEN 4
              ELSE 5 END AS w
-    FROM (SELECT v, b,
-                 (('0x' || substring(
-                     md5(kk || '|' || CAST(b AS VARCHAR)
-                         || '|' || 'boot-v1'), 1, 13))::BIGINT
-                  / 4503599627370496.0) AS u
-          FROM ex)),
+    FROM lanes),
   reps AS (
     SELECT b, CAST(sum(w * v) AS BIGINT) AS swx,
            CAST(sum(w) AS BIGINT) AS sw

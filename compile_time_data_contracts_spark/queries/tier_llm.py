@@ -6143,14 +6143,14 @@ _Q294_ORACLE = """
     SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
     FROM seq WHERE e3 IS NOT NULL
     GROUP BY 1, 2, 3),
-  bi AS (
-    SELECT e1, e2, CAST(sum(n) AS BIGINT) AS n2 FROM tri
-    GROUP BY 1, 2)
-  SELECT t.e1 || '>' || t.e2 || '>' || t.e3 AS path, t.n,
-         CAST(floor(1000000 * t.n / CAST(b.n2 AS DOUBLE)) AS BIGINT)
+  wt AS (
+    SELECT e1, e2, e3, n,
+           sum(n) OVER (PARTITION BY e1, e2) AS n2
+    FROM tri)
+  SELECT e1 || '>' || e2 || '>' || e3 AS path, n,
+         CAST(floor(1000000 * n / CAST(n2 AS DOUBLE)) AS BIGINT)
            AS conf_micro
-  FROM tri t JOIN bi b ON t.e1 = b.e1 AND t.e2 = b.e2
-  WHERE t.n >= 5"""
+  FROM wt WHERE n >= 5"""
 
 
 @q("q294_event_path_mining", _Q294_ORACLE)
@@ -6174,11 +6174,12 @@ def q294(spark: SparkSession, sf: str) -> DataFrame:
     tri = seq.groupBy("e1", "e2", "e3").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    bi = tri.groupBy("e1", "e2").agg(
-        F.sum("n").cast("bigint").alias("n2")
-    )
+    # bigram denominator as a WINDOW over the trigram rollup — a
+    # groupBy+self-join here would recompute the whole trigram subtree
+    # (two corpus scans); the window reuses the |paths|-sized frame
+    wb = Window.partitionBy("e1", "e2")
     return (
-        tri.join(bi, ["e1", "e2"])
+        tri.withColumn("n2", F.sum("n").over(wb))
         .filter(F.col("n") >= 5)
         .select(
             F.concat_ws(">", "e1", "e2", "e3").alias("path"),

@@ -1431,6 +1431,111 @@ CHECKS = {
         ("weighted fold is codegen, no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q287_kmv_intersection_contract": [
+        ("per-set top-k prunes at the window (WindowGroupLimit: "
+         "partitions forward <= k rows per set)", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("md5 hashing stays JVM-side", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+        ("no cartesian anywhere in sketch merge", True,
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "q288_link_prediction_ra": [
+        ("carrier self-join is a z-keyed equi-join, never "
+         "cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("pair scores partial-aggregated before the (u,v) shuffle",
+         True, lambda p: "partial_count" in p),
+        ("adjacency exclusion is a LeftAnti join", True,
+         lambda p: "LeftAnti" in p),
+    ],
+    "q289_multitouch_attribution": [
+        ("touch pairing is a user-keyed join, never cartesian", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("credit arithmetic stays JVM-side", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q290_ranking_metrics": [
+        ("rank<=k filter prunes at the window (WindowGroupLimit)",
+         True, lambda p: "WindowGroupLimit" in p),
+        ("per-group metric sums partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+    ],
+    "q291_l_diversity_audit": [
+        ("exact distinct-l via two-level aggregate, both "
+         "partial-combined (never a count_distinct expand)", True,
+         lambda p: "partial_count" in p and "Expand" not in p),
+        ("single scan of the subject table", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q292_gdpr_erasure_audit": [
+        ("every purge/audit pass is a broadcast join (the erase set "
+         "is subject-sized)", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "SortMergeJoin" not in p),
+        ("residual proof is a LeftSemi recount", True,
+         lambda p: "LeftSemi" in p),
+    ],
+    "q293_community_modularity": [
+        ("degree + internal-edge counts partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("label joins are equi-joins, no cartesian", True,
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "q294_event_path_mining": [
+        ("ONE scan: bigram denominator is a window over the trigram "
+         "rollup, not a self-join re-derivation", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Join" not in p),
+        ("trigram counts partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q296_ohlc_bars": [
+        ("both rank windows and the bar aggregate share ONE "
+         "(key, bucket) exchange", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1),
+        ("no Python in the tick path", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q297_new_returning_resurrected": [
+        ("min/lag windows share the user partitioning (one window "
+         "exchange + distinct + day rollup only)", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 3),
+        ("day rollup partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+    ],
+    "q298_filter_funnel": [
+        ("ONE conditional-sum scan computes every funnel stage "
+         "(never a job per rule)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("cumulative-AND counts partial-aggregated", True,
+         lambda p: "partial_count" in p or "partial_sum" in p),
+    ],
+    "q299_decile_lift": [
+        ("per-decile counts partial-aggregated after the ntile sort",
+         True, lambda p: "partial_count" in p),
+        ("no Python, no cartesian", True,
+         lambda p: "EvalPython" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "q300_percentile_cont_spread": [
+        ("exact percentiles partial-aggregated over ONE scan", True,
+         lambda p: "partial_percentile" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q301_embedding_norm_outliers": [
+        ("norm fold is codegen (no Python), stat recombination is "
+         "1-row broadcast", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "BroadcastNestedLoopJoin" in p),
+        ("at most three scans of the vector table (median, MAD, "
+         "filter passes)", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's
