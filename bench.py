@@ -200,6 +200,21 @@ HEADLINE = [
     "q284_tokenizer_fertility",
     "q285_langid_quality_report",
     "q286_sample_representativeness",
+    "q287_kmv_intersection_contract",
+    "q288_link_prediction_ra",
+    "q289_multitouch_attribution",
+    "q290_ranking_metrics",
+    "q291_l_diversity_audit",
+    "q292_gdpr_erasure_audit",
+    "q293_community_modularity",
+    "q294_event_path_mining",
+    "q295_readability_profile",
+    "q296_ohlc_bars",
+    "q297_new_returning_resurrected",
+    "q298_filter_funnel",
+    "q299_decile_lift",
+    "q300_percentile_cont_spread",
+    "q301_embedding_norm_outliers",
 ]
 
 

@@ -145,6 +145,23 @@ EXPECTED = {
     "q284_tokenizer_fertility": 1.3,
     "q285_langid_quality_report": 1.3,
     "q286_sample_representativeness": 1.3,
+    # round 7: one scan + KB sketches / capped posting joins /
+    # user-keyed windows — all n or n·log n by plan
+    "q287_kmv_intersection_contract": 1.3,
+    "q288_link_prediction_ra": 1.5,   # sum deg^2 over capped carriers
+    "q289_multitouch_attribution": 1.5,  # per-user touch x conv pairing
+    "q290_ranking_metrics": 1.3,
+    "q291_l_diversity_audit": 1.3,
+    "q292_gdpr_erasure_audit": 1.3,
+    "q293_community_modularity": 1.3,
+    "q294_event_path_mining": 1.3,
+    "q295_readability_profile": 1.3,
+    "q296_ohlc_bars": 1.3,
+    "q297_new_returning_resurrected": 1.3,
+    "q298_filter_funnel": 1.3,
+    "q299_decile_lift": 1.3,          # global ntile sort, n·log n
+    "q300_percentile_cont_spread": 1.3,
+    "q301_embedding_norm_outliers": 1.3,
 }
 
 
@@ -169,6 +186,14 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = list(EXPECTED)
+    # --only qA qB ...: sweep just those queries and DEEP-merge their
+    # rows into the existing sf_sweep entry (full-sweep rows persist)
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1:]
+        unknown = [n for n in only if n not in EXPECTED]
+        if unknown:
+            raise SystemExit(f"--only names not in EXPECTED: {unknown}")
+        names = only
 
     # warm-up: one untimed pass of every query at the smallest sf
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -217,14 +242,23 @@ def main() -> None:
             "flagged": is_flagged,
         }
 
+    from scalebench import _load, merge_entry
+
+    if names != list(EXPECTED):
+        prior = _load()["entries"].get("sf_sweep", {})
+        merged_q = dict(prior.get("queries", {}))
+        merged_q.update(entries)
+        flagged = sorted(
+            set(prior.get("flagged", [])) - set(names)
+            | set(flagged)
+        )
+        entries = merged_q
     results = {
         "repeats": REPEATS,
         "queries": entries,
         "flagged": flagged,
         "ok": not flagged,
     }
-    from scalebench import merge_entry
-
     merge_entry("sf_sweep", results)
     print(json.dumps({"metric": "scale_probe_sfsweep", "results": results}))
     sys.exit(0 if not flagged else 1)
