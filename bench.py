@@ -215,6 +215,8 @@ HEADLINE = [
     "q299_decile_lift",
     "q300_percentile_cont_spread",
     "q301_embedding_norm_outliers",
+    "q302_sparse_tfidf_knn",
+    "q303_kmv_incremental_merge",
 ]
 
 

@@ -6377,3 +6377,181 @@ def q301(spark: SparkSession, sf: str) -> DataFrame:
             F.round(z, 4).alias("z_mad_r"),
         )
     )
+
+
+_Q302_ORACLE = """
+  WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  posts AS (
+    SELECT doc_id,
+           w[i] || '|' || w[i + 1] || '|' || w[i + 2] AS shingle
+    FROM toks, LATERAL UNNEST(generate_series(1, len(w) - 2))
+         AS s(i)),
+  tf AS (
+    SELECT doc_id, shingle, count(*) AS tf
+    FROM posts GROUP BY 1, 2),
+  dfreq AS (
+    SELECT shingle, count(*) AS df FROM tf GROUP BY 1),
+  wt AS (
+    SELECT t.doc_id AS doc, t.shingle,
+           t.tf * CAST(floor(1000000 / CAST(d.df AS DOUBLE)) AS BIGINT)
+             AS w
+    FROM tf t JOIN dfreq d ON t.shingle = d.shingle
+    WHERE d.df <= 10000),
+  norms AS (
+    SELECT doc, CAST(sum(w * w) AS BIGINT) AS n2 FROM wt GROUP BY 1),
+  num AS (
+    SELECT a.doc AS da, b.doc AS db,
+           CAST(sum(a.w * b.w) AS BIGINT) AS num
+    FROM wt a JOIN wt b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2),
+  mirrored AS (
+    SELECT da, db, num FROM num
+    UNION ALL SELECT db, da, num FROM num),
+  cosed AS (
+    SELECT p.da, p.db,
+           p.num / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+    FROM mirrored p
+    JOIN norms na ON p.da = na.doc
+    JOIN norms nb ON p.db = nb.doc),
+  ranked AS (
+    SELECT da, db, c,
+           row_number() OVER (PARTITION BY da
+                              ORDER BY c DESC, db ASC) AS rank
+    FROM cosed)
+  SELECT da AS doc_id, db AS neighbor,
+         CAST(rank AS INT) AS rank, round(c, 6) AS cos_r
+  FROM ranked WHERE rank <= 5"""
+
+
+@q("q302_sparse_tfidf_knn", _Q302_ORACLE)
+def q302(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse lexical kNN (`operators/similarity.py:
+    sparse_tfidf_knn`): top-5 cosine neighbors per document over
+    word-TRIGRAM inverse-df weighted vectors, as a posting-list join
+    — the sparse-retrieval counterpart to the dense q49/q56/q67
+    paths, exact on the lexical space and model-free.  Integer
+    weights (tf * floor(1e6/df)), BIGINT dot products and norms, one
+    fixed IEEE cosine expression — the oracle replays everything.
+    Trigram terms keep df low by construction (this corpus: vocab 31
+    but ~30k distinct trigrams) and max_df=10000 caps hot terms
+    outright; the top-k prunes at the window (WindowGroupLimit)."""
+    from ..operators.similarity import sparse_tfidf_knn
+
+    docs = load_table(spark, sf, "documents")
+    return sparse_tfidf_knn(
+        docs, id_col="doc_id", text_col="text", n=3, k=5, max_df=10_000
+    )
+
+
+_Q303_ORACLE = """
+  WITH ud AS (
+    SELECT DISTINCT user_id || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)
+             AS k,
+           CAST(ts AS DATE) AS day
+    FROM events),
+  h AS (
+    SELECT k, day,
+           ('0x' || substring(md5(k || '|kmv-v1'), 1, 13))::BIGINT AS h
+    FROM ud),
+  cutoff AS (
+    SELECT CAST(min(day) + INTERVAL 20 DAY AS DATE) AS c FROM h),
+  old_sk AS (
+    SELECT h FROM (
+      SELECT h.h, row_number() OVER (ORDER BY h.h) AS rn
+      FROM h, cutoff WHERE h.day < cutoff.c) WHERE rn <= 256),
+  new_sk AS (
+    SELECT h FROM (
+      SELECT h.h, row_number() OVER (ORDER BY h.h) AS rn
+      FROM h, cutoff WHERE h.day >= cutoff.c) WHERE rn <= 256),
+  merged AS (
+    SELECT h FROM (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+        SELECT DISTINCT h FROM (
+          SELECT h FROM old_sk UNION ALL SELECT h FROM new_sk)))
+    WHERE rn <= 256),
+  full_sk AS (
+    SELECT h FROM (
+      SELECT DISTINCT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM h)) WHERE rn <= 256),
+  cmp AS (
+    SELECT (SELECT count(*) FROM merged) AS k_merged,
+           (SELECT count(*) FROM full_sk) AS k_full,
+           (SELECT count(*) FROM (
+              SELECT h FROM merged INTERSECT SELECT h FROM full_sk))
+             AS k_common,
+           (SELECT max(h) FROM merged) AS hk_merged)
+  SELECT CAST(k_merged AS BIGINT) AS k_merged,
+         k_merged = k_full AND k_common = k_merged
+           AS merged_equals_full,
+         round(CASE WHEN k_merged < 256
+                    THEN CAST(k_merged AS DOUBLE)
+               ELSE (k_merged - 1) * 4503599627370496.0 / hk_merged
+               END, 4) AS est_distinct_r
+  FROM cmp"""
+
+
+@q("q303_kmv_incremental_merge", _Q303_ORACLE)
+def q303(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV mergeability as an enforced contract (the q287 sketch's
+    INCREMENTAL refresh path): sketch the first 20 days of user-day
+    activity, sketch the later batch separately, MERGE the two
+    k-sized sketches, and prove the merged sketch is row-identical to
+    a full recompute — top-k of a union of top-ks IS the union's
+    top-k, which is exactly why KMV refreshes at 100 TB cost the new
+    batch's scan plus a KB-sized merge (the q135/q143/q206
+    incremental discipline applied to sketches).  The oracle replays
+    both paths and the equality verdict verbatim."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import HASH_SPACE, kmv_hash
+
+    K = 256
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("k"),
+        F.col("ts").cast("date").alias("day"),
+    ).distinct()
+    h = ud.select(kmv_hash(F.col("k")).alias("h"), "day")
+    cutoff = h.agg(
+        F.date_add(F.min("day"), 20).alias("c")
+    ).collect()[0]["c"]
+
+    def topk(df):
+        w = W.orderBy("h")
+        return (
+            df.select("h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("h")
+        )
+
+    old_sk = topk(h.filter(F.col("day") < F.lit(cutoff)))
+    new_sk = topk(h.filter(F.col("day") >= F.lit(cutoff)))
+    merged = topk(old_sk.unionByName(new_sk))
+    full_sk = topk(h)
+    k_merged = merged.count()
+    k_full = full_sk.count()
+    k_common = merged.intersect(full_sk).count()
+    hk = merged.agg(F.max("h").alias("m")).collect()[0]["m"]
+    est = (
+        float(k_merged)
+        if k_merged < K
+        else (k_merged - 1) * HASH_SPACE / hk
+    )
+    return spark.createDataFrame(
+        [
+            (
+                k_merged,
+                bool(k_merged == k_full and k_common == k_merged),
+                round(est, 4),
+            )
+        ],
+        "k_merged bigint, merged_equals_full boolean, est_distinct_r double",
+    )

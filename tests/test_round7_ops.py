@@ -328,3 +328,45 @@ def test_filter_funnel_single_scan_plan(spark):
         df, [("a", F.col("x") > 1), ("b", F.col("x") > 2)]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range") == 1
+
+
+# ---------------------------------------------- sparse TF-IDF kNN
+def test_sparse_knn_ranks_lexical_overlap(spark):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        sparse_tfidf_knn,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x y"),   # shares trigrams "a|b|c","b|c|d" with 1
+            (3, "a b c q r s"),   # shares only "a|b|c" with 1 and 2
+            (4, "z z z z z z"),   # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = sparse_tfidf_knn(docs, k=3)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # doc 1's best neighbor is 2 (two shared trigrams beat one)
+    assert rows[(1, 1)]["neighbor"] == 2
+    assert rows[(1, 2)]["neighbor"] == 3
+    # doc 4 has no neighbors at all
+    assert not any(d == 4 for d, _ in rows)
+    # symmetric: 2's best is 1
+    assert rows[(2, 1)]["neighbor"] == 1
+    assert 0 < rows[(1, 1)]["cos_r"] <= 1.0
+
+
+def test_sparse_knn_max_df_caps_hot_terms(spark):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        sparse_tfidf_knn,
+    )
+
+    # the shared trigram appears in ALL 4 docs; max_df=3 must cap it,
+    # leaving no shared terms -> no pairs at all
+    docs = spark.createDataFrame(
+        [(i, f"a b c u{i} v{i} w{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert sparse_tfidf_knn(docs, k=3, max_df=3).count() == 0
+    assert sparse_tfidf_knn(docs, k=3, max_df=4).count() > 0

@@ -1527,6 +1527,19 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q302_sparse_tfidf_knn": [
+        ("posting join is a shingle-keyed equi-join, never "
+         "cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("pair dot products partial-aggregated before the (a,b) "
+         "shuffle", True, lambda p: "partial_sum" in p),
+        ("top-k prunes at the window (WindowGroupLimit)", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("shingling is codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
     "q301_embedding_norm_outliers": [
         ("norm fold is codegen (no Python), stat recombination is "
          "1-row broadcast", True,

@@ -162,6 +162,12 @@ EXPECTED = {
     "q299_decile_lift": 1.3,          # global ntile sort, n·log n
     "q300_percentile_cont_spread": 1.3,
     "q301_embedding_norm_outliers": 1.3,
+    # trigram posting join on a 31-word SATURATED vocab fixture: df
+    # grows linearly with docs once the 30k-trigram space fills, so
+    # sum df^2 is honestly ~quadratic HERE (real corpora grow vocab);
+    # max_df is the enforced cap, q54/q56 are the banded scale paths
+    "q302_sparse_tfidf_knn": 2.1,
+    "q303_kmv_incremental_merge": 1.3,
 }
 
 
