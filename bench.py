@@ -217,6 +217,7 @@ HEADLINE = [
     "q301_embedding_norm_outliers",
     "q302_sparse_tfidf_knn",
     "q303_kmv_incremental_merge",
+    "q304_stream_ohlc_bars",
 ]
 
 

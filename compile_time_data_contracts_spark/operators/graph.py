@@ -778,7 +778,9 @@ def link_prediction_ra(
 
 
 def community_modularity(
-    edges: DataFrame, labels: DataFrame
+    edges: DataFrame,
+    labels: DataFrame,
+    n_sym_edges: int | None = None,
 ) -> DataFrame:
     """Per-community Newman modularity contributions for a node
     labelling (e.g. :func:`label_propagation` output): for community
@@ -797,8 +799,11 @@ def community_modularity(
     IEEE expression over two integers, so an ANSI oracle reproduces
     every row bit-for-bit.  Cost: one degree aggregate + two
     broadcast-size label joins over the edge list — one shuffle
-    round, no iteration.  Returns (label, members, internal_edges,
-    degree_sum, contribution_r).
+    round, no iteration — plus one |sym| count job at BUILD time
+    unless the caller passes ``n_sym_edges`` (the q165-pagerank
+    lazy-build discipline: callers that already know the edge count,
+    or batch many modularity calls, skip the extra job).  Returns
+    (label, members, internal_edges, degree_sum, contribution_r).
     """
     e0 = edges.select(
         F.col("src").cast("bigint").alias("src"),
@@ -830,7 +835,7 @@ def community_modularity(
         .groupBy(F.col("ls").alias("label"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
     )
-    m2 = sym.count()  # |sym| = 2m; one count job, edge list reused
+    m2 = n_sym_edges if n_sym_edges is not None else sym.count()
     return (
         per_label.join(internal, "label", "left")
         .select(

@@ -544,3 +544,94 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
             " + 100 * n) DIV (200 * n) AS DOUBLE) / 10000"
         ).alias("avg_value"),
     )
+
+
+@q(
+    "q304_stream_ohlc_bars",
+    """WITH base AS (
+         SELECT event_type AS key,
+                date_trunc('hour', ts) AS bar_ts,
+                ts, event_id,
+                CAST(floor(value * 1000000) AS BIGINT) AS v
+         FROM events),
+       ranked AS (
+         SELECT key, bar_ts, v,
+                row_number() OVER (PARTITION BY key, bar_ts
+                                   ORDER BY ts, event_id) AS rf,
+                row_number() OVER (PARTITION BY key, bar_ts
+                                   ORDER BY ts DESC, event_id DESC)
+                  AS rl
+         FROM base)
+       SELECT key, strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar,
+              CAST(max(CASE WHEN rf = 1 THEN v END) AS BIGINT)
+                AS open_micro,
+              CAST(max(v) AS BIGINT) AS high_micro,
+              CAST(min(v) AS BIGINT) AS low_micro,
+              CAST(max(CASE WHEN rl = 1 THEN v END) AS BIGINT)
+                AS close_micro,
+              CAST(count(*) AS BIGINT) AS n_ticks,
+              CAST(sum(v) AS BIGINT) AS sum_micro
+       FROM ranked GROUP BY key, bar_ts""",
+)
+def q304(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING OHLC bar maintenance: the q296 tick-compaction
+    primitive kept fresh by the q212 versioned-state merger — the
+    key insight is that open/close are ALGEBRAIC once packed as
+    (ts, event_id, value) structs: struct min/max is lexicographic,
+    so `merge(state, batch)` picks the globally earliest/latest tick
+    across epochs with plain min/max — no windows over history, no
+    re-scan; each epoch costs O(batch) + O(|bars|).  The events
+    table replays as 3 ordered micro-batches through foreachBatch;
+    the final state must equal the batch recompute the oracle runs
+    (the q44/q78 stream-equals-batch discipline)."""
+    import tempfile
+
+    from ..operators.incremental import versioned_state_merger
+    from ..streaming.windows import events_stream, write_ordered_feed
+
+    keys = ["key", "bar_ts"]
+
+    def keyed(df: DataFrame) -> DataFrame:
+        v = F.floor(F.col("value") * 1_000_000).cast("bigint")
+        tick = F.struct(
+            F.col("ts").alias("t"),
+            F.col("event_id").alias("i"),
+            v.alias("v"),
+        )
+        return df.select(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", F.col("ts")).alias("bar_ts"),
+            v.alias("vm"),
+            tick.alias("tick"),
+        )
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="ctdc-ohlc-stream-")
+    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
+    slices = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    write_ordered_feed(slices, feed)
+    handler = versioned_state_merger(
+        state, keys, sums=["vm"], mins=["tick", "vm"], maxs=["tick", "vm"]
+    )
+    qh = (
+        keyed(events_stream(spark, feed, max_files_per_trigger=1))
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    merged = spark.read.parquet(f"{state}/v2")
+    return merged.select(
+        "key",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+        F.col("min_tick.v").cast("bigint").alias("open_micro"),
+        F.col("max_vm").cast("bigint").alias("high_micro"),
+        F.col("min_vm").cast("bigint").alias("low_micro"),
+        F.col("max_tick.v").cast("bigint").alias("close_micro"),
+        F.col("n").cast("bigint").alias("n_ticks"),
+        F.col("sum_vm").cast("bigint").alias("sum_micro"),
+    )

@@ -370,3 +370,60 @@ def test_sparse_knn_max_df_caps_hot_terms(spark):
     )
     assert sparse_tfidf_knn(docs, k=3, max_df=3).count() == 0
     assert sparse_tfidf_knn(docs, k=3, max_df=4).count() > 0
+
+
+def test_modularity_precomputed_edge_count_identical(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1)], "id long, label long"
+    )
+    base = sorted(
+        map(tuple, community_modularity(e, labels).collect())
+    )
+    # |sym| = 8; passing it skips the build-time count job
+    pre = sorted(
+        map(
+            tuple,
+            community_modularity(e, labels, n_sym_edges=8).collect(),
+        )
+    )
+    assert base == pre
+
+
+def test_ohlc_struct_state_merge_is_algebraic(spark):
+    # the q304 insight in miniature: struct min/max across two
+    # partial states == the windowed open/close over the union
+    from datetime import datetime, timedelta
+
+    from compile_time_data_contracts_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    t0 = datetime(2024, 5, 1, 9, 0, 0)
+    rows1 = [("k", t0 + timedelta(minutes=5), 2, 11.0)]
+    rows2 = [
+        ("k", t0, 1, 10.0),                        # true open
+        ("k", t0 + timedelta(minutes=50), 3, 9.0),  # true close
+    ]
+    schema = "key string, ts timestamp, id long, v double"
+
+    def keyed(df):
+        vm = F.floor(F.col("v") * 1_000_000).cast("bigint")
+        tick = F.struct(
+            F.col("ts").alias("t"), F.col("id").alias("i"), vm.alias("v")
+        )
+        return df.select("key", vm.alias("vm"), tick.alias("tick"))
+
+    spec = dict(sums=["vm"], mins=["tick", "vm"], maxs=["tick", "vm"])
+    s1 = aggregate_state(
+        keyed(spark.createDataFrame(rows1, schema)), ["key"], **spec
+    )
+    s2 = aggregate_state(
+        keyed(spark.createDataFrame(rows2, schema)), ["key"], **spec
+    )
+    m = merge_aggregate_states([s1, s2], ["key"], **spec).collect()[0]
+    assert m["min_tick"]["v"] == 10_000_000  # open from batch 2
+    assert m["max_tick"]["v"] == 9_000_000   # close from batch 2
+    assert m["min_vm"] == 9_000_000 and m["max_vm"] == 11_000_000
+    assert m["n"] == 3

@@ -168,6 +168,7 @@ EXPECTED = {
     # max_df is the enforced cap, q54/q56 are the banded scale paths
     "q302_sparse_tfidf_knn": 2.1,
     "q303_kmv_incremental_merge": 1.3,
+    "q304_stream_ohlc_bars": 1.3,   # O(batch)+O(|bars|) per epoch
 }
 
 
