@@ -218,6 +218,7 @@ HEADLINE = [
     "q302_sparse_tfidf_knn",
     "q303_kmv_incremental_merge",
     "q304_stream_ohlc_bars",
+    "q305_audio_window_features",
 ]
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features", "extract_frame_samples"]
+__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features", "extract_frame_samples", "extract_audio_windows"]
 
 # the media envelope: opaque payload + typed metadata (SURVEY §2.2 Q52 +
 # north-star multimodal requirement)
@@ -170,3 +170,91 @@ def extract_frame_samples(
             )
 
     return df.select(id_col, "media").mapInPandas(extract, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def extract_audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    window_bytes: int = 64,
+    hop_bytes: int = 32,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """OVERLAPPING window extraction over the binary payload — the
+    audio STFT/feature-frame batch shape (vs :func:`
+    extract_frame_samples`' disjoint strided video keyframes): windows
+    of ``window_bytes`` advance by ``hop_bytes`` (hop < window =
+    overlap, the standard 50%-overlap analysis frame), each emitting
+    (index, offset, md5 digest, integer energy = byte sum).  The
+    digest and the byte-sum energy are both deterministic and
+    ENGINE-PORTABLE (md5 + per-byte ord sum replay in ANSI SQL), so
+    unlike the q52/q62 checksum stub every output cell is
+    oracle-checkable.  ``decode_stub=False`` raises where a real
+    decoder (librosa/ffmpeg) would run — the multimodal.py env
+    contract.
+
+    Scale shape: one Arrow crossing per batch; per-doc work is
+    payload_size/hop windows; output carries 16-byte digests and
+    longs, never samples.  Trailing partial windows are dropped.
+    """
+    if hop_bytes <= 0 or window_bytes <= 0:
+        raise ValueError("window_bytes and hop_bytes must be positive")
+
+    def extract(
+        batches: typing.Iterator["pd.DataFrame"],
+    ) -> typing.Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/ffmpeg; run "
+                    "with decode_stub=True in this environment"
+                )
+            ids, idxs, offs, digs, eners = [], [], [], [], []
+            for did, m in zip(pdf[id_col], pdf["media"]):
+                payload = m["payload"] or b""
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                wi = 0
+                off = 0
+                while off + window_bytes <= len(payload):
+                    sl = payload[off : off + window_bytes]
+                    ids.append(int(did))
+                    idxs.append(wi)
+                    offs.append(off)
+                    digs.append(hashlib.md5(sl).hexdigest())
+                    eners.append(
+                        int(
+                            arr[off : off + window_bytes].sum(
+                                dtype=np.int64
+                            )
+                        )
+                    )
+                    wi += 1
+                    off += hop_bytes
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int32"),
+                    "digest": pd.Series(digs, dtype="object"),
+                    "energy": pd.Series(eners, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(
+        extract, AUDIO_WINDOW_SCHEMA
+    )

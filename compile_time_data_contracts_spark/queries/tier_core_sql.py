@@ -5316,3 +5316,56 @@ def q300(spark: SparkSession, sf: str) -> DataFrame:
         F.round(pc(0.90), 4).alias("p90_r"),
         F.round(pc(0.75) - pc(0.25), 4).alias("iqr_r"),
     )
+
+
+_Q305_ORACLE = """
+  WITH docs AS (
+    SELECT doc_id, text, length(text) AS n FROM documents),
+  wins AS (
+    SELECT doc_id, text,
+           CAST(i AS INT) AS win_idx,
+           CAST(i * 32 AS INT) AS off
+    FROM docs, LATERAL UNNEST(
+      generate_series(0, CAST(floor((n - 64) / 32.0) AS BIGINT))
+    ) AS s(i)
+    WHERE n >= 64),
+  sliced AS (
+    SELECT doc_id, win_idx, off,
+           substring(text, off + 1, 64) AS sl
+    FROM wins),
+  energy AS (
+    SELECT doc_id, win_idx, off,
+           CAST(sum(ord(substring(sl, CAST(j AS INT) + 1, 1)))
+                AS BIGINT) AS energy
+    FROM sliced, LATERAL UNNEST(generate_series(0, 63)) AS b(j)
+    GROUP BY 1, 2, 3)
+  SELECT s.doc_id, s.win_idx, s.off AS offset,
+         md5(s.sl) AS digest, e.energy
+  FROM sliced s
+  JOIN energy e
+    ON s.doc_id = e.doc_id AND s.win_idx = e.win_idx"""
+
+
+@q("q305_audio_window_features", _Q305_ORACLE)
+def q305(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-shaped OVERLAPPING window extraction
+    (`operators/multimodal.py: extract_audio_windows`): 64-byte
+    analysis windows advancing by a 32-byte hop (50% overlap — the
+    STFT frame shape q265's disjoint video keyframes cannot express)
+    over the opaque binary payload, emitting per-window md5 digest
+    AND integer byte-sum energy — every output cell replays in ANSI
+    SQL (substring+md5 for the digest, per-byte ord sum for the
+    energy), so the whole Python boundary is value-hash-checked, not
+    just row-counted.  One Arrow crossing per batch; output carries
+    digests and longs, never samples; real decode stays env-gated
+    behind decode_stub."""
+    from ..operators.multimodal import (
+        attach_fake_media,
+        extract_audio_windows,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    media = attach_fake_media(docs)
+    return extract_audio_windows(
+        media, id_col="doc_id", window_bytes=64, hop_bytes=32
+    )

@@ -427,3 +427,43 @@ def test_ohlc_struct_state_merge_is_algebraic(spark):
     assert m["max_tick"]["v"] == 9_000_000   # close from batch 2
     assert m["min_vm"] == 9_000_000 and m["max_vm"] == 11_000_000
     assert m["n"] == 3
+
+
+# ----------------------------------------------- audio windows
+def test_audio_windows_overlap_and_energy(spark):
+    from compile_time_data_contracts_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_audio_windows,
+    )
+    import hashlib
+
+    text = "ab" * 50  # 100 bytes -> windows at 0, 32, 64 (96+64>100 stops)
+    df = attach_fake_media(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    )
+    rows = sorted(
+        extract_audio_windows(
+            df, window_bytes=64, hop_bytes=32
+        ).collect(),
+        key=lambda r: r["win_idx"],
+    )
+    assert [r["offset"] for r in rows] == [0, 32]
+    raw = text.encode()
+    for r in rows:
+        sl = raw[r["offset"]: r["offset"] + 64]
+        assert r["digest"] == hashlib.md5(sl).hexdigest()
+        assert r["energy"] == sum(sl)
+
+
+def test_audio_windows_decode_stub_gate(spark):
+    from compile_time_data_contracts_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_audio_windows,
+    )
+    import pytest as pt
+
+    df = attach_fake_media(
+        spark.createDataFrame([(1, "x" * 80)], "doc_id long, text string")
+    )
+    with pt.raises(Exception, match="NotImplementedError|librosa|decode"):
+        extract_audio_windows(df, decode_stub=False).collect()

@@ -22,8 +22,15 @@
        2x250000; hub-adjacent carriers have deg 5 = 200000).
    Reports the avoided candidate count (the work the cap deleted).
 
-Usage: python tools/scale_probe_r7.py [kmv_rows] [graph_nodes]
-Writes `kmv_n{n}` and `linkpred_n{n}` into SCALEBENCH.json.
+3. OHLC bar compaction (q296/q304 path) at ``ohlc_rows`` synthetic
+   ticks: key = id % 16, ts = epoch + id seconds, value = a
+   deterministic sawtooth f(id) whose per-bar open/high/low/close
+   have CLOSED FORMS (first/last tick of each (key, hour) is known
+   from the id arithmetic) — the probe checks every bar row against
+   the formula via one anti-join, plus the |bars| compaction ratio.
+
+Usage: python tools/scale_probe_r7.py [kmv_rows] [graph_nodes] [ohlc_rows]
+Writes `kmv_n{n}`, `linkpred_n{n}`, `ohlc_n{n}` into SCALEBENCH.json.
 """
 
 from __future__ import annotations
@@ -152,6 +159,56 @@ def main() -> int:
     merge_entry(f"linkpred_n{N}", lp_res)
     print(lp_res, flush=True)
     ok = ok and lp_res["ok"]
+
+    # ---- 3. OHLC bars at ohlc_n ticks -----------------------------
+    ohlc_n = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000_000
+    from compile_time_data_contracts_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    NKEYS = 16
+    # tick i of key k: ts = t0 + i sec, value = (i % 3600) droops by
+    # construction inside each hour: value micro = (i % 3600) * 1000
+    ticks = spark.range(ohlc_n).select(
+        (F.col("id") % NKEYS).alias("key"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("id") / NKEYS).cast("long"))
+        ).alias("ts"),
+        F.col("id").alias("tick_id"),
+        ((F.col("id") / NKEYS).cast("long") % 3600).cast("double")
+        .alias("v"),
+    )
+    t0 = time.perf_counter()
+    bars = ohlc_bars(ticks, "key", "ts", "tick_id", "v", "hour")
+    # closed forms: every FULL hour bar has 3600 ticks, open 0,
+    # close 3599e6, low 0, high 3599e6, sum = 3600*3599/2 * 1e6
+    full = bars.filter(F.col("n_ticks") == 3600)
+    bad = full.filter(
+        (F.col("open_micro") != 0)
+        | (F.col("close_micro") != 3_599_000_000)
+        | (F.col("low_micro") != 0)
+        | (F.col("high_micro") != 3_599_000_000)
+        | (F.col("sum_micro") != 3600 * 3599 // 2 * 1_000_000)
+    ).count()
+    counts = bars.agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum("n_ticks").alias("n_ticks"),
+    ).collect()[0]
+    ohlc_sec = round(time.perf_counter() - t0, 2)
+    ohlc_res = {
+        "n_ticks": ohlc_n,
+        "n_keys": NKEYS,
+        "n_bars": int(counts["n_bars"]),
+        "bad_full_bars": int(bad),
+        "ticks_accounted": int(counts["n_ticks"]),
+        "compaction_ratio": round(ohlc_n / counts["n_bars"], 1),
+        "sec": ohlc_sec,
+        "ok": bool(bad == 0 and counts["n_ticks"] == ohlc_n),
+    }
+    merge_entry(f"ohlc_n{ohlc_n}", ohlc_res)
+    print(ohlc_res, flush=True)
+    ok = ok and ohlc_res["ok"]
 
     spark.stop()
     return 0 if ok else 1

@@ -169,6 +169,7 @@ EXPECTED = {
     "q302_sparse_tfidf_knn": 2.1,
     "q303_kmv_incremental_merge": 1.3,
     "q304_stream_ohlc_bars": 1.3,   # O(batch)+O(|bars|) per epoch
+    "q305_audio_window_features": 1.3,  # one Arrow pass, len/hop rows
 }
 
 
