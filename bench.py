@@ -219,6 +219,7 @@ HEADLINE = [
     "q303_kmv_incremental_merge",
     "q304_stream_ohlc_bars",
     "q305_audio_window_features",
+    "q306_dataset_datasheet",
 ]
 
 

@@ -6555,3 +6555,81 @@ def q303(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "k_merged bigint, merged_equals_full boolean, est_distinct_r double",
     )
+
+
+_Q306_ORACLE = """
+  WITH per AS (
+    SELECT source, lang, n_chars,
+           len(string_split(text, ' ')) AS toks,
+           CASE WHEN len(string_split(text, ' '))
+                     BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS len_ok,
+           md5(text) AS th
+    FROM documents),
+  src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT th) AS BIGINT) AS n_unique_texts,
+           CAST(sum(len_ok) AS BIGINT) AS n_len_ok
+    FROM per GROUP BY source),
+  tot AS (SELECT sum(n_tokens) AS t FROM src)
+  SELECT s.source, s.n_docs, s.n_tokens, s.n_chars, s.n_langs,
+         s.n_unique_texts,
+         CAST(s.n_docs - s.n_unique_texts AS BIGINT) AS n_exact_dupes,
+         round(s.n_len_ok / CAST(s.n_docs AS DOUBLE), 6)
+           AS len_pass_rate_r,
+         round(s.n_tokens / CAST(tot.t AS DOUBLE), 6)
+           AS token_share_r
+  FROM src s, tot"""
+
+
+@q("q306_dataset_datasheet", _Q306_ORACLE)
+def q306(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset datasheet — the one-table corpus summary a
+    "Datasheets for Datasets" release (Gebru et al. 2021) starts
+    from: docs, tokens, chars, language spread, exact-duplicate mass
+    (docs minus distinct text hashes), length-filter pass rate, and
+    each source's token share of the corpus.  Pure composition of
+    audited shapes: ONE scan feeds a per-source aggregate (distinct
+    counts via md5 pre-hash, so the heavy column never shuffles
+    twice), one 1-row total joined back broadcast.  The kind of
+    query a pipeline runs after every ingest; every cell integer or
+    a ratio of integers."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    per = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        toks.alias("toks"),
+        toks.between(20, 1000).cast("int").alias("len_ok"),
+        F.md5("text").alias("th"),
+    )
+    src = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("th").cast("bigint").alias("n_unique_texts"),
+        F.sum("len_ok").cast("bigint").alias("n_len_ok"),
+    )
+    tot = src.agg(F.sum("n_tokens").alias("t"))
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_unique_texts",
+        (F.col("n_docs") - F.col("n_unique_texts"))
+        .cast("bigint")
+        .alias("n_exact_dupes"),
+        F.round(
+            F.col("n_len_ok") / F.col("n_docs").cast("double"), 6
+        ).alias("len_pass_rate_r"),
+        F.round(F.col("n_tokens") / F.col("t").cast("double"), 6).alias(
+            "token_share_r"
+        ),
+    )

@@ -170,6 +170,7 @@ EXPECTED = {
     "q303_kmv_incremental_merge": 1.3,
     "q304_stream_ohlc_bars": 1.3,   # O(batch)+O(|bars|) per epoch
     "q305_audio_window_features": 1.3,  # one Arrow pass, len/hop rows
+    "q306_dataset_datasheet": 1.3,
 }
 
 
