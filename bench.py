@@ -220,6 +220,7 @@ HEADLINE = [
     "q304_stream_ohlc_bars",
     "q305_audio_window_features",
     "q306_dataset_datasheet",
+    "q307_sprt_decision",
 ]
 
 

@@ -5369,3 +5369,108 @@ def q305(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_windows(
         media, id_col="doc_id", window_bytes=64, hop_bytes=32
     )
+
+
+# SPRT constants precomputed ONCE in Python (micro-units), inlined as
+# literals into both engines' plans — the q290 no-libm-parity rule.
+# H0: p = 0.45, H1: p = 0.55, alpha = 0.05, beta = 0.10:
+#   success increment  ln(.55/.45)          ->  200671 micro
+#   failure increment  ln(.45/.55)          -> -200671 micro
+#   accept-H1 bound    ln((1-beta)/alpha)   -> 2890372 micro
+#   accept-H0 bound    ln(beta/(1-alpha))   -> -2251292 micro
+_Q307_ORACLE = """
+  WITH trials AS (
+    SELECT user_id % 2 AS arm, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+    FROM events
+    WHERE event_type IN ('purchase', 'view')),
+  walked AS (
+    SELECT arm,
+           row_number() OVER (PARTITION BY arm
+                              ORDER BY ts, event_id) AS n,
+           sum(CASE WHEN s = 1 THEN 200671 ELSE -200671 END)
+             OVER (PARTITION BY arm ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS llr
+    FROM trials),
+  crossing AS (
+    SELECT arm,
+           min(CASE WHEN llr >= 2890372 OR llr <= -2251292
+                    THEN n END) AS n_decide
+    FROM walked GROUP BY arm),
+  final AS (
+    SELECT w.arm,
+           CAST(max(w.n) AS BIGINT) AS n_total,
+           CAST(c.n_decide AS BIGINT) AS n_decide,
+           CAST(min(CASE WHEN w.n = c.n_decide THEN w.llr END)
+                AS BIGINT) AS llr_at_decision
+    FROM walked w JOIN crossing c ON w.arm = c.arm
+    GROUP BY w.arm, c.n_decide)
+  SELECT arm, n_total, n_decide, llr_at_decision,
+         CASE WHEN n_decide IS NULL THEN 'continue'
+              WHEN llr_at_decision >= 2890372 THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision
+  FROM final"""
+
+
+@q("q307_sprt_decision", _Q307_ORACLE)
+def q307(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential probability ratio test (Wald 1945) per experiment
+    arm: walk the (ts, event_id)-ordered purchase-vs-view Bernoulli
+    stream accumulating the log-likelihood ratio for H1 p=0.55 vs
+    H0 p=0.45 and report WHERE the test first crosses the
+    alpha=0.05/beta=0.10 Wald bounds — the "stop the experiment
+    early" primitive the fixed-horizon q253 z-test cannot give
+    (peeking at a z-test inflates alpha; SPRT's bounds price peeking
+    in).  All increments and bounds are Python-precomputed micro
+    integers (the q290 no-libm rule), so the cumulative walk,
+    crossing index, and verdict replay exactly in ANSI SQL.  One
+    arm-partitioned sort carries both the row-number and the running
+    sum; the crossing pick is a conditional min over the same
+    partition."""
+    ev = load_table(spark, sf, "events")
+    trials = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    wo = Window.partitionBy("arm").orderBy("ts", "event_id")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    inc = F.when(F.col("s") == 1, F.lit(200671)).otherwise(
+        F.lit(-200671)
+    )
+    walked = trials.select(
+        "arm",
+        F.row_number().over(wo).alias("n"),
+        F.sum(inc).over(wcum).alias("llr"),
+    )
+    crossed = F.when(
+        (F.col("llr") >= 2890372) | (F.col("llr") <= -2251292),
+        F.col("n"),
+    )
+    final = walked.groupBy("arm").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.min(crossed).cast("bigint").alias("n_decide"),
+    )
+    at_dec = walked.select(
+        "arm", F.col("n").alias("nd"), F.col("llr").alias("llr_d")
+    )
+    out = final.join(
+        at_dec,
+        (final["arm"] == at_dec["arm"])
+        & (final["n_decide"] == at_dec["nd"]),
+        "left",
+    ).select(
+        final["arm"],
+        "n_total",
+        "n_decide",
+        F.col("llr_d").cast("bigint").alias("llr_at_decision"),
+        F.when(F.col("n_decide").isNull(), "continue")
+        .when(F.col("llr_d") >= 2890372, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+    )
+    return out

@@ -171,6 +171,7 @@ EXPECTED = {
     "q304_stream_ohlc_bars": 1.3,   # O(batch)+O(|bars|) per epoch
     "q305_audio_window_features": 1.3,  # one Arrow pass, len/hop rows
     "q306_dataset_datasheet": 1.3,
+    "q307_sprt_decision": 1.3,     # one arm-partitioned sort
 }
 
 
