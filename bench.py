@@ -221,6 +221,18 @@ HEADLINE = [
     "q305_audio_window_features",
     "q306_dataset_datasheet",
     "q307_sprt_decision",
+    "q308_max_concurrency",
+    "q309_clamped_running_balance",
+    "q310_moment_merge_contract",
+    "q311_grid_neighbor_join",
+    "q312_decision_stump",
+    "q313_feature_hashing",
+    "q314_rank_correlation",
+    "q315_calendar_gap_islands",
+    "q316_mann_whitney_u",
+    "q317_activity_bitmap",
+    "q318_good_turing_mass",
+    "q319_theil_sen_trend",
 ]
 
 

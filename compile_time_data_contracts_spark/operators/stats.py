@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -31,6 +31,8 @@ __all__ = [
     "classification_report",
     "prefix_zscore_anomalies",
     "rfm_scores",
+    "gini_best_split",
+    "mann_whitney_u",
 ]
 
 
@@ -1332,4 +1334,160 @@ def ranking_metrics(
                 6,
             ),
         ).alias("ndcg_r"),
+    )
+
+
+def gini_best_split(
+    df: DataFrame,
+    group_col: str,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Distributed decision-stump trainer: per group, the integer
+    feature threshold minimizing weighted Gini impurity for the 0/1
+    label.  The single-machine sort-and-scan becomes one groupBy
+    (class histogram per DISTINCT feature value) + one
+    group-partitioned cumulative window + an argmax — the shuffle
+    carries one row per distinct value, not per input row, which is
+    what makes the per-feature inner loop of tree boosting feasible
+    at 100 TB.  Purity is rational arithmetic over exact integer
+    cumulative counts, with squares lifted to DOUBLE before the
+    multiply so planetary-scale counts cannot overflow BIGINT; ties
+    break toward the smallest threshold, so the argmax is
+    deterministic and oracle-replayable.  Returns (grp,
+    best_threshold, n_left, pos_left, n_right, pos_right,
+    weighted_gini_r).
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(feature_col).cast("bigint").alias("f"),
+        F.col(label_col).cast("int").alias("pos"),
+    )
+    cand = base.groupBy("grp", "f").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("p")
+    )
+    tot = cand.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("np"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = cand.select(
+        "grp",
+        "f",
+        F.sum("cnt").over(w).cast("bigint").alias("nl"),
+        F.sum("p").over(w).cast("bigint").alias("pl"),
+    )
+    j = walked.join(tot, "grp").where(F.col("nl") < F.col("n"))
+    nl, pl, n, np_ = F.col("nl"), F.col("pl"), F.col("n"), F.col("np")
+    purity = (
+        pl.cast("double") * pl + (nl - pl).cast("double") * (nl - pl)
+    ) / nl + (
+        (np_ - pl).cast("double") * (np_ - pl)
+        + ((n - nl) - (np_ - pl)).cast("double")
+        * ((n - nl) - (np_ - pl))
+    ) / (n - nl)
+    scored = j.select(
+        "grp", "f", "nl", "pl",
+        (n - nl).alias("nr"),
+        (np_ - pl).alias("pr"),
+        "n",
+        purity.alias("purity"),
+    )
+    wb = Window.partitionBy("grp").orderBy(
+        F.col("purity").desc(), F.col("f").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "grp",
+            F.col("f").cast("bigint").alias("best_threshold"),
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.col("pr").cast("bigint").alias("pos_right"),
+            F.round(
+                (F.col("n") - F.col("purity")) / F.col("n"), 6
+            ).alias("weighted_gini_r"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    cohort_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test per cohort over an integer value
+    column (fix-point floats upstream): ``group_col`` is the 0/1
+    sample indicator, ranks use the average-tie convention computed
+    by one cohort-partitioned sort, and the normal-approximation z
+    carries the exact tie-correction term sum(t^3 - t).  Ranks, tie
+    counts, and rank sums are exact (half-integer) arithmetic; the
+    only inexact op is the final IEEE sqrt, identical on identical
+    inputs across engines.  One sort + two hash aggregates — the
+    nonparametric complement of the two-proportion z-test
+    (``two_proportion_ztest``) when values, not rates, are compared.
+    Returns (cohort, n1, n2, u1, z_r).
+    """
+    base = df.select(
+        F.col(cohort_col).alias("cohort"),
+        F.col(group_col).cast("int").alias("g1"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    wr = Window.partitionBy("cohort").orderBy("v")
+    wt = Window.partitionBy("cohort", "v")
+    r = base.select(
+        "cohort",
+        "g1",
+        (
+            (
+                F.rank().over(wr).cast("double") * 2
+                + F.count("*").over(wt)
+                - F.lit(1)
+            )
+            / 2
+        ).alias("ar"),
+    )
+    agg = r.groupBy("cohort").agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("g1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(F.col("g1") == 1, F.col("ar")).otherwise(0.0)
+        ).alias("r1"),
+    )
+    ties = (
+        base.groupBy("cohort", "v")
+        .agg(F.count("*").alias("c"))
+        .groupBy("cohort")
+        .agg(
+            F.sum(
+                F.col("c").cast("double") * F.col("c") * F.col("c")
+                - F.col("c")
+            ).alias("tie_term")
+        )
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    u1 = r1 - n1.cast("double") * (n1 + 1) / 2
+    ntot = n1 + n2
+    sigma = F.sqrt(
+        (n1.cast("double") * n2 / 12)
+        * (
+            (ntot + 1)
+            - F.col("tie_term") / (ntot.cast("double") * (ntot - 1))
+        )
+    )
+    return agg.join(ties, "cohort").select(
+        "cohort",
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1.cast("double") * n2 / 2) / sigma, 6).alias(
+            "z_r"
+        ),
     )

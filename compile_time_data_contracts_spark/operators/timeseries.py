@@ -30,6 +30,8 @@ __all__ = [
     "yoy_growth",
     "rolling_correlation",
     "gaps_islands",
+    "peak_concurrency",
+    "clamped_running_balance",
 ]
 
 
@@ -810,4 +812,120 @@ def ohlc_bars(
         .alias("close_micro"),
         F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
         F.sum("__v").cast("bigint").alias("sum_micro"),
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    partition_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line peak concurrency over an interval table: each
+    interval contributes +1 at ``start_col`` and -1 at ``end_col``,
+    one ``partition_col``-partitioned sort walks the occupancy, and
+    the peak plus its first attainment time are read off the walk.
+    Starts are processed before ends at equal stamps (an interval is
+    live at its own endpoint), so the candidate occupancy at time t is
+    cum(starts - ends through t) + ends_at_t.
+
+    O(n log n) with two rows shuffled per interval — the scalable
+    alternative to pairwise interval-overlap joins, whose candidate
+    set is quadratic in the per-key interval count.  Returns
+    (partition, peak_concurrency, first_peak_ts, n_intervals).
+    """
+    iv = intervals.select(
+        F.col(partition_col).alias("part"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    )
+    pts = iv.select(
+        "part", F.col("s").alias("t"), F.lit(1).alias("is_start")
+    ).unionAll(iv.select("part", F.col("e").alias("t"), F.lit(0)))
+    grp = pts.groupBy("part", "t").agg(
+        F.sum("is_start").alias("ns"),
+        F.sum(F.lit(1) - F.col("is_start")).alias("ne"),
+    )
+    wcum = (
+        Window.partitionBy("part")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = grp.select(
+        "part",
+        "t",
+        (F.sum(F.col("ns") - F.col("ne")).over(wcum) + F.col("ne")).alias(
+            "pk"
+        ),
+    )
+    best = walked.groupBy("part").agg(F.max("pk").alias("peak"))
+    n_iv = iv.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("n_intervals")
+    )
+    return (
+        best.join(walked, "part")
+        .where(F.col("pk") == F.col("peak"))
+        .groupBy("part", "peak")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .join(n_iv, "part")
+        .select(
+            F.col("part").alias(partition_col),
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            "first_peak_ts",
+            "n_intervals",
+        )
+    )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str,
+    delta_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Non-negative clamped balance fold per key: balance starts at 0
+    and each ordered movement applies bal = greatest(bal + delta, 0).
+    The clamp makes this a genuine prefix recursion no window frame
+    can express (every step depends on the clamped predecessor), so
+    it runs as a JVM-side higher-order fold: sort_array'd
+    collect_list per key, then ``F.aggregate`` — no Python boundary.
+
+    Per-key lists are bounded by that key's movement count; for keys
+    with unbounded history, pre-aggregate into coarser epochs or
+    stream the same fold through applyInPandas — the contract (final
+    clamped balance) is unchanged.  Returns (key, final_balance,
+    total_in, total_out, n_moves).
+    """
+    ordered_struct = F.struct(
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(delta_col).alias("delta"),
+    )
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(F.collect_list(ordered_struct)).alias("moves"),
+        F.sum(
+            F.when(F.col(delta_col) > 0, F.col(delta_col)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("total_in"),
+        F.sum(
+            F.when(F.col(delta_col) < 0, -F.col(delta_col)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("total_out"),
+        F.count("*").cast("bigint").alias("n_moves"),
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        F.aggregate(
+            "moves",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.greatest(
+                acc + x["delta"], F.lit(0).cast("bigint")
+            ),
+        )
+        .cast("bigint")
+        .alias("final_balance"),
+        "total_in",
+        "total_out",
+        "n_moves",
     )

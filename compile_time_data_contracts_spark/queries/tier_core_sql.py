@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
 from ._shared import _ORACLES, _QUERIES, _ts_str, q  # noqa: F401
+from ..operators.stats import gini_best_split, mann_whitney_u
+from ..operators.timeseries import clamped_running_balance, peak_concurrency
 
 
 # =========================================================================
@@ -5474,3 +5476,882 @@ def q307(spark: SparkSession, sf: str) -> DataFrame:
         .alias("decision"),
     )
     return out
+
+
+# =========================================================================
+# Round-7 batch B: sweep-line, folds, merge algebra, spatial, ML splits,
+# rank statistics, calendar islands (Q308-Q316; q313 lives in tier_llm)
+# =========================================================================
+
+_Q308_ORACLE = """
+  WITH iv AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s, max(ts) AS e
+    FROM events GROUP BY user_id, CAST(ts AS DATE)),
+  pts AS (
+    SELECT day, s AS t, 1 AS is_start FROM iv
+    UNION ALL
+    SELECT day, e AS t, 0 AS is_start FROM iv),
+  grp AS (
+    SELECT day, t, sum(is_start) AS ns, sum(1 - is_start) AS ne
+    FROM pts GROUP BY day, t),
+  walked AS (
+    SELECT day, t,
+           sum(ns - ne) OVER (PARTITION BY day ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + ne AS pk
+    FROM grp),
+  best AS (SELECT day, max(pk) AS peak FROM walked GROUP BY day),
+  ses AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM iv GROUP BY day)
+  SELECT b.day, CAST(b.peak AS BIGINT) AS peak_concurrency,
+         strftime(min(w.t), '%Y-%m-%d %H:%M:%S') AS first_peak_ts,
+         min(s2.n_sessions) AS n_sessions
+  FROM best b
+  JOIN walked w ON b.day = w.day AND w.pk = b.peak
+  JOIN ses s2 ON s2.day = b.day
+  GROUP BY b.day, b.peak"""
+
+
+@q("q308_max_concurrency", _Q308_ORACLE)
+def q308(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep-line peak concurrency: each user's per-day activity span
+    [min ts, max ts] becomes a +1/-1 delta stream; one day-partitioned
+    sort gives the running occupancy, and the peak is read off the walk
+    (starts processed before ends at equal stamps, so the candidate at
+    t is cum(ns-ne)+ne).  This is the O(n log n) alternative to q270's
+    interval-overlap JOIN: no pair blowup, the shuffle carries two rows
+    per interval, and day partitioning keeps every walk independent —
+    the sweep parallelizes over 365x more partitions at a year of
+    100 TB logs."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    pk = peak_concurrency(iv, "day", "s", "e")
+    return pk.select(
+        "day",
+        "peak_concurrency",
+        _ts_str(F.col("first_peak_ts")).alias("first_peak_ts"),
+        F.col("n_intervals").alias("n_sessions"),
+    )
+
+
+_Q309_ORACLE = """
+  WITH mv AS (
+    SELECT l_suppkey,
+           CAST(l_quantity AS BIGINT)
+             * (CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END) AS delta,
+           l_shipdate, l_orderkey, l_linenumber
+    FROM lineitem)
+  SELECT l_suppkey,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list(delta ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+           (acc, x) -> greatest(acc + x, CAST(0 AS BIGINT)))
+         AS BIGINT) AS final_balance,
+         CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT)
+           AS total_in,
+         CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) AS BIGINT)
+           AS total_out,
+         CAST(count(*) AS BIGINT) AS n_moves
+  FROM mv GROUP BY l_suppkey"""
+
+
+@q("q309_clamped_running_balance", _Q309_ORACLE)
+def q309(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-negative clamped stock fold per supplier: returns ('R')
+    restock +qty, everything else ships -qty, and the balance folds as
+    bal = greatest(bal + delta, 0) over the shipdate-ordered movement
+    list.  The clamp makes this a genuine prefix recursion no window
+    frame can express (each step depends on the clamped predecessor),
+    so both engines run the same higher-order fold: Spark
+    F.aggregate over a sort_array'd per-key list, DuckDB list_reduce —
+    JVM-side codegen, no Python.  Per-key lists are bounded by a
+    supplier's movement count (~600 at sf0.1); for unbounded keys the
+    same fold streams through applyInPandas without changing the
+    contract."""
+    li = load_table(spark, sf, "lineitem")
+    mv = li.select(
+        "l_suppkey",
+        (
+            F.col("l_quantity").cast("bigint")
+            * F.when(F.col("l_returnflag") == "R", 1).otherwise(-1)
+        ).alias("delta"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return clamped_running_balance(
+        mv, "l_suppkey", "delta",
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+
+
+_Q310_ORACLE = """
+  WITH base AS (
+    SELECT event_type, event_id % 2 AS shard,
+           CAST(floor(value * 100) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL),
+  sh AS (
+    SELECT event_type, shard, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+    FROM base GROUP BY event_type, shard),
+  two AS (
+    SELECT event_type,
+           max(CASE WHEN shard = 0 THEN n END) AS na,
+           max(CASE WHEN shard = 0 THEN s END) AS sa,
+           max(CASE WHEN shard = 0 THEN ss END) AS ssa,
+           max(CASE WHEN shard = 1 THEN n END) AS nb,
+           max(CASE WHEN shard = 1 THEN s END) AS sb,
+           max(CASE WHEN shard = 1 THEN ss END) AS ssb
+    FROM sh GROUP BY event_type),
+  m AS (
+    SELECT event_type, na, nb,
+           CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+           CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na AS m2a,
+           CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb AS m2b
+    FROM two),
+  merged AS (
+    SELECT event_type, na + nb AS n,
+           (na * ma + nb * mb) / (na + nb) AS mean_m,
+           (m2a + m2b
+             + (mb - ma) * (mb - ma) * na * nb / (na + nb)) / (na + nb)
+             AS var_m
+    FROM m),
+  direct AS (
+    SELECT event_type,
+           (CAST(sum(v * v) AS DOUBLE)
+             - CAST(sum(v) AS DOUBLE) * sum(v) / count(*)) / count(*)
+             AS var_d
+    FROM base GROUP BY event_type)
+  SELECT mg.event_type, CAST(mg.n AS BIGINT) AS n,
+         round(mg.mean_m / 100, 6) AS merged_mean_r,
+         round(mg.var_m / 10000, 6) AS merged_var_r,
+         round(d.var_d / 10000, 6) AS direct_var_r,
+         (abs(mg.var_m - d.var_d) / greatest(d.var_d, 1e-9) < 1e-9)
+           AS vars_agree
+  FROM merged mg JOIN direct d ON mg.event_type = d.event_type"""
+
+
+@q("q310_moment_merge_contract", _Q310_ORACLE)
+def q310(spark: SparkSession, sf: str) -> DataFrame:
+    """Chan/Welford moment-merge contract: per-shard (n, mean, M2)
+    moments merged pairwise must equal the direct one-pass variance —
+    the algebra that makes distributed variance a map-side partial
+    aggregate (every executor emits 3 numbers, the combiner merges
+    with delta^2*na*nb/n).  Values are fixed-pointed to cents so both
+    shard and direct moments derive from EXACT integer sums, making
+    the <1e-9 agreement flag deterministic across engines; emitting it
+    as a column turns 'partial aggregation is safe for variance' into
+    an oracle-checked assertion rather than a comment."""
+    ev = load_table(spark, sf, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("event_id") % 2).alias("shard"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    sh = base.groupBy("event_type", "shard").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    two = sh.groupBy("event_type").agg(
+        F.max(F.when(F.col("shard") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("shard") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("shard") == 0, F.col("ss"))).alias("ssa"),
+        F.max(F.when(F.col("shard") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("shard") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("shard") == 1, F.col("ss"))).alias("ssb"),
+    )
+    m = two.select(
+        "event_type",
+        "na",
+        "nb",
+        (F.col("sa").cast("double") / F.col("na")).alias("ma"),
+        (F.col("sb").cast("double") / F.col("nb")).alias("mb"),
+        (
+            F.col("ssa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+        ).alias("m2a"),
+        (
+            F.col("ssb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb") / F.col("nb")
+        ).alias("m2b"),
+    )
+    merged = m.select(
+        "event_type",
+        (F.col("na") + F.col("nb")).alias("n"),
+        (
+            (F.col("na") * F.col("ma") + F.col("nb") * F.col("mb"))
+            / (F.col("na") + F.col("nb"))
+        ).alias("mean_m"),
+        (
+            (
+                F.col("m2a")
+                + F.col("m2b")
+                + (F.col("mb") - F.col("ma"))
+                * (F.col("mb") - F.col("ma"))
+                * F.col("na")
+                * F.col("nb")
+                / (F.col("na") + F.col("nb"))
+            )
+            / (F.col("na") + F.col("nb"))
+        ).alias("var_m"),
+    )
+    direct = base.groupBy("event_type").agg(
+        (
+            (
+                F.sum(F.col("v") * F.col("v")).cast("double")
+                - F.sum("v").cast("double") * F.sum("v") / F.count("*")
+            )
+            / F.count("*")
+        ).alias("var_d")
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mean_m") / 100, 6).alias("merged_mean_r"),
+        F.round(F.col("var_m") / 10000, 6).alias("merged_var_r"),
+        F.round(F.col("var_d") / 10000, 6).alias("direct_var_r"),
+        (
+            F.abs(F.col("var_m") - F.col("var_d"))
+            / F.greatest(F.col("var_d"), F.lit(1e-9))
+            < 1e-9
+        ).alias("vars_agree"),
+    )
+
+
+_Q311_ORACLE = """
+  WITH pts AS (
+    SELECT c_custkey AS k,
+           ((c_custkey * 48271) % 2147483647) % 10000 AS x,
+           ((((c_custkey * 48271) % 2147483647) * 48271) % 2147483647)
+             % 10000 AS y
+    FROM customer),
+  cells AS (SELECT k, x, y, x // 500 AS cx, y // 500 AS cy FROM pts),
+  probes AS (
+    SELECT k, x, y, cx + dx AS px, cy + dy AS py
+    FROM cells
+    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) a
+    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) b),
+  pairs AS (
+    SELECT p.k AS k_a, c.k AS k_b,
+           greatest(abs(p.x - c.x), abs(p.y - c.y)) AS linf
+    FROM probes p JOIN cells c ON p.px = c.cx AND p.py = c.cy
+    WHERE p.k < c.k
+      AND abs(p.x - c.x) <= 250 AND abs(p.y - c.y) <= 250)
+  SELECT CAST(linf // 50 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(min(linf) AS BIGINT) AS min_linf,
+         CAST(max(linf) AS BIGINT) AS max_linf,
+         CAST(count(DISTINCT k_a) AS BIGINT) AS n_left_pts,
+         CAST(count(DISTINCT k_b) AS BIGINT) AS n_right_pts
+  FROM pairs GROUP BY CAST(linf // 50 AS BIGINT)"""
+
+
+@q("q311_grid_neighbor_join", _Q311_ORACLE)
+def q311(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed spatial neighbor join: customers get deterministic
+    integer coordinates (two rounds of the Park-Miller Lehmer
+    generator on the key — the q209/q243 hash-determinism contract;
+    one LCG for BOTH axes would lattice-align the points and produce
+    zero neighbors), are snapped to 500-unit grid cells, and each
+    point probes its 3x3 cell neighborhood for L-inf neighbors within
+    250.  Because radius <= cell size, every qualifying pair is found
+    in exactly one probe cell and the join is a pure equi-join on
+    (cell_x, cell_y) — the spatial analogue of the MinHash banding
+    pattern (q54): candidate generation by bucket equality, exact
+    distance refinement after.  At 100 TB the cell id is the shuffle
+    key, density skew is handled the same way as hot shingles (cap or
+    sub-split dense cells), and no cross join ever forms; the output
+    is banded into distance histograms because raw pair emission in a
+    fixed-density domain is Theta(n^2) rows by construction."""
+    cust = load_table(spark, sf, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("k"),
+        (((F.col("c_custkey") * 48271) % 2147483647) % 10000).alias("x"),
+        (
+            (
+                (((F.col("c_custkey") * 48271) % 2147483647) * 48271)
+                % 2147483647
+            )
+            % 10000
+        ).alias("y"),
+    )
+    cells = pts.select(
+        "k", "x", "y",
+        F.expr("x DIV 500").alias("cx"),
+        F.expr("y DIV 500").alias("cy"),
+    )
+    probes = (
+        cells.select(
+            "*", F.explode(F.expr("array(-1, 0, 1)")).alias("dx")
+        )
+        .select("*", F.explode(F.expr("array(-1, 0, 1)")).alias("dy"))
+        .select(
+            "k", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    p, c = probes.alias("p"), cells.alias("c")
+    pairs = (
+        p.join(
+            c,
+            (F.col("p.px") == F.col("c.cx"))
+            & (F.col("p.py") == F.col("c.cy")),
+        )
+        .where(
+            (F.col("p.k") < F.col("c.k"))
+            & (F.abs(F.col("p.x") - F.col("c.x")) <= 250)
+            & (F.abs(F.col("p.y") - F.col("c.y")) <= 250)
+        )
+        .select(
+            F.col("p.k").alias("k_a"),
+            F.col("c.k").alias("k_b"),
+            F.greatest(
+                F.abs(F.col("p.x") - F.col("c.x")),
+                F.abs(F.col("p.y") - F.col("c.y")),
+            ).alias("linf"),
+        )
+    )
+    return pairs.groupBy(
+        F.expr("linf DIV 50").cast("bigint").alias("band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min("linf").cast("bigint").alias("min_linf"),
+        F.max("linf").cast("bigint").alias("max_linf"),
+        F.countDistinct("k_a").cast("bigint").alias("n_left_pts"),
+        F.countDistinct("k_b").cast("bigint").alias("n_right_pts"),
+    )
+
+
+_Q312_ORACLE = """
+  WITH base AS (
+    SELECT l_linestatus AS grp,
+           CAST(floor(l_extendedprice) AS BIGINT) AS f,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+    FROM lineitem),
+  cand AS (
+    SELECT grp, f, count(*) AS cnt, sum(pos) AS p
+    FROM base GROUP BY grp, f),
+  tot AS (
+    SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(sum(p) AS BIGINT) AS np
+    FROM cand GROUP BY grp),
+  walked AS (
+    SELECT grp, f,
+           CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+           CAST(sum(p) OVER w AS BIGINT) AS pl
+    FROM cand
+    WINDOW w AS (PARTITION BY grp ORDER BY f
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+  scored AS (
+    SELECT w.grp, w.f, w.nl, w.pl,
+           t.n - w.nl AS nr, t.np - w.pl AS pr, t.n AS n,
+           (CAST(w.pl AS DOUBLE) * w.pl
+             + CAST(w.nl - w.pl AS DOUBLE) * (w.nl - w.pl)) / w.nl
+           + (CAST(t.np - w.pl AS DOUBLE) * (t.np - w.pl)
+             + CAST((t.n - w.nl) - (t.np - w.pl) AS DOUBLE)
+               * ((t.n - w.nl) - (t.np - w.pl))) / (t.n - w.nl)
+             AS purity
+    FROM walked w JOIN tot t ON w.grp = t.grp
+    WHERE w.nl < t.n),
+  best AS (
+    SELECT grp, f, nl, pl, nr, pr, n, purity,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY purity DESC, f ASC) AS rn
+    FROM scored)
+  SELECT grp, CAST(f AS BIGINT) AS best_threshold,
+         nl AS n_left, pl AS pos_left,
+         CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+         round((n - purity) / n, 6) AS weighted_gini_r
+  FROM best WHERE rn = 1"""
+
+
+@q("q312_decision_stump", _Q312_ORACLE)
+def q312(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed decision-stump training: per l_linestatus group,
+    find the price threshold minimizing weighted Gini impurity for
+    predicting returns.  The classical single-machine sort-and-scan
+    becomes one groupBy (histogram per candidate value) + one
+    group-partitioned cumulative window + an argmax — O(n log n) with
+    the shuffle carrying one row per DISTINCT feature value, not per
+    row.  Purity is rational arithmetic over exact integer cumulative
+    counts (squares lifted to DOUBLE before multiply so 100 TB-scale
+    counts can't overflow BIGINT), so the argmax is deterministic and
+    oracle-replayable; ties break toward the smallest threshold.  This
+    is the per-feature inner loop of distributed tree boosting."""
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.col("l_linestatus").alias("grp"),
+        F.floor("l_extendedprice").cast("bigint").alias("f"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    return gini_best_split(base, "grp", "f", "pos")
+
+
+_Q314_ORACLE = """
+  WITH rev AS (
+    SELECT s.s_nationkey AS nk,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey),
+  bal AS (
+    SELECT s_nationkey AS nk,
+           CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_c,
+           CAST(count(*) AS BIGINT) AS ns
+    FROM supplier GROUP BY s_nationkey),
+  met AS (
+    SELECT r.nk, r.rev_c, CAST(b.bal_c AS DOUBLE) / b.ns AS avgbal
+    FROM rev r JOIN bal b ON r.nk = b.nk),
+  ranked AS (
+    SELECT nk, rev_c, avgbal,
+           (CAST(rank() OVER (ORDER BY rev_c) AS DOUBLE) * 2
+             + count(*) OVER (PARTITION BY rev_c) - 1) / 2 AS rx,
+           (CAST(rank() OVER (ORDER BY avgbal) AS DOUBLE) * 2
+             + count(*) OVER (PARTITION BY avgbal) - 1) / 2 AS ry
+    FROM met),
+  pear AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+           sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+    FROM ranked),
+  kend AS (
+    SELECT sum(CASE WHEN (a.rev_c - b.rev_c) * (a.avgbal - b.avgbal) > 0
+                    THEN 1 ELSE 0 END) AS nc,
+           sum(CASE WHEN (a.rev_c - b.rev_c) * (a.avgbal - b.avgbal) < 0
+                    THEN 1 ELSE 0 END) AS nd,
+           sum(CASE WHEN a.rev_c = b.rev_c THEN 1 ELSE 0 END) AS tx,
+           sum(CASE WHEN a.avgbal = b.avgbal THEN 1 ELSE 0 END) AS ty
+    FROM ranked a JOIN ranked b ON a.nk < b.nk)
+  SELECT p.n,
+         round((p.n * p.sxy - p.sx * p.sy)
+               / sqrt((p.n * p.sxx - p.sx * p.sx)
+                      * (p.n * p.syy - p.sy * p.sy)), 6)
+           AS spearman_rho_r,
+         round((CAST(k.nc AS DOUBLE) - k.nd)
+               / sqrt((CAST(p.n AS DOUBLE) * (p.n - 1) / 2 - k.tx)
+                      * (CAST(p.n AS DOUBLE) * (p.n - 1) / 2 - k.ty)), 6)
+           AS kendall_taub_r
+  FROM pear p CROSS JOIN kend k"""
+
+
+@q("q314_rank_correlation", _Q314_ORACLE)
+def q314(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rho and Kendall tau-b between two per-nation metrics
+    (supplier revenue vs mean account balance).  The data-sized work is
+    two partial-aggregated rollups to a |nations|-sized table; ranks
+    use the average-rank tie convention (rank*2 + tiecount - 1)/2, rho
+    is Pearson over those ranks from exact half-integer sums, and
+    tau-b's concordant/discordant sweep is a self-join on the TINY
+    aggregate (25x25), never on fact rows.  sqrt is IEEE-exact on
+    identical inputs, so both coefficients replay bit-identically in
+    the oracle — the complement to q267's rolling Pearson for
+    monotone-but-nonlinear association."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    bal = sup.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.sum(F.floor(F.col("s_acctbal") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("bal_c"),
+        F.count("*").cast("bigint").alias("ns"),
+    )
+    met = rev.join(bal, "nk").select(
+        "nk",
+        "rev_c",
+        (F.col("bal_c").cast("double") / F.col("ns")).alias("avgbal"),
+    )
+    one = F.lit(1)
+    wrx, wry = Window.orderBy("rev_c"), Window.orderBy("avgbal")
+    ranked = met.select(
+        "nk",
+        "rev_c",
+        "avgbal",
+        (
+            (
+                F.rank().over(wrx).cast("double") * 2
+                + F.count("*").over(Window.partitionBy("rev_c"))
+                - one
+            )
+            / 2
+        ).alias("rx"),
+        (
+            (
+                F.rank().over(wry).cast("double") * 2
+                + F.count("*").over(Window.partitionBy("avgbal"))
+                - one
+            )
+            / 2
+        ).alias("ry"),
+    )
+    pear = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    prod = (F.col("a.rev_c") - F.col("b.rev_c")) * (
+        F.col("a.avgbal") - F.col("b.avgbal")
+    )
+    kend = (
+        a.join(b, F.col("a.nk") < F.col("b.nk"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("nd"),
+            F.sum(
+                F.when(F.col("a.rev_c") == F.col("b.rev_c"), 1).otherwise(
+                    0
+                )
+            ).alias("tx"),
+            F.sum(
+                F.when(
+                    F.col("a.avgbal") == F.col("b.avgbal"), 1
+                ).otherwise(0)
+            ).alias("ty"),
+        )
+    )
+    n = F.col("n")
+    half = n.cast("double") * (n - 1) / 2
+    return pear.crossJoin(kend).select(
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho_r"),
+        F.round(
+            (F.col("nc").cast("double") - F.col("nd"))
+            / F.sqrt((half - F.col("tx")) * (half - F.col("ty"))),
+            6,
+        ).alias("kendall_taub_r"),
+    )
+
+
+_Q315_ORACLE = """
+  WITH b AS (
+    SELECT date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events),
+  spine AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+    FROM b),
+  et AS (SELECT DISTINCT event_type FROM events),
+  grid AS (SELECT e.event_type, s.hr FROM et e CROSS JOIN spine s),
+  have AS (
+    SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr
+    FROM events),
+  miss AS (
+    SELECT g.event_type, g.hr
+    FROM grid g
+    LEFT JOIN have h
+      ON g.event_type = h.event_type AND g.hr = h.hr
+    WHERE h.event_type IS NULL),
+  isl AS (
+    SELECT event_type, hr,
+           CAST(epoch(hr) AS BIGINT) / 3600
+             - row_number() OVER (PARTITION BY event_type ORDER BY hr)
+             AS island
+    FROM miss)
+  SELECT event_type,
+         strftime(min(hr), '%Y-%m-%d %H:%M:%S') AS gap_start,
+         strftime(max(hr), '%Y-%m-%d %H:%M:%S') AS gap_end,
+         CAST(count(*) AS BIGINT) AS gap_hours
+  FROM isl GROUP BY event_type, island"""
+
+
+@q("q315_calendar_gap_islands", _Q315_ORACLE)
+def q315(spark: SparkSession, sf: str) -> DataFrame:
+    """Telemetry-gap audit: generate the full hourly calendar spine
+    between the first and last event, anti-join the hours each
+    event_type actually reported, and collapse consecutive missing
+    hours into (start, end, length) gap islands via the hour-index
+    minus row-number trick.  The spine is |hours| x |types| rows —
+    generated, never scanned — so the only data-sized work is one
+    DISTINCT per (type, hour); the anti-join broadcasts the spine at
+    any realistic calendar size.  Gaps-and-islands over the MISSING
+    set is the monitoring complement of q277's activity streaks over
+    the present set."""
+    ev = load_table(spark, sf, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    et = ev.select("event_type").distinct()
+    grid = et.crossJoin(spine)
+    have = ev.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    miss = grid.join(have, ["event_type", "hr"], "left_anti")
+    wisl = Window.partitionBy("event_type").orderBy("hr")
+    isl = miss.select(
+        "event_type",
+        "hr",
+        (
+            F.col("hr").cast("long") / F.lit(3600)
+        ).cast("bigint").alias("hnum"),
+        F.row_number().over(wisl).alias("rn"),
+    ).select(
+        "event_type", "hr", (F.col("hnum") - F.col("rn")).alias("island")
+    )
+    return (
+        isl.groupBy("event_type", "island")
+        .agg(
+            _ts_str(F.min("hr")).alias("gap_start"),
+            _ts_str(F.max("hr")).alias("gap_end"),
+            F.count("*").cast("bigint").alias("gap_hours"),
+        )
+        .select("event_type", "gap_start", "gap_end", "gap_hours")
+    )
+
+
+_Q316_ORACLE = """
+  WITH base AS (
+    SELECT user_id % 4 AS cohort,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+           CAST(floor(value * 100) AS BIGINT) AS v
+    FROM events
+    WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+  r AS (
+    SELECT cohort, g1,
+           (CAST(rank() OVER (PARTITION BY cohort ORDER BY v) AS DOUBLE)
+             * 2 + count(*) OVER (PARTITION BY cohort, v) - 1) / 2 AS ar
+    FROM base),
+  agg AS (
+    SELECT cohort,
+           CAST(sum(g1) AS BIGINT) AS n1,
+           CAST(sum(1 - g1) AS BIGINT) AS n2,
+           sum(CASE WHEN g1 = 1 THEN ar ELSE 0 END) AS r1
+    FROM r GROUP BY cohort),
+  ties AS (
+    SELECT cohort, sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
+    FROM (SELECT cohort, v, count(*) AS c
+          FROM base GROUP BY cohort, v)
+    GROUP BY cohort)
+  SELECT a.cohort, a.n1, a.n2,
+         round(a.r1 - CAST(a.n1 AS DOUBLE) * (a.n1 + 1) / 2, 1) AS u1,
+         round((a.r1 - CAST(a.n1 AS DOUBLE) * (a.n1 + 1) / 2
+                 - CAST(a.n1 AS DOUBLE) * a.n2 / 2)
+               / sqrt((CAST(a.n1 AS DOUBLE) * a.n2 / 12)
+                      * ((a.n1 + a.n2 + 1)
+                         - t.tie_term
+                           / (CAST(a.n1 + a.n2 AS DOUBLE)
+                              * (a.n1 + a.n2 - 1)))), 6) AS z_r
+  FROM agg a JOIN ties t ON a.cohort = t.cohort"""
+
+
+@q("q316_mann_whitney_u", _Q316_ORACLE)
+def q316(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test per cohort: does purchase value
+    stochastically dominate view value?  The nonparametric complement
+    to q253's z-test (no normality assumption): average-tie ranks via
+    one cohort-partitioned sort, U1 from the rank sum, and the normal
+    approximation z with the exact tie-correction term Σ(t³-t).
+    Values are fixed-pointed to cents so ranks, tie counts, and rank
+    sums are exact (half-integer) arithmetic; the only inexact op is
+    the final IEEE sqrt, identical on identical inputs.  One sort +
+    two hash aggregates — O(n log n) per cohort, cohorts partition the
+    sort at 100 TB."""
+    ev = load_table(spark, sf, "events")
+    base = ev.where(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g1"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    return mann_whitney_u(base, "cohort", "g1", "v")
+
+
+_Q317_ORACLE = """
+  WITH m AS (
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << CAST(hour(ts) AS INT)) AS mask
+    FROM events GROUP BY user_id),
+  hrs AS (SELECT unnest(generate_series(0, 23)) AS h)
+  SELECT CAST(hrs.h AS BIGINT) AS hour_of_day,
+         CAST(sum((m.mask >> hrs.h) & 1) AS BIGINT) AS audience,
+         CAST(sum(CASE WHEN m.mask = (CAST(1 AS BIGINT) << hrs.h)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS exclusive_audience,
+         CAST(sum(CASE WHEN ((m.mask >> hrs.h) & 1) = 1
+                       THEN bit_count(m.mask) ELSE 0 END) AS BIGINT)
+           AS sum_active_hours
+  FROM hrs CROSS JOIN m
+  GROUP BY hrs.h"""
+
+
+@q("q317_activity_bitmap", _Q317_ORACLE)
+def q317(spark: SparkSession, sf: str) -> DataFrame:
+    """Roaring-bitmap-style audience algebra: each user's hour-of-day
+    activity collapses into ONE 24-bit BIGINT via bit_or(1 << hour) —
+    the per-user state is 8 bytes regardless of event count, which is
+    the whole trick behind bitmap audience engines.  Hourly audience,
+    exclusive audience (mask == single bit), and the co-activity mass
+    then come from shift/AND/popcount on the compacted mask table
+    (|users| rows), never from re-scanning events.  At 100 TB the
+    event scan is one partial-aggregated bit_or groupBy; every
+    downstream audience question is O(|users|) integer ops —
+    segment-intersection queries compose by ANDing masks without
+    touching the fact table."""
+    ev = load_table(spark, sf, "events")
+    m = ev.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(hour(ts) AS INT)))"
+        ).alias("mask")
+    )
+    hrs = spark.range(0, 24).select(F.col("id").cast("int").alias("h"))
+    return (
+        hrs.crossJoin(m)
+        .groupBy(F.col("h").cast("bigint").alias("hour_of_day"))
+        .agg(
+            F.sum(F.expr("shiftright(mask, h) & 1"))
+            .cast("bigint")
+            .alias("audience"),
+            F.sum(
+                F.when(
+                    F.col("mask")
+                    == F.expr("shiftleft(CAST(1 AS BIGINT), h)"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("exclusive_audience"),
+            F.sum(
+                F.when(
+                    F.expr("shiftright(mask, h) & 1") == 1,
+                    F.expr("bit_count(mask)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sum_active_hours"),
+        )
+    )
+
+
+_Q319_ORACLE = """
+  WITH daily AS (
+    SELECT event_type,
+           CAST(epoch(CAST(ts AS DATE)) AS BIGINT) / 86400 AS d,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type, CAST(ts AS DATE)),
+  pairs AS (
+    SELECT a.event_type,
+           (CAST(b.cnt AS DOUBLE) - a.cnt) / (b.d - a.d) AS slope
+    FROM daily a
+    JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.d > a.d AND b.d - a.d <= 10),
+  ols AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(d) AS BIGINT) AS sx, CAST(sum(cnt) AS BIGINT) AS sy,
+           CAST(sum(d * d) AS BIGINT) AS sxx,
+           CAST(sum(d * cnt) AS BIGINT) AS sxy
+    FROM daily GROUP BY event_type)
+  SELECT p.event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         round(CAST(quantile_cont(p.slope, 0.5) AS DOUBLE), 6)
+           AS theil_sen_slope_r,
+         round((CAST(o.nd AS DOUBLE) * o.sxy - CAST(o.sx AS DOUBLE) * o.sy)
+               / (CAST(o.nd AS DOUBLE) * o.sxx
+                  - CAST(o.sx AS DOUBLE) * o.sx), 6) AS ols_slope_r
+  FROM pairs p
+  JOIN ols o ON p.event_type = o.event_type
+  GROUP BY p.event_type, o.nd, o.sx, o.sy, o.sxx, o.sxy"""
+
+
+@q("q319_theil_sen_trend", _Q319_ORACLE)
+def q319(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-lag Theil-Sen robust trend per event type: the median
+    of pairwise slopes between daily counts at lags 1..10 — the
+    outlier-resistant alternative to the OLS slope (emitted alongside
+    for contrast; one spiky day drags OLS but not the median).  Full
+    Theil-Sen is O(n^2) pairs; capping the lag makes it O(n * k) while
+    keeping the estimator consistent for trend, the same
+    bounded-candidate move as q311's grid radius and q54's bands.
+    Slopes are exact-integer differences divided once (deterministic
+    doubles), and the median uses the same linear-interpolation
+    definition in both engines; the data-sized work is one daily
+    rollup — the pair join runs on |types| x |days| rows."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.col("ts").cast("date")).alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    daily = daily.select(
+        "event_type",
+        F.unix_date(F.col("day")).cast("bigint").alias("d"),
+        "cnt",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d"))
+        & (F.col("b.d") - F.col("a.d") <= 10),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cnt").cast("double") - F.col("a.cnt"))
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+    )
+    ols = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("d").cast("bigint").alias("sx"),
+        F.sum("cnt").cast("bigint").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sxx"),
+        F.sum(F.col("d") * F.col("cnt")).cast("bigint").alias("sxy"),
+    )
+    med = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+            "theil_sen_slope_r"
+        ),
+    )
+    return med.join(ols, "event_type").select(
+        "event_type",
+        "n_pairs",
+        "theil_sen_slope_r",
+        F.round(
+            (
+                F.col("nd").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.col("nd").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            ),
+            6,
+        ).alias("ols_slope_r"),
+    )

@@ -6633,3 +6633,129 @@ def q306(spark: SparkSession, sf: str) -> DataFrame:
             "token_share_r"
         ),
     )
+
+
+_Q313_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+    FROM documents),
+  tk2 AS (SELECT doc_id, tk FROM tok WHERE len(tk) > 0),
+  hashed AS (
+    SELECT doc_id,
+           substring(md5(tk), 1, 3) AS bucket,
+           CASE WHEN substring(md5(tk), 4, 1) < '8' THEN 1 ELSE -1 END
+             AS sgn
+    FROM tk2),
+  feat AS (
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS val
+    FROM hashed GROUP BY doc_id, bucket)
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(val) AS BIGINT) AS sum_val,
+         CAST(sum(abs(val)) AS BIGINT) AS sum_abs
+  FROM feat GROUP BY bucket
+  ORDER BY sum_abs DESC, bucket LIMIT 50"""
+
+
+@q("q313_feature_hashing", _Q313_ORACLE)
+def q313(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): tokens map
+    to 4096 buckets via the first 3 hex chars of md5 with a signed
+    +-1 from the 4th char, so per-doc sparse vectors build with ZERO
+    vocabulary state — no vocab broadcast, no OOV, the property that
+    makes the trick the default at 100 TB where a vocab table is
+    itself a big-data problem (contrast q171's explicit vocab-id
+    assignment).  The md5-derived bucket/sign replays exactly in any
+    engine (the q209/q243 hash-determinism contract, kept as hex
+    STRINGS so no engine-specific hex-to-int parse is involved), and
+    the whole plan is two partial-aggregated groupBys on
+    (doc, bucket) then (bucket) — the signed-sum collision algebra
+    E[collision] = 0 visible in sum_val vs sum_abs."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    ).where(F.length("tk") > 0)
+    hashed = toks.select(
+        "doc_id",
+        F.substring(F.md5(F.col("tk").cast("binary")), 1, 3).alias(
+            "bucket"
+        ),
+        F.when(
+            F.substring(F.md5(F.col("tk").cast("binary")), 4, 1) < "8", 1
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    feat = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("val")
+    )
+    return (
+        feat.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.sum(F.abs(F.col("val"))).cast("bigint").alias("sum_abs"),
+        )
+        .orderBy(F.col("sum_abs").desc(), "bucket")
+        .limit(50)
+    )
+
+
+_Q318_ORACLE = """
+  WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tk
+    FROM documents),
+  tf AS (
+    SELECT source, tk, count(*) AS c
+    FROM tok WHERE len(tk) > 0 GROUP BY source, tk),
+  coc AS (
+    SELECT source, c, count(*) AS nc FROM tf GROUP BY source, c)
+  SELECT source,
+         CAST(sum(c * nc) AS BIGINT) AS n_tokens,
+         CAST(sum(nc) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN nc ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN nc ELSE 0 END) AS BIGINT) AS n2,
+         round(CAST(sum(CASE WHEN c = 1 THEN nc ELSE 0 END) AS DOUBLE)
+               / sum(c * nc), 6) AS unseen_mass_r,
+         round(CAST(2 * sum(CASE WHEN c = 2 THEN nc ELSE 0 END) AS DOUBLE)
+               / greatest(sum(CASE WHEN c = 1 THEN nc ELSE 0 END), 1), 6)
+           AS gt_adjusted_c1_r
+  FROM coc GROUP BY source"""
+
+
+@q("q318_good_turing_mass", _Q318_ORACLE)
+def q318(spark: SparkSession, sf: str) -> DataFrame:
+    """Good-Turing unseen-probability mass per source: the fraction of
+    the next sampled token expected to be UNSEEN is N1/N (singleton
+    mass), and the Good-Turing adjusted count for singletons is
+    2*N2/N1 — the corpus-coverage diagnostic that tells a pretraining
+    pipeline which sources still have fat unseen tails (crawl more)
+    versus saturated vocabularies (dedup harder).  Three cascaded
+    partial-aggregated groupBys — (source, token) -> (source,
+    count-of-counts) -> source — each stage strictly smaller, no
+    window, no Python; the count-of-counts histogram is the entire
+    sufficient statistic, so the shuffle after stage one carries
+    |vocab| rows, then |distinct counts| rows."""
+    docs = load_table(spark, sf, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tk")
+        )
+        .where(F.length("tk") > 0)
+        .groupBy("source", "tk")
+        .agg(F.count("*").alias("c"))
+    )
+    coc = tf.groupBy("source", "c").agg(F.count("*").alias("nc"))
+    n1 = F.sum(F.when(F.col("c") == 1, F.col("nc")).otherwise(0))
+    n2 = F.sum(F.when(F.col("c") == 2, F.col("nc")).otherwise(0))
+    ntok = F.sum(F.col("c") * F.col("nc"))
+    return coc.groupBy("source").agg(
+        ntok.cast("bigint").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("vocab"),
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(n1.cast("double") / ntok, 6).alias("unseen_mass_r"),
+        F.round(
+            (2 * n2).cast("double") / F.greatest(n1, F.lit(1)), 6
+        ).alias("gt_adjusted_c1_r"),
+    )

@@ -172,6 +172,18 @@ EXPECTED = {
     "q305_audio_window_features": 1.3,  # one Arrow pass, len/hop rows
     "q306_dataset_datasheet": 1.3,
     "q307_sprt_decision": 1.3,     # one arm-partitioned sort
+    "q308_max_concurrency": 1.3,   # 2 rows/interval sweep
+    "q309_clamped_running_balance": 1.3,  # per-key sorted fold
+    "q310_moment_merge_contract": 1.2,    # two hash aggs
+    "q311_grid_neighbor_join": 2.0,  # pair count is Theta(n^2) in a fixed-density domain
+    "q312_decision_stump": 1.3,    # histogram + cum window over distinct values
+    "q313_feature_hashing": 1.2,   # two partial-agg groupBys
+    "q314_rank_correlation": 1.2,  # rollup to |nations| then tiny self-join
+    "q315_calendar_gap_islands": 1.2,  # DISTINCT (type,hour) + spine anti-join
+    "q316_mann_whitney_u": 1.3,    # one cohort-partitioned sort
+    "q317_activity_bitmap": 1.2,   # bit_or groupBy then |users|-sized mask table
+    "q318_good_turing_mass": 1.2,  # three cascaded shrinking groupBys
+    "q319_theil_sen_trend": 1.2,   # daily rollup; pair join is |types|x|days|
 }
 
 
