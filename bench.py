@@ -233,6 +233,10 @@ HEADLINE = [
     "q317_activity_bitmap",
     "q318_good_turing_mass",
     "q319_theil_sen_trend",
+    "q320_largest_remainder_apportionment",
+    "q321_holt_linear_smoothing",
+    "q322_encoding_advisor",
+    "q323_merkle_bucket_diff",
 ]
 
 

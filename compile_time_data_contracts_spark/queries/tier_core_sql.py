@@ -6355,3 +6355,402 @@ def q319(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("ols_slope_r"),
     )
+
+
+_Q320_ORACLE = """
+  WITH c AS (
+    SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS cnt
+    FROM customer GROUP BY c_nationkey),
+  t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+  sh AS (
+    SELECT nk, cnt,
+           (1000 * cnt) // t.total AS base,
+           (1000 * cnt) % t.total AS rem
+    FROM c CROSS JOIN t),
+  lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS r FROM sh),
+  rk AS (
+    SELECT nk, cnt, base, rem,
+           row_number() OVER (ORDER BY rem DESC, nk ASC) AS rn
+    FROM sh)
+  SELECT rk.nk AS nationkey, rk.cnt AS n_customers,
+         CAST(rk.base + CASE WHEN rk.rn <= lo.r THEN 1 ELSE 0 END
+              AS BIGINT) AS seats
+  FROM rk CROSS JOIN lo"""
+
+
+@q("q320_largest_remainder_apportionment", _Q320_ORACLE)
+def q320(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment: distribute exactly
+    1000 budget units across nations proportional to customer count
+    with EXACT integer arithmetic — floor shares first, then the
+    leftover units go to the largest fractional remainders (nk
+    tiebreak).  The float-free formulation (integer quotient +
+    remainder ranking) is what makes the allocation reproducible and
+    auditable: the seats column sums to exactly 1000 by construction,
+    with no round-half parity drift between engines.  The data-sized
+    work is one partial-aggregated count; everything after runs on the
+    |nations|-sized table — the shape of every quota/budget/sampling-
+    allocation step in a mixture pipeline (q63/q139's float quotas
+    made exact)."""
+    cust = load_table(spark, sf, "customer")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    t = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    sh = c.crossJoin(t).select(
+        "nk",
+        "cnt",
+        F.expr("(1000 * cnt) DIV total").alias("base"),
+        ((1000 * F.col("cnt")) % F.col("total")).alias("rem"),
+    )
+    lo = sh.agg(
+        (F.lit(1000) - F.sum("base")).cast("bigint").alias("r")
+    )
+    rk = sh.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("nk").asc())
+        ),
+    )
+    return rk.crossJoin(lo).select(
+        F.col("nk").alias("nationkey"),
+        F.col("cnt").alias("n_customers"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("r"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("seats"),
+    )
+
+
+# Holt recursion in micro-integers, alpha=0.2, beta=0.3:
+#   l' = (2*x + 8*(l + b)) div 10        (x already in micro)
+#   b' = (3*(l' - l) + 7*b) div 10
+# DIV (Spark) and // (DuckDB) both truncate toward zero, verified
+# including negatives, so the integer recursion replays exactly.  The
+# oracle replays it as a RECURSIVE CTE rather than list_reduce:
+# DuckDB 1.0's list_reduce with a struct accumulator updates fields
+# sequentially (later fields observe already-updated earlier ones),
+# which silently corrupts any two-field recurrence.
+_Q321_ORACLE = """
+  WITH RECURSIVE d0 AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) * 1000000 AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)),
+  daily AS (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS rn
+    FROM d0),
+  nd AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY event_type),
+  walk AS (
+    SELECT d.event_type, d.rn AS i,
+           (2 * d.x) // 10 AS l,
+           (3 * ((2 * d.x) // 10)) // 10 AS b
+    FROM daily d WHERE d.rn = 1
+    UNION ALL
+    SELECT w.event_type, w.i + 1,
+           (2 * d.x + 8 * (w.l + w.b)) // 10,
+           (3 * (((2 * d.x + 8 * (w.l + w.b)) // 10) - w.l)
+             + 7 * w.b) // 10
+    FROM walk w JOIN daily d
+      ON d.event_type = w.event_type AND d.rn = w.i + 1)
+  SELECT w.event_type, n.n_days,
+         CAST(w.l AS BIGINT) AS level_micro,
+         CAST(w.b AS BIGINT) AS trend_micro,
+         CAST(w.l + w.b AS BIGINT) AS forecast_next_micro
+  FROM walk w
+  JOIN nd n ON w.event_type = n.event_type AND w.i = n.n_days"""
+
+
+@q("q321_holt_linear_smoothing", _Q321_ORACLE)
+def q321(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the daily
+    count series — level AND trend state, so the one-step forecast
+    follows a drifting series where single EWMA (q198) lags.  The
+    recursion l' = alpha*x + (1-alpha)(l+b), b' = beta*(l'-l) +
+    (1-beta)*b depends on the previous SMOOTHED state, not a window
+    frame — like q309's clamp it is a genuine prefix recursion, run
+    as a JVM higher-order fold over the date-sorted per-key list with
+    a STRUCT accumulator (level, trend).  All arithmetic is micro-
+    integer with truncating division (Spark DIV == DuckDB //,
+    verified on negatives since trend goes negative), so the fold
+    replays exactly; per-key lists are |days|-sized because the fold
+    runs over the ROLLUP, not raw events."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg((F.count("*").cast("bigint") * 1000000).alias("x"))
+    daily = daily.select(
+        "event_type",
+        F.unix_date(F.col("day")).cast("bigint").alias("d"),
+        "x",
+    )
+    folded = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("x")))
+        ).alias("series"),
+    )
+    # expr-based fold so the truncating DIV matches DuckDB's // exactly
+    folded = folded.withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              transform(series, s -> named_struct('l', s.x,
+                                                  'b', CAST(0 AS BIGINT))),
+              named_struct('l', CAST(0 AS BIGINT),
+                           'b', CAST(0 AS BIGINT)),
+              (acc, e) -> named_struct(
+                'l', (2 * e.l + 8 * (acc.l + acc.b)) DIV 10,
+                'b', (3 * (((2 * e.l + 8 * (acc.l + acc.b)) DIV 10)
+                           - acc.l) + 7 * acc.b) DIV 10))
+            """
+        ),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").cast("bigint").alias("level_micro"),
+        F.col("st.b").cast("bigint").alias("trend_micro"),
+        (F.col("st.l") + F.col("st.b"))
+        .cast("bigint")
+        .alias("forecast_next_micro"),
+    )
+
+
+_Q322_ORACLE = """
+  WITH base AS (
+    SELECT l_orderkey AS k, l_linenumber AS ln,
+           l_returnflag AS v1, l_linestatus AS v2,
+           strftime(l_shipdate, '%Y-%m-%d') AS v3
+    FROM lineitem),
+  w1 AS (SELECT v1 AS v, lag(v1) OVER win AS pv FROM base
+         WINDOW win AS (PARTITION BY k ORDER BY ln, v1)),
+  w2 AS (SELECT v2 AS v, lag(v2) OVER win AS pv FROM base
+         WINDOW win AS (PARTITION BY k ORDER BY ln, v2)),
+  w3 AS (SELECT v3 AS v, lag(v3) OVER win AS pv FROM base
+         WINDOW win AS (PARTITION BY k ORDER BY ln, v3)),
+  u AS (
+    SELECT 'l_returnflag' AS col_name, v, pv FROM w1
+    UNION ALL
+    SELECT 'l_linestatus', v, pv FROM w2
+    UNION ALL
+    SELECT 'l_shipdate', v, pv FROM w3),
+  agg AS (
+    SELECT col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs,
+           CAST(sum(len(v)) AS BIGINT) AS value_bytes
+    FROM u GROUP BY col_name)
+  SELECT col_name, n_rows, n_distinct, n_runs, value_bytes,
+         round(CAST(n_rows AS DOUBLE) / n_runs, 4) AS avg_run_len_r,
+         CASE WHEN n_rows >= n_runs * 8 THEN 'rle'
+              WHEN n_distinct * 16 <= n_rows THEN 'dict'
+              ELSE 'plain' END AS best_encoding
+  FROM agg"""
+
+
+@q("q322_encoding_advisor", _Q322_ORACLE)
+def q322(spark: SparkSession, sf: str) -> DataFrame:
+    """Columnar-encoding advisor (the q105 z-order companion): per
+    column, count value runs under the table's natural clustering
+    (runs measured WITHIN each order's line group — the row-group
+    granularity at which parquet encoders actually choose, so no
+    global-sort window is needed), the distinct cardinality, and the
+    raw value bytes, then pick RLE / dictionary / plain by the
+    standard thresholds.  Run detection is a lag window over
+    per-order micro-partitions (bounded fan-in, fully parallel);
+    everything else is partial-aggregated counts.  This is how a
+    100 TB pipeline decides sort keys: re-running the advisor under a
+    candidate z-order and watching avg_run_len move is the cheap
+    proxy for re-encoding the table."""
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_returnflag").alias("v1"),
+        F.col("l_linestatus").alias("v2"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("v3"),
+    )
+    parts = []
+    for col_name, vc in (
+        ("l_returnflag", "v1"),
+        ("l_linestatus", "v2"),
+        ("l_shipdate", "v3"),
+    ):
+        # (ln, value) tiebreak: the synthetic lineitem has duplicate
+        # (orderkey, linenumber) pairs, and an ambiguous sort would
+        # make the run count nondeterministic
+        win = Window.partitionBy("k").orderBy("ln", vc)
+        parts.append(
+            base.select(
+                F.lit(col_name).alias("col_name"),
+                F.col(vc).alias("v"),
+                F.lag(vc).over(win).alias("pv"),
+            )
+        )
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    agg = u.groupBy("col_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.when(
+                F.col("pv").isNull() | (F.col("pv") != F.col("v")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+        F.sum(F.length("v")).cast("bigint").alias("value_bytes"),
+    )
+    return agg.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        "value_bytes",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_runs"), 4
+        ).alias("avg_run_len_r"),
+        F.when(F.col("n_rows") >= F.col("n_runs") * 8, "rle")
+        .when(F.col("n_distinct") * 16 <= F.col("n_rows"), "dict")
+        .otherwise("plain")
+        .alias("best_encoding"),
+    )
+
+
+# Snapshot B is a deterministic mutation of orders: rows with
+# o_orderkey % 997 == 0 deleted, rows with o_orderkey % 499 == 0 get
+# +1 cent — so the expected diff set is known and the oracle replays it.
+_Q323_ORACLE = """
+  WITH a AS (
+    SELECT o_orderkey % 256 AS bucket,
+           CAST(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR) || '|' || o_orderstatus), 1, 15))
+             AS BIGINT) AS h
+    FROM orders),
+  b AS (
+    SELECT o_orderkey % 256 AS bucket,
+           CAST(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                    + CASE WHEN o_orderkey % 499 = 0 THEN 1 ELSE 0 END
+                    AS VARCHAR) || '|' || o_orderstatus), 1, 15))
+             AS BIGINT) AS h
+    FROM orders WHERE o_orderkey % 997 <> 0),
+  la AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rows_a,
+                bit_xor(h) AS xa
+         FROM a GROUP BY bucket),
+  lb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rows_b,
+                bit_xor(h) AS xb
+         FROM b GROUP BY bucket),
+  sup AS (
+    SELECT la.bucket // 16 AS sb
+    FROM la LEFT JOIN lb ON la.bucket = lb.bucket
+    GROUP BY la.bucket // 16
+    HAVING bit_xor(la.xa) IS DISTINCT FROM bit_xor(lb.xb)
+        OR sum(la.rows_a) IS DISTINCT FROM sum(lb.rows_b))
+  SELECT CAST(la.bucket AS BIGINT) AS bucket,
+         la.rows_a, coalesce(lb.rows_b, 0) AS rows_b,
+         CASE WHEN lb.bucket IS NULL THEN 'missing'
+              WHEN la.rows_a <> lb.rows_b THEN 'row_count_drift'
+              ELSE 'content_drift' END AS status
+  FROM la
+  LEFT JOIN lb ON la.bucket = lb.bucket
+  JOIN sup ON la.bucket // 16 = sup.sb
+  WHERE lb.bucket IS NULL OR la.rows_a <> lb.rows_b
+     OR la.xa <> lb.xb"""
+
+
+@q("q323_merkle_bucket_diff", _Q323_ORACLE)
+def q323(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle-style anti-entropy diff between two table snapshots:
+    row content hashes XOR-fold into 256 bucket digests (XOR is the
+    order-independent, incrementally-updatable fold — one changed row
+    flips its bucket), a 16-way super-bucket level is compared FIRST,
+    and only differing super-buckets are drilled into — the two-level
+    prune that lets replicas of a 100 TB table agree on "what
+    changed" while exchanging KB of digests instead of re-reading
+    either side (q248's single fingerprint says IF tables differ;
+    this says WHERE).  Snapshot B is a deterministic in-query
+    mutation (delete keys % 997, +1 cent on keys % 499), and the
+    60-bit hex row hash parses identically in both engines
+    (conv(hex,16,10) == CAST '0x' || hex), so the diff set is exact."""
+    orders = load_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    def row_hash(cents_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        cents_col.cast("string"),
+                        F.col("o_orderstatus"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    a = orders.select(
+        (F.col("o_orderkey") % 256).alias("bucket"),
+        row_hash(cents).alias("h"),
+    )
+    b = orders.where(F.col("o_orderkey") % 997 != 0).select(
+        (F.col("o_orderkey") % 256).alias("bucket"),
+        row_hash(
+            cents
+            + F.when(F.col("o_orderkey") % 499 == 0, 1).otherwise(0)
+        ).alias("h"),
+    )
+    la = a.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("rows_a"),
+        F.expr("bit_xor(h)").alias("xa"),
+    )
+    lb = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("rows_b"),
+        F.expr("bit_xor(h)").alias("xb"),
+    )
+    j = la.join(lb, "bucket", "left")
+    sup = (
+        j.groupBy(F.expr("bucket DIV 16").alias("sb"))
+        .agg(
+            F.expr("bit_xor(xa)").alias("sxa"),
+            F.expr("bit_xor(xb)").alias("sxb"),
+            F.sum("rows_a").alias("sra"),
+            F.sum("rows_b").alias("srb"),
+        )
+        .where(
+            ~F.col("sxa").eqNullSafe(F.col("sxb"))
+            | ~F.col("sra").eqNullSafe(F.col("srb"))
+        )
+        .select("sb")
+    )
+    return (
+        j.join(sup, F.expr("bucket DIV 16") == F.col("sb"))
+        .where(
+            F.col("xb").isNull()
+            | (F.col("rows_a") != F.col("rows_b"))
+            | (F.col("xa") != F.col("xb"))
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "rows_a",
+            F.coalesce(F.col("rows_b"), F.lit(0)).alias("rows_b"),
+            F.when(F.col("rows_b").isNull(), "missing")
+            .when(F.col("rows_a") != F.col("rows_b"), "row_count_drift")
+            .otherwise("content_drift")
+            .alias("status"),
+        )
+    )

@@ -184,6 +184,10 @@ EXPECTED = {
     "q317_activity_bitmap": 1.2,   # bit_or groupBy then |users|-sized mask table
     "q318_good_turing_mass": 1.2,  # three cascaded shrinking groupBys
     "q319_theil_sen_trend": 1.2,   # daily rollup; pair join is |types|x|days|
+    "q320_largest_remainder_apportionment": 1.2,  # one count agg, |nations| tail
+    "q321_holt_linear_smoothing": 1.2,  # fold over the daily rollup
+    "q322_encoding_advisor": 1.3,  # per-order lag windows + count distinct
+    "q323_merkle_bucket_diff": 1.3,  # two scans, 256-bucket digests
 }
 
 
