@@ -6652,22 +6652,22 @@ _Q323_ORACLE = """
   lb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rows_b,
                 bit_xor(h) AS xb
          FROM b GROUP BY bucket),
-  sup AS (
-    SELECT la.bucket // 16 AS sb
+  j AS (
+    SELECT la.bucket, la.rows_a, la.xa, lb.rows_b, lb.xb,
+           bit_xor(la.xa) OVER w AS sxa,
+           bit_xor(lb.xb) OVER w AS sxb,
+           sum(la.rows_a) OVER w AS sra,
+           sum(lb.rows_b) OVER w AS srb
     FROM la LEFT JOIN lb ON la.bucket = lb.bucket
-    GROUP BY la.bucket // 16
-    HAVING bit_xor(la.xa) IS DISTINCT FROM bit_xor(lb.xb)
-        OR sum(la.rows_a) IS DISTINCT FROM sum(lb.rows_b))
-  SELECT CAST(la.bucket AS BIGINT) AS bucket,
-         la.rows_a, coalesce(lb.rows_b, 0) AS rows_b,
-         CASE WHEN lb.bucket IS NULL THEN 'missing'
-              WHEN la.rows_a <> lb.rows_b THEN 'row_count_drift'
+    WINDOW w AS (PARTITION BY la.bucket // 16))
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         rows_a, coalesce(rows_b, 0) AS rows_b,
+         CASE WHEN xb IS NULL THEN 'missing'
+              WHEN rows_a <> rows_b THEN 'row_count_drift'
               ELSE 'content_drift' END AS status
-  FROM la
-  LEFT JOIN lb ON la.bucket = lb.bucket
-  JOIN sup ON la.bucket // 16 = sup.sb
-  WHERE lb.bucket IS NULL OR la.rows_a <> lb.rows_b
-     OR la.xa <> lb.xb"""
+  FROM j
+  WHERE (sxa IS DISTINCT FROM sxb OR sra IS DISTINCT FROM srb)
+    AND (xb IS NULL OR rows_a <> rows_b OR xa <> xb)"""
 
 
 @q("q323_merkle_bucket_diff", _Q323_ORACLE)
@@ -6722,33 +6722,33 @@ def q323(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("rows_b"),
         F.expr("bit_xor(h)").alias("xb"),
     )
-    j = la.join(lb, "bucket", "left")
-    sup = (
-        j.groupBy(F.expr("bucket DIV 16").alias("sb"))
-        .agg(
-            F.expr("bit_xor(xa)").alias("sxa"),
-            F.expr("bit_xor(xb)").alias("sxb"),
-            F.sum("rows_a").alias("sra"),
-            F.sum("rows_b").alias("srb"),
-        )
-        .where(
-            ~F.col("sxa").eqNullSafe(F.col("sxb"))
-            | ~F.col("sra").eqNullSafe(F.col("srb"))
-        )
-        .select("sb")
+    # super-bucket digests as a WINDOW over the single joined digest
+    # table (a join-back would recompute both snapshot scans)
+    w = Window.partitionBy(F.expr("bucket DIV 16"))
+    j = la.join(lb, "bucket", "left").select(
+        "bucket", "rows_a", "xa", "rows_b", "xb",
+        F.expr("bit_xor(xa)").over(w).alias("sxa"),
+        F.expr("bit_xor(xb)").over(w).alias("sxb"),
+        F.sum("rows_a").over(w).alias("sra"),
+        F.sum("rows_b").over(w).alias("srb"),
     )
     return (
-        j.join(sup, F.expr("bucket DIV 16") == F.col("sb"))
-        .where(
-            F.col("xb").isNull()
-            | (F.col("rows_a") != F.col("rows_b"))
-            | (F.col("xa") != F.col("xb"))
+        j.where(
+            (
+                ~F.col("sxa").eqNullSafe(F.col("sxb"))
+                | ~F.col("sra").eqNullSafe(F.col("srb"))
+            )
+            & (
+                F.col("xb").isNull()
+                | (F.col("rows_a") != F.col("rows_b"))
+                | (F.col("xa") != F.col("xb"))
+            )
         )
         .select(
             F.col("bucket").cast("bigint").alias("bucket"),
             "rows_a",
             F.coalesce(F.col("rows_b"), F.lit(0)).alias("rows_b"),
-            F.when(F.col("rows_b").isNull(), "missing")
+            F.when(F.col("xb").isNull(), "missing")
             .when(F.col("rows_a") != F.col("rows_b"), "row_count_drift")
             .otherwise("content_drift")
             .alias("status"),

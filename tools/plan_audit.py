@@ -1549,6 +1549,137 @@ CHECKS = {
          "filter passes)", True,
          lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3),
     ],
+    "q307_sprt_decision": [
+        ("one scan of events feeds the whole walk", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+        ("LLR walk is a codegen window, no Python, no cartesian", True,
+         lambda p: "Window" in p and "EvalPython" not in p
+         and "InPandas" not in p and "CartesianProduct" not in p),
+    ],
+    "q308_max_concurrency": [
+        ("intervals pre-aggregated with partial min/max before the "
+         "sweep", True,
+         lambda p: "partial_min" in p and "partial_max" in p),
+        ("sweep walk is JVM-side: no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q309_clamped_running_balance": [
+        ("higher-order fold is codegen: no Python stage", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+        ("single scan of lineitem", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q310_moment_merge_contract": [
+        ("shard and direct moments both partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("no Python; at most two scans of events", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+    ],
+    "q311_grid_neighbor_join": [
+        ("candidate generation is a cell-keyed equi-join, never "
+         "cartesian/BNLJ", True,
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("probe explode is codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("band histogram partial-aggregated", True,
+         lambda p: "partial_count" in p),
+    ],
+    "q312_decision_stump": [
+        ("candidate histogram partial-aggregated (shuffle carries "
+         "distinct values, not rows)", True,
+         lambda p: "partial_count" in p and "partial_sum" in p),
+        ("argmax via window, no Python", True,
+         lambda p: "Window" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q313_feature_hashing": [
+        ("both rollups partial-aggregated over ONE scan", True,
+         lambda p: "partial_sum" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("md5 bucketing is codegen, no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q314_rank_correlation": [
+        ("fact rollups partial-aggregated before the tiny rank table",
+         True, lambda p: "partial_sum" in p),
+        ("no Python anywhere", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q315_calendar_gap_islands": [
+        ("missing hours via LeftAnti join", True,
+         lambda p: "LeftAnti" in p),
+        ("spine is a codegen Generate (sequence+explode), no Python",
+         True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q316_mann_whitney_u": [
+        ("rank sums and tie terms partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("one cohort-partitioned sort window, no Python", True,
+         lambda p: "Window" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q317_activity_bitmap": [
+        ("per-user mask is a partial-aggregated bit_or (8-byte state "
+         "per user)", True, lambda p: "partial_bit_or" in p),
+        ("single scan of events; mask algebra is JVM-side", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q318_good_turing_mass": [
+        ("cascaded rollups partial-aggregated over ONE scan", True,
+         lambda p: "partial_count" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("tokenize is codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q319_theil_sen_trend": [
+        ("pair join is type-keyed equi-join over the daily rollup, "
+         "never cartesian", True,
+         lambda p: "CartesianProduct" not in p),
+        ("daily rollup partial-aggregated; no Python", True,
+         lambda p: "partial_count" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q320_largest_remainder_apportionment": [
+        ("nation counts partial-aggregated", True,
+         lambda p: "partial_count" in p),
+        ("remainder ranking runs on the |nations|-row table, no "
+         "Python", True,
+         lambda p: "Window" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q321_holt_linear_smoothing": [
+        ("struct-state fold is codegen over the daily rollup "
+         "(partial_count present), no Python", True,
+         lambda p: "partial_count" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+        ("single scan of events", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q322_encoding_advisor": [
+        ("three per-column branches: exactly three scans, all lag "
+         "windows per-order partitioned", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 3
+         and "Window" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q323_merkle_bucket_diff": [
+        ("bucket digests are partial-aggregated bit_xor folds", True,
+         lambda p: "partial_bit_xor" in p),
+        ("two snapshot scans; drill-down join is bucket-keyed, never "
+         "cartesian", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+         and "CartesianProduct" not in p),
+        ("row hashing is JVM-side", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's
