@@ -237,6 +237,10 @@ HEADLINE = [
     "q321_holt_linear_smoothing",
     "q322_encoding_advisor",
     "q323_merkle_bucket_diff",
+    "q324_phrase_search",
+    "q325_interval_coverage",
+    "q326_zonemap_prunability",
+    "q327_feature_gain_ranking",
 ]
 
 

@@ -6754,3 +6754,299 @@ def q323(spark: SparkSession, sf: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+_Q325_ORACLE = """
+  WITH iv AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s, max(ts) AS e
+    FROM events GROUP BY user_id, CAST(ts AS DATE)),
+  pts AS (
+    SELECT day, s AS t, 1 AS d FROM iv
+    UNION ALL
+    SELECT day, e AS t, -1 AS d FROM iv),
+  grp AS (SELECT day, t, sum(d) AS net FROM pts GROUP BY day, t),
+  walked AS (
+    SELECT day, t,
+           lead(t) OVER (PARTITION BY day ORDER BY t) AS nt,
+           sum(net) OVER (PARTITION BY day ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS active
+    FROM grp),
+  cov AS (
+    SELECT day,
+           CAST(sum(CASE WHEN active > 0 AND nt IS NOT NULL
+                         THEN epoch_us(nt) - epoch_us(t)
+                         ELSE 0 END) AS BIGINT) AS covered_us
+    FROM walked GROUP BY day),
+  ni AS (SELECT day, CAST(count(*) AS BIGINT) AS n_intervals
+         FROM iv GROUP BY day)
+  SELECT c.day, c.covered_us, n.n_intervals,
+         round(CAST(c.covered_us AS DOUBLE) / 86400000000, 6)
+           AS day_utilization_r
+  FROM cov c JOIN ni n ON c.day = n.day"""
+
+
+@q("q325_interval_coverage", _Q325_ORACLE)
+def q325(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-union coverage (uptime arithmetic): total seconds per
+    day covered by AT LEAST ONE user session, from the same +1/-1
+    sweep as q308 but integrating segment lengths where the running
+    count is positive instead of taking the max — union length, peak
+    occupancy, and q270's pairwise overlaps are three different
+    questions over one sorted delta stream.  Exact integer
+    microseconds end to end (unix_micros == epoch_us); O(n log n)
+    with two rows per interval, day-partitioned."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    pts = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(iv.select("day", F.col("e").alias("t"), F.lit(-1)))
+    grp = pts.groupBy("day", "t").agg(F.sum("d").alias("net"))
+    wo = Window.partitionBy("day").orderBy("t")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    walked = grp.select(
+        "day",
+        "t",
+        F.lead("t").over(wo).alias("nt"),
+        F.sum("net").over(wcum).alias("active"),
+    )
+    cov = walked.groupBy("day").agg(
+        F.sum(
+            F.when(
+                (F.col("active") > 0) & F.col("nt").isNotNull(),
+                F.unix_micros("nt") - F.unix_micros("t"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("covered_us")
+    )
+    ni = iv.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_intervals")
+    )
+    return cov.join(ni, "day").select(
+        "day",
+        "covered_us",
+        "n_intervals",
+        F.round(
+            F.col("covered_us").cast("double") / 86400000000, 6
+        ).alias("day_utilization_r"),
+    )
+
+
+_Q326_ORACLE = """
+  WITH o AS (
+    SELECT o_orderkey, epoch_us(o_orderdate) AS dus FROM orders),
+  bounds AS (
+    SELECT min(dus) AS lo, max(dus) AS hi FROM o),
+  pred AS (
+    SELECT lo + (hi - lo) * 2 // 5 AS p1,
+           lo + (hi - lo) * 1 // 2 AS p2
+    FROM bounds),
+  la AS (
+    SELECT o_orderkey // 64 AS b, min(dus) AS mn, max(dus) AS mx
+    FROM o GROUP BY o_orderkey // 64),
+  lb AS (
+    SELECT (rn - 1) // 64 AS b, min(dus) AS mn, max(dus) AS mx
+    FROM (SELECT dus,
+                 row_number() OVER (ORDER BY dus, o_orderkey) AS rn
+          FROM o)
+    GROUP BY (rn - 1) // 64),
+  ra AS (
+    SELECT 'arrival' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN mx < p.p1 OR mn > p.p2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned
+    FROM la CROSS JOIN pred p),
+  rb AS (
+    SELECT 'date_sorted' AS layout, CAST(count(*) AS BIGINT)
+             AS n_buckets,
+           CAST(sum(CASE WHEN mx < p.p1 OR mn > p.p2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned
+    FROM lb CROSS JOIN pred p)
+  SELECT layout, n_buckets, n_pruned,
+         round(CAST(n_pruned AS DOUBLE) / n_buckets, 6) AS prune_rate_r
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)"""
+
+
+@q("q326_zonemap_prunability", _Q326_ORACLE)
+def q326(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) prunability audit: bucket the
+    orders table into 64-row "files" two ways — arrival order
+    (key-range) vs date-sorted (row_number on the predicate column) —
+    compute each file's [min, max] date envelope, and count how many
+    files a middle-decile date predicate could SKIP without reading.
+    This is the measurement behind every "sort your data by the
+    filter column" recommendation: same rows, same predicate, the
+    sorted layout's zone maps prune nearly everything while arrival
+    order prunes almost nothing — q322 prices the ENCODING win of a
+    layout, this prices the SCAN-SKIPPING win, and together they
+    justify a 100 TB rewrite before it runs.  Predicate bounds derive
+    from the data's own envelope in exact integer microseconds, so
+    the report replays everywhere.  (The date-sorted global
+    row_number is the audit's simulation of a sorted rewrite; the
+    rewrite itself would use repartitionByRange, which is the
+    distributed form of the same total order.)"""
+    orders = load_table(spark, sf, "orders")
+    o = orders.select(
+        "o_orderkey", F.unix_micros("o_orderdate").alias("dus")
+    )
+    bounds = o.agg(
+        F.min("dus").alias("lo"), F.max("dus").alias("hi")
+    )
+    pred = bounds.select(
+        (F.col("lo") + F.expr("(hi - lo) * 2 DIV 5")).alias("p1"),
+        (F.col("lo") + F.expr("(hi - lo) * 1 DIV 2")).alias("p2"),
+    )
+    la = o.groupBy(F.expr("o_orderkey DIV 64").alias("b")).agg(
+        F.min("dus").alias("mn"), F.max("dus").alias("mx")
+    )
+    lb = (
+        o.select(
+            "dus",
+            F.row_number()
+            .over(Window.orderBy("dus", "o_orderkey"))
+            .alias("rn"),
+        )
+        .groupBy(F.expr("(rn - 1) DIV 64").alias("b"))
+        .agg(F.min("dus").alias("mn"), F.max("dus").alias("mx"))
+    )
+
+    def rate(bdf, label):
+        return (
+            bdf.crossJoin(pred)
+            .agg(
+                F.count("*").cast("bigint").alias("n_buckets"),
+                F.sum(
+                    F.when(
+                        (F.col("mx") < F.col("p1"))
+                        | (F.col("mn") > F.col("p2")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_pruned"),
+            )
+            .select(
+                F.lit(label).alias("layout"), "n_buckets", "n_pruned"
+            )
+        )
+
+    out = rate(la, "arrival").unionAll(rate(lb, "date_sorted"))
+    return out.select(
+        "layout",
+        "n_buckets",
+        "n_pruned",
+        F.round(
+            F.col("n_pruned").cast("double") / F.col("n_buckets"), 6
+        ).alias("prune_rate_r"),
+    )
+
+
+_Q327_ORACLE = """
+  WITH base AS (
+    SELECT 'extendedprice' AS grp,
+           CAST(floor(l_extendedprice) AS BIGINT) AS f,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity', CAST(l_quantity AS BIGINT),
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_pct', CAST(floor(l_discount * 100) AS BIGINT),
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+    FROM lineitem),
+  cand AS (
+    SELECT grp, f, count(*) AS cnt, sum(pos) AS p
+    FROM base GROUP BY grp, f),
+  tot AS (
+    SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(sum(p) AS BIGINT) AS np
+    FROM cand GROUP BY grp),
+  walked AS (
+    SELECT grp, f,
+           CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+           CAST(sum(p) OVER w AS BIGINT) AS pl
+    FROM cand
+    WINDOW w AS (PARTITION BY grp ORDER BY f
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+  scored AS (
+    SELECT w.grp, w.f, w.nl, w.pl,
+           t.n - w.nl AS nr, t.np - w.pl AS pr, t.n AS n,
+           (CAST(w.pl AS DOUBLE) * w.pl
+             + CAST(w.nl - w.pl AS DOUBLE) * (w.nl - w.pl)) / w.nl
+           + (CAST(t.np - w.pl AS DOUBLE) * (t.np - w.pl)
+             + CAST((t.n - w.nl) - (t.np - w.pl) AS DOUBLE)
+               * ((t.n - w.nl) - (t.np - w.pl))) / (t.n - w.nl)
+             AS purity
+    FROM walked w JOIN tot t ON w.grp = t.grp
+    WHERE w.nl < t.n),
+  best AS (
+    SELECT grp, f, nl, pl, nr, pr, n, purity,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY purity DESC, f ASC) AS rn
+    FROM scored),
+  stumps AS (
+    SELECT grp AS feature, CAST(f AS BIGINT) AS best_threshold,
+           round((n - purity) / n, 6) AS weighted_gini_r
+    FROM best WHERE rn = 1)
+  SELECT feature, best_threshold, weighted_gini_r,
+         CAST(row_number() OVER (ORDER BY weighted_gini_r ASC,
+                                 feature ASC) AS BIGINT) AS gain_rank
+  FROM stumps"""
+
+
+@q("q327_feature_gain_ranking", _Q327_ORACLE)
+def q327(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature ranking by stump gain — the boosting 'which feature do
+    I split on' outer loop over q312's inner loop: three candidate
+    features (price, quantity, discount) each get their best Gini
+    threshold from ONE shared `gini_best_split` call, because the
+    operator's group column doubles as the FEATURE name when the
+    input is a union of (feature, value, label) rows — per-feature
+    histograms shuffle independently under the same partitioning,
+    which is exactly how a distributed tree learner evaluates all
+    features in one pass instead of one job per feature.  Final rank
+    orders by impurity (lower = more separating), feature-name
+    tiebreak."""
+    li = load_table(spark, sf, "lineitem")
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    base = (
+        li.select(
+            F.lit("extendedprice").alias("grp"),
+            F.floor("l_extendedprice").cast("bigint").alias("f"),
+            pos.alias("pos"),
+        )
+        .unionAll(
+            li.select(
+                F.lit("quantity").alias("grp"),
+                F.col("l_quantity").cast("bigint").alias("f"),
+                pos.alias("pos"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("discount_pct").alias("grp"),
+                F.floor(F.col("l_discount") * 100)
+                .cast("bigint")
+                .alias("f"),
+                pos.alias("pos"),
+            )
+        )
+    )
+    stumps = gini_best_split(base, "grp", "f", "pos").select(
+        F.col("grp").alias("feature"),
+        "best_threshold",
+        "weighted_gini_r",
+    )
+    return stumps.withColumn(
+        "gain_rank",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("weighted_gini_r").asc(), F.col("feature").asc()
+            )
+        )
+        .cast("bigint"),
+    )

@@ -6759,3 +6759,81 @@ def q318(spark: SparkSession, sf: str) -> DataFrame:
             (2 * n2).cast("double") / F.greatest(n1, F.lit(1)), 6
         ).alias("gt_adjusted_c1_r"),
     )
+
+
+_Q324_ORACLE = """
+  WITH tok AS (
+    SELECT doc_id, gs AS pos, toks[gs] AS tk
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+         LATERAL UNNEST(generate_series(1, len(toks))) t(gs)
+    WHERE len(toks[gs]) > 0),
+  big AS (
+    SELECT a.tk AS t1, b.tk AS t2, count(*) AS c
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.tk, b.tk
+    ORDER BY c DESC, t1 ASC, t2 ASC LIMIT 1)
+  SELECT big.t1 AS phrase_w1, big.t2 AS phrase_w2,
+         a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM tok a
+  JOIN big ON a.tk = big.t1
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            AND b.tk = big.t2
+  GROUP BY big.t1, big.t2, a.doc_id"""
+
+
+@q("q324_phrase_search", _Q324_ORACLE)
+def q324(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional phrase search, the inverted-index primitive the
+    bag-of-words retrieval tier (BM25 q141, TF-IDF q302) cannot
+    express: token postings carry POSITIONS (posexplode), and a
+    phrase match is an equi-join of the two terms' postings on
+    (doc_id, pos+1) — exactly how Lucene/ES execute quoted queries,
+    as a relational join instead of a skip-list zipper.  The query
+    first derives the corpus's most frequent bigram (deterministic
+    count/lexical tiebreak — self-contained at any sf) and then
+    phrase-searches it; the phrase row is a 1-row broadcast against
+    the postings, so the search costs one positional equi-join keyed
+    by doc — at 100 TB the postings are the shuffle, the phrase side
+    is KB."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tk"),
+    ).where(F.length("tk") > 0).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tk"
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    big = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(
+            F.col("a.tk").alias("t1"), F.col("b.tk").alias("t2")
+        )
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(1)
+    )
+    hit_a = tok.alias("ha")
+    hit_b = tok.alias("hb")
+    return (
+        hit_a.join(
+            F.broadcast(big), F.col("ha.tk") == F.col("t1")
+        )
+        .join(
+            hit_b,
+            (F.col("hb.doc_id") == F.col("ha.doc_id"))
+            & (F.col("hb.pos") == F.col("ha.pos") + 1)
+            & (F.col("hb.tk") == F.col("t2")),
+        )
+        .groupBy(
+            F.col("t1").alias("phrase_w1"),
+            F.col("t2").alias("phrase_w2"),
+            F.col("ha.doc_id").alias("doc_id"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )

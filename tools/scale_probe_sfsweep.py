@@ -188,6 +188,10 @@ EXPECTED = {
     "q321_holt_linear_smoothing": 1.2,  # fold over the daily rollup
     "q322_encoding_advisor": 1.3,  # per-order lag windows + count distinct
     "q323_merkle_bucket_diff": 1.3,  # two scans, 256-bucket digests
+    "q324_phrase_search": 1.5,     # positional postings; bigram df grows on the 31-word saturated vocab
+    "q325_interval_coverage": 1.3,  # q308 sweep with segment integration
+    "q326_zonemap_prunability": 1.3,  # two bucket rollups + 1-row pred
+    "q327_feature_gain_ranking": 1.3,  # 3-feature union of q312 histograms
 }
 
 
