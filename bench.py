@@ -241,6 +241,9 @@ HEADLINE = [
     "q325_interval_coverage",
     "q326_zonemap_prunability",
     "q327_feature_gain_ranking",
+    "q328_audience_overlap_matrix",
+    "q329_seasonal_decomposition",
+    "q330_sql_semantics_battery",
 ]
 
 

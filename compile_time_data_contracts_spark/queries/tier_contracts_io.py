@@ -1569,3 +1569,101 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
         .alias("valid_to"),
     )
     return scd2_validity_audit(scd, "k", "valid_from", "valid_to")
+
+
+# Every case in the battery is a semantics BOTH engines share; the one
+# known divergence — CAST(3.99 AS INT) truncates in Spark but ROUNDS in
+# DuckDB — is deliberately excluded and is exactly why the whole
+# inventory fixes points with floor() before casting (the 'cast_via_floor'
+# case pins the safe idiom instead).
+_Q330_ORACLE = """
+  SELECT 'count_empty' AS case_name,
+         (SELECT CAST(count(*) AS VARCHAR) FROM (SELECT 1) WHERE 1=0)
+           AS result
+  UNION ALL SELECT 'sum_empty',
+    (SELECT coalesce(CAST(sum(x) AS VARCHAR), 'NULL')
+     FROM (SELECT 1 AS x) WHERE 1=0)
+  UNION ALL SELECT 'avg_skips_nulls',
+    (SELECT CAST(avg(x) AS VARCHAR)
+     FROM (SELECT unnest([1, NULL, 3]) AS x))
+  UNION ALL SELECT 'null_eq_null',
+    coalesce(CAST((NULL = NULL) AS VARCHAR), 'NULL')
+  UNION ALL SELECT 'null_safe_eq',
+    CAST((NULL IS NOT DISTINCT FROM NULL) AS VARCHAR)
+  UNION ALL SELECT 'concat_null', coalesce('a' || NULL, 'NULL')
+  UNION ALL SELECT 'greatest_skips_null',
+    coalesce(CAST(greatest(1, NULL) AS VARCHAR), 'NULL')
+  UNION ALL SELECT 'substring_beyond',
+    '[' || substring('abc', 10, 2) || ']'
+  UNION ALL SELECT 'mod_negative', CAST(-7 % 2 AS VARCHAR)
+  UNION ALL SELECT 'intdiv_negative', CAST(-7 // 2 AS VARCHAR)
+  UNION ALL SELECT 'cast_via_floor',
+    CAST(CAST(floor(3.99) AS INT) AS VARCHAR)
+  UNION ALL SELECT 'round_half_pos',
+    CAST(CAST(round(2.5) AS BIGINT) AS VARCHAR)
+  UNION ALL SELECT 'round_half_neg',
+    CAST(CAST(round(-2.5) AS BIGINT) AS VARCHAR)
+  UNION ALL SELECT 'str_to_int_trimmed',
+    CAST(TRY_CAST(' 42 ' AS INT) AS VARCHAR)
+  UNION ALL SELECT 'slash_is_float_div', CAST(1/2 AS VARCHAR)
+  UNION ALL SELECT 'month_end_add',
+    CAST(CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+  UNION ALL SELECT 'leap_day',
+    CAST(CAST(DATE '2024-02-28' + INTERVAL 1 DAY AS DATE) AS VARCHAR)
+  UNION ALL SELECT 'empty_string_not_null',
+    CAST(('' IS NULL) AS VARCHAR)"""
+
+
+@q("q330_sql_semantics_battery", _Q330_ORACLE)
+def q330(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-engine SQL-semantics conformance battery — the contracts
+    discipline applied to the QUERY DIALECT itself: 18 edge-case
+    expressions (empty-set aggregates, NULL propagation vs NULL-safe
+    equality, negative mod/div truncation, round-half behavior,
+    calendar month-end/leap arithmetic, string/number coercions)
+    each emitted as (case_name, result) and hash-compared against
+    DuckDB.  Every row is a semantics both engines are PINNED to
+    share; the one divergence found while building the inventory —
+    CAST(3.99 AS INT) truncates in Spark but ROUNDS in DuckDB — is
+    deliberately excluded, and the 'cast_via_floor' case pins the
+    floor-then-cast idiom the whole inventory uses instead.  A
+    regression here means an engine upgrade changed query MEANING,
+    which no row-count smoke test would catch."""
+    return spark.sql(
+        """
+  SELECT 'count_empty' AS case_name,
+         (SELECT CAST(count(*) AS STRING) FROM (SELECT 1) WHERE 1=0)
+           AS result
+  UNION ALL SELECT 'sum_empty',
+    (SELECT coalesce(CAST(sum(x) AS STRING), 'NULL')
+     FROM (SELECT 1 AS x) WHERE 1=0)
+  UNION ALL SELECT 'avg_skips_nulls',
+    (SELECT CAST(avg(x) AS STRING)
+     FROM (SELECT explode(array(1, NULL, 3)) AS x))
+  UNION ALL SELECT 'null_eq_null',
+    coalesce(CAST((NULL = NULL) AS STRING), 'NULL')
+  UNION ALL SELECT 'null_safe_eq',
+    CAST((NULL IS NOT DISTINCT FROM NULL) AS STRING)
+  UNION ALL SELECT 'concat_null', coalesce(concat('a', NULL), 'NULL')
+  UNION ALL SELECT 'greatest_skips_null',
+    coalesce(CAST(greatest(1, NULL) AS STRING), 'NULL')
+  UNION ALL SELECT 'substring_beyond',
+    concat('[', substring('abc', 10, 2), ']')
+  UNION ALL SELECT 'mod_negative', CAST(-7 % 2 AS STRING)
+  UNION ALL SELECT 'intdiv_negative', CAST(-7 DIV 2 AS STRING)
+  UNION ALL SELECT 'cast_via_floor',
+    CAST(CAST(floor(3.99) AS INT) AS STRING)
+  UNION ALL SELECT 'round_half_pos',
+    CAST(CAST(round(2.5) AS BIGINT) AS STRING)
+  UNION ALL SELECT 'round_half_neg',
+    CAST(CAST(round(-2.5) AS BIGINT) AS STRING)
+  UNION ALL SELECT 'str_to_int_trimmed',
+    CAST(TRY_CAST(' 42 ' AS INT) AS STRING)
+  UNION ALL SELECT 'slash_is_float_div', CAST(1/2 AS STRING)
+  UNION ALL SELECT 'month_end_add',
+    CAST(add_months(DATE '2024-01-31', 1) AS STRING)
+  UNION ALL SELECT 'leap_day',
+    CAST(date_add(DATE '2024-02-28', 1) AS STRING)
+  UNION ALL SELECT 'empty_string_not_null',
+    CAST(('' IS NULL) AS STRING)"""
+    )

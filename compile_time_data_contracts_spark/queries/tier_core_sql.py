@@ -7050,3 +7050,197 @@ def q327(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cast("bigint"),
     )
+
+
+_Q328_ORACLE = """
+  WITH idx AS (
+    SELECT user_id,
+           CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                WHEN 'view' THEN 4 END AS i
+    FROM events
+    WHERE event_type IN
+          ('click', 'error', 'purchase', 'signup', 'view')),
+  m AS (
+    SELECT user_id, bit_or(CAST(1 AS BIGINT) << CAST(i AS INT)) AS mask
+    FROM idx GROUP BY user_id),
+  hist AS (
+    SELECT mask, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY mask),
+  types AS (
+    SELECT * FROM (VALUES ('click', 0), ('error', 1),
+                          ('purchase', 2), ('signup', 3),
+                          ('view', 4)) AS t(name, i)),
+  pairs AS (
+    SELECT a.name AS type_a, a.i AS ia, b.name AS type_b, b.i AS ib
+    FROM types a JOIN types b ON a.i < b.i),
+  ov AS (
+    SELECT p.type_a, p.type_b,
+           CAST(sum(CASE WHEN ((h.mask >> p.ia) & 1) = 1
+                         THEN h.n ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN ((h.mask >> p.ib) & 1) = 1
+                         THEN h.n ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN ((h.mask >> p.ia) & 1) = 1
+                          AND ((h.mask >> p.ib) & 1) = 1
+                         THEN h.n ELSE 0 END) AS BIGINT) AS n_both
+    FROM pairs p CROSS JOIN hist h
+    GROUP BY p.type_a, p.type_b)
+  SELECT type_a, type_b, n_a, n_b, n_both,
+         round(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both), 6)
+           AS jaccard_r
+  FROM ov"""
+
+
+@q("q328_audience_overlap_matrix", _Q328_ORACLE)
+def q328(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise audience-overlap (Jaccard) matrix between the five
+    event-type segments, computed WITHOUT touching events for any
+    pair: each user collapses to a 5-bit segment mask (q317's bitmap
+    algebra), the mask HISTOGRAM is at most 2^5 rows, and every one
+    of the 10 pairwise intersections is a conditional sum over that
+    histogram — audience-overlap questions against a 100 TB log
+    become arithmetic on a 32-row table, which is why bitmap engines
+    (Druid, Pinot, ClickHouse bitmaps) answer segment-overlap
+    dashboards interactively.  Adding a segment costs one bit, not
+    one scan."""
+    ev = load_table(spark, sf, "events")
+    i = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "view", 4)
+    )
+    idx = ev.where(
+        F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"
+        )
+    ).select("user_id", i.alias("i"))
+    m = idx.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)))"
+        ).alias("mask")
+    )
+    hist = m.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    types = spark.createDataFrame(
+        [("click", 0), ("error", 1), ("purchase", 2), ("signup", 3),
+         ("view", 4)],
+        "name string, i int",
+    )
+    a, b = types.alias("a"), types.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.col("a.name").alias("type_a"),
+        F.col("a.i").alias("ia"),
+        F.col("b.name").alias("type_b"),
+        F.col("b.i").alias("ib"),
+    )
+    ov = (
+        pairs.crossJoin(hist)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(mask, ia) & 1") == 1,
+                       F.col("n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(
+                F.when(F.expr("shiftright(mask, ib) & 1") == 1,
+                       F.col("n")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(
+                F.when(
+                    (F.expr("shiftright(mask, ia) & 1") == 1)
+                    & (F.expr("shiftright(mask, ib) & 1") == 1),
+                    F.col("n"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )
+    return ov.select(
+        "type_a", "type_b", "n_a", "n_b", "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+            6,
+        ).alias("jaccard_r"),
+    )
+
+
+_Q329_ORACLE = """
+  WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY event_type, CAST(ts AS DATE)),
+  t AS (
+    SELECT event_type, day, x,
+           (CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) / 86400 + 3)
+             % 7 AS dow,
+           sum(x) OVER w AS s7, count(*) OVER w AS c7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+  r AS (
+    SELECT event_type, dow, 7 * x - s7 AS resid7
+    FROM t WHERE c7 = 7)
+  SELECT event_type, CAST(dow AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST((1000 * sum(resid7)) // (7 * count(*)) AS BIGINT)
+           AS seasonal_milli
+  FROM r GROUP BY event_type, dow"""
+
+
+@q("q329_seasonal_decomposition", _Q329_ORACLE)
+def q329(spark: SparkSession, sf: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily count series:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = mean detrended residual per day-of-week — unlike
+    q229's ratio-to-overall-mean index, this detrends FIRST, so a
+    growing series doesn't masquerade as seasonality.  Residuals stay
+    exact by the 7x lift (7x - sum7 is integer; no average is ever
+    materialized as a float), day-of-week is epoch-day arithmetic
+    ((d+3) % 7, Monday=0) rather than engine dow() functions (Spark
+    and DuckDB disagree on week origin), and the final milli-index is
+    one truncating division.  Two windows + one rollup over the
+    |types| x |days| frame."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = daily.select(
+        "event_type",
+        "x",
+        ((F.unix_date(F.col("day")).cast("bigint") + 3) % 7).alias(
+            "dow"
+        ),
+        F.sum("x").over(w).alias("s7"),
+        F.count("*").over(w).alias("c7"),
+    )
+    r = t.where(F.col("c7") == 7).select(
+        "event_type", "dow", (7 * F.col("x") - F.col("s7")).alias("resid7")
+    )
+    return (
+        r.groupBy("event_type", "dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.expr("(1000 * sum(resid7)) DIV (7 * count(*))")
+            .cast("bigint")
+            .alias("seasonal_milli"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_obs",
+            "seasonal_milli",
+        )
+    )

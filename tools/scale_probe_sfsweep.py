@@ -192,6 +192,9 @@ EXPECTED = {
     "q325_interval_coverage": 1.3,  # q308 sweep with segment integration
     "q326_zonemap_prunability": 1.3,  # two bucket rollups + 1-row pred
     "q327_feature_gain_ranking": 1.3,  # 3-feature union of q312 histograms
+    "q328_audience_overlap_matrix": 1.2,  # bit_or groupBy then 32-row histogram
+    "q329_seasonal_decomposition": 1.2,  # windows over |types|x|days| rollup
+    "q330_sql_semantics_battery": 1.0,   # constant-size, no table scan
 }
 
 
