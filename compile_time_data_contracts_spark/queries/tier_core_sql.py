@@ -7123,10 +7123,12 @@ def q328(spark: SparkSession, sf: str) -> DataFrame:
     hist = m.groupBy("mask").agg(
         F.count("*").cast("bigint").alias("n")
     )
-    types = spark.createDataFrame(
-        [("click", 0), ("error", 1), ("purchase", 2), ("signup", 3),
-         ("view", 4)],
-        "name string, i int",
+    # VALUES -> LocalRelation: a createDataFrame here would make a
+    # Python-backed RDD whose 2-sided cartesian schedules ~64 Python
+    # runner tasks for 25 rows (measured ~10 s of pure overhead)
+    types = spark.sql(
+        """SELECT * FROM VALUES ('click', 0), ('error', 1),
+           ('purchase', 2), ('signup', 3), ('view', 4) AS t(name, i)"""
     )
     a, b = types.alias("a"), types.alias("b")
     pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
