@@ -244,6 +244,9 @@ HEADLINE = [
     "q328_audience_overlap_matrix",
     "q329_seasonal_decomposition",
     "q330_sql_semantics_battery",
+    "q331_stream_bitmap_audience",
+    "q332_cuped_adjustment",
+    "q333_join_skew_planner",
 ]
 
 

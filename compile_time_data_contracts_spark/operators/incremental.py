@@ -57,6 +57,7 @@ def aggregate_state(
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
     hlls: Sequence[str] = (),
+    bors: Sequence[str] = (),
 ) -> DataFrame:
     """Per-key algebraic aggregate state: row count plus sum/min/max of
     the named measure columns, plus an HLL sketch (fixed-size bytes,
@@ -68,6 +69,10 @@ def aggregate_state(
     aggs += [F.min(c).alias(f"min_{c}") for c in mins]
     aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
     aggs += [F.hll_sketch_agg(c).alias(f"hll_{c}") for c in hlls]
+    # bit_or is algebraic exactly like sum/min/max: the merged mask of
+    # two partial masks is their bit_or — the bitmap-audience state
+    # (q317/q331) rides the same machinery
+    aggs += [F.expr(f"bit_or({c})").alias(f"bor_{c}") for c in bors]
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -78,6 +83,7 @@ def merge_aggregate_states(
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
     hlls: Sequence[str] = (),
+    bors: Sequence[str] = (),
 ) -> DataFrame:
     """Merge any number of aggregate states over the same spec:
     counts and sums add, mins min, maxs max.  Keys present in only one
@@ -97,6 +103,7 @@ def merge_aggregate_states(
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in mins]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in maxs]
     aggs += [F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}") for c in hlls]
+    aggs += [F.expr(f"bit_or(bor_{c})").alias(f"bor_{c}") for c in bors]
     return u.groupBy(*keys).agg(*aggs)
 
 
@@ -126,6 +133,7 @@ def versioned_state_merger(
     mins: Sequence[str] = (),
     maxs: Sequence[str] = (),
     hlls: Sequence[str] = (),
+    bors: Sequence[str] = (),
 ):
     """``foreachBatch`` handler maintaining a VERSIONED aggregate-state
     table: epoch e writes ``{state_base}/v{e}`` = merge(v{e-1},
@@ -152,7 +160,8 @@ def versioned_state_merger(
         e = int(epoch_id)
         parts = [
             aggregate_state(
-                batch_df, keys, sums=sums, mins=mins, maxs=maxs, hlls=hlls
+                batch_df, keys, sums=sums, mins=mins, maxs=maxs,
+                hlls=hlls, bors=bors,
             )
         ]
         if e > 0:
@@ -163,7 +172,8 @@ def versioned_state_merger(
                 )
             parts.append(spark.read.parquet(prev))
         merge_aggregate_states(
-            parts, keys, sums=sums, mins=mins, maxs=maxs, hlls=hlls
+            parts, keys, sums=sums, mins=mins, maxs=maxs, hlls=hlls,
+            bors=bors,
         ).write.mode("overwrite").parquet(f"{state_base}/v{e}")
 
     return handle

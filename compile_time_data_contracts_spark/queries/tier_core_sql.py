@@ -7246,3 +7246,257 @@ def q329(spark: SparkSession, sf: str) -> DataFrame:
             "seasonal_milli",
         )
     )
+
+
+_Q332_ORACLE = """
+  WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS tus,
+           CAST(floor(value * 100) AS BIGINT) AS v
+    FROM events WHERE value IS NOT NULL),
+  bounds AS (
+    SELECT min(tus) AS lo, max(tus) AS hi FROM ev),
+  per_user AS (
+    SELECT e.user_id, e.user_id % 2 AS arm,
+           CAST(sum(CASE WHEN e.tus < b.lo + (b.hi - b.lo) // 2
+                         THEN e.v ELSE 0 END) AS BIGINT) AS pre_c,
+           CAST(sum(CASE WHEN e.tus >= b.lo + (b.hi - b.lo) // 2
+                         THEN e.v ELSE 0 END) AS BIGINT) AS post_c
+    FROM ev e CROSS JOIN bounds b
+    GROUP BY e.user_id, e.user_id % 2),
+  pool AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pre_c) AS BIGINT) AS sx,
+           CAST(sum(post_c) AS BIGINT) AS sy,
+           CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx,
+           CAST(sum(pre_c * post_c) AS BIGINT) AS sxy
+    FROM per_user),
+  th AS (
+    SELECT (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             AS theta,
+           CAST(sx AS DOUBLE) / n AS grand_pre
+    FROM pool),
+  arm AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pre_c) AS BIGINT) AS sx,
+           CAST(sum(post_c) AS BIGINT) AS sy,
+           CAST(sum(pre_c * pre_c) AS BIGINT) AS sxx,
+           CAST(sum(post_c * post_c) AS BIGINT) AS syy,
+           CAST(sum(pre_c * post_c) AS BIGINT) AS sxy
+    FROM per_user GROUP BY arm),
+  m AS (
+    SELECT a.arm, a.n,
+           CAST(a.sy AS DOUBLE) / a.n AS mean_post,
+           CAST(a.sx AS DOUBLE) / a.n AS mean_pre,
+           (CAST(a.syy AS DOUBLE) - CAST(a.sy AS DOUBLE) * a.sy / a.n)
+             / a.n AS var_post,
+           (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * a.sx / a.n)
+             / a.n AS var_pre,
+           (CAST(a.sxy AS DOUBLE) - CAST(a.sx AS DOUBLE) * a.sy / a.n)
+             / a.n AS cov_xy,
+           t.theta, t.grand_pre
+    FROM arm a CROSS JOIN th t)
+  SELECT arm, n,
+         round(mean_post / 100, 6) AS mean_post_r,
+         round((mean_post - theta * (mean_pre - grand_pre)) / 100, 6)
+           AS mean_cuped_r,
+         round(var_post / 10000, 4) AS var_post_r,
+         round((var_post - 2 * theta * cov_xy
+                + theta * theta * var_pre) / 10000, 4) AS var_cuped_r,
+         round(1 - (var_post - 2 * theta * cov_xy
+                    + theta * theta * var_pre) / var_post, 6)
+           AS var_reduction_r
+  FROM m"""
+
+
+@q("q332_cuped_adjustment", _Q332_ORACLE)
+def q332(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM 2013): adjust each
+    arm's post-period metric by theta * (pre-period covariate -
+    grand mean), with theta = cov(pre, post)/var(pre) pooled — the
+    standard trick that cuts experiment runtime by the pre/post
+    correlation squared.  The adjusted VARIANCE is derived
+    ALGEBRAICALLY (var_post - 2*theta*cov + theta^2*var_pre) from
+    exact integer cents moments instead of materializing per-user
+    adjusted doubles — both because it is one less pass and because
+    a shuffled float sum would be order-nondeterministic and break
+    the oracle hash; the pre/post split point derives from the
+    data's own time envelope in integer microseconds.  Two
+    partial-aggregated rollups (per-user, then per-arm) — the
+    experimentation twin of q253's z-test and q307's SPRT."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    bounds = ev.agg(
+        F.min("tus").alias("lo"), F.max("tus").alias("hi")
+    )
+    per_user = (
+        ev.crossJoin(bounds)
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("tus")
+                    < F.col("lo") + F.expr("(hi - lo) DIV 2"),
+                    F.col("v"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pre_c"),
+            F.sum(
+                F.when(
+                    F.col("tus")
+                    >= F.col("lo") + F.expr("(hi - lo) DIV 2"),
+                    F.col("v"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("post_c"),
+        )
+    )
+    pool = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pre_c").cast("bigint").alias("sx"),
+        F.sum("post_c").cast("bigint").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("pre_c"))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(F.col("pre_c") * F.col("post_c"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    th = pool.select(
+        (
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx")
+               - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("grand_pre"),
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pre_c").cast("bigint").alias("sx"),
+        F.sum("post_c").cast("bigint").alias("sy"),
+        F.sum(F.col("pre_c") * F.col("pre_c"))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(F.col("post_c") * F.col("post_c"))
+        .cast("bigint")
+        .alias("syy"),
+        F.sum(F.col("pre_c") * F.col("post_c"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    m = arm.crossJoin(th).select(
+        "arm",
+        "n",
+        (F.col("sy").cast("double") / n).alias("mean_post"),
+        (F.col("sx").cast("double") / n).alias("mean_pre"),
+        (
+            (F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy") / n) / n
+        ).alias("var_post"),
+        (
+            (F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx") / n) / n
+        ).alias("var_pre"),
+        (
+            (F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy") / n) / n
+        ).alias("cov_xy"),
+        "theta",
+        "grand_pre",
+    )
+    var_cuped = (
+        F.col("var_post")
+        - 2 * F.col("theta") * F.col("cov_xy")
+        + F.col("theta") * F.col("theta") * F.col("var_pre")
+    )
+    return m.select(
+        "arm",
+        "n",
+        F.round(F.col("mean_post") / 100, 6).alias("mean_post_r"),
+        F.round(
+            (
+                F.col("mean_post")
+                - F.col("theta")
+                * (F.col("mean_pre") - F.col("grand_pre"))
+            )
+            / 100,
+            6,
+        ).alias("mean_cuped_r"),
+        F.round(F.col("var_post") / 10000, 4).alias("var_post_r"),
+        F.round(var_cuped / 10000, 4).alias("var_cuped_r"),
+        F.round(1 - var_cuped / F.col("var_post"), 6).alias(
+            "var_reduction_r"
+        ),
+    )
+
+
+_Q333_ORACLE = """
+  WITH k AS (
+    SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey),
+  g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(max(n) AS BIGINT) AS max_rows
+    FROM k),
+  top AS (
+    SELECT key, n,
+           row_number() OVER (ORDER BY n DESC, key ASC) AS rn
+    FROM k)
+  SELECT t.key AS hot_key, t.n AS hot_rows,
+         g.n_keys, g.total_rows,
+         CAST((1000 * g.max_rows * g.n_keys) // g.total_rows AS BIGINT)
+           AS skew_factor_milli,
+         CAST((g.max_rows * g.n_keys + g.total_rows - 1)
+              // g.total_rows AS BIGINT) AS recommended_salt
+  FROM top t CROSS JOIN g WHERE t.rn <= 5"""
+
+
+@q("q333_join_skew_planner", _Q333_ORACLE)
+def q333(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-skew planner: per-key cardinality histogram of the
+    orders-side join key, the top-5 heaviest keys, the skew factor
+    (max/avg, milli-units, exact integer arithmetic), and the salt
+    count a salted join (q79) would need — ceil(max/avg) splits the
+    hottest key's partition back to average size.  This is the
+    MEASUREMENT that decides between a plain shuffle join, AQE skew
+    handling, and explicit salting BEFORE burning a 100 TB shuffle;
+    one partial-aggregated count plus arithmetic on the |keys|-row
+    histogram.  All integers — no float ratio can dither the
+    recommendation across engines."""
+    orders = load_table(spark, sf, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    g = k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+    )
+    top = k.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("key").asc())
+        ),
+    ).where(F.col("rn") <= 5)
+    return top.crossJoin(g).select(
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("hot_rows"),
+        "n_keys",
+        "total_rows",
+        F.expr("(1000 * max_rows * n_keys) DIV total_rows")
+        .cast("bigint")
+        .alias("skew_factor_milli"),
+        F.expr("(max_rows * n_keys + total_rows - 1) DIV total_rows")
+        .cast("bigint")
+        .alias("recommended_salt"),
+    )

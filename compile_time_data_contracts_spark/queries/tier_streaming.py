@@ -635,3 +635,88 @@ def q304(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_ticks"),
         F.col("sum_vm").cast("bigint").alias("sum_micro"),
     )
+
+
+# Oracle = the q317 batch recompute restricted to the two audience
+# columns the streamed state report emits.
+@q("q331_stream_bitmap_audience", """
+  WITH m AS (
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << CAST(hour(ts) AS INT)) AS mask
+    FROM events GROUP BY user_id),
+  hrs AS (SELECT unnest(generate_series(0, 23)) AS h)
+  SELECT CAST(hrs.h AS BIGINT) AS hour_of_day,
+         CAST(sum((m.mask >> hrs.h) & 1) AS BIGINT) AS audience,
+         CAST(sum(CASE WHEN m.mask = (CAST(1 AS BIGINT) << hrs.h)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS exclusive_audience
+  FROM hrs CROSS JOIN m
+  GROUP BY hrs.h""")
+def q331(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING bitmap-audience maintenance: q317's per-user hour
+    masks kept fresh by the q212 versioned-state merger, because
+    bit_or is ALGEBRAIC exactly like sum/min/max — merge(state,
+    batch) = bit_or of the two masks, so each epoch costs O(batch) +
+    O(|users|) and history is never re-scanned.  The events table
+    replays as 3 ordered micro-batches through foreachBatch, epoch 1
+    is RE-DELIVERED (the q145/q212 crash window), and the final
+    state's per-hour audience report must hash-match the batch
+    recompute the oracle runs — an append-style mask sink would OR
+    in nothing extra (bit_or is idempotent!), which is why the
+    contract also checks exclusive_audience: idempotence hides
+    double-delivery for masks, but the versioned merger is what
+    keeps the COUNT columns (n) exact in the same state table."""
+    import tempfile
+
+    from ..operators.incremental import versioned_state_merger
+    from ..streaming.windows import events_stream, write_ordered_feed
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(hour(ts) AS INT))"
+            ).alias("hbit"),
+        )
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="ctdc-bitmap-stream-")
+    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
+    slices = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    write_ordered_feed(slices, feed)
+    handler = versioned_state_merger(state, ["user_id"], bors=["hbit"])
+    qh = (
+        keyed(events_stream(spark, feed, max_files_per_trigger=1))
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    # post-crash redelivery of epoch 1: same batch, same epoch id
+    handler(keyed(slices[1]), 1)
+    masks = spark.read.parquet(f"{state}/v2").select(
+        "user_id", F.col("bor_hbit").alias("mask")
+    )
+    hrs = spark.range(0, 24).select(F.col("id").cast("int").alias("h"))
+    return (
+        hrs.crossJoin(masks)
+        .groupBy(F.col("h").cast("bigint").alias("hour_of_day"))
+        .agg(
+            F.sum(F.expr("shiftright(mask, h) & 1"))
+            .cast("bigint")
+            .alias("audience"),
+            F.sum(
+                F.when(
+                    F.col("mask")
+                    == F.expr("shiftleft(CAST(1 AS BIGINT), h)"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("exclusive_audience"),
+        )
+    )

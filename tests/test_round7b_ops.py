@@ -184,3 +184,39 @@ def test_mann_whitney_matches_bruteforce(spark):
         assert math.isclose(got[c]["u1"], u1, abs_tol=0.11), c
         assert math.isclose(got[c]["z_r"], z, abs_tol=1e-5), c
         assert got[c]["z_r"] > 0  # planted shift detected
+
+
+# ------------------------------------------- bit_or state (bors spec)
+def test_bitor_state_merges_like_batch(spark):
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    rng = random.Random(75)
+    rows = [(rng.randrange(8), 1 << rng.randrange(24)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "k long, b long")
+    halves = [
+        df.where(F.col("b") % 2 == 0),
+        df.where(F.col("b") % 2 != 0),
+    ]
+    merged = merge_aggregate_states(
+        [aggregate_state(h, ["k"], bors=["b"]) for h in halves],
+        ["k"],
+        bors=["b"],
+    )
+    direct = aggregate_state(df, ["k"], bors=["b"])
+    got = {r["k"]: (r["n"], r["bor_b"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["bor_b"]) for r in direct.collect()}
+    assert got == want
+    # brute force
+    import collections
+
+    masks = collections.defaultdict(int)
+    counts = collections.defaultdict(int)
+    for k, b in rows:
+        masks[k] |= b
+        counts[k] += 1
+    assert got == {k: (counts[k], masks[k]) for k in masks}

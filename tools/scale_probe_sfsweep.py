@@ -195,6 +195,9 @@ EXPECTED = {
     "q328_audience_overlap_matrix": 1.2,  # bit_or groupBy then 32-row histogram
     "q329_seasonal_decomposition": 1.2,  # windows over |types|x|days| rollup
     "q330_sql_semantics_battery": 1.0,   # constant-size, no table scan
+    "q331_stream_bitmap_audience": 1.3,  # micro-batch machinery + O(batch) merges
+    "q332_cuped_adjustment": 1.2,  # two cascaded moment rollups
+    "q333_join_skew_planner": 1.2,  # one count groupBy + |keys| histogram
 }
 
 
