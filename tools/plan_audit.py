@@ -1670,6 +1670,61 @@ CHECKS = {
         ("no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q324_phrase_search": [
+        ("phrase match is a (doc, pos)-keyed equi-join, never "
+         "cartesian/BNLJ on postings", True,
+         lambda p: "CartesianProduct" not in p),
+        ("postings are codegen Generate, no Python", True,
+         lambda p: "Generate" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q325_interval_coverage": [
+        ("intervals pre-aggregated with partial min/max", True,
+         lambda p: "partial_min" in p and "partial_max" in p),
+        ("segment integration is a window + agg, no Python", True,
+         lambda p: "Window" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q326_zonemap_prunability": [
+        ("bucket envelopes partial-aggregated", True,
+         lambda p: "partial_min" in p and "partial_max" in p),
+        ("no Python; predicate is a 1-row broadcast", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q327_feature_gain_ranking": [
+        ("per-feature histograms partial-aggregated under one union",
+         True, lambda p: "partial_count" in p and "Union" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q328_audience_overlap_matrix": [
+        ("per-user mask is a partial-aggregated bit_or", True,
+         lambda p: "partial_bit_or" in p),
+        ("types table is a LocalRelation (no Python-RDD cartesian)",
+         True, lambda p: "ExistingRDD" not in p),
+        ("no Python stage", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q329_seasonal_decomposition": [
+        ("daily rollup partial-aggregated; windows over the rollup",
+         True, lambda p: "partial_count" in p and "Window" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q332_cuped_adjustment": [
+        ("per-user and per-arm moments partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("single scan of events feeds both rollups via the 1-row "
+         "bounds broadcast", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q333_join_skew_planner": [
+        ("key histogram partial-aggregated over ONE scan", True,
+         lambda p: "partial_count" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+        ("planner arithmetic is integer projection, no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q323_merkle_bucket_diff": [
         ("bucket digests are partial-aggregated bit_xor folds", True,
          lambda p: "partial_bit_xor" in p),
