@@ -247,6 +247,9 @@ HEADLINE = [
     "q331_stream_bitmap_audience",
     "q332_cuped_adjustment",
     "q333_join_skew_planner",
+    "q334_srm_check",
+    "q335_median_order_stat_ci",
+    "q336_dedup_savings_report",
 ]
 
 

@@ -7500,3 +7500,153 @@ def q333(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("recommended_salt"),
     )
+
+
+# chi-square critical value for df=1, alpha=0.05: 3.841459 -> micro
+# literal precomputed in Python (the q290 no-libm rule)
+_Q334_ORACLE = """
+  WITH u AS (SELECT DISTINCT user_id FROM events),
+  a AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1
+    FROM u)
+  SELECT n AS n_users, n0 AS n_arm0, n1 AS n_arm1,
+         CAST((1000000 * ((2 * n0 - n) * (2 * n0 - n)
+                          + (2 * n1 - n) * (2 * n1 - n)))
+              // (2 * n) AS BIGINT) AS chi2_micro,
+         ((1000000 * ((2 * n0 - n) * (2 * n0 - n)
+                      + (2 * n1 - n) * (2 * n1 - n)))
+          // (2 * n)) > 3841459 AS srm_flag
+  FROM a"""
+
+
+@q("q334_srm_check", _Q334_ORACLE)
+def q334(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first health gate every A/B
+    readout must pass BEFORE q253/q307/q332 are even looked at (a
+    biased assignment invalidates them all): chi-square of the
+    50/50 arm split over ASSIGNED UNITS (distinct users, not
+    events — event-weighted SRM checks mask user-level bugs), in
+    exact integer micro-units via the (2o-n)^2/(2n) identity, with
+    the df=1 critical value precomputed as a Python literal (the
+    q290 no-libm rule).  One distinct + one conditional-sum pass."""
+    ev = load_table(spark, sf, "events")
+    u = ev.select("user_id").distinct()
+    a = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    chi2 = F.expr(
+        "(1000000 * ((2 * n0 - n) * (2 * n0 - n)"
+        " + (2 * n1 - n) * (2 * n1 - n))) DIV (2 * n)"
+    )
+    return a.select(
+        F.col("n").alias("n_users"),
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        chi2.cast("bigint").alias("chi2_micro"),
+        (chi2 > 3841459).alias("srm_flag"),
+    )
+
+
+# z for the 95% binomial CI on the median rank: 1.959964 -> used as
+# the double literal 1.959964 in BOTH engines' identical expressions
+_Q335_ORACLE = """
+  WITH v AS (
+    SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL),
+  r AS (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c)
+             AS rn
+    FROM v),
+  nn AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM v GROUP BY event_type),
+  ranks AS (
+    SELECT event_type, n,
+           (n + 1) // 2 AS med_rank,
+           greatest(CAST(1 AS BIGINT),
+             CAST(floor((n - 1.959964 * sqrt(n)) / 2) AS BIGINT))
+             AS lo_rank,
+           least(n,
+             CAST(ceil((n + 1.959964 * sqrt(n)) / 2 + 1) AS BIGINT))
+             AS hi_rank
+    FROM nn)
+  SELECT k.event_type, k.n,
+         CAST(min(CASE WHEN r.rn = k.med_rank THEN r.c END)
+              AS BIGINT) AS median_c,
+         CAST(min(CASE WHEN r.rn = k.lo_rank THEN r.c END)
+              AS BIGINT) AS ci_lo_c,
+         CAST(min(CASE WHEN r.rn = k.hi_rank THEN r.c END)
+              AS BIGINT) AS ci_hi_c
+  FROM ranks k JOIN r ON r.event_type = k.event_type
+  GROUP BY k.event_type, k.n"""
+
+
+@q("q335_median_order_stat_ci", _Q335_ORACLE)
+def q335(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median via
+    ORDER STATISTICS (binomial rank bounds n/2 ± z√n/2): no
+    bootstrap resampling (q243's 200 replicates), no normality
+    assumption — just three rank lookups in one per-group sort.  The
+    value at a rank is deterministic under ties regardless of tie
+    order, ranks derive from n through one IEEE sqrt (exact on
+    identical inputs), and the z constant is a Python-precomputed
+    literal in both engines.  This is the cheap CI for monitoring
+    dashboards at 100 TB: one sort per group, O(1) extra work over
+    computing the median at all."""
+    ev = load_table(spark, sf, "events")
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    r = v.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("c"))
+        .alias("rn"),
+    )
+    nn = v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    n = F.col("n")
+    ranks = nn.select(
+        "event_type",
+        "n",
+        F.expr("(n + 1) DIV 2").alias("med_rank"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((n - 1.959964 * F.sqrt(n)) / 2).cast("bigint"),
+        ).alias("lo_rank"),
+        F.least(
+            n,
+            F.ceil((n + 1.959964 * F.sqrt(n)) / 2 + 1).cast("bigint"),
+        ).alias("hi_rank"),
+    )
+    return (
+        ranks.join(r, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.col("med_rank"), F.col("c"))
+            )
+            .cast("bigint")
+            .alias("median_c"),
+            F.min(F.when(F.col("rn") == F.col("lo_rank"), F.col("c")))
+            .cast("bigint")
+            .alias("ci_lo_c"),
+            F.min(F.when(F.col("rn") == F.col("hi_rank"), F.col("c")))
+            .cast("bigint")
+            .alias("ci_hi_c"),
+        )
+    )

@@ -6837,3 +6837,62 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_occurrences"))
     )
+
+
+_Q336_ORACLE = """
+  WITH d AS (
+    SELECT source, doc_id, n_chars, md5(text) AS h FROM documents),
+  cl AS (
+    SELECT source, h, CAST(count(*) AS BIGINT) AS sz,
+           CAST(sum(n_chars) AS BIGINT) AS bytes_all,
+           CAST(min(n_chars) AS BIGINT) AS bytes_keep
+    FROM d GROUP BY source, h)
+  SELECT source,
+         CAST(sum(sz) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(sz) - count(*) AS BIGINT) AS n_dup_docs,
+         CAST(max(sz) AS BIGINT) AS largest_cluster,
+         CAST(sum(bytes_all) AS BIGINT) AS bytes_total,
+         CAST(sum(bytes_keep) AS BIGINT) AS bytes_dedup,
+         CAST((1000 * (sum(bytes_all) - sum(bytes_keep)))
+              // sum(bytes_all) AS BIGINT) AS savings_milli
+  FROM cl GROUP BY source"""
+
+
+@q("q336_dedup_savings_report", _Q336_ORACLE)
+def q336(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup ROI report per source: exact-duplicate clusters by text
+    hash, cluster-size spread, and the BYTE savings a keep-one
+    dedup pass would realize — the number that decides whether the
+    q54 near-dup machinery is worth its shuffle on a new crawl
+    source (a source with 2% exact-dup mass doesn't need MinHash
+    yet; one with 40% does).  Identical duplicate texts share
+    n_chars, so the kept-representative bytes are min(n_chars) per
+    cluster with no doc_id arbitration needed; two cascaded
+    partial-aggregated groupBys on the md5 pre-hash — the heavy text
+    column is reduced to 16 bytes before any shuffle."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        "source",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    cl = d.groupBy("source", "h").agg(
+        F.count("*").cast("bigint").alias("sz"),
+        F.sum("n_chars").cast("bigint").alias("bytes_all"),
+        F.min("n_chars").cast("bigint").alias("bytes_keep"),
+    )
+    return cl.groupBy("source").agg(
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.sum("sz") - F.count("*")).cast("bigint").alias("n_dup_docs"),
+        F.max("sz").cast("bigint").alias("largest_cluster"),
+        F.sum("bytes_all").cast("bigint").alias("bytes_total"),
+        F.sum("bytes_keep").cast("bigint").alias("bytes_dedup"),
+        F.expr(
+            "(1000 * (sum(bytes_all) - sum(bytes_keep)))"
+            " DIV sum(bytes_all)"
+        )
+        .cast("bigint")
+        .alias("savings_milli"),
+    )

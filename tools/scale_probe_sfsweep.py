@@ -198,6 +198,9 @@ EXPECTED = {
     "q331_stream_bitmap_audience": 1.3,  # micro-batch machinery + O(batch) merges
     "q332_cuped_adjustment": 1.2,  # two cascaded moment rollups
     "q333_join_skew_planner": 1.2,  # one count groupBy + |keys| histogram
+    "q334_srm_check": 1.2,         # one distinct + one conditional sum
+    "q335_median_order_stat_ci": 1.3,  # one per-group sort + rank lookups
+    "q336_dedup_savings_report": 1.2,  # two cascaded groupBys on md5 pre-hash
 }
 
 
