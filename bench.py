@@ -250,6 +250,10 @@ HEADLINE = [
     "q334_srm_check",
     "q335_median_order_stat_ci",
     "q336_dedup_savings_report",
+    "q337_local_topk_merge_contract",
+    "q338_image_tile_digests",
+    "q339_column_change_histogram",
+    "q340_pack_efficiency",
 ]
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features", "extract_frame_samples", "extract_audio_windows"]
+__all__ = ["MEDIA_SCHEMA", "attach_fake_media", "extract_media_features", "extract_frame_samples", "extract_audio_windows", "extract_image_tiles"]
 
 # the media envelope: opaque payload + typed metadata (SURVEY §2.2 Q52 +
 # north-star multimodal requirement)
@@ -257,4 +257,93 @@ def extract_audio_windows(
 
     return df.select(id_col, "media").mapInPandas(
         extract, AUDIO_WINDOW_SCHEMA
+    )
+
+
+IMAGE_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tile_row", T.IntegerType(), False),
+        T.StructField("tile_col", T.IntegerType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def extract_image_tiles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 32,
+    tile_h: int = 16,
+    tile_w: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """2D TILE extraction over the binary payload — the image-patch
+    batch shape (ViT patches, thumbnail grids) completing the 1D
+    strided (:func:`extract_frame_samples`) and 1D overlapping
+    (:func:`extract_audio_windows`) multimodal family: the payload is
+    a row-major ``width``-wide byte image, each full ``tile_h x
+    tile_w`` tile emits (row, col, md5 digest of the tile's
+    concatenated row-slices, integer byte-sum energy).  Both output
+    cells replay in ANSI SQL (substring arithmetic + md5 + ord sums),
+    so the whole Python boundary is value-checked, not just
+    row-counted.  Partial edge tiles are dropped (the resize/pad
+    decision belongs to the real decoder, stubbed per the
+    multimodal.py env contract).
+
+    Scale shape: one Arrow crossing; per-doc work is (H/th)*(W/tw)
+    tiles; output carries 16-byte digests and longs, never pixels.
+    """
+    if width <= 0 or tile_h <= 0 or tile_w <= 0:
+        raise ValueError("width and tile dims must be positive")
+    if width % tile_w != 0:
+        raise ValueError("width must be a multiple of tile_w")
+
+    def extract(
+        batches: typing.Iterator["pd.DataFrame"],
+    ) -> typing.Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv; run "
+                    "with decode_stub=True in this environment"
+                )
+            ids, trs, tcs, digs, eners = [], [], [], [], []
+            for did, m in zip(pdf[id_col], pdf["media"]):
+                payload = m["payload"] or b""
+                h = len(payload) // width
+                arr = np.frombuffer(
+                    payload[: h * width], dtype=np.uint8
+                ).reshape(h, width) if h else None
+                for tr in range(h // tile_h):
+                    for tc in range(width // tile_w):
+                        tile = arr[
+                            tr * tile_h : (tr + 1) * tile_h,
+                            tc * tile_w : (tc + 1) * tile_w,
+                        ]
+                        ids.append(int(did))
+                        trs.append(tr)
+                        tcs.append(tc)
+                        digs.append(
+                            hashlib.md5(tile.tobytes()).hexdigest()
+                        )
+                        eners.append(int(tile.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "tile_row": pd.Series(trs, dtype="int32"),
+                    "tile_col": pd.Series(tcs, dtype="int32"),
+                    "digest": pd.Series(digs, dtype="object"),
+                    "energy": pd.Series(eners, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(
+        extract, IMAGE_TILE_SCHEMA
     )

@@ -7650,3 +7650,210 @@ def q335(spark: SparkSession, sf: str) -> DataFrame:
             .alias("ci_hi_c"),
         )
     )
+
+
+_Q337_ORACLE = """
+  WITH sh AS (
+    SELECT c_custkey AS k,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+           c_custkey % 8 AS shard
+    FROM customer),
+  loc AS (
+    SELECT k, bal_c FROM (
+      SELECT k, bal_c,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY bal_c DESC, k ASC) AS rn
+      FROM sh) WHERE rn <= 10),
+  merged AS (
+    SELECT k, bal_c,
+           row_number() OVER (ORDER BY bal_c DESC, k ASC) AS rnk
+    FROM loc),
+  direct AS (
+    SELECT k, bal_c,
+           row_number() OVER (ORDER BY bal_c DESC, k ASC) AS rnk
+    FROM sh)
+  SELECT m.rnk AS rnk, m.k AS key_merged, d.k AS key_direct,
+         m.bal_c AS bal_merged_c, d.bal_c AS bal_direct_c,
+         (m.k = d.k AND m.bal_c = d.bal_c) AS agree
+  FROM merged m JOIN direct d ON m.rnk = d.rnk
+  WHERE m.rnk <= 10"""
+
+
+@q("q337_local_topk_merge_contract", _Q337_ORACLE)
+def q337(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-top-k merge contract: the global top-10 of the UNION of
+    per-shard top-10s must equal the direct global top-10 — the
+    algebra (top-k of a union of top-ks IS the union's top-k, q303's
+    KMV argument applied to ranking) that justifies every
+    tree-aggregated distributed top-k: each of 1000 executors ships
+    k rows, never its partition, and the coordinator merges 1000*k
+    rows regardless of table size.  Spark's TakeOrderedAndProject
+    does exactly this internally; the contract makes the safety
+    property an oracle-checked row-for-row assertion (deterministic
+    key tiebreaks, cents-integer balances) instead of trust."""
+    cust = load_table(spark, sf, "customer")
+    sh = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        (F.col("c_custkey") % 8).alias("shard"),
+    )
+    wloc = Window.partitionBy("shard").orderBy(
+        F.col("bal_c").desc(), F.col("k").asc()
+    )
+    loc = (
+        sh.withColumn("rn", F.row_number().over(wloc))
+        .where(F.col("rn") <= 10)
+        .select("k", "bal_c")
+    )
+    wglob = Window.orderBy(F.col("bal_c").desc(), F.col("k").asc())
+    merged = loc.select(
+        "k", "bal_c", F.row_number().over(wglob).alias("rnk")
+    )
+    direct = sh.select(
+        "k", "bal_c", F.row_number().over(wglob).alias("rnk")
+    )
+    m, d = merged.alias("m"), direct.alias("d")
+    return (
+        m.join(d, F.col("m.rnk") == F.col("d.rnk"))
+        .where(F.col("m.rnk") <= 10)
+        .select(
+            F.col("m.rnk").alias("rnk"),
+            F.col("m.k").alias("key_merged"),
+            F.col("d.k").alias("key_direct"),
+            F.col("m.bal_c").alias("bal_merged_c"),
+            F.col("d.bal_c").alias("bal_direct_c"),
+            (
+                (F.col("m.k") == F.col("d.k"))
+                & (F.col("m.bal_c") == F.col("d.bal_c"))
+            ).alias("agree"),
+        )
+    )
+
+
+_Q338_ORACLE = """
+  WITH docs AS (
+    SELECT doc_id, text, length(text) AS n FROM documents),
+  dims AS (
+    SELECT doc_id, text, n // 16 AS h FROM docs WHERE n // 16 >= 8),
+  tiles AS (
+    SELECT doc_id, text, CAST(r AS INT) AS tr, CAST(c AS INT) AS tc
+    FROM dims,
+         LATERAL UNNEST(generate_series(0, h // 8 - 1)) a(r),
+         LATERAL UNNEST(generate_series(0, 1)) b(c)),
+  tb AS (
+    SELECT doc_id, tr, tc,
+           string_agg(
+             substring(text, (tr * 8 + j) * 16 + tc * 8 + 1, 8),
+             '' ORDER BY j) AS bytes
+    FROM tiles, LATERAL UNNEST(generate_series(0, 7)) s(j)
+    GROUP BY doc_id, tr, tc),
+  en AS (
+    SELECT doc_id, tr, tc,
+           CAST(sum(ord(substring(bytes, CAST(k AS INT) + 1, 1)))
+                AS BIGINT) AS energy
+    FROM tb, LATERAL UNNEST(generate_series(0, 63)) e(k)
+    GROUP BY doc_id, tr, tc)
+  SELECT t.doc_id, t.tr AS tile_row, t.tc AS tile_col,
+         md5(t.bytes) AS digest, e.energy
+  FROM tb t
+  JOIN en e ON t.doc_id = e.doc_id AND t.tr = e.tr AND t.tc = e.tc"""
+
+
+@q("q338_image_tile_digests", _Q338_ORACLE)
+def q338(spark: SparkSession, sf: str) -> DataFrame:
+    """2D image-TILE extraction (`operators/multimodal.py:
+    extract_image_tiles`): the payload as a row-major 16-byte-wide
+    image, cut into 8x8 patches — the ViT-patch batch shape
+    completing the multimodal family (q265 strided 1D frames, q305
+    overlapping 1D windows, this is the 2D grid).  Every Python-
+    boundary output cell replays in ANSI SQL: the tile digest is md5
+    of 8 concatenated row-slices (pure substring arithmetic) and the
+    energy is the 64-byte ord sum — so the Arrow crossing is
+    value-checked cell by cell, the same discipline q305
+    established for audio.  Partial edge tiles drop deterministically
+    on both sides."""
+    from ..operators.multimodal import attach_fake_media, extract_image_tiles
+
+    docs = load_table(spark, sf, "documents")
+    media = attach_fake_media(docs)
+    return extract_image_tiles(
+        media, id_col="doc_id", width=16, tile_h=8, tile_w=8
+    )
+
+
+_Q339_ORACLE = """
+  WITH a AS (
+    SELECT o_orderkey AS k,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS status
+    FROM orders),
+  b AS (
+    SELECT o_orderkey AS k,
+           CAST(floor(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 499 = 0 THEN 1 ELSE 0 END
+             AS cents,
+           CASE WHEN o_orderkey % 701 = 0 THEN 'X'
+                ELSE o_orderstatus END AS status
+    FROM orders WHERE o_orderkey % 997 <> 0),
+  j AS (
+    SELECT a.k, b.k AS kb,
+           (a.cents <> b.cents) AS pc,
+           (a.status <> b.status) AS sc
+    FROM a LEFT JOIN b ON a.k = b.k),
+  kinds AS (
+    SELECT CASE WHEN kb IS NULL THEN 'deleted'
+                WHEN pc AND sc THEN 'both'
+                WHEN pc THEN 'price_only'
+                WHEN sc THEN 'status_only' END AS change_kind
+    FROM j)
+  SELECT change_kind, CAST(count(*) AS BIGINT) AS n_rows
+  FROM kinds WHERE change_kind IS NOT NULL
+  GROUP BY change_kind"""
+
+
+@q("q339_column_change_histogram", _Q339_ORACLE)
+def q339(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic snapshot diff at COLUMN granularity: q323's Merkle
+    layer says WHICH buckets changed; this classifies each changed
+    row by WHAT changed (price only / status only / both / deleted)
+    — the CDC analytics that turns "the table drifted" into "the
+    repricing job touched 0.2%, and 30 rows also flipped status,
+    which it never should".  Snapshot B is the q323 deterministic
+    mutation plus a status flip on a third cohort, so the expected
+    histogram is exactly derivable; one key-equi LEFT join, kind
+    classification in codegen, |kinds|-row output."""
+    orders = load_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = orders.where(F.col("o_orderkey") % 997 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 499 == 0, 1).otherwise(0)
+        ).alias("cents"),
+        F.when(F.col("o_orderkey") % 701 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    j = aa.join(bb, F.col("a.k") == F.col("b.k"), "left").select(
+        F.col("b.k").alias("kb"),
+        (F.col("a.cents") != F.col("b.cents")).alias("pc"),
+        (F.col("a.status") != F.col("b.status")).alias("sc"),
+    )
+    kind = (
+        F.when(F.col("kb").isNull(), "deleted")
+        .when(F.col("pc") & F.col("sc"), "both")
+        .when(F.col("pc"), "price_only")
+        .when(F.col("sc"), "status_only")
+    )
+    return (
+        j.select(kind.alias("change_kind"))
+        .where(F.col("change_kind").isNotNull())
+        .groupBy("change_kind")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )

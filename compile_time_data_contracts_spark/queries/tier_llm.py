@@ -6896,3 +6896,69 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("savings_milli"),
     )
+
+
+_Q340_ORACLE = """
+  WITH toks AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+    FROM documents),
+  packed AS (
+    SELECT lang,
+           CAST(floor(
+             (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n_tok) / 2048.0
+           ) AS INT) AS pack_id,
+           n_tok
+    FROM toks),
+  per_pack AS (
+    SELECT lang, pack_id, CAST(sum(n_tok) AS BIGINT) AS tok
+    FROM packed GROUP BY lang, pack_id)
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_packs,
+         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST((1000 * sum(tok)) // (2048 * count(*)) AS BIGINT)
+           AS avg_fill_milli,
+         CAST(sum(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddle,
+         CAST(sum(CASE WHEN 2 * tok < 2048 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_under_half
+  FROM per_pack GROUP BY lang"""
+
+
+@q("q340_pack_efficiency", _Q340_ORACLE)
+def q340(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency report over q65's sequence packer: per
+    language shard, the pack count, mean fill ratio against the
+    2048-token budget (milli-units, integer division), straddle
+    packs (a document crossing the boundary overfills its pack — the
+    greedy offset packer's known trade), and under-half-filled packs
+    — the numbers that price pretraining batch waste: avg_fill 850
+    means 15% of every training step is padding.  Reuses q65's exact
+    pack-assignment formula so the report audits the SAME packing
+    the pipeline ships; one lang-partitioned cumulative window + two
+    rollups."""
+    docs = load_table(spark, sf, "documents")
+    with_tok = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(
+        with_tok, budget=2048, order_col="doc_id", tokens_col="n_tok",
+        shard_col="lang",
+    ).select("lang", "pack_id", "n_tok")
+    per_pack = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tok").cast("bigint").alias("tok")
+    )
+    return per_pack.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_packs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.expr("(1000 * sum(tok)) DIV (2048 * count(*))")
+        .cast("bigint")
+        .alias("avg_fill_milli"),
+        F.sum(F.when(F.col("tok") > 2048, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_straddle"),
+        F.sum(F.when(2 * F.col("tok") < 2048, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_under_half"),
+    )

@@ -201,6 +201,10 @@ EXPECTED = {
     "q334_srm_check": 1.2,         # one distinct + one conditional sum
     "q335_median_order_stat_ci": 1.3,  # one per-group sort + rank lookups
     "q336_dedup_savings_report": 1.2,  # two cascaded groupBys on md5 pre-hash
+    "q337_local_topk_merge_contract": 1.3,  # per-shard windows + 80-row merge
+    "q338_image_tile_digests": 1.3,  # one Arrow pass, tiles/doc bounded
+    "q339_column_change_histogram": 1.3,  # one key equi-join, two scans
+    "q340_pack_efficiency": 1.3,   # lang-partitioned cum window + rollups
 }
 
 
