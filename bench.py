@@ -254,6 +254,9 @@ HEADLINE = [
     "q338_image_tile_digests",
     "q339_column_change_histogram",
     "q340_pack_efficiency",
+    "q341_huber_irls_regression",
+    "q342_successive_halving",
+    "q343_expected_calibration_error",
 ]
 
 

@@ -7857,3 +7857,476 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("change_kind")
         .agg(F.count("*").cast("bigint").alias("n_rows"))
     )
+
+
+_Q341_ORACLE = """
+  WITH base AS (
+    SELECT l_linestatus AS grp,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice * 100) AS BIGINT)
+             * (CASE WHEN l_orderkey % 1009 = 0 THEN 100 ELSE 1 END)
+             AS y,
+           (l_orderkey % 1009 = 0) AS planted
+    FROM lineitem),
+  m1 AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_planted
+    FROM base GROUP BY grp),
+  ols AS (
+    SELECT grp, n, n_planted,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             AS b,
+           (CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy
+              - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * sx) / n AS a
+    FROM m1),
+  res AS (
+    SELECT b2.grp, b2.x, b2.y, o.b AS b_ols, o.a, o.n, o.n_planted,
+           abs(b2.y - (o.a + o.b * b2.x)) AS ar
+    FROM base b2 JOIN ols o ON b2.grp = o.grp),
+  scale AS (
+    SELECT grp, b_ols, n, n_planted,
+           1.345 * sqrt(sum(ar * ar) / max(n)) AS k
+    FROM res GROUP BY grp, b_ols, n, n_planted),
+  wtd AS (
+    SELECT r.grp, s.b_ols, s.n, s.n_planted,
+           CASE WHEN r.ar <= s.k THEN 1000
+                ELSE CAST(floor(1000 * s.k / r.ar) AS BIGINT) END AS w,
+           r.x, r.y
+    FROM res r JOIN scale s ON r.grp = s.grp),
+  m2 AS (
+    SELECT grp, b_ols, n, n_planted,
+           CAST(sum(w) AS BIGINT) AS sw,
+           CAST(sum(w * x) AS BIGINT) AS swx,
+           CAST(sum(w * y) AS BIGINT) AS swy,
+           CAST(sum(w * x * x) AS BIGINT) AS swxx,
+           CAST(sum(w * x * y) AS BIGINT) AS swxy,
+           CAST(sum(CASE WHEN w < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_downweighted
+    FROM wtd GROUP BY grp, b_ols, n, n_planted)
+  SELECT grp, n, n_planted, n_downweighted,
+         round(b_ols, 4) AS ols_slope_r,
+         round((CAST(sw AS DOUBLE) * swxy
+                - CAST(swx AS DOUBLE) * swy)
+               / (CAST(sw AS DOUBLE) * swxx
+                  - CAST(swx AS DOUBLE) * swx), 4) AS huber_slope_r
+  FROM m2"""
+
+
+@q("q341_huber_irls_regression", _Q341_ORACLE)
+def q341(spark: SparkSession, sf: str) -> DataFrame:
+    """Huber-robust regression as ONE IRLS reweighting step over the
+    q227 OLS: plant 100x price outliers on a key cohort, fit OLS,
+    downweight residuals beyond k = 1.345*RMSE with w =
+    floor(1000*k/|r|) MILLI-INTEGER weights, and refit — the weighted
+    moments are then EXACT integer sums (w, x, y all integers), so
+    the distributed re-fit has no float-summation-order hazard; the
+    only doubles are the per-row residual and the two final slope
+    divisions, each a fixed IEEE expression.  The output shows the
+    OLS slope dragged by the planted outliers and the Huber slope
+    shrugging them off (n_downweighted ~ n_planted) — robust ML
+    training as two aggregate passes, no solver."""
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.col("l_linestatus").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        (
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.when(F.col("l_orderkey") % 1009 == 0, 100).otherwise(1)
+        ).alias("y"),
+        (F.col("l_orderkey") % 1009 == 0).alias("planted"),
+    )
+    m1 = base.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.when(F.col("planted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_planted"),
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy")
+    )
+    b_expr = (n.cast("double") * sxy - sx.cast("double") * sy) / (
+        n.cast("double") * sxx - sx.cast("double") * sx
+    )
+    ols = m1.select(
+        "grp", "n", "n_planted",
+        b_expr.alias("b"),
+        ((sy.cast("double") - b_expr * sx) / n).alias("a"),
+    ).withColumnRenamed("b", "b_ols")
+    res = base.join(ols, "grp").select(
+        "grp", "x", "y", "b_ols", "n", "n_planted",
+        F.abs(
+            F.col("y") - (F.col("a") + F.col("b_ols") * F.col("x"))
+        ).alias("ar"),
+    )
+    scale = res.groupBy("grp", "b_ols", "n", "n_planted").agg(
+        (
+            1.345
+            * F.sqrt(F.sum(F.col("ar") * F.col("ar")) / F.max("n"))
+        ).alias("k")
+    )
+    wtd = res.join(scale.select("grp", "k"), "grp").select(
+        "grp", "b_ols", "n", "n_planted", "x", "y",
+        F.when(F.col("ar") <= F.col("k"), F.lit(1000).cast("bigint"))
+        .otherwise(
+            F.floor(1000 * F.col("k") / F.col("ar")).cast("bigint")
+        )
+        .alias("w"),
+    )
+    m2 = wtd.groupBy("grp", "b_ols", "n", "n_planted").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).cast("bigint").alias("swx"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("swy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("swxx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y"))
+        .cast("bigint")
+        .alias("swxy"),
+        F.sum(F.when(F.col("w") < 1000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_downweighted"),
+    )
+    sw, swx, swy, swxx, swxy = (
+        F.col("sw"), F.col("swx"), F.col("swy"), F.col("swxx"),
+        F.col("swxy"),
+    )
+    return m2.select(
+        "grp", "n", "n_planted", "n_downweighted",
+        F.round(F.col("b_ols"), 4).alias("ols_slope_r"),
+        F.round(
+            (sw.cast("double") * swxy - swx.cast("double") * swy)
+            / (sw.cast("double") * swxx - swx.cast("double") * swx),
+            4,
+        ).alias("huber_slope_r"),
+    )
+
+
+_Q342_ORACLE = """
+  WITH base AS (
+    SELECT CAST(floor(l_extendedprice) AS BIGINT) AS f,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab,
+           (CAST(('0x' || substring(md5(
+              CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)
+              || '|sh-v1'), 1, 8)) AS BIGINT) % 4 = 0) AS in_sample
+    FROM lineitem),
+  cfg AS (SELECT unnest([10000, 20000, 30000, 40000,
+                         50000, 60000, 70000, 80000]) AS t),
+  r1 AS (
+    SELECT c.t, CAST(1 AS BIGINT) AS round,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN b.f < c.t AND b.lab = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN b.f < c.t AND b.lab = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN b.f >= c.t AND b.lab = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM base b CROSS JOIN cfg c
+    WHERE b.in_sample GROUP BY c.t),
+  r1s AS (
+    SELECT t, round, n_eval,
+           CAST((1000 * 2 * tp) // (2 * tp + fp + fn) AS BIGINT)
+             AS f1_milli,
+           row_number() OVER (
+             ORDER BY (1000 * 2 * tp) // (2 * tp + fp + fn) DESC,
+                      t ASC) AS rk
+    FROM r1),
+  keep1 AS (SELECT t FROM r1s WHERE rk <= 4),
+  r2 AS (
+    SELECT c.t, CAST(2 AS BIGINT) AS round,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN b.f < c.t AND b.lab = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN b.f < c.t AND b.lab = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN b.f >= c.t AND b.lab = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM base b CROSS JOIN (SELECT t FROM keep1) c
+    GROUP BY c.t),
+  r2s AS (
+    SELECT t, round, n_eval,
+           CAST((1000 * 2 * tp) // (2 * tp + fp + fn) AS BIGINT)
+             AS f1_milli,
+           row_number() OVER (
+             ORDER BY (1000 * 2 * tp) // (2 * tp + fp + fn) DESC,
+                      t ASC) AS rk
+    FROM r2)
+  SELECT round, CAST(t AS BIGINT) AS threshold, n_eval, f1_milli,
+         (rk <= CASE WHEN round = 1 THEN 4 ELSE 1 END) AS kept
+  FROM (SELECT * FROM r1s UNION ALL SELECT * FROM r2s)"""
+
+
+@q("q342_successive_halving", _Q342_ORACLE)
+def q342(spark: SparkSession, sf: str) -> DataFrame:
+    """Successive-halving hyperparameter tournament (Jamieson &
+    Talwalkar 2016) run ENTIRELY inside the engine: 8 candidate
+    price thresholds scored by integer-F1 on a deterministic
+    md5-hash 25% sample (round 1), the top 4 re-scored on the FULL
+    table (round 2), winner flagged — the budget shape that makes
+    sweeps affordable at 100 TB (most configs die on 1/4 of the
+    data; the full-data pass runs 4 models, not 8, and both rounds
+    are ONE conditional-sum scan each via the config cross join, not
+    one job per config).  F1 compared in exact milli-integers with
+    threshold tiebreaks, so the tournament bracket replays
+    identically anywhere."""
+    li = load_table(spark, sf, "lineitem")
+    key = (
+        F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    ).cast("string")
+    base = li.select(
+        F.floor("l_extendedprice").cast("bigint").alias("f"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+            "lab"
+        ),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(key, F.lit("|sh-v1")).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+            == 0
+        ).alias("in_sample"),
+    )
+    cfg = spark.sql(
+        "SELECT * FROM VALUES (10000), (20000), (30000), (40000),"
+        " (50000), (60000), (70000), (80000) AS t(t)"
+    )
+
+    def score(rows, rnd):
+        sc = (
+            rows.crossJoin(F.broadcast(cfg))
+            .groupBy("t")
+            .agg(
+                F.count("*").cast("bigint").alias("n_eval"),
+                F.sum(
+                    F.when(
+                        (F.col("f") < F.col("t")) & (F.col("lab") == 1),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("tp"),
+                F.sum(
+                    F.when(
+                        (F.col("f") < F.col("t")) & (F.col("lab") == 0),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("fp"),
+                F.sum(
+                    F.when(
+                        (F.col("f") >= F.col("t"))
+                        & (F.col("lab") == 1),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("fn"),
+            )
+        )
+        f1 = F.expr("(1000 * 2 * tp) DIV (2 * tp + fp + fn)")
+        return sc.select(
+            "t",
+            F.lit(rnd).cast("bigint").alias("round"),
+            "n_eval",
+            f1.cast("bigint").alias("f1_milli"),
+            F.row_number()
+            .over(Window.orderBy(f1.desc(), F.col("t").asc()))
+            .alias("rk"),
+        )
+
+    r1s = score(base.where(F.col("in_sample")), 1)
+    # round 2: full data, only surviving configs
+    cfg2 = r1s.where(F.col("rk") <= 4).select("t")
+    sc2 = (
+        base.crossJoin(F.broadcast(cfg2))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(
+                    (F.col("f") < F.col("t")) & (F.col("lab") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("f") < F.col("t")) & (F.col("lab") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("f") >= F.col("t")) & (F.col("lab") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    f1 = F.expr("(1000 * 2 * tp) DIV (2 * tp + fp + fn)")
+    r2s = sc2.select(
+        "t",
+        F.lit(2).cast("bigint").alias("round"),
+        "n_eval",
+        f1.cast("bigint").alias("f1_milli"),
+        F.row_number()
+        .over(Window.orderBy(f1.desc(), F.col("t").asc()))
+        .alias("rk"),
+    )
+    u = r1s.unionAll(r2s)
+    return u.select(
+        "round",
+        F.col("t").cast("bigint").alias("threshold"),
+        "n_eval",
+        "f1_milli",
+        (
+            F.col("rk")
+            <= F.when(F.col("round") == 1, 4).otherwise(1)
+        ).alias("kept"),
+    )
+
+
+_Q343_ORACLE = """
+  WITH scored AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab,
+           CAST(l_quantity * 100 AS BIGINT) + CAST(l_discount * 1000
+             AS BIGINT) AS s,
+           l_orderkey, l_linenumber
+    FROM lineitem),
+  pr AS (
+    SELECT lab,
+           CAST(rank() OVER (ORDER BY s, l_orderkey, l_linenumber)
+                - 1 AS BIGINT) AS r0,
+           CAST(count(*) OVER () - 1 AS BIGINT) AS d
+    FROM scored),
+  binned AS (
+    SELECT CAST(least((10 * r0) // d, 9) AS BIGINT) AS bin,
+           lab, r0, d
+    FROM pr),
+  b AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(lab) AS BIGINT) AS pos,
+           CAST(sum(r0) AS BIGINT) AS sr,
+           CAST(max(d) AS BIGINT) AS d
+    FROM binned GROUP BY bin),
+  tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM b)
+  SELECT b.bin, b.n,
+         round(CAST(b.pos AS DOUBLE) / b.n, 6) AS acc_r,
+         round(CAST(b.sr AS DOUBLE) / b.d / b.n, 6) AS conf_r,
+         round(sum(CAST(b2.n AS DOUBLE)
+                   * abs(CAST(b2.pos AS DOUBLE) / b2.n
+                         - CAST(b2.sr AS DOUBLE) / b2.d / b2.n))
+               / max(t.nt), 6) AS ece_r
+  FROM b
+  CROSS JOIN tot t
+  CROSS JOIN b b2
+  GROUP BY b.bin, b.n, b.pos, b.sr, b.d"""
+
+
+@q("q343_expected_calibration_error", _Q343_ORACLE)
+def q343(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected calibration error (ECE, Guo et al. 2017) of the q269
+    rule scorer with its empirical percent-rank as the confidence:
+    10 equal-width confidence bins, per-bin |accuracy - mean
+    confidence| weighted by bin mass, plus the scalar ECE repeated
+    per row for the gate — the one-number companion to q181's
+    reliability deciles (q181 shows WHERE miscalibration lives, ECE
+    prices it).  Confidence stays INTEGER until the very end: the
+    bin is (10*(rank-1)) DIV (n-1), per-bin confidence mass is the
+    exact BIGINT rank sum, and mean confidence divides once —
+    no shuffled float summation anywhere, so the hash is
+    order-proof.  Caveat honestly carried from q299: the global rank
+    is one total-order sort, the same cost class as q28/q93."""
+    li = load_table(spark, sf, "lineitem")
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+            "lab"
+        ),
+        (
+            (F.col("l_quantity") * 100).cast("bigint")
+            + (F.col("l_discount") * 1000).cast("bigint")
+        ).alias("s"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy("s", "l_orderkey", "l_linenumber")
+    pr = scored.select(
+        "lab",
+        (F.rank().over(w) - 1).cast("bigint").alias("r0"),
+        (F.count("*").over(Window.partitionBy()) - 1)
+        .cast("bigint")
+        .alias("d"),
+    )
+    binned = pr.select(
+        F.least(F.expr("(10 * r0) DIV d"), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        "lab",
+        "r0",
+        "d",
+    )
+    b = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lab").cast("bigint").alias("pos"),
+        F.sum("r0").cast("bigint").alias("sr"),
+        F.max("d").cast("bigint").alias("d"),
+    )
+    tot = b.agg(F.sum("n").cast("bigint").alias("nt"))
+    b2 = b.select(
+        F.col("n").alias("n2"),
+        F.col("pos").alias("pos2"),
+        F.col("sr").alias("sr2"),
+        F.col("d").alias("d2"),
+    )
+    return (
+        b.crossJoin(tot)
+        .crossJoin(b2)
+        .groupBy("bin", "n", "pos", "sr", "d")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n2").cast("double")
+                    * F.abs(
+                        F.col("pos2").cast("double") / F.col("n2")
+                        - F.col("sr2").cast("double")
+                        / F.col("d2")
+                        / F.col("n2")
+                    )
+                )
+                / F.max("nt"),
+                6,
+            ).alias("ece_r")
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "acc_r"
+            ),
+            F.round(
+                F.col("sr").cast("double") / F.col("d") / F.col("n"), 6
+            ).alias("conf_r"),
+            "ece_r",
+        )
+    )

@@ -205,6 +205,9 @@ EXPECTED = {
     "q338_image_tile_digests": 1.3,  # one Arrow pass, tiles/doc bounded
     "q339_column_change_histogram": 1.3,  # one key equi-join, two scans
     "q340_pack_efficiency": 1.3,   # lang-partitioned cum window + rollups
+    "q341_huber_irls_regression": 1.3,  # two moment passes + one residual join
+    "q342_successive_halving": 1.3,  # two conditional-sum scans (configs via cross join)
+    "q343_expected_calibration_error": 1.3,  # one total-order sort + 10-bin rollup
 }
 
 
