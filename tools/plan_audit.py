@@ -1725,6 +1725,80 @@ CHECKS = {
         ("planner arithmetic is integer projection, no Python", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q334_srm_check": [
+        ("distinct users then ONE conditional-sum pass", True,
+         lambda p: "partial_count" in p or "partial_sum" in p),
+        ("no Python; single scan of events", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q335_median_order_stat_ci": [
+        ("one per-group sort window; rank lookups are conditional "
+         "mins", True,
+         lambda p: "Window" in p and "partial_min" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q336_dedup_savings_report": [
+        ("md5 pre-hash before the shuffle; two cascaded "
+         "partial-aggregated groupBys over ONE scan", True,
+         lambda p: "partial_count" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q337_local_topk_merge_contract": [
+        ("per-shard top-k via windows, merge on the 80-row union",
+         True, lambda p: "Window" in p),
+        ("no Python, no cartesian", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "q338_image_tile_digests": [
+        ("exactly ONE Arrow/Python stage (the tile extractor)", True,
+         lambda p: len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+         and "EvalPython" not in p),
+        ("single scan of documents", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ],
+    "q339_column_change_histogram": [
+        ("key-equi join, never cartesian; two snapshot scans", True,
+         lambda p: "CartesianProduct" not in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) == 2),
+        ("kind classification in codegen, histogram "
+         "partial-aggregated", True,
+         lambda p: "partial_count" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q340_pack_efficiency": [
+        ("lang-partitioned cumulative window + partial-aggregated "
+         "rollups", True,
+         lambda p: "Window" in p and "partial_count" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q341_huber_irls_regression": [
+        ("both moment passes partial-aggregated", True,
+         lambda p: "partial_sum" in p),
+        ("no Python; weights are codegen expressions", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q342_successive_halving": [
+        ("configs enter as broadcast LocalRelation cross joins "
+         "(one scan per round, not one job per config)", True,
+         lambda p: "ExistingRDD" not in p
+         and "BroadcastNestedLoopJoin" in p),
+        ("confusion counts partial-aggregated; no Python", True,
+         lambda p: "partial_sum" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q343_expected_calibration_error": [
+        ("rank sums stay integer: partial-aggregated BIGINT sums",
+         True, lambda p: "partial_sum" in p),
+        ("one total-order sort window; no Python", True,
+         lambda p: "Window" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
     "q323_merkle_bucket_diff": [
         ("bucket digests are partial-aggregated bit_xor folds", True,
          lambda p: "partial_bit_xor" in p),
