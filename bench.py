@@ -257,6 +257,8 @@ HEADLINE = [
     "q341_huber_irls_regression",
     "q342_successive_halving",
     "q343_expected_calibration_error",
+    "q344_quantile_treatment_effect",
+    "q345_consistent_hash_rebalance",
 ]
 
 

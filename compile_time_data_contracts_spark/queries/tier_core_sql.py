@@ -8330,3 +8330,226 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
             "ece_r",
         )
     )
+
+
+_Q344_ORACLE = """
+  WITH v AS (
+    SELECT user_id % 2 AS arm,
+           CAST(floor(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL),
+  r AS (
+    SELECT arm, c,
+           row_number() OVER (PARTITION BY arm ORDER BY c) AS rn
+    FROM v),
+  nn AS (SELECT arm, CAST(count(*) AS BIGINT) AS n
+         FROM v GROUP BY arm),
+  ps AS (SELECT unnest([25, 50, 75]) AS p),
+  ranks AS (
+    SELECT nn.arm, ps.p, (nn.n * ps.p + 99) // 100 AS qrank
+    FROM nn CROSS JOIN ps),
+  qs AS (
+    SELECT k.p, k.arm,
+           CAST(min(CASE WHEN r.rn = k.qrank THEN r.c END) AS BIGINT)
+             AS qc
+    FROM ranks k JOIN r ON r.arm = k.arm
+    GROUP BY k.p, k.arm)
+  SELECT CAST(a.p AS BIGINT) AS p,
+         a.qc AS q_arm0_c, b.qc AS q_arm1_c,
+         CAST(b.qc - a.qc AS BIGINT) AS qte_c
+  FROM qs a JOIN qs b ON a.p = b.p AND a.arm = 0 AND b.arm = 1"""
+
+
+@q("q344_quantile_treatment_effect", _Q344_ORACLE)
+def q344(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile treatment effect: the p25/p50/p75 DIFFERENCE between
+    experiment arms — mean effects (q253/q332) hide distributional
+    shifts (a treatment that helps the median but crushes the tail
+    has mean effect ~0); nearest-rank quantiles via ceil(n*p/100)
+    over one arm-partitioned sort make the whole effect table exact
+    integer cents, tie-proof, and one extra conditional-min over the
+    same sort that q335's CI already paid for."""
+    ev = load_table(spark, sf, "events")
+    v = ev.where(F.col("value").isNotNull()).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    r = v.select(
+        "arm",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("arm").orderBy("c"))
+        .alias("rn"),
+    )
+    nn = v.groupBy("arm").agg(F.count("*").cast("bigint").alias("n"))
+    ps = spark.sql("SELECT * FROM VALUES (25), (50), (75) AS p(p)")
+    ranks = nn.crossJoin(F.broadcast(ps)).select(
+        "arm", "p", F.expr("(n * p + 99) DIV 100").alias("qrank")
+    )
+    qs = (
+        ranks.join(r, "arm")
+        .groupBy("p", "arm")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("qrank"), F.col("c")))
+            .cast("bigint")
+            .alias("qc")
+        )
+    )
+    a = qs.where(F.col("arm") == 0).select(
+        "p", F.col("qc").alias("q_arm0_c")
+    )
+    b = qs.where(F.col("arm") == 1).select(
+        "p", F.col("qc").alias("q_arm1_c")
+    )
+    return a.join(b, "p").select(
+        F.col("p").cast("bigint").alias("p"),
+        "q_arm0_c",
+        "q_arm1_c",
+        (F.col("q_arm1_c") - F.col("q_arm0_c"))
+        .cast("bigint")
+        .alias("qte_c"),
+    )
+
+
+_Q345_ORACLE = """
+  WITH keys AS (
+    SELECT o_orderkey AS k,
+           CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                                       || '|ring-v1'), 1, 12))
+                AS BIGINT) % 1000000 AS kpos
+    FROM orders),
+  ring8 AS (
+    SELECT CAST(n AS INT) AS node, CAST(v AS INT) AS vn,
+           CAST(('0x' || substring(md5('node' || CAST(n AS VARCHAR)
+                || 'v' || CAST(v AS VARCHAR)), 1, 12))
+                AS BIGINT) % 1000000 AS rpos
+    FROM (SELECT unnest(generate_series(0, 7)) AS n) a
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS v) b),
+  ring9 AS (
+    SELECT CAST(n AS INT) AS node, CAST(v AS INT) AS vn,
+           CAST(('0x' || substring(md5('node' || CAST(n AS VARCHAR)
+                || 'v' || CAST(v AS VARCHAR)), 1, 12))
+                AS BIGINT) % 1000000 AS rpos
+    FROM (SELECT unnest(generate_series(0, 8)) AS n) a
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS v) b),
+  a8 AS (
+    SELECT k.k,
+           coalesce(
+             min(CASE WHEN r.rpos >= k.kpos THEN r.rpos END),
+             min(r.rpos)) AS sel
+    FROM keys k CROSS JOIN ring8 r GROUP BY k.k, k.kpos),
+  n8 AS (
+    SELECT a8.k, min(r.node) AS node8
+    FROM a8 JOIN ring8 r ON r.rpos = a8.sel GROUP BY a8.k),
+  a9 AS (
+    SELECT k.k,
+           coalesce(
+             min(CASE WHEN r.rpos >= k.kpos THEN r.rpos END),
+             min(r.rpos)) AS sel
+    FROM keys k CROSS JOIN ring9 r GROUP BY k.k, k.kpos),
+  n9 AS (
+    SELECT a9.k, min(r.node) AS node9
+    FROM a9 JOIN ring9 r ON r.rpos = a9.sel GROUP BY a9.k)
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN n8.node8 <> n9.node9 THEN 1 ELSE 0 END)
+              AS BIGINT) AS moved,
+         CAST((1000 * sum(CASE WHEN n8.node8 <> n9.node9
+                               THEN 1 ELSE 0 END)) // count(*)
+              AS BIGINT) AS moved_milli,
+         ((1000 * sum(CASE WHEN n8.node8 <> n9.node9
+                           THEN 1 ELSE 0 END)) // count(*))
+           BETWEEN 60 AND 180 AS minimal_movement
+  FROM n8 JOIN n9 ON n8.k = n9.k"""
+
+
+@q("q345_consistent_hash_rebalance", _Q345_ORACLE)
+def q345(spark: SparkSession, sf: str) -> DataFrame:
+    """Consistent-hashing rebalance contract (Karger et al. 1997):
+    keys and 16 virtual nodes per server hash onto a 10^6 ring
+    (md5-derived — the q209/q243 determinism contract), each key
+    belongs to the next ring point clockwise, and adding a NINTH
+    server must move only ~1/9 of the keys (checked as a milli-rate
+    band 60..180) — the minimal-movement property that makes shard
+    rebalancing at 100 TB a 11% copy instead of a full reshuffle,
+    proved on the actual assignment rather than cited.  The ring is
+    a 128/144-row broadcast; assignment is one conditional-min over
+    the broadcast per snapshot, so the plan is two scans of the key
+    column and no shuffle bigger than |keys|."""
+    orders = load_table(spark, sf, "orders")
+
+    def hexint(col):
+        return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12),
+                      16, 10).cast("bigint")
+
+    keys = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (
+            hexint(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("|ring-v1"),
+                )
+            )
+            % 1000000
+        ).alias("kpos"),
+    )
+
+    def ring(n_nodes):
+        nodes = spark.range(n_nodes).select(
+            F.col("id").cast("int").alias("node")
+        )
+        vns = spark.range(16).select(F.col("id").cast("int").alias("vn"))
+        return nodes.crossJoin(vns).select(
+            "node",
+            "vn",
+            (
+                hexint(
+                    F.concat(
+                        F.lit("node"),
+                        F.col("node").cast("string"),
+                        F.lit("v"),
+                        F.col("vn").cast("string"),
+                    )
+                )
+                % 1000000
+            ).alias("rpos"),
+        )
+
+    def assign(ringdf, out):
+        sel = (
+            keys.crossJoin(F.broadcast(ringdf))
+            .groupBy("k", "kpos")
+            .agg(
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col("rpos") >= F.col("kpos"),
+                            F.col("rpos"),
+                        )
+                    ),
+                    F.min("rpos"),
+                ).alias("sel")
+            )
+        )
+        return (
+            sel.join(
+                F.broadcast(ringdf), F.col("rpos") == F.col("sel")
+            )
+            .groupBy("k")
+            .agg(F.min("node").alias(out))
+        )
+
+    n8 = assign(ring(8), "node8")
+    n9 = assign(ring(9), "node9")
+    moved = F.sum(
+        F.when(F.col("node8") != F.col("node9"), 1).otherwise(0)
+    )
+    rate = F.expr(
+        "(1000 * sum(CASE WHEN node8 <> node9 THEN 1 ELSE 0 END))"
+        " DIV count(*)"
+    )
+    return n8.join(n9, "k").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        moved.cast("bigint").alias("moved"),
+        rate.cast("bigint").alias("moved_milli"),
+        rate.between(60, 180).alias("minimal_movement"),
+    )

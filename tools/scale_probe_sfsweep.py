@@ -208,6 +208,8 @@ EXPECTED = {
     "q341_huber_irls_regression": 1.3,  # two moment passes + one residual join
     "q342_successive_halving": 1.3,  # two conditional-sum scans (configs via cross join)
     "q343_expected_calibration_error": 1.3,  # one total-order sort + 10-bin rollup
+    "q344_quantile_treatment_effect": 1.3,  # arm-partitioned sort + rank lookups
+    "q345_consistent_hash_rebalance": 1.3,  # 144-row broadcast ring, two key scans
 }
 
 
