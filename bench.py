@@ -360,12 +360,21 @@ def main() -> None:
             if (m := _re.search(r"_r(\d+)\.json$", p))
         ]
         prev_files = [p for _, p in sorted(matched)]
+        # prefer the sidecar detail file (full per-query dict); the
+        # driver's BENCH_r{N}.json wraps a tail-truncated stdout whose
+        # "parsed" is often null
+        detail_prev = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.json",
+        )
+        if os.path.exists(detail_prev):
+            prev_files.append(detail_prev)
         if not prev_files:
             raise FileNotFoundError("no prior BENCH_r{N}.json")
         with open(prev_files[-1]) as f:
             prev = json.load(f)
         # the driver wraps the bench line under "parsed"
-        prev = prev.get("parsed", prev)
+        prev = prev.get("parsed") or prev
         prev_q = prev.get("queries", {})
         prev_name = os.path.basename(prev_files[-1])
         lines = [f"-- delta vs {prev_name} (sec, +slower/-faster) --"]
@@ -388,6 +397,35 @@ def main() -> None:
     except Exception as e:  # delta report must never break the bench
         print(f"(delta report unavailable: {e})", file=sys.stderr)
 
+    # Full per-query detail (all timings + p50/p95 spread) goes to a
+    # sidecar file: with 236 headline queries the full dict is ~15 KB,
+    # which overflows the driver's 2000-char stdout tail and has left
+    # every BENCH_r{N}.json since r04 with "parsed": null.  The stdout
+    # line must stay ONE short JSON line the driver can actually parse,
+    # so it carries the total plus only the slowest queries.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "query_inventory_wall_seconds",
+        "value": total,
+        "repeats": repeats,
+        "estimator": "min_per_query",
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout must not kill the bench
+        print(f"(detail file unavailable: {e})", file=sys.stderr)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
     print(
         json.dumps(
             {
@@ -396,10 +434,13 @@ def main() -> None:
                 "repeats": repeats,
                 "estimator": "min_per_query",
                 "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_truncated": True,
+                "detail_file": "BENCH_DETAIL.json",
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

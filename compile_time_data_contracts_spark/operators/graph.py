@@ -854,3 +854,56 @@ def community_modularity(
             ).alias("contribution_r"),
         )
     )
+
+
+def hits_bipartite(edges: DataFrame) -> DataFrame:
+    """One full HITS round (Kleinberg, JACM 1999) on a bipartite
+    (hub, auth) edge list, kept in EXACT integer arithmetic so the
+    result is oracle-checkable with no float-summation-order risk:
+
+      a1(s) = indegree(s)                      (hubs start at 1)
+      h1(c) = sum_{c->s} a1(s)                 (integer)
+      a2(s) = sum_{c->s} h1(c)                 (integer numerator;
+               the L1 normalizations cancel into one final divide)
+
+    With L1 normalization every intermediate normalizer is a global
+    constant, so it can be deferred: a2's normalized value is just
+    ``a2_num / sum(a2_num)``, emitted here in parts-per-million via
+    decimal(38,0) integer division (``a2_num`` is O(|E| * max_deg^2)
+    and would overflow int64 on a 100 TB edge list; decimal keeps the
+    multiply exact and the final ppm fits a long again).
+
+    Plan shape at scale: indegree is a partial-aggregated groupBy on
+    dst; a1 and h1 attach via shuffle joins on their own keys (a1 is
+    |auth|-sized and broadcastable when the authority side is a
+    dimension, but that is the optimizer's call via AQE, not ours);
+    no iteration state lives on the driver.
+
+    Returns (auth, indeg, auth_ppm) — one row per authority node.
+    """
+    e = edges.select(
+        F.col("hub").cast("bigint").alias("hub"),
+        F.col("auth").cast("bigint").alias("auth"),
+    ).distinct()
+    a1 = e.groupBy("auth").agg(F.count(F.lit(1)).cast("bigint").alias("indeg"))
+    h1 = (
+        e.join(a1, "auth")
+        .groupBy("hub")
+        .agg(F.sum("indeg").cast("bigint").alias("h1_num"))
+    )
+    a2 = (
+        e.join(h1, "hub")
+        .groupBy("auth")
+        .agg(F.sum("h1_num").cast("decimal(38,0)").alias("a2_num"))
+    )
+    tot = a2.agg(F.sum("a2_num").alias("tot"))
+    return (
+        a2.crossJoin(F.broadcast(tot))
+        .join(a1, "auth")
+        .select(
+            "auth",
+            "indeg",
+            F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * a2_num) DIV tot AS BIGINT)")
+            .alias("auth_ppm"),
+        )
+    )

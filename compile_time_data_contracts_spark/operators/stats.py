@@ -1491,3 +1491,56 @@ def mann_whitney_u(
             "z_r"
         ),
     )
+
+
+def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
+                      n_col: str = "n", pos_col: str = "pos") -> DataFrame:
+    """Weighted isotonic regression (pool-adjacent-violators, Barlow
+    et al. 1972) over PRE-AGGREGATED score bins: input is one row per
+    bin with trial count ``n`` and success count ``pos``; output adds
+    ``iso_rate`` — the monotone-nondecreasing fit to pos/n, i.e. the
+    calibration map Zadrozny-Elkan 2002 uses to turn raw model scores
+    into probabilities.
+
+    Scale shape: the DISTRIBUTED stage is the binning aggregation the
+    caller already did (one partial-agg groupBy over the full table);
+    PAV itself runs on the driver over the |bins|-sized result — tens
+    of rows regardless of data volume, the same k-sized-collect
+    pattern as the IVF centroid and merge-bucket paths.  Block pooling
+    compares means by integer cross-multiplication, so the merge
+    decisions are exact (no float drift can flip a pooling), and each
+    output mean is a single bigint/bigint double division —
+    bit-reproducible against any engine that divides the same two
+    integers.
+    """
+    rows = (
+        binned.select(
+            F.col(bin_col).cast("bigint").alias("bin"),
+            F.col(n_col).cast("bigint").alias("n"),
+            F.col(pos_col).cast("bigint").alias("pos"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    # PAV with exact integer block sums: stack of (bins, n, pos)
+    stack: list[list] = []
+    for r in rows:
+        blk = [[r["bin"]], r["n"], r["pos"]]
+        stack.append(blk)
+        # pool while previous block mean > current block mean:
+        # pos_prev/n_prev > pos_cur/n_cur  <=>  pos_prev*n_cur > pos_cur*n_prev
+        while len(stack) >= 2 and stack[-2][2] * stack[-1][1] > stack[-1][2] * stack[-2][1]:
+            b2 = stack.pop()
+            stack[-1][0].extend(b2[0])
+            stack[-1][1] += b2[1]
+            stack[-1][2] += b2[2]
+    out = []
+    for bins, bn, bpos in stack:
+        mean = bpos / bn  # exact ints < 2^53: correctly-rounded double
+        for b in bins:
+            out.append((int(b), float(mean)))
+    spark = binned.sparkSession
+    fit = spark.createDataFrame(out, "bin bigint, iso_rate double")
+    return binned.join(fit, binned[bin_col] == fit["bin"]).select(
+        binned["*"], fit["iso_rate"]
+    )

@@ -8576,3 +8576,164 @@ def q345(spark: SparkSession, sf: str) -> DataFrame:
         rate.cast("bigint").alias("moved_milli"),
         rate.between(60, 180).alias("minimal_movement"),
     )
+
+
+# =========================================================================
+# Post-stratified ATE + isotonic calibration (Q348-Q349)
+# =========================================================================
+
+_Q348_ORACLE = """
+  WITH v AS (
+    SELECT event_type AS stratum, CAST(user_id % 2 AS BIGINT) AS arm,
+           CAST(floor(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL),
+  s AS (
+    SELECT stratum,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s0
+    FROM v GROUP BY stratum),
+  m AS (
+    SELECT stratum, n, n1, n0,
+           CAST((1000 * s1) // n1 AS BIGINT) AS m1_milli,
+           CAST((1000 * s0) // n0 AS BIGINT) AS m0_milli
+    FROM s WHERE n1 > 0 AND n0 > 0),
+  tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(n * (m1_milli - m0_milli)) AS BIGINT) AS ate_num
+          FROM m)
+  SELECT m.stratum, m.n, m.n1, m.n0, m.m1_milli, m.m0_milli,
+         CAST(m.m1_milli - m.m0_milli AS BIGINT) AS diff_milli,
+         round(CAST(t.ate_num AS DOUBLE) / t.nt, 6) AS ate_ps_milli_r
+  FROM m CROSS JOIN tot t"""
+
+
+@q("q348_poststratified_ate", _Q348_ORACLE)
+def q348(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-stratified average treatment effect: the per-event-type
+    arm difference reweighted by stratum size — the design-based fix
+    when arm assignment is fine but the metric mixes heterogeneous
+    event types (a raw mean diff over-weights whichever type the
+    treatment arm happens to emit more of; post-stratification
+    removes that composition noise, Miratrix-Sekhon-Yu 2013).  All
+    per-stratum means stay in integer milli-cents ((1000*sum) DIV n,
+    positive operands so DIV == floor in both engines); only the
+    final size-weighted average divides once, as one double over two
+    engine-identical bigints rounded to 6dp.  Two partial-aggregated
+    groupBys plus a 1-row broadcast — composition-proof at any scale."""
+    ev = load_table(spark, sf, "events")
+    v = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    s = v.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    m = s.where((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "stratum",
+        "n",
+        "n1",
+        "n0",
+        F.expr("CAST((1000 * s1) DIV n1 AS BIGINT)").alias("m1_milli"),
+        F.expr("CAST((1000 * s0) DIV n0 AS BIGINT)").alias("m0_milli"),
+    )
+    tot = m.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.col("n") * (F.col("m1_milli") - F.col("m0_milli")))
+        .cast("bigint")
+        .alias("ate_num"),
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        "n1",
+        "n0",
+        "m1_milli",
+        "m0_milli",
+        (F.col("m1_milli") - F.col("m0_milli")).cast("bigint").alias("diff_milli"),
+        F.round(F.col("ate_num").cast("double") / F.col("nt"), 6).alias(
+            "ate_ps_milli_r"
+        ),
+    )
+
+
+_Q349_ORACLE = """
+  WITH scored AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab,
+           CAST(l_quantity * 100 AS BIGINT) + CAST(l_discount * 1000
+             AS BIGINT) AS s
+    FROM lineitem),
+  b AS (
+    SELECT CAST(least((s - 100) // 251, 19) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(lab) AS BIGINT) AS pos
+    FROM scored GROUP BY 1),
+  c AS (
+    SELECT bin, n, pos,
+           sum(n) OVER (ORDER BY bin) AS cn,
+           sum(pos) OVER (ORDER BY bin) AS cpos
+    FROM b),
+  pooled AS (
+    SELECT j.bin AS jb, k.bin AS kb,
+           CAST(k.cpos - j.cpos + j.pos AS DOUBLE)
+             / CAST(k.cn - j.cn + j.n AS DOUBLE) AS avgjk
+    FROM c j JOIN c k ON j.bin <= k.bin),
+  inner_min AS (
+    SELECT p.jb, i.bin AS ib, min(p.avgjk) AS minv
+    FROM pooled p JOIN c i ON p.jb <= i.bin AND p.kb >= i.bin
+    GROUP BY p.jb, i.bin),
+  iso AS (SELECT ib AS bin, max(minv) AS iso FROM inner_min GROUP BY ib)
+  SELECT c.bin, c.n, c.pos,
+         round(CAST(c.pos AS DOUBLE) / c.n, 6) AS raw_rate_r,
+         round(iso.iso, 6) AS iso_rate_r
+  FROM c JOIN iso ON c.bin = iso.bin"""
+
+
+@q("q349_isotonic_calibration", _Q349_ORACLE)
+def q349(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic calibration curve (PAV / Zadrozny-Elkan 2002) for the
+    q343 pseudo-scorer: 20 equal-width score bins aggregated
+    distributed (one partial-agg groupBy — THAT is the data-sized
+    stage), then pool-adjacent-violators on the driver over the
+    20-row result (:func:`operators.stats.isotonic_fit_bins`, exact
+    integer pooling).  The DuckDB oracle cross-checks through the
+    independent minimax characterization iso_i = max_{j<=i}
+    min_{k>=i} mean(j..k) — two different algorithms, same monotone
+    fit, so a pooling bug on either side cannot hash-match.  Raw and
+    fitted rates are bigint/bigint double divisions rounded to 6dp."""
+    from ..operators.stats import isotonic_fit_bins
+
+    li = load_table(spark, sf, "lineitem")
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("lab"),
+        (
+            (F.col("l_quantity") * 100).cast("bigint")
+            + (F.col("l_discount") * 1000).cast("bigint")
+        ).alias("s"),
+    )
+    b = scored.groupBy(
+        F.least(F.expr("(s - 100) DIV 251"), F.lit(19))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lab").cast("bigint").alias("pos"),
+    )
+    fit = isotonic_fit_bins(b)
+    return fit.select(
+        "bin",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate_r"),
+        F.round(F.col("iso_rate"), 6).alias("iso_rate_r"),
+    )

@@ -6962,3 +6962,147 @@ def q340(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_under_half"),
     )
+
+
+# =========================================================================
+# HITS hubs/authorities + co-occurrence recommendations (Q346-Q347)
+# =========================================================================
+
+_Q346_ORACLE = """
+  WITH e AS (
+    SELECT DISTINCT o.o_custkey AS hub, l.l_suppkey AS auth
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+  a1 AS (SELECT auth, CAST(count(*) AS BIGINT) AS indeg
+         FROM e GROUP BY auth),
+  h1 AS (SELECT e.hub, CAST(sum(a1.indeg) AS BIGINT) AS h1_num
+         FROM e JOIN a1 ON e.auth = a1.auth GROUP BY e.hub),
+  a2 AS (SELECT e.auth, CAST(sum(h1.h1_num) AS HUGEINT) AS a2_num
+         FROM e JOIN h1 ON e.hub = h1.hub GROUP BY e.auth),
+  tot AS (SELECT CAST(sum(a2_num) AS HUGEINT) AS tot FROM a2),
+  scored AS (
+    SELECT a2.auth, a1.indeg,
+           CAST((1000000 * a2.a2_num) // t.tot AS BIGINT) AS auth_ppm
+    FROM a2 JOIN a1 ON a2.auth = a1.auth CROSS JOIN tot t)
+  SELECT auth, indeg, auth_ppm
+  FROM scored
+  ORDER BY auth_ppm DESC, auth
+  LIMIT 20"""
+
+
+@q("q346_hits_authorities", _Q346_ORACLE)
+def q346(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 HITS authorities on the customer->supplier bipartite
+    purchase graph (edge = 'this customer bought from this supplier
+    at least once'): the suppliers that the best-connected customers
+    concentrate on — indegree alone ranks raw popularity, the mutual
+    hub/authority reinforcement (one full Kleinberg round, exact
+    integer numerators, see :func:`operators.graph.hits_bipartite`)
+    ranks popularity WEIGHTED by how broad each buyer's own supplier
+    base is.  All arithmetic stays integral (L1 normalizers cancel
+    into one final decimal(38,0) division) so the ppm scores are
+    engine-exact; ties resolve on the supplier key."""
+    from ..operators.graph import hits_bipartite
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("hub"), F.col("l_suppkey").alias("auth")
+    )
+    scored = hits_bipartite(edges)
+    return (
+        scored.orderBy(F.desc("auth_ppm"), "auth")
+        .limit(20)
+        .select("auth", "indeg", "auth_ppm")
+    )
+
+
+_Q347_ORACLE = """
+  WITH items AS (
+    SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+  sized AS (
+    SELECT bk FROM items GROUP BY bk HAVING count(*) <= 64),
+  kept AS (SELECT i.bk, i.it FROM items i JOIN sized s ON i.bk = s.bk),
+  df AS (SELECT it, CAST(count(*) AS BIGINT) AS df FROM kept GROUP BY it),
+  pairs AS (
+    SELECT a.it AS pa, b.it AS pb, CAST(count(*) AS BIGINT) AS cnt
+    FROM kept a JOIN kept b ON a.bk = b.bk AND a.it < b.it
+    GROUP BY a.it, b.it),
+  sym AS (
+    SELECT pa AS src, pb AS rec, cnt FROM pairs
+    UNION ALL
+    SELECT pb AS src, pa AS rec, cnt FROM pairs),
+  scored AS (
+    SELECT s.src, s.rec, s.cnt,
+           CAST((1000000 * s.cnt * s.cnt) // (da.df * db.df) AS BIGINT)
+             AS cos2_ppm
+    FROM sym s
+    JOIN df da ON s.src = da.it
+    JOIN df db ON s.rec = db.it),
+  ranked AS (
+    SELECT src, rec, cnt, cos2_ppm,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, cos2_ppm DESC, rec)
+             AS rk
+    FROM scored)
+  SELECT src, rec, cnt, cos2_ppm
+  FROM ranked WHERE rk <= 3 AND src % 50 = 0"""
+
+
+@q("q347_item_cooccurrence_recs", _Q347_ORACLE)
+def q347(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-to-item co-occurrence recommendations ('customers who
+    bought X also bought Y') from order baskets: distinct items per
+    order, within-basket pair counts via the basket self-join, and a
+    squared-cosine score cnt^2/(df_a*df_b) kept in exact integer ppm
+    (squaring dodges the engine-matched sqrt).  The self-join is the
+    classic basket-squared hazard, so baskets are CAPPED at 64
+    distinct items — the same guard as :func:`link_prediction_ra`'s
+    max_hub_degree: a megabasket is a bot or a reseller and carries
+    no preference signal, and the cap turns worst case O(max_bk^2 *
+    n_baskets) into a constant bound per basket.  Top-3 per source
+    item, integer ties resolved on the item key; output sampled to
+    src % 50 = 0 to keep the gate artifact bounded."""
+    li = load_table(spark, sf, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    sized = items.groupBy("bk").agg(F.count(F.lit(1)).alias("n_it")).where(
+        F.col("n_it") <= 64
+    )
+    kept = items.join(sized.select("bk"), "bk")
+    dfreq = kept.groupBy("it").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    a = kept.select("bk", F.col("it").alias("pa"))
+    b = kept.select("bk", F.col("it").alias("pb"))
+    pairs = (
+        a.join(b, "bk")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("rec"), "cnt"
+    ).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("rec"), "cnt")
+    )
+    scored = (
+        sym.join(dfreq.select(F.col("it").alias("src"), F.col("df").alias("dfa")), "src")
+        .join(dfreq.select(F.col("it").alias("rec"), F.col("df").alias("dfb")), "rec")
+        .select(
+            "src",
+            "rec",
+            "cnt",
+            F.expr("CAST((1000000 * cnt * cnt) DIV (dfa * dfb) AS BIGINT)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cnt"), F.desc("cos2_ppm"), "rec"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 3) & (F.col("src") % 50 == 0))
+        .select("src", "rec", "cnt", "cos2_ppm")
+    )

@@ -1,0 +1,112 @@
+"""Round-7 batch C: HITS bipartite authorities, PAV isotonic fit —
+each checked against a pure-Python brute-force reference on randomized
+synthetic data."""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from compile_time_data_contracts_spark.operators.graph import hits_bipartite
+from compile_time_data_contracts_spark.operators.stats import isotonic_fit_bins
+
+
+# ------------------------------------------------ hits_bipartite
+def _brute_hits(edges):
+    edges = sorted(set(edges))
+    a1 = {}
+    for _, s in edges:
+        a1[s] = a1.get(s, 0) + 1
+    h1 = {}
+    for c, s in edges:
+        h1[c] = h1.get(c, 0) + a1[s]
+    a2 = {}
+    for c, s in edges:
+        a2[s] = a2.get(s, 0) + h1[c]
+    tot = sum(a2.values())
+    return {s: (a1[s], (1_000_000 * v) // tot) for s, v in a2.items()}
+
+
+def test_hits_bipartite_matches_bruteforce(spark):
+    rng = random.Random(73)
+    edges = [(rng.randrange(30), 100 + rng.randrange(12)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "hub long, auth long")
+    got = {
+        r["auth"]: (r["indeg"], r["auth_ppm"])
+        for r in hits_bipartite(df).collect()
+    }
+    assert got == _brute_hits(edges)
+
+
+def test_hits_bipartite_dedups_parallel_edges(spark):
+    # the same (hub, auth) pair listed twice must count once
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 10), (2, 11)], "hub long, auth long"
+    )
+    got = {r["auth"]: r["indeg"] for r in hits_bipartite(df).collect()}
+    assert got == {10: 2, 11: 1}
+
+
+# ------------------------------------------------ isotonic_fit_bins
+def _brute_isotonic(bins):
+    """Minimax characterization over exact rationals:
+    iso_i = max_{j<=i} min_{k>=i} pooled_mean(j..k)."""
+    bins = sorted(bins)
+    out = {}
+    idx = range(len(bins))
+    for i in idx:
+        best = None
+        for j in idx:
+            if j > i:
+                break
+            worst = None
+            for k in idx:
+                if k < i:
+                    continue
+                n = sum(bins[t][1] for t in range(j, k + 1))
+                p = sum(bins[t][2] for t in range(j, k + 1))
+                v = Fraction(p, n)
+                if worst is None or v < worst:
+                    worst = v
+            if best is None or worst > best:
+                best = worst
+        out[bins[i][0]] = best
+    return out
+
+
+def test_isotonic_fit_matches_minimax(spark):
+    rng = random.Random(74)
+    for trial in range(5):
+        bins = [
+            (b, rng.randrange(1, 50), 0)
+            for b in sorted(rng.sample(range(100), rng.randrange(3, 15)))
+        ]
+        bins = [(b, n, rng.randrange(0, n + 1)) for b, n, _ in bins]
+        df = spark.createDataFrame(bins, "bin long, n long, pos long")
+        got = {
+            r["bin"]: r["iso_rate"] for r in isotonic_fit_bins(df).collect()
+        }
+        want = _brute_isotonic(bins)
+        assert set(got) == set(want)
+        for b in want:
+            # PAV emits the pooled bigint/bigint double; the minimax
+            # rational must round-trip to the identical double
+            assert got[b] == want[b].numerator / want[b].denominator, (
+                trial,
+                b,
+                bins,
+            )
+        # monotone non-decreasing in bin order
+        seq = [got[b] for b, _, _ in bins]
+        assert all(x <= y for x, y in zip(seq, seq[1:]))
+
+
+def test_isotonic_fit_preserves_weighted_mass(spark):
+    # sum_i n_i * iso_i == sum_i pos_i  (PAV conserves block means)
+    bins = [(0, 10, 9), (1, 10, 2), (2, 10, 4), (3, 10, 10)]
+    df = spark.createDataFrame(bins, "bin long, n long, pos long")
+    rows = isotonic_fit_bins(df).collect()
+    mass = sum(r["n"] * r["iso_rate"] for r in rows)
+    assert abs(mass - sum(p for _, _, p in bins)) < 1e-9
