@@ -8737,3 +8737,203 @@ def q349(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate_r"),
         F.round(F.col("iso_rate"), 6).alias("iso_rate_r"),
     )
+
+
+# =========================================================================
+# Heavy-hitter churn + delta-method ratio CI (Q350-Q351)
+# =========================================================================
+
+_Q350_ORACLE = """
+  WITH s AS (
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             AS m,
+           o_custkey AS c,
+           CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS v
+    FROM orders GROUP BY 1, 2),
+  r AS (
+    SELECT m, c,
+           CAST(row_number() OVER (PARTITION BY m ORDER BY v DESC, c)
+                AS BIGINT) AS rk
+    FROM s),
+  t AS (SELECT m, c, rk FROM r WHERE rk <= 10),
+  mn AS (SELECT min(m) AS m0 FROM t),
+  j AS (
+    SELECT cur.m, cur.c, cur.rk AS rk_cur, prev.rk AS rk_prev
+    FROM t cur LEFT JOIN t prev
+      ON prev.m = cur.m - 1 AND prev.c = cur.c
+    CROSS JOIN mn WHERE cur.m > mn.m0)
+  SELECT m,
+         CAST(count(*) AS BIGINT) AS n_top,
+         CAST(sum(CASE WHEN rk_prev IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN rk_prev IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stay,
+         CAST(sum(CASE WHEN rk_prev IS NOT NULL
+                       THEN abs(rk_cur - rk_prev) ELSE 0 END)
+              AS BIGINT) AS churn_abs
+  FROM j GROUP BY m"""
+
+
+@q("q350_heavy_hitter_churn", _Q350_ORACLE)
+def q350(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month churn of the top-10 customer leaderboard:
+    how many of this month's heavy hitters are new entrants, how many
+    held over, and the total rank movement among holders — the
+    stability diagnostic that tells a curation pipeline whether its
+    'hot sources' list (or an abuse team whether its heavy-user list)
+    is a stable population or a revolving door.  Revenue stays in
+    integer cents, ranks tie-break on the customer key, and the
+    leaderboard self-join runs AFTER the per-month top-10 cut, so the
+    join touches 10 rows per month regardless of data volume; the
+    per-month cut itself is a rank window that WindowGroupLimit
+    prunes before the full sort materializes."""
+    orders = load_table(spark, sf, "orders")
+    s = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        F.col("o_custkey").alias("c"),
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    t = (
+        s.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.partitionBy("m").orderBy(F.desc("v"), "c"))
+            .cast("bigint"),
+        )
+        .where(F.col("rk") <= 10)
+        .select("m", "c", "rk")
+    )
+    mn = t.agg(F.min("m").alias("m0"))
+    prev = t.select(
+        (F.col("m") + 1).alias("m"), "c", F.col("rk").alias("rk_prev")
+    )
+    j = (
+        t.join(prev, ["m", "c"], "left")
+        .crossJoin(F.broadcast(mn))
+        .where(F.col("m") > F.col("m0"))
+    )
+    return j.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_top"),
+        F.sum(F.when(F.col("rk_prev").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("rk_prev").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stay"),
+        F.sum(
+            F.when(
+                F.col("rk_prev").isNotNull(),
+                F.abs(F.col("rk") - F.col("rk_prev")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("churn_abs"),
+    )
+
+
+_Q351_ORACLE = """
+  WITH u AS (
+    SELECT CAST(user_id % 2 AS BIGINT) AS arm, user_id,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL GROUP BY arm, user_id),
+  a AS (
+    SELECT arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM u GROUP BY arm),
+  d AS (
+    SELECT arm, n, sx, sy,
+           CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+           CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+    FROM a),
+  e AS (
+    SELECT arm, n, sx, sy,
+           sxd / syd AS r,
+           (sxxd - sxd * sxd / nd) / (nd - 1) AS vx,
+           (syyd - syd * syd / nd) / (nd - 1) AS vy,
+           (sxyd - sxd * syd / nd) / (nd - 1) AS cxy,
+           nd, syd
+    FROM d)
+  SELECT arm, n AS n_users, sx AS x_sum, sy AS y_sum,
+         round(r, 6) AS ratio_r,
+         round(sqrt((vx - 2 * r * cxy + r * r * vy) / nd)
+               / (syd / nd), 6) AS se_r,
+         round(r - 1.96 * (sqrt((vx - 2 * r * cxy + r * r * vy) / nd)
+               / (syd / nd)), 6) AS ci_lo_r,
+         round(r + 1.96 * (sqrt((vx - 2 * r * cxy + r * r * vy) / nd)
+               / (syd / nd)), 6) AS ci_hi_r
+  FROM e"""
+
+
+@q("q351_ratio_metric_delta_ci", _Q351_ORACLE)
+def q351(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per event) per experiment arm: naive per-event CIs are wrong
+    because events within a user are correlated — the unit of
+    randomization is the user, so variance comes from per-user
+    (x, y) totals via var(x̄/ȳ) ≈ (vx − 2r·cxy + r²·vy)/(n·ȳ²)
+    (Deng et al., KDD 2017's ratio-metric standard).  Per-user totals
+    and the six moment sums stay in exact bigints (two cascaded
+    partial-agg groupBys); the handful of double ops and the one
+    IEEE-exact sqrt run on engine-identical integers, written as the
+    SAME expression tree on both sides, then rounded to 6dp."""
+    ev = load_table(spark, sf, "events")
+    u = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("arm"), "user_id"
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    e = a.selectExpr(
+        "arm",
+        "n",
+        "sx",
+        "sy",
+        "CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r",
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vx",
+        "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vy",
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cxy",
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(sy AS DOUBLE) AS syd",
+    )
+    return e.selectExpr(
+        "arm",
+        "n AS n_users",
+        "sx AS x_sum",
+        "sy AS y_sum",
+        "round(r, 6) AS ratio_r",
+        "round(sqrt((vx - 2 * r * cxy + r * r * vy) / nd)"
+        " / (syd / nd), 6) AS se_r",
+        "round(r - 1.96 * (sqrt((vx - 2 * r * cxy + r * r * vy) / nd)"
+        " / (syd / nd)), 6) AS ci_lo_r",
+        "round(r + 1.96 * (sqrt((vx - 2 * r * cxy + r * r * vy) / nd)"
+        " / (syd / nd)), 6) AS ci_hi_r",
+    )

@@ -7106,3 +7106,83 @@ def q347(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("rk") <= 3) & (F.col("src") % 50 == 0))
         .select("src", "rec", "cnt", "cos2_ppm")
     )
+
+
+_Q352_ORACLE = """
+  WITH nc AS (SELECT count(*) AS n FROM customer),
+  e0 AS (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
+    FROM orders, nc
+    UNION
+    SELECT CAST(c_custkey AS BIGINT),
+           CAST(1 + (c_custkey % nc.n) AS BIGINT)
+    FROM customer, nc),
+  sym AS (
+    SELECT src, dst FROM e0 WHERE src <> dst
+    UNION
+    SELECT dst, src FROM e0 WHERE src <> dst),
+  deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+          FROM sym GROUP BY src),
+  ed AS (
+    SELECT du.d AS dx, dv.d AS dy
+    FROM sym JOIN deg du ON sym.src = du.node
+             JOIN deg dv ON sym.dst = dv.node),
+  a AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+           CAST(sum(dx * dy) AS BIGINT) AS sxy,
+           CAST(sum(dx * dx) AS BIGINT) AS sxx,
+           CAST(sum(dy * dy) AS BIGINT) AS syy
+    FROM ed),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+  SELECT nn.n_nodes, a.m AS n_directed_edges,
+         round((CAST(a.m AS DOUBLE) * a.sxy
+                - CAST(a.sx AS DOUBLE) * a.sy)
+               / (sqrt(CAST(a.m AS DOUBLE) * a.sxx
+                       - CAST(a.sx AS DOUBLE) * a.sx)
+                  * sqrt(CAST(a.m AS DOUBLE) * a.syy
+                         - CAST(a.sy AS DOUBLE) * a.sy)), 6)
+           AS assortativity_r
+  FROM a CROSS JOIN nn"""
+
+
+@q("q352_degree_assortativity", _Q352_ORACLE)
+def q352(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002) of the q165 link
+    graph: the Pearson correlation between endpoint degrees over the
+    symmetrized edge list — positive means hubs link to hubs (social
+    topology, LPA converges fast), negative means hub-and-spoke
+    (star topology, the q79 salting diagnostic territory).  One
+    degree groupBy, two degree-attach joins (the degree table is
+    |nodes|-sized — broadcastable when nodes are dimension-scale,
+    AQE's call otherwise), and a single 1-row moment aggregate; all
+    moments are exact bigints, the final correlation is a handful of
+    double ops + two IEEE-exact sqrts on engine-identical integers."""
+    e0 = _customer_graph_edges(spark, sf).where(F.col("src") != F.col("dst"))
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        sym.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    a = ed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    nn = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return a.crossJoin(F.broadcast(nn)).selectExpr(
+        "n_nodes",
+        "m AS n_directed_edges",
+        "round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+        " AS assortativity_r",
+    )

@@ -110,3 +110,84 @@ def test_isotonic_fit_preserves_weighted_mass(spark):
     rows = isotonic_fit_bins(df).collect()
     mass = sum(r["n"] * r["iso_rate"] for r in rows)
     assert abs(mass - sum(p for _, _, p in bins)) < 1e-9
+
+
+# ------------------------------------------------ q351 delta-method CI
+def test_q351_delta_ci_matches_numpy_reference(spark):
+    """Independent recomputation: the gate oracle mirrors the same
+    expression tree, so transcription errors could hash-match.  This
+    recomputes the Deng-et-al delta-method CI with numpy's own
+    mean/var/cov on the raw per-user totals at sf0.001."""
+    import duckdb
+    import math
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["arm"]: r
+        for r in entrymod.queries()["q351_ratio_metric_delta_ci"](
+            spark, sf
+        ).collect()
+    }
+    per_user = duckdb.sql(
+        f"""SELECT user_id % 2 AS arm,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS x,
+               count(*) AS y
+            FROM '{sf}/events.parquet' WHERE value IS NOT NULL
+            GROUP BY arm, user_id"""
+    ).fetchall()
+    for arm in (0, 1):
+        xs = np.array([float(x) for a, x, _ in per_user if a == arm])
+        ys = np.array([float(y) for a, _, y in per_user if a == arm])
+        n = len(xs)
+        r = xs.sum() / ys.sum()
+        vx = xs.var(ddof=1)
+        vy = ys.var(ddof=1)
+        cxy = np.cov(xs, ys, ddof=1)[0][1]
+        se = math.sqrt((vx - 2 * r * cxy + r * r * vy) / n) / ys.mean()
+        g = got[arm]
+        assert g["n_users"] == n
+        assert abs(g["ratio_r"] - r) < 1e-5
+        assert abs(g["se_r"] - se) < 1e-5
+        assert abs(g["ci_lo_r"] - (r - 1.96 * se)) < 1e-5
+        assert abs(g["ci_hi_r"] - (r + 1.96 * se)) < 1e-5
+
+
+# ------------------------------------------------ q352 assortativity
+def test_q352_assortativity_matches_numpy_reference(spark):
+    import duckdb
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        entrymod.queries()["q352_degree_assortativity"](spark, sf)
+        .collect()[0]
+    )
+    edges = duckdb.sql(
+        f"""WITH nc AS (SELECT count(*) AS n
+                        FROM '{sf}/customer.parquet'),
+        e0 AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                 CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
+          FROM '{sf}/orders.parquet', nc
+          UNION
+          SELECT CAST(c_custkey AS BIGINT),
+                 CAST(1 + (c_custkey % nc.n) AS BIGINT)
+          FROM '{sf}/customer.parquet', nc)
+        SELECT src, dst FROM e0 WHERE src <> dst"""
+    ).fetchall()
+    sym = set()
+    for s, d in edges:
+        sym.add((s, d))
+        sym.add((d, s))
+    deg: dict = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    dx = np.array([deg[s] for s, _ in sorted(sym)], dtype=float)
+    dy = np.array([deg[d] for _, d in sorted(sym)], dtype=float)
+    want = np.corrcoef(dx, dy)[0][1]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_directed_edges"] == len(sym)
+    assert abs(row["assortativity_r"] - want) < 1e-5
