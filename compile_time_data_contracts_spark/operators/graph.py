@@ -881,10 +881,18 @@ def hits_bipartite(edges: DataFrame) -> DataFrame:
 
     Returns (auth, indeg, auth_ppm) — one row per authority node.
     """
-    e = edges.select(
-        F.col("hub").cast("bigint").alias("hub"),
-        F.col("auth").cast("bigint").alias("auth"),
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # the de-duplicated edge list feeds THREE aggregations (a1, h1, a2);
+    # without a persist each reuse re-scans and re-distincts the source
+    e = (
+        edges.select(
+            F.col("hub").cast("bigint").alias("hub"),
+            F.col("auth").cast("bigint").alias("auth"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a1 = e.groupBy("auth").agg(F.count(F.lit(1)).cast("bigint").alias("indeg"))
     h1 = (
         e.join(a1, "auth")

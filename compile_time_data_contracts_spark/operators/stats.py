@@ -1513,6 +1513,11 @@ def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
     bit-reproducible against any engine that divides the same two
     integers.
     """
+    from pyspark import StorageLevel
+
+    # binned is read twice (driver collect for PAV + the join below);
+    # persist so the caller's full-table aggregation runs once
+    binned = binned.persist(StorageLevel.MEMORY_AND_DISK)
     rows = (
         binned.select(
             F.col(bin_col).cast("bigint").alias("bin"),
@@ -1540,7 +1545,16 @@ def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
         for b in bins:
             out.append((int(b), float(mean)))
     spark = binned.sparkSession
-    fit = spark.createDataFrame(out, "bin bigint, iso_rate double")
+    # VALUES LocalRelation, not createDataFrame-from-list: the latter
+    # schedules a Python-RDD conversion stage (ExistingRDD) for a frame
+    # that is tens of rows; string-cast doubles round-trip exactly
+    # (repr() is the shortest-roundtrip decimal)
+    values = ", ".join(
+        f"({b}, CAST('{m!r}' AS DOUBLE))" for b, m in out
+    )
+    fit = spark.sql(
+        f"SELECT * FROM VALUES {values} AS fit(bin, iso_rate)"
+    )
     return binned.join(fit, binned[bin_col] == fit["bin"]).select(
         binned["*"], fit["iso_rate"]
     )

@@ -7071,7 +7071,13 @@ def q347(spark: SparkSession, sf: str) -> DataFrame:
     sized = items.groupBy("bk").agg(F.count(F.lit(1)).alias("n_it")).where(
         F.col("n_it") <= 64
     )
-    kept = items.join(sized.select("bk"), "bk")
+    from pyspark import StorageLevel
+
+    # kept feeds the df count, both pair-join sides and the two score
+    # joins; persist so the basket scan+distinct runs once, not five times
+    kept = items.join(sized.select("bk"), "bk").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = kept.groupBy("it").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     a = kept.select("bk", F.col("it").alias("pa"))
     b = kept.select("bk", F.col("it").alias("pb"))
@@ -7159,8 +7165,15 @@ def q352(spark: SparkSession, sf: str) -> DataFrame:
     AQE's call otherwise), and a single 1-row moment aggregate; all
     moments are exact bigints, the final correlation is a handful of
     double ops + two IEEE-exact sqrts on engine-identical integers."""
+    from pyspark import StorageLevel
+
     e0 = _customer_graph_edges(spark, sf).where(F.col("src") != F.col("dst"))
-    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # sym feeds the degree agg and both endpoint-degree joins
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

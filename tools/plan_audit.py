@@ -1809,6 +1809,75 @@ CHECKS = {
         ("row hashing is JVM-side", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q346_hits_authorities": [
+        ("de-duplicated edge list persisted: the three HITS "
+         "aggregations reuse one materialization, not three "
+         "scan+distinct passes", True,
+         lambda p: "InMemory" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+        ("every hop is a partial-aggregated integer sum; no Python, "
+         "no cartesian", True,
+         lambda p: "partial_sum" in p and "EvalPython" not in p
+         and "InPandas" not in p and "CartesianProduct" not in p),
+    ],
+    "q347_item_cooccurrence_recs": [
+        ("capped basket table persisted: df counts, both pair-join "
+         "sides and the score joins share one materialization", True,
+         lambda p: "InMemory" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2),
+        ("top-3 per item prunes via WindowGroupLimit before the full "
+         "per-item sort", True, lambda p: "WindowGroupLimit" in p),
+        ("no Python, no cartesian", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "CartesianProduct" not in p),
+    ],
+    "q348_poststratified_ate": [
+        ("ONE scan of events: the global normalizer is a wall window "
+         "over the strata frame, not an agg re-join", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ("stratum moments partial-aggregated; no Python", True,
+         lambda p: "partial_sum" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q349_isotonic_calibration": [
+        ("ONE scan of lineitem: the binned frame is persisted across "
+         "the driver PAV collect and the fit re-join", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "InMemory" in p),
+        ("the PAV fit re-enters as a LocalTableScan (driver-sized), "
+         "not an RDD conversion", True,
+         lambda p: "LocalTableScan" in p and "ExistingRDD" not in p),
+        ("bin aggregation partial-combined; no Python stage", True,
+         lambda p: ("partial_sum" in p or "partial_count" in p)
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q350_heavy_hitter_churn": [
+        ("ONE scan of orders: the 10-row/month leaderboard is "
+         "persisted across its three consumers", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "InMemory" in p),
+        ("per-month top-10 prunes via WindowGroupLimit", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("revenue sums partial-aggregated; no Python", True,
+         lambda p: "partial_sum" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q351_ratio_metric_delta_ci": [
+        ("ONE scan; both groupBys (per-user, per-arm) "
+         "partial-aggregated", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "partial_sum" in p),
+        ("delta-method arithmetic is all codegen; no Python, no join",
+         True, lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "Join" not in p),
+    ],
+    "q352_degree_assortativity": [
+        ("symmetrized edge list persisted across the degree agg and "
+         "both endpoint joins", True, lambda p: "InMemory" in p),
+        ("moment sums partial-aggregated; no Python, no cartesian",
+         True, lambda p: "partial_sum" in p and "EvalPython" not in p
+         and "InPandas" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 # per-query session confs applied while building the audited plan: q81's
