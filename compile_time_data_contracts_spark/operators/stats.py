@@ -1558,3 +1558,52 @@ def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
     return binned.join(fit, binned[bin_col] == fit["bin"]).select(
         binned["*"], fit["iso_rate"]
     )
+
+
+def markov_conversion_prob(
+    transitions: list,
+    channels: list[str],
+    n_iter: int = 8,
+    removed: str | None = None,
+) -> float:
+    """K-step conversion probability from START of the first-order
+    Markov attribution chain (Anderl et al., IJRM 2016): given raw
+    transition COUNTS (src, dst, cnt) over states
+    {START, channels..., CONV, DROP}, iterate
+
+        v <- pconv + T v        (n_iter applications, v0 = 0)
+
+    i.e. the probability of reaching CONV within ``n_iter``
+    transitions.  The FIXED horizon (rather than iterate-to-
+    convergence) makes the number an exact arithmetic artifact both
+    engines can reproduce op-for-op — the same reason q165's PageRank
+    pins its iteration count.  ``removed`` drops a channel Markov-
+    removal style: every transition INTO it is lost mass (the user
+    who would have touched the removed channel just doesn't convert
+    through it).
+
+    This is the DRIVER-side tail of the operator: the input is the
+    |states|^2-row transition-count table the distributed stage
+    aggregates, never raw events.
+    """
+    tot: dict = {}
+    for s, d, c in transitions:
+        tot[s] = tot.get(s, 0) + c
+    p: dict = {}
+    for s, d, c in transitions:
+        p[(s, d)] = c / tot[s]
+    states = ["START"] + [c for c in channels if c != removed]
+    v = {s: 0.0 for s in states}
+    for _ in range(n_iter):
+        nv = {}
+        for i in states:
+            acc = p.get((i, "CONV"), 0.0)
+            for j in channels:
+                if j == removed:
+                    continue
+                pij = p.get((i, j))
+                if pij is not None:
+                    acc += pij * v[j]
+            nv[i] = acc
+        v = nv
+    return v["START"]

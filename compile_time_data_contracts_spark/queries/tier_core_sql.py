@@ -8944,3 +8944,180 @@ def q351(spark: SparkSession, sf: str) -> DataFrame:
         "round(r + 1.96 * (sqrt((vx - 2 * r * cxy + r * r * vy) / nd)"
         " / (syd / nd)), 6) AS ci_hi_r",
     )
+
+
+# =========================================================================
+# Markov removal-effect attribution (Q354)
+# =========================================================================
+
+_Q354_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _q354_oracle() -> str:
+    """Unrolled 8-layer value-iteration tower (the q165 PageRank
+    oracle pattern): v_{k+1}(removed, state) = p(state->CONV) +
+    sum_j p(state->j) * v_k(removed, j) over surviving channels."""
+    chans = ", ".join(f"'{c}'" for c in _Q354_CHANNELS)
+    head = f"""
+  WITH ordered AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS seq
+    FROM events),
+  ps AS (SELECT user_id, min(seq) AS ps FROM ordered
+         WHERE event_type = 'purchase' GROUP BY user_id),
+  tch AS (
+    SELECT o.user_id, o.event_type AS ch, o.seq, p.ps
+    FROM ordered o LEFT JOIN ps p ON o.user_id = p.user_id
+    WHERE o.event_type <> 'purchase'
+      AND (p.ps IS NULL OR o.seq < p.ps)),
+  w AS (
+    SELECT user_id, ch, ps,
+           row_number() OVER (PARTITION BY user_id ORDER BY seq) AS t,
+           lead(ch) OVER (PARTITION BY user_id ORDER BY seq) AS nxt
+    FROM tch),
+  raw AS (
+    SELECT 'START' AS src, ch AS dst FROM w WHERE t = 1
+    UNION ALL
+    SELECT ch, nxt FROM w WHERE nxt IS NOT NULL
+    UNION ALL
+    SELECT ch, CASE WHEN ps IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+    FROM w WHERE nxt IS NULL
+    UNION ALL
+    SELECT 'START', 'CONV' FROM ps p
+    WHERE NOT EXISTS (SELECT 1 FROM tch
+                      WHERE tch.user_id = p.user_id)),
+  cnts AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+           FROM raw GROUP BY src, dst),
+  trans AS (
+    SELECT src, dst,
+           CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY src) AS p
+    FROM cnts),
+  rem AS (SELECT unnest([{chans}, '__none__']) AS r),
+  sts AS (SELECT rem.r, s.s
+          FROM rem CROSS JOIN
+               (SELECT unnest(['START', {chans}]) AS s) s
+          WHERE s.s <> rem.r),
+  pconv AS (SELECT src, p FROM trans WHERE dst = 'CONV'),
+  pch AS (SELECT src, dst, p FROM trans WHERE dst IN ({chans})),
+  v1 AS (
+    SELECT sts.r, sts.s, coalesce(pc.p, 0.0) AS v
+    FROM sts LEFT JOIN pconv pc ON pc.src = sts.s)"""
+    layers = []
+    for k in range(1, 8):
+        layers.append(f""",
+  v{k + 1} AS (
+    SELECT sts.r, sts.s,
+           coalesce(pc.p, 0.0)
+             + coalesce(sum(pch.p * pv.v), 0.0) AS v
+    FROM sts
+    LEFT JOIN pconv pc ON pc.src = sts.s
+    LEFT JOIN pch ON pch.src = sts.s AND pch.dst <> sts.r
+    LEFT JOIN v{k} pv ON pv.r = sts.r AND pv.s = pch.dst
+    GROUP BY sts.r, sts.s, pc.p)""")
+    tail = """,
+  base AS (SELECT v FROM v8 WHERE r = '__none__' AND s = 'START')
+  SELECT v8.r AS removed_channel,
+         round(base.v, 6) AS base_conv_r,
+         round(v8.v, 6) AS removed_conv_r,
+         round((base.v - v8.v) / base.v, 6) AS removal_effect_r
+  FROM v8 CROSS JOIN base
+  WHERE v8.s = 'START' AND v8.r <> '__none__'"""
+    return head + "".join(layers) + tail
+
+
+@q("q354_markov_attribution", _q354_oracle())
+def q354(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al., IJRM 2016):
+    credit each marketing channel by how much the START->CONV
+    probability DROPS when that channel is deleted from the journey
+    chain — the data-driven answer to 'which touchpoint actually
+    causes conversions' that last-touch (q289) structurally cannot
+    give.  Journeys are per-user event sequences truncated at the
+    first purchase; the DISTRIBUTED stage reduces 100 TB of events to
+    a |states|^2-row transition-count table (two sort windows + one
+    partial-agg groupBy — the only data-sized work); the absorbing-
+    chain value iteration runs on the driver over those ~30 rows with
+    a FIXED 8-step horizon so the number is an exact arithmetic
+    artifact (:func:`operators.stats.markov_conversion_prob`), cross-
+    checked by the DuckDB oracle's independently-evaluated 8-layer
+    SQL tower."""
+    from ..operators.stats import markov_conversion_prob
+
+    ev = load_table(spark, sf, "events")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+    ps = (
+        ordered.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("seq").alias("ps"))
+    )
+    tch = (
+        ordered.join(ps, "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("ps").isNull() | (F.col("seq") < F.col("ps")))
+        )
+        .select("user_id", F.col("event_type").alias("ch"), "seq", "ps")
+    )
+    uw = Window.partitionBy("user_id").orderBy("seq")
+    from pyspark import StorageLevel
+
+    w = tch.select(
+        "user_id",
+        "ch",
+        "ps",
+        F.row_number().over(uw).alias("t"),
+        F.lead("ch").over(uw).alias("nxt"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    raw = (
+        w.where(F.col("t") == 1)
+        .select(F.lit("START").alias("src"), F.col("ch").alias("dst"))
+        .unionAll(
+            w.where(F.col("nxt").isNotNull()).select(
+                F.col("ch").alias("src"), F.col("nxt").alias("dst")
+            )
+        )
+        .unionAll(
+            w.where(F.col("nxt").isNull()).select(
+                F.col("ch").alias("src"),
+                F.when(F.col("ps").isNotNull(), "CONV")
+                .otherwise("DROP")
+                .alias("dst"),
+            )
+        )
+        .unionAll(
+            ps.join(
+                tch.select("user_id").distinct(), "user_id", "left_anti"
+            ).select(
+                F.lit("START").alias("src"), F.lit("CONV").alias("dst")
+            )
+        )
+    )
+    cnts = [
+        (r["src"], r["dst"], r["cnt"])
+        for r in raw.groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .collect()
+    ]
+    base = markov_conversion_prob(cnts, _Q354_CHANNELS, n_iter=8)
+    rows = []
+    for ch in _Q354_CHANNELS:
+        rem = markov_conversion_prob(cnts, _Q354_CHANNELS, n_iter=8, removed=ch)
+        rows.append((ch, base, rem, (base - rem) / base))
+    values = ", ".join(
+        f"('{ch}', CAST('{b!r}' AS DOUBLE), CAST('{r!r}' AS DOUBLE),"
+        f" CAST('{e!r}' AS DOUBLE))"
+        for ch, b, r, e in rows
+    )
+    return spark.sql(
+        f"SELECT removed_channel, round(b, 6) AS base_conv_r,"
+        f" round(rv, 6) AS removed_conv_r,"
+        f" round(e, 6) AS removal_effect_r"
+        f" FROM VALUES {values} AS t(removed_channel, b, rv, e)"
+    )

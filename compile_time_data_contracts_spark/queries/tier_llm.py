@@ -7199,3 +7199,143 @@ def q352(spark: SparkSession, sf: str) -> DataFrame:
         "    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
         " AS assortativity_r",
     )
+
+
+_Q353_ORACLE = """
+  WITH cells AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, source),
+  t AS (
+    SELECT n,
+           lang, source,
+           sum(n) OVER (PARTITION BY lang) AS rt,
+           sum(n) OVER (PARTITION BY source) AS ct,
+           sum(n) OVER () AS tot
+    FROM cells),
+  terms AS (
+    SELECT lang, source, n,
+           rt * (ct / CAST(tot AS DOUBLE)) AS e
+    FROM t),
+  a AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+           CAST(count(DISTINCT source) AS BIGINT) AS ns,
+           sum((n - e) * (n - e) / e) AS chi2
+    FROM terms)
+  SELECT n_docs, n_cells,
+         CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+         round(chi2, 4) AS chi2_r,
+         round(sqrt(chi2 / (n_docs * least(nl - 1, ns - 1))), 6) AS v_r
+  FROM a"""
+
+
+@q("q353_cramers_v_association", _Q353_ORACLE)
+def q353(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V association between the corpus's two categorical
+    axes (language x crawl source): chi-square answers 'is the
+    dependence real', V = sqrt(chi2 / (n * min(r-1, c-1))) rescales
+    it to [0, 1] so pipelines can THRESHOLD it — a corpus where
+    V(lang, source) is high cannot deduplicate or sample per-source
+    without skewing its language mix (the q88 mixture planner's
+    hidden-confounder check).  One partial-agg contingency groupBy;
+    row/column/grand totals are windows over the |cells|-row frame
+    (never a re-scan); counts exact, the statistic one identical
+    IEEE tree rounded on both sides."""
+    docs = load_table(spark, sf, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = cells.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("n").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    terms = t.select(
+        "lang",
+        "source",
+        "n",
+        (F.col("rt") * (F.col("ct") / F.col("tot").cast("double"))).alias("e"),
+    )
+    a = terms.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+        F.sum(
+            (F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")
+        ).alias("chi2"),
+    )
+    return a.selectExpr(
+        "n_docs",
+        "n_cells",
+        "CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof",
+        "round(chi2, 4) AS chi2_r",
+        "round(sqrt(chi2 / (n_docs * least(nl - 1, ns - 1))), 6) AS v_r",
+    )
+
+
+_Q355_ORACLE = """
+  SELECT query_id, vec_id, label, sim_r, rank FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.label,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS sim_r,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) DESC,
+                      b.vec_id
+           ) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id % 200 = 0) q
+    JOIN embeddings b
+      ON b.label = q.label AND b.vec_id <> q.vec_id
+  ) WHERE rank <= 5"""
+
+
+@q("q355_filtered_vector_topk", _Q355_ORACLE)
+def q355(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-FILTERED vector retrieval: exact top-5 cosine
+    neighbors per query among candidates sharing the query's label —
+    the RAG pattern every production store needs ('nearest docs
+    *within this tenant/language/date range*') and the one that
+    breaks naive ANN indexes (post-filtering an unfiltered top-k
+    under-delivers when the filter is selective; this query is the
+    exact ORACLE such an index must match, the q106-contract pattern).
+    The query batch broadcasts onto the corpus with the label
+    equality folded INTO the join condition, so candidate generation
+    prunes before any distance math; per-query top-5 cuts via
+    WindowGroupLimit, all cosine arithmetic JVM-side (zip_with +
+    aggregate, no Python)."""
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    qset = emb.where(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    cand = emb.join(
+        F.broadcast(qset),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round("sim", 4).alias("sim_r"),
+            "rank",
+        )
+    )

@@ -191,3 +191,95 @@ def test_q352_assortativity_matches_numpy_reference(spark):
     assert row["n_nodes"] == len(deg)
     assert row["n_directed_edges"] == len(sym)
     assert abs(row["assortativity_r"] - want) < 1e-5
+
+
+# ------------------------------------------------ markov attribution
+def test_markov_conversion_prob_matches_matrix_power():
+    """The hand-rolled value iteration must equal v = sum_{k=1..K}
+    (T^(k-1) c) computed with numpy matrix algebra."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.stats import (
+        markov_conversion_prob,
+    )
+
+    channels = ["a", "b", "c"]
+    trans = [
+        ("START", "a", 50), ("START", "b", 30), ("START", "CONV", 5),
+        ("START", "DROP", 15),
+        ("a", "b", 20), ("a", "CONV", 10), ("a", "DROP", 20),
+        ("a", "c", 10),
+        ("b", "a", 5), ("b", "CONV", 25), ("b", "DROP", 20),
+        ("c", "c", 2), ("c", "DROP", 8),
+    ]
+    for removed in [None, "a", "b", "c"]:
+        got = markov_conversion_prob(trans, channels, n_iter=8,
+                                     removed=removed)
+        states = ["START"] + [ch for ch in channels if ch != removed]
+        tot = {}
+        for s, d, c in trans:
+            tot[s] = tot.get(s, 0) + c
+        p = {(s, d): c / tot[s] for s, d, c in trans}
+        T = np.array(
+            [[p.get((i, j), 0.0) if j != removed else 0.0
+              for j in states] for i in states]
+        )
+        # START is never a transition TARGET in this chain
+        T[:, 0] = 0.0
+        cv = np.array([p.get((i, "CONV"), 0.0) for i in states])
+        v = np.zeros(len(states))
+        for _ in range(8):
+            v = cv + T @ v
+        assert abs(got - v[0]) < 1e-12, (removed, got, v[0])
+
+
+def test_markov_removal_never_increases_conversion():
+    from compile_time_data_contracts_spark.operators.stats import (
+        markov_conversion_prob,
+    )
+
+    import random
+
+    rng = random.Random(76)
+    channels = ["a", "b", "c", "d"]
+    states = ["START"] + channels
+    trans = []
+    for s in states:
+        for d in channels + ["CONV", "DROP"]:
+            if d != s:
+                trans.append((s, d, rng.randrange(1, 40)))
+    base = markov_conversion_prob(trans, channels, n_iter=8)
+    for ch in channels:
+        rem = markov_conversion_prob(trans, channels, n_iter=8, removed=ch)
+        assert rem <= base + 1e-12
+
+
+# ------------------------------------------------ q353 cramers v
+def test_q353_cramers_v_matches_scipy_free_reference(spark):
+    import duckdb
+    import math
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        entrymod.queries()["q353_cramers_v_association"](spark, sf)
+        .collect()[0]
+    )
+    cells = duckdb.sql(
+        f"""SELECT lang, source, count(*) FROM '{sf}/documents.parquet'
+            GROUP BY 1, 2"""
+    ).fetchall()
+    rt, ct, n = {}, {}, 0
+    for la, so, c in cells:
+        rt[la] = rt.get(la, 0) + c
+        ct[so] = ct.get(so, 0) + c
+        n += c
+    chi2 = sum(
+        (c - rt[la] * ct[so] / n) ** 2 / (rt[la] * ct[so] / n)
+        for la, so, c in cells
+    )
+    v = math.sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))
+    assert row["n_docs"] == n
+    assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(row["chi2_r"] - chi2) < 1e-2
+    assert abs(row["v_r"] - v) < 1e-5

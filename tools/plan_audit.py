@@ -1871,6 +1871,32 @@ CHECKS = {
          True, lambda p: "EvalPython" not in p and "InPandas" not in p
          and "Join" not in p),
     ],
+    "q353_cramers_v_association": [
+        ("ONE contingency scan; row/col/grand totals are windows over "
+         "the cells frame, never re-scans", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Window" in p),
+        ("counts partial-aggregated; no Python", True,
+         lambda p: ("partial_count" in p or "partial_sum" in p)
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q354_markov_attribution": [
+        ("the returned frame is the driver-sized VALUES relation "
+         "(the data-sized transition aggregation already reduced to "
+         "~30 rows), no RDD conversion", True,
+         lambda p: "LocalTableScan" in p and "ExistingRDD" not in p),
+    ],
+    "q355_filtered_vector_topk": [
+        ("query batch broadcasts with the label filter folded into "
+         "the hash-join key (no BNLJ, no cartesian)", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "BroadcastNestedLoopJoin" not in p
+         and "CartesianProduct" not in p),
+        ("per-query top-5 prunes via WindowGroupLimit", True,
+         lambda p: "WindowGroupLimit" in p),
+        ("cosine arithmetic JVM-side; no Python stage", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q352_degree_assortativity": [
         ("symmetrized edge list persisted across the degree agg and "
          "both endpoint joins", True, lambda p: "InMemory" in p),

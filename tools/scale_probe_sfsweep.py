@@ -210,6 +210,16 @@ EXPECTED = {
     "q343_expected_calibration_error": 1.3,  # one total-order sort + 10-bin rollup
     "q344_quantile_treatment_effect": 1.3,  # arm-partitioned sort + rank lookups
     "q345_consistent_hash_rebalance": 1.3,  # 144-row broadcast ring, two key scans
+    # round-7 batch C: HITS = three partial aggs over a persisted edge
+    # list; co-occurrence = basket-bounded (<=64) self-join + WGL top-3;
+    # the rest are one-or-two-pass moment/window shapes
+    "q346_hits_authorities": 1.3,
+    "q347_item_cooccurrence_recs": 1.5,  # pair density grows with basket fill
+    "q348_poststratified_ate": 1.3,
+    "q349_isotonic_calibration": 1.3,  # one binning agg; PAV on 20 rows
+    "q350_heavy_hitter_churn": 1.3,    # month-cust agg + WGL top-10
+    "q351_ratio_metric_delta_ci": 1.3,  # two cascaded moment aggs
+    "q352_degree_assortativity": 1.3,  # degree agg + two hash joins
 }
 
 
