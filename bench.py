@@ -375,6 +375,13 @@ def main() -> None:
             prev = json.load(f)
         # the driver wraps the bench line under "parsed"
         prev = prev.get("parsed") or prev
+        prev_sf = prev.get("sf")
+        cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+        if prev_sf is not None and prev_sf != cur_sf:
+            raise ValueError(
+                f"prior bench ran at sf={prev_sf}, this run at "
+                f"sf={cur_sf} — cross-sf deltas are meaningless"
+            )
         prev_q = prev.get("queries", {})
         prev_name = os.path.basename(prev_files[-1])
         lines = [f"-- delta vs {prev_name} (sec, +slower/-faster) --"]
