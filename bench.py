@@ -259,6 +259,16 @@ HEADLINE = [
     "q343_expected_calibration_error",
     "q344_quantile_treatment_effect",
     "q345_consistent_hash_rebalance",
+    "q346_hits_authorities",
+    "q347_item_cooccurrence_recs",
+    "q348_poststratified_ate",
+    "q349_isotonic_calibration",
+    "q350_heavy_hitter_churn",
+    "q351_ratio_metric_delta_ci",
+    "q352_degree_assortativity",
+    "q353_cramers_v_association",
+    "q354_markov_attribution",
+    "q355_filtered_vector_topk",
 ]
 
 

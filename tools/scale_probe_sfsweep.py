@@ -220,6 +220,9 @@ EXPECTED = {
     "q350_heavy_hitter_churn": 1.3,    # month-cust agg + WGL top-10
     "q351_ratio_metric_delta_ci": 1.3,  # two cascaded moment aggs
     "q352_degree_assortativity": 1.3,  # degree agg + two hash joins
+    "q353_cramers_v_association": 1.3,  # one contingency agg + windows
+    "q354_markov_attribution": 1.3,  # two sort windows + one count agg
+    "q355_filtered_vector_topk": 1.3,  # broadcast probe x corpus scan
 }
 
 
