@@ -9121,3 +9121,110 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
         f" round(e, 6) AS removal_effect_r"
         f" FROM VALUES {values} AS t(removed_channel, b, rv, e)"
     )
+
+
+_Q358_ORACLE = """
+  WITH v AS (
+    SELECT event_type AS stratum,
+           CAST(floor(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL),
+  s AS (
+    SELECT stratum,
+           CAST(count(*) AS BIGINT) AS nn,
+           CAST(sum(c) AS BIGINT) AS sx,
+           CAST(sum(c * c) AS BIGINT) AS sxx
+    FROM v GROUP BY stratum),
+  d AS (
+    SELECT stratum, nn,
+           sqrt((CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+                / (CAST(nn AS DOUBLE) - 1)) AS sd
+    FROM s),
+  w AS (
+    SELECT stratum, nn, sd,
+           CAST(floor(1000 * sd) AS BIGINT) * nn AS wu
+    FROM d),
+  t AS (SELECT CAST(sum(wu) AS BIGINT) AS tw FROM w),
+  sh AS (
+    SELECT stratum, nn, sd, wu,
+           (10000 * wu) // t.tw AS base,
+           (10000 * wu) % t.tw AS rem
+    FROM w CROSS JOIN t),
+  lo AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS r FROM sh),
+  rk AS (
+    SELECT stratum, nn, sd, base, rem,
+           row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rn
+    FROM sh)
+  SELECT rk.stratum, rk.nn AS n_pop,
+         round(rk.sd, 4) AS sd_cents_r,
+         CAST(rk.base + CASE WHEN rk.rn <= lo.r THEN 1 ELSE 0 END
+              AS BIGINT) AS n_sampled
+  FROM rk CROSS JOIN lo"""
+
+
+@q("q358_neyman_allocation", _Q358_ORACLE)
+def q358(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal sample allocation (Neyman 1934): split a
+    10,000-row measurement budget across event-type strata
+    proportionally to N_s * sd_s — the allocation that minimizes the
+    stratified estimator's variance, vs the proportional split q63
+    uses when variances are unknown (a stratum with 2x the spread
+    deserves 2x the sample).  Per-stratum moments are ONE
+    partial-agg scan in exact bigint cents; the sd is one identical
+    IEEE sqrt; weights integerize as floor(1000*sd)*N_s so the q320
+    largest-remainder apportionment runs on exact integers and the
+    10,000 seats always add up exactly."""
+    ev = load_table(spark, sf, "events")
+    v = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("stratum"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    s = v.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    w = s.selectExpr(
+        "stratum",
+        "nn",
+        "sqrt((CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))"
+        " / (CAST(nn AS DOUBLE) - 1)) AS sd",
+    ).selectExpr(
+        "stratum", "nn", "sd",
+        "CAST(floor(1000 * sd) AS BIGINT) * nn AS wu",
+    )
+    wall = Window.partitionBy()
+    sh = w.select(
+        "stratum",
+        "nn",
+        "sd",
+        F.expr("10000 * wu").alias("num"),
+        F.sum("wu").over(wall).alias("tw"),
+    ).selectExpr(
+        "stratum", "nn", "sd",
+        "num DIV tw AS base",
+        "num % tw AS rem",
+    )
+    rk = sh.select(
+        "stratum",
+        "nn",
+        "sd",
+        "base",
+        (F.lit(10000) - F.sum("base").over(wall)).cast("bigint").alias("r"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("stratum")))
+        .alias("rn"),
+    )
+    return rk.select(
+        "stratum",
+        F.col("nn").alias("n_pop"),
+        F.round("sd", 4).alias("sd_cents_r"),
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("r"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_sampled"),
+    )

@@ -7339,3 +7339,186 @@ def q355(spark: SparkSession, sf: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_Q356_ORACLE = """
+  WITH t AS (SELECT string_split(lower(text), ' ') AS toks
+             FROM documents),
+  b AS (SELECT toks[j] AS w1, toks[j + 1] AS w2
+        FROM t, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS s(j)
+        WHERE len(toks) >= 2),
+  c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM b GROUP BY w1, w2),
+  uni AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n1plus_fw
+          FROM c GROUP BY w1),
+  cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1plus_bw
+           FROM c GROUP BY w2),
+  tt AS (SELECT CAST(count(*) AS BIGINT) AS T FROM c),
+  topw AS (SELECT w1, c1, n1plus_fw FROM (
+             SELECT w1, c1, n1plus_fw,
+                    row_number() OVER (ORDER BY c1 DESC, w1) AS rw
+             FROM uni) WHERE rw <= 20),
+  cand AS (SELECT w1, w2, n_pair FROM (
+             SELECT c.w1, c.w2, c.n_pair,
+                    row_number() OVER (PARTITION BY c.w1
+                                       ORDER BY c.n_pair DESC, c.w2)
+                      AS rk
+             FROM c JOIN topw USING (w1)) WHERE rk <= 3)
+  SELECT cand.w1, cand.w2, cand.n_pair, topw.c1,
+         cont.n1plus_bw,
+         round((greatest(cand.n_pair - 0.75, 0.0) / topw.c1)
+               + (0.75 * topw.n1plus_fw / topw.c1)
+                 * (cont.n1plus_bw / CAST(tt.T AS DOUBLE)), 6)
+           AS p_kn_r
+  FROM cand
+  JOIN topw ON cand.w1 = topw.w1
+  JOIN cont ON cand.w2 = cont.w2
+  CROSS JOIN tt"""
+
+
+@q("q356_kneser_ney_bigram", _Q356_ORACLE)
+def q356(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser-Ney 1995,
+    Chen-Goodman 1999's winning smoother) for the corpus's 20 most
+    frequent contexts x their top-3 continuations: absolute discount
+    d = 0.75 off every seen pair, mass recycled through the
+    CONTINUATION unigram (how many distinct contexts precede w2 —
+    the reason 'Francisco' scores low despite raw frequency).  All
+    four count tables (pair, context, forward-type, backward-type)
+    are partial-aggregated integer groupBys off ONE shingle pass;
+    the smoothing formula is a single identical IEEE tree over those
+    integers on both engines.  n-gram LM scoring at 100 TB is these
+    same four aggregates — nothing here is driver-sized except the
+    top-20 display cut."""
+    from ..operators.dedup import shingle_rows
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf, "documents")
+    lowered = docs.select(F.lower(F.col("text")).alias("__txt"))
+    grams = shingle_rows(
+        lowered.withColumn("__id", F.monotonically_increasing_id()),
+        "__id",
+        "__txt",
+        n=2,
+    )
+    pairs = grams.filter(F.instr("shingle", "|") > 0).select(
+        F.split_part(F.col("shingle"), F.lit("|"), F.lit(1)).alias("w1"),
+        F.split_part(F.col("shingle"), F.lit("|"), F.lit(2)).alias("w2"),
+    )
+    c = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = c.groupBy("w1").agg(
+        F.sum("n_pair").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1plus_fw"),
+    )
+    cont = c.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("n1plus_bw")
+    )
+    tt = c.agg(F.count("*").cast("bigint").alias("T"))
+    topw = (
+        uni.withColumn(
+            "rw", F.row_number().over(Window.orderBy(F.desc("c1"), "w1"))
+        )
+        .where(F.col("rw") <= 20)
+        .select("w1", "c1", "n1plus_fw")
+    )
+    cand = (
+        c.join(F.broadcast(topw.select("w1")), "w1")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(F.desc("n_pair"), "w2")
+            ),
+        )
+        .where(F.col("rk") <= 3)
+        .select("w1", "w2", "n_pair")
+    )
+    return (
+        cand.join(F.broadcast(topw), "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "w1",
+            "w2",
+            "n_pair",
+            "c1",
+            "n1plus_bw",
+            "round((greatest(n_pair - 0.75, 0.0) / c1)"
+            " + (0.75 * n1plus_fw / c1)"
+            "   * (n1plus_bw / CAST(T AS DOUBLE)), 6) AS p_kn_r",
+        )
+    )
+
+
+_Q357_ORACLE = """
+  WITH sh AS (
+    SELECT DISTINCT source, md5(text) AS h FROM documents),
+  hs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hashes
+         FROM sh GROUP BY source),
+  inter AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source
+    GROUP BY a.source, b.source)
+  SELECT ha.source AS src_a, hb.source AS src_b,
+         CAST(coalesce(i.n_shared, 0) AS BIGINT) AS n_shared,
+         ha.n_hashes AS n_hashes_a,
+         CAST((1000 * coalesce(i.n_shared, 0)) // ha.n_hashes AS BIGINT)
+           AS containment_milli
+  FROM hs ha JOIN hs hb ON ha.source <> hb.source
+  LEFT JOIN inter i
+    ON i.src_a = ha.source AND i.src_b = hb.source"""
+
+
+@q("q357_cross_source_duplication", _Q357_ORACLE)
+def q357(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication matrix: for every ordered crawl-source
+    pair (A, B), how much of A's DISTINCT content already exists
+    verbatim in B (containment of hash sets, in exact integer milli).
+    This is the number that orders a multi-dump ingestion — process
+    the most-contained dump LAST and its near-free dedup rate is
+    known in advance (the cross-dump twin of q336's within-source
+    savings).  Docs reduce to 16-byte md5s at the scan (the heavy
+    text column never shuffles); the hash self-join fans out at most
+    |sources| per hash, so a corpus-wide duplicate costs |sources|^2
+    rows, not df^2."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf, "documents")
+    sh = (
+        docs.select("source", F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hs = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_hashes")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    # full ordered-pair matrix (|sources|^2 rows): a clean corpus must
+    # REPORT its zero overlaps, not return an empty frame
+    pairs = (
+        hs.select(F.col("source").alias("src_a"),
+                  F.col("n_hashes").alias("n_hashes_a"))
+        .crossJoin(F.broadcast(hs.select(F.col("source").alias("src_b"))))
+        .where(F.col("src_a") != F.col("src_b"))
+    )
+    return pairs.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        "n_hashes_a",
+        F.expr(
+            "CAST((1000 * coalesce(n_shared, 0)) DIV n_hashes_a AS BIGINT)"
+        ).alias("containment_milli"),
+    )

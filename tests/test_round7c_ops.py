@@ -283,3 +283,116 @@ def test_q353_cramers_v_matches_scipy_free_reference(spark):
     assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
     assert abs(row["chi2_r"] - chi2) < 1e-2
     assert abs(row["v_r"] - v) < 1e-5
+
+
+# ------------------------------------------------ q356 kneser-ney
+def test_q356_kneser_ney_matches_bruteforce(spark, tmp_path):
+    """Brute-force KN on a tiny synthetic corpus written as a parquet
+    sf-dir, driven through the actual gate query."""
+    import collections
+    import __spark_entry__ as entrymod
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the cat ate the fish",
+        "a dog ate a bone",
+        "the end",
+    ]
+    sf = str(tmp_path / "sf_kn")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["p_kn_r"])
+        for r in entrymod.queries()["q356_kneser_ney_bigram"](
+            spark, sf
+        ).collect()
+    }
+    # brute force
+    pair = collections.Counter()
+    for t in texts:
+        toks = t.lower().split(" ")
+        for i in range(len(toks) - 1):
+            pair[(toks[i], toks[i + 1])] += 1
+    c1 = collections.Counter()
+    fw = collections.Counter()
+    bw = collections.Counter()
+    for (w1, w2), n in pair.items():
+        c1[w1] += n
+        fw[w1] += 1
+        bw[w2] += 1
+    T = len(pair)
+    top20 = sorted(c1, key=lambda w: (-c1[w], w))[:20]
+    want = {}
+    for w1 in top20:
+        succ = sorted(
+            [(w2, n) for (a, w2), n in pair.items() if a == w1],
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        for w2, n in succ:
+            p = (max(n - 0.75, 0.0) / c1[w1]) + (
+                0.75 * fw[w1] / c1[w1]
+            ) * (bw[w2] / T)
+            want[(w1, w2)] = (n, round(p, 6))
+    assert got == want
+    # discounted+recycled mass per context must still sum to 1
+    for w1 in top20:
+        mass = sum(
+            (max(n - 0.75, 0.0) / c1[w1])
+            + (0.75 * fw[w1] / c1[w1]) * (bw[w2] / T)
+            for (a, w2), n in pair.items()
+            if a == w1
+        ) + (0.75 * fw[w1] / c1[w1]) * (
+            sum(bw[w2] for w2 in bw
+                if (w1, w2) not in pair) / T
+        )
+        assert abs(mass - 1.0) < 1e-9
+
+
+# ------------------------------------------------ q358 neyman
+def test_q358_neyman_allocation_sums_to_budget(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q358_neyman_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["n_sampled"] for r in rows) == 10000
+    # Neyman: allocation ordering must follow N_s * sd_s ordering
+    w = sorted(rows, key=lambda r: r["n_pop"] * r["sd_cents_r"])
+    a = [r["n_sampled"] for r in w]
+    assert a == sorted(a)
+
+
+# ------------------------------------------------ q357 containment
+def test_q357_cross_source_matches_bruteforce(spark, tmp_path):
+    import __spark_entry__ as entrymod
+
+    docs = [
+        (0, "alpha", "s1"), (1, "beta", "s1"), (2, "gamma", "s1"),
+        (3, "alpha", "s2"), (4, "beta", "s2"), (5, "delta", "s2"),
+        (6, "alpha", "s3"),
+        (7, "alpha", "s1"),  # duplicate inside s1: distinct-hash set
+    ]
+    sf = str(tmp_path / "sf_xsrc")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["containment_milli"])
+        for r in entrymod.queries()["q357_cross_source_duplication"](
+            spark, sf
+        ).collect()
+    }
+    sets = {"s1": {"alpha", "beta", "gamma"},
+            "s2": {"alpha", "beta", "delta"},
+            "s3": {"alpha"}}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a != b:
+                inter = len(sets[a] & sets[b])
+                want[(a, b)] = (inter, (1000 * inter) // len(sets[a]))
+    assert got == want

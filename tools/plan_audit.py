@@ -1897,6 +1897,40 @@ CHECKS = {
         ("cosine arithmetic JVM-side; no Python stage", True,
          lambda p: "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q356_kneser_ney_bigram": [
+        ("pair-count table persisted: the four KN count tables share "
+         "one shingle pass", True,
+         lambda p: "InMemory" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1),
+        ("counts partial-aggregated; smoothing is codegen (no Python)",
+         True, lambda p: ("partial_sum" in p or "partial_count" in p)
+         and "EvalPython" not in p and "InPandas" not in p),
+        ("top-20 context cut and top-3 continuation cut are broadcast "
+         "probes, never cartesian", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "CartesianProduct" not in p),
+    ],
+    "q357_cross_source_duplication": [
+        ("docs reduce to md5 at the scan and the DISTINCT hash set is "
+         "persisted (text never shuffles twice)", True,
+         lambda p: "InMemory" in p
+         and len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1),
+        ("intersection is a hash equi-join; the |sources|^2 matrix "
+         "assembles via broadcast", True,
+         lambda p: "BroadcastHashJoin" in p or "BroadcastExchange" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q358_neyman_allocation": [
+        ("ONE scan: moments, weights, and apportionment all derive "
+         "from a single partial-agg pass + windows over the strata "
+         "frame", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "partial_sum" in p),
+        ("no Python, no join", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "Join" not in p),
+    ],
     "q352_degree_assortativity": [
         ("symmetrized edge list persisted across the degree agg and "
          "both endpoint joins", True, lambda p: "InMemory" in p),
