@@ -9228,3 +9228,230 @@ def q358(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sampled"),
     )
+
+
+# =========================================================================
+# Hill tail index + full merge sync + Simpson detector (Q359-Q361)
+# =========================================================================
+
+_Q359_ORACLE = """
+  WITH c AS (
+    SELECT CAST(o_totalprice * 100 AS BIGINT) AS c, o_orderkey
+    FROM orders),
+  r AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, o_orderkey) AS rn
+    FROM c),
+  thr AS (SELECT CAST(c AS DOUBLE) AS x1 FROM r WHERE rn = 101),
+  logs AS (
+    SELECT sum(ln(CAST(r.c AS DOUBLE) / t.x1)) AS sl,
+           CAST(count(*) AS BIGINT) AS k
+    FROM r CROSS JOIN thr t WHERE r.rn <= 100)
+  SELECT logs.k,
+         CAST(t.x1 AS BIGINT) AS x_threshold_cents,
+         round(logs.sl / logs.k, 6) AS hill_h_r,
+         round(logs.k / logs.sl, 6) AS alpha_r
+  FROM logs CROSS JOIN thr t"""
+
+
+@q("q359_hill_tail_index", _Q359_ORACLE)
+def q359(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill estimator of the heavy-tail exponent (Hill 1975) over the
+    top-100 order values: alpha ~ 2 means variance barely exists and
+    every mean-based metric (q253's z-test, q351's delta CI) needs
+    winsorizing (q246) first; alpha > 4 means the CLT is safe.  The
+    top-(k+1) order statistics come from one TakeOrdered-shaped rank
+    window (WindowGroupLimit prunes before the full sort); the k log
+    ratios against the (k+1)-th value and their sum are the only
+    float ops — engine-matched ln over identical bigint-ratio doubles
+    (the q235 entropy precedent), rounded to 6dp."""
+    orders = load_table(spark, sf, "orders")
+    c = orders.select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        "o_orderkey",
+    )
+    # global top-(k+1) as an orderBy+limit so Spark plans
+    # TakeOrderedAndProject (per-partition heap + driver merge) — an
+    # unpartitioned rank window would sort the whole table into one
+    # partition first; the rank re-derives over the 101-row result
+    top = c.orderBy(F.desc("c"), "o_orderkey").limit(101)
+    r = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "o_orderkey"))
+        .alias("rn"),
+    )
+    thr = r.where(F.col("rn") == 101).select(
+        F.col("c").cast("double").alias("x1")
+    )
+    logs = (
+        r.where(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.sum(F.log(F.col("c").cast("double") / F.col("x1"))).alias("sl"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    return logs.crossJoin(F.broadcast(thr)).selectExpr(
+        "k",
+        "CAST(x1 AS BIGINT) AS x_threshold_cents",
+        "round(sl / k, 6) AS hill_h_r",
+        "round(k / sl, 6) AS alpha_r",
+    )
+
+
+_Q360_ORACLE = """
+  WITH nc AS (SELECT CAST(10 * count(*) AS BIGINT) AS off FROM customer),
+  tgt AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                 CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+          FROM customer),
+  src AS (
+    SELECT CAST(c_custkey AS BIGINT) AS k,
+           CAST(floor(c_acctbal * 100) AS BIGINT) + 1000 AS bal
+    FROM customer WHERE c_custkey % 10 < 8
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT) + nc.off,
+           CAST(floor(c_acctbal * 100) AS BIGINT)
+    FROM customer, nc WHERE c_custkey % 100 = 7),
+  m AS (
+    SELECT coalesce(s.k, t.k) AS k, t.bal AS tbal, s.bal AS sbal,
+           CASE WHEN t.k IS NULL THEN 'insert'
+                WHEN s.k IS NULL THEN 'delete'
+                ELSE 'update' END AS action
+    FROM tgt t FULL OUTER JOIN src s ON t.k = s.k)
+  SELECT action,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN action = 'delete' THEN 0
+                       ELSE sbal END) AS BIGINT) AS surviving_balance
+  FROM m GROUP BY action"""
+
+
+@q("q360_merge_full_sync", _Q360_ORACLE)
+def q360(spark: SparkSession, sf: str) -> DataFrame:
+    """Full snapshot synchronization — MERGE with all three branches
+    including WHEN NOT MATCHED BY SOURCE THEN DELETE (the Spark 4 SQL
+    surface q133's upsert stops short of): matched rows take the
+    source balance, source-only rows insert, and target rows ABSENT
+    from the source are deleted — the semantics a warehouse mirror of
+    an operational table needs (upsert alone leaks tombstones
+    forever).  Emulated engine-side as ONE full outer join on the
+    key (the shape Delta/Iceberg execute underneath); the summary
+    proves each branch fired and checksums the surviving balances in
+    exact cents."""
+    cust = load_table(spark, sf, "customer")
+    n = cust.count()
+    tgt = cust.select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("tbal"),
+    )
+    src = (
+        cust.where(F.col("c_custkey") % 10 < 8)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("k"),
+            (F.floor(F.col("c_acctbal") * 100).cast("bigint") + 1000).alias("sbal"),
+        )
+        .unionAll(
+            cust.where(F.col("c_custkey") % 100 == 7).select(
+                (F.col("c_custkey").cast("bigint") + 10 * n).alias("k"),
+                F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("sbal"),
+            )
+        )
+    )
+    m = tgt.join(src, "k", "full_outer").select(
+        F.when(F.col("tbal").isNull(), "insert")
+        .when(F.col("sbal").isNull(), "delete")
+        .otherwise("update")
+        .alias("action"),
+        "sbal",
+    )
+    return m.groupBy("action").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("action") == "delete", 0).otherwise(F.col("sbal"))
+        )
+        .cast("bigint")
+        .alias("surviving_balance"),
+    )
+
+
+_Q361_ORACLE = """
+  WITH v AS (
+    SELECT event_type AS stratum, CAST(user_id % 2 AS BIGINT) AS arm,
+           CAST(floor(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL),
+  s AS (
+    SELECT stratum,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS s0
+    FROM v GROUP BY stratum),
+  m AS (
+    SELECT stratum, n1, n0,
+           CAST((1000 * s1) // n1 - (1000 * s0) // n0 AS BIGINT)
+             AS diff_milli,
+           sum(s1) OVER () AS g1, sum(n1) OVER () AS gn1,
+           sum(s0) OVER () AS g0, sum(n0) OVER () AS gn0
+    FROM s WHERE n1 > 0 AND n0 > 0)
+  SELECT stratum, n1, n0, diff_milli,
+         CAST((1000 * g1) // gn1 - (1000 * g0) // gn0 AS BIGINT)
+           AS pooled_diff_milli,
+         (CASE WHEN diff_milli > 0 THEN 1
+               WHEN diff_milli < 0 THEN -1 ELSE 0 END)
+         * (CASE WHEN (1000 * g1) // gn1 - (1000 * g0) // gn0 > 0 THEN 1
+                 WHEN (1000 * g1) // gn1 - (1000 * g0) // gn0 < 0 THEN -1
+                 ELSE 0 END) < 0 AS sign_reversed
+  FROM m"""
+
+
+@q("q361_simpson_paradox_detector", _Q361_ORACLE)
+def q361(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox detector: per stratum, does the arm effect's
+    SIGN disagree with the pooled (unstratified) effect?  A reversal
+    means the pooled metric is composition-confounded and only the
+    q348 post-stratified number can be trusted — this query is the
+    tripwire that tells an experimentation pipeline WHICH readout to
+    publish.  Everything stays in integer milli-cents ((1000*sum)
+    DIV n, positive operands); pooled sums are wall windows over the
+    strata frame, so events is scanned once."""
+    ev = load_table(spark, sf, "events")
+    v = ev.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    s = v.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+    )
+    wall = Window.partitionBy()
+    m = s.where((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "stratum",
+        "n1",
+        "n0",
+        F.expr("CAST((1000 * s1) DIV n1 - (1000 * s0) DIV n0 AS BIGINT)").alias(
+            "diff_milli"
+        ),
+        F.sum("s1").over(wall).alias("g1"),
+        F.sum("n1").over(wall).alias("gn1"),
+        F.sum("s0").over(wall).alias("g0"),
+        F.sum("n0").over(wall).alias("gn0"),
+    )
+    return m.selectExpr(
+        "stratum",
+        "n1",
+        "n0",
+        "diff_milli",
+        "CAST((1000 * g1) DIV gn1 - (1000 * g0) DIV gn0 AS BIGINT)"
+        " AS pooled_diff_milli",
+        "(CASE WHEN diff_milli > 0 THEN 1"
+        "      WHEN diff_milli < 0 THEN -1 ELSE 0 END)"
+        " * (CASE WHEN (1000 * g1) DIV gn1 - (1000 * g0) DIV gn0 > 0 THEN 1"
+        "         WHEN (1000 * g1) DIV gn1 - (1000 * g0) DIV gn0 < 0 THEN -1"
+        "         ELSE 0 END) < 0 AS sign_reversed",
+    )

@@ -396,3 +396,92 @@ def test_q357_cross_source_matches_bruteforce(spark, tmp_path):
                 inter = len(sets[a] & sets[b])
                 want[(a, b)] = (inter, (1000 * inter) // len(sets[a]))
     assert got == want
+
+
+# ------------------------------------------------ q359 hill estimator
+def test_q359_hill_matches_numpy_reference(spark):
+    import duckdb
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    row = (
+        entrymod.queries()["q359_hill_tail_index"](spark, sf).collect()[0]
+    )
+    vals = np.array(
+        sorted(
+            v[0]
+            for v in duckdb.sql(
+                f"SELECT CAST(o_totalprice * 100 AS BIGINT)"
+                f" FROM '{sf}/orders.parquet'"
+            ).fetchall()
+        ),
+        dtype=float,
+    )[::-1]
+    k = 100
+    h = float(np.mean(np.log(vals[:k] / vals[k])))
+    assert row["k"] == k
+    assert row["x_threshold_cents"] == int(vals[k])
+    assert abs(row["hill_h_r"] - h) < 1e-5
+    assert abs(row["alpha_r"] - 1 / h) < 1e-4
+
+
+# ------------------------------------------------ q360 merge sync
+def test_q360_merge_full_sync_branch_counts(spark):
+    import duckdb
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["action"]: (r["n_rows"], r["surviving_balance"])
+        for r in entrymod.queries()["q360_merge_full_sync"](
+            spark, sf
+        ).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT)"
+        f" FROM '{sf}/customer.parquet'"
+    ).fetchall()
+    n = len(rows)
+    tgt = {k: b for k, b in rows}
+    src = {k: b + 1000 for k, b in rows if k % 10 < 8}
+    src.update({k + 10 * n: b for k, b in rows if k % 100 == 7})
+    want = {
+        "update": [0, 0],
+        "insert": [0, 0],
+        "delete": [0, 0],
+    }
+    for k in set(tgt) | set(src):
+        if k in tgt and k in src:
+            want["update"][0] += 1
+            want["update"][1] += src[k]
+        elif k in src:
+            want["insert"][0] += 1
+            want["insert"][1] += src[k]
+        else:
+            want["delete"][0] += 1
+    assert got == {a: tuple(v) for a, v in want.items()}
+
+
+# ------------------------------------------------ q361 simpson
+def test_q361_simpson_consistent_with_q348(spark):
+    """The detector's per-stratum diffs must equal q348's, and the
+    reversal flag must be exactly sign(diff)*sign(pooled) < 0."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    q348_rows = {
+        r["stratum"]: r["diff_milli"]
+        for r in entrymod.queries()["q348_poststratified_ate"](
+            spark, sf
+        ).collect()
+    }
+    for r in entrymod.queries()["q361_simpson_paradox_detector"](
+        spark, sf
+    ).collect():
+        assert r["diff_milli"] == q348_rows[r["stratum"]]
+        def sign(x):
+            return (x > 0) - (x < 0)
+        assert r["sign_reversed"] == (
+            sign(r["diff_milli"]) * sign(r["pooled_diff_milli"]) < 0
+        )

@@ -1931,6 +1931,32 @@ CHECKS = {
          lambda p: "EvalPython" not in p and "InPandas" not in p
          and "Join" not in p),
     ],
+    "q359_hill_tail_index": [
+        ("top-(k+1) order statistics come from TakeOrderedAndProject "
+         "(per-partition heap), never a global sort", True,
+         lambda p: "TakeOrderedAndProject" in p
+         and not re.search(r"Sort .*global=true", p)),
+        ("threshold and log-sum attach via broadcast; no Python", True,
+         lambda p: "BroadcastExchange" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q360_merge_full_sync": [
+        ("one full outer join on the key, branch classification is a "
+         "codegen CASE (no Python, no cartesian)", True,
+         lambda p: "FullOuter" in p and "EvalPython" not in p
+         and "InPandas" not in p and "CartesianProduct" not in p),
+        ("branch summary partial-aggregated", True,
+         lambda p: "partial_sum" in p or "partial_count" in p),
+    ],
+    "q361_simpson_paradox_detector": [
+        ("ONE scan: pooled sums are wall windows over the strata "
+         "frame", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Window" in p),
+        ("stratum moments partial-aggregated; no Python, no join",
+         True, lambda p: "partial_sum" in p and "EvalPython" not in p
+         and "InPandas" not in p and "Join" not in p),
+    ],
     "q352_degree_assortativity": [
         ("symmetrized edge list persisted across the degree agg and "
          "both endpoint joins", True, lambda p: "InMemory" in p),
