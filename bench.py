@@ -269,6 +269,12 @@ HEADLINE = [
     "q353_cramers_v_association",
     "q354_markov_attribution",
     "q355_filtered_vector_topk",
+    "q356_kneser_ney_bigram",
+    "q357_cross_source_duplication",
+    "q358_neyman_allocation",
+    "q359_hill_tail_index",
+    "q360_merge_full_sync",
+    "q361_simpson_paradox_detector",
 ]
 
 

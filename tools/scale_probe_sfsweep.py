@@ -223,6 +223,12 @@ EXPECTED = {
     "q353_cramers_v_association": 1.3,  # one contingency agg + windows
     "q354_markov_attribution": 1.3,  # two sort windows + one count agg
     "q355_filtered_vector_topk": 1.3,  # broadcast probe x corpus scan
+    "q356_kneser_ney_bigram": 1.3,  # four partial aggs off one shingle pass
+    "q357_cross_source_duplication": 1.3,  # md5-reduced hash equi-join
+    "q358_neyman_allocation": 1.3,  # one moment agg + strata windows
+    "q359_hill_tail_index": 1.3,  # TakeOrdered top-101 + 100 logs
+    "q360_merge_full_sync": 1.3,  # one full outer join + branch agg
+    "q361_simpson_paradox_detector": 1.3,  # one agg + wall windows
 }
 
 
