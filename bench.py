@@ -275,6 +275,9 @@ HEADLINE = [
     "q359_hill_tail_index",
     "q360_merge_full_sync",
     "q361_simpson_paradox_detector",
+    "q362_wilson_interval",
+    "q363_covariate_balance_smd",
+    "q364_partition_layout_advisor",
 ]
 
 

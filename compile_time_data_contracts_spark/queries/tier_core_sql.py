@@ -9455,3 +9455,250 @@ def q361(spark: SparkSession, sf: str) -> DataFrame:
         "         WHEN (1000 * g1) DIV gn1 - (1000 * g0) DIV gn0 < 0 THEN -1"
         "         ELSE 0 END) < 0 AS sign_reversed",
     )
+
+
+# =========================================================================
+# Wilson interval + covariate balance + layout advisor (Q362-Q364)
+# =========================================================================
+
+_Q362_ORACLE = """
+  WITH u AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS BIGINT) AS arm,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv
+    FROM events GROUP BY user_id),
+  a AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(conv) AS BIGINT) AS x
+    FROM u GROUP BY arm),
+  d AS (
+    SELECT arm, n, x,
+           CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           CAST(n AS DOUBLE) AS nd
+    FROM a)
+  SELECT arm, n AS n_users, x AS n_converted,
+         round(p, 6) AS p_r,
+         round((p + (1.96 * 1.96) / (2 * nd)
+                - 1.96 * sqrt(p * (1 - p) / nd
+                              + (1.96 * 1.96) / (4 * nd * nd)))
+               / (1 + (1.96 * 1.96) / nd), 6) AS wilson_lo_r,
+         round((p + (1.96 * 1.96) / (2 * nd)
+                + 1.96 * sqrt(p * (1 - p) / nd
+                              + (1.96 * 1.96) / (4 * nd * nd)))
+               / (1 + (1.96 * 1.96) / nd), 6) AS wilson_hi_r
+  FROM d"""
+
+
+@q("q362_wilson_interval", _Q362_ORACLE)
+def q362(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson score interval (Wilson 1927) for per-arm user
+    conversion: the proportion CI that stays inside [0,1] and keeps
+    coverage at small n or extreme rates, where q253's Wald z
+    interval collapses (Brown-Cai-DasGupta 2001's recommendation).
+    One groupBy to user grain (conversion = ANY purchase), one
+    partial-agg per arm, then the closed-form bounds as a single
+    identical IEEE tree over two exact bigints."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    a = u.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("arm")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    return a.selectExpr(
+        "arm",
+        "n AS n_users",
+        "x AS n_converted",
+        "round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_r",
+        "round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+        " + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE))"
+        " - 1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+        "   * (1 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+        "   / CAST(n AS DOUBLE)"
+        "   + (1.96 * 1.96) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+        " / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lo_r",
+        "round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+        " + (1.96 * 1.96) / (2 * CAST(n AS DOUBLE))"
+        " + 1.96 * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+        "   * (1 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+        "   / CAST(n AS DOUBLE)"
+        "   + (1.96 * 1.96) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+        " / (1 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_hi_r",
+    )
+
+
+_Q363_ORACLE = """
+  WITH u AS (
+    SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+           CAST(count(*) AS BIGINT) AS y,
+           CAST(sum(CAST(floor(coalesce(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS x,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS t
+    FROM events GROUP BY user_id),
+  a AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS stt
+    FROM u GROUP BY arm),
+  m AS (
+    SELECT arm,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+           CAST(sy AS DOUBLE) AS sy, CAST(syy AS DOUBLE) AS syy,
+           CAST(st AS DOUBLE) AS st, CAST(stt AS DOUBLE) AS stt
+    FROM a),
+  c AS (
+    SELECT 'value_cents' AS covariate, arm, sx / nd AS mean,
+           (sxx - sx * sx / nd) / (nd - 1) AS var FROM m
+    UNION ALL
+    SELECT 'n_events', arm, sy / nd,
+           (syy - sy * sy / nd) / (nd - 1) FROM m
+    UNION ALL
+    SELECT 'n_event_types', arm, st / nd,
+           (stt - st * st / nd) / (nd - 1) FROM m)
+  SELECT c1.covariate,
+         round(c1.mean, 4) AS mean_arm1_r,
+         round(c0.mean, 4) AS mean_arm0_r,
+         CASE WHEN c1.var + c0.var = 0 THEN NULL
+              ELSE round((c1.mean - c0.mean)
+                         / sqrt((c1.var + c0.var) / 2), 6) END AS smd_r
+  FROM c c1 JOIN c c0
+    ON c1.covariate = c0.covariate AND c1.arm = 1 AND c0.arm = 0"""
+
+
+@q("q363_covariate_balance_smd", _Q363_ORACLE)
+def q363(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariate balance table — the standardized mean difference
+    (Austin 2009; |SMD| < 0.1 = balanced) of three pre-treatment
+    user covariates between arms: the FIRST page of any experiment
+    readout, because an imbalanced covariate invalidates q253/q351
+    before they run.  One groupBy to user grain, one 8-sum partial
+    agg per arm, covariates unpivoted via a 3-way union of the same
+    moment row — events is scanned once and the SMD tree is
+    engine-identical."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("y"),
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.countDistinct("event_type").cast("bigint").alias("t"),
+    )
+    a = u.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("arm")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    from pyspark import StorageLevel
+
+    # the 2-row moment frame feeds six consumers (3 unpivot branches
+    # x 2 arm splits); persist so events is scanned once
+    m = a.selectExpr(
+        "arm",
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(sx AS DOUBLE) AS sx", "CAST(sxx AS DOUBLE) AS sxx",
+        "CAST(sy AS DOUBLE) AS sy", "CAST(syy AS DOUBLE) AS syy",
+        "CAST(st AS DOUBLE) AS st", "CAST(stt AS DOUBLE) AS stt",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c = (
+        m.selectExpr(
+            "'value_cents' AS covariate", "arm", "sx / nd AS mean",
+            "(sxx - sx * sx / nd) / (nd - 1) AS var",
+        )
+        .unionAll(
+            m.selectExpr(
+                "'n_events'", "arm", "sy / nd",
+                "(syy - sy * sy / nd) / (nd - 1)",
+            )
+        )
+        .unionAll(
+            m.selectExpr(
+                "'n_event_types'", "arm", "st / nd",
+                "(stt - st * st / nd) / (nd - 1)",
+            )
+        )
+    )
+    c1 = c.where(F.col("arm") == 1).select(
+        "covariate", F.col("mean").alias("m1"), F.col("var").alias("v1")
+    )
+    c0 = c.where(F.col("arm") == 0).select(
+        "covariate", F.col("mean").alias("m0"), F.col("var").alias("v0")
+    )
+    return c1.join(c0, "covariate").selectExpr(
+        "covariate",
+        "round(m1, 4) AS mean_arm1_r",
+        "round(m0, 4) AS mean_arm0_r",
+        "CASE WHEN v1 + v0 = 0 THEN NULL"
+        " ELSE round((m1 - m0) / sqrt((v1 + v0) / 2), 6) END AS smd_r",
+    )
+
+
+_Q364_ORACLE = """
+  WITH per AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS bytes
+    FROM documents GROUP BY lang),
+  t AS (
+    SELECT lang, n_docs, bytes,
+           sum(bytes) OVER () AS total_bytes,
+           count(*) OVER () AS n_parts
+    FROM per)
+  SELECT lang, n_docs, bytes,
+         CAST((bytes + 262143) // 262144 AS BIGINT) AS n_files,
+         CAST(bytes // ((bytes + 262143) // 262144) AS BIGINT)
+           AS avg_file_bytes,
+         bytes * n_parts > 2 * total_bytes AS skewed
+  FROM t"""
+
+
+@q("q364_partition_layout_advisor", _Q364_ORACLE)
+def q364(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition layout advisor for a hive-partitioned sink (the q112
+    pruning layout): per partition key, the byte mass, the file count
+    a 256 KiB-target writer should emit ((bytes + t - 1) DIV t — the
+    ceil that avoids both the small-file problem q144 compacts away
+    and the one-giant-file problem that kills scan parallelism), the
+    resulting average file size, and a 2x-over-mean skew flag — the
+    key whose partition needs q79-style salting or sub-partitioning.
+    One partial-agg scan + wall windows over the |keys|-row frame;
+    all integer arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+    )
+    wall = Window.partitionBy()
+    t = per.select(
+        "lang",
+        "n_docs",
+        "bytes",
+        F.sum("bytes").over(wall).alias("total_bytes"),
+        F.count("*").over(wall).alias("n_parts"),
+    )
+    return t.selectExpr(
+        "lang",
+        "n_docs",
+        "bytes",
+        "CAST((bytes + 262143) DIV 262144 AS BIGINT) AS n_files",
+        "CAST(bytes DIV ((bytes + 262143) DIV 262144) AS BIGINT)"
+        " AS avg_file_bytes",
+        "bytes * n_parts > 2 * total_bytes AS skewed",
+    )

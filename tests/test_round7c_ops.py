@@ -485,3 +485,101 @@ def test_q361_simpson_consistent_with_q348(spark):
         assert r["sign_reversed"] == (
             sign(r["diff_milli"]) * sign(r["pooled_diff_milli"]) < 0
         )
+
+
+# ------------------------------------------------ q362 wilson
+def test_q362_wilson_matches_closed_form(spark):
+    import duckdb
+    import math
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["arm"]: r
+        for r in entrymod.queries()["q362_wilson_interval"](
+            spark, sf
+        ).collect()
+    }
+    per = duckdb.sql(
+        f"""SELECT user_id % 2 AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            FROM '{sf}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    for arm in (0, 1):
+        xs = [c for a, c in per if a == arm]
+        n, x = len(xs), sum(xs)
+        p = x / n
+        z = 1.96
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        g = got[arm]
+        assert (g["n_users"], g["n_converted"]) == (n, x)
+        assert abs(g["wilson_lo_r"] - (center - half) / denom) < 1e-5
+        assert abs(g["wilson_hi_r"] - (center + half) / denom) < 1e-5
+        assert 0.0 <= g["wilson_lo_r"] <= g["p_r"] <= g["wilson_hi_r"] <= 1.0
+
+
+# ------------------------------------------------ q363 smd
+def test_q363_smd_matches_numpy_reference(spark):
+    import duckdb
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["covariate"]: r
+        for r in entrymod.queries()["q363_covariate_balance_smd"](
+            spark, sf
+        ).collect()
+    }
+    per = duckdb.sql(
+        f"""SELECT user_id % 2 AS arm, count(*) AS y,
+               sum(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS x,
+               count(DISTINCT event_type) AS t
+            FROM '{sf}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    cols = {"value_cents": 2, "n_events": 1, "n_event_types": 3}
+    for cov, idx in cols.items():
+        a1 = np.array([float(r[idx]) for r in per if r[0] == 1])
+        a0 = np.array([float(r[idx]) for r in per if r[0] == 0])
+        pooled = (a1.var(ddof=1) + a0.var(ddof=1)) / 2
+        g = got[cov]
+        assert abs(g["mean_arm1_r"] - a1.mean()) < 1e-3
+        assert abs(g["mean_arm0_r"] - a0.mean()) < 1e-3
+        if pooled == 0:
+            assert g["smd_r"] is None
+        else:
+            smd = (a1.mean() - a0.mean()) / np.sqrt(pooled)
+            assert abs(g["smd_r"] - smd) < 1e-5
+
+
+# ------------------------------------------------ q364 layout advisor
+def test_q364_layout_advisor_ceiling_math(spark):
+    import duckdb
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: r
+        for r in entrymod.queries()["q364_partition_layout_advisor"](
+            spark, sf
+        ).collect()
+    }
+    per = dict(
+        duckdb.sql(
+            f"SELECT lang, sum(n_chars) FROM '{sf}/documents.parquet'"
+            f" GROUP BY lang"
+        ).fetchall()
+    )
+    total = sum(per.values())
+    for lang, b in per.items():
+        g = got[lang]
+        files = -(-b // 262144)
+        assert g["bytes"] == b
+        assert g["n_files"] == files
+        assert g["avg_file_bytes"] == b // files
+        # every file lands in (target/2, target] when bytes >= target
+        if b >= 262144:
+            assert 131072 < g["avg_file_bytes"] <= 262144
+        assert g["skewed"] == (b * len(per) > 2 * total)

@@ -1931,6 +1931,33 @@ CHECKS = {
          lambda p: "EvalPython" not in p and "InPandas" not in p
          and "Join" not in p),
     ],
+    "q362_wilson_interval": [
+        ("two cascaded partial aggs (user grain, arm grain), ONE scan",
+         True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and ("partial_max" in p or "partial_sum" in p)),
+        ("closed-form bounds are codegen; no Python, no join", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "Join" not in p),
+    ],
+    "q363_covariate_balance_smd": [
+        ("user-grain covariates + 8-sum arm moments: partial-agg, ONE "
+         "scan — the persisted 2-row moment frame feeds all six "
+         "unpivot/arm consumers", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "InMemory" in p and "partial_sum" in p),
+        ("no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q364_partition_layout_advisor": [
+        ("ONE scan; totals are wall windows over the partition-key "
+         "frame", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "Window" in p),
+        ("all integer arithmetic, no Python, no join", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "Join" not in p),
+    ],
     "q359_hill_tail_index": [
         ("top-(k+1) order statistics come from TakeOrderedAndProject "
          "(per-partition heap), never a global sort", True,

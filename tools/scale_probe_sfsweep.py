@@ -229,6 +229,9 @@ EXPECTED = {
     "q359_hill_tail_index": 1.3,  # TakeOrdered top-101 + 100 logs
     "q360_merge_full_sync": 1.3,  # one full outer join + branch agg
     "q361_simpson_paradox_detector": 1.3,  # one agg + wall windows
+    "q362_wilson_interval": 1.3,   # two cascaded partial aggs
+    "q363_covariate_balance_smd": 1.3,  # user-grain agg + 2-row moments
+    "q364_partition_layout_advisor": 1.3,  # one agg + wall windows
 }
 
 
