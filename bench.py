@@ -278,6 +278,7 @@ HEADLINE = [
     "q362_wilson_interval",
     "q363_covariate_balance_smd",
     "q364_partition_layout_advisor",
+    "q365_effective_sample_size",
 ]
 
 

@@ -7522,3 +7522,58 @@ def q357(spark: SparkSession, sf: str) -> DataFrame:
             "CAST((1000 * coalesce(n_shared, 0)) DIV n_hashes_a AS BIGINT)"
         ).alias("containment_milli"),
     )
+
+
+_Q365_ORACLE = """
+  WITH w AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS w FROM documents),
+  a AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w) AS BIGINT) AS sw,
+           CAST(sum(w * w) AS BIGINT) AS sww
+    FROM w GROUP BY source)
+  SELECT source, n,
+         round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sww AS DOUBLE), 4) AS ess_r,
+         round(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
+               / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 6)
+           AS deff_r,
+         round(1000 * (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                       / CAST(sww AS DOUBLE)) / CAST(n AS DOUBLE), 0)
+           AS ess_ratio_milli_r
+  FROM a"""
+
+
+@q("q365_effective_sample_size", _Q365_ORACLE)
+def q365(spark: SparkSession, sf: str) -> DataFrame:
+    """Kish effective sample size and design effect (Kish 1965) of a
+    length-weighted corpus read: when documents are weighted by size
+    (the natural weighting for token-level statistics), ESS =
+    (Σw)²/Σw² says how many EQUAL documents the weighted set is worth
+    and deff = n·Σw²/(Σw)² inflates every q351-style standard error —
+    a source whose ESS ratio is 200/1000 contributes 5x less
+    statistical power than its row count suggests, which reprices the
+    whole q88 mixture plan.  One partial-agg scan; two exact bigint
+    sums per source; ratios as one identical IEEE tree."""
+    docs = load_table(spark, sf, "documents")
+    a = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("sw"),
+        F.sum(
+            F.col("n_chars").cast("bigint") * F.col("n_chars").cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sww"),
+    )
+    return a.selectExpr(
+        "source",
+        "n",
+        "round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)"
+        " / CAST(sww AS DOUBLE), 4) AS ess_r",
+        "round(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)"
+        " / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 6) AS deff_r",
+        "round(1000 * (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)"
+        " / CAST(sww AS DOUBLE)) / CAST(n AS DOUBLE), 0)"
+        " AS ess_ratio_milli_r",
+    )

@@ -583,3 +583,35 @@ def test_q364_layout_advisor_ceiling_math(spark):
         if b >= 262144:
             assert 131072 < g["avg_file_bytes"] <= 262144
         assert g["skewed"] == (b * len(per) > 2 * total)
+
+
+# ------------------------------------------------ q365 kish ess
+def test_q365_ess_matches_numpy_reference(spark):
+    import duckdb
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in entrymod.queries()["q365_effective_sample_size"](
+            spark, sf
+        ).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT source, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    by_src: dict = {}
+    for s, w in rows:
+        by_src.setdefault(s, []).append(float(w))
+    for s, ws in by_src.items():
+        w = np.array(ws)
+        ess = w.sum() ** 2 / (w * w).sum()
+        deff = len(w) * (w * w).sum() / w.sum() ** 2
+        g = got[s]
+        assert g["n"] == len(w)
+        assert abs(g["ess_r"] - ess) < 1e-2
+        assert abs(g["deff_r"] - deff) < 1e-4
+        # Kish bounds: 1 <= ESS <= n  <=>  deff >= 1
+        assert 1.0 <= g["ess_r"] <= g["n"] + 1e-9
+        assert g["deff_r"] >= 1.0 - 1e-9

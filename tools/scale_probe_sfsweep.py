@@ -232,6 +232,7 @@ EXPECTED = {
     "q362_wilson_interval": 1.3,   # two cascaded partial aggs
     "q363_covariate_balance_smd": 1.3,  # user-grain agg + 2-row moments
     "q364_partition_layout_advisor": 1.3,  # one agg + wall windows
+    "q365_effective_sample_size": 1.3,  # one 3-sum partial agg
 }
 
 
