@@ -279,6 +279,9 @@ HEADLINE = [
     "q363_covariate_balance_smd",
     "q364_partition_layout_advisor",
     "q365_effective_sample_size",
+    "q366_bitemporal_point_in_time",
+    "q367_temporal_split_audit",
+    "q368_t_closeness_audit",
 ]
 
 

@@ -9702,3 +9702,294 @@ def q364(spark: SparkSession, sf: str) -> DataFrame:
         " AS avg_file_bytes",
         "bytes * n_parts > 2 * total_bytes AS skewed",
     )
+
+
+# =========================================================================
+# Bitemporal point-in-time + temporal split audit + t-closeness (Q366-Q368)
+# =========================================================================
+
+_Q366_ORACLE = """
+  WITH v AS (
+    SELECT o_custkey AS k,
+           o_orderdate AS valid_from,
+           o_orderdate + INTERVAL 10 DAY AS tx_from,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS bal,
+           o_orderkey
+    FROM orders),
+  q AS (
+    SELECT k, bal, valid_from, o_orderkey,
+           row_number() OVER (
+             PARTITION BY k
+             ORDER BY valid_from DESC, o_orderkey DESC) AS rn
+    FROM v
+    WHERE valid_from <= TIMESTAMP '1998-06-01'
+      AND tx_from <= TIMESTAMP '1998-06-05'),
+  pit AS (SELECT k, bal, valid_from FROM q WHERE rn = 1)
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(bal) AS BIGINT) AS total_balance,
+         CAST(min(valid_from) AS DATE) AS oldest_version,
+         CAST(max(valid_from) AS DATE) AS newest_version
+  FROM pit"""
+
+
+@q("q366_bitemporal_point_in_time", _Q366_ORACLE)
+def q366(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitemporal time travel — 'what did we BELIEVE on 1998-06-05
+    about the state as of 1998-06-01': each order is a version with a
+    VALID time (when it was true) and a TRANSACTION time (when the
+    warehouse learned it, here valid+10d to model late-arriving
+    records).  q180's SCD2 point-in-time answers only the first
+    question; the second axis is what makes restatements auditable
+    (Snodgrass 1999).  Both predicates push into the scan, the
+    last-version-per-key cut is one rank window (WindowGroupLimit),
+    and the audit rolls up to exact cents."""
+    orders = load_table(spark, sf, "orders")
+    v = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("tx_from"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("bal"),
+        "o_orderkey",
+    )
+    q_ = (
+        v.where(
+            (F.col("valid_from") <= F.lit("1998-06-01").cast("timestamp"))
+            & (F.col("tx_from") <= F.lit("1998-06-05").cast("timestamp"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(
+                    F.desc("valid_from"), F.desc("o_orderkey")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return q_.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("bal").cast("bigint").alias("total_balance"),
+        F.min("valid_from").cast("date").alias("oldest_version"),
+        F.max("valid_from").cast("date").alias("newest_version"),
+    )
+
+
+_Q367_ORACLE = """
+  WITH e AS (
+    SELECT user_id, event_type, ts,
+           CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS c,
+           ts < TIMESTAMP '2024-01-22' AS is_train
+    FROM events),
+  users AS (
+    SELECT user_id,
+           max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+           max(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+    FROM e GROUP BY user_id),
+  types AS (
+    SELECT event_type,
+           max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+           max(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+    FROM e GROUP BY event_type),
+  agg AS (
+    SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_test,
+           CAST(sum(CASE WHEN is_train THEN c ELSE 0 END) AS BIGINT)
+             AS c_train,
+           CAST(sum(CASE WHEN is_train THEN 0 ELSE c END) AS BIGINT)
+             AS c_test
+    FROM e)
+  SELECT a.n_train, a.n_test,
+         (SELECT CAST(sum(CASE WHEN in_train = 1 AND in_test = 1
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM users) AS n_straddling_users,
+         (SELECT CAST(sum(CASE WHEN in_train = 0 AND in_test = 1
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM types) AS n_cold_start_types,
+         CAST((1000 * a.c_train) // a.n_train AS BIGINT)
+           AS train_mean_milli,
+         CAST((1000 * a.c_test) // a.n_test AS BIGINT)
+           AS test_mean_milli
+  FROM agg a"""
+
+
+@q("q367_temporal_split_audit", _Q367_ORACLE)
+def q367(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal train/test split audit: cut events at 2024-01-22 and
+    report the three things that silently break offline evaluation —
+    users present on BOTH sides (identity leakage: per-user features
+    fit on train memorize test users), event types that appear ONLY
+    in test (cold-start: the model never saw the category), and the
+    value drift between periods (a shifted metric makes train-tuned
+    thresholds stale).  The q166 cluster-split answers the embedding
+    version of this; time-based splits need their own audit because
+    the clock, not a hash, assigns rows.  ONE conditional-sum scan
+    (the q173 discipline) + two tiny side rollups; means in integer
+    milli-cents."""
+    ev = load_table(spark, sf, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 100)
+        .cast("bigint")
+        .alias("c"),
+        (F.col("ts") < F.lit("2024-01-22").cast("timestamp")).alias(
+            "is_train"
+        ),
+    )
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("is_train"), 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("is_train"), 0).otherwise(1)).alias("in_test"),
+    )
+    straddle = users.agg(
+        F.sum(
+            F.when((F.col("in_train") == 1) & (F.col("in_test") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_straddling_users")
+    )
+    types = e.groupBy("event_type").agg(
+        F.max(F.when(F.col("is_train"), 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("is_train"), 0).otherwise(1)).alias("in_test"),
+    )
+    cold = types.agg(
+        F.sum(
+            F.when((F.col("in_train") == 0) & (F.col("in_test") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_cold_start_types")
+    )
+    agg = e.agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_test"),
+        F.sum(F.when(F.col("is_train"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("c_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(F.col("c")))
+        .cast("bigint")
+        .alias("c_test"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(straddle))
+        .crossJoin(F.broadcast(cold))
+        .selectExpr(
+            "n_train",
+            "n_test",
+            "n_straddling_users",
+            "n_cold_start_types",
+            "CAST((1000 * c_train) DIV n_train AS BIGINT)"
+            " AS train_mean_milli",
+            "CAST((1000 * c_test) DIV n_test AS BIGINT)"
+            " AS test_mean_milli",
+        )
+    )
+
+
+_Q368_ORACLE = """
+  WITH r AS (
+    SELECT c_nationkey % 5 AS qi_group,
+           least(greatest(CAST(floor((c_acctbal + 1000.0) / 1100.0)
+                AS BIGINT), 0), 9) AS band
+    FROM customer),
+  cell AS (
+    SELECT qi_group, band, CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY qi_group, band),
+  gl AS (SELECT band, CAST(sum(n) AS BIGINT) AS gn FROM cell
+         GROUP BY band),
+  gt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cell),
+  grp AS (SELECT qi_group, CAST(sum(n) AS BIGINT) AS grp_n FROM cell
+          GROUP BY qi_group),
+  full_grid AS (
+    SELECT g.qi_group, b.band, g.grp_n, b.gn, t.tot,
+           coalesce(c.n, 0) AS n
+    FROM grp g CROSS JOIN gl b CROSS JOIN gt t
+    LEFT JOIN cell c ON c.qi_group = g.qi_group AND c.band = b.band),
+  cums AS (
+    SELECT qi_group, grp_n,
+           sum(CAST(n AS DOUBLE) / grp_n
+               - CAST(gn AS DOUBLE) / tot)
+             OVER (PARTITION BY qi_group ORDER BY band) AS cdiff,
+           CAST(count(*) OVER (PARTITION BY qi_group) AS BIGINT)
+             AS n_bands
+    FROM full_grid)
+  SELECT qi_group, CAST(max(grp_n) AS BIGINT) AS n_members,
+         round(sum(abs(cdiff)) / max(n_bands), 6) AS t_closeness_r,
+         sum(abs(cdiff)) / max(n_bands) > 0.15 AS violates_t015
+  FROM cums GROUP BY qi_group"""
+
+
+@q("q368_t_closeness_audit", _Q368_ORACLE)
+def q368(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (Li-Li-Venkatasubramanian, ICDE 2007) — the
+    third leg of the publication-privacy trio after q255 k-anonymity
+    and q291 l-diversity: for each quasi-identifier group, the
+    1-Wasserstein (EMD) distance between the group's sensitive-value
+    distribution (account balance in 10 ordered bands) and the global
+    one; a group whose distribution sits far from global leaks the
+    sensitive attribute EVEN IF it is k-anonymous and l-diverse.  The
+    EMD over ordered bands is the mean |cumulative difference| — one
+    contingency groupBy, the dense group x band grid assembled from
+    the tiny marginal frames, and a per-group cumulative window; the
+    only floats are fractions of exact counts."""
+    from pyspark import StorageLevel
+
+    cust = load_table(spark, sf, "customer")
+    r = cust.select(
+        (F.col("c_nationkey") % 5).alias("qi_group"),
+        F.expr(
+            "least(greatest(CAST(floor((c_acctbal + 1000.0D) / 1100.0D)"
+            " AS BIGINT), 0), 9)"
+        ).alias("band"),
+    )
+    cell = (
+        r.groupBy("qi_group", "band")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gl = cell.groupBy("band").agg(F.sum("n").cast("bigint").alias("gn"))
+    gt = cell.agg(F.sum("n").cast("bigint").alias("tot"))
+    grp = cell.groupBy("qi_group").agg(
+        F.sum("n").cast("bigint").alias("grp_n")
+    )
+    full_grid = (
+        grp.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(gt))
+        .join(cell, ["qi_group", "band"], "left")
+        .select(
+            "qi_group",
+            "band",
+            "grp_n",
+            "gn",
+            "tot",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    wc = Window.partitionBy("qi_group").orderBy("band")
+    wg = Window.partitionBy("qi_group")
+    cums = full_grid.select(
+        "qi_group",
+        "grp_n",
+        F.sum(
+            F.col("n").cast("double") / F.col("grp_n")
+            - F.col("gn").cast("double") / F.col("tot")
+        )
+        .over(wc)
+        .alias("cdiff"),
+        F.count("*").over(wg).cast("bigint").alias("n_bands"),
+    )
+    return cums.groupBy("qi_group").agg(
+        F.max("grp_n").cast("bigint").alias("n_members"),
+        F.round(F.sum(F.abs("cdiff")) / F.max("n_bands"), 6).alias(
+            "t_closeness_r"
+        ),
+        (F.sum(F.abs("cdiff")) / F.max("n_bands") > 0.15).alias(
+            "violates_t015"
+        ),
+    )

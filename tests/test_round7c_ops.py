@@ -615,3 +615,76 @@ def test_q365_ess_matches_numpy_reference(spark):
         # Kish bounds: 1 <= ESS <= n  <=>  deff >= 1
         assert 1.0 <= g["ess_r"] <= g["n"] + 1e-9
         assert g["deff_r"] >= 1.0 - 1e-9
+
+
+# ------------------------------------------------ q368 t-closeness
+def test_q368_t_closeness_matches_bruteforce(spark):
+    import duckdb
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["qi_group"]: r
+        for r in entrymod.queries()["q368_t_closeness_audit"](
+            spark, sf
+        ).collect()
+    }
+    rows = duckdb.sql(
+        f"""SELECT c_nationkey % 5,
+               least(greatest(CAST(floor((c_acctbal + 1000.0) / 1100.0)
+                    AS BIGINT), 0), 9)
+            FROM '{sf}/customer.parquet'"""
+    ).fetchall()
+    from collections import Counter
+
+    cell = Counter(rows)
+    bands = sorted({b for _, b in rows})
+    glob = Counter(b for _, b in rows)
+    tot = len(rows)
+    for g in sorted({q for q, _ in rows}):
+        gn = sum(c for (q, _), c in cell.items() if q == g)
+        cum, acc = 0.0, 0.0
+        for b in bands:
+            acc += cell.get((g, b), 0) / gn - glob[b] / tot
+            cum += abs(acc)
+        emd = cum / len(bands)
+        r = got[g]
+        assert r["n_members"] == gn
+        assert abs(r["t_closeness_r"] - emd) < 1e-5
+        assert r["violates_t015"] == (emd > 0.15)
+        assert 0.0 <= r["t_closeness_r"] <= 1.0
+
+
+# ------------------------------------------------ q366 bitemporal
+def test_q366_bitemporal_excludes_late_arriving_versions(spark, tmp_path):
+    """A version valid before V but LEARNED after T must be invisible:
+    the defining bitemporal property that q180's single-axis SCD2
+    cannot express."""
+    from datetime import datetime
+    import __spark_entry__ as entrymod
+
+    sf = str(tmp_path / "sf_bt")
+    rows = [
+        # key 1: v1 valid 1998-05-01 (tx 05-11, visible)
+        (101, 1, "O", 100.00, datetime(1998, 5, 1)),
+        # key 1: v2 valid 1998-05-30 (tx 06-09, AFTER tx cutoff 06-05
+        # -> must be ignored even though valid_from <= 06-01)
+        (102, 1, "O", 999.00, datetime(1998, 5, 30)),
+        # key 2: valid after V -> ignored entirely
+        (103, 2, "O", 500.00, datetime(1998, 7, 1)),
+        # key 3: old + visible
+        (104, 3, "O", 250.00, datetime(1997, 1, 1)),
+    ]
+    spark.createDataFrame(
+        [(ok, ck, st, tp, od, 1, "c", 0.0, "x") for ok, ck, st, tp, od in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_shippriority int,"
+        " o_clerk string, o_discount double, o_comment string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    row = entrymod.queries()["q366_bitemporal_point_in_time"](
+        spark, sf
+    ).collect()[0]
+    # keys 1 and 3 visible; key 1 resolves to v1 (100.00), NOT the
+    # late-arriving v2 (999.00)
+    assert row["n_keys"] == 2
+    assert row["total_balance"] == 10000 + 25000

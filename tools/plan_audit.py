@@ -1931,6 +1931,34 @@ CHECKS = {
          lambda p: "EvalPython" not in p and "InPandas" not in p
          and "Join" not in p),
     ],
+    "q366_bitemporal_point_in_time": [
+        ("both temporal predicates push into the parquet scan", True,
+         lambda p: "PushedFilters" in p
+         and re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual", p)
+         is not None),
+        ("last-version cut prunes via WindowGroupLimit; no Python",
+         True, lambda p: "WindowGroupLimit" in p
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q367_temporal_split_audit": [
+        ("main rollup is ONE conditional-sum scan; the two side "
+         "rollups attach as 1-row broadcasts", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3
+         and p.count("BroadcastExchange") >= 2),
+        ("partial-aggregated; no Python", True,
+         lambda p: "partial_sum" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
+    "q368_t_closeness_audit": [
+        ("ONE scan: the contingency cell table is persisted and all "
+         "marginals derive from it", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "InMemory" in p),
+        ("grid assembles via broadcast (tiny marginals), EMD is a "
+         "cumulative window; no Python", True,
+         lambda p: "BroadcastExchange" in p and "Window" in p
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q362_wilson_interval": [
         ("two cascaded partial aggs (user grain, arm grain), ONE scan",
          True,

@@ -233,6 +233,9 @@ EXPECTED = {
     "q363_covariate_balance_smd": 1.3,  # user-grain agg + 2-row moments
     "q364_partition_layout_advisor": 1.3,  # one agg + wall windows
     "q365_effective_sample_size": 1.3,  # one 3-sum partial agg
+    "q366_bitemporal_point_in_time": 1.3,  # pushed scan + rank window
+    "q367_temporal_split_audit": 1.3,  # conditional-sum scan + rollups
+    "q368_t_closeness_audit": 1.3,  # contingency agg + tiny grid
 }
 
 
