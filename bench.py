@@ -282,6 +282,8 @@ HEADLINE = [
     "q366_bitemporal_point_in_time",
     "q367_temporal_split_audit",
     "q368_t_closeness_audit",
+    "q369_stream_srm_monitor",
+    "q370_autocorrelation_function",
 ]
 
 

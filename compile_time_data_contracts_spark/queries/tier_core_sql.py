@@ -9993,3 +9993,97 @@ def q368(spark: SparkSession, sf: str) -> DataFrame:
             "violates_t015"
         ),
     )
+
+
+_Q370_ORACLE = """
+  WITH d AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS v
+    FROM orders GROUP BY 1),
+  idx AS (
+    SELECT v, row_number() OVER (ORDER BY day) AS i,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM d),
+  m AS (
+    SELECT CAST(sum(v) AS BIGINT) AS sv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM idx),
+  lags AS (SELECT unnest([1, 2, 3, 7, 14]) AS lag),
+  pairs AS (
+    SELECT l.lag,
+           (a.v - CAST(m.sv AS DOUBLE) / m.n)
+             * (b.v - CAST(m.sv AS DOUBLE) / m.n) AS xy
+    FROM lags l
+    JOIN idx a ON TRUE
+    JOIN idx b ON b.i = a.i + l.lag
+    CROSS JOIN m),
+  denom AS (
+    SELECT sum((v - CAST(m.sv AS DOUBLE) / m.n)
+               * (v - CAST(m.sv AS DOUBLE) / m.n)) AS ss
+    FROM idx CROSS JOIN m)
+  SELECT CAST(p.lag AS BIGINT) AS lag,
+         round(sum(p.xy) / max(d2.ss), 6) AS acf_r
+  FROM pairs p CROSS JOIN denom d2
+  GROUP BY p.lag"""
+
+
+@q("q370_autocorrelation_function", _Q370_ORACLE)
+def q370(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1/2/3/7/14 — the diagnostic that PICKS the q329 seasonal period
+    and the q321 smoothing constants instead of assuming them (a
+    spike at lag 7 = weekly seasonality; slow decay = trend, difference
+    first).  The data-sized stage is one day-grain integer rollup;
+    the series frame (|days| rows) self-joins at each lag and shares
+    one mean/denominator, so the whole ACF costs |days|x|lags| tiny
+    rows.  Revenue stays integer cents until the final identical
+    IEEE products."""
+    from pyspark import StorageLevel
+
+    orders = load_table(spark, sf, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    idx = d.select(
+        "v",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    m = idx.agg(
+        F.sum("v").cast("bigint").alias("sv"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    lags = spark.sql("SELECT * FROM VALUES (1),(2),(3),(7),(14) AS t(lag)")
+    a = idx.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = idx.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "lag",
+            (
+                (F.col("va") - F.col("sv").cast("double") / F.col("n"))
+                * (F.col("vb") - F.col("sv").cast("double") / F.col("n"))
+            ).alias("xy"),
+        )
+    )
+    denom = (
+        idx.crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("sv").cast("double") / F.col("n"))
+                * (F.col("v") - F.col("sv").cast("double") / F.col("n"))
+            ).alias("ss")
+        )
+    )
+    return (
+        pairs.groupBy(F.col("lag").cast("bigint").alias("lag"))
+        .agg(F.sum("xy").alias("sxy"))
+        .crossJoin(F.broadcast(denom))
+        .select("lag", F.round(F.col("sxy") / F.col("ss"), 6).alias("acf_r"))
+    )

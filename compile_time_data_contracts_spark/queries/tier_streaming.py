@@ -720,3 +720,82 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
             .alias("exclusive_audience"),
         )
     )
+
+
+@q("q369_stream_srm_monitor", """
+  WITH u AS (SELECT DISTINCT user_id FROM events),
+  a AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1
+    FROM u)
+  SELECT n AS n_users, n0 AS n_arm0, n1 AS n_arm1,
+         CAST((1000000 * ((2 * n0 - n) * (2 * n0 - n)
+                          + (2 * n1 - n) * (2 * n1 - n)))
+              // (2 * n) AS BIGINT) AS chi2_micro,
+         ((1000000 * ((2 * n0 - n) * (2 * n0 - n)
+                      + (2 * n1 - n) * (2 * n1 - n)))
+          // (2 * n)) > 3841459 AS srm_flag
+  FROM a""")
+def q369(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING sample-ratio-mismatch monitor: q334's launch-gating
+    chi-square kept fresh as events arrive, because an SRM you find
+    at readout time has already wasted the experiment — the monitor
+    must trip DURING the ramp.  The distinct-user set per arm is
+    exactly the q212 versioned-state table keyed by user_id (the
+    state IS the dedup; its per-key count absorbs re-deliveries), so
+    each epoch costs O(batch) + O(|users|) and the SRM statistic is
+    a 2-row rollup of the committed state.  The events table replays
+    as 3 ordered micro-batches with epoch 1 RE-DELIVERED (the
+    q145/q331 crash window); the final statistic must hash-match
+    q334's batch recompute — an append-style user sink would
+    double-count the replayed epoch's new users and flip the flag."""
+    import tempfile
+
+    from ..operators.incremental import versioned_state_merger
+    from ..streaming.windows import events_stream, write_ordered_feed
+
+    ev = load_table(spark, sf, "events")
+    base = tempfile.mkdtemp(prefix="ctdc-srm-stream-")
+    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
+    slices = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    write_ordered_feed(slices, feed)
+    handler = versioned_state_merger(state, ["user_id"])
+    qh = (
+        events_stream(spark, feed, max_files_per_trigger=1)
+        .select("user_id")
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    # post-crash redelivery of epoch 1: same batch, same epoch id —
+    # the versioned merger rewrites v1 idempotently
+    handler(slices[1].select("user_id"), 1)
+    users = spark.read.parquet(f"{state}/v2").select("user_id")
+    a = users.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    return a.selectExpr(
+        "n AS n_users",
+        "n0 AS n_arm0",
+        "n1 AS n_arm1",
+        "CAST((1000000 * ((2 * n0 - n) * (2 * n0 - n)"
+        " + (2 * n1 - n) * (2 * n1 - n))) DIV (2 * n) AS BIGINT)"
+        " AS chi2_micro",
+        "((1000000 * ((2 * n0 - n) * (2 * n0 - n)"
+        " + (2 * n1 - n) * (2 * n1 - n))) DIV (2 * n)) > 3841459"
+        " AS srm_flag",
+    )

@@ -688,3 +688,36 @@ def test_q366_bitemporal_excludes_late_arriving_versions(spark, tmp_path):
     # late-arriving v2 (999.00)
     assert row["n_keys"] == 2
     assert row["total_balance"] == 10000 + 25000
+
+
+# ------------------------------------------------ q370 acf
+def test_q370_acf_matches_numpy_reference(spark):
+    import duckdb
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lag"]: r["acf_r"]
+        for r in entrymod.queries()["q370_autocorrelation_function"](
+            spark, sf
+        ).collect()
+    }
+    series = np.array(
+        [
+            float(v)
+            for _, v in duckdb.sql(
+                f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                       sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    FROM '{sf}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+            ).fetchall()
+        ]
+    )
+    mu = series.mean()
+    c = series - mu
+    ss = float((c * c).sum())
+    for lag in (1, 2, 3, 7, 14):
+        want = float((c[:-lag] * c[lag:]).sum()) / ss
+        assert abs(got[lag] - want) < 1e-5, (lag, got[lag], want)
+    # lag-0 identity check via the denominator: all |acf| <= 1
+    assert all(abs(v) <= 1.0 + 1e-9 for v in got.values())

@@ -1959,6 +1959,17 @@ CHECKS = {
          lambda p: "BroadcastExchange" in p and "Window" in p
          and "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q370_autocorrelation_function": [
+        ("day-grain integer rollup is the only data-sized stage; the "
+         "persisted series frame feeds both lag-join sides and the "
+         "denominator", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1
+         and "InMemory" in p),
+        ("lags and moments attach via broadcast; no Python, no "
+         "cartesian on data-sized frames", True,
+         lambda p: "BroadcastExchange" in p and "EvalPython" not in p
+         and "InPandas" not in p),
+    ],
     "q362_wilson_interval": [
         ("two cascaded partial aggs (user grain, arm grain), ONE scan",
          True,

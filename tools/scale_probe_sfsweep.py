@@ -236,6 +236,8 @@ EXPECTED = {
     "q366_bitemporal_point_in_time": 1.3,  # pushed scan + rank window
     "q367_temporal_split_audit": 1.3,  # conditional-sum scan + rollups
     "q368_t_closeness_audit": 1.3,  # contingency agg + tiny grid
+    "q369_stream_srm_monitor": 1.3,  # O(batch)+O(|users|) per epoch
+    "q370_autocorrelation_function": 1.3,  # day rollup + tiny lag joins
 }
 
 
