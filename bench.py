@@ -284,6 +284,9 @@ HEADLINE = [
     "q368_t_closeness_audit",
     "q369_stream_srm_monitor",
     "q370_autocorrelation_function",
+    "q371_pca_power_iteration",
+    "q372_zipf_law_fit",
+    "q373_lorenz_curve",
 ]
 
 

@@ -10087,3 +10087,77 @@ def q370(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(denom))
         .select("lag", F.round(F.col("sxy") / F.col("ss"), 6).alias("acf_r"))
     )
+
+
+_Q373_ORACLE = """
+  WITH per AS (
+    SELECT o_custkey AS c,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS spend
+    FROM orders GROUP BY o_custkey),
+  r AS (
+    SELECT spend,
+           row_number() OVER (ORDER BY spend, c) AS rn,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM per),
+  d AS (
+    SELECT CAST(least((10 * (rn - 1)) // n, 9) AS BIGINT) AS decile,
+           spend
+    FROM r),
+  agg AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(spend) AS BIGINT) AS spend_cents
+    FROM d GROUP BY decile),
+  cum AS (
+    SELECT decile, n_customers, spend_cents,
+           sum(spend_cents) OVER (ORDER BY decile) AS cum_spend,
+           sum(spend_cents) OVER () AS total_spend
+    FROM agg)
+  SELECT decile, n_customers, spend_cents,
+         CAST((1000 * cum_spend) // total_spend AS BIGINT)
+           AS cum_share_milli
+  FROM cum"""
+
+
+@q("q373_lorenz_curve", _Q373_ORACLE)
+def q373(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve of customer spend by decile — the full
+    concentration READOUT behind q184's single Gini number: decile 9
+    holding 45% of revenue vs 25% is the difference between a
+    business with whale risk and one without, and the curve is what
+    capacity planning and anti-abuse actually consume.  Customer
+    totals aggregate once (partial-agg), the decile cut is one rank
+    window (nearest-rank, tie-broken on the key), and cumulative
+    shares stay in exact integer milli."""
+    orders = load_table(spark, sf, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend")
+    )
+    r = per.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "c")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    d = r.select(
+        F.least(F.expr("(10 * (rn - 1)) DIV n"), F.lit(9))
+        .cast("bigint")
+        .alias("decile"),
+        "spend",
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("spend").cast("bigint").alias("spend_cents"),
+    )
+    wc = Window.orderBy("decile")
+    wall = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n_customers",
+        "spend_cents",
+        F.expr(
+            "CAST((1000 * sum(spend_cents) OVER (ORDER BY decile))"
+            " DIV (sum(spend_cents) OVER ()) AS BIGINT)"
+        ).alias("cum_share_milli"),
+    )

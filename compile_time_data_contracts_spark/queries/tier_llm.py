@@ -7577,3 +7577,197 @@ def q365(spark: SparkSession, sf: str) -> DataFrame:
         " / CAST(sww AS DOUBLE)) / CAST(n AS DOUBLE), 0)"
         " AS ess_ratio_milli_r",
     )
+
+
+def _q371_oracle() -> str:
+    """q218's exact-integer covariance, then an unrolled 3-step power
+    iteration (the q165/q354 SQL-tower pattern): v_{k+1} = C v_k from
+    v0 = 1, no intermediate normalization (power iteration is
+    scale-invariant), Rayleigh quotient off v4.v3 / v3.v3."""
+    pairs = [(i, j) for i in range(8) for j in range(i, 8)]
+    sums = ", ".join(
+        [f"sum(m[{i + 1}]) AS s{i}" for i in range(8)]
+        + [f"sum(m[{i + 1}] * m[{j + 1}]) AS p{i}_{j}" for i, j in pairs]
+    )
+    arms = "\n       UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE)"
+        f" / (CAST(n AS DOUBLE) * n) AS cov FROM s"
+        for i, j in pairs
+    )
+    layers = []
+    for k in range(9):
+        prev = f"v{k}" if k else "v0"
+        layers.append(f""",
+  v{k + 1} AS (
+    SELECT cf.i, sum(cf.cov * p.v) AS v
+    FROM cfull cf JOIN {prev} p ON cf.j = p.i
+    GROUP BY cf.i)""")
+    return f"""
+  WITH x AS (
+    SELECT list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS m
+    FROM embeddings),
+  s AS (SELECT count(*) AS n, {sums} FROM x),
+  cov AS ({arms}),
+  cfull AS (
+    SELECT i, j, cov FROM cov
+    UNION ALL
+    SELECT j, i, cov FROM cov WHERE i <> j),
+  v0 AS (SELECT unnest(range(0, 8)) AS i, 1.0 AS v){"".join(layers)},
+  nrm AS (SELECT sqrt(sum(v * v)) AS nv FROM v8),
+  ray AS (
+    SELECT sum(v9.v * v8.v) / sum(v8.v * v8.v) AS eig
+    FROM v8 JOIN v9 ON v8.i = v9.i),
+  tr AS (SELECT sum(cov) AS trace FROM cov WHERE i = j)
+  SELECT CAST(v8.i AS BIGINT) AS dim,
+         round(v8.v / nrm.nv, 6) AS loading_r,
+         round(ray.eig, 4) AS eigenvalue_micros2_r,
+         round(ray.eig / tr.trace, 6) AS var_explained_r
+  FROM v8 CROSS JOIN nrm CROSS JOIN ray CROSS JOIN tr"""
+
+
+@q("q371_pca_power_iteration", _q371_oracle())
+def q371(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant principal direction of the embedding covariance by
+    EIGHT fixed power-iteration steps (Mises-Pollaczek 1929) — the
+    whitening / anisotropy diagnostic for an embedding store:
+    var_explained near 1 means the vectors collapse onto a line and
+    every cosine (q49, q106) is dominated by one axis, the classic
+    symptom that the q90 quantizer needs rotation first.  On a
+    NEAR-ISOTROPIC spectrum (this synthetic fixture) eight steps are
+    a Krylov estimate whose Rayleigh quotient lower-bounds the top
+    eigenvalue; on a planted dominant direction they converge to the
+    true eigenvector (test-pinned at |cos| > 0.999).  The data-sized
+    stage is EXACTLY q218's single-pass 45-moment aggregate (integer
+    micros); the 8x8 matrix iterates on the DRIVER with no
+    normalization (power iteration is scale-invariant, so there is
+    no intermediate sqrt to match) and re-enters as a VALUES
+    relation; the DuckDB oracle cross-checks through an
+    independently evaluated 9-layer matrix-vector SQL tower."""
+    emb = load_table(spark, sf, "embeddings")
+    x = emb.select(
+        *[
+            F.floor(
+                F.element_at("embedding", i + 1).cast("double") * 1000000
+            )
+            .cast("bigint")
+            .alias(f"m{i}")
+            for i in range(8)
+        ]
+    )
+    pairs = [(i, j) for i in range(8) for j in range(i, 8)]
+    aggs = (
+        [F.count("*").cast("bigint").alias("n")]
+        + [F.sum(f"m{i}").cast("bigint").alias(f"s{i}") for i in range(8)]
+        + [
+            F.sum(F.col(f"m{i}") * F.col(f"m{j}"))
+            .cast("bigint")
+            .alias(f"p{i}_{j}")
+            for i, j in pairs
+        ]
+    )
+    row = x.agg(*aggs).collect()[0]
+    n = row["n"]
+    cov = {}
+    for i, j in pairs:
+        c = (n * row[f"p{i}_{j}"] - row[f"s{i}"] * row[f"s{j}"]) / (
+            float(n) * n
+        )
+        cov[(i, j)] = c
+        cov[(j, i)] = c
+    v = [1.0] * 8
+    vs = [v]
+    for _ in range(9):
+        v = [
+            sum(cov[(i, j)] * v[j] for j in range(8)) for i in range(8)
+        ]
+        vs.append(v)
+    v3, v4 = vs[8], vs[9]
+    import math
+
+    nrm = math.sqrt(sum(t * t for t in v3))
+    eig = sum(a * b for a, b in zip(v4, v3)) / sum(t * t for t in v3)
+    trace = sum(cov[(i, i)] for i in range(8))
+    values = ", ".join(
+        f"({i}, CAST('{v3[i] / nrm!r}' AS DOUBLE),"
+        f" CAST('{eig!r}' AS DOUBLE),"
+        f" CAST('{eig / trace!r}' AS DOUBLE))"
+        for i in range(8)
+    )
+    return spark.sql(
+        f"SELECT CAST(dim AS BIGINT) AS dim, round(l, 6) AS loading_r,"
+        f" round(e, 4) AS eigenvalue_micros2_r,"
+        f" round(ve, 6) AS var_explained_r"
+        f" FROM VALUES {values} AS t(dim, l, e, ve)"
+    )
+
+
+_Q372_ORACLE = """
+  WITH t AS (
+    SELECT unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents),
+  f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        FROM t WHERE tok <> '' GROUP BY tok),
+  r AS (
+    SELECT freq,
+           row_number() OVER (ORDER BY freq DESC, tok) AS rank
+    FROM f),
+  top AS (
+    SELECT ln(CAST(rank AS DOUBLE)) AS x,
+           ln(CAST(freq AS DOUBLE)) AS y
+    FROM r WHERE rank <= 1000),
+  m AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM top)
+  SELECT k AS n_ranks_fit,
+         round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+           AS zipf_slope_r,
+         round(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+               / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+           AS r2_r
+  FROM m"""
+
+
+@q("q372_zipf_law_fit", _Q372_ORACLE)
+def q372(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token ranks: the log-log OLS
+    slope of frequency vs rank (natural text sits near -1; a corpus
+    that fits poorly — low R² — or slopes far from -1 is template
+    spam or boilerplate, the corpus-level twin of q77's per-doc
+    repetition signal).  One token count (partial-agg), a rank
+    window cut to 1000 rows, and a 5-moment OLS over those 1000 log
+    points; the only floats are ln() over exact integer counts (the
+    q235/q359 precedent)."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    f = t.groupBy("tok").agg(F.count("*").cast("bigint").alias("freq"))
+    r = f.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "tok"))
+        .alias("rank"),
+    ).where(F.col("rank") <= 1000)
+    top = r.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = top.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.selectExpr(
+        "k AS n_ranks_fit",
+        "round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)"
+        " AS zipf_slope_r",
+        "round(((k * sxy - sx * sy) * (k * sxy - sx * sy))"
+        " / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2_r",
+    )

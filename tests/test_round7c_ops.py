@@ -721,3 +721,121 @@ def test_q370_acf_matches_numpy_reference(spark):
         assert abs(got[lag] - want) < 1e-5, (lag, got[lag], want)
     # lag-0 identity check via the denominator: all |acf| <= 1
     assert all(abs(v) <= 1.0 + 1e-9 for v in got.values())
+
+
+# ------------------------------------------------ q371 pca
+def test_q371_pca_rayleigh_brackets_spectrum(spark):
+    """On the near-isotropic fixture the 8-step Krylov estimate must
+    produce a unit loading vector whose Rayleigh quotient sits inside
+    [lambda_min, lambda_max] and beats the average eigenvalue."""
+    import duckdb
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["q371_pca_power_iteration"](
+        spark, sf
+    ).collect()
+    loadings = np.array(
+        [r["loading_r"] for r in sorted(rows, key=lambda r: r["dim"])]
+    )
+    eig = rows[0]["eigenvalue_micros2_r"]
+    ve = rows[0]["var_explained_r"]
+    m = np.array(
+        [
+            v[0]
+            for v in duckdb.sql(
+                f"""SELECT list_transform(embedding, v ->
+                       CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                    FROM '{sf}/embeddings.parquet'"""
+            ).fetchall()
+        ],
+        dtype=float,
+    )[:, :8]
+    c = np.cov(m, rowvar=False, ddof=0)
+    w, _ = np.linalg.eigh(c)
+    assert abs(np.linalg.norm(loadings) - 1.0) < 1e-5
+    assert w[0] - 1e-6 <= eig <= w[-1] + abs(w[-1]) * 1e-6
+    assert eig > w.mean()  # better than a random direction
+    assert abs(ve - eig / np.trace(c)) < 1e-4
+
+
+def test_q371_pca_converges_on_planted_direction(spark, tmp_path):
+    """With a planted dominant axis (sigma 10x the noise), 8 power
+    steps must recover numpy's exact top eigenvector."""
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    rng = np.random.RandomState(77)
+    direction = rng.randn(8)
+    direction /= np.linalg.norm(direction)
+    n = 400
+    data = (
+        np.outer(rng.randn(n) * 10.0, direction) + rng.randn(n, 8) * 0.5
+    )
+    vecs = np.hstack([data, np.zeros((n, 56))]).astype("float32")
+    sf = str(tmp_path / "sf_pca")
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    rows = entrymod.queries()["q371_pca_power_iteration"](
+        spark, sf
+    ).collect()
+    loadings = np.array(
+        [r["loading_r"] for r in sorted(rows, key=lambda r: r["dim"])]
+    )
+    m = np.floor(vecs[:, :8].astype(float) * 1_000_000)
+    c = np.cov(m, rowvar=False, ddof=0)
+    w, evs = np.linalg.eigh(c)
+    cos = abs(float(loadings @ evs[:, -1]))
+    assert cos > 0.999, cos
+    assert abs(rows[0]["eigenvalue_micros2_r"] - w[-1]) < abs(w[-1]) * 1e-3
+
+
+# ------------------------------------------------ q373 lorenz
+def test_q373_lorenz_properties(spark):
+    import __spark_entry__ as entrymod
+
+    rows = sorted(
+        entrymod.queries()["q373_lorenz_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    shares = [r["cum_share_milli"] for r in rows]
+    # monotone, ends at ~1000 (floor division loses < 1 milli)
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] in (999, 1000)
+    # sorted-ascending deciles: each decile's mean spend must be
+    # non-decreasing
+    means = [r["spend_cents"] / r["n_customers"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(means, means[1:]))
+
+
+# ------------------------------------------------ q372 zipf
+def test_q372_zipf_matches_numpy_polyfit(spark):
+    import duckdb
+    import numpy as np
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    row = entrymod.queries()["q372_zipf_law_fit"](spark, sf).collect()[0]
+    freqs = [
+        f
+        for (f,) in duckdb.sql(
+            f"""WITH t AS (SELECT unnest(string_split(lower(text), ' '))
+                              AS tok FROM '{sf}/documents.parquet')
+                SELECT count(*) AS freq FROM t WHERE tok <> ''
+                GROUP BY tok ORDER BY freq DESC LIMIT 1000"""
+        ).fetchall()
+    ]
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    y = np.log(np.array(freqs, dtype=float))
+    slope, _ = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0][1]
+    assert row["n_ranks_fit"] == len(freqs)
+    assert abs(row["zipf_slope_r"] - slope) < 1e-4
+    assert abs(row["r2_r"] - r * r) < 1e-4
+    assert row["zipf_slope_r"] < 0  # frequency falls with rank

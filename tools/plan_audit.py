@@ -1959,6 +1959,29 @@ CHECKS = {
          lambda p: "BroadcastExchange" in p and "Window" in p
          and "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q371_pca_power_iteration": [
+        ("the returned frame is the driver-sized VALUES relation "
+         "(the 45-moment aggregate already reduced the corpus), no "
+         "RDD conversion", True,
+         lambda p: "LocalTableScan" in p and "ExistingRDD" not in p),
+    ],
+    "q372_zipf_law_fit": [
+        ("token counts partial-aggregated off ONE scan; rank cut is "
+         "a window over the counts frame", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and ("partial_count" in p or "partial_sum" in p)),
+        ("OLS moments are codegen; no Python", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q373_lorenz_curve": [
+        ("customer rollup partial-aggregated off ONE scan", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "partial_sum" in p),
+        ("decile cut and cumulative shares are windows; no Python, "
+         "no join", True,
+         lambda p: "Window" in p and "EvalPython" not in p
+         and "InPandas" not in p and "Join" not in p),
+    ],
     "q370_autocorrelation_function": [
         ("day-grain integer rollup is the only data-sized stage; the "
          "persisted series frame feeds both lag-join sides and the "

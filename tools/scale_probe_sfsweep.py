@@ -238,6 +238,9 @@ EXPECTED = {
     "q368_t_closeness_audit": 1.3,  # contingency agg + tiny grid
     "q369_stream_srm_monitor": 1.3,  # O(batch)+O(|users|) per epoch
     "q370_autocorrelation_function": 1.3,  # day rollup + tiny lag joins
+    "q371_pca_power_iteration": 1.3,  # q218's one-pass moment agg
+    "q372_zipf_law_fit": 1.3,  # token count + 1000-row OLS
+    "q373_lorenz_curve": 1.3,  # customer rollup + decile windows
 }
 
 
