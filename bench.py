@@ -287,6 +287,8 @@ HEADLINE = [
     "q371_pca_power_iteration",
     "q372_zipf_law_fit",
     "q373_lorenz_curve",
+    "q374_two_hop_reach",
+    "q375_behavioral_entropy_bands",
 ]
 
 

@@ -7771,3 +7771,161 @@ def q372(spark: SparkSession, sf: str) -> DataFrame:
         "round(((k * sxy - sx * sy) * (k * sxy - sx * sy))"
         " / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2_r",
     )
+
+
+_Q374_ORACLE = """
+  WITH nc AS (SELECT count(*) AS n FROM customer),
+  e0 AS (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           CAST(1 + (o_orderkey % nc.n) AS BIGINT) AS dst
+    FROM orders, nc
+    UNION
+    SELECT CAST(c_custkey AS BIGINT),
+           CAST(1 + (c_custkey % nc.n) AS BIGINT)
+    FROM customer, nc),
+  sym AS (
+    SELECT src, dst FROM e0 WHERE src <> dst
+    UNION
+    SELECT dst, src FROM e0 WHERE src <> dst),
+  deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+          FROM sym GROUP BY src),
+  mid AS (
+    SELECT s.src, s.dst FROM sym s JOIN deg ON s.dst = deg.node
+    WHERE deg.d <= 64),
+  seeds AS (SELECT node FROM deg WHERE node % 100 = 0),
+  hop2 AS (
+    SELECT a.src AS seed, b.dst AS nbr
+    FROM mid a JOIN mid b ON a.dst = b.src
+    WHERE a.src % 100 = 0 AND b.dst <> a.src
+    UNION
+    SELECT src AS seed, dst AS nbr FROM sym WHERE src % 100 = 0),
+  reach AS (
+    SELECT seed, CAST(count(*) AS BIGINT) AS reach2
+    FROM hop2 GROUP BY seed)
+  SELECT CAST(count(*) AS BIGINT) AS n_seeds,
+         CAST(sum(reach2) AS BIGINT) AS total_reach,
+         CAST(min(reach2) AS BIGINT) AS min_reach,
+         CAST(max(reach2) AS BIGINT) AS max_reach,
+         CAST((1000 * sum(reach2)) // count(*) AS BIGINT)
+           AS mean_reach_milli
+  FROM reach"""
+
+
+@q("q374_two_hop_reach", _Q374_ORACLE)
+def q374(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-hop reach ('friends of friends') for a deterministic 1%
+    seed set over the q165 link graph — the audience-expansion /
+    influence-radius primitive whose naive form is the canonical
+    graph scale-killer: expanding THROUGH a hub touches deg(hub)^2
+    pairs, so intermediate hops are CAPPED at degree 64 (the q288
+    carrier-cap policy: a megahub's two-hop set is effectively 'the
+    whole graph' and carries no targeting signal).  First hop stays
+    uncapped (direct neighbors are always reachable), distinctness
+    via UNION semantics, and only the seed slice ever fans out."""
+    from pyspark import StorageLevel
+
+    e0 = _customer_graph_edges(spark, sf).where(F.col("src") != F.col("dst"))
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    mid = sym.join(
+        deg.select(F.col("node").alias("dst"), "d"), "dst"
+    ).where(F.col("d") <= 64).select("src", "dst")
+    a = mid.where(F.col("src") % 100 == 0).select(
+        F.col("src").alias("seed"), F.col("dst").alias("via")
+    )
+    b = mid.select(F.col("src").alias("via"), F.col("dst").alias("nbr"))
+    hop2 = (
+        a.join(b, "via")
+        .where(F.col("nbr") != F.col("seed"))
+        .select("seed", "nbr")
+        .union(
+            sym.where(F.col("src") % 100 == 0).select(
+                F.col("src").alias("seed"), F.col("dst").alias("nbr")
+            )
+        )
+        .distinct()
+    )
+    reach = hop2.groupBy("seed").agg(
+        F.count("*").cast("bigint").alias("reach2")
+    )
+    return reach.agg(
+        F.count("*").cast("bigint").alias("n_seeds"),
+        F.sum("reach2").cast("bigint").alias("total_reach"),
+        F.min("reach2").cast("bigint").alias("min_reach"),
+        F.max("reach2").cast("bigint").alias("max_reach"),
+        F.expr("CAST((1000 * sum(reach2)) DIV count(*) AS BIGINT)").alias(
+            "mean_reach_milli"
+        ),
+    )
+
+
+_Q375_ORACLE = """
+  WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+    FROM events GROUP BY user_id, event_type),
+  u AS (
+    SELECT user_id, CAST(sum(k) AS BIGINT) AS n,
+           sum(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))) AS sklnk
+    FROM c GROUP BY user_id),
+  h AS (
+    SELECT user_id, n,
+           ln(CAST(n AS DOUBLE)) - sklnk / n AS ent
+    FROM u),
+  b AS (
+    SELECT least(CAST(floor(ent / 0.4) AS BIGINT), 4) AS band, n
+    FROM h)
+  SELECT band,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST((1000 * sum(n)) // count(*) AS BIGINT)
+           AS events_per_user_milli
+  FROM b GROUP BY band"""
+
+
+@q("q375_behavioral_entropy_bands", _Q375_ORACLE)
+def q375(spark: SparkSession, sf: str) -> DataFrame:
+    """User behavioral diversity: Shannon entropy of each user's
+    event-type mix via the streaming-friendly identity H = ln(n) -
+    (1/n)*sum(k*ln k) (only per-type counts needed, no
+    probabilities materialized), banded into 0.4-nat buckets — the
+    bot/power-user separator: near-zero entropy is a single-action
+    script, max entropy (~ln 5) is organic browsing, and the band
+    histogram with events-per-user exposes which cohort carries the
+    traffic.  Two partial-agg groupBys; entropy is ln over exact
+    integer counts (the q235 precedent), banding happens on
+    engine-identical doubles."""
+    ev = load_table(spark, sf, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.sum(
+            F.col("k").cast("double") * F.log(F.col("k").cast("double"))
+        ).alias("sklnk"),
+    )
+    h = u.select(
+        "n",
+        (
+            F.log(F.col("n").cast("double")) - F.col("sklnk") / F.col("n")
+        ).alias("ent"),
+    )
+    b = h.select(
+        F.least(F.floor(F.col("ent") / 0.4).cast("bigint"), F.lit(4)).alias(
+            "band"
+        ),
+        "n",
+    )
+    return b.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.expr("CAST((1000 * sum(n)) DIV count(*) AS BIGINT)").alias(
+            "events_per_user_milli"
+        ),
+    )

@@ -839,3 +839,91 @@ def test_q372_zipf_matches_numpy_polyfit(spark):
     assert abs(row["zipf_slope_r"] - slope) < 1e-4
     assert abs(row["r2_r"] - r * r) < 1e-4
     assert row["zipf_slope_r"] < 0  # frequency falls with rank
+
+
+# ------------------------------------------------ q375 entropy bands
+def test_q375_entropy_bands_match_bruteforce(spark):
+    import duckdb
+    import math
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["band"]: (r["n_users"], r["n_events"])
+        for r in entrymod.queries()["q375_behavioral_entropy_bands"](
+            spark, sf
+        ).collect()
+    }
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, count(*)
+            FROM '{sf}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for uid, _, k in rows:
+        per.setdefault(uid, []).append(k)
+    want: dict = {}
+    for uid, ks in per.items():
+        n = sum(ks)
+        ent = math.log(n) - sum(k * math.log(k) for k in ks) / n
+        band = min(int(ent // 0.4), 4)
+        nu, ne = want.get(band, (0, 0))
+        want[band] = (nu + 1, ne + n)
+    assert got == want
+    # entropy is bounded by ln(#event types) = ln 5 ~ 1.609 -> band <= 4
+    assert max(got) <= 4
+
+
+def test_q374_two_hop_reach_bruteforce_small(spark, tmp_path):
+    """Exact 2-hop reach on a tiny planted graph, including the
+    hub-cap: the megahub must not act as a via node."""
+    import __spark_entry__ as entrymod
+
+    # build customer/orders parquet producing a known q165 link graph:
+    # n customers, edge src=o_custkey -> dst=1+(o_orderkey % n)
+    n = 200
+    custs = [(i, f"c{i}", 0.0, i % 25) for i in range(1, n + 1)]
+    spark.createDataFrame(
+        custs, "c_custkey long, c_name string, c_acctbal double,"
+        " c_nationkey long"
+    ).write.parquet(f"{tmp_path}/sf_r/customer.parquet")
+    # orders rows: (o_orderkey, o_custkey): seed 100 -> dst 1+(ok%n)
+    orders = []
+    ok = 0
+    edges = set()
+    import random
+
+    rng = random.Random(78)
+    for _ in range(600):
+        ok += 1
+        src = rng.randrange(1, n + 1)
+        orders.append((ok, src, 1.0, None))
+        edges.add((src, 1 + (ok % n)))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp"
+    ).write.parquet(f"{tmp_path}/sf_r/orders.parquet")
+    row = entrymod.queries()["q374_two_hop_reach"](
+        spark, str(tmp_path / "sf_r")
+    ).collect()[0]
+    # brute force with the same rules
+    ring = {(c, 1 + (c % n)) for c in range(1, n + 1)}
+    sym = set()
+    for s, d in edges | ring:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    deg: dict = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    mid = {(s, d) for s, d in sym if deg[d] <= 64}
+    seeds = sorted({s for s, _ in sym if s % 100 == 0})
+    reaches = []
+    for seed in seeds:
+        out = {d for s, d in sym if s == seed}
+        for _, via in {(s, d) for s, d in mid if s == seed}:
+            out |= {d for s2, d in mid if s2 == via and d != seed}
+        reaches.append(len(out))
+    assert row["n_seeds"] == len(seeds)
+    assert row["total_reach"] == sum(reaches)
+    assert row["min_reach"] == min(reaches)
+    assert row["max_reach"] == max(reaches)

@@ -1959,6 +1959,25 @@ CHECKS = {
          lambda p: "BroadcastExchange" in p and "Window" in p
          and "EvalPython" not in p and "InPandas" not in p),
     ],
+    "q374_two_hop_reach": [
+        ("symmetrized edge list persisted across degree/mid/seed "
+         "consumers; the hop join is hash-keyed, never cartesian",
+         True, lambda p: "InMemory" in p
+         and "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("reach rollup partial-aggregated; no Python", True,
+         lambda p: ("partial_count" in p or "partial_sum" in p)
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
+    "q375_behavioral_entropy_bands": [
+        ("two cascaded partial aggs off ONE scan; entropy is codegen "
+         "ln over integer counts", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and "partial_sum" in p),
+        ("no Python, no join", True,
+         lambda p: "EvalPython" not in p and "InPandas" not in p
+         and "Join" not in p),
+    ],
     "q371_pca_power_iteration": [
         ("the returned frame is the driver-sized VALUES relation "
          "(the 45-moment aggregate already reduced the corpus), no "

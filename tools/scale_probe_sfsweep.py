@@ -241,6 +241,8 @@ EXPECTED = {
     "q371_pca_power_iteration": 1.3,  # q218's one-pass moment agg
     "q372_zipf_law_fit": 1.3,  # token count + 1000-row OLS
     "q373_lorenz_curve": 1.3,  # customer rollup + decile windows
+    "q374_two_hop_reach": 1.5,  # capped hop join: O(sum deg<=64 ^2)
+    "q375_behavioral_entropy_bands": 1.3,  # two cascaded partial aggs
 }
 
 
