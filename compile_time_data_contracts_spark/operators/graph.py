@@ -902,7 +902,7 @@ def hits_bipartite(edges: DataFrame) -> DataFrame:
     a2 = (
         e.join(h1, "hub")
         .groupBy("auth")
-        .agg(F.sum("h1_num").cast("decimal(38,0)").alias("a2_num"))
+        .agg(F.sum(F.col("h1_num").cast("decimal(38,0)")).alias("a2_num"))
     )
     tot = a2.agg(F.sum("a2_num").alias("tot"))
     return (

@@ -1516,7 +1516,11 @@ def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
     from pyspark import StorageLevel
 
     # binned is read twice (driver collect for PAV + the join below);
-    # persist so the caller's full-table aggregation runs once
+    # persist so the caller's full-table aggregation runs once.  The
+    # cache must outlive the RETURNED frame (the join re-reads it), so
+    # it is not unpersisted here: the blocks are |bins|-sized and are
+    # reclaimed by Spark's LRU / session teardown; a caller that wants
+    # eager release can .count() the result and unpersist the input.
     binned = binned.persist(StorageLevel.MEMORY_AND_DISK)
     rows = (
         binned.select(
@@ -1527,6 +1531,18 @@ def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
         .orderBy("bin")
         .collect()
     )
+    if not rows:
+        # no bins: the monotone fit is vacuous — emit the input shape
+        # with a NULL iso_rate rather than generating empty VALUES SQL
+        return binned.withColumn(
+            "iso_rate", F.lit(None).cast("double")
+        )
+    bad = [r["bin"] for r in rows if r["n"] <= 0]
+    if bad:
+        raise ValueError(
+            f"isotonic_fit_bins: bins {bad} have n<=0; every bin must "
+            "carry at least one trial (pos/n is undefined otherwise)"
+        )
     # PAV with exact integer block sums: stack of (bins, n, pos)
     stack: list[list] = []
     for r in rows:

@@ -9109,10 +9109,17 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
     rows = []
     for ch in _Q354_CHANNELS:
         rem = markov_conversion_prob(cnts, _Q354_CHANNELS, n_iter=8, removed=ch)
-        rows.append((ch, base, rem, (base - rem) / base))
+        # base == 0 (no journey converts): the oracle's double division
+        # by zero yields NULL in DuckDB, so emit NULL, not a crash
+        eff = (base - rem) / base if base != 0.0 else None
+        rows.append((ch, base, rem, eff))
     values = ", ".join(
         f"('{ch}', CAST('{b!r}' AS DOUBLE), CAST('{r!r}' AS DOUBLE),"
-        f" CAST('{e!r}' AS DOUBLE))"
+        + (
+            f" CAST('{e!r}' AS DOUBLE))"
+            if e is not None
+            else " CAST(NULL AS DOUBLE))"
+        )
         for ch, b, r, e in rows
     )
     return spark.sql(
@@ -10150,8 +10157,6 @@ def q373(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("spend").cast("bigint").alias("spend_cents"),
     )
-    wc = Window.orderBy("decile")
-    wall = Window.partitionBy()
     return agg.select(
         "decile",
         "n_customers",

@@ -7580,10 +7580,11 @@ def q365(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q371_oracle() -> str:
-    """q218's exact-integer covariance, then an unrolled 3-step power
+    """q218's exact-integer covariance, then an unrolled 9-step power
     iteration (the q165/q354 SQL-tower pattern): v_{k+1} = C v_k from
     v0 = 1, no intermediate normalization (power iteration is
-    scale-invariant), Rayleigh quotient off v4.v3 / v3.v3."""
+    scale-invariant); loadings come off v8, Rayleigh quotient off
+    v9.v8 / v8.v8."""
     pairs = [(i, j) for i in range(8) for j in range(i, 8)]
     sums = ", ".join(
         [f"sum(m[{i + 1}]) AS s{i}" for i in range(8)]
@@ -7630,12 +7631,12 @@ def _q371_oracle() -> str:
 @q("q371_pca_power_iteration", _q371_oracle())
 def q371(spark: SparkSession, sf: str) -> DataFrame:
     """Dominant principal direction of the embedding covariance by
-    EIGHT fixed power-iteration steps (Mises-Pollaczek 1929) — the
+    NINE fixed power-iteration steps (Mises-Pollaczek 1929) — the
     whitening / anisotropy diagnostic for an embedding store:
     var_explained near 1 means the vectors collapse onto a line and
     every cosine (q49, q106) is dominated by one axis, the classic
     symptom that the q90 quantizer needs rotation first.  On a
-    NEAR-ISOTROPIC spectrum (this synthetic fixture) eight steps are
+    NEAR-ISOTROPIC spectrum (this synthetic fixture) nine steps are
     a Krylov estimate whose Rayleigh quotient lower-bounds the top
     eigenvalue; on a planted dominant direction they converge to the
     true eigenvector (test-pinned at |cos| > 0.999).  The data-sized
@@ -7643,8 +7644,9 @@ def q371(spark: SparkSession, sf: str) -> DataFrame:
     micros); the 8x8 matrix iterates on the DRIVER with no
     normalization (power iteration is scale-invariant, so there is
     no intermediate sqrt to match) and re-enters as a VALUES
-    relation; the DuckDB oracle cross-checks through an
-    independently evaluated 9-layer matrix-vector SQL tower."""
+    relation (loadings off v8, Rayleigh off v9.v8 / v8.v8); the
+    DuckDB oracle cross-checks through an independently evaluated
+    9-layer matrix-vector SQL tower."""
     emb = load_table(spark, sf, "embeddings")
     x = emb.select(
         *[
@@ -7683,14 +7685,14 @@ def q371(spark: SparkSession, sf: str) -> DataFrame:
             sum(cov[(i, j)] * v[j] for j in range(8)) for i in range(8)
         ]
         vs.append(v)
-    v3, v4 = vs[8], vs[9]
+    v8, v9 = vs[8], vs[9]
     import math
 
-    nrm = math.sqrt(sum(t * t for t in v3))
-    eig = sum(a * b for a, b in zip(v4, v3)) / sum(t * t for t in v3)
+    nrm = math.sqrt(sum(t * t for t in v8))
+    eig = sum(a * b for a, b in zip(v9, v8)) / sum(t * t for t in v8)
     trace = sum(cov[(i, i)] for i in range(8))
     values = ", ".join(
-        f"({i}, CAST('{v3[i] / nrm!r}' AS DOUBLE),"
+        f"({i}, CAST('{v8[i] / nrm!r}' AS DOUBLE),"
         f" CAST('{eig!r}' AS DOUBLE),"
         f" CAST('{eig / trace!r}' AS DOUBLE))"
         for i in range(8)
@@ -7792,7 +7794,6 @@ _Q374_ORACLE = """
   mid AS (
     SELECT s.src, s.dst FROM sym s JOIN deg ON s.dst = deg.node
     WHERE deg.d <= 64),
-  seeds AS (SELECT node FROM deg WHERE node % 100 = 0),
   hop2 AS (
     SELECT a.src AS seed, b.dst AS nbr
     FROM mid a JOIN mid b ON a.dst = b.src
