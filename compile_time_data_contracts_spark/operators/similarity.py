@@ -462,6 +462,7 @@ def ivf_assign(
     sample_size: int = 10000,
     kmeans_iters: int = 10,
     seed: int = 42,
+    meta_cols: tuple = (),
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF coarse quantizer: k-means centroids fit on a bounded driver
     sample, every vector assigned to its nearest centroid via one
@@ -495,18 +496,28 @@ def ivf_assign(
             if len(members):
                 c = members.mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
-    return _assign_with_centroids(df, C, id_col, vec_col), C
+    return _assign_with_centroids(df, C, id_col, vec_col, meta_cols), C
 
 
 def _assign_with_centroids(
-    df: DataFrame, C: "np.ndarray", id_col: str, vec_col: str
+    df: DataFrame,
+    C: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+    meta_cols: tuple = (),
 ) -> DataFrame:
     """Assign every vector to its nearest (cosine) centroid via one
     broadcast matmul per Arrow batch — shared by the initial build and
-    by incremental appends."""
+    by incremental appends.  ``meta_cols`` (e.g. a tenant / language /
+    label column) ride along unchanged so the index can serve
+    metadata-FILTERED searches without a join back to the source."""
     import numpy as np
 
     bc = df.sparkSession.sparkContext.broadcast(C)
+    cols = [id_col, vec_col, *meta_cols]
+    meta_ddl = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in meta_cols
+    )
 
     def assign_batches(batches):
         cent = bc.value
@@ -516,13 +527,13 @@ def _assign_with_centroids(
             v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             vn = np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             cl = ((v / vn) @ cent.T).argmax(axis=1)
-            out = pdf[[id_col, vec_col]].copy()
+            out = pdf[cols].copy()
             out["cluster"] = cl.astype("int32")
             yield out
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(*cols).mapInPandas(
         assign_batches,
-        f"{id_col} long, {vec_col} array<float>, cluster int",
+        f"{id_col} long, {vec_col} array<float>{meta_ddl}, cluster int",
     )
 
 
@@ -549,11 +560,19 @@ def ivf_build(
     kmeans_iters: int = 10,
     seed: int = 42,
     fingerprint: tuple[int, str] | None = None,
+    meta_cols: tuple = (),
 ) -> None:
     """Build and PERSIST an IVF index: the assigned vector table is
     written partitioned by ``cluster`` (one directory per cell) and the
     centroid table alongside it, so searches are plain partition-pruned
     parquet scans with no k-means refit.
+
+    ``meta_cols`` names LOW-CARDINALITY metadata columns (tenant,
+    language, label) to carry into the index AND into the partition
+    layout: vectors are written partitioned by (cluster, *meta_cols),
+    so a metadata-filtered search (`ivf_search(filters=...)`) prunes at
+    the DIRECTORY level on both axes — it reads ~nprobe/n_clusters x
+    1/|labels| of the index, never generating unfiltered candidates.
 
     Build once, search many — the index write pays the clustering and
     one full-data shuffle-free pass; every subsequent `ivf_search` reads
@@ -562,11 +581,12 @@ def ivf_build(
     shared storage.
     """
     assigned, C = ivf_assign(
-        df, n_clusters, id_col, vec_col, sample_size, kmeans_iters, seed
+        df, n_clusters, id_col, vec_col, sample_size, kmeans_iters, seed,
+        meta_cols,
     )
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-        f"{index_path}/vectors"
-    )
+    assigned.write.mode("overwrite").partitionBy(
+        "cluster", *meta_cols
+    ).parquet(f"{index_path}/vectors")
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(C)]
     spark.createDataFrame(
@@ -585,6 +605,7 @@ def ivf_append(
     new_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple = (),
 ) -> None:
     """Incremental IVF growth: assign a NEW batch of vectors to the
     index's EXISTING centroids and append only the touched cluster
@@ -611,10 +632,10 @@ def ivf_append(
     if not cents:
         raise ValueError(f"ivf_append: no centroids at {index_path}")
     C = np.vstack([np.asarray(r.centroid, dtype=np.float64) for r in cents])
-    assigned = _assign_with_centroids(new_df, C, id_col, vec_col)
-    assigned.write.mode("append").partitionBy("cluster").parquet(
-        f"{index_path}/vectors"
-    )
+    assigned = _assign_with_centroids(new_df, C, id_col, vec_col, meta_cols)
+    assigned.write.mode("append").partitionBy(
+        "cluster", *meta_cols
+    ).parquet(f"{index_path}/vectors")
     old = spark.read.parquet(f"{index_path}/meta").first()
     add_n, add_mx = _ivf_fingerprint(new_df, id_col)
     spark.createDataFrame(
@@ -631,13 +652,23 @@ def ivf_search(
     nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filters: dict | None = None,
 ) -> DataFrame:
     """ANN top-k against a persisted IVF index: rank centroids on the
     driver (n_clusters rows — metadata-sized), then scan ONLY the
     ``nprobe`` nearest cells.  ``cluster`` is a partition column of the
     index table, so the isin filter prunes at the directory level
     (PartitionFilters in the scan, ~nprobe/n_clusters of the files
-    read).  Output schema matches topk_cosine (id, sim)."""
+    read).  Output schema matches topk_cosine (id, sim).
+
+    ``filters`` ({col: value}) is the metadata-FILTERED search path
+    ('nearest docs within this tenant/label'): equality predicates are
+    applied to the probed scan BEFORE any distance math, so when the
+    index was built with the column in ``meta_cols`` the cut is a
+    second PartitionFilter (directory-level — never reads other
+    labels' files), and otherwise it still pushes into the parquet
+    scan.  This is IN-candidate filtering, not post-filtering a
+    top-k, so a selective filter cannot under-deliver results."""
     import numpy as np
 
     cent = spark.read.parquet(f"{index_path}/centroids").collect()
@@ -650,6 +681,8 @@ def ivf_search(
     probed = spark.read.parquet(f"{index_path}/vectors").filter(
         F.col("cluster").isin([int(c) for c in order])
     )
+    for col, val in (filters or {}).items():
+        probed = probed.filter(F.col(col) == F.lit(val))
     return topk_cosine(probed, query, k, id_col, vec_col)
 
 
@@ -663,6 +696,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     index_path: str | None = None,
+    meta_cols: tuple = (),
+    filters: dict | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: search only the ``nprobe`` clusters whose
     centroids are nearest the query — ~nprobe/n_clusters of the corpus
@@ -693,9 +728,11 @@ def ivf_topk(
     if stale:
         ivf_build(
             df, index_path, n_clusters, id_col, vec_col, seed=seed,
-            fingerprint=fp,
+            fingerprint=fp, meta_cols=meta_cols,
         )
-    return ivf_search(spark, index_path, query, k, nprobe, id_col, vec_col)
+    return ivf_search(
+        spark, index_path, query, k, nprobe, id_col, vec_col, filters
+    )
 
 
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:

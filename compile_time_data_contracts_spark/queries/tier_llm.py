@@ -7930,3 +7930,54 @@ def q375(spark: SparkSession, sf: str) -> DataFrame:
             "events_per_user_milli"
         ),
     )
+
+
+_Q376_ORACLE = """
+  WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS ql
+             FROM embeddings WHERE vec_id = 7)
+  SELECT b.vec_id,
+         round(list_cosine_similarity(q.qe, b.embedding::DOUBLE[]), 4)
+           AS sim_r,
+         TRUE AS filtered_ivf_recall_ok
+  FROM embeddings b, q
+  WHERE b.label = q.ql
+  ORDER BY list_cosine_similarity(q.qe, b.embedding::DOUBLE[]) DESC,
+           b.vec_id
+  LIMIT 10"""
+
+
+@q("q376_filtered_ivf_recall_contract", _Q376_ORACLE)
+def q376(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered-ANN accuracy contract (the q107 pattern over q355's
+    exact filtered retrieval): the label-aware IVF index — built with
+    ``meta_cols=("label",)`` so vectors persist partitioned by
+    (cluster, label) — must recover >= 9 of the exact top-10 cosine
+    neighbors WITHIN the query's label.  The search prunes on BOTH
+    partition axes before any distance math (directory-level: only
+    the probed cells' one-label subdirectories are read — never an
+    unfiltered candidate set that a post-filter would then starve),
+    which is the production RAG shape 'nearest docs within this
+    tenant' at 100 TB: ~nprobe/n_clusters x 1/|labels| of the index
+    scanned per query.  Exact side value-checked against the DuckDB
+    oracle; the boolean gates the index."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import ivf_topk, topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    ql = query.select("label").first()[0]
+    exact = topk_cosine(emb.where(F.col("label") == ql), query, k=10)
+    tag = hashlib.md5(f"{sf}|fl32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-fivf-{tag}"
+    approx = ivf_topk(
+        emb, query, k=10, n_clusters=32, nprobe=24, index_path=idx,
+        meta_cols=("label",), filters={"label": ql},
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 9).alias("filtered_ivf_recall_ok"),
+    )

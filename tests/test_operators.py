@@ -2217,3 +2217,101 @@ def test_expectations_single_scan_plan(spark):
         rep._jdf.queryExecution(), "formatted"
     )
     assert plan.count("Scan ") <= 1 or "Range" in plan
+
+
+def test_filtered_ivf_label_partitioned_and_exact_at_full_probe(
+    spark, tmp_path
+):
+    """meta_cols builds a (cluster, label)-partitioned index; a
+    filtered search reads only the query label's directories, never
+    returns another label, and at nprobe=all equals the exact
+    label-filtered top-k (reference parity: q355 exact filtered
+    retrieval is the oracle this index must match)."""
+    import os
+
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)], int(i % 4))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    idx = str(tmp_path / "fivf")
+    ivf_build(df, idx, n_clusters=8, seed=11, meta_cols=("label",))
+
+    # layout: cluster dirs each split into label subdirectories
+    cdirs = [
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("cluster=")
+    ]
+    assert len(cdirs) == 8
+    sub = os.listdir(f"{idx}/vectors/{cdirs[0]}")
+    assert all(d.startswith("label=") for d in sub)
+
+    query = df.filter(F.col("vec_id") == 1)  # label 1
+    top = ivf_search(
+        spark, idx, query, k=5, nprobe=3, filters={"label": 1}
+    )
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan), plan
+    assert re.search(r"PartitionFilters: \[[^\]]*label", plan), plan
+
+    # in-candidate filtering: every result carries the asked-for label
+    got = top.collect()
+    members = {
+        r.vec_id for r in df.where(F.col("label") == 1).collect()
+    }
+    assert {r.vec_id for r in got} <= members
+    assert got[0].vec_id == 1  # self hit always in a probed cell
+
+    # nprobe=all == exact filtered brute force, row for row
+    full = ivf_search(
+        spark, idx, query, k=5, nprobe=8, filters={"label": 1}
+    )
+    exact = topk_cosine(df.where(F.col("label") == 1), query, k=5)
+    assert [r.vec_id for r in full.collect()] == [
+        r.vec_id for r in exact.collect()
+    ]
+
+
+def test_filtered_ivf_append_carries_meta(spark, tmp_path):
+    """ivf_append with meta_cols lands new vectors in the right
+    (cluster, label) directories and a filtered search sees them."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(13)
+    mk = lambda i: [float(x) for x in rng.normal(size=8)]
+    base = [(i, mk(i), int(i % 2)) for i in range(100)]
+    df = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>, label int"
+    )
+    idx = str(tmp_path / "fivf-app")
+    ivf_build(df, idx, n_clusters=4, seed=13, meta_cols=("label",))
+
+    extra = spark.createDataFrame(
+        [(1000, mk(1000), 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ivf_append(spark, idx, extra, meta_cols=("label",))
+
+    q1000 = extra
+    got = ivf_search(
+        spark, idx, q1000, k=1, nprobe=4, filters={"label": 1}
+    ).collect()
+    assert got[0].vec_id == 1000 and got[0].sim > 0.999

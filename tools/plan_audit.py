@@ -2074,6 +2074,506 @@ CHECKS = {
     ],
 }
 
+
+# ---------------------------------------------------------------- round 8:
+# structural coverage — EVERY registry query must carry an audit, an
+# AUDITED_VIA pointer to an inner-round pipeline audit, or a one-line
+# waiver.  main() fails if any entry has none (no silent coverage gaps).
+
+def _nopy(p):
+    return ("EvalPython" not in p and "InPandas" not in p
+            and "InArrow" not in p)
+
+
+def _nocart(p):
+    return "CartesianProduct" not in p
+
+
+def _scan_n(p, fmt="parquet"):
+    return len(re.findall(rf"\(\d+\) Scan {fmt}", p))
+
+
+def _agg_scan(fmt="parquet"):
+    """Partial-combined aggregate over a scan of the given source."""
+    return [
+        (f"aggregate partial-combined over a {fmt} scan", True,
+         lambda p, f=fmt: "partial_" in p and _scan_n(p, f) >= 1),
+        ("no Python stage, no cartesian", True,
+         lambda p: _nopy(p) and _nocart(p)),
+    ]
+
+
+def _maponly():
+    """Projection-only shape: zero exchanges, everything codegen."""
+    return [
+        ("map-only: zero exchanges (no shuffle for a projection)", True,
+         lambda p: p.count("Exchange") == 0),
+        ("expressions stay JVM-side (no Python stage)", True, _nopy),
+    ]
+
+
+def _window1():
+    """Single sort-window pass: one exchange, no join, no Python."""
+    return [
+        ("one sort-window pass: at most one shuffle exchange", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and _nopy(p)),
+    ]
+
+
+def _topk():
+    return [
+        ("global top-k via TakeOrdered heap, never a full sort", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("any Python is Arrow-batched, never row-pickling (the "
+         "vector scorers switch to one MapInArrow stage above the "
+         "JVM-expression size cutoff)", True,
+         lambda p: "BatchEvalPython" not in p),
+    ]
+
+
+CHECKS_R8 = {
+    # --- IO roundtrips: right source format, count partial-aggregated
+    "q01_parquet_count": [
+        ("count partial-aggregated over ONE parquet scan", True,
+         lambda p: "partial_count" in p and _scan_n(p) == 1),
+        ("no Python stage", True, _nopy),
+    ],
+    "q02_csv_roundtrip": _agg_scan("csv"),
+    "q03_json_scan": [
+        ("from_json stays JVM-side (no Python stage)", True, _nopy),
+        ("aggregate partial-combined", True, lambda p: "partial_" in p),
+    ],
+    "q04_parquet_sink_roundtrip": [
+        ("sink re-read is a bare parquet scan, zero exchanges", True,
+         lambda p: _scan_n(p) >= 1 and p.count("Exchange") == 0),
+        ("no Python stage", True, _nopy),
+    ],
+    "q92_orc_roundtrip": _agg_scan("orc"),
+    "q94_json_sink_roundtrip": _agg_scan("json"),
+    "q95_csv_sink_roundtrip": _agg_scan("csv"),
+    "q120_text_source_roundtrip": _agg_scan("text"),
+    "q127_xml_source_roundtrip": _agg_scan("xml"),
+    "q145_stream_idempotent_sink": [
+        ("idempotent-sink output re-read from parquet, counted via "
+         "partial agg", True,
+         lambda p: _scan_n(p) >= 1 and "partial_" in p),
+        ("no Python at read-back", True, _nopy),
+    ],
+    # --- core relational shapes
+    "q07_case_when": [
+        ("CASE WHEN stays codegen; agg partial-combined", True,
+         lambda p: "partial_" in p and _nopy(p)),
+    ],
+    "q10_outer_join": [
+        ("outer join broadcasts the small side (no shuffle join at "
+         "dimension scale)", True, lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", True, _nocart),
+    ],
+    "q11_semi_join": [
+        ("semi join is a broadcast LeftSemi", True,
+         lambda p: "LeftSemi" in p and "BroadcastHashJoin" in p),
+        ("no cartesian", True, _nocart),
+    ],
+    "q12_anti_join": [
+        ("anti join is a broadcast LeftAnti", True,
+         lambda p: "LeftAnti" in p and "BroadcastHashJoin" in p),
+        ("no cartesian", True, _nocart),
+    ],
+    "q15_asof_join": [
+        ("as-of is union + last-value window, NOT a join (no per-row "
+         "range probe)", True,
+         lambda p: "Join" not in p and "Window" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q16_cross_join": [
+        ("the asked-for cross product is the only nested-loop join; "
+         "counts partial-aggregated", True,
+         lambda p: "BroadcastNestedLoopJoin" in p and "partial_" in p),
+    ],
+    "q18_count_distinct": [
+        ("distinct counts partial-aggregated (two-phase distinct)",
+         True, lambda p: "partial_" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q19_approx_count_distinct": [
+        ("HLL++ sketches partial-aggregated (fixed-size sketch "
+         "crosses the shuffle, not the keys)", True,
+         lambda p: "partial_approx_count_distinct" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q20_rollup": [
+        ("rollup is one Expand + partial agg (no per-level re-scan)",
+         True, lambda p: "Expand" in p and "partial_" in p),
+        ("dimension join broadcast", True,
+         lambda p: "BroadcastHashJoin" in p),
+    ],
+    "q21_cube": [
+        ("cube is one Expand + partial agg over ONE scan", True,
+         lambda p: "Expand" in p and "partial_" in p
+         and _scan_n(p) == 1),
+    ],
+    "q22_having": [
+        ("HAVING filters the aggregated frame (agg partial-combined)",
+         True, lambda p: "partial_" in p and _nopy(p)),
+    ],
+    "q23_stats": [
+        ("moment aggs partial-combined; percentile sketch is an "
+         "ObjectHashAggregate", True,
+         lambda p: "partial_" in p and "ObjectHashAggregate" in p),
+    ],
+    "q24_ranking_window": [
+        ("rank cut prunes BEFORE the exchange (WindowGroupLimit)",
+         True, lambda p: "WindowGroupLimit" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q25_lag_lead": _window1(),
+    "q26_row_frames": _window1(),
+    "q27_range_frame": _window1(),
+    "q75_window_analytics": _window1(),
+    "q28_global_sort": _topk(),
+    "q30_union": [
+        ("union feeds ONE partial-combined aggregate (no per-branch "
+         "collect)", True,
+         lambda p: "Union" in p and "partial_" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q31_intersect_except": [
+        ("INTERSECT/EXCEPT compile to hash joins, never cartesian",
+         True, lambda p: _nocart(p) and "partial_" in p),
+    ],
+    "q32_string_funcs": _topk(),
+    "q33_date_funcs": _topk(),
+    "q34_math_funcs": _topk(),
+    "q35_array_funcs": _topk(),
+    "q36_map_funcs": _topk(),
+    "q37_json_funcs": _maponly(),
+    "q38_conditional_funcs": _maponly(),
+    "q39_scalar_subquery": [
+        ("scalar subquery broadcast as a one-row relation; agg "
+         "partial-combined", True,
+         lambda p: "partial_" in p and _nocart(p)),
+    ],
+    "q40_exists_subquery": [
+        ("EXISTS compiles to a broadcast LeftSemi", True,
+         lambda p: "LeftSemi" in p and "BroadcastHashJoin" in p),
+    ],
+    "q41_tumbling_window": _agg_scan(),
+    "q42_sliding_window": _agg_scan(),
+    "q43_session_window": _agg_scan(),
+    "q68_grouping_sets": [
+        ("grouping sets are one Expand + partial agg", True,
+         lambda p: "Expand" in p and "partial_" in p),
+    ],
+    "q96_approx_percentile": [
+        ("percentile sketch partial-aggregated (ObjectHashAggregate)",
+         True, lambda p: "ObjectHashAggregate" in p and "partial_" in p),
+    ],
+    "q129_variant_semistructured": [
+        ("variant path extraction stays JVM-side; agg partial-combined",
+         True, lambda p: _nopy(p) and "partial_" in p),
+    ],
+    "q131_median_mode": [
+        ("mode pick is a WindowGroupLimit heap; exact median via "
+         "ObjectHashAggregate sketch-free path", True,
+         lambda p: "WindowGroupLimit" in p
+         and "ObjectHashAggregate" in p),
+    ],
+    "q133_merge_upsert": [
+        ("merge is a keyed equi-join, never cartesian; counts "
+         "partial-aggregated", True,
+         lambda p: _nocart(p) and "partial_" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q134_scd2_history": [
+        ("SCD2 rebuild joins broadcast the delta side", True,
+         lambda p: "BroadcastHashJoin" in p and _nocart(p)),
+    ],
+    "q136_bucket_pruned_merge": _agg_scan(),
+    "q144_compaction": _agg_scan(),
+    "q147_merge_schema_evolution": [
+        ("schema-evolved merge is a broadcast equi-join", True,
+         lambda p: "BroadcastHashJoin" in p and _nocart(p)),
+    ],
+    "q197_listagg": [
+        ("collect_list partial-aggregated (ObjectHashAggregate)", True,
+         lambda p: "ObjectHashAggregate" in p and "partial_" in p),
+    ],
+    "q211_sql_scripting": [
+        ("scripting result is the final statement's LocalTableScan "
+         "(no re-execution at read time)", True,
+         lambda p: "LocalTableScan" in p and _scan_n(p) == 0),
+    ],
+    "q304_stream_ohlc_bars": [
+        ("bar read-back is map-only over the written store (zero "
+         "exchanges)", True, lambda p: p.count("Exchange") == 0),
+        ("no Python at read-back", True, _nopy),
+    ],
+    "q196_state_store_reader": [
+        ("result reads the state store itself (BatchScan StateTable), "
+         "never re-derives from events", True,
+         lambda p: "StateTable" in p and _scan_n(p) == 0),
+    ],
+    "q202_state_metadata": [
+        ("result reads the state-metadata table, not the data", True,
+         lambda p: "state-metadata-table" in p and _scan_n(p) == 0),
+    ],
+    "q330_sql_semantics_battery": [
+        ("semantics battery runs on literals only: no file scan", True,
+         lambda p: not re.search(r"Scan (parquet|csv|json|orc|text)", p)),
+    ],
+    # --- text / dedup / retrieval
+    "q51_token_stats": _agg_scan(),
+    "q53_ngram_jaccard_neardup": [
+        ("shingle explode is a codegen Generate; candidate join is "
+         "keyed, never cartesian", True,
+         lambda p: "Generate" in p and _nocart(p)),
+        ("intersection counts partial-aggregated", True,
+         lambda p: "partial_" in p),
+    ],
+    "q55_simhash": [
+        ("token explode is a codegen Generate; bit votes "
+         "partial-aggregated; no Python", True,
+         lambda p: "Generate" in p and "partial_" in p and _nopy(p)),
+    ],
+    "q56_cosine_lsh_pairs": [
+        ("hyperplane signatures via ONE Arrow-batched stage; bucket "
+         "join is keyed, never cartesian", True,
+         lambda p: "MapInPandas" in p and _nocart(p)),
+    ],
+    "q57_text_quality": _maponly(),
+    "q58_token_count": _maponly(),
+    "q59_fingerprint": _maponly(),
+    "q60_winnow_fingerprint": _maponly(),
+    "q64_pii_redaction": _maponly(),
+    "q105_zorder_code": _maponly(),
+    "q61_language_id": [
+        ("ngram explode is a codegen Generate; profile scores "
+         "partial-aggregated; no Python", True,
+         lambda p: "Generate" in p and "partial_" in p and _nopy(p)),
+    ],
+    "q62_multimodal_features": [
+        ("decode boundary is ONE Arrow-batched MapInPandas, no "
+         "row-at-a-time Python", True,
+         lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ("map-only otherwise (zero exchanges)", True,
+         lambda p: p.count("Exchange") == 0),
+    ],
+    "q63_stratified_sample": _agg_scan(),
+    "q65_pack_sequences": _window1(),
+    "q71_asof_tolerance": [
+        ("tolerance as-of is union + window, NOT a range join", True,
+         lambda p: "Join" not in p and "Window" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q108_asof_forward": [
+        ("forward as-of is union + window, NOT a range join", True,
+         lambda p: "Join" not in p and "Window" in p),
+        ("no Python", True, _nopy),
+    ],
+    "q72_keep_best_dedup": [
+        ("per-key best row via partial-combined agg, no Python", True,
+         lambda p: "partial_" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q74_resample_ffill": [
+        ("gap fill is a codegen sequence Generate (no per-key Python "
+         "loop); no cartesian", True,
+         lambda p: "Generate" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q104_resample_interp": [
+        ("interpolation grid is a codegen sequence Generate; no "
+         "cartesian", True,
+         lambda p: "Generate" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q109_upsample_mixture": [
+        ("upsample replication is a codegen Generate; no Python", True,
+         lambda p: "Generate" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q85_capped_per_group_sample": [
+        ("per-group cap prunes BEFORE the exchange (WindowGroupLimit)",
+         True, lambda p: "WindowGroupLimit" in p and "partial_" in p),
+    ],
+    "q88_mixture_sampling": [
+        ("mixture weights broadcast from a tiny relation; counts "
+         "partial-aggregated; no cartesian", True,
+         lambda p: "partial_" in p and _nocart(p)),
+    ],
+    "q146_weighted_sample": [
+        ("A-ExpJ keys stay JVM-side; totals broadcast; no cartesian",
+         True, lambda p: _nopy(p) and _nocart(p) and "partial_" in p),
+    ],
+    "q49_neardup_cosine_exact": [
+        ("cosine scoring is ONE Arrow-batched MapInPandas stage", True,
+         lambda p: len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+         and "BatchEvalPython" not in p),
+        ("no cartesian", True, _nocart),
+    ],
+    "q50_topk_vector_search": _topk(),
+    "q67_ivf_topk": _topk(),
+    "q107_ivf_recall_contract": _topk(),
+    "q143_ivf_append_contract": _topk(),
+    "q151_pq_recall_contract": _topk(),
+    "q193_ivf_pq_recall_contract": _topk(),
+    "q106_lsh_recall_contract": [
+        ("LSH side reuses the Arrow-batched signature stage; all "
+         "joins keyed, never cartesian", True,
+         lambda p: "MapInPandas" in p and _nocart(p)),
+    ],
+    "q130_hll_merge_contract": [
+        ("HLL sketches partial-aggregated and merged as sketches "
+         "(ObjectHashAggregate)", True,
+         lambda p: "ObjectHashAggregate" in p and "partial_" in p),
+    ],
+    "q160_cms_frequency_contract": [
+        ("CMS counters partial-aggregated; probe join broadcast", True,
+         lambda p: "partial_" in p and "BroadcastHashJoin" in p),
+    ],
+    "q166_leakage_safe_split": [
+        ("group split is keyed (no cartesian); assignment counts "
+         "partial-aggregated", True,
+         lambda p: _nocart(p) and "partial_" in p),
+    ],
+    "q295_readability_profile": _agg_scan(),
+    "q305_audio_window_features": [
+        ("frame featurization is ONE Arrow-batched MapInPandas, "
+         "map-only (zero exchanges)", True,
+         lambda p: "MapInPandas" in p and p.count("Exchange") == 0),
+    ],
+    "q306_dataset_datasheet": [
+        ("datasheet stats partial-aggregated; tiny stat frames "
+         "broadcast; no cartesian, no Python", True,
+         lambda p: "partial_" in p and _nocart(p) and _nopy(p)),
+    ],
+    "q331_stream_bitmap_audience": [
+        ("bitmap roll-up partial-aggregated; no Python, no cartesian",
+         True, lambda p: "partial_" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q344_quantile_treatment_effect": [
+        ("per-arm quantiles via sort windows; joins keyed or "
+         "broadcast, never cartesian; no Python", True,
+         lambda p: _nocart(p) and _nopy(p) and "partial_" in p),
+    ],
+    "q345_consistent_hash_rebalance": [
+        ("ring assignment joins keyed, never cartesian; movement "
+         "counts partial-aggregated; no Python", True,
+         lambda p: _nocart(p) and _nopy(p) and "partial_" in p),
+    ],
+    "q365_effective_sample_size": [
+        ("all design-effect moments in ONE partial-combined aggregate "
+         "over ONE scan", True,
+         lambda p: "partial_sum" in p and _scan_n(p) == 1),
+        ("no join, no Python", True,
+         lambda p: "Join" not in p and _nopy(p)),
+    ],
+    # --- Python-boundary pins: Arrow batching, never row pickling
+    "q45_pandas_udf_zscore": [
+        ("pandas UDF crosses via ArrowEvalPython, never "
+         "BatchEvalPython pickling", True,
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
+    "q46_apply_in_pandas_demean": [
+        ("applyInPandas is FlatMapGroupsInPandas after ONE group "
+         "exchange", True,
+         lambda p: "FlatMapGroupsInPandas" in p
+         and len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+    ],
+    "q126_apply_in_arrow_demean": [
+        ("applyInArrow is FlatMapGroupsInArrow (no pandas conversion "
+         "overhead) after ONE group exchange", True,
+         lambda p: "FlatMapGroupsInArrow" in p
+         and len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+    ],
+    "q176_iterator_pandas_udf": [
+        ("iterator UDF crosses via ArrowEvalPython, never "
+         "BatchEvalPython", True,
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
+    "q47_udtf_explode_tokens": [
+        ("token explode compiles to a codegen Generate — NO Python "
+         "UDTF in the hot path", True,
+         lambda p: "Generate" in p and "PythonUDTF" not in p
+         and _nopy(p)),
+    ],
+    "q70_python_udtf": [
+        ("exactly ONE Python UDTF node (the demonstrated boundary)",
+         True,
+         lambda p: len(re.findall(r"\(\d+\) \w*PythonUDTF", p)) == 1),
+    ],
+    "q178_polymorphic_udtf": [
+        ("exactly ONE Python UDTF node (polymorphic analyze path)",
+         True,
+         lambda p: len(re.findall(r"\(\d+\) \w*PythonUDTF", p)) == 1),
+    ],
+    "q52_multimodal_contract": _maponly(),
+    "q376_filtered_ivf_recall_contract": _topk(),
+    "q204_boilerplate_against_index": [
+        ("line postings are a codegen Generate; df lookup joins keyed, "
+         "never cartesian", True,
+         lambda p: "Generate" in p and _nocart(p)),
+        ("reassembly collect_list partial-aggregated "
+         "(ObjectHashAggregate)", True,
+         lambda p: "ObjectHashAggregate" in p and "partial_" in p),
+    ],
+}
+
+# registry entries whose DATA-SIZED work is audited through an inner-round
+# pipeline above (the registry-level result frame is a converged/driver
+# artifact, so its own plan says nothing about scale)
+AUDITED_VIA = {
+    "q203_boilerplate_lines": "q203_inner_boilerplate_lines",
+    "q207_bpe_merge_training": "q207_inner_bpe_pair_counts",
+    "q219_label_propagation": "q219_inner_lpa_round",
+    "q220_k_core": "q220_inner_kcore_peel",
+    "q226_bfs_levels": "q226_inner_bfs_hop",
+    "q230_deterministic_walks": "q230_inner_walk_step",
+}
+
+# explicit waivers: one line each on why a physical-plan assertion is not
+# meaningful for this entry.  Streaming entries return a memory-sink read;
+# the micro-batch plan is not reachable from a batch explain — their
+# operator semantics are pinned in tests/test_streaming*.py instead.
+WAIVERS = {
+    "q44_watermark_stream": "streaming — result frame reads the memory "
+        "sink; micro-batch plan unreachable from batch explain",
+    "q78_watermark_late_drop": "streaming — memory-sink read; watermark "
+        "drop semantics pinned in tests",
+    "q84_stateful_running_totals": "streaming — applyInPandasWithState "
+        "runs inside the micro-batch; result is the sink snapshot",
+    "q86_stream_interval_join": "streaming — interval join runs in the "
+        "micro-batch; result is the sink snapshot",
+    "q100_stream_dedup": "streaming — dropDuplicatesWithinWatermark runs "
+        "in the micro-batch; result is the sink snapshot",
+    "q123_python_stream_source": "streaming — custom Python source runs "
+        "in the micro-batch; result is the sink snapshot",
+    "q124_stream_static_join": "streaming — stream-static join runs in "
+        "the micro-batch; result is the sink snapshot",
+    "q132_stream_session_window": "streaming — session window runs in "
+        "the micro-batch; result is the sink snapshot",
+    "q167_rocksdb_state_store": "streaming — RocksDB-state aggregation "
+        "runs in the micro-batch; result is the sink snapshot",
+    "q199_stream_outer_join": "streaming — stream-stream outer join runs "
+        "in the micro-batch; result is the sink snapshot",
+    "q369_stream_srm_monitor": "streaming — SRM monitor replays batches; "
+        "result is the post-replay snapshot (state bound asserted in "
+        "SCALEBENCH srm probe)",
+    "q73_neardup_clusters": "driver union-find over the collected "
+        "candidate pairs; pair generation audited via q54/q188 pipelines",
+    "q101_components_deep_chain": "iterative large/small-star rounds are "
+        "checkpointed; per-round plan pinned in tests/test_graph*.py",
+    "q152_components_incremental": "incremental CC re-runs the q101 "
+        "rounds on the delta; per-round plan pinned in tests",
+    "q140_observe_scan_metrics": "result is the observe() metrics dict "
+        "re-entered driver-side; the audited property is the "
+        "instrumentation, not a plan shape",
+    "q172_mmr_diversified_retrieval": "greedy MMR selection is a "
+        "k-sized driver loop over the collected top-k candidates",
+    "q303_kmv_incremental_merge": "KMV sketch merge is a k-sized driver "
+        "fold; the distributed sketch build is audited via q231/q130 "
+        "patterns",
+}
+
+
 # per-query session confs applied while building the audited plan: q81's
 # no-Exchange property is about the sort-merge path (at real scale neither
 # fact side broadcasts), so the broadcast shortcut is disabled for it
@@ -2384,7 +2884,29 @@ def _walk_step_pipeline(spark, sf_dir):
     )
 
 
+def _filtered_ivf_search_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 7)
+    ql = query.select("label").first()[0]
+    tag = hashlib.md5(f"{sf_dir}|fl32audit".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-fivfa-{tag}"
+    return ivf_topk(
+        emb, query, k=10, n_clusters=32, nprobe=16, index_path=idx,
+        meta_cols=("label",), filters={"label": ql},
+    )
+
+
 PIPELINES = {
+    "q376_inner_filtered_ivf_search": _filtered_ivf_search_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -2401,6 +2923,18 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q376_inner_filtered_ivf_search": [
+        ("probed scan is PARTITION-pruned on cluster (nprobe cells "
+         "only)", True,
+         lambda p: re.search(r"PartitionFilters: \[[^\]]*cluster", p)),
+        ("label filter prunes at the DIRECTORY level too — no "
+         "unfiltered candidate generation", True,
+         lambda p: re.search(r"PartitionFilters: \[[^\]]*label", p)),
+        ("top-k via TakeOrdered heap", True,
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no row-pickling Python in the search plan", True,
+         lambda p: "BatchEvalPython" not in p),
+    ],
     "q247_inner_sssp_relax": [
         ("per-node min partial-combined (shuffle carries nodes, not "
          "candidate paths)", True, lambda p: "partial_min" in p),
@@ -2564,7 +3098,39 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
+    CHECKS.update(CHECKS_R8)
+
     failures = 0
+    # structural coverage gate: every registry entry must be audited,
+    # audited-via an inner pipeline, or explicitly waived
+    registry = set(qs)
+    audited = registry & set(CHECKS)
+    via = registry & set(AUDITED_VIA)
+    waived = registry & set(WAIVERS)
+    uncovered = sorted(registry - audited - via - waived)
+    stale = sorted((set(CHECKS) | set(AUDITED_VIA) | set(WAIVERS))
+                   - registry - set(PIPELINE_CHECKS))
+    for name, target in AUDITED_VIA.items():
+        if target not in PIPELINE_CHECKS:
+            print(f"FAIL  coverage: {name} audited-via unknown "
+                  f"pipeline {target}")
+            failures += 1
+    overlap = sorted((audited & waived) | (audited & via) | (via & waived))
+    if overlap:
+        print(f"FAIL  coverage: entries with conflicting status: "
+              f"{overlap}")
+        failures += 1
+    if uncovered:
+        print(f"FAIL  coverage: {len(uncovered)} registry entries have "
+              f"neither audit nor waiver: {uncovered}")
+        failures += 1
+    if stale:
+        print(f"FAIL  coverage: {len(stale)} audit/waiver entries name "
+              f"nothing in the registry: {stale}")
+        failures += 1
+    print(f"coverage: {len(audited)} audited + {len(via)} via-pipeline "
+          f"+ {len(waived)} waived = "
+          f"{len(audited) + len(via) + len(waived)}/{len(registry)}")
     for pname, builder in PIPELINES.items():
         df = builder(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
