@@ -3,11 +3,15 @@
 Package layout (round-5 de-risking of the former 7,000-line module —
 same registry keys, same oracle artifact):
 
-  * ``_shared``          — the ``@q`` registry, shared imports, helpers
-  * ``tier_core_sql``    — relational/SQL/window/UDF surface
-  * ``tier_llm``         — dedup / similarity / text / sampling / drift
-  * ``tier_streaming``   — Structured Streaming queries
-  * ``tier_contracts_io``— typed IO round-trips, MERGE/SCD2, expectations
+  * ``_shared``            — the ``@q`` registry, shared imports, helpers
+  * ``tier_core_sql``      — relational/SQL/window/UDF surface (q05-q198)
+  * ``tier_stats_ts``      — statistical / time-series / evaluation
+                             analytics (q224-q329; round-8 split)
+  * ``tier_experiment_gov``— experimentation / attribution / governance
+                             analytics (q332-q373; round-8 split)
+  * ``tier_llm``           — dedup / similarity / text / sampling / drift
+  * ``tier_streaming``     — Structured Streaming queries
+  * ``tier_contracts_io`` — typed IO round-trips, MERGE/SCD2, expectations
 
 Importing this package registers every query; ``queries()`` and
 ``oracle_sql()`` remain the assembly points the driver consumes.
@@ -23,6 +27,8 @@ from ._shared import _ORACLES, _QUERIES, _ts_str, oracle_sql, q, queries  # noqa
 # registration order is preserved where it matters, e.g. q190 reading
 # q150's oracle inside tier_llm)
 from . import tier_core_sql  # noqa: E402,F401
+from . import tier_stats_ts  # noqa: E402,F401
+from . import tier_experiment_gov  # noqa: E402,F401
 from . import tier_llm  # noqa: E402,F401
 from . import tier_streaming  # noqa: E402,F401
 from . import tier_contracts_io  # noqa: E402,F401
