@@ -9,12 +9,13 @@ Each query is materialized with a noop-format write so the full plan
 (including projections) executes without driver-side row transfer, and
 without Catalyst short-circuiting column evaluation the way count() can.
 
-The headline set covers every operator family at its scale path: scans,
-broadcast + shuffled joins, theta self-join, group/cube aggs, windows,
-event-time windows, streaming, pandas UDFs, dedup (exact + MinHash-LSH),
-vector search (brute force + LSH buckets), text analysis, multimodal.
-The O(n²) exact-Jaccard audit (q53) is deliberately NOT here — q54 is
-its scale path; correctness equivalence is checked by the oracle gate.
+The headline set is the ENTIRE queries() registry — every operator
+family at its scale path (scans, broadcast + shuffled joins, theta
+self-join, group/cube aggs, windows, event-time windows, streaming,
+pandas UDFs, dedup exact + MinHash-LSH, vector search brute-force +
+LSH/IVF, text analysis, multimodal) plus every cheap contract/IO shape.
+Nothing is excluded: n_queries in the output always equals the registry
+size, so a regression in any registered query is visible per-round.
 """
 
 from __future__ import annotations
@@ -26,270 +27,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "q01_parquet_count",
-    "q05_projection",
-    "q08_inner_join",
-    "q09_join5_revenue_by_nation",
-    "q13_broadcast_join",
-    "q14_theta_self_join",
-    "q15_asof_join",
-    "q17_groupagg_tpch_q1",
-    "q21_cube",
-    "q24_ranking_window",
-    "q26_row_frames",
-    "q41_tumbling_window",
-    "q43_session_window",
-    "q44_watermark_stream",
-    "q45_pandas_udf_zscore",
-    "q46_apply_in_pandas_demean",
-    "q48_exact_dedup",
-    "q49_neardup_cosine_exact",
-    "q50_topk_vector_search",
-    "q54_minhash_lsh_neardup",
-    "q56_cosine_lsh_pairs",
-    "q57_text_quality",
-    "q62_multimodal_features",
-    "q63_stratified_sample",
-    "q65_pack_sequences",
-    "q66_top_tokens",
-    "q69_pivot",
-    "q71_asof_tolerance",
-    "q73_neardup_clusters",
-    "q74_resample_ffill",
-    "q78_watermark_late_drop",
-    "q79_salted_skew_join",
-    "q80_two_phase_count_distinct",
-    "q81_bucketed_join",
-    "q82_batch_vector_retrieval",
-    "q83_chunk_documents",
-    "q85_capped_per_group_sample",
-    "q87_range_join_binned",
-    "q88_mixture_sampling",
-    "q89_contamination_check",
-    "q90_quantize_embeddings",
-    "q93_global_shuffle_order",
-    "q96_approx_percentile",
-    "q97_tfidf_keywords",
-    "q99_curation_pipeline",
-    "q102_embedding_dim_stats",
-    "q103_retrieval_with_docs",
-    "q104_resample_interp",
-    "q116_quality_percentile_gate",
-    "q117_funnel_analysis",
-    "q119_embedding_dedup_scrub",
-    "q122_grouped_agg_pandas_udf",
-    "q124_stream_static_join",
-    "q135_incremental_neardup",
-    "q137_gopher_quality",
-    "q138_semantic_dedup",
-    "q141_bm25_scores",
-    "q149_snapshot_diff",
-    "q150_entity_resolution",
-    "q151_pq_recall_contract",
-    "q153_cohort_retention",
-    "q154_weighted_reservoir",
-    "q155_temperature_mixture",
-    "q156_duplicate_spans",
-    "q157_containment_pairs",
-    "q158_psi_drift",
-    "q159_recursive_cte_closure",
-    "q164_ks_drift",
-    "q165_pagerank",
-    "q168_model_quality_filter",
-    "q169_anomaly_zscore",
-    "q170_session_transitions",
-    "q171_vocab_id_assignment",
-    "q173_chi_square_drift",
-    "q179_lm_perplexity_filter",
-    "q181_score_calibration",
-    "q182_benford_audit",
-    "q187_bloom_runtime_filter",
-    "q188_capped_containment",
-    "q189_banding_then_containment",
-    "q190_prefix_filtered_entity_resolution",
-    "q191_expectations_quarantine",
-    "q192_chunked_containment",
-    "q193_ivf_pq_recall_contract",
-    "q194_pipe_syntax",
-    "q195_collated_group",
-    "q196_state_store_reader",
-    "q198_ewma_trailing",
-    "q200_dynamic_gap_sessions",
-    "q201_approx_topk_contract",
-    "q203_boilerplate_lines",
-    "q205_fuzzy_name_pairs",
-    "q206_incremental_rollup_merge",
-    "q207_bpe_merge_training",
-    "q208_bpe_tokenize",
-    "q209_negative_sampling",
-    "q210_cdc_apply",
-    "q211_sql_scripting",
-    "q212_stream_incremental_rollup",
-    "q213_triangle_count",
-    "q214_incremental_distinct_rollup",
-    "q215_fuzzy_dedup_clusters",
-    "q216_distributed_centroids",
-    "q217_kmeans_lloyd",
-    "q218_covariance_matrix",
-    "q219_label_propagation",
-    "q220_k_core",
-    "q221_robust_group_stats",
-    "q222_pareto_skyline",
-    "q223_kfold_assignment",
-    "q224_lagged_crosscorr",
-    "q225_association_rules",
-    "q226_bfs_levels",
-    "q227_ols_normal_equations",
-    "q228_weighted_median",
-    "q229_seasonal_index",
-    "q230_deterministic_walks",
-    "q231_sliding_hll_contract",
-    "q232_equidepth_binning",
-    "q233_referential_audit",
-    "q234_cohens_kappa",
-    "q235_source_token_entropy",
-    "q236_js_divergence",
-    "q237_time_decayed_popularity",
-    "q238_roc_auc",
-    "q239_funnel_conversion",
-    "q240_cusum_changepoint",
-    "q241_kaplan_meier",
-    "q242_eb_rate_shrinkage",
-    "q243_poisson_bootstrap_ci",
-    "q244_quantile_normalize",
-    "q245_ngram_novelty",
-    "q246_winsorized_stats",
-    "q247_sssp_weighted",
-    "q248_table_fingerprint",
-    "q249_vocabulary_growth",
-    "q250_mutual_information",
-    "q251_interarrival_burstiness",
-    "q252_percentile_bands",
-    "q253_ab_test_ztest",
-    "q254_target_encoding_loo",
-    "q255_k_anonymity_publish",
-    "q256_price_volume_mix",
-    "q257_classification_report",
-    "q258_conversion_latency_bands",
-    "q259_prefix_zscore_anomaly",
-    "q260_time_weighted_average",
-    "q261_identifier_clause",
-    "q262_exact_stratified_split",
-    "q263_time_bounded_funnel",
-    "q264_yoy_growth",
-    "q265_multimodal_framesample",
-    "q266_pseudonymize_joinable",
-    "q267_rolling_correlation",
-    "q268_personalized_pagerank",
-    "q269_cross_validated_auc",
-    "q270_interval_overlap_join",
-    "q271_pii_scan",
-    "q272_rfm_scores",
-    "q273_abc_analysis",
-    "q274_cohort_ltv",
-    "q275_seasonal_naive_backtest",
-    "q276_golden_record",
-    "q277_activity_streaks",
-    "q278_scd2_validity_audit",
-    "q279_percent_of_parent",
-    "q280_cumulative_unique_users",
-    "q281_rolling_active_users",
-    "q282_degree_distribution",
-    "q283_freshness_report",
-    "q284_tokenizer_fertility",
-    "q285_langid_quality_report",
-    "q286_sample_representativeness",
-    "q287_kmv_intersection_contract",
-    "q288_link_prediction_ra",
-    "q289_multitouch_attribution",
-    "q290_ranking_metrics",
-    "q291_l_diversity_audit",
-    "q292_gdpr_erasure_audit",
-    "q293_community_modularity",
-    "q294_event_path_mining",
-    "q295_readability_profile",
-    "q296_ohlc_bars",
-    "q297_new_returning_resurrected",
-    "q298_filter_funnel",
-    "q299_decile_lift",
-    "q300_percentile_cont_spread",
-    "q301_embedding_norm_outliers",
-    "q302_sparse_tfidf_knn",
-    "q303_kmv_incremental_merge",
-    "q304_stream_ohlc_bars",
-    "q305_audio_window_features",
-    "q306_dataset_datasheet",
-    "q307_sprt_decision",
-    "q308_max_concurrency",
-    "q309_clamped_running_balance",
-    "q310_moment_merge_contract",
-    "q311_grid_neighbor_join",
-    "q312_decision_stump",
-    "q313_feature_hashing",
-    "q314_rank_correlation",
-    "q315_calendar_gap_islands",
-    "q316_mann_whitney_u",
-    "q317_activity_bitmap",
-    "q318_good_turing_mass",
-    "q319_theil_sen_trend",
-    "q320_largest_remainder_apportionment",
-    "q321_holt_linear_smoothing",
-    "q322_encoding_advisor",
-    "q323_merkle_bucket_diff",
-    "q324_phrase_search",
-    "q325_interval_coverage",
-    "q326_zonemap_prunability",
-    "q327_feature_gain_ranking",
-    "q328_audience_overlap_matrix",
-    "q329_seasonal_decomposition",
-    "q330_sql_semantics_battery",
-    "q331_stream_bitmap_audience",
-    "q332_cuped_adjustment",
-    "q333_join_skew_planner",
-    "q334_srm_check",
-    "q335_median_order_stat_ci",
-    "q336_dedup_savings_report",
-    "q337_local_topk_merge_contract",
-    "q338_image_tile_digests",
-    "q339_column_change_histogram",
-    "q340_pack_efficiency",
-    "q341_huber_irls_regression",
-    "q342_successive_halving",
-    "q343_expected_calibration_error",
-    "q344_quantile_treatment_effect",
-    "q345_consistent_hash_rebalance",
-    "q346_hits_authorities",
-    "q347_item_cooccurrence_recs",
-    "q348_poststratified_ate",
-    "q349_isotonic_calibration",
-    "q350_heavy_hitter_churn",
-    "q351_ratio_metric_delta_ci",
-    "q352_degree_assortativity",
-    "q353_cramers_v_association",
-    "q354_markov_attribution",
-    "q355_filtered_vector_topk",
-    "q356_kneser_ney_bigram",
-    "q357_cross_source_duplication",
-    "q358_neyman_allocation",
-    "q359_hill_tail_index",
-    "q360_merge_full_sync",
-    "q361_simpson_paradox_detector",
-    "q362_wilson_interval",
-    "q363_covariate_balance_smd",
-    "q364_partition_layout_advisor",
-    "q365_effective_sample_size",
-    "q366_bitemporal_point_in_time",
-    "q367_temporal_split_audit",
-    "q368_t_closeness_audit",
-    "q369_stream_srm_monitor",
-    "q370_autocorrelation_function",
-    "q371_pca_power_iteration",
-    "q372_zipf_law_fit",
-    "q373_lorenz_curve",
-    "q374_two_hop_reach",
-    "q375_behavioral_entropy_bands",
-]
+# The headline set is STRUCTURAL: every queries() registry entry is
+# benchmarked — no silent exclusions (the no-silent-caps rule applies to
+# the bench itself).  HEADLINE is derived from the registry at runtime
+# so a new query can never be silently missing from BENCH_r{N}.json;
+# n_queries in the output always equals the registry size.
+def _headline() -> list[str]:
+    import __spark_entry__ as entrymod
+
+    return sorted(entrymod.queries())
+
+
+HEADLINE: list[str] = []  # populated in main() once the registry imports
 
 
 def main() -> None:
@@ -316,6 +65,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    HEADLINE.extend(_headline())
 
     # Warm-up protocol (mirrors the reference benchmark's warmup+measured
     # batches, benchmarks/run-benchmarks.sh): one untimed run of every
