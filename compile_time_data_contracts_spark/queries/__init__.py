@@ -9,7 +9,14 @@ same registry keys, same oracle artifact):
                              analytics (q224-q329; round-8 split)
   * ``tier_experiment_gov``— experimentation / attribution / governance
                              analytics (q332-q373; round-8 split)
-  * ``tier_llm``           — dedup / similarity / text / sampling / drift
+  * ``tier_llm_dedup``     — dedup / entity resolution / curation (round-8
+                             split of the former 8,000-line tier_llm)
+  * ``tier_llm_vectors``   — similarity / ANN / embeddings / k-means / PCA
+  * ``tier_llm_text``      — text quality / tokenization / LM / sampling /
+                             multimodal
+  * ``tier_llm_graph``     — graph algorithms over the customer graph
+  * ``tier_llm_eval``      — drift / agreement / funnels / sketches /
+                             datasheets
   * ``tier_streaming``     — Structured Streaming queries
   * ``tier_contracts_io`` — typed IO round-trips, MERGE/SCD2, expectations
 
@@ -29,7 +36,11 @@ from ._shared import _ORACLES, _QUERIES, _ts_str, oracle_sql, q, queries  # noqa
 from . import tier_core_sql  # noqa: E402,F401
 from . import tier_stats_ts  # noqa: E402,F401
 from . import tier_experiment_gov  # noqa: E402,F401
-from . import tier_llm  # noqa: E402,F401
+from . import tier_llm_dedup  # noqa: E402,F401
+from . import tier_llm_vectors  # noqa: E402,F401
+from . import tier_llm_text  # noqa: E402,F401
+from . import tier_llm_graph  # noqa: E402,F401
+from . import tier_llm_eval  # noqa: E402,F401
 from . import tier_streaming  # noqa: E402,F401
 from . import tier_contracts_io  # noqa: E402,F401
 from .tier_core_sql import flagship  # noqa: E402,F401

@@ -244,7 +244,7 @@ def test_referential_audit_counts(spark, sf_dir):
 
 # ---------------------------------------------------- agreement / info
 def test_cohens_kappa_matches_pure_python(spark, sf_dir):
-    from compile_time_data_contracts_spark.queries.tier_llm import q234
+    from compile_time_data_contracts_spark.queries.tier_llm_eval import q234
 
     row = q234(spark, sf_dir).collect()[0]
     docs = (
@@ -274,7 +274,7 @@ def test_entropy_matches_pure_python(spark, sf_dir):
     import math
     from collections import Counter
 
-    from compile_time_data_contracts_spark.queries.tier_llm import q235
+    from compile_time_data_contracts_spark.queries.tier_llm_text import q235
 
     rows = {r.source: r for r in q235(spark, sf_dir).collect()}
     docs = (
@@ -298,7 +298,7 @@ def test_js_divergence_bounds_and_python_parity(spark, sf_dir):
     import math
     from collections import Counter
 
-    from compile_time_data_contracts_spark.queries.tier_llm import q236
+    from compile_time_data_contracts_spark.queries.tier_llm_eval import q236
 
     row = q236(spark, sf_dir).collect()[0]
     assert 0.0 <= row.js_nats <= math.log(2) + 1e-9
