@@ -433,11 +433,19 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     oracle) is annotated with whether the partition-pruned search of the
     appended index recovers >= 7 of them — same floor as q107's
     build-once contract, so appending must not cost recall on a
-    stationary distribution."""
-    import shutil
+    stationary distribution.
+
+    Build-once-search-many, the q67/q107/q376 convention: the appended
+    index persists at a deterministic path and is REUSED while the full
+    corpus fingerprint still matches (after the append the stored meta
+    covers build half + appended half, i.e. the full table), so repeat
+    calls measure steady-state search; `ivf_append`'s byte-identical
+    untouched partitions are asserted in tests/test_operators.py."""
+    import hashlib
     import tempfile
 
     from ..operators.similarity import (
+        _ivf_fingerprint,
         ivf_append,
         ivf_build,
         ivf_search,
@@ -447,13 +455,23 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
     exact = topk_cosine(emb, query, k=10)
-    idx = tempfile.mkdtemp(prefix="ctdc-ivfappend-") + "/idx"
-    shutil.rmtree(idx, ignore_errors=True)
-    ivf_build(
-        emb.filter(F.col("vec_id") % 2 == 0), idx, n_clusters=32,
-        sample_size=10000, seed=42,
-    )
-    ivf_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    tag = hashlib.md5(f"{sf}|append32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-ivfappend-{tag}"
+    fp = _ivf_fingerprint(emb, "vec_id")
+    try:
+        m = spark.read.parquet(f"{idx}/meta").first()
+        stale = m is None or (int(m["n"]), m["max_id"]) != fp
+    except Exception:
+        stale = True
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_build(
+            emb.filter(F.col("vec_id") % 2 == 0), idx, n_clusters=32,
+            sample_size=10000, seed=42,
+        )
+        ivf_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
     approx = ivf_search(spark, idx, query, k=10, nprobe=8).select("vec_id")
     overlap = exact.join(approx, "vec_id", "semi").count()
     return exact.select(
