@@ -1,0 +1,82 @@
+"""Round-8 hardening tests: q143's build-once-search-many reuse
+contract (deterministic index path + full-corpus fingerprint), mirroring
+the q67/q107/q376 convention it joined this round."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pytest
+
+
+def _file_state(root):
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            st = os.stat(fp)
+            out[fp] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _vec(direction, i):
+    # orthogonal groups (e0 vs e1) with per-vector jitter so every
+    # cosine similarity is distinct (no tie-break ambiguity between the
+    # exact heap and the IVF heap)
+    base = [0.0, 0.0, 0.0]
+    base[direction] = 1.0
+    base[2] = 0.001 * (i + 1)
+    return base
+
+
+def _write_embeddings(spark, sf_dir, extra_rows=()):
+    rows = (
+        [(i, _vec(0, i), 0) for i in range(20)]
+        + [(100 + i, _vec(1, i), 1) for i in range(20)]
+        + list(extra_rows)
+    )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_q143_reuses_appended_index_and_rebuilds_on_change(
+    spark, tmp_path
+):
+    import __spark_entry__ as entrymod
+
+    sf_dir = str(tmp_path / "sf_e")
+    os.makedirs(sf_dir)
+    _write_embeddings(spark, sf_dir)
+    q143 = entrymod.queries()["q143_ivf_append_contract"]
+
+    tag = hashlib.md5(f"{sf_dir}|append32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-ivfappend-{tag}"
+
+    first = sorted(map(tuple, q143(spark, sf_dir).collect()))
+    assert len(first) == 10
+    # all top-10 neighbors of the e0 query come from the e0 group, and
+    # the partition-pruned search of the appended index recovers >= 7
+    assert all(vid < 100 for vid, _, _ in first)
+    assert all(ok for _, _, ok in first)
+    state_after_build = _file_state(idx)
+    assert state_after_build, "index was not persisted at the shared path"
+
+    # second call: fingerprint matches -> pure search, byte-identical
+    # index (no rebuild, no append, no meta advance)
+    second = sorted(map(tuple, q143(spark, sf_dir).collect()))
+    assert second == first
+    assert _file_state(idx) == state_after_build
+
+    # regenerated corpus at the same sf path: (n, max_id) fingerprint
+    # changes -> half-build + append re-runs against the new table
+    _write_embeddings(spark, sf_dir, extra_rows=[(300, _vec(0, 50), 0)])
+    third = sorted(map(tuple, q143(spark, sf_dir).collect()))
+    assert _file_state(idx) != state_after_build
+    assert len(third) == 10
+    # meta now fingerprints the 41-row corpus (build half + appended
+    # half + the new row routed to its parity half)
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert int(meta["n"]) == 41
