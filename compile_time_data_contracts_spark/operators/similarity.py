@@ -584,9 +584,16 @@ def ivf_build(
         df, n_clusters, id_col, vec_col, sample_size, kmeans_iters, seed,
         meta_cols,
     )
-    assigned.write.mode("overwrite").partitionBy(
-        "cluster", *meta_cols
-    ).parquet(f"{index_path}/vectors")
+    # shuffle to the partition layout BEFORE the write: without it every
+    # input partition fans out one file into every (cluster, *meta) leaf
+    # directory it touches — O(input_partitions x leaf_dirs) small files,
+    # the classic partitioned-write blowup (measured 5x slower builds at
+    # 10^5 vectors / 2,560 leaves, and the file-count tax is paid again
+    # by every subsequent probe's footer reads).  After the repartition
+    # each leaf gets one writer; AQE coalesces the tiny-cell tasks.
+    assigned.repartition("cluster", *[F.col(c) for c in meta_cols]).write.mode(
+        "overwrite"
+    ).partitionBy("cluster", *meta_cols).parquet(f"{index_path}/vectors")
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(C)]
     spark.createDataFrame(
@@ -633,9 +640,11 @@ def ivf_append(
         raise ValueError(f"ivf_append: no centroids at {index_path}")
     C = np.vstack([np.asarray(r.centroid, dtype=np.float64) for r in cents])
     assigned = _assign_with_centroids(new_df, C, id_col, vec_col, meta_cols)
-    assigned.write.mode("append").partitionBy(
-        "cluster", *meta_cols
-    ).parquet(f"{index_path}/vectors")
+    # same one-writer-per-leaf shuffle as ivf_build: an append batch
+    # otherwise adds O(batch_partitions) files to every touched cell
+    assigned.repartition("cluster", *[F.col(c) for c in meta_cols]).write.mode(
+        "append"
+    ).partitionBy("cluster", *meta_cols).parquet(f"{index_path}/vectors")
     old = spark.read.parquet(f"{index_path}/meta").first()
     add_n, add_mx = _ivf_fingerprint(new_df, id_col)
     spark.createDataFrame(
