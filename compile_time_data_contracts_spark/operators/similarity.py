@@ -1459,11 +1459,14 @@ def ivf_pq_topk(
         books = pq_train(
             np.vstack(sample[vec_col].to_numpy()), m=m, ksub=ksub, seed=seed
         )
+        # one writer per cluster directory (same layout shuffle as
+        # ivf_build — without it every encoder partition appends a file
+        # to every cluster it touches)
         pq_encode(
             vecs, books, id_col, vec_col, extra_cols=("cluster",)
-        ).write.mode("overwrite").partitionBy("cluster").parquet(
-            f"{index_path}/pq/codes"
-        )
+        ).repartition(F.col("cluster")).write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(f"{index_path}/pq/codes")
         book_rows = [
             (s, c, [float(x) for x in books[s, c]])
             for s in range(books.shape[0])
