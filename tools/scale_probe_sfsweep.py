@@ -243,6 +243,7 @@ EXPECTED = {
     "q373_lorenz_curve": 1.3,  # customer rollup + decile windows
     "q374_two_hop_reach": 1.5,  # capped hop join: O(sum deg<=64 ^2)
     "q375_behavioral_entropy_bands": 1.3,  # two cascaded partial aggs
+    "q376_filtered_ivf_recall_contract": 1.3,  # pruned probe + one exact pass
 }
 
 
