@@ -27,20 +27,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The headline set is STRUCTURAL: every queries() registry entry is
-# benchmarked — no silent exclusions (the no-silent-caps rule applies to
-# the bench itself).  HEADLINE is derived from the registry at runtime
-# so a new query can never be silently missing from BENCH_r{N}.json;
-# n_queries in the output always equals the registry size.
-def _headline() -> list[str]:
-    import __spark_entry__ as entrymod
-
-    return sorted(entrymod.queries())
-
-
-HEADLINE: list[str] = []  # populated in main() once the registry imports
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -65,7 +51,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    HEADLINE.extend(_headline())
+    # The headline set is STRUCTURAL: every queries() registry entry is
+    # benchmarked — no silent exclusions (the no-silent-caps rule
+    # applies to the bench itself), so n_queries in the output always
+    # equals the registry size and a new query can never be silently
+    # missing from BENCH_r{N}.json.
+    headline = sorted(qs)
 
     # Warm-up protocol (mirrors the reference benchmark's warmup+measured
     # batches, benchmarks/run-benchmarks.sh): one untimed run of every
@@ -77,7 +68,7 @@ def main() -> None:
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
-    for name in HEADLINE:
+    for name in headline:
         try:
             qs[name](spark, warm_dir).write.mode("overwrite").format(
                 "noop"
@@ -95,9 +86,9 @@ def main() -> None:
     # pass 2, ...) so a noisy minute degrades one sample of many queries
     # instead of every sample of one query.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(repeats):
-        for name in HEADLINE:
+        for name in headline:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)

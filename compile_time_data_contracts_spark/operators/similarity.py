@@ -599,11 +599,28 @@ def ivf_build(
     spark.createDataFrame(
         cent_rows, "cluster int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    # meta rides with the index so reuse can detect a regenerated source
+    # meta rides with the index: the content fingerprint (so reuse can
+    # detect a regenerated source) AND the layout parameters (meta_cols,
+    # n_clusters) — ivf_append derives the partition layout from here
+    # instead of trusting every caller to re-supply it consistently (a
+    # default-args append into a (cluster, label)-partitioned index
+    # would write at the wrong directory depth and break partition
+    # discovery for every subsequent read)
     fp = fingerprint if fingerprint is not None else _ivf_fingerprint(df, id_col)
     spark.createDataFrame(
-        [(fp[0], fp[1])], "n long, max_id string"
+        [(fp[0], fp[1], ",".join(meta_cols), int(n_clusters))],
+        "n long, max_id string, meta_cols string, n_clusters int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def _ivf_meta(spark, index_path: str):
+    """(row, meta_cols tuple, n_clusters or None) from the index's meta
+    table.  Indexes written before the layout fields existed read as
+    meta_cols=() / n_clusters=None — ivf_topk treats that as stale."""
+    row = spark.read.parquet(f"{index_path}/meta").first()
+    d = row.asDict()
+    mc = tuple(c for c in (d.get("meta_cols") or "").split(",") if c)
+    return row, mc, d.get("n_clusters")
 
 
 def ivf_append(
@@ -612,7 +629,7 @@ def ivf_append(
     new_df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    meta_cols: tuple = (),
+    meta_cols: tuple | None = None,
 ) -> None:
     """Incremental IVF growth: assign a NEW batch of vectors to the
     index's EXISTING centroids and append only the touched cluster
@@ -621,6 +638,13 @@ def ivf_append(
     test-asserted).  The meta fingerprint advances to the combined
     (row count, max id) so `ivf_topk`-style reuse checks keyed on the
     full corpus see a consistent index.
+
+    The partition layout (which metadata columns ride in the directory
+    structure) is DERIVED from the index's own meta table, never from
+    the caller: an append with the wrong meta_cols would write at a
+    different directory depth and break partition discovery for the
+    whole index.  Passing ``meta_cols`` explicitly is allowed only as
+    an assertion — a mismatch with the stored layout raises.
 
     This is the daily-ingest path of a growing corpus: append cost is
     O(batch), while a rebuild is O(corpus) + a k-means fit.  Centroids
@@ -631,6 +655,14 @@ def ivf_append(
     """
     import numpy as np
 
+    old, stored_cols, _ = _ivf_meta(spark, index_path)
+    if meta_cols is not None and tuple(meta_cols) != stored_cols:
+        raise ValueError(
+            f"ivf_append: index at {index_path} is partitioned by "
+            f"(cluster, {', '.join(stored_cols) or 'nothing'}) but the "
+            f"caller expected meta_cols={tuple(meta_cols)}"
+        )
+    meta_cols = stored_cols
     cents = (
         spark.read.parquet(f"{index_path}/centroids")
         .orderBy("cluster")
@@ -645,11 +677,15 @@ def ivf_append(
     assigned.repartition("cluster", *[F.col(c) for c in meta_cols]).write.mode(
         "append"
     ).partitionBy("cluster", *meta_cols).parquet(f"{index_path}/vectors")
-    old = spark.read.parquet(f"{index_path}/meta").first()
     add_n, add_mx = _ivf_fingerprint(new_df, id_col)
     spark.createDataFrame(
-        [(int(old["n"]) + add_n, max(old["max_id"] or "", add_mx))],
-        "n long, max_id string",
+        [(
+            int(old["n"]) + add_n,
+            max(old["max_id"] or "", add_mx),
+            ",".join(meta_cols),
+            old.asDict().get("n_clusters"),
+        )],
+        "n long, max_id string, meta_cols string, n_clusters int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
@@ -730,8 +766,18 @@ def ivf_topk(
         index_path = tempfile.mkdtemp(prefix="ctdc-ivf-")
     fp = _ivf_fingerprint(df, id_col)
     try:
-        m = spark.read.parquet(f"{index_path}/meta").first()
-        stale = m is None or (int(m["n"]), m["max_id"]) != fp
+        m, stored_cols, stored_k = _ivf_meta(spark, index_path)
+        # reuse needs BOTH the content fingerprint and the layout
+        # parameters to match: a fingerprint-matching index built with
+        # different meta_cols lacks the partition axis a filtered
+        # search prunes on, and a different n_clusters changes what
+        # nprobe means — either mismatch rebuilds
+        stale = (
+            m is None
+            or (int(m["n"]), m["max_id"]) != fp
+            or stored_cols != tuple(meta_cols)
+            or stored_k != n_clusters
+        )
     except Exception:
         stale = True
     if stale:

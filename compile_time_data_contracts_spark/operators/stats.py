@@ -1537,7 +1537,7 @@ def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
         return binned.withColumn(
             "iso_rate", F.lit(None).cast("double")
         )
-    bad = [r["bin"] for r in rows if r["n"] <= 0]
+    bad = [r["bin"] for r in rows if r["n"] is None or r["n"] <= 0]
     if bad:
         raise ValueError(
             f"isotonic_fit_bins: bins {bad} have n<=0; every bin must "

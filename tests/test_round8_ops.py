@@ -10,6 +10,8 @@ import tempfile
 
 import pytest
 
+from pyspark.sql import functions as F
+
 
 def _file_state(root):
     out = {}
@@ -80,3 +82,52 @@ def test_q143_reuses_appended_index_and_rebuilds_on_change(
     # half + the new row routed to its parity half)
     meta = spark.read.parquet(f"{idx}/meta").first()
     assert int(meta["n"]) == 41
+
+
+def test_ivf_append_derives_layout_from_index_meta(spark, tmp_path):
+    """The append layout comes from the index's own meta, never the
+    caller: a default-args append into a (cluster, label)-partitioned
+    index must land at the correct directory depth (previously it wrote
+    one level shallow and broke partition discovery for every
+    subsequent read), and an explicitly WRONG meta_cols must raise
+    instead of corrupting the layout."""
+    import pytest as _pytest
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, _vec(i % 2, i), i % 2) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx = str(tmp_path / "fivf")
+    ivf_build(
+        corpus, idx, n_clusters=4, sample_size=100, seed=7,
+        meta_cols=("label",),
+    )
+
+    batch = spark.createDataFrame(
+        [(100 + i, _vec(0, i), 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # defaults: layout derived from meta -> lands under cluster=/label=
+    ivf_append(spark, idx, batch)
+    got = spark.read.parquet(f"{idx}/vectors")
+    assert set(got.columns) == {"vec_id", "embedding", "label", "cluster"}
+    assert got.count() == 45
+    # the appended rows are searchable through the label-filtered path
+    query = corpus.filter(F.col("vec_id") == 0)
+    found = {
+        r.vec_id
+        for r in ivf_search(
+            spark, idx, query, k=45, nprobe=4, filters={"label": 0}
+        ).collect()
+    }
+    assert set(range(100, 105)) <= found
+
+    # an explicitly wrong layout is an error, not a corruption
+    with _pytest.raises(ValueError, match="partitioned by"):
+        ivf_append(spark, idx, batch, meta_cols=("tenant",))

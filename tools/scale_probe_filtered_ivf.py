@@ -24,9 +24,11 @@ Contracts (all asserted, results recorded in SCALEBENCH.json):
   3. Plan: the probed scan's PartitionFilters carry BOTH axes —
      `cluster` (nprobe cells) and `label` (one value) — so the cut is
      directory-level on both; no unfiltered candidate generation.
-  4. Directory math: of n_clusters x |labels| leaf directories, the
-     probed scan touches at most nprobe x 1 (recorded as
-     `dirs_total` / `dirs_probed_max`).
+  4. Directory math, MEASURED: the cluster ids are parsed out of the
+     executed plan's PartitionFilters and the surviving
+     (cluster=c, label=0) directories counted on disk — recorded as
+     `dirs_probed` (must be in (0, nprobe]) next to `dirs_total`;
+     a regression to post-read label filtering would flip `ok`.
 
 Usage: python tools/scale_probe_filtered_ivf.py [n] [dim]
 Writes `filtered_ivf_n{total}` into SCALEBENCH.json.
@@ -121,6 +123,9 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
+        # default 100-char metadata truncation would cut the INSET list
+        # out of PartitionFilters before dirs_probed can parse it
+        .config("spark.sql.maxMetadataStringLength", "100000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -159,7 +164,6 @@ def main() -> int:
                 if ldir.startswith("label=")
             )
     results["dirs_total"] = leaf_dirs
-    results["dirs_probed_max"] = NPROBE  # nprobe cells x 1 label
 
     # --- filtered search: must recover the in-label plants ---------------
     query = emb.filter(F.col("vec_id") == n)  # an in-label plant near v0
@@ -180,6 +184,25 @@ def main() -> int:
     pf_text = pf.group(0) if pf else ""
     results["plan_prunes_cluster"] = "cluster" in pf_text
     results["plan_prunes_label"] = "label" in pf_text
+    # MEASURED probed-directory count (not the nprobe x 1 assumption):
+    # the cluster ids come out of the executed plan's own partition
+    # filter, then each surviving (cluster=c, label=0) directory is
+    # checked on disk — if label pruning regressed to a post-read
+    # filter, this count would jump to nprobe x |labels| and `ok` flips
+    probed_ids = re.search(
+        r"cluster#\d+ (?:INSET ([0-9, ]+)|IN \(([0-9, ]*)\))", pf_text
+    )
+    probed_clusters = [
+        int(x)
+        for x in ((probed_ids.group(1) or probed_ids.group(2)).split(",")
+                  if probed_ids else [])
+        if x.strip()
+    ]
+    results["dirs_probed"] = sum(
+        1
+        for c in probed_clusters
+        if os.path.isdir(f"{idx}/vectors/cluster={c}/label=0")
+    )
 
     # --- exact ground truth + the post-filter starvation count -----------
     t0 = time.perf_counter()
@@ -194,7 +217,7 @@ def main() -> int:
 
     unfiltered_top = topk_cosine(emb, query, k=N_PLANTS + 1)
     lbl = {r.vec_id: r.label for r in emb.filter(
-        (F.col("vec_id") >= n) | (F.col("vec_id") == n)
+        F.col("vec_id") >= n
     ).select("vec_id", "label").collect()}
     post = [
         r.vec_id
@@ -209,6 +232,7 @@ def main() -> int:
         and results["plan_prunes_label"]
         and results["exact_match"]
         and results["post_filter_would_return"] <= 2
+        and 0 < results["dirs_probed"] <= NPROBE
     )
     results["ok"] = bool(ok)
     merge_entry(f"filtered_ivf_n{total}", results)
