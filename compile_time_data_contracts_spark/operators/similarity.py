@@ -614,13 +614,19 @@ def ivf_build(
 
 
 def _ivf_meta(spark, index_path: str):
-    """(row, meta_cols tuple, n_clusters or None) from the index's meta
-    table.  Indexes written before the layout fields existed read as
-    meta_cols=() / n_clusters=None — ivf_topk treats that as stale."""
+    """(row_or_None, meta_cols tuple, n_clusters_or_None, legacy) from
+    the index's meta table.  ``legacy`` is True when the meta predates
+    the layout fields: the actual on-disk layout is then UNKNOWN —
+    meta_cols=() is an assumption, not a fact — so ivf_append must
+    refuse (appending at a guessed directory depth can corrupt a
+    meta-partitioned index) and ivf_topk treats the index as stale."""
     row = spark.read.parquet(f"{index_path}/meta").first()
+    if row is None:
+        return None, (), None, True
     d = row.asDict()
+    legacy = "meta_cols" not in d
     mc = tuple(c for c in (d.get("meta_cols") or "").split(",") if c)
-    return row, mc, d.get("n_clusters")
+    return row, mc, d.get("n_clusters"), legacy
 
 
 def ivf_append(
@@ -655,7 +661,17 @@ def ivf_append(
     """
     import numpy as np
 
-    old, stored_cols, _ = _ivf_meta(spark, index_path)
+    old, stored_cols, stored_k, legacy = _ivf_meta(spark, index_path)
+    if old is None or legacy:
+        # meta predates the layout fields (or is empty): the on-disk
+        # directory depth is unknown, and appending at a guessed depth
+        # into a meta-partitioned index mixes depths and breaks
+        # partition discovery for every subsequent read — refuse
+        raise ValueError(
+            f"ivf_append: index at {index_path} has no recorded "
+            "partition layout (built by an older ivf_build, or empty "
+            "meta); rebuild it with ivf_build before appending"
+        )
     if meta_cols is not None and tuple(meta_cols) != stored_cols:
         raise ValueError(
             f"ivf_append: index at {index_path} is partitioned by "
@@ -683,7 +699,7 @@ def ivf_append(
             int(old["n"]) + add_n,
             max(old["max_id"] or "", add_mx),
             ",".join(meta_cols),
-            old.asDict().get("n_clusters"),
+            stored_k,
         )],
         "n long, max_id string, meta_cols string, n_clusters int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
@@ -766,14 +782,16 @@ def ivf_topk(
         index_path = tempfile.mkdtemp(prefix="ctdc-ivf-")
     fp = _ivf_fingerprint(df, id_col)
     try:
-        m, stored_cols, stored_k = _ivf_meta(spark, index_path)
+        m, stored_cols, stored_k, legacy = _ivf_meta(spark, index_path)
         # reuse needs BOTH the content fingerprint and the layout
         # parameters to match: a fingerprint-matching index built with
         # different meta_cols lacks the partition axis a filtered
         # search prunes on, and a different n_clusters changes what
-        # nprobe means — either mismatch rebuilds
+        # nprobe means — either mismatch (or a legacy meta with no
+        # recorded layout, or an empty meta) rebuilds
         stale = (
             m is None
+            or legacy
             or (int(m["n"]), m["max_id"]) != fp
             or stored_cols != tuple(meta_cols)
             or stored_k != n_clusters

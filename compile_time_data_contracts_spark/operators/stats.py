@@ -1537,11 +1537,19 @@ def isotonic_fit_bins(binned: DataFrame, bin_col: str = "bin",
         return binned.withColumn(
             "iso_rate", F.lit(None).cast("double")
         )
-    bad = [r["bin"] for r in rows if r["n"] is None or r["n"] <= 0]
+    bad = [
+        r["bin"]
+        for r in rows
+        if r["bin"] is None
+        or r["n"] is None
+        or r["n"] <= 0
+        or r["pos"] is None
+    ]
     if bad:
         raise ValueError(
-            f"isotonic_fit_bins: bins {bad} have n<=0; every bin must "
-            "carry at least one trial (pos/n is undefined otherwise)"
+            f"isotonic_fit_bins: bins {bad} have a NULL bin id, NULL "
+            "pos, or n<=0; every bin must carry at least one trial and "
+            "an integer success count (pos/n is undefined otherwise)"
         )
     # PAV with exact integer block sums: stack of (bins, n, pos)
     stack: list[list] = []
