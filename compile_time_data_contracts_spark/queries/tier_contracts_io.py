@@ -681,8 +681,10 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q144(spark: SparkSession, sf: str) -> DataFrame:
     """Small-file compaction round-trip: customer is written as 40
-    fragment files, `compact_parquet` bin-packs them (atomic directory
-    swap; the table-maintenance pass every long-lived streaming-append
+    fragment files, `compact_parquet` bin-packs them (temp-dir rewrite +
+    rename swap — never a partial mix of layouts, though concurrent
+    readers can hit a brief path-absent window between the renames; the
+    table-maintenance pass every long-lived streaming-append
     table needs), and the compacted table must aggregate identically to
     the source (oracle recomputes over the original).  ``compacted_ok``
     pins the file-count contract: a single file afterwards, fewer than

@@ -55,6 +55,21 @@ class Sink:
     options: typing.Mapping[str, str] = dataclasses.field(default_factory=dict)
     partition_by: tuple[str, ...] = ()
 
+    def __post_init__(self) -> None:
+        # contract-membership is a CONSTRUCTION-time property (the
+        # repo's refuse-early ethos): a Sink declaring a partition
+        # column the contract lacks is wrong independent of any frame,
+        # and under a lenient policy (FULL/BACKWARD) the first write's
+        # df.columns check could otherwise mis-blame the frame
+        if self.partition_by:
+            names = set(spark_schema(self.contract).names)
+            missing = set(self.partition_by) - names
+            if missing:
+                raise ValueError(
+                    f"sink {self.path}: partition columns not in "
+                    f"contract {self.contract.__name__}: {sorted(missing)}"
+                )
+
 
 def read_df(spark: SparkSession, source: Source) -> DataFrame:
     """`TypedIO.readDF` (SparkCore.scala:346-352): explicit contract schema
@@ -81,11 +96,14 @@ def write_df(
         df.schema, spark_schema(sink.contract), policy, context=f"sink {sink.path}"
     )
     if sink.partition_by:
+        # contract membership was validated at Sink construction; this
+        # guards the FRAME (a lenient policy can admit a frame missing
+        # a contract column the layout partitions on)
         missing = set(sink.partition_by) - set(df.columns)
         if missing:
             raise ValueError(
-                f"sink {sink.path}: partition columns not in contract: "
-                f"{sorted(missing)}"
+                f"sink {sink.path}: partition columns missing from the "
+                f"frame being written: {sorted(missing)}"
             )
     writer = (
         df.write.format(sink.format)

@@ -89,15 +89,22 @@ def compact_parquet(
     per-file open/footer cost eventually dominates scans).
 
     Unpartitioned: the whole directory is rewritten into
-    ceil(bytes/target) files.  Partitioned (hive layout): each
-    partition directory is compacted INDEPENDENTLY and only when its
-    file count exceeds what its byte size needs — already-compact
-    partitions are not rewritten (byte-identical, test-asserted), so
-    steady-state maintenance cost tracks the append rate, not the table
-    size.  Rewrites go through a temp directory + atomic directory
-    swap, so a concurrent reader sees either the old or the new layout,
-    never a partial one.  Data is preserved exactly (row-identical;
-    test-asserted by checksum).
+    ceil(bytes/target) files.  Partitioned (hive layout, ANY nesting
+    depth — every directory that directly holds parquet files is a
+    compaction unit): each leaf partition is compacted INDEPENDENTLY
+    and only when its file count exceeds what its byte size needs —
+    already-compact partitions are not rewritten (byte-identical,
+    test-asserted), so steady-state maintenance cost tracks the append
+    rate, not the table size.  Rewrites go through a temp directory +
+    two renames, so a reader never observes a PARTIAL mix of old and
+    new files; there is, however, a brief window between the renames
+    where the leaf path is absent (POSIX rename cannot exchange two
+    directories) — a concurrent scan in that window fails fast with
+    path-not-found and retries, it can never read half a layout.
+    Concurrent WRITERS to the same leaf still need external
+    coordination or a transactional table format, the usual
+    non-transactional parquet caveat.  Data is preserved exactly
+    (row-identical; test-asserted by checksum).
 
     Returns {"partitions_compacted": k, "files_before": a,
     "files_after": b}.
@@ -142,10 +149,18 @@ def compact_parquet(
 
     stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
     if partitioned:
+        # walk to the LEAF partition directories: with multi-column
+        # partitionBy (a=1/b=2/...) the parquet files sit arbitrarily
+        # deep, and compacting only the first level would silently
+        # no-op (zero files found -> every partition 'already compact')
         dirs = [
-            os.path.join(path, d)
-            for d in os.listdir(path)
-            if "=" in d and os.path.isdir(os.path.join(path, d))
+            dirpath
+            for dirpath, _, files in os.walk(path)
+            if "=" in os.path.basename(dirpath)
+            and any(
+                f.endswith(".parquet") and not f.startswith(".")
+                for f in files
+            )
         ]
     else:
         dirs = [path]

@@ -106,7 +106,11 @@ class _SynthStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         s = start["offset"]
-        e = min(s + self.batch, self.n)
+        # clamp the end offset to never regress below the committed
+        # start: restarting from a checkpoint with a LOWER 'n' option
+        # would otherwise return e < s and re-emit already-committed
+        # rows on the next trigger, violating replayability
+        e = max(s, min(s + self.batch, self.n))
         return self._rows(s, e), {"offset": e}
 
     def readBetweenOffsets(self, start, end):

@@ -14,6 +14,7 @@ from .windows import (
 
 __all__ = [
     "interval_join",
+    "write_stream_idempotent",
     "write_stream_with_contract",
     "running_user_totals",
     "dedup_within_watermark",

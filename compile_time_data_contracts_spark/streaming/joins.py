@@ -16,6 +16,8 @@ instead of silently corrupting the sink.
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,10 +82,9 @@ def write_stream_with_contract(
     any batch raises SchemaMismatchError and fails the query — data
     stops moving, exactly like the batch pipeline's construction-time
     refusal.  Returns the StreamingQuery (caller awaits termination)."""
-    append_sink = Sink(
-        sink.contract, sink.path, mode="append", format=sink.format,
-        options=sink.options, partition_by=sink.partition_by,
-    )
+    # replace() copies every field and overrides only mode, so a future
+    # Sink field can never be silently dropped or misassigned here
+    append_sink = dataclasses.replace(sink, mode="append")
 
     def pin_and_write(batch_df: DataFrame, batch_id: int) -> None:
         write_df(batch_df, append_sink, policy)
@@ -119,7 +120,7 @@ def interval_join_gate(
     import tempfile
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed
+    from .windows import run_gate_to_memory, write_ordered_feed
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -142,21 +143,8 @@ def interval_join_gate(
         right_watermark="2 hours",
     )
     pairs = joined.select(F.col("l.user_id").alias("user_id"))
-    if query_name in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(query_name)
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.table(query_name)
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_pairs"))
-    )
+    table, _ = run_gate_to_memory(pairs, query_name, "append")
+    return table.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
 def idempotent_batch_writer(path: str):
@@ -164,7 +152,6 @@ def idempotent_batch_writer(path: str):
     so tests and gates can SIMULATE a post-crash redelivery by invoking
     it again with the same (batch_df, batch_id) and asserting the sink
     is unchanged."""
-    from pyspark.sql import functions as F
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -242,7 +229,7 @@ def outer_interval_join_gate(
     import tempfile
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed
+    from .windows import run_gate_to_memory, write_ordered_feed
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
@@ -286,18 +273,9 @@ def outer_interval_join_gate(
         F.col("l.user_id").alias("user_id"),
         F.col("r.event_id").alias("r_event_id"),
     )
-    if query_name in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(query_name)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    table, _ = run_gate_to_memory(out, query_name, "append")
     return (
-        spark.table(query_name)
+        table
         .filter(F.col("user_id") >= 0)  # the left sentinel, if flushed
         .groupBy("user_id")
         .agg(

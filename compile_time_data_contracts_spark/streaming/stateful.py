@@ -26,6 +26,7 @@ __all__ = [
     "tws_available",
     "state_store_snapshot_totals",
     "state_metadata_gate",
+    "rocksdb_totals_gate",
 ]
 
 _OUT_SCHEMA = T.StructType(
@@ -127,19 +128,12 @@ def stateful_totals_gate(
         .parquet(base)
     )
     totals = running_user_totals(stream)
-    if query_name in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(query_name)
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .windows import run_gate_to_memory
+
+    table, _ = run_gate_to_memory(totals, query_name, "update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(query_name)
+        table
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
@@ -247,8 +241,8 @@ def tws_totals_gate(
         .parquet(base)
     )
     totals = running_user_totals_tws(stream)
-    if query_name in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(query_name)
+    from .windows import run_gate_to_memory
+
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(
@@ -257,14 +251,7 @@ def tws_totals_gate(
         "RocksDBStateStoreProvider",
     )
     try:
-        q = (
-            totals.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        table, _ = run_gate_to_memory(totals, query_name, "update")
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
@@ -272,7 +259,7 @@ def tws_totals_gate(
             spark.conf.set(conf_key, prev)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(query_name)
+        table
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
@@ -331,8 +318,7 @@ def rocksdb_totals_gate(
         F.count("*").alias("n_events"),
         F.sum("value").alias("total_value"),
     )
-    if query_name in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(query_name)
+    from .windows import run_gate_to_memory
 
     try:
         prev = spark.conf.get(_PROVIDER_KEY)
@@ -340,18 +326,13 @@ def rocksdb_totals_gate(
         prev = None
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
     try:
-        q = (
-            totals.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        table, q = run_gate_to_memory(totals, query_name, "complete")
         progress = q.lastProgress
-        metrics = (progress or {}).get("stateOperators", [{}])[0].get(
-            "customMetrics"
-        ) or {}
+        # `or [{}]` (not a .get default): a no-data final progress event
+        # can carry 'stateOperators': [] — an empty list, which the
+        # .get default would not replace, and [0] would IndexError
+        ops = (progress or {}).get("stateOperators") or [{}]
+        metrics = ops[0].get("customMetrics") or {}
         engaged = any("rocksdb" in k.lower() for k in metrics)
     finally:
         if prev is None:
@@ -359,7 +340,7 @@ def rocksdb_totals_gate(
         else:
             spark.conf.set(_PROVIDER_KEY, prev)
 
-    return spark.table(query_name).select(
+    return table.select(
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round("total_value", 2).alias("total_value_r"),

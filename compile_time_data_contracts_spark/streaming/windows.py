@@ -140,15 +140,31 @@ def run_stream_to_memory(
     the batch aggregation regardless of file->batch slicing."""
     stream = events_stream(spark, sf_dir, glob="events.parquet")
     agg = tumbling_counts(stream)
-    query = (
-        agg.writeStream.format("memory")
+    table, _ = run_gate_to_memory(agg, query_name, "complete")
+    return table
+
+
+def run_gate_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Shared tail of every streaming gate: drop a stale same-name temp
+    view, run ``df`` to a memory sink under an availableNow trigger,
+    await completion, and return (result table, terminated query) —
+    the query so gates that read ``lastProgress`` (q167) share the same
+    path.  One owner for what seven call sites used to copy and drift
+    on."""
+    spark = df.sparkSession
+    if query_name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(query_name)
+    q = (
+        df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    return spark.table(query_name)
+    q.awaitTermination()
+    return spark.table(query_name), q
 
 
 def write_ordered_feed(dfs: list[DataFrame], base: str) -> None:
@@ -233,18 +249,8 @@ def late_drop_counts(
             "n",
         )
     )
-    spark.catalog.dropTempView(query_name) if query_name in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(query_name)
+    table, _ = run_gate_to_memory(agg, query_name, "append")
+    return table
 
 
 def stream_dedup_gate(
@@ -285,18 +291,9 @@ def stream_dedup_gate(
         .parquet(base)
     )
     deduped = dedup_within_watermark(stream, ["event_id"], watermark)
-    if query_name in [t.name for t in spark.catalog.listTables()]:
-        spark.catalog.dropTempView(query_name)
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    table, _ = run_gate_to_memory(deduped, query_name, "append")
     return (
-        spark.table(query_name)
+        table
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
