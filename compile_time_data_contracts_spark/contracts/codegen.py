@@ -21,6 +21,9 @@ import re
 
 from pyspark.sql import types as T
 
+from .schema import _PRIM_TO_SPARK
+from .shape import _ATOMIC_KEYS
+
 __all__ = ["contract_source", "load_contract", "UnsupportedSchemaError"]
 
 
@@ -28,19 +31,31 @@ class UnsupportedSchemaError(TypeError):
     """The schema uses a type outside the closed contract leaf set."""
 
 
-_LEAVES = {
-    T.StringType(): "str",
-    T.LongType(): "int",
-    T.IntegerType(): "int32",
-    T.ShortType(): "int16",
-    T.ByteType(): "int8",
-    T.DoubleType(): "float",
-    T.FloatType(): "float32",
-    T.BooleanType(): "bool",
-    T.DateType(): "datetime.date",
-    T.TimestampType(): "datetime.datetime",
-    T.TimestampNTZType(): "timestamp_ntz",
+# annotation text per CANONICAL shape-name — the one table codegen owns;
+# the Spark-type keys and the atomic-key set are DERIVED from the
+# shape/schema layer's tables below, so a leaf added (or removed) there
+# cannot silently diverge from what codegen accepts: a missing
+# annotation fails this module's import, not a user's generation call
+_ANN_BY_SHAPE_NAME = {
+    "string": "str",
+    "long": "int",
+    "int": "int32",
+    "short": "int16",
+    "byte": "int8",
+    "double": "float",
+    "float": "float32",
+    "boolean": "bool",
+    "date": "datetime.date",
+    "timestamp": "datetime.datetime",
+    "timestamp_ntz": "timestamp_ntz",
+    "decimal(38,18)": "decimal.Decimal",
 }
+_LEAVES = {
+    dt: _ANN_BY_SHAPE_NAME[name] for name, dt in _PRIM_TO_SPARK.items()
+}
+_ATOMIC_KEY_TYPES = tuple(
+    type(_PRIM_TO_SPARK[name]) for name in sorted(_ATOMIC_KEYS)
+)
 
 _SENTINELS = {"int32", "int16", "int8", "float32", "timestamp_ntz"}
 
@@ -75,11 +90,7 @@ def _annotation(
         )
         inner = f"list[{elem}]"
     elif isinstance(dt, T.MapType):
-        if not isinstance(
-            dt.keyType,
-            (T.StringType, T.IntegerType, T.LongType, T.ShortType,
-             T.ByteType, T.BooleanType),
-        ):
+        if not isinstance(dt.keyType, _ATOMIC_KEY_TYPES):
             raise UnsupportedSchemaError(
                 f"map key type {dt.keyType.simpleString()} is not atomic"
             )
@@ -151,11 +162,27 @@ def contract_source(schema: T.StructType, name: str = "GeneratedContract") -> st
     used: set = set()
     _emit_class(schema, name, classes, used)
 
-    imports = ["from dataclasses import dataclass", ""]
+    # postponed annotations FIRST: without this, a nullable column whose
+    # name shadows an emitted annotation name (a column literally called
+    # 'Optional', 'str', 'datetime', ...) binds that name to None in the
+    # class namespace and the NEXT annotation's evaluation crashes with
+    # "'NoneType' object is not subscriptable".  The in-process
+    # load_contract path only survived by accident (exec inherits this
+    # module's own __future__ flag); the documented write-to-a-file path
+    # needs the import in the generated source itself.
+    imports = [
+        "from __future__ import annotations",
+        "",
+        "from dataclasses import dataclass",
+        "",
+    ]
+    # stdlib imports go after the __future__ line (which MUST stay
+    # first — inserting above it would be a SyntaxError in the
+    # generated module)
     if "datetime" in used:
-        imports.insert(0, "import datetime")
+        imports.insert(2, "import datetime")
     if "decimal" in used:
-        imports.insert(0, "import decimal")
+        imports.insert(2, "import decimal")
     if "Optional" in used:
         imports.append("from typing import Optional")
     sentinels = sorted(used & _SENTINELS)

@@ -195,13 +195,16 @@ def _compare_ordered(
     (ContractsCore.scala:286-340, StructShape case :314-337)."""
     drifts: list[Drift] = []
     for i, (of, ef) in enumerate(zip(out.fields, exp.fields)):
-        ipath = f"{path}@{i}({ef.name})" if not path else f"{path}.@{i}({ef.name})"
+        # the literal "(name)" marker is the reference's grammar
+        # (ContractsCore.scala:323, Mismatch(s"$path.@$i(name)", ...));
+        # the names themselves live in the expected/found detail
+        ipath = f"{path}@{i}(name)" if not path else f"{path}.@{i}(name)"
         if _norm(of.name, ci) != _norm(ef.name, ci):
             drifts.append(
                 Drift(
                     "mismatch",
                     ipath,
-                    f"expected name {ef.name}, found {of.name}",
+                    f"expected {ef.name}, found {of.name}",
                 )
             )
         drifts += _compare_shape(
@@ -228,12 +231,20 @@ def _compare_by_pos(
     for i, (of, ef) in enumerate(zip(out.fields, exp.fields)):
         ipath = f"{path}@{i}" if not path else f"{path}.@{i}"
         drifts += _compare_shape(ipath, of.shape, ef.shape, ci=False, mode="pos")
-    for ef in exp.fields[len(out.fields):]:
-        drifts.append(Drift("missing", _join(path, ef.name), ef.shape.render(),
+    # tail missing/extra keep the POSITIONAL grammar, all at index `min`
+    # — the reference's tailMissing/tailExtra both use s"$path.@$min"
+    # (ContractsCore.scala:373-376); the field name moves into the
+    # rendered value (the reference's renderField) since by-position
+    # paths never carry names
+    min_len = min(len(out.fields), len(exp.fields))
+    tpath = f"{path}@{min_len}" if not path else f"{path}.@{min_len}"
+    for ef in exp.fields[min_len:]:
+        drifts.append(Drift("missing", tpath,
+                            f"{ef.name}: {ef.shape.render()}",
                             missing_is_optional=ef.is_optional,
                             missing_has_default=ef.has_default))
-    for of in out.fields[len(exp.fields):]:
-        drifts.append(Drift("extra", _join(path, of.name), of.shape.render()))
+    for of in out.fields[min_len:]:
+        drifts.append(Drift("extra", tpath, of.shape.render()))
     return drifts
 
 

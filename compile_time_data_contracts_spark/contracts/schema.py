@@ -80,7 +80,9 @@ def spark_schema(contract_cls: typing.Union[type, StructShape]) -> T.StructType:
     """Derive (and cache on the contract class) the StructType."""
     if isinstance(contract_cls, StructShape):
         return _struct_type(contract_cls)
-    cached = getattr(contract_cls, "__ctdc_schema__", None)
+    # own-dict lookup, never getattr: an undecorated dataclass subclass
+    # would otherwise inherit (and serve) the PARENT's cached schema
+    cached = contract_cls.__dict__.get("__ctdc_schema__")
     if cached is not None:
         return cached
     schema = _struct_type(shape_for(contract_cls))

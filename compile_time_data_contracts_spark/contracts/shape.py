@@ -144,8 +144,9 @@ class StructShape:
 
 Shape = typing.Union[PrimitiveShape, SequenceShape, MapShape, StructShape]
 
-_SEQ_ORIGINS = {list, tuple, set, frozenset}
-# tuple is rejected (fixed arity); list/set/frozenset collapse to sequence
+# list/set/frozenset collapse to sequence; tuple (fixed arity) and every
+# other origin fall through to _reject in _shape_of_required
+_SEQ_ORIGINS = (list, set, frozenset)
 
 
 def _unwrap_optional(tp: object) -> tuple[object, bool]:
@@ -184,7 +185,7 @@ def _shape_of_required(tp: object) -> Shape:
         if dataclasses.is_dataclass(tp):
             return struct_shape_of(tp)
         _reject(tp)
-    if origin in (list, set, frozenset):
+    if origin in _SEQ_ORIGINS:
         (elem,) = typing.get_args(tp)
         elem_inner, elem_opt = _unwrap_optional(elem)
         return SequenceShape(_shape_of_required(elem_inner), contains_null=elem_opt)
@@ -201,10 +202,7 @@ def _shape_of_required(tp: object) -> Shape:
             _shape_of_required(val_inner),
             value_contains_null=val_opt,
         )
-    if origin is tuple:
-        _reject(tp)
-    _reject(tp)
-    raise AssertionError("unreachable")
+    _reject(tp)  # tuple (fixed arity) and every other generic origin
 
 
 def _reject(tp: object) -> typing.NoReturn:
@@ -270,7 +268,12 @@ def contract(cls: type) -> type:
 
 
 def is_contract(cls: object) -> bool:
-    return hasattr(cls, "__ctdc_shape__")
+    # __dict__, never hasattr: an UNDECORATED dataclass subclass of a
+    # @contract inherits the parent's __ctdc_shape__, and resolving it
+    # as "a contract" silently uses the PARENT's fields — a read
+    # through such a class would scan with a schema missing the
+    # subclass's own columns and never detect drift on them
+    return isinstance(cls, type) and "__ctdc_shape__" in cls.__dict__
 
 
 def shape_for(contract_cls: type) -> StructShape:

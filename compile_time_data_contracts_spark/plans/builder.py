@@ -156,8 +156,14 @@ class PipelineBuilder:
         """The fuse: construction-time conformance proof between the current
         contract and the sink contract under ``policy``
         (SparkCore.scala:423-432).  Raises ContractDriftError with the
-        rendered path diff before any Spark action."""
-        self._require(_State.WITH_SOURCE, _State.WITH_TRANSFORM)
+        rendered path diff before any Spark action.
+
+        Requires the WithTransform state, exactly like the reference's
+        ``ev0: S <:< WithTransform`` evidence (SparkCore.scala:424): a
+        source chains to a sink only through ``transform_as`` or the
+        explicit ``no_transform`` identity — so Python pipelines stay
+        1:1 portable to the reference typestate."""
+        self._require(_State.WITH_TRANSFORM)
         assert self._contract is not None
         conforms(self._contract, sink.contract, policy)
         self._steps.append(_SinkStep(sink, policy))

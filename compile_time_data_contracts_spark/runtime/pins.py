@@ -64,16 +64,42 @@ def tree_string(schema: T.StructType) -> str:
             for f in dt.fields:
                 walk(f, indent + "|    ")
         elif isinstance(dt, T.ArrayType):
-            lines.append(
-                f"{indent}|-- {field.name}: array<{_type_name(dt.elementType)}> "
-                f"(containsNull = {str(dt.containsNull).lower()}) {nullable}"
-            )
+            if isinstance(dt.elementType, T.StructType):
+                # recurse like printSchema's "element: struct" child —
+                # flattening a wide nested struct to one simpleString
+                # line would lose exactly the per-field nullability the
+                # pin error exists to show
+                lines.append(
+                    f"{indent}|-- {field.name}: array "
+                    f"(containsNull = {str(dt.containsNull).lower()}) "
+                    f"{nullable}"
+                )
+                for f in dt.elementType.fields:
+                    walk(f, indent + "|    ")
+            else:
+                lines.append(
+                    f"{indent}|-- {field.name}: "
+                    f"array<{_type_name(dt.elementType)}> "
+                    f"(containsNull = {str(dt.containsNull).lower()}) "
+                    f"{nullable}"
+                )
         elif isinstance(dt, T.MapType):
-            lines.append(
-                f"{indent}|-- {field.name}: map<{_type_name(dt.keyType)},"
-                f"{_type_name(dt.valueType)}> "
-                f"(valueContainsNull = {str(dt.valueContainsNull).lower()}) {nullable}"
-            )
+            if isinstance(dt.valueType, T.StructType):
+                lines.append(
+                    f"{indent}|-- {field.name}: "
+                    f"map<{_type_name(dt.keyType)}, struct> "
+                    f"(valueContainsNull = "
+                    f"{str(dt.valueContainsNull).lower()}) {nullable}"
+                )
+                for f in dt.valueType.fields:
+                    walk(f, indent + "|    ")
+            else:
+                lines.append(
+                    f"{indent}|-- {field.name}: map<{_type_name(dt.keyType)},"
+                    f"{_type_name(dt.valueType)}> "
+                    f"(valueContainsNull = "
+                    f"{str(dt.valueContainsNull).lower()}) {nullable}"
+                )
         else:
             lines.append(f"{indent}|-- {field.name}: {_type_name(dt)} {nullable}")
 

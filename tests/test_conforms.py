@@ -167,7 +167,10 @@ def test_ordered_rejects_reorder_with_indexed_path():
 
     with pytest.raises(ContractDriftError) as exc:
         conforms(Reordered, Producer, SchemaPolicy.EXACT_ORDERED)
-    assert "@0(id)" in str(exc.value)
+    # the reference spec asserts the literal "(name)" marker — the
+    # names live in the expected/found detail, not the path
+    assert "@0(name)" in str(exc.value)
+    assert "expected id, found email" in str(exc.value)
     # same schema passes unordered
     assert conforms(Reordered, Producer, SchemaPolicy.EXACT).ok
 
