@@ -648,6 +648,8 @@ def minhash_index_reuse_or_build(
     current corpus, mirroring ``ivf_topk``'s reuse contract — a
     regenerated corpus at the same path triggers a rebuild instead of
     silently serving stale candidates."""
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     fp = _minhash_index_fingerprint(df, id_col)
     try:
@@ -658,7 +660,14 @@ def minhash_index_reuse_or_build(
             or (int(m["shingle_n"]), int(m["num_hashes"]), int(m["bands"]))
             != (n, num_hashes, bands)
         )
-    except Exception:
+    except AnalysisException:
+        # missing index / unreadable-as-parquet meta -> build.  ONLY the
+        # analysis error: a transient storage fault (permissions,
+        # network) must surface, not silently trigger a full-corpus
+        # rebuild over a perfectly valid index
+        stale = True
+    except (KeyError, ValueError, TypeError):
+        # meta exists but predates a field or carries junk -> rebuild
         stale = True
     if stale:
         minhash_index_build(
@@ -751,10 +760,19 @@ def keep_best_dedup(
 
     One hash aggregate (map-side combined): the winner is selected with
     min_by/max_by over the group, so no window sort and no second pass.
+
+    Ties on ``score_col`` break on the FULL row struct (field order =
+    ``df.columns``): min_by/max_by alone returns an arbitrary tied row,
+    varying across runs and partitionings — the determinism the module
+    promises (and oracle comparison relies on) needs a total order.
     """
     hashed = df.withColumn("__h", F.sha2(normalize_text(col), 256))
     pick = F.min_by if ascending else F.max_by
-    keep_struct = pick(F.struct(*df.columns), F.col(score_col))
+    # struct ordering is lexicographic by field, so (score, *row) is a
+    # total order: score decides, the row itself breaks ties (the min
+    # row under min_by, the max row under max_by)
+    order_key = F.struct(F.col(score_col), *[F.col(c) for c in df.columns])
+    keep_struct = pick(F.struct(*df.columns), order_key)
     winners = hashed.groupBy("__h").agg(keep_struct.alias("__w"))
     return winners.select("__w.*")
 

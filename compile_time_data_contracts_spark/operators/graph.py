@@ -27,6 +27,7 @@ __all__ = [
     "personalized_pagerank",
     "link_prediction_ra",
     "community_modularity",
+    "hits_bipartite",
 ]
 
 
@@ -628,10 +629,26 @@ def sssp_bounded(
     from .dedup import _ensure_checkpoint_dir
 
     _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    # the documented negative-weight rejection, enforced INSIDE the
+    # codegen projection (zero extra scan — the first materialization
+    # of the cached edge list fails on the first offending row) rather
+    # than as a separate validation pass over the dominant volume
+    w = F.col(weight_col).cast("bigint")
+    checked_w = F.when(
+        w < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("sssp_bounded: negative weight "),
+                w.cast("string"),
+                F.lit(" — bounded-hop shortest paths require "
+                      "nonnegative weights"),
+            )
+        ).cast("bigint"),
+    ).otherwise(w)
     e = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
-        F.col(weight_col).cast("bigint").alias("__w"),
+        checked_w.alias("__w"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         dist = (
@@ -664,6 +681,7 @@ def personalized_pagerank(
     seeds: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Personalized PageRank: the teleport distribution concentrates
     on ``seeds`` (uniform 1/|S| over the seed set, 0 elsewhere)
@@ -679,9 +697,24 @@ def personalized_pagerank(
     left-joined back to nodes with the seed-indicator base term —
     all JVM, no Python, no driver state.  The seed base term rides a
     broadcast-sized join (|S| rows).  Returns (id, pr).
+
+    Lineage follows :func:`pagerank` exactly: above ``checkpoint_every``
+    rounds the degree-annotated edge list is persisted for the loop and
+    ``pr`` is cut with a reliable checkpoint every ``checkpoint_every``
+    rounds (otherwise each materialization re-derives the degree join
+    once per round under an O(iters)-deep plan); at or below the
+    threshold the result stays fully lazy and plan-auditable.
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("__outdeg"))
     ew = edges.join(deg, "src")
+    do_checkpoint = iters > checkpoint_every
+    if do_checkpoint:
+        from pyspark import StorageLevel
+
+        from .dedup import _ensure_checkpoint_dir
+
+        _ensure_checkpoint_dir(nodes.sparkSession.sparkContext)
+        ew = ew.persist(StorageLevel.MEMORY_AND_DISK)
     s = seeds.select(F.col("id").cast("bigint").alias("id")).distinct()
     # teleport share as a 1-row lazy broadcast (no eager count job)
     ns = s.agg(F.count(F.lit(1)).alias("__ns"))
@@ -691,24 +724,32 @@ def personalized_pagerank(
     pr = nodes.join(tele, "id", "left").select(
         "id", F.coalesce("__e", F.lit(0.0)).alias("pr")
     )
-    for _ in range(iters):
-        contrib = ew.join(pr, ew["src"] == pr["id"]).select(
-            ew["dst"].alias("id"),
-            (F.col("pr") / F.col("__outdeg")).alias("__c"),
-        )
-        summed = contrib.groupBy("id").agg(F.sum("__c").alias("__s"))
-        pr = (
-            nodes.join(summed, "id", "left")
-            .join(tele, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    * F.coalesce("__e", F.lit(0.0))
-                    + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
-                ).alias("pr"),
+    try:
+        for it in range(iters):
+            contrib = ew.join(pr, ew["src"] == pr["id"]).select(
+                ew["dst"].alias("id"),
+                (F.col("pr") / F.col("__outdeg")).alias("__c"),
             )
-        )
+            summed = contrib.groupBy("id").agg(F.sum("__c").alias("__s"))
+            pr = (
+                nodes.join(summed, "id", "left")
+                .join(tele, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping)
+                        * F.coalesce("__e", F.lit(0.0))
+                        + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
+                    ).alias("pr"),
+                )
+            )
+            if do_checkpoint and (
+                (it + 1) % checkpoint_every == 0 or it == iters - 1
+            ):
+                pr = pr.checkpoint(eager=True)
+    finally:
+        if do_checkpoint:
+            ew.unpersist()
     return pr
 
 
@@ -731,11 +772,15 @@ def link_prediction_ra(
     degree d emits d^2 candidate pairs.  ``max_hub_degree`` CAPS the
     carrier set (a hub's common-neighborship carries almost no signal
     anyway — 1/deg makes its weight negligible), turning worst-case
-    work into O(sum_{deg(z)<=cap} deg(z)^2); dropped hubs are counted
-    in the companion audit (no silent truncation — callers can read
-    ``n_capped_hubs`` via the returned frame's second output, see
-    q288).  Existing edges are anti-joined out; ties in score are
-    resolved by the (u, v) key itself, so output is deterministic.
+    work into O(sum_{deg(z)<=cap} deg(z)^2).  The truncation is not
+    silent, but the audit lives OUTSIDE this frame: the dropped-hub
+    count is one metadata-sized aggregate over the degree table
+    (``deg.filter(deg > max_hub_degree).count()`` — the
+    `linkpred_n1000000` scale probe measures it this way), because
+    folding a scalar audit column into every output row would carry a
+    constant through the candidate shuffle for nothing.  Existing
+    edges are anti-joined out; ties in score are resolved by the
+    (u, v) key itself, so output is deterministic.
 
     Returns (u, v, cn, ra_micro): common-neighbor count and the
     integer micro-score sum_z floor(1e6 / deg(z)).
@@ -793,7 +838,12 @@ def community_modularity(
     score (Newman & Girvan 2004), and the per-community rows localize
     WHICH communities are cohesive vs incidental, which the scalar
     hides.  Unlabelled nodes contribute to degrees (they are real
-    neighbors) but form no community row.
+    neighbors) but form no community row.  ``members`` counts a
+    community's nodes INCIDENT TO AN EDGE: a labelled node with no
+    edges has d_i = 0 and contributes nothing to any term of Q, so an
+    all-isolated community produces no row — by the same definition
+    the oracle implements (label_propagation can emit such nodes; a
+    caller that wants them counted left-joins its label table back in).
 
     All counts are exact integers; each contribution is one fixed
     IEEE expression over two integers, so an ANSI oracle reproduces
@@ -884,7 +934,12 @@ def hits_bipartite(edges: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     # the de-duplicated edge list feeds THREE aggregations (a1, h1, a2);
-    # without a persist each reuse re-scans and re-distincts the source
+    # without a persist each reuse re-scans and re-distincts the source.
+    # The cache is scoped to the RETURNED lazy plan (unpersisting here
+    # would defeat it before the caller ever executes); it is reclaimed
+    # by Spark's ContextCleaner once the returned frame is
+    # garbage-collected, or eagerly by a caller that materializes the
+    # (|auth|-sized) result and calls spark.catalog.clearCache()
     e = (
         edges.select(
             F.col("hub").cast("bigint").alias("hub"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -796,7 +797,12 @@ def ivf_topk(
             or stored_cols != tuple(meta_cols)
             or stored_k != n_clusters
         )
-    except Exception:
+    except AnalysisException:
+        # missing/unreadable index -> build; transient storage faults
+        # (permissions, network) surface instead of silently triggering
+        # a rebuild over a valid index (the minhash reuse convention)
+        stale = True
+    except (KeyError, ValueError, TypeError):
         stale = True
     if stale:
         ivf_build(

@@ -34,6 +34,9 @@ __all__ = [
     "boilerplate_index_build",
     "remove_boilerplate_against",
     "ngram_novelty",
+    "vocabulary",
+    "tfidf_keywords",
+    "bigram_lm",
     "vocabulary_growth",
     "pii_scan",
 ]
@@ -439,28 +442,34 @@ def bigram_lm(df, text_col: str = "text"):
     successor and the conditional probability P(w2|w1) — the n-gram LM
     estimation step (corpus statistics / generation-artifact detection).
 
-    Bigrams come from the codegen shingle path (:func:`~compile_time_data_contracts_spark.operators.dedup.shingle_rows`
-    with n=2 — no interpreted HOFs); counts are map-side combined; the
-    argmax and the conditional total share ONE window partitioning on
-    w1 (sum over the whole partition, rank over the ordered frame), so
-    the bigram table shuffles once.  Probabilities are ratios of exact
-    integer counts — engine-portable.
+    Bigrams use the codegen arrays_zip-of-shifted-slices trick (the
+    shingle_rows construction with n=2, no interpreted HOFs) but keep
+    (w1, w2) as SEPARATE columns end to end — never joined into a
+    delimited string and re-split, because a token containing the
+    delimiter character would then parse back as a corrupted pair
+    ('a|b c' splitting into ('a','b') instead of ('a|b','c')).  Counts
+    are map-side combined; the argmax and the conditional total share
+    ONE window partitioning on w1 (sum over the whole partition, rank
+    over the ordered frame), so the bigram table shuffles once.
+    Probabilities are ratios of exact integer counts — engine-portable.
     Output: (w1, top_w2, n_pair, p) with one row per distinct w1.
     """
     from pyspark.sql import Window
 
-    from .dedup import shingle_rows
-
-    lowered = df.select(F.lower(F.col(text_col)).alias("__txt"))
-    grams = shingle_rows(
-        lowered.withColumn("__id", F.monotonically_increasing_id()),
-        "__id",
-        "__txt",
-        n=2,
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = df.select(toks.alias("__t"))
+    shifted = F.arrays_zip(
+        F.slice(F.col("__t"), 1, F.size("__t")).alias("g0"),
+        F.slice(F.col("__t"), 2, F.size("__t")).alias("g1"),
     )
-    pairs = grams.filter(F.instr("shingle", "|") > 0).select(
-        F.split_part(F.col("shingle"), F.lit("|"), F.lit(1)).alias("w1"),
-        F.split_part(F.col("shingle"), F.lit("|"), F.lit(2)).alias("w2"),
+    rows = base.select(
+        F.size("__t").alias("__sz"),
+        F.posexplode(shifted).alias("__pos", "__g"),
+    )
+    # pos range 0 .. sz-2: sub-2-token documents emit no bigram
+    pairs = rows.filter(F.col("__pos") <= F.col("__sz") - 2).select(
+        F.col("__g.g0").alias("w1"),
+        F.col("__g.g1").alias("w2"),
     )
     counts = pairs.groupBy("w1", "w2").agg(
         F.count("*").cast("bigint").alias("n_pair")
@@ -862,22 +871,34 @@ def ngram_novelty(
     signal for pruning near-redundant acquisitions before the expensive
     MinHash pass.
 
-    Shape: both sides explode to (doc, shingle) rows; the reference
-    collapses to its DISTINCT shingle set (partial-combined), and seen
-    counts come from a LEFT SEMI equi-join on the shingle — never
-    all-pairs, the same posting-list discipline as jaccard_pairs.  At
-    100 TB the reference set is the q135/q204 move: build it once,
+    Shape: both sides shingle through the CODEGEN path (shingle_rows —
+    arrays_zip of shifted slices + posexplode, never the interpreted
+    transform-lambda ``shingles()`` HOF whose ~0.5 ms/doc cost would
+    dominate this operator's per-batch reuse shape at corpus scale),
+    de-duplicated per doc to match ``shingles()``'s array_distinct; the
+    reference collapses to its DISTINCT shingle set (partial-combined),
+    and seen counts come from a LEFT SEMI equi-join on the shingle —
+    never all-pairs, the same posting-list discipline as jaccard_pairs.
+    At 100 TB the reference set is the q135/q204 move: build it once,
     persist, reuse per batch.  Counts are exact integers; only the
     final ratio is floating (rounded 6 dp).  Output: (id_col,
     n_shingles, n_seen, novelty_r).
     """
-    from .dedup import shingles
+    from .dedup import shingle_rows
 
-    d = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("__s")
+    d = (
+        shingle_rows(df, id_col, text_col, n)
+        .select(F.col(id_col), F.col("shingle").alias("__s"))
+        .distinct()
     )
     r = (
-        ref.select(F.explode(shingles(text_col, n)).alias("__s"))
+        shingle_rows(
+            ref.withColumn("__rid", F.monotonically_increasing_id()),
+            "__rid",
+            text_col,
+            n,
+        )
+        .select(F.col("shingle").alias("__s"))
         .distinct()
     )
     tot = d.groupBy(id_col).agg(

@@ -462,6 +462,10 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         m = spark.read.parquet(f"{idx}/meta").first()
         stale = m is None or (int(m["n"]), m["max_id"]) != fp
     except Exception:
+        # broad on purpose, unlike the library operators' narrowed
+        # AnalysisException: this path is a /tmp-scoped gate index, so
+        # any read problem (missing, corrupt, half-written by a killed
+        # run) should just rebuild
         stale = True
     if stale:
         import shutil

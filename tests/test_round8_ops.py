@@ -131,3 +131,58 @@ def test_ivf_append_derives_layout_from_index_meta(spark, tmp_path):
     # an explicitly wrong layout is an error, not a corruption
     with _pytest.raises(ValueError, match="partitioned by"):
         ivf_append(spark, idx, batch, meta_cols=("tenant",))
+
+
+def test_bigram_lm_tokens_containing_delimiter(spark):
+    """A token containing '|' must parse as ONE token: the old
+    shingle-string round-trip split 'a|b c' into ('a','b')."""
+    from compile_time_data_contracts_spark.operators.text import bigram_lm
+
+    docs = spark.createDataFrame(
+        [("a|b c",), ("a|b c",), ("solo",)], "text string"
+    )
+    got = {(r.w1, r.top_w2, r.n_pair) for r in bigram_lm(docs).collect()}
+    assert got == {("a|b", "c", 2)}
+
+
+def test_keep_best_dedup_deterministic_on_score_ties(spark):
+    """Equal scores within a duplicate group must pick the same winner
+    on every run: the full-row struct breaks the tie."""
+    from compile_time_data_contracts_spark.operators.dedup import (
+        keep_best_dedup,
+    )
+
+    rows = [(i, "same text", 7) for i in (5, 3, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    for _ in range(3):
+        got = keep_best_dedup(
+            df.repartition(4), col="text", score_col="score"
+        ).collect()
+        assert [(r.doc_id, r.score) for r in got] == [(3, 7)]
+    # descending keeps the max row under the same total order
+    got = keep_best_dedup(
+        df, col="text", score_col="score", ascending=False
+    ).collect()
+    assert [r.doc_id for r in got] == [9]
+
+
+def test_sssp_bounded_rejects_negative_weights(spark):
+    """The documented nonnegativity contract is enforced inside the
+    codegen projection — execution fails on the first negative weight."""
+    import pytest as _pytest
+
+    from compile_time_data_contracts_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, -5)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(Exception, match="negative weight"):
+        sssp_bounded(edges, seeds, max_hops=2).collect()
+    ok = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 5)], "src long, dst long, w long"
+    )
+    got = {r.id: r.dist for r in sssp_bounded(ok, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 4, 3: 9}
