@@ -33,15 +33,28 @@ _KNUTH = 2654435761
 _M32 = 4294967296
 
 
+def _mix32(key: Column) -> Column:
+    """(key * KNUTH) mod 2^32 as a long in [0, 2^32) for EVERY int64
+    key.  The multiply runs in decimal(38,0): a plain int64 multiply
+    silently wraps for keys > ~3.47e9 (Spark) or raises (DuckDB) — the
+    exact cross-engine divergence these operators forbid — and pmod
+    (not %) keeps negative keys in range instead of yielding a negative
+    residue that every downstream `bucket < threshold` filter would
+    wrongly pass.  For the non-negative, non-overflowing key range the
+    value is bit-identical to the old int64 expression, so existing
+    oracle SQL and artifacts are unchanged."""
+    return F.pmod(
+        key.cast("decimal(38,0)") * F.lit(_KNUTH), F.lit(_M32)
+    ).cast("long")
+
+
 def hash_bucket(key: Column, buckets: int = 10000) -> Column:
-    """Deterministic, well-mixed bucket in [0, buckets) from an integer
-    key: multiplicative hashing with explicit mod-2^32 arithmetic.
-    Exactly reproducible in any engine with 64-bit integers (the DuckDB
-    oracle runs the same expression); unlike rand(seed), independent of
+    """Deterministic, well-mixed bucket in [0, buckets) from ANY integer
+    key: multiplicative hashing with exact mod-2^32 arithmetic (see
+    :func:`_mix32` for the overflow/negative-key story).  Exactly
+    reproducible in any engine; unlike rand(seed), independent of
     partitioning and row order."""
-    return ((key.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)) * F.lit(
-        buckets
-    ) / F.lit(_M32)
+    return _mix32(key) * F.lit(buckets) / F.lit(_M32)
 
 
 def deterministic_sample(
@@ -174,7 +187,7 @@ def global_shuffle_positions(
     Identical output to the global sort — the oracle recomputes it with
     one — at 1/buckets of the per-task sort footprint.
     """
-    h = (F.col(key_col).cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+    h = _mix32(F.col(key_col))
     bucketed = df.withColumn("__h", h).withColumn(
         "__b", F.floor(F.col("__h") * buckets / F.lit(_M32))
     )
@@ -409,12 +422,26 @@ def split_by_cluster(
     """
 
     def bucket(col: Column) -> Column:
-        return (
-            F.floor(
-                ((col * F.lit(_KNUTH)) % F.lit(_M32))
-                * F.lit(float(nbuckets))
-                / F.lit(_M32)
-            )
+        # the shared overflow/negative-safe mix — a local re-derivation
+        # once omitted the long cast, coercing STRING cluster ids to
+        # double (NULL for non-numeric -> every row fell through to the
+        # 'test' branch with zero training data and no error).  A
+        # non-integral id now fails LOUDLY instead: a mix that returns
+        # NULL for a non-NULL id means the cast ate the value
+        mixed = _mix32(col)
+        checked = F.when(
+            col.isNotNull() & mixed.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("split_by_cluster: cluster id "),
+                    col.cast("string"),
+                    F.lit(" is not integral — hash string ids to a "
+                          "bigint (e.g. xxhash64) before splitting"),
+                )
+            ).cast("long"),
+        ).otherwise(mixed)
+        return F.floor(
+            checked * F.lit(float(nbuckets)) / F.lit(_M32)
         ).cast("int")
 
     def label(b: Column) -> Column:

@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "NDCG_DISCOUNT_MICRO",
+    "markov_conversion_prob",
+    "isotonic_fit_bins",
+    "ranking_metrics",
     "equi_width_histogram",
     "column_profile",
     "psi_drift",
@@ -225,8 +229,13 @@ def count_min_frequencies(
     on the driver is, and sketches are tiny).
     """
     spark = df.sparkSession
+    # sketch over CAST(col AS STRING): the probe below hashes the
+    # caller's Python strings, and a numeric column sketched via
+    # addLong would hash a DIFFERENT byte stream — estimates of ~0
+    # with no error, silently voiding the >= true_count guarantee
     row = df.selectExpr(
-        f"count_min_sketch({col}, {eps}d, {confidence}d, {seed}) AS s",
+        f"count_min_sketch(CAST({col} AS STRING), {eps}d, "
+        f"{confidence}d, {seed}) AS s",
         "count(*) AS n",
     ).collect()[0]
     jvm = spark._jvm
@@ -255,7 +264,12 @@ def ks_statistic(
     """
     from pyspark.sql import Window
 
-    s = df.filter(F.col(group_col).isin(a, b)).select(
+    # drop NULL values like the histogram/PSI siblings: a NULL would
+    # otherwise group into its own nulls-first ECDF bucket and report a
+    # spurious maximal drift equal to the groups' null-rate gap
+    s = df.filter(
+        F.col(group_col).isin(a, b) & F.col(col).isNotNull()
+    ).select(
         F.col(col).alias("__v"),
         F.when(F.col(group_col) == a, 1).otherwise(0).alias("__g"),
     )
@@ -1011,6 +1025,12 @@ def price_volume_mix(
     u0 = F.when(q0 > 0, r0 / q0)
     u1 = F.when(q1 > 0, r1 / q1)
     both = has0 & has1
+    # a 'both' key with q0=0 or q1=0 has an UNDEFINED unit price on
+    # that side; NULL effects would silently drop out of the caller's
+    # sums and break the one invariant an FP&A bridge must satisfy
+    # (vol+price+cross == ΔR).  Defined convention: the whole delta is
+    # volume effect, price/cross are 0 — reconciliation always holds.
+    defined = both & (q0 > 0) & (q1 > 0)
     return j.select(
         *key_cols,
         F.when(both, "both")
@@ -1021,13 +1041,14 @@ def price_volume_mix(
         q1.alias("q1"),
         r0.alias("r0"),
         r1.alias("r1"),
-        F.when(both, (q1 - q0) * u0)
+        F.when(defined, (q1 - q0) * u0)
+        .when(both, r1 - r0)
         .when(has1, r1)
         .otherwise(-r0)
         .alias("volume_eff"),
-        F.when(both, (u1 - u0) * q0).otherwise(F.lit(0.0))
+        F.when(defined, (u1 - u0) * q0).otherwise(F.lit(0.0))
         .alias("price_eff"),
-        F.when(both, (q1 - q0) * (u1 - u0)).otherwise(F.lit(0.0))
+        F.when(defined, (q1 - q0) * (u1 - u0)).otherwise(F.lit(0.0))
         .alias("cross_eff"),
     )
 
@@ -1475,11 +1496,15 @@ def mann_whitney_u(
     n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
     u1 = r1 - n1.cast("double") * (n1 + 1) / 2
     ntot = n1 + n2
+    # greatest(ntot-1, 1): CASE guards do NOT short-circuit column
+    # evaluation in Spark, so the tie-term division must be safe even
+    # for the ntot=1 cohort whose z the outer guard nulls anyway
     sigma = F.sqrt(
         (n1.cast("double") * n2 / 12)
         * (
             (ntot + 1)
-            - F.col("tie_term") / (ntot.cast("double") * (ntot - 1))
+            - F.col("tie_term")
+            / (ntot.cast("double") * F.greatest(ntot - 1, F.lit(1)))
         )
     )
     return agg.join(ties, "cohort").select(
@@ -1487,9 +1512,14 @@ def mann_whitney_u(
         "n1",
         "n2",
         F.round(u1, 1).alias("u1"),
-        F.round((u1 - n1.cast("double") * n2 / 2) / sigma, 6).alias(
-            "z_r"
-        ),
+        # sigma = 0 when every value is tied (or ntot <= 1 makes the
+        # tie term itself divide by zero): z is undefined — emit NULL
+        # under a CASE guard, never an ANSI/oracle divide-by-zero (the
+        # two_proportion_ztest convention, stats.py se>0 guard)
+        F.when(
+            (ntot > 1) & (sigma > 0),
+            F.round((u1 - n1.cast("double") * n2 / 2) / sigma, 6),
+        ).alias("z_r"),
     )
 
 

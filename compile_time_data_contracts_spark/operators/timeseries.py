@@ -124,9 +124,13 @@ def resample_ffill(
 ) -> DataFrame:
     """One row per (key, tick) from each key's first to last observation
     (ticks aligned to ``trunc_unit``), with the latest observation at or
-    before the tick forward-filled (null before the first observation's
-    tick only when the grid starts before it, which truncation
-    prevents).
+    before the tick forward-filled.  The FIRST tick of an unaligned
+    series is null by construction: the grid starts at
+    trunc(min_ts), which PRECEDES an observation at e.g. 10:30 with
+    its 10:00 tick, and no observation exists at or before 10:00 —
+    this is standard ffill head behavior (the oracle implements the
+    same rule); callers wanting a fully-filled grid should truncate
+    observation timestamps to the tick grid before resampling.
 
     Observations are pre-aggregated to one row per (key, ts) — max of
     ``value_col`` — so the as-of match is deterministic under duplicate
@@ -896,9 +900,22 @@ def clamped_running_balance(
     clamped balance) is unchanged.  Returns (key, final_balance,
     total_in, total_out, n_moves).
     """
+    # NULL deltas fail LOUDLY: greatest() skips nulls, so inside the
+    # fold `greatest(acc + NULL, 0)` would silently RESET the balance
+    # to 0 and total_in/out would treat the move as 0 — plausible wrong
+    # numbers (the ewma_trailing convention: raise, never null-skip)
+    checked_delta = F.when(
+        F.col(delta_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "clamped_running_balance: NULL delta — drop or impute "
+                "null movements explicitly before folding"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(delta_col))
     ordered_struct = F.struct(
         *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
-        F.col(delta_col).alias("delta"),
+        checked_delta.alias("delta"),
     )
     agg = df.groupBy(F.col(key_col).alias("key")).agg(
         F.array_sort(F.collect_list(ordered_struct)).alias("moves"),

@@ -1275,11 +1275,13 @@ _Q256_ORACLE = """
     FROM j),
   f AS (
     SELECT status, q0, q1, r0, r1,
-           CASE WHEN status = 'both' THEN (q1 - q0) * (r0 / q0)
+           CASE WHEN status = 'both' AND q0 > 0 AND q1 > 0
+                THEN (q1 - q0) * (r0 / q0)
+                WHEN status = 'both' THEN r1 - r0
                 WHEN status = 'new' THEN r1 ELSE -r0 END AS vol,
-           CASE WHEN status = 'both'
+           CASE WHEN status = 'both' AND q0 > 0 AND q1 > 0
                 THEN (r1 / q1 - r0 / q0) * q0 ELSE 0.0 END AS pr,
-           CASE WHEN status = 'both'
+           CASE WHEN status = 'both' AND q0 > 0 AND q1 > 0
                 THEN (q1 - q0) * (r1 / q1 - r0 / q0)
                 ELSE 0.0 END AS cr
     FROM e)
