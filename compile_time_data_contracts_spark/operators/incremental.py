@@ -41,15 +41,6 @@ __all__ = [
 ]
 
 
-def _state_cols(sums: Sequence[str], mins: Sequence[str], maxs: Sequence[str]):
-    return (
-        ["n"]
-        + [f"sum_{c}" for c in sums]
-        + [f"min_{c}" for c in mins]
-        + [f"max_{c}" for c in maxs]
-    )
-
-
 def aggregate_state(
     df: DataFrame,
     keys: Sequence[str],
@@ -66,6 +57,11 @@ def aggregate_state(
     the same spec via :func:`merge_aggregate_states`."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
     aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
+    # per-column NON-NULL counts ride with every sum: finalize's
+    # avg_<c> must divide by the rows that actually contributed to
+    # sum_<c> — dividing by the total row count n silently understates
+    # the average of any nullable measure (sum skips nulls, n doesn't)
+    aggs += [F.count(c).cast("bigint").alias(f"cnt_{c}") for c in sums]
     aggs += [F.min(c).alias(f"min_{c}") for c in mins]
     aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
     aggs += [F.hll_sketch_agg(c).alias(f"hll_{c}") for c in hlls]
@@ -100,6 +96,9 @@ def merge_aggregate_states(
         u = u.unionByName(s)
     aggs = [F.sum("n").cast("bigint").alias("n")]
     aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums]
+    aggs += [
+        F.sum(f"cnt_{c}").cast("bigint").alias(f"cnt_{c}") for c in sums
+    ]
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in mins]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in maxs]
     aggs += [F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}") for c in hlls]
@@ -113,12 +112,16 @@ def finalize_state(
     distinct_estimates: Sequence[str] = (),
 ) -> DataFrame:
     """Derive non-algebraic measures from a merged state:
-    ``avg_<c> = sum_<c> / n`` and ``est_distinct_<c>`` (HLL estimate)
-    for each requested column.  Finalization is a projection — no
-    shuffle — so it can run on every refresh."""
+    ``avg_<c> = sum_<c> / cnt_<c>`` (the per-column non-null count the
+    state carries — dividing by the total row count would understate
+    nullable measures, diverging from AVG) and ``est_distinct_<c>``
+    (HLL estimate) for each requested column.  Finalization is a
+    projection — no shuffle — so it can run on every refresh."""
     out = state
     for c in avgs:
-        out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n"))
+        out = out.withColumn(
+            f"avg_{c}", F.col(f"sum_{c}") / F.col(f"cnt_{c}")
+        )
     for c in distinct_estimates:
         out = out.withColumn(
             f"est_distinct_{c}", F.hll_sketch_estimate(f"hll_{c}")

@@ -77,7 +77,12 @@ def extract_media_features(
                     "real media decode requires PIL/librosa/ffmpeg; "
                     "run with decode_stub=True in this environment"
                 )
-            payloads = pdf["media"].map(lambda m: m["payload"] or b"")
+            # a NULL media STRUCT arrives as None (not a dict with a null
+            # payload) — treat both as an empty payload instead of
+            # an opaque executor TypeError
+            payloads = pdf["media"].map(
+                lambda m: (m["payload"] if m else None) or b""
+            )
             byte_len = payloads.map(len).astype("int32")
             # vectorized byte sum: numpy over the raw buffer, not a
             # per-byte Python loop — the payload is the data-sized side
@@ -148,7 +153,7 @@ def extract_frame_samples(
                 )
             ids, idxs, offs, digests = [], [], [], []
             for did, m in zip(pdf[id_col], pdf["media"]):
-                payload = m["payload"] or b""
+                payload = (m["payload"] if m else None) or b""
                 n_frames = len(payload) // frame_bytes
                 for fi in range(0, n_frames, stride):
                     off = fi * frame_bytes
@@ -226,7 +231,7 @@ def extract_audio_windows(
                 )
             ids, idxs, offs, digs, eners = [], [], [], [], []
             for did, m in zip(pdf[id_col], pdf["media"]):
-                payload = m["payload"] or b""
+                payload = (m["payload"] if m else None) or b""
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 wi = 0
                 off = 0
@@ -316,7 +321,7 @@ def extract_image_tiles(
                 )
             ids, trs, tcs, digs, eners = [], [], [], [], []
             for did, m in zip(pdf[id_col], pdf["media"]):
-                payload = m["payload"] or b""
+                payload = (m["payload"] if m else None) or b""
                 h = len(payload) // width
                 arr = np.frombuffer(
                     payload[: h * width], dtype=np.uint8

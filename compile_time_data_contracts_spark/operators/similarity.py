@@ -101,7 +101,14 @@ def topk_cosine(
     keeps the pure-JVM expression form for composition/audit.
     """
     if score_mode == "expr":
-        q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+        # limit(1) pins the SINGLE-query contract the arrow mode gets
+        # from .first(): a multi-row query would otherwise cross-join
+        # every query row and return one mixed global top-k with no
+        # query attribution — plausible-looking garbage.  Multi-query
+        # retrieval is topk_cosine_multi.
+        q = F.broadcast(
+            query.select(F.col(vec_col).alias("__qvec")).limit(1)
+        )
         return (
             df.crossJoin(q)
             .select(
@@ -175,8 +182,15 @@ def topk_cosine_multi(
     qrows = queries.select(query_id_col, vec_col).collect()
     if not qrows:
         raise ValueError("topk_cosine_multi: queries DataFrame is empty")
-    # ids keep their native type end-to-end (numpy infers the dtype;
-    # strings become object arrays, which lexsort orders correctly)
+    # ids keep their DECLARED type end-to-end: numpy would silently
+    # promote int32 query ids to int64 (np.array/np.full default) and
+    # the emitted batch would then mismatch the mapInArrow schema at
+    # runtime — the arrays are built against the Spark-declared arrow
+    # types below instead of numpy's inference
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(queries.schema[query_id_col].dataType)
+    cid_pa = to_arrow_type(df.schema[id_col].dataType)
     q_ids = np.array([r[0] for r in qrows])
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -207,8 +221,8 @@ def topk_cosine_multi(
                 out_s.append(sims[order, j])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(out_q)),
-                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_q), type=qid_pa),
+                    pa.array(np.concatenate(out_i), type=cid_pa),
                     pa.array(np.concatenate(out_s)),
                 ],
                 ["query_id", id_col, "sim"],
@@ -725,12 +739,14 @@ def ivf_search(
 
     ``filters`` ({col: value}) is the metadata-FILTERED search path
     ('nearest docs within this tenant/label'): equality predicates are
-    applied to the probed scan BEFORE any distance math, so when the
-    index was built with the column in ``meta_cols`` the cut is a
-    second PartitionFilter (directory-level — never reads other
-    labels' files), and otherwise it still pushes into the parquet
-    scan.  This is IN-candidate filtering, not post-filtering a
-    top-k, so a selective filter cannot under-deliver results."""
+    applied to the probed scan BEFORE any distance math, as a second
+    directory-level PartitionFilter — the filter column must have been
+    carried into the index via ``ivf_build(meta_cols=...)`` (the index
+    stores only id, vector, cluster and the declared meta columns, so
+    filtering on anything else raises a clear rebuild-with-meta_cols
+    error rather than an unresolved-column failure at plan time).
+    This is IN-candidate filtering, not post-filtering a top-k, so a
+    selective filter cannot under-deliver results."""
     import numpy as np
 
     cent = spark.read.parquet(f"{index_path}/centroids").collect()
@@ -744,6 +760,14 @@ def ivf_search(
         F.col("cluster").isin([int(c) for c in order])
     )
     for col, val in (filters or {}).items():
+        if col not in probed.columns:
+            raise ValueError(
+                f"ivf_search: filter column {col!r} is not stored in "
+                f"the index at {index_path} (available: "
+                f"{[c for c in probed.columns if c != vec_col]}) — "
+                "rebuild with ivf_build(meta_cols=(..., "
+                f"{col!r})) to carry it"
+            )
         probed = probed.filter(F.col(col) == F.lit(val))
     return topk_cosine(probed, query, k, id_col, vec_col)
 
@@ -1497,32 +1521,56 @@ def ivf_pq_topk(
 
         index_path = tempfile.mkdtemp(prefix="ctdc-ivfpq-")
     fp = _ivf_fingerprint(df, id_col)
-    try:
-        meta = spark.read.parquet(f"{index_path}/meta").first()
-        stale = meta is None or (int(meta["n"]), meta["max_id"]) != fp
-        # the index is only valid for the parameters it was built with:
-        # a caller re-pointing a different (n_clusters, m, ksub) at the
-        # same path must rebuild, not silently search the old geometry
-        # with degraded recall (the q193 gate used to encode these in
-        # the path tag; the operator now enforces it itself)
-        pq_meta = spark.read.parquet(f"{index_path}/pq/meta").first()
-        stale = stale or pq_meta is None or (
-            int(pq_meta["n_clusters"]),
-            int(pq_meta["m"]),
-            int(pq_meta["ksub"]),
-        ) != (n_clusters, m, ksub)
-        spark.read.parquet(f"{index_path}/pq/books").first()
-    except Exception:
-        stale = True
-    if stale:
+
+    # staleness is split per layer: a PQ-parameter change (m/ksub)
+    # retrains and re-encodes ONLY the PQ tables — re-running the
+    # k-means fit + full-corpus partitioned rewrite for a codebook
+    # change would be pure waste.  Reads catch AnalysisException
+    # narrowly (missing/unreadable -> rebuild) so transient storage
+    # faults surface instead of silently rebuilding over a valid index.
+    def _ivf_stale() -> bool:
+        try:
+            meta, _, stored_k, legacy = _ivf_meta(spark, index_path)
+            return (
+                meta is None
+                or legacy
+                or (int(meta["n"]), meta["max_id"]) != fp
+                or stored_k != n_clusters
+            )
+        except (AnalysisException, KeyError, ValueError, TypeError):
+            return True
+
+    def _pq_stale() -> bool:
+        try:
+            pq_meta = spark.read.parquet(f"{index_path}/pq/meta").first()
+            if pq_meta is None or (
+                int(pq_meta["n_clusters"]),
+                int(pq_meta["m"]),
+                int(pq_meta["ksub"]),
+            ) != (n_clusters, m, ksub):
+                return True
+            # an existing-but-EMPTY books table must rebuild, not crash
+            # the max() over zero codebook rows later
+            return (
+                spark.read.parquet(f"{index_path}/pq/books").first()
+                is None
+            )
+        except (AnalysisException, KeyError, ValueError, TypeError):
+            return True
+
+    ivf_stale = _ivf_stale()
+    pq_stale = ivf_stale or _pq_stale()
+    if ivf_stale:
         ivf_build(
             df, index_path, n_clusters, id_col, vec_col,
             sample_size=sample_size, seed=seed, fingerprint=fp,
         )
+    if pq_stale:
         vecs = spark.read.parquet(f"{index_path}/vectors")
-        n = vecs.count()
+        # fp[0] IS the vectors row count (the fingerprint just counted
+        # the source table the index was built from)
         sample = (
-            vecs.sample(min(1.0, sample_size / max(n, 1)), seed=seed)
+            vecs.sample(min(1.0, sample_size / max(fp[0], 1)), seed=seed)
             .limit(sample_size)
             .toPandas()
         )
@@ -1614,13 +1662,15 @@ def mmr_select(
     import numpy as np
 
     spark = df.sparkSession
+    # id type follows the corpus (long/int/string all work, matching
+    # topk_cosine's contract) instead of a hardcoded long
+    id_dt = df.schema[id_col].dataType.simpleString()
+    out_schema = f"rank int, {id_col} {id_dt}, sim double"
     top = topk_cosine(df, query, k=fetch_k, id_col=id_col, vec_col=vec_col)
     cand = top.join(df.select(id_col, vec_col), id_col, "inner")
     rows = cand.collect()  # fetch_k rows by construction
     if not rows:
-        return spark.createDataFrame(
-            [], f"rank int, {id_col} long, sim double"
-        )
+        return spark.createDataFrame([], out_schema)
     # deterministic candidate order for reproducible argmax tie-breaks
     rows.sort(key=lambda r: (-float(r["sim"]), r[id_col]))
     ids = [r[id_col] for r in rows]
@@ -1637,14 +1687,17 @@ def mmr_select(
             if i in selected:
                 continue
             score = lam * sims[i] - (1.0 - lam) * float(S[i, chosen].max())
-            key = (score, sims[i], -ids[i])
+            # strict > + the (-sim, id)-sorted candidate order = ties
+            # on (score, sim) resolve to the SMALLEST id, without a
+            # negated-id term that would crash on string ids
+            key = (score, sims[i])
             if best_key is None or key > best_key:
                 best_i, best_key = i, key
         selected.append(best_i)
     out = [
         (rank, ids[i], float(sims[i])) for rank, i in enumerate(selected)
     ]
-    return spark.createDataFrame(out, f"rank int, {id_col} long, sim double")
+    return spark.createDataFrame(out, out_schema)
 
 
 def sparse_tfidf_knn(
@@ -1695,8 +1748,16 @@ def sparse_tfidf_knn(
             ).alias("w"),
         )
     )
+    # products accumulate in decimal(38,0): w can reach tf * 1e6 for a
+    # high-tf rare term, and w*w then exceeds int64 (silent wrap without
+    # ANSI -> negative n2 -> sqrt = NaN, which Spark sorts ABOVE every
+    # real cosine, so garbage neighbors would rank first).  DuckDB
+    # already sums BIGINT into HUGEINT, so exact decimal matches the
+    # oracle's arithmetic instead of diverging from it
     norms = wt.groupBy("doc").agg(
-        F.sum(F.col("w") * F.col("w")).alias("n2")
+        F.sum(
+            F.col("w").cast("decimal(38,0)") * F.col("w")
+        ).alias("n2")
     )
     a = wt.select(
         F.col("doc").alias("da"), "shingle", F.col("w").alias("wa")
@@ -1708,7 +1769,11 @@ def sparse_tfidf_knn(
         a.join(b, "shingle")
         .filter(F.col("da") < F.col("db"))
         .groupBy("da", "db")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+        .agg(
+            F.sum(
+                F.col("wa").cast("decimal(38,0)") * F.col("wb")
+            ).alias("num")
+        )
     )
     both = num.unionByName(
         num.select(

@@ -186,3 +186,48 @@ def test_sssp_bounded_rejects_negative_weights(spark):
     )
     got = {r.id: r.dist for r in sssp_bounded(ok, seeds, max_hops=2).collect()}
     assert got == {1: 0, 2: 4, 3: 9}
+
+
+def test_finalize_state_avg_over_nullable_measure(spark):
+    """avg_<c> divides by the NON-NULL count: dividing by the total row
+    count silently understated the average of any nullable measure."""
+    from compile_time_data_contracts_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_aggregate_states,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 10.0), ("k", None), ("k", 20.0)], "g string, v double"
+    )
+    st = aggregate_state(df, ["g"], sums=["v"])
+    merged = merge_aggregate_states([st, st], ["g"], sums=["v"])
+    row = finalize_state(merged, avgs=["v"]).collect()[0]
+    assert row["n"] == 6 and row["cnt_v"] == 4
+    assert row["avg_v"] == 15.0  # (10+20)*2 / 4, NOT /6
+
+
+def test_topk_cosine_multi_preserves_int32_query_ids(spark):
+    """int32 query ids must survive to the declared output schema —
+    numpy's default int64 promotion previously desynced the emitted
+    Arrow batch from the mapInArrow schema."""
+    from pyspark.sql import functions as SF
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        topk_cosine_multi,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [0.0, 1.0])],
+        "qid int, embedding array<float>",
+    ).withColumn("qid", SF.col("qid").cast("int"))
+    out = topk_cosine_multi(
+        corpus, queries, k=2, query_id_col="qid"
+    )
+    assert out.schema["query_id"].dataType.simpleString() == "int"
+    rows = out.collect()
+    assert len(rows) == 4 and {r.query_id for r in rows} == {1, 2}
