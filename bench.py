@@ -87,14 +87,25 @@ def main() -> None:
     # instead of every sample of one query.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in headline}
+    errors: dict[str, str] = {}
     for _ in range(repeats):
         for name in headline:
             fn = qs[name]
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as ex:  # noqa: BLE001
+                # one failing query must not abort the whole bench and
+                # discard every completed sample: record the failure in
+                # the output (the JSON line carries an "errors" map) and
+                # keep timing the other queries
+                errors[name] = repr(ex)[:200]
+                continue
             samples[name].append(round(time.time() - t0, 3))
-    timings = {name: min(ts) for name, ts in samples.items()}
+    timings = {
+        name: min(ts) for name, ts in samples.items() if ts
+    }
 
     # record the SPREAD next to the min (p50/p95 over the repeats) so a
     # drift question dies in the artifact instead of needing a re-run:
@@ -106,6 +117,7 @@ def main() -> None:
     spread = {
         name: {"p50": _q(ts, 0.5), "p95": _q(ts, 0.95)}
         for name, ts in samples.items()
+        if ts
     }
 
     total = round(sum(timings.values()), 3)
@@ -190,6 +202,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "errors": errors,
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -213,6 +226,8 @@ def main() -> None:
                 "estimator": "min_per_query",
                 "unit": "sec",
                 "n_queries": len(timings),
+                "n_errors": len(errors),
+                "errors": errors,
                 "queries": slowest,
                 "queries_truncated": True,
                 "detail_file": "BENCH_DETAIL.json",

@@ -47,20 +47,42 @@ def asof_join(
     equal-ts tie side mirrored.
 
     Returns the left DataFrame plus ``asof_<col>`` columns (null when no
-    right row precedes/follows the left row).  With ``tolerance`` (an
-    INTERVAL string, e.g. ``'2 hours'``), a match farther than
-    ``tolerance`` from ``left_ts`` is nulled out — pandas merge_asof
-    semantics — as a post-window filter, so the single-shuffle plan is
-    unchanged.  ``on`` may be a single column or a list (pandas
-    merge_asof ``by``); the window partitions on the full composite
-    key — still one shuffle.
+    right row precedes/follows the left row).  The matched right ROW is
+    picked as one unit (a struct), never per column: independent
+    per-column ignorenulls picks would fill a genuinely-NULL right
+    value through from an OLDER right row, emitting a combination of
+    columns that never existed on the right side — and diverging from
+    the DuckDB ``ASOF JOIN`` oracle, which takes the matched row's NULL
+    as-is.  Rows tying on (key, ts) order by the value struct itself,
+    so the pick is deterministic across runs and partitionings.
+
+    With ``tolerance``, a match farther than ``tolerance`` from
+    ``left_ts`` is nulled out — pandas merge_asof semantics — as a
+    post-window filter, so the single-shuffle plan is unchanged.  For
+    timestamp/date ordering columns pass an INTERVAL string
+    (``'2 hours'``); for numeric ordering columns (epoch longs) pass a
+    number in the column's own units.  ``on`` may be a single column or
+    a list (pandas merge_asof ``by``); the window partitions on the
+    full composite key — still one shuffle.
     """
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     backward = direction == "backward"
     value_cols = value_cols or []
     keys = [on] if isinstance(on, str) else list(on)
     l_cols = left.columns
+
+    # the right-row bundle: ordering ts + every value column in ONE
+    # struct, so the window pick is row-atomic
+    r_struct_type = T.StructType(
+        [T.StructField("__r_ts", right.schema[right_ts].dataType)]
+        + [
+            T.StructField(f"__r_{c}", right.schema[c].dataType)
+            for c in value_cols
+        ]
+    )
 
     # equal-ts semantics: the right row must be visible to the left row's
     # frame — right sorts before left (backward, preceding frame) or
@@ -71,50 +93,61 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
         *[F.col(c) for c in l_cols],
-        # null marker typed as the right ordering column — the algorithm is
-        # type-agnostic (epoch longs, dates, timestamps all order fine), so
-        # don't hard-cast to timestamp or unionByName rejects non-ts keys
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        # null marker typed as the bundle — the algorithm stays
+        # type-agnostic (epoch longs, dates, timestamps all order fine)
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     rm = right.select(
         *[F.col(k).alias(f"__key{i}") for i, k in enumerate(keys)],
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
-        F.col(right_ts).alias("__r_ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("__r_ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        ).alias("__r"),
     )
 
     w = Window.partitionBy(
         *[f"__key{i}" for i in range(len(keys))]
-    ).orderBy(F.col("__ts"), F.col("__side"), F.col("__r_ts"))
+    ).orderBy(F.col("__ts"), F.col("__side"), F.col("__r"))
     if backward:
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         pick = F.last
     else:
         w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         pick = F.first
+    picked = pick("__r", ignorenulls=True).over(w)
     filled = lm.unionByName(rm).select(
         *l_cols,
         F.col("__side"),
         F.col("__ts"),
-        pick("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        picked["__r_ts"].alias("asof_ts"),
+        *[picked[f"__r_{c}"].alias(f"asof_{c}") for c in value_cols],
     )
     out = filled.filter(F.col("__side") == l_side)
     if tolerance is not None:
-        if backward:
-            in_window = F.col("asof_ts") >= (
-                F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-            )
+        ts_type = left.schema[left_ts].dataType
+        if isinstance(
+            ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            delta = F.expr(f"INTERVAL {tolerance}")
         else:
-            in_window = F.col("asof_ts") <= (
-                F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
-            )
+            # numeric ordering column: the tolerance is in the column's
+            # own units (INTERVAL arithmetic on a bigint is an
+            # AnalysisException, not type-agnosticism)
+            try:
+                delta = F.lit(float(tolerance))
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"asof_join: ordering column {left_ts!r} is "
+                    f"{ts_type.simpleString()}; tolerance must be a "
+                    f"number in its units, got {tolerance!r}"
+                ) from None
+        if backward:
+            in_window = F.col("asof_ts") >= (F.col("__ts") - delta)
+        else:
+            in_window = F.col("asof_ts") <= (F.col("__ts") + delta)
         out = out.select(
             *l_cols,
             F.col("__side"),

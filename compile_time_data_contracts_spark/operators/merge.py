@@ -89,10 +89,16 @@ def merge_upsert(
     bucket list that was rewritten (len/num_buckets = fraction of the
     snapshot read AND written).
 
-    Semantics match q133's full-outer-join formulation exactly: a key
-    present in both takes the update's row, an update-only key inserts,
-    a snapshot-only key carries forward untouched.  ``updates`` must
-    carry the snapshot's full user schema.
+    Semantics match q133's full-outer-join formulation exactly: for a
+    key present in both, each column takes the update's value WHERE
+    NON-NULL (per-column coalesce — an update cannot clear a value to
+    NULL; delete-a-cell needs a tombstone convention on top), an
+    update-only key inserts, a snapshot-only key carries forward
+    untouched.  ``updates`` must carry the snapshot's full user schema
+    and be UNIQUE on the key — a duplicate-keyed batch (e.g. a replayed
+    CDC slice) would fan out through the join and permanently duplicate
+    snapshot rows, so it is rejected up front (Delta MERGE's
+    multiple-source-matches error, made explicit).
 
     Mechanics, in 100 TB order of importance:
 
@@ -120,6 +126,21 @@ def merge_upsert(
         )
 
     u = updates.withColumn(BUCKET_COL, _bucket_of(key_col, num_buckets))
+    # batch-sized duplicate check (one agg over the update slice, never
+    # the snapshot): duplicates would multiply snapshot rows silently
+    dup = (
+        u.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: update batch has duplicate keys "
+            f"{[r[key_col] for r in dup]} (first 3) — dedupe the batch "
+            "(e.g. keep the latest by a sequence column) before merging"
+        )
     touched = sorted(
         r[BUCKET_COL] for r in u.select(BUCKET_COL).distinct().collect()
     )
@@ -148,7 +169,12 @@ def merge_upsert(
     )
     # the write overwrites directories the plan also reads — materialize
     # the merged slice first (reliable checkpoint: touched-slice-sized,
-    # recoverable) so the overwrite never consumes files it is replacing
+    # recoverable) so the overwrite never consumes files it is replacing.
+    # Checkpoint files persist after the merge: set
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true (or point
+    # the checkpoint dir at storage with a TTL) on a long-lived driver,
+    # or repeated daily merges accumulate one touched-slice-sized
+    # directory each
     from .dedup import _ensure_checkpoint_dir
 
     _ensure_checkpoint_dir(spark.sparkContext)

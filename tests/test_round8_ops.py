@@ -231,3 +231,57 @@ def test_topk_cosine_multi_preserves_int32_query_ids(spark):
     assert out.schema["query_id"].dataType.simpleString() == "int"
     rows = out.collect()
     assert len(rows) == 4 and {r.query_id for r in rows} == {1, 2}
+
+
+def test_asof_join_picks_one_right_row_atomically(spark):
+    """A NULL right-side value must stay NULL: independent per-column
+    ignorenulls picks previously filled it from an OLDER right row,
+    emitting a column combination that never existed."""
+    from compile_time_data_contracts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, None), (1, 2, None, 7.0)],
+        "k long, t long, a double, b double",
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        value_cols=["a", "b"],
+    ).collect()[0]
+    # matched row is (t=2): its a is genuinely NULL, its b is 7.0
+    assert row["asof_ts"] == 2
+    assert row["asof_a"] is None
+    assert row["asof_b"] == 7.0
+
+
+def test_asof_join_numeric_tolerance(spark):
+    """Numeric ordering columns take a numeric tolerance in their own
+    units (INTERVAL math on a bigint was an AnalysisException)."""
+    from compile_time_data_contracts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 500)], "k long, t long")
+    right = spark.createDataFrame([(1, 90, 1.0)], "k long, t long, v double")
+    got = {
+        r["t"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            value_cols=["v"], tolerance=50,
+        ).collect()
+    }
+    assert got == {100: 1.0, 500: None}  # 500-90 > 50 -> nulled
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from compile_time_data_contracts_spark.operators.merge import (
+        merge_upsert,
+        snapshot_write,
+    )
+
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    path = str(tmp_path / "snap")
+    snapshot_write(base, path, "k", num_buckets=4)
+    dup = spark.createDataFrame([(1, 11), (1, 12)], "k long, v long")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, path, dup)

@@ -92,6 +92,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a misspelled/stale name must FAIL, not silently match nothing and
+    # exit 0 with "0 pass, 0 fail" — a green gate that compared nothing
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"FAIL  unknown query name(s): {unknown}")
+        return 1
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:

@@ -50,12 +50,25 @@ def _load() -> dict:
 
 
 def merge_entry(key: str, results: dict) -> dict:
-    doc = _load()
-    doc["entries"][key] = results
-    # atomic replace: a concurrently-running probe can never observe a
-    # half-written file (the original data-loss mechanism)
-    tmp = BENCH_PATH + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(json.dumps(doc) + "\n")
-    os.replace(tmp, BENCH_PATH)
+    # the read-modify-write runs under an exclusive flock: the atomic
+    # replace alone fixed torn READS, but two concurrent probes could
+    # still both _load() the same doc and the second replace would
+    # silently drop the first's entry — the same 20-entries-lost class
+    # the unreadable-file guard above exists for, via a different door
+    import fcntl
+
+    lock_path = BENCH_PATH + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            doc = _load()
+            doc["entries"][key] = results
+            # atomic replace: a reader outside the lock can never
+            # observe a half-written file
+            tmp = BENCH_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(doc) + "\n")
+            os.replace(tmp, BENCH_PATH)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
     return doc
