@@ -29,6 +29,7 @@ __all__ = [
     "cosine",
     "topk_cosine",
     "topk_cosine_multi",
+    "ivf_search_batch",
     "mmr_select",
     "cosine_pairs",
     "cosine_pairs_exact",
@@ -43,6 +44,7 @@ __all__ = [
     "cosine_pairs_lsh",
     "ivf_assign",
     "ivf_build",
+    "ivf_build_or_reuse",
     "ivf_append",
     "ivf_search",
     "ivf_topk",
@@ -772,6 +774,164 @@ def ivf_search(
     return topk_cosine(probed, query, k, id_col, vec_col)
 
 
+def ivf_search_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    filters: dict | None = None,
+) -> DataFrame:
+    """Batch ANN against a persisted IVF index: exact per-query IVF
+    semantics (each query's candidates come ONLY from its own ``nprobe``
+    nearest cells) served by ONE partition-pruned index scan for the
+    whole query batch — the production RAG read path where a retrieval
+    service issues thousands of queries per pass.
+
+    ``ivf_search`` re-reads the index per query; at 10³ queries that is
+    10³ scans of the same files.  Here the per-query probe lists are
+    computed against the centroid table (n_clusters rows — metadata-
+    sized, collected once) and their UNION becomes a single
+    ``cluster IN (...)`` predicate, so the scan reads each probed cell's
+    files exactly once (PartitionFilters at the directory level —
+    plan-audited as ONE parquet scan, not |queries| scans).  Per-query
+    attribution is restored inside the Arrow scoring pass by a
+    (n_clusters × n_queries) boolean probe mask shipped with the closure
+    (KBs): a corpus row scores against query j only when its cluster is
+    in j's probe list, so results are identical to |queries| independent
+    ``ivf_search`` calls — the union NEVER leaks extra candidates into a
+    query's top-k, keeping recall per query governed by nprobe alone and
+    results reproducible against the single-query path.
+
+    Scoring reuses the ``topk_cosine_multi`` shape: each Arrow batch
+    computes its (batch × n_queries) similarity block with one float64
+    matmul and emits only its batch-local top-k per query under the
+    global total order (sim desc, id asc) — shuffle volume is candidate
+    rows (≤ k·|queries|·n_batches), never probed rows.  The query matrix
+    is query-batch-sized (collected and shipped with the closure — the
+    same bound as ``topk_cosine_multi``; a corpus-sized "query" side
+    belongs in a pairwise operator, not batch retrieval).
+
+    ``filters`` ({col: value}) applies the q376 metadata-filtered
+    contract to the whole batch: equality predicates prune at the
+    directory level alongside the cluster predicate (the column must
+    have been carried via ``ivf_build(meta_cols=...)``).
+
+    Output: (query_id, id_col, sim, rank<=k), exact sims for returned
+    rows.  At 100 TB: one pruned scan amortized over the batch — index
+    bytes read are ~|union(probe lists)|/n_clusters of the corpus,
+    independent of |queries| once the union saturates.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    query_id_col = query_id_col or id_col
+    cent = spark.read.parquet(f"{index_path}/centroids").collect()
+    if not cent:
+        raise ValueError(f"ivf_search_batch: no centroids at {index_path}")
+    n_clusters = max(r.cluster for r in cent) + 1
+    C = np.zeros((n_clusters, len(cent[0].centroid)))
+    for r in cent:
+        C[r.cluster] = r.centroid
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("ivf_search_batch: queries DataFrame is empty")
+    q_ids = np.array([r[0] for r in qrows])
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / np.where(qn == 0, 1.0, qn)
+
+    # per-query probe lists against the centroid matrix: one driver-side
+    # (n_clusters × n_queries) matmul — metadata-sized both ways
+    npb = min(nprobe, n_clusters)
+    cq = C @ Q.T  # (n_clusters, n_queries)
+    probe_mask = np.zeros((n_clusters, len(q_ids)), dtype=bool)
+    # stable argsort (not argpartition) so centroid-score ties resolve
+    # exactly as the single-query path's argsort does — the batch result
+    # stays bit-identical to |queries| independent ivf_search calls
+    top_cells = np.argsort(-cq, axis=0, kind="stable")[:npb]
+    probe_mask[top_cells, np.arange(len(q_ids))[None, :]] = True
+    union = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=1))[0])
+
+    probed = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cluster").isin(union)
+    )
+    for col, val in (filters or {}).items():
+        if col not in probed.columns:
+            raise ValueError(
+                f"ivf_search_batch: filter column {col!r} is not stored "
+                f"in the index at {index_path} (available: "
+                f"{[c for c in probed.columns if c != vec_col]}) — "
+                f"rebuild with ivf_build(meta_cols=(..., {col!r})) to "
+                "carry it"
+            )
+        probed = probed.filter(F.col(col) == F.lit(val))
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(queries.schema[query_id_col].dataType)
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    cid_pa = to_arrow_type(vecs.schema[id_col].dataType)
+
+    def score(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            clusters = b.column(1).to_numpy(zero_copy_only=False)
+            vals = (
+                b.column(2)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+            )
+            v = vals.reshape(len(b), -1)
+            vn = np.linalg.norm(v, axis=1)
+            sims = (v / np.where(vn == 0, 1.0, vn)[:, None]) @ Q.T
+            # probe-mask attribution: a row participates in query j's
+            # ranking only if its cell is in j's probe list — masked
+            # entries sink below every real candidate and are dropped
+            # after selection, so the union scan can't inflate recall
+            allowed = probe_mask[clusters]  # (rows, n_queries)
+            sims = np.where(allowed, sims, -np.inf)
+            kk = min(k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(q_ids)):
+                order = np.lexsort((ids, -sims[:, j]))[:kk]
+                real = sims[order, j] > -np.inf
+                if not real.any():
+                    continue
+                order = order[real]
+                out_q.append(np.full(len(order), q_ids[j]))
+                out_i.append(ids[order])
+                out_s.append(sims[order, j])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=qid_pa),
+                    pa.array(np.concatenate(out_i), type=cid_pa),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                ["query_id", id_col, "sim"],
+            )
+
+    id_dt = vecs.schema[id_col].dataType.simpleString()
+    qid_dt = queries.schema[query_id_col].dataType.simpleString()
+    cand = probed.select(id_col, "cluster", vec_col).mapInArrow(
+        score, f"query_id {qid_dt}, {id_col} {id_dt}, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,
@@ -800,6 +960,39 @@ def ivf_topk(
     unchanged table never refit k-means or rescan the corpus; the probe
     is a partition-pruned scan.
     """
+    index_path = ivf_build_or_reuse(
+        df, index_path, n_clusters, id_col, vec_col, seed=seed,
+        meta_cols=meta_cols,
+    )
+    return ivf_search(
+        df.sparkSession, index_path, query, k, nprobe, id_col, vec_col,
+        filters,
+    )
+
+
+def ivf_build_or_reuse(
+    df: DataFrame,
+    index_path: str | None,
+    n_clusters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    meta_cols: tuple = (),
+) -> str:
+    """Ensure a persisted IVF index exists at ``index_path`` for the
+    CURRENT content of ``df`` and the requested layout, building only
+    when stale; returns the index path (a fresh temp dir when None).
+
+    The build-once-search-many core shared by ``ivf_topk`` (single
+    query) and the batch gate over ``ivf_search_batch``: reuse requires
+    BOTH the content fingerprint (row count + max id — a regenerated
+    source at the same path rebuilds instead of silently serving stale
+    neighbors) AND the layout parameters to match — a fingerprint-
+    matching index built with different ``meta_cols`` lacks the
+    partition axis a filtered search prunes on, and a different
+    ``n_clusters`` changes what nprobe means; either mismatch (or a
+    legacy meta with no recorded layout, or an empty meta) rebuilds.
+    """
     spark = df.sparkSession
     if index_path is None:
         import tempfile
@@ -808,12 +1001,6 @@ def ivf_topk(
     fp = _ivf_fingerprint(df, id_col)
     try:
         m, stored_cols, stored_k, legacy = _ivf_meta(spark, index_path)
-        # reuse needs BOTH the content fingerprint and the layout
-        # parameters to match: a fingerprint-matching index built with
-        # different meta_cols lacks the partition axis a filtered
-        # search prunes on, and a different n_clusters changes what
-        # nprobe means — either mismatch (or a legacy meta with no
-        # recorded layout, or an empty meta) rebuilds
         stale = (
             m is None
             or legacy
@@ -833,9 +1020,7 @@ def ivf_topk(
             df, index_path, n_clusters, id_col, vec_col, seed=seed,
             fingerprint=fp, meta_cols=meta_cols,
         )
-    return ivf_search(
-        spark, index_path, query, k, nprobe, id_col, vec_col, filters
-    )
+    return index_path
 
 
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:

@@ -564,6 +564,16 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
             F.col("__prev").alias("doc_a"), F.col("event_id").alias("doc_b")
         )
     )
+    # the lag-window edge pipeline (full shuffle + sort over events) is
+    # read by BOTH star runs (batch 1 from scratch, batch 2 inside the
+    # incremental union); checkpoint it once so the expensive window
+    # executes once and both batches replay cheap columnar files —
+    # measured ~4 s saved at sf0.1, and it is the same durability story
+    # as the loop's own per-round checkpoints
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
+    edges = edges.checkpoint(eager=True)
     batch1 = edges.filter(F.col("doc_b") % 3 != 0)
     batch2 = edges.filter(F.col("doc_b") % 3 == 0)
     labels1 = connected_components_star(batch1)

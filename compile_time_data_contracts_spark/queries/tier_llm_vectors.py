@@ -1193,7 +1193,16 @@ def q376(spark: SparkSession, sf: str) -> DataFrame:
     which is the production RAG shape 'nearest docs within this
     tenant' at 100 TB: ~nprobe/n_clusters x 1/|labels| of the index
     scanned per query.  Exact side value-checked against the DuckDB
-    oracle; the boolean gates the index."""
+    oracle; the boolean gates the index.
+
+    Gate shape vs production shape: at gate scale this probes 24 of 32
+    cells (75% — near-exhaustive, chosen so the >= 9/10 recall floor is
+    deterministic on a 500-to-5k-vector fixture whose weak neighbors
+    scatter widely).  The PRUNING claim does NOT rest on this gate: the
+    `filtered_ivf_n1000020` scale probe searches 16 of 256 cells and
+    reads 6 of 1,284 (cluster, label) directories at recall 1.0 — that
+    probe, not this near-exhaustive gate probe, is the production
+    shape."""
     import hashlib
     import tempfile
 
@@ -1214,4 +1223,91 @@ def q376(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.round("sim", 4).alias("sim_r"),
         F.lit(overlap >= 9).alias("filtered_ivf_recall_ok"),
+    )
+
+
+_Q377_ORACLE = """
+  WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             FROM embeddings WHERE vec_id IN (1, 2, 3, 7, 11, 13, 17, 19)),
+  ranked AS (
+    SELECT q.query_id, b.vec_id,
+           list_cosine_similarity(q.qe, b.embedding::DOUBLE[]) AS sim,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, b.embedding::DOUBLE[])
+                      DESC, b.vec_id) AS rn
+    FROM embeddings b CROSS JOIN q)
+  SELECT query_id, vec_id, round(sim, 4) AS sim_r,
+         TRUE AS batch_ivf_recall_ok
+  FROM ranked WHERE rn <= 10"""
+
+
+@q("q377_batch_ivf_recall_contract", _Q377_ORACLE)
+def q377(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-retrieval accuracy contract (q107's pattern over a WHOLE
+    query batch): the exact per-query top-10 (one corpus pass via
+    ``topk_cosine_multi``, value-checked against the DuckDB window
+    oracle) annotated per query with whether ``ivf_search_batch``
+    recovered >= 7 of that query's exact neighbors from the persisted
+    IVF index — q107's single-query floor, now enforced for every
+    member of an 8-query batch.
+
+    This is the production RAG read path the single-query gates (q107,
+    q376) bracket but don't cover: the per-query probe lists are
+    unioned into ONE PartitionFilters-pruned index scan (plan-audited —
+    one parquet scan for the whole batch, not |queries| scans), while a
+    closure-shipped probe mask keeps each query's candidates confined
+    to its OWN nprobe cells, so per-query recall is governed by nprobe
+    exactly as in q107.  The index is the SAME persisted artifact q107
+    searches (``ivf_build_or_reuse`` on the shared fingerprinted path)
+    — build-once-search-many across gate queries, the q67/q107/q376
+    convention."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_build_or_reuse,
+        ivf_search_batch,
+        topk_cosine_multi,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qids = [1, 2, 3, 7, 11, 13, 17, 19]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    exact = topk_cosine_multi(emb, queries, k=10, query_id_col="vec_id")
+    tag = hashlib.md5(f"{sf}|c32".encode()).hexdigest()[:12]
+    idx = ivf_build_or_reuse(
+        emb, f"{tempfile.gettempdir()}/ctdc-ivf-{tag}", n_clusters=32
+    )
+    # nprobe 16/32 at gate scale (measured: per-query recall floor 7/10
+    # at sf0.001, 8/10 at sf0.01 — q107's nprobe=8 leaves two of the
+    # eight batch queries under the floor; weak-neighbor top-10s scatter
+    # across more cells than a self-similar top-1).  The PRUNING claim
+    # is the scale probe's (batch_ivf probe: 10^3 queries x 10^6
+    # vectors, nprobe 16/256), not this near-half-probe gate shape —
+    # same gate-vs-production split as q376.
+    approx = ivf_search_batch(
+        spark, idx, queries, k=10, nprobe=16, query_id_col="vec_id"
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    # left join + coalesce: a query with ZERO recovered neighbors must
+    # surface as a FALSE flag (hash mismatch), not as dropped rows
+    return (
+        exact.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("sim", 4).alias("sim_r"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) >= 7).alias(
+                "batch_ivf_recall_ok"
+            ),
+        )
     )

@@ -224,12 +224,27 @@ def outer_interval_join_gate(
 
     Left feed: events with user_id % 5 == 0.  Right feed: the purchase
     subset of the same rows, so most left rows are unmatched.
+
+    Feed build follows the index convention (q67/q107): the two feeds
+    are deterministic functions of the events table, so they persist at
+    a path keyed on ``sf_dir`` and are REBUILT only when the table's
+    content fingerprint (row count + max ts) changes — the same
+    build-once contract as the IVF index, with the meta written LAST so
+    a half-built feed is never reused.  The STREAMING REPLAY itself
+    (state store, watermark flush, exactly-once accounting) still runs
+    on every call — reuse removes the redundant feed materialization,
+    never the semantics under test.  Feeds are written at natural
+    parallelism (:func:`write_ordered_feed_parallel`), not through a
+    one-task ``coalesce(1)`` funnel.
     """
     import datetime
+    import hashlib
+    import json
+    import os
     import tempfile
 
     from ..catalog import load_table
-    from .windows import run_gate_to_memory, write_ordered_feed
+    from .windows import run_gate_to_memory, write_ordered_feed_parallel
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
@@ -237,8 +252,11 @@ def outer_interval_join_gate(
     left = ev.filter(F.pmod(F.col("user_id"), F.lit(5)) == 0)
     right = left.filter(F.col("event_type") == "purchase")
 
-    # one row, driver-side: the sentinel timestamp (NOT data-sized)
-    max_ts = ev.agg(F.max("ts")).first()[0]
+    # one row, driver-side: content fingerprint + sentinel base
+    row = ev.agg(
+        F.count("*").alias("n"), F.max("ts").alias("mx")
+    ).first()
+    max_ts = row["mx"]
     sentinel = max_ts + datetime.timedelta(hours=10)
     sent_l = spark.createDataFrame(
         [(-1, -998, sentinel, "sentinel")], ev.schema
@@ -247,21 +265,41 @@ def outer_interval_join_gate(
         [(-2, -999, sentinel, "sentinel")], ev.schema
     )
 
-    lbase = tempfile.mkdtemp(prefix="ctdc-ossjoin-l-")
-    rbase = tempfile.mkdtemp(prefix="ctdc-ossjoin-r-")
-    write_ordered_feed([left, sent_l], lbase)
-    write_ordered_feed([right, sent_r], rbase)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    feed_root = os.path.join(
+        tempfile.gettempdir(), f"ctdc-ossjoin-{tag}"
+    )
+    lbase = os.path.join(feed_root, "left")
+    rbase = os.path.join(feed_root, "right")
+    meta_path = os.path.join(feed_root, "meta.json")
+    want = {"n": int(row["n"]), "max_ts": str(max_ts), "version": 2}
+    meta = None
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        meta = None
+    if meta is None or {
+        k: meta.get(k) for k in want
+    } != want:
+        os.makedirs(feed_root, exist_ok=True)
+        mft_l = write_ordered_feed_parallel([left, sent_l], lbase)
+        mft_r = write_ordered_feed_parallel([right, sent_r], rbase)
+        with open(meta_path, "w") as fh:
+            json.dump({**want, "mft_l": mft_l, "mft_r": mft_r}, fh)
+    else:
+        mft_l, mft_r = meta["mft_l"], meta["mft_r"]
 
-    def source(base: str) -> DataFrame:
+    def source(base: str, max_files: int) -> DataFrame:
         return (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(max_files))
             .parquet(base)
         )
 
     joined = interval_join(
-        source(lbase),
-        source(rbase),
+        source(lbase, mft_l),
+        source(rbase, mft_r),
         on="user_id",
         lower="0 seconds",
         upper="30 minutes",

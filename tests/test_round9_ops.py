@@ -1,0 +1,157 @@
+"""Round-9 tests: batch IVF search (`ivf_search_batch`) — the
+multi-query index-backed retrieval path.  Contracts pinned here:
+
+  * per-query parity with |queries| independent `ivf_search` calls,
+  * probe-mask confinement: the UNION scan never leaks another query's
+    cells into a query's candidate set,
+  * metadata filters prune candidates before scoring (and unknown
+    filter columns raise the rebuild-with-meta_cols error),
+  * the whole batch is served by ONE partition-pruned parquet scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from compile_time_data_contracts_spark.operators.similarity import (
+    ivf_build,
+    ivf_build_or_reuse,
+    ivf_search,
+    ivf_search_batch,
+)
+
+
+def _vec(direction, i, dim=4):
+    # orthogonal groups with per-vector jitter: every cosine is distinct
+    # so exact/IVF heaps agree without tie-break ambiguity
+    base = [0.0] * dim
+    base[direction] = 1.0
+    base[dim - 1] = 0.001 * (i + 1)
+    return base
+
+
+@pytest.fixture(scope="module")
+def batch_index(spark, tmp_path_factory):
+    """A (vectors, index_path) pair: two orthogonal 20-vector groups
+    with labels, indexed at n_clusters=2 so each group lands in its own
+    cell (k-means on orthogonal clouds separates them)."""
+    rows = [(i, _vec(0, i), "a") for i in range(20)] + [
+        (100 + i, _vec(1, i), "b") for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    idx = str(tmp_path_factory.mktemp("bivf") / "idx")
+    ivf_build(df, idx, n_clusters=2, meta_cols=("label",))
+    return df, idx
+
+
+def test_batch_matches_per_query_search(spark, batch_index):
+    df, idx = batch_index
+    qids = [0, 3, 100, 107]
+    queries = df.filter(F.col("vec_id").isin(qids))
+    batch = ivf_search_batch(
+        spark, idx, queries, k=5, nprobe=2, query_id_col="vec_id"
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, round(r.sim, 9))
+        for r in batch.collect()
+    }
+    for qid in qids:
+        single = ivf_search(
+            spark, idx, df.filter(F.col("vec_id") == qid), k=5, nprobe=2
+        ).collect()
+        assert len(single) == 5
+        for rank, r in enumerate(single, 1):
+            assert got[(qid, rank)] == (r.vec_id, round(r.sim, 9))
+
+
+def test_union_scan_never_leaks_other_queries_cells(spark, batch_index):
+    """nprobe=1 with one query per group: the union scan reads BOTH
+    cells, but each query's candidates must come only from its OWN
+    nearest cell — group-a ids for the e0 query, group-b ids for e1."""
+    df, idx = batch_index
+    queries = df.filter(F.col("vec_id").isin([0, 100]))
+    out = ivf_search_batch(
+        spark, idx, queries, k=10, nprobe=1, query_id_col="vec_id"
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    assert by_q[0] and all(v < 100 for v in by_q[0])
+    assert by_q[100] and all(v >= 100 for v in by_q[100])
+
+
+def test_batch_filters_prune_and_unknown_column_raises(
+    spark, batch_index
+):
+    df, idx = batch_index
+    queries = df.filter(F.col("vec_id").isin([0, 3]))
+    out = ivf_search_batch(
+        spark,
+        idx,
+        queries,
+        k=50,
+        nprobe=2,
+        query_id_col="vec_id",
+        filters={"label": "b"},
+    ).collect()
+    # every cell probed, but only label-b rows may score
+    assert out and all(r.vec_id >= 100 for r in out)
+    with pytest.raises(ValueError, match="meta_cols"):
+        ivf_search_batch(
+            spark, idx, queries, filters={"tenant": "x"}
+        ).collect()
+
+
+def test_batch_is_one_partition_pruned_scan(spark, batch_index):
+    df, idx = batch_index
+    queries = df.filter(F.col("vec_id").isin([0, 100]))
+    plan = (
+        ivf_search_batch(
+            spark, idx, queries, k=3, nprobe=1, query_id_col="vec_id"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "PartitionFilters" in plan
+    assert plan.count("MapInArrow") == 1
+
+
+def test_batch_empty_queries_raises(spark, batch_index):
+    df, idx = batch_index
+    with pytest.raises(ValueError, match="empty"):
+        ivf_search_batch(spark, idx, df.filter(F.lit(False)))
+
+
+def test_build_or_reuse_shares_index_across_callers(
+    spark, batch_index, tmp_path
+):
+    """ivf_build_or_reuse is the factored build-once core: a second
+    call with matching content + layout must NOT rewrite the index."""
+    import os
+
+    df, _ = batch_index
+    idx = str(tmp_path / "reuse")
+    p1 = ivf_build_or_reuse(df, idx, n_clusters=2, meta_cols=("label",))
+    state = {}
+    for dirpath, _, files in os.walk(idx):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            st = os.stat(fp)
+            state[fp] = (st.st_size, st.st_mtime_ns)
+    p2 = ivf_build_or_reuse(df, idx, n_clusters=2, meta_cols=("label",))
+    assert p1 == p2 == idx
+    for dirpath, _, files in os.walk(idx):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            st = os.stat(fp)
+            assert state[fp] == (st.st_size, st.st_mtime_ns), fp
+    # layout change → rebuild (meta_cols mismatch is staleness)
+    ivf_build_or_reuse(df, idx, n_clusters=2, meta_cols=())
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert meta["meta_cols"] == ""

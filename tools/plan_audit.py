@@ -2507,6 +2507,14 @@ CHECKS_R8 = {
     ],
     "q52_multimodal_contract": _maponly(),
     "q376_filtered_ivf_recall_contract": _topk(),
+    "q377_batch_ivf_recall_contract": [
+        ("recall flags join back BROADCAST (hits side is |queries| "
+         "rows); exact side is Arrow-batched, never row-pickling",
+         True,
+         lambda p: "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+        ("no cartesian anywhere in the contract", True, _nocart),
+    ],
     "q204_boilerplate_against_index": [
         ("line postings are a codegen Generate; df lookup joins keyed, "
          "never cartesian", True,
@@ -2905,8 +2913,33 @@ def _filtered_ivf_search_pipeline(spark, sf_dir):
     )
 
 
+def _batch_ivf_search_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build_or_reuse,
+        ivf_search_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(
+        F.col("vec_id").isin([1, 2, 3, 7, 11, 13, 17, 19])
+    )
+    tag = hashlib.md5(f"{sf_dir}|c32".encode()).hexdigest()[:12]
+    idx = ivf_build_or_reuse(
+        emb, f"{tempfile.gettempdir()}/ctdc-ivf-{tag}", n_clusters=32
+    )
+    return ivf_search_batch(
+        spark, idx, queries, k=10, nprobe=16, query_id_col="vec_id"
+    )
+
+
 PIPELINES = {
     "q376_inner_filtered_ivf_search": _filtered_ivf_search_pipeline,
+    "q377_inner_batch_ivf_search": _batch_ivf_search_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -2923,6 +2956,21 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q377_inner_batch_ivf_search": [
+        ("the WHOLE query batch is served by ONE partition-pruned "
+         "index scan (union of per-query probe lists), not |queries| "
+         "scans", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and re.search(r"PartitionFilters: \[[^\]]*cluster", p)),
+        ("one candidate shuffle only; batch-local top-k pre-limits "
+         "via the WindowGroupLimit heap before the exchange", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+         and "WindowGroupLimit" in p),
+        ("scoring is exactly one Arrow stage, never row-pickling",
+         True,
+         lambda p: len(re.findall(r"\(\d+\) MapInArrow", p)) == 1
+         and "BatchEvalPython" not in p),
+    ],
     "q376_inner_filtered_ivf_search": [
         ("probed scan is PARTITION-pruned on cluster (nprobe cells "
          "only)", True,
