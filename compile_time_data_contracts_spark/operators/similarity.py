@@ -1672,6 +1672,8 @@ def ivf_pq_topk(
     seed: int = 42,
     index_path: str | None = None,
     sample_size: int = 10000,
+    meta_cols: tuple = (),
+    filters: dict | None = None,
 ) -> DataFrame:
     """The production ANN composite — IVF-ADC (Jégou et al., TPAMI
     2011; the FAISS ``IVFx,PQy`` shape): IVF cell pruning × PQ
@@ -1697,6 +1699,17 @@ def ivf_pq_topk(
     and the q193 gate pins top-k equality on the fixture.  At 100 TB
     the three stages multiply: 8/64 cells × 32x compression means the
     hot scan is ~0.4% of the raw corpus bytes.
+
+    ``meta_cols``/``filters`` add the q376 metadata axis to the
+    COMPRESSED domain: with ``meta_cols=("label",)`` both the vector
+    table and the PQ code table persist partitioned by (cluster,
+    *meta_cols), so a ``filters={"label": v}`` search prunes the code
+    scan AND the re-rank hydration at the directory level on both axes
+    — 'nearest docs within this tenant' never decodes, scores, or
+    post-filters another tenant's codes (post-filtering a top-k would
+    starve under selective filters; this is in-candidate filtering).
+    A meta_cols change is an IVF-layer rebuild (the partition layout
+    changes), tracked by the same staleness meta as n_clusters.
     """
     import numpy as np
 
@@ -1715,12 +1728,15 @@ def ivf_pq_topk(
     # faults surface instead of silently rebuilding over a valid index.
     def _ivf_stale() -> bool:
         try:
-            meta, _, stored_k, legacy = _ivf_meta(spark, index_path)
+            meta, stored_cols, stored_k, legacy = _ivf_meta(
+                spark, index_path
+            )
             return (
                 meta is None
                 or legacy
                 or (int(meta["n"]), meta["max_id"]) != fp
                 or stored_k != n_clusters
+                or stored_cols != tuple(meta_cols)
             )
         except (AnalysisException, KeyError, ValueError, TypeError):
             return True
@@ -1728,11 +1744,18 @@ def ivf_pq_topk(
     def _pq_stale() -> bool:
         try:
             pq_meta = spark.read.parquet(f"{index_path}/pq/meta").first()
+            pq_d = pq_meta.asDict() if pq_meta is not None else {}
+            stored_pq_cols = tuple(
+                c
+                for c in (pq_d.get("meta_cols") or "").split(",")
+                if c
+            )
             if pq_meta is None or (
                 int(pq_meta["n_clusters"]),
                 int(pq_meta["m"]),
                 int(pq_meta["ksub"]),
-            ) != (n_clusters, m, ksub):
+                stored_pq_cols,
+            ) != (n_clusters, m, ksub, tuple(meta_cols)):
                 return True
             # an existing-but-EMPTY books table must rebuild, not crash
             # the max() over zero codebook rows later
@@ -1749,6 +1772,7 @@ def ivf_pq_topk(
         ivf_build(
             df, index_path, n_clusters, id_col, vec_col,
             sample_size=sample_size, seed=seed, fingerprint=fp,
+            meta_cols=tuple(meta_cols),
         )
     if pq_stale:
         vecs = spark.read.parquet(f"{index_path}/vectors")
@@ -1765,10 +1789,16 @@ def ivf_pq_topk(
         # one writer per cluster directory (same layout shuffle as
         # ivf_build — without it every encoder partition appends a file
         # to every cluster it touches)
+        # codes persist under the SAME (cluster, *meta_cols) directory
+        # layout as the vectors, one writer per leaf — a filtered
+        # search then prunes the compressed scan on both axes
         pq_encode(
-            vecs, books, id_col, vec_col, extra_cols=("cluster",)
-        ).repartition(F.col("cluster")).write.mode("overwrite").partitionBy(
-            "cluster"
+            vecs, books, id_col, vec_col,
+            extra_cols=("cluster", *meta_cols),
+        ).repartition(
+            F.col("cluster"), *[F.col(c) for c in meta_cols]
+        ).write.mode("overwrite").partitionBy(
+            "cluster", *meta_cols
         ).parquet(f"{index_path}/pq/codes")
         book_rows = [
             (s, c, [float(x) for x in books[s, c]])
@@ -1781,7 +1811,8 @@ def ivf_pq_topk(
             f"{index_path}/pq/books"
         )
         spark.createDataFrame(
-            [(n_clusters, m, ksub)], "n_clusters int, m int, ksub int"
+            [(n_clusters, m, ksub, ",".join(meta_cols))],
+            "n_clusters int, m int, ksub int, meta_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{index_path}/pq/meta"
         )
@@ -1801,8 +1832,21 @@ def ivf_pq_topk(
     qn = qv / max(np.linalg.norm(qv), 1e-12)
     probe = [int(c) for c in np.argsort(-(C @ qn))[: min(nprobe, len(C))]]
 
-    codes = spark.read.parquet(f"{index_path}/pq/codes").filter(
-        F.col("cluster").isin(probe)
+    def _meta_filtered(table: DataFrame, what: str) -> DataFrame:
+        out = table.filter(F.col("cluster").isin(probe))
+        for col, val in (filters or {}).items():
+            if col not in out.columns:
+                raise ValueError(
+                    f"ivf_pq_topk: filter column {col!r} is not stored "
+                    f"in the {what} table at {index_path} — rebuild "
+                    f"with meta_cols=(..., {col!r}) to carry it into "
+                    "the partition layout"
+                )
+            out = out.filter(F.col(col) == F.lit(val))
+        return out
+
+    codes = _meta_filtered(
+        spark.read.parquet(f"{index_path}/pq/codes"), "code"
     )
     cand = (
         pq_adc_scores(codes, qv, books, id_col)
@@ -1810,8 +1854,8 @@ def ivf_pq_topk(
         .limit(rerank)
         .select(id_col)
     )
-    probed_vecs = spark.read.parquet(f"{index_path}/vectors").filter(
-        F.col("cluster").isin(probe)
+    probed_vecs = _meta_filtered(
+        spark.read.parquet(f"{index_path}/vectors"), "vector"
     )
     hydrated = probed_vecs.join(F.broadcast(cand), id_col, "semi")
     return topk_cosine(hydrated, query, k, id_col, vec_col)

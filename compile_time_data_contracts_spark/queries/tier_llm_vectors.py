@@ -1311,3 +1311,59 @@ def q377(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+_Q378_ORACLE = """
+  WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS ql
+             FROM embeddings WHERE vec_id = 23)
+  SELECT b.vec_id,
+         round(list_cosine_similarity(q.qe, b.embedding::DOUBLE[]), 4)
+           AS sim_r,
+         TRUE AS filtered_ivfpq_recall_ok
+  FROM embeddings b, q
+  WHERE b.label = q.ql
+  ORDER BY list_cosine_similarity(q.qe, b.embedding::DOUBLE[]) DESC,
+           b.vec_id
+  LIMIT 10"""
+
+
+@q("q378_filtered_ivfpq_recall_contract", _Q378_ORACLE)
+def q378(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered IVF-PQ accuracy contract — q376's metadata axis carried
+    into the COMPRESSED domain (q193's composite): with
+    ``meta_cols=("label",)`` both the vector table AND the PQ code
+    table persist partitioned by (cluster, label), so a
+    ``filters={"label": ql}`` search prunes the ADC code scan and the
+    exact re-rank hydration at the directory level on BOTH axes —
+    'nearest docs within this tenant' never decodes or scores another
+    tenant's codes (plan-audited: PartitionFilters with cluster INSET
+    and label equality on both scans).  The composite must recover
+    >= 8 of the exact top-10 within the query's label; exact side
+    value-checked against the DuckDB oracle.
+
+    Gate shape vs production shape: nprobe 12/16 here (near-exhaustive
+    so the floor is deterministic on the small fixture); the pruning
+    claim is the scale probe's (filtered_ivfpq probe: 256 cells,
+    nprobe 16), same split as q376/q377."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import ivf_pq_topk, topk_cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 23)
+    ql = query.select("label").first()[0]
+    exact = topk_cosine(emb.where(F.col("label") == ql), query, k=10)
+    tag = hashlib.md5(f"{sf}|fpq16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-fivfpq-{tag}"
+    approx = ivf_pq_topk(
+        emb, query, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
+        rerank=200, index_path=idx, meta_cols=("label",),
+        filters={"label": ql},
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 8).alias("filtered_ivfpq_recall_ok"),
+    )

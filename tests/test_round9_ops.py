@@ -155,3 +155,56 @@ def test_build_or_reuse_shares_index_across_callers(
     ivf_build_or_reuse(df, idx, n_clusters=2, meta_cols=())
     meta = spark.read.parquet(f"{idx}/meta").first()
     assert meta["meta_cols"] == ""
+
+
+def test_filtered_ivfpq_layout_staleness_and_filters(spark, tmp_path):
+    """meta_cols carried through the PQ composite: codes partition by
+    (cluster, label), filtered search returns only matching-label rows,
+    a meta_cols change rebuilds, and unknown filter columns raise."""
+    import os
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rows = [(i, _vec(0, i, 16), "a") for i in range(30)] + [
+        (100 + i, _vec(1, i, 16), "b") for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    idx = str(tmp_path / "fpq")
+    query = df.filter(F.col("vec_id") == 0)
+    out = ivf_pq_topk(
+        df, query, k=5, n_clusters=2, nprobe=2, m=4, ksub=8,
+        rerank=20, index_path=idx, meta_cols=("label",),
+        filters={"label": "b"},
+    ).collect()
+    assert out and all(r.vec_id >= 100 for r in out)
+    # codes directory layout has BOTH axes
+    clusters = [
+        d for d in os.listdir(f"{idx}/pq/codes") if d.startswith("cluster=")
+    ]
+    assert clusters
+    labels = [
+        d
+        for d in os.listdir(f"{idx}/pq/codes/{clusters[0]}")
+        if d.startswith("label=")
+    ]
+    assert labels, "codes not partitioned by the meta column"
+    # pq meta records the layout
+    pq_meta = spark.read.parquet(f"{idx}/pq/meta").first()
+    assert pq_meta["meta_cols"] == "label"
+    # unknown filter column raises the rebuild message
+    with pytest.raises(ValueError, match="meta_cols"):
+        ivf_pq_topk(
+            df, query, k=5, n_clusters=2, nprobe=2, m=4, ksub=8,
+            rerank=20, index_path=idx, meta_cols=("label",),
+            filters={"tenant": "x"},
+        ).collect()
+    # meta_cols change is staleness: a layout-less request rebuilds
+    ivf_pq_topk(
+        df, query, k=5, n_clusters=2, nprobe=2, m=4, ksub=8,
+        rerank=20, index_path=idx,
+    ).collect()
+    assert spark.read.parquet(f"{idx}/pq/meta").first()["meta_cols"] == ""

@@ -2507,6 +2507,7 @@ CHECKS_R8 = {
     ],
     "q52_multimodal_contract": _maponly(),
     "q376_filtered_ivf_recall_contract": _topk(),
+    "q378_filtered_ivfpq_recall_contract": _topk(),
     "q377_batch_ivf_recall_contract": [
         ("recall flags join back BROADCAST (hits side is |queries| "
          "rows); exact side is Arrow-batched, never row-pickling",
@@ -2937,9 +2938,32 @@ def _batch_ivf_search_pipeline(spark, sf_dir):
     )
 
 
+def _filtered_ivfpq_search_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 23)
+    ql = query.select("label").first()[0]
+    tag = hashlib.md5(f"{sf_dir}|fpq16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-fivfpq-{tag}"
+    return ivf_pq_topk(
+        emb, query, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
+        rerank=200, index_path=idx, meta_cols=("label",),
+        filters={"label": ql},
+    )
+
+
 PIPELINES = {
     "q376_inner_filtered_ivf_search": _filtered_ivf_search_pipeline,
     "q377_inner_batch_ivf_search": _batch_ivf_search_pipeline,
+    "q378_inner_filtered_ivfpq_search": _filtered_ivfpq_search_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -2970,6 +2994,27 @@ PIPELINE_CHECKS = {
          True,
          lambda p: len(re.findall(r"\(\d+\) MapInArrow", p)) == 1
          and "BatchEvalPython" not in p),
+    ],
+    "q378_inner_filtered_ivfpq_search": [
+        ("BOTH scans (PQ codes + re-rank hydration) prune on cluster "
+         "at the directory level", True,
+         lambda p: len(
+             re.findall(r"PartitionFilters: \[[^\]]*cluster", p)
+         ) >= 2),
+        ("BOTH scans prune on the label axis too — no cross-tenant "
+         "codes are ever decoded or scored", True,
+         lambda p: len(
+             re.findall(r"PartitionFilters: \[[^\]]*label", p)
+         ) >= 2),
+        ("ADC scoring is JVM-side over a broadcast LUT; no Python "
+         "touches the code scan (the only Python is the final exact "
+         "re-rank's Arrow scorer)", True,
+         lambda p: "BatchEvalPython" not in p
+         and len(re.findall(r"\(\d+\) MapInArrow", p)) == 1),
+        ("rerank candidates semi-join BROADCAST; top-k via TakeOrdered "
+         "heap", True,
+         lambda p: "TakeOrderedAndProject" in p
+         and re.search(r"BroadcastHashJoin [^\n]*LeftSemi", p)),
     ],
     "q376_inner_filtered_ivf_search": [
         ("probed scan is PARTITION-pruned on cluster (nprobe cells "
