@@ -5,8 +5,12 @@ same registry keys, same oracle artifact):
 
   * ``_shared``            — the ``@q`` registry, shared imports, helpers
   * ``tier_core_sql``      — relational/SQL/window/UDF surface (q05-q198)
-  * ``tier_stats_ts``      — statistical / time-series / evaluation
-                             analytics (q224-q329; round-8 split)
+  * ``tier_timeseries``    — time-series / interval / sequence
+                             analytics (round-9 split of tier_stats_ts)
+  * ``tier_stats``         — statistical / evaluation analytics
+                             (round-9 split of tier_stats_ts)
+  * ``tier_quality_audit`` — data-quality / privacy-publishing / sketch
+                             contracts (round-9 split of tier_stats_ts)
   * ``tier_experiment_gov``— experimentation / attribution / governance
                              analytics (q332-q373; round-8 split)
   * ``tier_llm_dedup``     — dedup / entity resolution / curation (round-8
@@ -34,7 +38,9 @@ from ._shared import _ORACLES, _QUERIES, _ts_str, oracle_sql, q, queries  # noqa
 # registration order is preserved where it matters, e.g. q190 reading
 # q150's oracle inside tier_llm)
 from . import tier_core_sql  # noqa: E402,F401
-from . import tier_stats_ts  # noqa: E402,F401
+from . import tier_timeseries  # noqa: E402,F401
+from . import tier_stats  # noqa: E402,F401
+from . import tier_quality_audit  # noqa: E402,F401
 from . import tier_experiment_gov  # noqa: E402,F401
 from . import tier_llm_dedup  # noqa: E402,F401
 from . import tier_llm_vectors  # noqa: E402,F401

@@ -107,7 +107,7 @@ def test_walks_stop_at_sink(spark):
 def test_ols_matches_numpy(spark, sf_dir):
     import numpy as np
 
-    from compile_time_data_contracts_spark.queries.tier_stats_ts import (  # noqa: E501
+    from compile_time_data_contracts_spark.queries.tier_stats import (  # noqa: E501
         q227,
     )
 
@@ -166,7 +166,7 @@ def test_weighted_median_pure_python(spark):
 
 # ------------------------------------------------------ seasonal index
 def test_seasonal_index_weighted_mean_is_one(spark, sf_dir):
-    from compile_time_data_contracts_spark.queries.tier_stats_ts import (  # noqa: E501
+    from compile_time_data_contracts_spark.queries.tier_timeseries import (  # noqa: E501
         q229,
     )
 
@@ -180,7 +180,7 @@ def test_seasonal_index_weighted_mean_is_one(spark, sf_dir):
 
 # ------------------------------------------------- sliding HLL contract
 def test_sliding_hll_exact_matches_brute_force(spark, sf_dir):
-    from compile_time_data_contracts_spark.queries.tier_stats_ts import (  # noqa: E501
+    from compile_time_data_contracts_spark.queries.tier_quality_audit import (  # noqa: E501
         q231,
     )
 
@@ -212,7 +212,7 @@ def test_sliding_hll_exact_matches_brute_force(spark, sf_dir):
 
 # ---------------------------------------------------- equi-depth bins
 def test_equidepth_bins_are_balanced_and_ordered(spark, sf_dir):
-    from compile_time_data_contracts_spark.queries.tier_stats_ts import (  # noqa: E501
+    from compile_time_data_contracts_spark.queries.tier_stats import (  # noqa: E501
         q232,
     )
 
@@ -228,7 +228,7 @@ def test_equidepth_bins_are_balanced_and_ordered(spark, sf_dir):
 
 # ----------------------------------------------- referential audit
 def test_referential_audit_counts(spark, sf_dir):
-    from compile_time_data_contracts_spark.queries.tier_stats_ts import (  # noqa: E501
+    from compile_time_data_contracts_spark.queries.tier_quality_audit import (  # noqa: E501
         q233,
     )
 
@@ -330,7 +330,7 @@ def test_js_divergence_bounds_and_python_parity(spark, sf_dir):
 def test_time_decayed_popularity_matches_pure_python(spark, sf_dir):
     import math
 
-    from compile_time_data_contracts_spark.queries.tier_stats_ts import (  # noqa: E501
+    from compile_time_data_contracts_spark.queries.tier_timeseries import (  # noqa: E501
         q237,
     )
 
