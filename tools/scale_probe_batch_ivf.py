@@ -1,0 +1,200 @@
+"""Scale probe: BATCH IVF search (the q377 path) — 10^3 queries against
+a 10^6-vector persisted index, served by ONE partition-pruned scan.
+
+Reuses the scale_probe_filtered_ivf corpus (64-component mixture with
+planted near-duplicate families) and builds/reuses the same 256-cell
+(cluster, label)-partitioned index, so running both probes costs one
+corpus + one index.
+
+Contracts (all asserted, results recorded in SCALEBENCH.json):
+
+  1. `batch_recall_mean` vs the exact per-query top-10 (ONE
+     `topk_cosine_multi` corpus pass over all 10^3 queries) must
+     clear the floor — recall is governed by nprobe (16/256), exactly
+     as in the single-query q107 contract, because the probe mask
+     confines each query to its own cells (the union scan can't leak).
+  2. ONE SCAN: the executed plan contains exactly one parquet scan of
+     the index with `cluster INSET <union>` PartitionFilters —
+     |queries| searches, one pass.  `cells_probed` (parsed from the
+     plan, MEASURED not asserted) records the union size.
+  3. Amortization: `sequential_est_sec` extrapolates
+     10^3 x the measured median single `ivf_search` latency;
+     `speedup_vs_sequential_est` is the batch win.  At 100 TB this is
+     the difference between a retrieval service that re-reads the
+     index per query and one that streams it once per batch.
+
+Usage: python tools/scale_probe_batch_ivf.py [n] [dim] [n_queries]
+Writes `batch_ivf_n{total}_q{n_queries}` into SCALEBENCH.json.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_probe_filtered_ivf import (  # noqa: E402
+    N_CLUSTERS,
+    N_PLANTS,
+    generate,
+)
+from scalebench import merge_entry  # noqa: E402
+
+NPROBE = 16
+K = 10
+RECALL_FLOOR = 0.85
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build_or_reuse,
+        ivf_search,
+        ivf_search_batch,
+        topk_cosine_multi,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ctdc-scale-probe-batch-ivf")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.maxMetadataStringLength", "100000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    total = n + 2 * N_PLANTS
+    results: dict = {
+        "n": total,
+        "dim": dim,
+        "n_queries": n_queries,
+        "n_clusters": N_CLUSTERS,
+        "nprobe": NPROBE,
+        "k": K,
+    }
+    path = f"/tmp/ctdc-scale-probe-fivf-{n}x{dim}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        generate(spark, path, n, dim)
+        results["generate_sec"] = round(time.perf_counter() - t0, 2)
+    emb = spark.read.parquet(path)
+
+    # build-or-reuse the shared (cluster, label) index — the same
+    # artifact the filtered probe searches
+    idx = f"/tmp/ctdc-scale-probe-fivf-idx-{n}x{dim}"
+    t0 = time.perf_counter()
+    ivf_build_or_reuse(
+        emb, idx, n_clusters=N_CLUSTERS, meta_cols=("label",)
+    )
+    results["build_or_reuse_sec"] = round(time.perf_counter() - t0, 2)
+
+    # deterministic query batch: an id stride across the corpus, plus
+    # the planted family's seed query so at least one query has a
+    # hand-verifiable neighborhood
+    stride = max(1, n // n_queries)
+    qids = [i * stride for i in range(n_queries - 1)] + [n]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+
+    # --- batch search: one pruned scan for all queries -------------------
+    t0 = time.perf_counter()
+    batch = ivf_search_batch(
+        spark, idx, queries, k=K, nprobe=NPROBE, query_id_col="vec_id"
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    got: dict = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    results["batch_search_sec"] = round(time.perf_counter() - t0, 2)
+
+    results["plan_scans"] = len(
+        re.findall(r"Scan parquet[^\n]*", plan)
+    )
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    pf_text = pf.group(0) if pf else ""
+    probed_ids = re.search(
+        r"cluster#\d+ (?:INSET ([0-9, ]+)|IN \(([0-9, ]*)\))", pf_text
+    )
+    results["cells_probed"] = len(
+        [
+            x
+            for x in (
+                (probed_ids.group(1) or probed_ids.group(2)).split(",")
+                if probed_ids
+                else []
+            )
+            if x.strip()
+        ]
+    )
+
+    # --- exact ground truth: ONE corpus pass for every query -------------
+    t0 = time.perf_counter()
+    exact: dict = {}
+    for r in topk_cosine_multi(
+        emb, queries, k=K, query_id_col="vec_id"
+    ).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    results["exact_batch_sec"] = round(time.perf_counter() - t0, 2)
+
+    recalls = [
+        len(got.get(q, set()) & exact[q]) / len(exact[q])
+        for q in exact
+    ]
+    results["batch_recall_mean"] = round(
+        sum(recalls) / len(recalls), 4
+    )
+    results["batch_recall_min"] = round(min(recalls), 4)
+    # the planted query's family must be recovered exactly (its top-10
+    # is the 19 other plants/decoys by construction — all near v0)
+    results["planted_query_recall"] = round(
+        len(got.get(n, set()) & exact[n]) / len(exact[n]), 2
+    )
+
+    # --- sequential estimate: median single-search latency x |queries| ---
+    singles = []
+    for q in qids[:5]:
+        t0 = time.perf_counter()
+        ivf_search(
+            spark, idx, emb.filter(F.col("vec_id") == q), k=K,
+            nprobe=NPROBE,
+        ).collect()
+        singles.append(time.perf_counter() - t0)
+    results["single_search_sec_median"] = round(
+        statistics.median(singles), 3
+    )
+    results["sequential_est_sec"] = round(
+        statistics.median(singles) * n_queries, 1
+    )
+    results["speedup_vs_sequential_est"] = round(
+        results["sequential_est_sec"] / results["batch_search_sec"], 1
+    )
+
+    ok = (
+        results["batch_recall_mean"] >= RECALL_FLOOR
+        and results["planted_query_recall"] >= 0.9
+        and results["plan_scans"] == 1
+        and 0 < results["cells_probed"] <= N_CLUSTERS
+        and results["speedup_vs_sequential_est"] > 1
+    )
+    results["ok"] = bool(ok)
+    merge_entry(f"batch_ivf_n{total}_q{n_queries}", results)
+    print(results)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
