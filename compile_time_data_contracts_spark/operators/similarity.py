@@ -79,6 +79,56 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
 
 
+def _batch_local_topk(s, ids, kk):
+    """Indices of the batch-local top-``kk`` rows of scores ``s`` under
+    the global total order (score desc, id asc) — EXACTLY kk when kk
+    real rows exist, so per-batch emission is bounded even on
+    duplicate-heavy corpora where thousands of rows tie at the boundary
+    value.  Fast path: small-kth 1D argpartition (introselect exits
+    early at kth≈k; axis-vectorized np.partition measured 5x slower at
+    31k rows × 10³ queries, and a per-query full lexsort 5x slower
+    again); only a boundary-tie OVERFLOW falls back to an id-ordered
+    lexsort over the tied candidates, so the degenerate all-duplicates
+    batch pays the old sort cost and every normal batch stays O(n).
+    Masked entries must be -inf; they are never returned."""
+    import numpy as np
+
+    if kk >= len(s):
+        cand = np.nonzero(s > -np.inf)[0]
+    else:
+        part = np.argpartition(-s, kk - 1)[:kk]
+        thresh = s[part].min()
+        if thresh == -np.inf:
+            # fewer than kk real rows: `>= -inf` would resurrect
+            # masked rows — keep the real ones only
+            cand = np.nonzero(s > -np.inf)[0]
+        else:
+            cand = np.nonzero(s >= thresh)[0]
+    if len(cand) > kk:
+        cand = cand[np.lexsort((ids[cand], -s[cand]))[:kk]]
+    return cand
+
+
+def _validate_filters(
+    table: DataFrame, filters: dict | None, index_path: str,
+    caller: str, vec_col: str,
+) -> DataFrame:
+    """Apply metadata equality filters to an index scan, with the
+    shared rebuild-with-meta_cols error for columns the index does not
+    carry (one owner for what three search paths used to copy)."""
+    for col, val in (filters or {}).items():
+        if col not in table.columns:
+            raise ValueError(
+                f"{caller}: filter column {col!r} is not stored in "
+                f"the index at {index_path} (available: "
+                f"{[c for c in table.columns if c != vec_col]}) — "
+                f"rebuild with ivf_build(meta_cols=(..., {col!r})) "
+                "to carry it"
+            )
+        table = table.filter(F.col(col) == F.lit(val))
+    return table
+
+
 def topk_cosine(
     df: DataFrame,
     query: DataFrame,
@@ -171,15 +221,14 @@ def topk_cosine_multi(
     The query matrix is query-batch-sized (collected and shipped with the
     closure — bounded by the retrieval batch, never the corpus).  Each
     corpus Arrow batch computes its (batch × n_queries) similarity block
-    zero-copy and emits only rows at-or-above each query's batch-local
-    k-th similarity (ONE vectorized column-wise partition per batch —
-    no per-query Python loop, which at 10³ queries × 10³ Arrow batches
-    was a million lexsort calls; measured 2.6× faster end-to-end at
-    10⁶×10³).  Ties at the k-th value are INCLUDED, so the emitted set
-    is a superset of each query's global top-k members from this batch
-    and the final window (sim desc, id asc) is exact.  Shuffle volume
-    is ≤ (k + ties)·n_queries·n_batches candidate rows, never corpus
-    rows.  Output: (query_id, id, sim, rank<=k).
+    zero-copy and emits EXACTLY its batch-local top-k per query under
+    the global total order (sim desc, id asc) via the small-kth
+    argpartition fast path (:func:`_batch_local_topk` — a full
+    per-query lexsort measured ~5× slower, an axis-vectorized
+    np.partition slower still), so the final window over
+    ≤ k·n_queries·n_batches candidate rows is exact.  Shuffle volume is
+    candidate rows, never corpus rows.  Output:
+    (query_id, id, sim, rank<=k).
     """
     import numpy as np
     import pyarrow as pa
@@ -219,20 +268,7 @@ def topk_cosine_multi(
             kk = min(k, len(ids))
             out_r, out_q = [], []
             for j in range(sims.shape[1]):
-                s = sims[:, j]
-                if kk < len(s):
-                    # small-kth 1D argpartition (introselect exits
-                    # early at kth≈k; the axis-wise np.partition
-                    # vectorization is 5x SLOWER here — measured 3.8 s
-                    # vs 0.65 s at 31k rows × 10³ queries), then keep
-                    # every row AT the boundary value too so an
-                    # id-arbitrary partition order can never drop a
-                    # global-top-k tie — the final window resolves
-                    # ties by id exactly
-                    part = np.argpartition(-s, kk - 1)[:kk]
-                    cand = np.nonzero(s >= s[part].min())[0]
-                else:
-                    cand = np.arange(len(s))
+                cand = _batch_local_topk(sims[:, j], ids, kk)
                 out_r.append(cand)
                 out_q.append(np.full(len(cand), j))
             ridx = np.concatenate(out_r)
@@ -773,20 +809,16 @@ def ivf_search(
         C[r.cluster] = r.centroid
     qv = np.array(query.select(vec_col).first()[0], dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
-    order = np.argsort(-(C @ qn))[: min(nprobe, len(C))]
+    # stable: centroid-score ties resolve identically to the batch
+    # path (ivf_search_batch), keeping probe lists engine-wide
+    # deterministic
+    order = np.argsort(-(C @ qn), kind="stable")[: min(nprobe, len(C))]
     probed = spark.read.parquet(f"{index_path}/vectors").filter(
         F.col("cluster").isin([int(c) for c in order])
     )
-    for col, val in (filters or {}).items():
-        if col not in probed.columns:
-            raise ValueError(
-                f"ivf_search: filter column {col!r} is not stored in "
-                f"the index at {index_path} (available: "
-                f"{[c for c in probed.columns if c != vec_col]}) — "
-                "rebuild with ivf_build(meta_cols=(..., "
-                f"{col!r})) to carry it"
-            )
-        probed = probed.filter(F.col(col) == F.lit(val))
+    probed = _validate_filters(
+        probed, filters, index_path, "ivf_search", vec_col
+    )
     return topk_cosine(probed, query, k, id_col, vec_col)
 
 
@@ -817,10 +849,14 @@ def ivf_search_batch(
     attribution is restored inside the Arrow scoring pass by a
     (n_clusters × n_queries) boolean probe mask shipped with the closure
     (KBs): a corpus row scores against query j only when its cluster is
-    in j's probe list, so results are identical to |queries| independent
-    ``ivf_search`` calls — the union NEVER leaks extra candidates into a
-    query's top-k, keeping recall per query governed by nprobe alone and
-    results reproducible against the single-query path.
+    in j's probe list, so each query returns the same candidate SET as
+    its independent ``ivf_search`` call — the union NEVER leaks extra
+    candidates into a query's top-k, keeping recall per query governed
+    by nprobe alone.  (Both paths rank centroids with a STABLE argsort
+    so probe lists agree even on tied centroid scores; returned sims
+    can differ from the single-query path in the last ulp — the batch
+    scorer normalizes rows before the matmul, ``topk_cosine`` divides
+    after — which is why the parity test compares at 9 decimals.)
 
     Scoring reuses the ``topk_cosine_multi`` shape: each Arrow batch
     computes its (batch × n_queries) similarity block with one float64
@@ -878,16 +914,9 @@ def ivf_search_batch(
     probed = spark.read.parquet(f"{index_path}/vectors").filter(
         F.col("cluster").isin(union)
     )
-    for col, val in (filters or {}).items():
-        if col not in probed.columns:
-            raise ValueError(
-                f"ivf_search_batch: filter column {col!r} is not stored "
-                f"in the index at {index_path} (available: "
-                f"{[c for c in probed.columns if c != vec_col]}) — "
-                f"rebuild with ivf_build(meta_cols=(..., {col!r})) to "
-                "carry it"
-            )
-        probed = probed.filter(F.col(col) == F.lit(val))
+    probed = _validate_filters(
+        probed, filters, index_path, "ivf_search_batch", vec_col
+    )
 
     from pyspark.sql.pandas.types import to_arrow_type
 
@@ -930,22 +959,7 @@ def ivf_search_batch(
             out_r, out_q, out_s = [], [], []
             for jj, qj in enumerate(active):
                 s = sims[:, jj]
-                if kk < len(s):
-                    # small-kth 1D argpartition beats axis-vectorized
-                    # np.partition ~5x here (introselect early exit);
-                    # keep boundary-value ties so the final exact
-                    # window can never lose a tied global-top-k member
-                    part = np.argpartition(-s, kk - 1)[:kk]
-                    thresh = s[part].min()
-                else:
-                    thresh = -np.inf
-                if thresh == -np.inf:
-                    # fewer than k real candidates in this batch (or
-                    # only masked rows): keep the real ones only —
-                    # `>= -inf` would resurrect masked rows
-                    cand = np.nonzero(s > -np.inf)[0]
-                else:
-                    cand = np.nonzero(s >= thresh)[0]
+                cand = _batch_local_topk(s, ids, kk)
                 if len(cand) == 0:
                     continue
                 out_r.append(cand)
@@ -1022,6 +1036,7 @@ def ivf_build_or_reuse(
     vec_col: str = "embedding",
     seed: int = 42,
     meta_cols: tuple = (),
+    sample_size: int = 10000,
 ) -> str:
     """Ensure a persisted IVF index exists at ``index_path`` for the
     CURRENT content of ``df`` and the requested layout, building only
@@ -1061,8 +1076,9 @@ def ivf_build_or_reuse(
         stale = True
     if stale:
         ivf_build(
-            df, index_path, n_clusters, id_col, vec_col, seed=seed,
-            fingerprint=fp, meta_cols=meta_cols,
+            df, index_path, n_clusters, id_col, vec_col,
+            sample_size=sample_size, seed=seed, fingerprint=fp,
+            meta_cols=meta_cols,
         )
     return index_path
 
@@ -1874,23 +1890,21 @@ def ivf_pq_topk(
         books[r.s, r.c] = r.centroid
     qv = np.asarray(query.select(vec_col).first()[0], dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
-    probe = [int(c) for c in np.argsort(-(C @ qn))[: min(nprobe, len(C))]]
+    probe = [
+        int(c)
+        for c in np.argsort(-(C @ qn), kind="stable")[
+            : min(nprobe, len(C))
+        ]
+    ]
 
-    def _meta_filtered(table: DataFrame, what: str) -> DataFrame:
-        out = table.filter(F.col("cluster").isin(probe))
-        for col, val in (filters or {}).items():
-            if col not in out.columns:
-                raise ValueError(
-                    f"ivf_pq_topk: filter column {col!r} is not stored "
-                    f"in the {what} table at {index_path} — rebuild "
-                    f"with meta_cols=(..., {col!r}) to carry it into "
-                    "the partition layout"
-                )
-            out = out.filter(F.col(col) == F.lit(val))
-        return out
+    def _meta_filtered(table: DataFrame) -> DataFrame:
+        return _validate_filters(
+            table.filter(F.col("cluster").isin(probe)), filters,
+            index_path, "ivf_pq_topk", vec_col,
+        )
 
     codes = _meta_filtered(
-        spark.read.parquet(f"{index_path}/pq/codes"), "code"
+        spark.read.parquet(f"{index_path}/pq/codes")
     )
     cand = (
         pq_adc_scores(codes, qv, books, id_col)
@@ -1899,7 +1913,7 @@ def ivf_pq_topk(
         .select(id_col)
     )
     probed_vecs = _meta_filtered(
-        spark.read.parquet(f"{index_path}/vectors"), "vector"
+        spark.read.parquet(f"{index_path}/vectors")
     )
     hydrated = probed_vecs.join(F.broadcast(cand), id_col, "semi")
     return topk_cosine(hydrated, query, k, id_col, vec_col)

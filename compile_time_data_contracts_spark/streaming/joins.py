@@ -252,9 +252,25 @@ def outer_interval_join_gate(
     left = ev.filter(F.pmod(F.col("user_id"), F.lit(5)) == 0)
     right = left.filter(F.col("event_type") == "purchase")
 
-    # one row, driver-side: content fingerprint + sentinel base
+    # one row, driver-side: content fingerprint + sentinel base.  The
+    # fingerprint covers the columns that DEFINE the feeds (the left
+    # predicate's user_id slice, the right predicate's purchase subset,
+    # the event_id sum as a content proxy), not just table shape — a
+    # regenerated table with the same row count and max ts but a
+    # different event mix must rebuild, not silently replay stale feeds
     row = ev.agg(
-        F.count("*").alias("n"), F.max("ts").alias("mx")
+        F.count("*").alias("n"),
+        F.max("ts").alias("mx"),
+        F.sum(
+            (F.pmod(F.col("user_id"), F.lit(5)) == 0).cast("long")
+        ).alias("n_left"),
+        F.sum(
+            (
+                (F.pmod(F.col("user_id"), F.lit(5)) == 0)
+                & (F.col("event_type") == "purchase")
+            ).cast("long")
+        ).alias("n_right"),
+        F.sum(F.col("event_id").cast("decimal(38,0)")).alias("id_sum"),
     ).first()
     max_ts = row["mx"]
     sentinel = max_ts + datetime.timedelta(hours=10)
@@ -272,7 +288,14 @@ def outer_interval_join_gate(
     lbase = os.path.join(feed_root, "left")
     rbase = os.path.join(feed_root, "right")
     meta_path = os.path.join(feed_root, "meta.json")
-    want = {"n": int(row["n"]), "max_ts": str(max_ts), "version": 2}
+    want = {
+        "n": int(row["n"]),
+        "max_ts": str(max_ts),
+        "n_left": int(row["n_left"] or 0),
+        "n_right": int(row["n_right"] or 0),
+        "id_sum": str(row["id_sum"]),
+        "version": 3,
+    }
     meta = None
     try:
         with open(meta_path) as fh:

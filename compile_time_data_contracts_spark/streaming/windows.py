@@ -171,13 +171,20 @@ def write_ordered_feed_parallel(
     dfs: list[DataFrame], base: str
 ) -> int:
     """Ordered replay feed WITHOUT the single-writer funnel: each batch
-    DataFrame is written at its natural parallelism (N part files), then
-    the parts get strictly ascending mtimes — batch i's files all older
-    than batch i+1's — so a file stream with
-    ``maxFilesPerTrigger=<returned value>`` replays batch i entirely
-    inside micro-batch i (the file source lists oldest-first and takes
-    up to that many files per trigger, so a trigger can never straddle
-    two batches when every batch has <= max_files files).
+    DataFrame is written at its natural parallelism, then every batch is
+    PADDED with empty (schema-only) parquet files to the same file count
+    N, with batch i's mtimes all older than batch i+1's.  A file stream
+    with ``maxFilesPerTrigger=<returned N>`` therefore consumes EXACTLY
+    one batch per trigger: the source takes the N oldest unprocessed
+    files, and with every batch exactly N files the trigger boundaries
+    align with batch boundaries STRUCTURALLY — not by hoping batch
+    sizes happen to divide evenly.  (Without padding, a feed like
+    [1-file batch, 32-file batch, sentinel] under max=32 would straddle:
+    trigger 1 takes batch 0's file plus 31 of batch 1, the watermark
+    advances on the partial batch, and batch 1's last file's rows can
+    be dropped as late — corrupting the exactly-once accounting the
+    gates assert.)  Empty parquet padding is read as 0 rows and cannot
+    move a watermark.
 
     :func:`write_ordered_feed`'s ``coalesce(1)`` funnels the whole feed
     materialization through ONE task — measured 11 s for the q199 feeds
@@ -186,7 +193,7 @@ def write_ordered_feed_parallel(
     semantic (watermarks advance between micro-batches), not
     one-file-per-batch.
 
-    Returns max files in any batch — pass as ``maxFilesPerTrigger``.
+    Returns N (files per padded batch) — pass as ``maxFilesPerTrigger``.
     """
     import os
     import shutil
@@ -195,22 +202,37 @@ def write_ordered_feed_parallel(
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     t0 = time.time() - 1000
-    max_files = 1
+    staged: list[list[str]] = []
     for i, df in enumerate(dfs):
         tmp = os.path.join(base, f"_stage{i}")
         df.write.mode("overwrite").parquet(tmp)
-        parts = sorted(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        staged.append(
+            sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         )
-        max_files = max(max_files, len(parts))
-        for j, part in enumerate(parts):
-            dst = os.path.join(base, f"batch{i}_{j:05d}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            # strictly ascending WITHIN the batch too, so listing order
-            # is fully deterministic even on 1-second-mtime filesystems
-            os.utime(dst, (t0 + i * 10 + j * 0.001,) * 2)
+    n_files = max(1, max(len(p) for p in staged))
+    # one empty schema-only parquet file as the padding template
+    pad_tmp = os.path.join(base, "_stage_pad")
+    dfs[0].limit(0).coalesce(1).write.mode("overwrite").parquet(pad_tmp)
+    pad_src = os.path.join(
+        pad_tmp,
+        next(f for f in os.listdir(pad_tmp) if f.endswith(".parquet")),
+    )
+    # within-batch mtime step sized so even huge batches stay inside
+    # the 10 s inter-batch window (within-batch order is irrelevant —
+    # one batch IS one trigger — but deterministic listing is nice)
+    step = min(0.001, 9.0 / n_files)
+    for i, parts in enumerate(staged):
+        tmp = os.path.join(base, f"_stage{i}")
+        for j in range(n_files):
+            dst = os.path.join(base, f"batch{i}_{j:07d}.parquet")
+            if j < len(parts):
+                shutil.move(os.path.join(tmp, parts[j]), dst)
+            else:
+                shutil.copyfile(pad_src, dst)
+            os.utime(dst, (t0 + i * 10 + j * step,) * 2)
         shutil.rmtree(tmp)
-    return max_files
+    shutil.rmtree(pad_tmp)
+    return n_files
 
 
 def write_ordered_feed(dfs: list[DataFrame], base: str) -> None:

@@ -208,3 +208,71 @@ def test_filtered_ivfpq_layout_staleness_and_filters(spark, tmp_path):
         rerank=20, index_path=idx,
     ).collect()
     assert spark.read.parquet(f"{idx}/pq/meta").first()["meta_cols"] == ""
+
+
+def test_parallel_feed_batches_never_straddle_triggers(spark, tmp_path):
+    """The review-found hazard: a small batch followed by a bigger one
+    under maxFilesPerTrigger=max would straddle a trigger boundary.
+    Padding makes every batch exactly N files, so each micro-batch
+    contains exactly one feed batch's rows — asserted via a per-batch
+    marker column through a real file stream."""
+    from compile_time_data_contracts_spark.streaming.windows import (
+        write_ordered_feed_parallel,
+    )
+
+    base = str(tmp_path / "feed")
+    b0 = spark.createDataFrame([(0, 0)], "v long, marker int")
+    b1 = spark.range(0, 100).selectExpr(
+        "id as v", "CAST(1 AS INT) as marker"
+    ).repartition(4)
+    b2 = spark.createDataFrame([(999, 2)], "v long, marker int")
+    n = write_ordered_feed_parallel([b0, b1, b2], base)
+    assert n >= 4
+    import os
+
+    files = [f for f in os.listdir(base) if f.endswith(".parquet")]
+    assert len(files) == 3 * n  # every batch padded to N
+    # full content intact
+    assert spark.read.parquet(base).count() == 102
+
+    seen = []
+
+    def check(batch_df, batch_id):
+        markers = sorted(
+            r.marker
+            for r in batch_df.select("marker").distinct().collect()
+        )
+        if markers:
+            seen.append(markers)
+
+    q = (
+        spark.readStream.schema("v long, marker int")
+        .option("maxFilesPerTrigger", str(n))
+        .parquet(base)
+        .writeStream.foreachBatch(check)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # one feed batch per micro-batch, in order — never two markers mixed
+    assert seen == [[0], [1], [2]]
+
+
+def test_multi_topk_bounded_on_duplicate_heavy_corpus(spark):
+    """All-identical vectors: every corpus row ties at the k-th value.
+    The scorer must still emit a bounded candidate set and the final
+    ranks must pick the smallest ids (global order sim desc, id asc)."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        topk_cosine_multi,
+    )
+
+    rows = [(i, [1.0, 0.0]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 2)
+    out = topk_cosine_multi(df, queries, k=3, query_id_col="vec_id")
+    got = {
+        (r.query_id, r.rank): r.vec_id for r in out.collect()
+    }
+    # exact: smallest ids win the tie for every query
+    for qid in (0, 1):
+        assert [got[(qid, r)] for r in (1, 2, 3)] == [0, 1, 2]

@@ -98,8 +98,12 @@ def main() -> int:
     # artifact the filtered probe searches
     idx = f"/tmp/ctdc-scale-probe-fivf-idx-{n}x{dim}"
     t0 = time.perf_counter()
+    # sample_size matches scale_probe_filtered_ivf's build exactly, so
+    # the persisted artifact is IDENTICAL regardless of which probe
+    # runs first — the shared-index claim holds in both orders
     ivf_build_or_reuse(
-        emb, idx, n_clusters=N_CLUSTERS, meta_cols=("label",)
+        emb, idx, n_clusters=N_CLUSTERS, meta_cols=("label",),
+        sample_size=20000,
     )
     results["build_or_reuse_sec"] = round(time.perf_counter() - t0, 2)
 
