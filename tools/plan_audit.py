@@ -2508,6 +2508,13 @@ CHECKS_R8 = {
     "q52_multimodal_contract": _maponly(),
     "q376_filtered_ivf_recall_contract": _topk(),
     "q378_filtered_ivfpq_recall_contract": _topk(),
+    "q379_batch_filtered_ivf_recall_contract": [
+        ("recall flags join back BROADCAST; exact side Arrow-batched, "
+         "never row-pickling", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+        ("no cartesian anywhere in the contract", True, _nocart),
+    ],
     "q377_batch_ivf_recall_contract": [
         ("recall flags join back BROADCAST (hits side is |queries| "
          "rows); exact side is Arrow-batched, never row-pickling",
@@ -2960,10 +2967,43 @@ def _filtered_ivfpq_search_pipeline(spark, sf_dir):
     )
 
 
+def _batch_filtered_ivf_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build_or_reuse,
+        ivf_search_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ql = emb.filter(F.col("vec_id") == 7).select("label").first()[0]
+    qids = [
+        r.vec_id
+        for r in emb.where(F.col("label") == ql)
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    tag = hashlib.md5(f"{sf_dir}|fl32".encode()).hexdigest()[:12]
+    idx = ivf_build_or_reuse(
+        emb, f"{tempfile.gettempdir()}/ctdc-fivf-{tag}", n_clusters=32,
+        meta_cols=("label",),
+    )
+    return ivf_search_batch(
+        spark, idx, queries, k=10, nprobe=24, query_id_col="vec_id",
+        filters={"label": ql},
+    )
+
+
 PIPELINES = {
     "q376_inner_filtered_ivf_search": _filtered_ivf_search_pipeline,
     "q377_inner_batch_ivf_search": _batch_ivf_search_pipeline,
     "q378_inner_filtered_ivfpq_search": _filtered_ivfpq_search_pipeline,
+    "q379_inner_batch_filtered_ivf_search": _batch_filtered_ivf_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -2980,6 +3020,20 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q379_inner_batch_filtered_ivf_search": [
+        ("ONE index scan for the whole filtered batch, pruned on BOTH "
+         "axes (cluster union + label equality) at the directory "
+         "level", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and re.search(r"PartitionFilters: \[[^\]]*cluster", p)
+         and re.search(r"PartitionFilters: \[[^\]]*label", p)),
+        ("one candidate shuffle, WindowGroupLimit pre-limit, exactly "
+         "one Arrow stage", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+         and "WindowGroupLimit" in p
+         and len(re.findall(r"\(\d+\) MapInArrow", p)) == 1
+         and "BatchEvalPython" not in p),
+    ],
     "q377_inner_batch_ivf_search": [
         ("the WHOLE query batch is served by ONE partition-pruned "
          "index scan (union of per-query probe lists), not |queries| "
