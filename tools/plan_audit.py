@@ -2508,6 +2508,13 @@ CHECKS_R8 = {
     "q52_multimodal_contract": _maponly(),
     "q376_filtered_ivf_recall_contract": _topk(),
     "q378_filtered_ivfpq_recall_contract": _topk(),
+    "q380_batch_ivfpq_recall_contract": [
+        ("recall flags join back BROADCAST; exact side Arrow-batched, "
+         "never row-pickling", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+        ("no cartesian anywhere in the contract", True, _nocart),
+    ],
     "q379_batch_filtered_ivf_recall_contract": [
         ("recall flags join back BROADCAST; exact side Arrow-batched, "
          "never row-pickling", True,
@@ -2999,11 +3006,32 @@ def _batch_filtered_ivf_pipeline(spark, sf_dir):
     )
 
 
+def _batch_ivfpq_search_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_search_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([1, 7, 23, 42]))
+    tag = hashlib.md5(f"{sf_dir}|bpq16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-bpq-{tag}"
+    return ivf_pq_search_batch(
+        emb, queries, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
+        rerank=200, index_path=idx, query_id_col="vec_id",
+    )
+
+
 PIPELINES = {
     "q376_inner_filtered_ivf_search": _filtered_ivf_search_pipeline,
     "q377_inner_batch_ivf_search": _batch_ivf_search_pipeline,
     "q378_inner_filtered_ivfpq_search": _filtered_ivfpq_search_pipeline,
     "q379_inner_batch_filtered_ivf_search": _batch_filtered_ivf_pipeline,
+    "q380_inner_batch_ivfpq_search": _batch_ivfpq_search_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -3020,6 +3048,25 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q380_inner_batch_ivfpq_search": [
+        ("the CODE scan is partition-pruned on the probe-list union "
+         "(one compressed-domain pass for the whole batch)", True,
+         lambda p: re.search(
+             r"Scan parquet[\s\S]{0,600}?pq/codes", p
+         ) is not None
+         and len(re.findall(
+             r"PartitionFilters: \[[^\]]*cluster", p
+         )) >= 2),
+        ("exactly TWO scans total: codes (ADC) + vectors (re-rank "
+         "hydration), never |queries| passes", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2),
+        ("candidate hydration joins BROADCAST on the rerank-bounded "
+         "side; two Arrow stages only (ADC scorer + exact re-ranker), "
+         "no row-pickling", True,
+         lambda p: "BroadcastHashJoin" in p
+         and len(re.findall(r"\(\d+\) MapInArrow", p)) == 2
+         and "BatchEvalPython" not in p),
+    ],
     "q379_inner_batch_filtered_ivf_search": [
         ("ONE index scan for the whole filtered batch, pruned on BOTH "
          "axes (cluster union + label equality) at the directory "
