@@ -1520,3 +1520,79 @@ def q380(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+_Q381_ORACLE = """
+  WITH lbl AS (SELECT label FROM embeddings WHERE vec_id = 7),
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE label = (SELECT label FROM lbl)
+        ORDER BY vec_id LIMIT 4),
+  ranked AS (
+    SELECT q.query_id, b.vec_id,
+           list_cosine_similarity(q.qe, b.embedding::DOUBLE[]) AS sim,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, b.embedding::DOUBLE[])
+                      DESC, b.vec_id) AS rn
+    FROM embeddings b CROSS JOIN q
+    WHERE b.label = (SELECT label FROM lbl))
+  SELECT query_id, vec_id, round(sim, 4) AS sim_r,
+         TRUE AS batch_filtered_ivfpq_recall_ok
+  FROM ranked WHERE rn <= 10"""
+
+
+@q("q381_batch_filtered_ivfpq_recall_contract", _Q381_ORACLE)
+def q381(spark: SparkSession, sf: str) -> DataFrame:
+    """The eighth and final cell of the retrieval matrix
+    ({single, batch} × {IVF, IVF-PQ} × {unfiltered, filtered}): four
+    same-label queries through the COMPRESSED domain with BOTH-axis
+    directory pruning — one scan of the (cluster, label)-partitioned
+    code table serves the whole batch (union of probe lists × one
+    label subdirectory), per-query ADC via the LUT tensor, exact
+    re-rank against each query's own vector from the equally-pruned
+    hydration scan.  Contract: >= 7/10 within-label recall per query
+    at nprobe 14/16, rerank 200 (measured 8-10/10 at both SFs; PQ
+    quantization at 10 labels × 16 cells is the binding recall factor,
+    hence one notch under q379's raw-IVF floor).  Exact side
+    value-checked against the DuckDB window oracle."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_pq_search_batch,
+        topk_cosine_multi,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    ql = emb.filter(F.col("vec_id") == 7).select("label").first()[0]
+    sub = emb.where(F.col("label") == ql)
+    qids = [r.vec_id for r in sub.orderBy("vec_id").limit(4).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    exact = topk_cosine_multi(sub, queries, k=10, query_id_col="vec_id")
+    tag = hashlib.md5(f"{sf}|bpqf16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-bpqf-{tag}"
+    approx = ivf_pq_search_batch(
+        emb, queries, k=10, n_clusters=16, nprobe=14, m=8, ksub=16,
+        rerank=200, index_path=idx, meta_cols=("label",),
+        filters={"label": ql}, query_id_col="vec_id",
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    return (
+        exact.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("sim", 4).alias("sim_r"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) >= 7).alias(
+                "batch_filtered_ivfpq_recall_ok"
+            ),
+        )
+    )

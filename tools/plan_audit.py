@@ -2508,6 +2508,13 @@ CHECKS_R8 = {
     "q52_multimodal_contract": _maponly(),
     "q376_filtered_ivf_recall_contract": _topk(),
     "q378_filtered_ivfpq_recall_contract": _topk(),
+    "q381_batch_filtered_ivfpq_recall_contract": [
+        ("recall flags join back BROADCAST; exact side Arrow-batched, "
+         "never row-pickling", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+        ("no cartesian anywhere in the contract", True, _nocart),
+    ],
     "q380_batch_ivfpq_recall_contract": [
         ("recall flags join back BROADCAST; exact side Arrow-batched, "
          "never row-pickling", True,
@@ -3006,6 +3013,35 @@ def _batch_filtered_ivf_pipeline(spark, sf_dir):
     )
 
 
+def _batch_filtered_ivfpq_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_search_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ql = emb.filter(F.col("vec_id") == 7).select("label").first()[0]
+    qids = [
+        r.vec_id
+        for r in emb.where(F.col("label") == ql)
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    tag = hashlib.md5(f"{sf_dir}|bpqf16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-bpqf-{tag}"
+    return ivf_pq_search_batch(
+        emb, queries, k=10, n_clusters=16, nprobe=14, m=8, ksub=16,
+        rerank=200, index_path=idx, meta_cols=("label",),
+        filters={"label": ql}, query_id_col="vec_id",
+    )
+
+
 def _batch_ivfpq_search_pipeline(spark, sf_dir):
     import hashlib
     import tempfile
@@ -3032,6 +3068,7 @@ PIPELINES = {
     "q378_inner_filtered_ivfpq_search": _filtered_ivfpq_search_pipeline,
     "q379_inner_batch_filtered_ivf_search": _batch_filtered_ivf_pipeline,
     "q380_inner_batch_ivfpq_search": _batch_ivfpq_search_pipeline,
+    "q381_inner_batch_filtered_ivfpq_search": _batch_filtered_ivfpq_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -3048,6 +3085,22 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q381_inner_batch_filtered_ivfpq_search": [
+        ("both scans prune on cluster AND label at the directory "
+         "level (compressed batch, both axes)", True,
+         lambda p: len(re.findall(
+             r"PartitionFilters: \[[^\]]*cluster", p
+         )) >= 2
+         and len(re.findall(
+             r"PartitionFilters: \[[^\]]*label", p
+         )) >= 2),
+        ("two scans, two Arrow stages, broadcast hydration, no "
+         "row-pickling", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+         and len(re.findall(r"\(\d+\) MapInArrow", p)) == 2
+         and "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+    ],
     "q380_inner_batch_ivfpq_search": [
         ("the CODE scan is partition-pruned on the probe-list union "
          "(one compressed-domain pass for the whole batch)", True,
