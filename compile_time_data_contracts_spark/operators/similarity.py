@@ -111,6 +111,36 @@ def _batch_local_topk(s, ids, kk):
     return cand
 
 
+def _probe_union(C, queries: DataFrame, nprobe: int, vec_col: str,
+                 query_id_col: str, caller: str):
+    """(q_ids, normalized query matrix, probe mask, union cell list)
+    for a batch search: collect the query batch (batch-sized — the
+    topk_cosine_multi bound), rank centroids per query with a STABLE
+    argsort (ties resolve identically to the single-query paths, which
+    also sort stable — probe lists stay engine-wide deterministic),
+    and union the per-query probe lists into one pruning predicate.
+    Shared by ivf_search_batch and ivf_pq_search_batch so the two batch
+    paths cannot drift."""
+    import numpy as np
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError(f"{caller}: queries DataFrame is empty")
+    q_ids = np.array([r[0] for r in qrows])
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / np.where(qn == 0, 1.0, qn)
+    npb = min(nprobe, len(C))
+    cq = C @ Q.T  # (n_clusters, n_queries)
+    probe_mask = np.zeros((len(C), len(q_ids)), dtype=bool)
+    top_cells = np.argsort(-cq, axis=0, kind="stable")[:npb]
+    probe_mask[top_cells, np.arange(len(q_ids))[None, :]] = True
+    union = sorted(
+        int(c) for c in np.nonzero(probe_mask.any(axis=1))[0]
+    )
+    return q_ids, Q, probe_mask, union
+
+
 def _validate_filters(
     table: DataFrame, filters: dict | None, index_path: str,
     caller: str, vec_col: str,
@@ -893,25 +923,9 @@ def ivf_search_batch(
     for r in cent:
         C[r.cluster] = r.centroid
 
-    qrows = queries.select(query_id_col, vec_col).collect()
-    if not qrows:
-        raise ValueError("ivf_search_batch: queries DataFrame is empty")
-    q_ids = np.array([r[0] for r in qrows])
-    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    Q = Q / np.where(qn == 0, 1.0, qn)
-
-    # per-query probe lists against the centroid matrix: one driver-side
-    # (n_clusters × n_queries) matmul — metadata-sized both ways
-    npb = min(nprobe, n_clusters)
-    cq = C @ Q.T  # (n_clusters, n_queries)
-    probe_mask = np.zeros((n_clusters, len(q_ids)), dtype=bool)
-    # stable argsort (not argpartition) so centroid-score ties resolve
-    # exactly as the single-query path's argsort does — the batch result
-    # stays bit-identical to |queries| independent ivf_search calls
-    top_cells = np.argsort(-cq, axis=0, kind="stable")[:npb]
-    probe_mask[top_cells, np.arange(len(q_ids))[None, :]] = True
-    union = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=1))[0])
+    q_ids, Q, probe_mask, union = _probe_union(
+        C, queries, nprobe, vec_col, query_id_col, "ivf_search_batch"
+    )
 
     probed = spark.read.parquet(f"{index_path}/vectors").filter(
         F.col("cluster").isin(union)
@@ -1854,7 +1868,11 @@ def _ivf_pq_load(spark, index_path: str):
     import numpy as np
 
     cent = spark.read.parquet(f"{index_path}/centroids").collect()
-    C = np.zeros((len(cent), len(cent[0].centroid)))
+    if not cent:
+        raise ValueError(f"_ivf_pq_load: no centroids at {index_path}")
+    # size by max id, not row count: a future append/compaction that
+    # drops empty cells must not make C too small for C[r.cluster]
+    C = np.zeros((max(r.cluster for r in cent) + 1, len(cent[0].centroid)))
     for r in cent:
         C[r.cluster] = r.centroid
     book_rows = spark.read.parquet(f"{index_path}/pq/books").collect()
@@ -2017,6 +2035,10 @@ def ivf_pq_search_batch(
 
     spark = df.sparkSession
     query_id_col = query_id_col or id_col
+    # an empty query batch must fail BEFORE the index build — the
+    # k-means fit + full-corpus rewrite is minutes at scale
+    if queries.select(query_id_col).first() is None:
+        raise ValueError("ivf_pq_search_batch: queries DataFrame is empty")
     index_path = ivf_pq_build_or_reuse(
         df, index_path, n_clusters, m, ksub, id_col, vec_col, seed,
         sample_size, tuple(meta_cols),
@@ -2024,20 +2046,10 @@ def ivf_pq_search_batch(
     C, books = _ivf_pq_load(spark, index_path)
     mm, kk_books, dsub = books.shape
 
-    qrows = queries.select(query_id_col, vec_col).collect()
-    if not qrows:
-        raise ValueError("ivf_pq_search_batch: queries DataFrame is empty")
-    q_ids = np.array([r[0] for r in qrows])
-    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    Qn = Q / np.where(qn == 0, 1.0, qn)
-
-    npb = min(nprobe, len(C))
-    cq = C @ Qn.T  # (n_clusters, n_queries)
-    probe_mask = np.zeros((len(C), len(q_ids)), dtype=bool)
-    top_cells = np.argsort(-cq, axis=0, kind="stable")[:npb]
-    probe_mask[top_cells, np.arange(len(q_ids))[None, :]] = True
-    union = sorted(int(c) for c in np.nonzero(probe_mask.any(axis=1))[0])
+    q_ids, Qn, probe_mask, union = _probe_union(
+        C, queries, nprobe, vec_col, query_id_col,
+        "ivf_pq_search_batch",
+    )
 
     # per-query ADC lookup tables, one einsum: LUT[q, s, c] = books[s,c]
     # · Qn[q, s·dsub:(s+1)·dsub] — (n_queries × m × ksub) doubles, KBs

@@ -1390,9 +1390,11 @@ _Q379_ORACLE = """
 
 @q("q379_batch_filtered_ivf_recall_contract", _Q379_ORACLE)
 def q379(spark: SparkSession, sf: str) -> DataFrame:
-    """Batch + filtered ANN — the last cell of the retrieval matrix
-    (q107 single/unfiltered, q376 single/filtered, q377
-    batch/unfiltered, q378 single/filtered-PQ): four same-label queries
+    """Batch + filtered ANN over the RAW vector index — one cell of
+    the retrieval matrix ({single, batch} x {IVF, IVF-PQ} x
+    {unfiltered, filtered}; raw-IVF row: q107 single/unfiltered, q376
+    single/filtered, q377 batch/unfiltered, this gate batch/filtered;
+    the IVF-PQ row is q193/q378/q380/q381): four same-label queries
     served by ONE index scan that prunes at the directory level on BOTH
     axes — `cluster IN (union of the four probe lists)` AND the label
     equality — while the probe mask keeps each query's candidates in

@@ -281,9 +281,10 @@ def test_multi_topk_bounded_on_duplicate_heavy_corpus(spark):
 def test_batch_ivfpq_matches_per_query_composite(spark, tmp_path):
     """ivf_pq_search_batch must return, per query, exactly what the
     single-query ivf_pq_topk returns from the same persisted index —
-    the probe mask confines each query's ADC candidates to its own
-    cells, and the exact re-rank scores each candidate against its OWN
-    query."""
+    with nprobe < n_clusters, so the probe MASK is selective and the
+    attribution path (each query confined to its own cells even though
+    the union scan reads both) is actually exercised, not vacuously
+    all-True."""
     from compile_time_data_contracts_spark.operators.similarity import (
         ivf_pq_search_batch,
         ivf_pq_topk,
@@ -299,7 +300,7 @@ def test_batch_ivfpq_matches_per_query_composite(spark, tmp_path):
     qids = [0, 3, 100, 107]
     queries = df.filter(F.col("vec_id").isin(qids))
     batch = ivf_pq_search_batch(
-        df, queries, k=5, n_clusters=2, nprobe=2, m=4, ksub=8,
+        df, queries, k=5, n_clusters=2, nprobe=1, m=4, ksub=8,
         rerank=20, index_path=idx, query_id_col="vec_id",
     )
     got = {}
@@ -307,10 +308,16 @@ def test_batch_ivfpq_matches_per_query_composite(spark, tmp_path):
         got.setdefault(r.query_id, []).append(
             (r.rank, r.vec_id, round(r.sim, 9))
         )
+    # probe-mask confinement: nprobe=1 over 2 orthogonal groups means
+    # each query's results come ONLY from its own group's cell, even
+    # though the union scan covers both cells
+    for r in sum(([ (q, v) for _, v, _ in got[q]] for q in qids), []):
+        qid, vid = r
+        assert (vid < 100) == (qid < 100), (qid, vid)
     for qid in qids:
         single = ivf_pq_topk(
             df, df.filter(F.col("vec_id") == qid), k=5, n_clusters=2,
-            nprobe=2, m=4, ksub=8, rerank=20, index_path=idx,
+            nprobe=1, m=4, ksub=8, rerank=20, index_path=idx,
         ).collect()
         want = [
             (i + 1, r.vec_id, round(r.sim, 9))
