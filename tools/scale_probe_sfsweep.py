@@ -244,6 +244,15 @@ EXPECTED = {
     "q374_two_hop_reach": 1.5,  # capped hop join: O(sum deg<=64 ^2)
     "q375_behavioral_entropy_bands": 1.3,  # two cascaded partial aggs
     "q376_filtered_ivf_recall_contract": 1.3,  # pruned probe + one exact pass
+    # round-9 retrieval-matrix gates: one pruned index scan + one exact
+    # corpus pass each; index builds amortize out under the min-of-REPEATS
+    # estimator (build-once-search-many — the reused-search exponent is
+    # the production number)
+    "q377_batch_ivf_recall_contract": 1.3,
+    "q379_batch_filtered_ivf_recall_contract": 1.3,
+    "q380_batch_ivfpq_recall_contract": 1.3,
+    "q381_batch_filtered_ivfpq_recall_contract": 1.3,
+    "q378_filtered_ivfpq_recall_contract": 1.3,
 }
 
 
