@@ -82,9 +82,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _batch_local_topk(s, ids, kk):
-    """Indices of the batch-local top-``kk`` rows of scores ``s`` under
-    the global total order (score desc, id asc) — EXACTLY kk when kk
-    real rows exist, so per-batch emission is bounded even on
+    """Indices of the batch-local top-``kk`` rows of scores ``s``,
+    where membership is decided by the global total order (score desc,
+    id asc) — EXACTLY kk indices when kk real rows exist, so per-batch
+    emission is bounded even on
     duplicate-heavy corpora where thousands of rows tie at the boundary
     value.  Fast path: small-kth 1D argpartition (introselect exits
     early at kth≈k; axis-vectorized np.partition measured 5x slower at
@@ -92,7 +93,10 @@ def _batch_local_topk(s, ids, kk):
     again); only a boundary-tie OVERFLOW falls back to an id-ordered
     lexsort over the tied candidates, so the degenerate all-duplicates
     batch pays the old sort cost and every normal batch stays O(n).
-    Masked entries must be -inf; they are never returned."""
+    Masked entries must be -inf; they are never returned.  The returned
+    index ORDER is unspecified (property-tested as a set): every
+    consumer feeds a final exact window that ranks by (sim desc, id
+    asc), so only membership and the k-bound matter here."""
     import numpy as np
 
     if kk >= len(s):
@@ -900,6 +904,16 @@ def ivf_search_batch(
     is query-batch-sized (collected and shipped with the closure — the
     same bound as ``topk_cosine_multi``; a corpus-sized "query" side
     belongs in a pairwise operator, not batch retrieval).
+
+    Saturation caveat (measured, SCALEBENCH `.batch_ivf_*`): when
+    nprobe·|queries| >= n_clusters the probe-list union covers every
+    cell and the "pruned" scan reads the whole index — at that ratio
+    the brute-force ``topk_cosine_multi`` over the raw table is the
+    faster exact answer (fewer, larger files; no index needed).  The
+    index path wins when the union stays selective — larger n_clusters
+    (10⁴–10⁵ cells at 100 TB), smaller batches, or metadata filters —
+    and it always beats |queries| sequential ``ivf_search`` calls
+    (measured 105× at 10³ queries).
 
     ``filters`` ({col: value}) applies the q376 metadata-filtered
     contract to the whole batch: equality predicates prune at the

@@ -332,3 +332,26 @@ def test_batch_ivfpq_matches_per_query_composite(spark, tmp_path):
         filters={"label": "b"}, query_id_col="vec_id",
     ).collect()
     assert out and all(r.vec_id >= 100 for r in out)
+
+
+def test_batch_search_sees_appended_vectors(spark, batch_index, tmp_path):
+    """Build-once + append + batch search: ivf_search_batch over an
+    index grown by ivf_append must return the appended vectors (the
+    batch path reads the same partition layout the append wrote)."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_append,
+    )
+
+    df, _ = batch_index
+    idx = str(tmp_path / "appb")
+    ivf_build(df, idx, n_clusters=2, meta_cols=("label",))
+    newbie = spark.createDataFrame(
+        [(500, _vec(0, 999), "a")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    ivf_append(spark, idx, newbie)
+    queries = df.filter(F.col("vec_id") == 0)
+    out = ivf_search_batch(
+        spark, idx, queries, k=50, nprobe=2, query_id_col="vec_id"
+    ).collect()
+    assert 500 in {r.vec_id for r in out}
