@@ -151,16 +151,10 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_low"),
     )
-    name = "ctdc_q123_sink"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name)
+    from ..streaming.windows import run_gate_to_memory
+
+    table, _ = run_gate_to_memory(agg, "ctdc_q123_sink", "complete")
+    return table
 
 
 @q(
@@ -211,16 +205,10 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
             "weighted_r",
         )
     )
-    name = "ctdc_q124_sink"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name)
+    from ..streaming.windows import run_gate_to_memory
+
+    table, _ = run_gate_to_memory(agg, "ctdc_q124_sink", "complete")
+    return table
 
 
 @q(
@@ -256,16 +244,10 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = events_stream(spark, sf, glob="events.parquet")
     agg = session_counts(stream, watermark="1 hour", gap="30 minutes")
-    name = "ctdc_q132_sink"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name).select(
+    from ..streaming.windows import run_gate_to_memory
+
+    table, _ = run_gate_to_memory(agg, "ctdc_q132_sink", "complete")
+    return table.select(
         "user_id",
         "session_start",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -301,9 +283,12 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
     ]
     write_ordered_feed(slices, feed)
+    from ..streaming.windows import gate_state_partitions
+
     stream = events_stream(spark, feed, max_files_per_trigger=1)
-    q = write_stream_idempotent(stream, out, ckpt)
-    q.awaitTermination()
+    with gate_state_partitions(spark):
+        q = write_stream_idempotent(stream, out, ckpt)
+        q.awaitTermination()
     # post-crash redelivery of batch 0: same rows, same batch id
     idempotent_batch_writer(out)(slices[0], 0)
     return (
@@ -521,14 +506,17 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
     ]
     write_ordered_feed(slices, feed)
     handler = versioned_state_merger(state, keys, **spec)
-    qh = (
-        keyed(events_stream(spark, feed, max_files_per_trigger=1))
-        .writeStream.foreachBatch(handler)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    qh.awaitTermination()
+    from ..streaming.windows import gate_state_partitions
+
+    with gate_state_partitions(spark):
+        qh = (
+            keyed(events_stream(spark, feed, max_files_per_trigger=1))
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
     # post-crash redelivery of epoch 1: same batch, same epoch id
     handler(keyed(slices[1]), 1)
     merged = spark.read.parquet(f"{state}/v2")
@@ -616,14 +604,17 @@ def q304(spark: SparkSession, sf: str) -> DataFrame:
     handler = versioned_state_merger(
         state, keys, sums=["vm"], mins=["tick", "vm"], maxs=["tick", "vm"]
     )
-    qh = (
-        keyed(events_stream(spark, feed, max_files_per_trigger=1))
-        .writeStream.foreachBatch(handler)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    qh.awaitTermination()
+    from ..streaming.windows import gate_state_partitions
+
+    with gate_state_partitions(spark):
+        qh = (
+            keyed(events_stream(spark, feed, max_files_per_trigger=1))
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
     merged = spark.read.parquet(f"{state}/v2")
     return merged.select(
         "key",
@@ -688,14 +679,17 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
     ]
     write_ordered_feed(slices, feed)
     handler = versioned_state_merger(state, ["user_id"], bors=["hbit"])
-    qh = (
-        keyed(events_stream(spark, feed, max_files_per_trigger=1))
-        .writeStream.foreachBatch(handler)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    qh.awaitTermination()
+    from ..streaming.windows import gate_state_partitions
+
+    with gate_state_partitions(spark):
+        qh = (
+            keyed(events_stream(spark, feed, max_files_per_trigger=1))
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
     # post-crash redelivery of epoch 1: same batch, same epoch id
     handler(keyed(slices[1]), 1)
     masks = spark.read.parquet(f"{state}/v2").select(
@@ -766,15 +760,18 @@ def q369(spark: SparkSession, sf: str) -> DataFrame:
     ]
     write_ordered_feed(slices, feed)
     handler = versioned_state_merger(state, ["user_id"])
-    qh = (
-        events_stream(spark, feed, max_files_per_trigger=1)
-        .select("user_id")
-        .writeStream.foreachBatch(handler)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    qh.awaitTermination()
+    from ..streaming.windows import gate_state_partitions
+
+    with gate_state_partitions(spark):
+        qh = (
+            events_stream(spark, feed, max_files_per_trigger=1)
+            .select("user_id")
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination()
     # post-crash redelivery of epoch 1: same batch, same epoch id —
     # the versioned merger rewrites v1 idempotently
     handler(slices[1].select("user_id"), 1)

@@ -383,14 +383,17 @@ def state_store_snapshot_totals(spark, sf_dir: str) -> DataFrame:
     agg = stream.groupBy("user_id").agg(
         F.count("*").alias("n_events"), F.sum("value").alias("total_value")
     )
-    q = (
-        agg.writeStream.format("noop")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .windows import gate_state_partitions
+
+    with gate_state_partitions(spark):
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     return spark.read.format("statestore").load(ckpt).select(
         F.col("key.user_id").alias("user_id"),
@@ -430,14 +433,17 @@ def state_metadata_gate(spark, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.schema(ev.schema).parquet(src)
     agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    q = (
-        agg.writeStream.format("noop")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .windows import gate_state_partitions
+
+    with gate_state_partitions(spark):
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     return spark.read.format("state-metadata").load(ckpt).select(
         F.col("operatorId").cast("bigint").alias("operator_id"),

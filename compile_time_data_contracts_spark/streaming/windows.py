@@ -14,6 +14,7 @@ plus true append-mode late-row dropping with a two-batch feed.
 from __future__ import annotations
 
 import typing
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,7 +29,10 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "run_stream_to_memory",
+    "run_gate_to_memory",
+    "gate_state_partitions",
     "write_ordered_feed",
+    "write_ordered_feed_parallel",
     "late_drop_counts",
     "stream_dedup_gate",
 ]
@@ -144,26 +148,60 @@ def run_stream_to_memory(
     return table
 
 
+@contextmanager
+def gate_state_partitions(spark, n: int = 8):
+    """Scoped ``spark.sql.shuffle.partitions`` override for starting a
+    BOUNDED-replay streaming gate: state partition count freezes at
+    query start, and a KB-sized replay paying the session's 32
+    state-store inits/commits per trigger per stateful operator is pure
+    fixed cost (measured 24 s → 5.5 s on q199).  Restores the session
+    value on exit; semantics unchanged — production streams size this
+    to state volume."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def run_gate_to_memory(
-    df: DataFrame, query_name: str, output_mode: str = "append"
+    df: DataFrame, query_name: str, output_mode: str = "append",
+    state_partitions: int = 8,
 ):
     """Shared tail of every streaming gate: drop a stale same-name temp
     view, run ``df`` to a memory sink under an availableNow trigger,
     await completion, and return (result table, terminated query) —
     the query so gates that read ``lastProgress`` (q167) share the same
     path.  One owner for what seven call sites used to copy and drift
-    on."""
+    on.
+
+    ``state_partitions``: streaming STATE partition count is frozen at
+    query start from ``spark.sql.shuffle.partitions``; a gate replaying
+    a bounded feed with the session's 32 pays 32 state-store
+    inits/commits per trigger per stateful operator for KB-sized state
+    — measured 24 s → 5.5 s on the q199 outer-join replay at sf0.1 by
+    right-sizing to 8.  The override is scoped to the query start and
+    RESTORED before returning (batch reads of the sink table use the
+    session value); it changes no semantics, only state parallelism.
+    Production streams size this to state volume — gate replays are
+    bounded by construction.  Pass 0 to keep the session setting."""
     spark = df.sparkSession
     if query_name in [t.name for t in spark.catalog.listTables()]:
         spark.catalog.dropTempView(query_name)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with gate_state_partitions(
+        spark, state_partitions
+        if state_partitions
+        else int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name), q
 
 
