@@ -274,23 +274,24 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from ..streaming.joins import idempotent_batch_writer, write_stream_idempotent
-    from ..streaming.windows import events_stream, write_ordered_feed
+    from ..streaming.windows import (
+        events_stream,
+        persistent_event_slices_feed,
+    )
 
     ev = load_table(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="ctdc-idem-")
-    feed, out, ckpt = f"{base}/feed", f"{base}/out", f"{base}/ckpt"
-    slices = [
-        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)
-    ]
-    write_ordered_feed(slices, feed)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    feed, mft = persistent_event_slices_feed(spark, sf)
     from ..streaming.windows import gate_state_partitions
 
-    stream = events_stream(spark, feed, max_files_per_trigger=1)
+    stream = events_stream(spark, feed, max_files_per_trigger=mft)
     with gate_state_partitions(spark):
         q = write_stream_idempotent(stream, out, ckpt)
         q.awaitTermination()
     # post-crash redelivery of batch 0: same rows, same batch id
-    idempotent_batch_writer(out)(slices[0], 0)
+    slice0 = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0)
+    idempotent_batch_writer(out)(slice0, 0)
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -482,7 +483,10 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from ..operators.incremental import versioned_state_merger
-    from ..streaming.windows import events_stream, write_ordered_feed
+    from ..streaming.windows import (
+        events_stream,
+        persistent_event_slices_feed,
+    )
 
     spec = dict(sums=["value_dec"], mins=["value"], maxs=["value"])
     keys = ["event_type", "day"]
@@ -499,18 +503,14 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="ctdc-incr-stream-")
-    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
-    slices = [
-        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
-        for i in range(3)
-    ]
-    write_ordered_feed(slices, feed)
+    state, ckpt = f"{base}/state", f"{base}/ckpt"
+    feed, mft = persistent_event_slices_feed(spark, sf)
     handler = versioned_state_merger(state, keys, **spec)
     from ..streaming.windows import gate_state_partitions
 
     with gate_state_partitions(spark):
         qh = (
-            keyed(events_stream(spark, feed, max_files_per_trigger=1))
+            keyed(events_stream(spark, feed, max_files_per_trigger=mft))
             .writeStream.foreachBatch(handler)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -518,7 +518,8 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
         )
         qh.awaitTermination()
     # post-crash redelivery of epoch 1: same batch, same epoch id
-    handler(keyed(slices[1]), 1)
+    slice1 = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1)
+    handler(keyed(slice1), 1)
     merged = spark.read.parquet(f"{state}/v2")
     return merged.select(
         "event_type",
@@ -575,7 +576,10 @@ def q304(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from ..operators.incremental import versioned_state_merger
-    from ..streaming.windows import events_stream, write_ordered_feed
+    from ..streaming.windows import (
+        events_stream,
+        persistent_event_slices_feed,
+    )
 
     keys = ["key", "bar_ts"]
 
@@ -595,12 +599,8 @@ def q304(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="ctdc-ohlc-stream-")
-    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
-    slices = [
-        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
-        for i in range(3)
-    ]
-    write_ordered_feed(slices, feed)
+    state, ckpt = f"{base}/state", f"{base}/ckpt"
+    feed, mft = persistent_event_slices_feed(spark, sf)
     handler = versioned_state_merger(
         state, keys, sums=["vm"], mins=["tick", "vm"], maxs=["tick", "vm"]
     )
@@ -608,7 +608,7 @@ def q304(spark: SparkSession, sf: str) -> DataFrame:
 
     with gate_state_partitions(spark):
         qh = (
-            keyed(events_stream(spark, feed, max_files_per_trigger=1))
+            keyed(events_stream(spark, feed, max_files_per_trigger=mft))
             .writeStream.foreachBatch(handler)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -660,7 +660,10 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from ..operators.incremental import versioned_state_merger
-    from ..streaming.windows import events_stream, write_ordered_feed
+    from ..streaming.windows import (
+        events_stream,
+        persistent_event_slices_feed,
+    )
 
     def keyed(df: DataFrame) -> DataFrame:
         return df.select(
@@ -672,18 +675,14 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="ctdc-bitmap-stream-")
-    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
-    slices = [
-        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
-        for i in range(3)
-    ]
-    write_ordered_feed(slices, feed)
+    state, ckpt = f"{base}/state", f"{base}/ckpt"
+    feed, mft = persistent_event_slices_feed(spark, sf)
     handler = versioned_state_merger(state, ["user_id"], bors=["hbit"])
     from ..streaming.windows import gate_state_partitions
 
     with gate_state_partitions(spark):
         qh = (
-            keyed(events_stream(spark, feed, max_files_per_trigger=1))
+            keyed(events_stream(spark, feed, max_files_per_trigger=mft))
             .writeStream.foreachBatch(handler)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -691,7 +690,8 @@ def q331(spark: SparkSession, sf: str) -> DataFrame:
         )
         qh.awaitTermination()
     # post-crash redelivery of epoch 1: same batch, same epoch id
-    handler(keyed(slices[1]), 1)
+    slice1 = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1)
+    handler(keyed(slice1), 1)
     masks = spark.read.parquet(f"{state}/v2").select(
         "user_id", F.col("bor_hbit").alias("mask")
     )
@@ -749,22 +749,21 @@ def q369(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from ..operators.incremental import versioned_state_merger
-    from ..streaming.windows import events_stream, write_ordered_feed
+    from ..streaming.windows import (
+        events_stream,
+        persistent_event_slices_feed,
+    )
 
     ev = load_table(spark, sf, "events")
     base = tempfile.mkdtemp(prefix="ctdc-srm-stream-")
-    feed, state, ckpt = f"{base}/feed", f"{base}/state", f"{base}/ckpt"
-    slices = [
-        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
-        for i in range(3)
-    ]
-    write_ordered_feed(slices, feed)
+    state, ckpt = f"{base}/state", f"{base}/ckpt"
+    feed, mft = persistent_event_slices_feed(spark, sf)
     handler = versioned_state_merger(state, ["user_id"])
     from ..streaming.windows import gate_state_partitions
 
     with gate_state_partitions(spark):
         qh = (
-            events_stream(spark, feed, max_files_per_trigger=1)
+            events_stream(spark, feed, max_files_per_trigger=mft)
             .select("user_id")
             .writeStream.foreachBatch(handler)
             .option("checkpointLocation", ckpt)
@@ -774,7 +773,8 @@ def q369(spark: SparkSession, sf: str) -> DataFrame:
         qh.awaitTermination()
     # post-crash redelivery of epoch 1: same batch, same epoch id —
     # the versioned merger rewrites v1 idempotently
-    handler(slices[1].select("user_id"), 1)
+    slice1 = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 1)
+    handler(slice1.select("user_id"), 1)
     users = spark.read.parquet(f"{state}/v2").select("user_id")
     a = users.agg(
         F.count("*").cast("bigint").alias("n"),

@@ -273,6 +273,66 @@ def write_ordered_feed_parallel(
     return n_files
 
 
+def persistent_event_slices_feed(
+    spark: SparkSession, sf_dir: str, n_slices: int = 3
+) -> tuple[str, int]:
+    """The shared ordered replay feed five exactly-once gates use: the
+    events table sliced into ``n_slices`` batches by
+    ``pmod(event_id, n_slices)``, persisted at a path keyed on
+    ``sf_dir`` behind a content fingerprint (row count + max event_id +
+    max ts; meta written LAST so a half-built feed is never reused) and
+    written at natural parallelism via
+    :func:`write_ordered_feed_parallel`.
+
+    The feed is a deterministic function of the source table, so
+    rebuilding it per gate call was five redundant data-sized writes
+    per bench pass — the same build-once argument as the q199 feeds
+    and the ANN indexes.  Replay state/checkpoint/output dirs stay
+    per-call fresh at every call site: only the immutable INPUT feed
+    is shared.  Returns (feed_path, maxFilesPerTrigger).
+    """
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count("*").alias("n"),
+        F.max("event_id").alias("mx"),
+        F.max("ts").alias("mts"),
+    ).first()
+    want = {
+        "n": int(row["n"]), "mx": int(row["mx"]),
+        "mts": str(row["mts"]), "n_slices": n_slices, "version": 1,
+    }
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"ctdc-evslices-{tag}-{n_slices}"
+    )
+    feed = os.path.join(root, "feed")
+    meta_path = os.path.join(root, "meta.json")
+    try:
+        with open(meta_path) as fh:
+            have = json.load(fh)
+    except (OSError, ValueError):
+        have = None
+    if have is None or {k: have.get(k) for k in want} != want:
+        os.makedirs(root, exist_ok=True)
+        slices = [
+            ev.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i)
+            for i in range(n_slices)
+        ]
+        mft = write_ordered_feed_parallel(slices, feed)
+        with open(meta_path, "w") as fh:
+            json.dump({**want, "mft": mft}, fh)
+    else:
+        mft = have["mft"]
+    return feed, mft
+
+
 def write_ordered_feed(dfs: list[DataFrame], base: str) -> None:
     """Materialize one parquet file per batch with ascending mtimes so a
     ``maxFilesPerTrigger=1`` file stream replays them in a deterministic
