@@ -88,7 +88,18 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in headline}
     errors: dict[str, str] = {}
+    # Host-noise self-diagnosis: each pass opens with a FIXED synthetic
+    # probe (sum over range(10^8) — pure CPU, no IO, identical plan every
+    # time).  Its per-pass wall time is a query-independent contention
+    # meter: a loaded host slows the probe and the queries together, so
+    # a run can label itself noisy in the artifact instead of requiring
+    # forensic cross-round comparison (round 9's driver artifact flagged
+    # a phantom q84 regression that was exactly this).
+    probe_sec: list[float] = []
     for _ in range(repeats):
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        probe_sec.append(round(time.time() - t0, 3))
         for name in headline:
             fn = qs[name]
             t0 = time.time()
@@ -119,6 +130,38 @@ def main() -> None:
         for name, ts in samples.items()
         if ts
     }
+
+    # noise verdict: count queries whose p95 ran >2.5x their own min
+    # (ignoring sub-0.2s queries where scheduler jitter dominates), and
+    # compare the probe's spread.  Either signal past threshold marks
+    # the ARTIFACT as contended — timings themselves are untouched (the
+    # min-of-n estimator already defends against one noisy window).
+    n_noisy = sum(
+        1
+        for ts in samples.values()
+        if len(ts) >= 2 and min(ts) > 0.2 and _q(ts, 0.95) > 2.5 * min(ts)
+    )
+    probe_ratio = (
+        round(max(probe_sec) / max(min(probe_sec), 1e-9), 3)
+        if probe_sec
+        else None
+    )
+    noise = {
+        "probe_sec": probe_sec,
+        "probe_ratio": probe_ratio,
+        "n_noisy_queries": n_noisy,
+        "noise_flag": bool(
+            n_noisy > max(10, len(samples) // 33)
+            or (probe_ratio is not None and probe_ratio > 2.0)
+        ),
+    }
+    if noise["noise_flag"]:
+        print(
+            f"(noise_flag: {n_noisy} queries p95>2.5x min, "
+            f"probe_ratio={probe_ratio} — treat regressions in this run "
+            "as suspect)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
@@ -203,6 +246,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "errors": errors,
+        "noise": noise,
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -228,6 +272,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "errors": errors,
+                "noise": noise,
                 "queries": slowest,
                 "queries_truncated": True,
                 "detail_file": "BENCH_DETAIL.json",

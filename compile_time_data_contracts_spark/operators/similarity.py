@@ -99,6 +99,10 @@ def _batch_local_topk(s, ids, kk):
     asc), so only membership and the k-bound matter here."""
     import numpy as np
 
+    if kk <= 0:
+        # argpartition(-s, kk-1) with kk=0 would partition on the LAST
+        # element and return a bogus non-empty candidate set
+        return np.empty(0, dtype=np.int64)
     if kk >= len(s):
         cand = np.nonzero(s > -np.inf)[0]
     else:

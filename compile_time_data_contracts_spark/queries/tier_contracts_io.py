@@ -591,7 +591,14 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     snapshot reproduces the identical state.  The merge itself
     (bucket-pruned read + 2-of-64 directory rewrite) still executes on
     every call — reuse removes only the redundant fresh 64-bucket
-    snapshot build; a changed source rebuilds (meta written LAST)."""
+    snapshot build; a changed source rebuilds.  meta.json is written
+    only AFTER the first merge completes and records the post-merge row
+    count; the reuse path re-verifies that count against the on-disk
+    snapshot (parquet footers — cheap), so a crash mid-merge (dynamic
+    partition overwrite is atomic per directory, not across the 2
+    rewritten buckets) leaves either no meta or a count mismatch, and
+    the next call rebuilds instead of silently merging onto a
+    partially merged baseline."""
     import hashlib
     import json
     import os
@@ -629,7 +636,7 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     ).first()
     want = {
         "n": int(fp_row["n"]), "bal": str(fp_row["bal"]),
-        "mx": int(fp_row["mx"]), "version": 1,
+        "mx": int(fp_row["mx"]), "version": 2,
     }
     tag = hashlib.md5(f"{sf}|merge64".encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"ctdc-merge-{tag}")
@@ -640,13 +647,23 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
             have = json.load(fh)
     except (OSError, ValueError):
         have = None
-    if have != want:
+    reuse = (
+        have is not None
+        and {k: have.get(k) for k in want} == want
+        # on-disk integrity: a crash between the two bucket rewrites of
+        # a previous merge leaves a fingerprint-valid but partially
+        # merged snapshot — the post-merge row count catches it
+        and snapshot_read(spark, path).count() == have.get("merged_n")
+    )
+    if not reuse:
         os.makedirs(root, exist_ok=True)
         snapshot_write(cust, path, "c_custkey", num_buckets=64)
-        with open(meta_path, "w") as fh:
-            json.dump(want, fh)
     merge_upsert(spark, path, updates)
     merged = snapshot_read(spark, path)
+    if not reuse:
+        # meta written LAST — only a fully merged snapshot is reusable
+        with open(meta_path, "w") as fh:
+            json.dump({**want, "merged_n": merged.count()}, fh)
     return merged.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.when(F.col("c_mktsegment") == "NEW", 1).otherwise(0))

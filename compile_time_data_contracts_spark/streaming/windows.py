@@ -156,7 +156,15 @@ def gate_state_partitions(spark, n: int = 8):
     state-store inits/commits per trigger per stateful operator is pure
     fixed cost (measured 24 s → 5.5 s on q199).  Restores the session
     value on exit; semantics unchanged — production streams size this
-    to state volume."""
+    to state volume.
+
+    SINGLE-THREADED by design: the override mutates the session-global
+    ``spark.sql.shuffle.partitions`` for the whole start→awaitTermination
+    span, so any query PLANNED concurrently in the same SparkSession
+    would inherit it (or restore a stale saved value on nested use).
+    The bench and gate suites run strictly sequentially; if gates ever
+    run concurrently, scope the setting via a cloned session
+    (``spark.newSession()``) per gate instead."""
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -232,24 +240,32 @@ def write_ordered_feed_parallel(
     one-file-per-batch.
 
     Returns N (files per padded batch) — pass as ``maxFilesPerTrigger``.
+
+    The whole feed is STAGED in a pid-suffixed sibling directory and
+    swapped into ``base`` only when complete: a concurrent process
+    reading a shared feed root never observes a half-built feed (the
+    delete→rename swap is the only window, microseconds vs the
+    seconds-long data write that used to happen in place after an
+    up-front rmtree).
     """
     import os
     import shutil
     import time
 
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
+    build = f"{base}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
     t0 = time.time() - 1000
     staged: list[list[str]] = []
     for i, df in enumerate(dfs):
-        tmp = os.path.join(base, f"_stage{i}")
+        tmp = os.path.join(build, f"_stage{i}")
         df.write.mode("overwrite").parquet(tmp)
         staged.append(
             sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         )
     n_files = max(1, max(len(p) for p in staged))
     # one empty schema-only parquet file as the padding template
-    pad_tmp = os.path.join(base, "_stage_pad")
+    pad_tmp = os.path.join(build, "_stage_pad")
     dfs[0].limit(0).coalesce(1).write.mode("overwrite").parquet(pad_tmp)
     pad_src = os.path.join(
         pad_tmp,
@@ -260,9 +276,9 @@ def write_ordered_feed_parallel(
     # one batch IS one trigger — but deterministic listing is nice)
     step = min(0.001, 9.0 / n_files)
     for i, parts in enumerate(staged):
-        tmp = os.path.join(base, f"_stage{i}")
+        tmp = os.path.join(build, f"_stage{i}")
         for j in range(n_files):
-            dst = os.path.join(base, f"batch{i}_{j:07d}.parquet")
+            dst = os.path.join(build, f"batch{i}_{j:07d}.parquet")
             if j < len(parts):
                 shutil.move(os.path.join(tmp, parts[j]), dst)
             else:
@@ -270,6 +286,8 @@ def write_ordered_feed_parallel(
             os.utime(dst, (t0 + i * 10 + j * step,) * 2)
         shutil.rmtree(tmp)
     shutil.rmtree(pad_tmp)
+    shutil.rmtree(base, ignore_errors=True)
+    os.rename(build, base)
     return n_files
 
 
@@ -280,8 +298,10 @@ def persistent_event_slices_feed(
     events table sliced into ``n_slices`` batches by
     ``pmod(event_id, n_slices)``, persisted at a path keyed on
     ``sf_dir`` behind a content fingerprint (row count + max event_id +
-    max ts; meta written LAST so a half-built feed is never reused) and
-    written at natural parallelism via
+    max ts + sum(event_id) as a content proxy, so a REGENERATED events
+    table with identical shape is caught, not silently replayed as
+    stale slices; meta written LAST so a half-built feed is never
+    reused) and written at natural parallelism via
     :func:`write_ordered_feed_parallel`.
 
     The feed is a deterministic function of the source table, so
@@ -303,10 +323,12 @@ def persistent_event_slices_feed(
         F.count("*").alias("n"),
         F.max("event_id").alias("mx"),
         F.max("ts").alias("mts"),
+        F.sum("event_id").alias("id_sum"),
     ).first()
     want = {
         "n": int(row["n"]), "mx": int(row["mx"]),
-        "mts": str(row["mts"]), "n_slices": n_slices, "version": 1,
+        "mts": str(row["mts"]), "id_sum": int(row["id_sum"]),
+        "n_slices": n_slices, "version": 2,
     }
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     root = os.path.join(
