@@ -120,22 +120,37 @@ def _batch_local_topk(s, ids, kk):
 
 
 def _probe_union(C, queries: DataFrame, nprobe: int, vec_col: str,
-                 query_id_col: str, caller: str):
-    """(q_ids, normalized query matrix, probe mask, union cell list)
-    for a batch search: collect the query batch (batch-sized — the
-    topk_cosine_multi bound), rank centroids per query with a STABLE
-    argsort (ties resolve identically to the single-query paths, which
-    also sort stable — probe lists stay engine-wide deterministic),
-    and union the per-query probe lists into one pruning predicate.
+                 query_id_col: str, caller: str,
+                 filter_cols: tuple = ()):
+    """(q_ids, normalized query matrix, probe mask, union cell list,
+    per-query filter values) for a batch search: collect the query batch
+    (batch-sized — the topk_cosine_multi bound), rank centroids per
+    query with a STABLE argsort (ties resolve identically to the
+    single-query paths, which also sort stable — probe lists stay
+    engine-wide deterministic), and union the per-query probe lists
+    into one pruning predicate.  ``filter_cols`` names query-side
+    columns whose per-query values ride along (multi-tenant serving:
+    each query confined to its own tenant/label) — returned as
+    {col: object ndarray aligned with q_ids}, {} when unused.
     Shared by ivf_search_batch and ivf_pq_search_batch so the two batch
     paths cannot drift."""
     import numpy as np
 
-    qrows = queries.select(query_id_col, vec_col).collect()
+    missing = [c for c in filter_cols if c not in queries.columns]
+    if missing:
+        raise ValueError(
+            f"{caller}: query_filter_cols {missing} not in the queries "
+            f"DataFrame (columns: {queries.columns})"
+        )
+    qrows = queries.select(query_id_col, vec_col, *filter_cols).collect()
     if not qrows:
         raise ValueError(f"{caller}: queries DataFrame is empty")
     q_ids = np.array([r[0] for r in qrows])
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qf_vals = {
+        c: np.array([r[2 + i] for r in qrows], dtype=object)
+        for i, c in enumerate(filter_cols)
+    }
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     Q = Q / np.where(qn == 0, 1.0, qn)
     npb = min(nprobe, len(C))
@@ -146,7 +161,64 @@ def _probe_union(C, queries: DataFrame, nprobe: int, vec_col: str,
     union = sorted(
         int(c) for c in np.nonzero(probe_mask.any(axis=1))[0]
     )
-    return q_ids, Q, probe_mask, union
+    return q_ids, Q, probe_mask, union, qf_vals
+
+
+def _group_pruned(
+    table: DataFrame, union: list, probe_mask, qf_vals: dict,
+    filter_cols: tuple, index_path: str, caller: str, vec_col: str,
+):
+    """Prune a batch index scan on the union of (cluster, filter-value)
+    PAIRS: queries are grouped by their filter-value tuple and each
+    group contributes ``cluster IN (its own probe union) AND meta =
+    its values`` — OR-ed together, all over partition columns, so the
+    scan prunes at the directory level on BOTH axes (a heterogeneous
+    batch never reads label B's directories for label A's probe cells).
+    Falls back to the plain cluster-union predicate when no per-query
+    filter columns are in play."""
+    import numpy as np
+
+    if not filter_cols:
+        return table.filter(F.col("cluster").isin(union))
+    for c in filter_cols:
+        if c not in table.columns:
+            raise ValueError(
+                f"{caller}: filter column {c!r} is not stored in the "
+                f"index at {index_path} (available: "
+                f"{[x for x in table.columns if x != vec_col]}) — "
+                f"rebuild with meta_cols=(..., {c!r}) to carry it"
+            )
+    groups: dict[tuple, set] = {}
+    for j in range(probe_mask.shape[1]):
+        key = tuple(qf_vals[c][j] for c in filter_cols)
+        groups.setdefault(key, set()).update(
+            int(c) for c in np.nonzero(probe_mask[:, j])[0]
+        )
+    pred = None
+    for key in sorted(groups, key=repr):
+        p = F.col("cluster").isin(sorted(groups[key]))
+        for c, v in zip(filter_cols, key):
+            p = p & (F.col(c) == F.lit(v))
+        pred = p if pred is None else (pred | p)
+    return table.filter(pred)
+
+
+def _label_match(batch, names, filter_cols: tuple, qf_vals: dict):
+    """(rows, n_queries) bool — True where the row's metadata equals the
+    query's own filter values on EVERY filter column.  AND-ed into the
+    probe mask inside the Arrow scorers so per-query attribution is
+    confined on the label axis exactly as it is on the cluster axis
+    (directory pruning already removed most foreign-label rows; this
+    closes the within-cell residue where one cell's union predicate
+    admits a label that only OTHER queries probe there)."""
+    import numpy as np
+
+    ok = None
+    for c in filter_cols:
+        rv = batch.column(names.index(c)).to_numpy(zero_copy_only=False)
+        eq = rv[:, None] == qf_vals[c][None, :]
+        ok = eq if ok is None else (ok & eq)
+    return ok
 
 
 def _validate_filters(
@@ -872,6 +944,7 @@ def ivf_search_batch(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     filters: dict | None = None,
+    query_filter_cols: tuple = (),
 ) -> DataFrame:
     """Batch ANN against a persisted IVF index: exact per-query IVF
     semantics (each query's candidates come ONLY from its own ``nprobe``
@@ -924,6 +997,18 @@ def ivf_search_batch(
     directory level alongside the cluster predicate (the column must
     have been carried via ``ivf_build(meta_cols=...)``).
 
+    ``query_filter_cols`` is the PER-QUERY filter axis (multi-tenant
+    serving: one batch mixes tenants, each query must only see its own
+    tenant's vectors).  Each named column must exist in BOTH the
+    queries DataFrame (that query's filter value) and the index's
+    meta_cols layout.  The scan prunes on the union of (cluster,
+    value) PAIRS — per filter-value group, only that group's probe
+    cells are read under that group's directories — and the in-closure
+    probe mask is AND-ed with a row-label == query-label match, so
+    each query returns exactly the candidate set of its own
+    ``ivf_search(filters={col: its value})`` call (parity-tested).
+    Batch-global ``filters`` compose on top.
+
     Output: (query_id, id_col, sim, rank<=k), exact sims for returned
     rows.  At 100 TB: one pruned scan amortized over the batch — index
     bytes read are ~|union(probe lists)|/n_clusters of the corpus,
@@ -933,6 +1018,7 @@ def ivf_search_batch(
     import pyarrow as pa
 
     query_id_col = query_id_col or id_col
+    query_filter_cols = tuple(query_filter_cols)
     cent = spark.read.parquet(f"{index_path}/centroids").collect()
     if not cent:
         raise ValueError(f"ivf_search_batch: no centroids at {index_path}")
@@ -941,12 +1027,15 @@ def ivf_search_batch(
     for r in cent:
         C[r.cluster] = r.centroid
 
-    q_ids, Q, probe_mask, union = _probe_union(
-        C, queries, nprobe, vec_col, query_id_col, "ivf_search_batch"
+    q_ids, Q, probe_mask, union, qf_vals = _probe_union(
+        C, queries, nprobe, vec_col, query_id_col, "ivf_search_batch",
+        query_filter_cols,
     )
 
-    probed = spark.read.parquet(f"{index_path}/vectors").filter(
-        F.col("cluster").isin(union)
+    probed = _group_pruned(
+        spark.read.parquet(f"{index_path}/vectors"), union, probe_mask,
+        qf_vals, query_filter_cols, index_path, "ivf_search_batch",
+        vec_col,
     )
     probed = _validate_filters(
         probed, filters, index_path, "ivf_search_batch", vec_col
@@ -962,10 +1051,15 @@ def ivf_search_batch(
         for b in batches:
             if len(b) == 0:
                 continue
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            clusters = b.column(1).to_numpy(zero_copy_only=False)
+            names = b.schema.names
+            ids = b.column(names.index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            clusters = b.column(names.index("cluster")).to_numpy(
+                zero_copy_only=False
+            )
             vals = (
-                b.column(2)
+                b.column(names.index(vec_col))
                 .flatten()
                 .to_numpy(zero_copy_only=False)
                 .astype(np.float64, copy=False)
@@ -981,6 +1075,13 @@ def ivf_search_batch(
             # score matrix ~16x; the union scan's whole point is that
             # each batch is read once but scored only where attributed)
             batch_mask = probe_mask[clusters]  # (rows, n_queries)
+            if query_filter_cols:
+                # label axis: confine each query to rows carrying ITS
+                # filter values (leaf files are single-(cell,label), so
+                # this typically zeroes whole queries out of the batch)
+                batch_mask = batch_mask & _label_match(
+                    b, names, query_filter_cols, qf_vals
+                )
             active = np.nonzero(batch_mask.any(axis=0))[0]
             if len(active) == 0:
                 continue
@@ -1014,7 +1115,9 @@ def ivf_search_batch(
 
     id_dt = vecs.schema[id_col].dataType.simpleString()
     qid_dt = queries.schema[query_id_col].dataType.simpleString()
-    cand = probed.select(id_col, "cluster", vec_col).mapInArrow(
+    cand = probed.select(
+        id_col, "cluster", *query_filter_cols, vec_col
+    ).mapInArrow(
         score, f"query_id {qid_dt}, {id_col} {id_dt}, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
@@ -2013,6 +2116,7 @@ def ivf_pq_search_batch(
     meta_cols: tuple = (),
     filters: dict | None = None,
     query_id_col: str | None = None,
+    query_filter_cols: tuple = (),
 ) -> DataFrame:
     """Batch retrieval over the COMPRESSED domain — ``ivf_search_batch``
     for the IVF-PQ composite: the whole query batch is served by ONE
@@ -2044,6 +2148,16 @@ def ivf_pq_search_batch(
     Returned sims are EXACT (the re-rank); nprobe bounds IVF recall and
     m/ksub/rerank bound PQ recall, per query, exactly as in the
     single-query composite (the probe mask prevents union leakage).
+
+    ``query_filter_cols`` adds the PER-QUERY filter axis (heterogeneous
+    multi-tenant batches): each named column must exist in the queries
+    DataFrame and in ``meta_cols``; BOTH the ADC code scan and the
+    re-rank hydration scan prune on the union of (cluster, value)
+    pairs, and the in-closure probe mask is AND-ed with a row-label ==
+    query-label match — each query returns exactly its own
+    ``ivf_pq_topk(filters={col: its value})`` candidate set
+    (parity-tested; a query can never surface another tenant's ids).
+
     Output: (query_id, id_col, sim, rank<=k).  At 100 TB: one pass over
     ~|union|/n_clusters of a 32x-compressed table amortized over the
     whole batch — the compressed-domain RAG serving path.
@@ -2053,6 +2167,7 @@ def ivf_pq_search_batch(
 
     spark = df.sparkSession
     query_id_col = query_id_col or id_col
+    query_filter_cols = tuple(query_filter_cols)
     # an empty query batch must fail BEFORE the index build — the
     # k-means fit + full-corpus rewrite is minutes at scale
     if queries.select(query_id_col).first() is None:
@@ -2064,9 +2179,9 @@ def ivf_pq_search_batch(
     C, books = _ivf_pq_load(spark, index_path)
     mm, kk_books, dsub = books.shape
 
-    q_ids, Qn, probe_mask, union = _probe_union(
+    q_ids, Qn, probe_mask, union, qf_vals = _probe_union(
         C, queries, nprobe, vec_col, query_id_col,
-        "ivf_pq_search_batch",
+        "ivf_pq_search_batch", query_filter_cols,
     )
 
     # per-query ADC lookup tables, one einsum: LUT[q, s, c] = books[s,c]
@@ -2076,8 +2191,10 @@ def ivf_pq_search_batch(
     )
 
     codes_tbl = _validate_filters(
-        spark.read.parquet(f"{index_path}/pq/codes").filter(
-            F.col("cluster").isin(union)
+        _group_pruned(
+            spark.read.parquet(f"{index_path}/pq/codes"), union,
+            probe_mask, qf_vals, query_filter_cols, index_path,
+            "ivf_pq_search_batch", vec_col,
         ),
         filters, index_path, "ivf_pq_search_batch", vec_col,
     )
@@ -2094,16 +2211,25 @@ def ivf_pq_search_batch(
         for b in batches:
             if len(b) == 0:
                 continue
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            clusters = b.column(1).to_numpy(zero_copy_only=False)
+            names = b.schema.names
+            ids = b.column(names.index(id_col)).to_numpy(
+                zero_copy_only=False
+            )
+            clusters = b.column(names.index("cluster")).to_numpy(
+                zero_copy_only=False
+            )
             code_vals = (
-                b.column(2)
+                b.column(names.index("codes"))
                 .flatten()
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64, copy=False)
                 .reshape(len(b), mm)
             )
             batch_mask = probe_mask[clusters]  # (rows, n_queries)
+            if query_filter_cols:
+                batch_mask = batch_mask & _label_match(
+                    b, names, query_filter_cols, qf_vals
+                )
             active = np.nonzero(batch_mask.any(axis=0))[0]
             if len(active) == 0:
                 continue
@@ -2136,7 +2262,9 @@ def ivf_pq_search_batch(
                 ["query_id", id_col, "adc_score"],
             )
 
-    adc = codes_tbl.select(id_col, "cluster", "codes").mapInArrow(
+    adc = codes_tbl.select(
+        id_col, "cluster", *query_filter_cols, "codes"
+    ).mapInArrow(
         adc_score, f"query_id {qid_dt}, {id_col} {id_dt}, adc_score double"
     )
     w_cand = Window.partitionBy("query_id").orderBy(
@@ -2149,7 +2277,10 @@ def ivf_pq_search_batch(
     )
 
     probed_vecs = _validate_filters(
-        vecs_tbl.filter(F.col("cluster").isin(union)),
+        _group_pruned(
+            vecs_tbl, union, probe_mask, qf_vals, query_filter_cols,
+            index_path, "ivf_pq_search_batch", vec_col,
+        ),
         filters, index_path, "ivf_pq_search_batch", vec_col,
     )
     hydrated = probed_vecs.select(id_col, vec_col).join(

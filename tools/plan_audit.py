@@ -2537,6 +2537,20 @@ CHECKS_R8 = {
          and "BatchEvalPython" not in p),
         ("no cartesian anywhere in the contract", True, _nocart),
     ],
+    "q382_mixed_label_batch_ivf_contract": [
+        ("recall flags join back BROADCAST; exact side Arrow-batched, "
+         "never row-pickling", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+        ("no cartesian anywhere in the contract", True, _nocart),
+    ],
+    "q383_mixed_label_batch_ivfpq_contract": [
+        ("recall flags join back BROADCAST; exact side Arrow-batched, "
+         "never row-pickling", True,
+         lambda p: "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+        ("no cartesian anywhere in the contract", True, _nocart),
+    ],
     "q204_boilerplate_against_index": [
         ("line postings are a codegen Generate; df lookup joins keyed, "
          "never cartesian", True,
@@ -3042,6 +3056,65 @@ def _batch_filtered_ivfpq_pipeline(spark, sf_dir):
     )
 
 
+def _mixed_queries(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labs = [
+        r.label
+        for r in emb.select("label").distinct().orderBy("label")
+        .limit(2).collect()
+    ]
+    wq = Window.partitionBy("label").orderBy("vec_id")
+    queries = (
+        emb.where(F.col("label").isin(labs))
+        .withColumn("__qr", F.row_number().over(wq))
+        .filter(F.col("__qr") <= 2)
+        .drop("__qr")
+    )
+    return emb, queries
+
+
+def _mixed_label_batch_ivf_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build_or_reuse,
+        ivf_search_batch,
+    )
+
+    emb, queries = _mixed_queries(spark, sf_dir)
+    tag = hashlib.md5(f"{sf_dir}|fl32".encode()).hexdigest()[:12]
+    idx = ivf_build_or_reuse(
+        emb, f"{tempfile.gettempdir()}/ctdc-fivf-{tag}", n_clusters=32,
+        meta_cols=("label",),
+    )
+    return ivf_search_batch(
+        spark, idx, queries, k=10, nprobe=24, query_id_col="vec_id",
+        query_filter_cols=("label",),
+    )
+
+
+def _mixed_label_batch_ivfpq_pipeline(spark, sf_dir):
+    import hashlib
+    import tempfile
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_search_batch,
+    )
+
+    emb, queries = _mixed_queries(spark, sf_dir)
+    tag = hashlib.md5(f"{sf_dir}|bpqf16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-bpqf-{tag}"
+    return ivf_pq_search_batch(
+        emb, queries, k=10, n_clusters=16, nprobe=14, m=8, ksub=16,
+        rerank=200, index_path=idx, meta_cols=("label",),
+        query_id_col="vec_id", query_filter_cols=("label",),
+    )
+
+
 def _batch_ivfpq_search_pipeline(spark, sf_dir):
     import hashlib
     import tempfile
@@ -3069,6 +3142,8 @@ PIPELINES = {
     "q379_inner_batch_filtered_ivf_search": _batch_filtered_ivf_pipeline,
     "q380_inner_batch_ivfpq_search": _batch_ivfpq_search_pipeline,
     "q381_inner_batch_filtered_ivfpq_search": _batch_filtered_ivfpq_pipeline,
+    "q382_inner_mixed_label_batch_ivf": _mixed_label_batch_ivf_pipeline,
+    "q383_inner_mixed_label_batch_ivfpq": _mixed_label_batch_ivfpq_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -3085,6 +3160,37 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q382_inner_mixed_label_batch_ivf": [
+        ("ONE index scan for the whole MIXED-label batch, pruned at "
+         "the directory level on the union of (cluster, label) PAIRS "
+         "— per label group, only its probe cells under its own label "
+         "directories", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         and re.search(r"PartitionFilters: \[[^\]]*cluster", p)
+         and re.search(r"PartitionFilters: \[[^\]]*label", p)),
+        ("one candidate shuffle, WindowGroupLimit pre-limit, exactly "
+         "one Arrow stage, no row-pickling", True,
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+         and "WindowGroupLimit" in p
+         and len(re.findall(r"\(\d+\) MapInArrow", p)) == 1
+         and "BatchEvalPython" not in p),
+    ],
+    "q383_inner_mixed_label_batch_ivfpq": [
+        ("both scans (codes + hydration) prune on cluster AND label "
+         "at the directory level for a MIXED-label batch", True,
+         lambda p: len(re.findall(
+             r"PartitionFilters: \[[^\]]*cluster", p
+         )) >= 2
+         and len(re.findall(
+             r"PartitionFilters: \[[^\]]*label", p
+         )) >= 2),
+        ("two scans, two Arrow stages, broadcast hydration, no "
+         "row-pickling", True,
+         lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+         and len(re.findall(r"\(\d+\) MapInArrow", p)) == 2
+         and "BroadcastHashJoin" in p
+         and "BatchEvalPython" not in p),
+    ],
     "q381_inner_batch_filtered_ivfpq_search": [
         ("both scans prune on cluster AND label at the directory "
          "level (compressed batch, both axes)", True,
