@@ -46,6 +46,7 @@ __all__ = [
     "ivf_build",
     "ivf_build_or_reuse",
     "ivf_append",
+    "ivf_delete",
     "ivf_search",
     "ivf_topk",
     "quantize_int8",
@@ -53,6 +54,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_scores",
     "pq_topk",
+    "pq_append",
     "ivf_pq_build_or_reuse",
     "ivf_pq_search_batch",
 ]
@@ -884,6 +886,144 @@ def ivf_append(
         )],
         "n long, max_id string, meta_cols string, n_clusters int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def _partition_pred(touched, meta_cols: tuple):
+    """OR-of-conjunctions predicate selecting exactly the given
+    (cluster, *meta) partition rows — every conjunct is over partition
+    columns, so the scan prunes at the directory level."""
+    pred = None
+    for t in touched:
+        p = F.col("cluster") == F.lit(int(t["cluster"]))
+        for c in meta_cols:
+            p = p & (F.col(c) == F.lit(t[c]))
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def _leaf_dir(root: str, t, meta_cols: tuple) -> str:
+    parts = [f"cluster={int(t['cluster'])}"] + [
+        f"{c}={t[c]}" for c in meta_cols
+    ]
+    return root + "/" + "/".join(parts)
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def ivf_delete(
+    spark,
+    index_path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> dict:
+    """Erase an id cohort from a persisted IVF (and, when present,
+    IVF-PQ) index by rewriting ONLY the touched (cluster, *meta)
+    partitions — the GDPR/right-to-be-forgotten path, q136's
+    bucket-pruned rewrite applied to the ANN index.
+
+    Mechanics, in 100 TB order of importance:
+
+      1. the touched-partition list comes from ONE semi-join of the
+         index against the broadcast delete cohort (erasure requests
+         are cohort-sized, not corpus-sized), projected to the
+         partition columns — untouched directories are never read and
+         stay byte-identical (test-asserted),
+      2. survivors of the touched slice (anti-join) are checkpointed
+         (the dynamic-partition-overwrite write replaces directories
+         the plan also reads — merge_upsert's hazard and fix), then
+         written with per-write ``partitionOverwriteMode=dynamic``,
+      3. a touched partition whose rows are ALL deleted produces no
+         output files, and dynamic overwrite therefore leaves its old
+         directory in place — those directories are removed explicitly
+         (metadata ops, one per emptied leaf),
+      4. the PQ CODE layer, when present, gets the same anti-join
+         rewrite under the same layout — deleted ids can never
+         resurface through the compressed path either,
+      5. the content-fingerprint meta is recomputed from the
+         post-delete index and written LAST: a crash mid-erase leaves
+         the fingerprint ahead of the (partially rewritten) index, so
+         staleness checks rebuild rather than reuse, and re-running
+         the SAME erasure is idempotent (already-clean partitions
+         simply have no matches).
+
+    Returns ``{"n_deleted", "rewritten_partitions", "emptied"}``.
+    Survivor recall is untouched by construction — centroids,
+    codebooks, and every surviving row's cell assignment are
+    unchanged; searches just stop seeing the erased ids (gate-checked
+    across the single, batch, and filtered search paths).
+    """
+    old, meta_cols, stored_k, legacy = _ivf_meta(spark, index_path)
+    if old is None or legacy:
+        raise ValueError(
+            f"ivf_delete: index at {index_path} has no recorded "
+            "partition layout; rebuild it with ivf_build first"
+        )
+    ids = F.broadcast(delete_ids.select(id_col).distinct())
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    touched = (
+        vecs.join(ids, id_col, "semi")
+        .select("cluster", *meta_cols)
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return {"n_deleted": 0, "rewritten_partitions": 0, "emptied": 0}
+
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
+    pred = _partition_pred(touched, meta_cols)
+    layers = [(f"{index_path}/vectors", vecs)]
+    try:
+        codes = spark.read.parquet(f"{index_path}/pq/codes")
+        layers.append((f"{index_path}/pq/codes", codes))
+    except AnalysisException:
+        pass  # plain IVF index — no compressed layer to rewrite
+
+    n_deleted = (
+        vecs.filter(pred).join(ids, id_col, "semi").count()
+    )
+    emptied = 0
+    for root, tbl in layers:
+        survivors = (
+            tbl.filter(pred)
+            .join(ids, id_col, "anti")
+            .repartition(F.col("cluster"), *[F.col(c) for c in meta_cols])
+            .checkpoint(eager=True)
+        )
+        survivors.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cluster", *meta_cols).parquet(root)
+        kept = {
+            tuple(r[c] for c in ("cluster", *meta_cols))
+            for r in survivors.select("cluster", *meta_cols)
+            .distinct()
+            .collect()
+        }
+        for t in touched:
+            if tuple(t[c] for c in ("cluster", *meta_cols)) not in kept:
+                _hadoop_delete(spark, _leaf_dir(root, t, meta_cols))
+                emptied += 1
+
+    # fingerprint recomputed from the post-delete index, written LAST
+    fp_n, fp_mx = _ivf_fingerprint(
+        spark.read.parquet(f"{index_path}/vectors"), id_col
+    )
+    spark.createDataFrame(
+        [(fp_n, fp_mx, ",".join(meta_cols), stored_k)],
+        "n long, max_id string, meta_cols string, n_clusters int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    return {
+        "n_deleted": int(n_deleted),
+        "rewritten_partitions": len(touched),
+        "emptied": emptied,
+    }
 
 
 def ivf_search(
@@ -1981,6 +2121,86 @@ def ivf_pq_build_or_reuse(
         )
 
     return index_path
+
+
+def pq_append(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_cols: tuple | None = None,
+) -> None:
+    """Incremental IVF-PQ growth — ``ivf_append``'s contract carried
+    into the COMPRESSED domain: the new batch is assigned to the
+    index's FROZEN centroids and encoded with the FROZEN codebooks,
+    then ONLY the touched (cluster, *meta) code partitions receive
+    appended files (untouched code directories stay byte-identical;
+    test-asserted).  No k-means refit, no codebook retrain, no corpus
+    rescan — append cost is O(batch) for BOTH index layers, the
+    daily-ingest path of a growing compressed corpus.
+
+    The partition layout is DERIVED from the persisted pq meta (and
+    cross-checked against the IVF layer's recorded layout), never from
+    the caller; passing ``meta_cols`` is allowed only as an assertion
+    — a mismatch raises instead of writing codes at the wrong
+    directory depth.
+
+    Write order is crash-safe by construction: the CODE append runs
+    FIRST, and :func:`ivf_append` advances the vector partitions + the
+    content fingerprint LAST — a crash in between leaves the meta
+    fingerprint behind the true corpus, so the next
+    ``ivf_pq_build_or_reuse`` sees a stale index and rebuilds both
+    layers rather than serving a half-appended one.
+
+    Codebooks and centroids trained on the pre-append corpus do go
+    stale under distribution drift (new-region vectors quantize onto
+    old codewords, costing ADC recall before the re-rank can help) —
+    schedule a periodic full rebuild as the compaction step, the same
+    guidance as ``ivf_append``.
+    """
+    try:
+        pq_meta = spark.read.parquet(f"{index_path}/pq/meta").first()
+    except AnalysisException:
+        pq_meta = None
+    if pq_meta is None:
+        raise ValueError(
+            f"pq_append: no PQ layer at {index_path} — build one with "
+            "ivf_pq_build_or_reuse before appending"
+        )
+    stored_cols = tuple(
+        c
+        for c in (pq_meta.asDict().get("meta_cols") or "").split(",")
+        if c
+    )
+    if meta_cols is not None and tuple(meta_cols) != stored_cols:
+        raise ValueError(
+            f"pq_append: PQ codes at {index_path} are partitioned by "
+            f"(cluster, {', '.join(stored_cols) or 'nothing'}) but the "
+            f"caller expected meta_cols={tuple(meta_cols)}"
+        )
+    _, ivf_cols, _, legacy = _ivf_meta(spark, index_path)
+    if legacy or ivf_cols != stored_cols:
+        raise ValueError(
+            f"pq_append: index layers at {index_path} disagree on the "
+            f"partition layout (vectors: {ivf_cols if not legacy else 'unrecorded'}, "
+            f"codes: {stored_cols}) — rebuild with ivf_pq_build_or_reuse"
+        )
+    C, books = _ivf_pq_load(spark, index_path)
+    assigned = _assign_with_centroids(
+        new_df, C, id_col, vec_col, stored_cols
+    )
+    # same one-writer-per-leaf shuffle as the build-path encode
+    pq_encode(
+        assigned, books, id_col, vec_col,
+        extra_cols=("cluster", *stored_cols),
+    ).repartition(
+        F.col("cluster"), *[F.col(c) for c in stored_cols]
+    ).write.mode("append").partitionBy("cluster", *stored_cols).parquet(
+        f"{index_path}/pq/codes"
+    )
+    # vectors + fingerprint advance LAST (meta-written-last)
+    ivf_append(spark, index_path, new_df, id_col, vec_col, stored_cols)
 
 
 def _ivf_pq_load(spark, index_path: str):

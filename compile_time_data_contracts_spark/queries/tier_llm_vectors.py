@@ -1820,3 +1820,157 @@ def q383(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "q384_pq_append_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS pq_append_recall_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q384(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF-PQ accuracy contract — q143's append contract
+    carried into the COMPRESSED domain via ``pq_append``: the IVF-PQ
+    index (centroids + codebooks + partitioned codes) is built on HALF
+    the corpus (even ids), the other half arrives as an appended batch
+    — assigned to the FROZEN centroids, encoded with the FROZEN
+    codebooks, only touched cluster code partitions appended (untouched
+    code dirs byte-identical; test-asserted in
+    tests/test_round10_ops.py), vector partitions + fingerprint
+    advanced LAST so a crash mid-append reads as stale and rebuilds.
+
+    The exact top-10 over the FULL corpus (value-checked by the
+    oracle) is annotated with whether the compressed-domain search of
+    the APPENDED index recovers >= 7 of them — the same floor as
+    q151/q193, so appending must not cost recall on a stationary
+    distribution even though the codebooks never saw the appended
+    half.  Build-once-search-many: the appended index persists behind
+    the full-corpus fingerprint, so repeat calls are pure searches."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (
+        _ivf_fingerprint,
+        ivf_pq_build_or_reuse,
+        ivf_pq_topk,
+        pq_append,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(emb, query, k=10)
+    tag = hashlib.md5(f"{sf}|pqappend16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-pqappend-{tag}"
+    fp = _ivf_fingerprint(emb, "vec_id")
+    try:
+        m = spark.read.parquet(f"{idx}/meta").first()
+        stale = m is None or (int(m["n"]), m["max_id"]) != fp
+    except Exception:
+        # /tmp-scoped gate index: any read problem (missing, corrupt,
+        # half-appended by a killed run) should just rebuild
+        stale = True
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_pq_build_or_reuse(
+            emb.filter(F.col("vec_id") % 2 == 0), idx, n_clusters=16,
+            m=8, ksub=16,
+        )
+        pq_append(spark, idx, emb.filter(F.col("vec_id") % 2 == 1))
+    approx = ivf_pq_topk(
+        emb, query, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
+        rerank=200, index_path=idx,
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(overlap >= 7).alias("pq_append_recall_ok"),
+    )
+
+
+@q(
+    "q385_index_erasure_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS erasure_ok
+       FROM embeddings b
+       WHERE b.vec_id % 10 != 3
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q385(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN index ERASURE contract (`ivf_delete` — the GDPR path): a
+    deterministic cohort (vec_id % 10 == 3) is deleted from a persisted
+    IVF-PQ index by rewriting ONLY the touched cluster partitions
+    (untouched directories byte-identical, fully-emptied leaves
+    removed, PQ code layer rewritten under the same layout, fingerprint
+    meta recomputed LAST — all test-asserted in
+    tests/test_round10_ops.py).  The exact top-10 over the SURVIVING
+    corpus (value-checked by the oracle, which recomputes the erasure
+    relationally) is annotated with whether the erased index's
+    compressed-domain search (a) never surfaces a deleted id and (b)
+    recovers >= 7 of the survivor top-10 — erasure must not cost
+    survivor recall, because centroids, codebooks, and surviving rows'
+    assignments are untouched by construction.
+
+    Build-once-erase-once-search-many: the erased index's fingerprint
+    EQUALS the surviving corpus's fingerprint, so repeat calls (and the
+    composite's internal build_or_reuse over the survivor frame) reuse
+    the erased artifact; a regenerated source rebuilds + re-erases."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (
+        _ivf_fingerprint,
+        ivf_delete,
+        ivf_pq_build_or_reuse,
+        ivf_pq_topk,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    surv = emb.filter(F.col("vec_id") % 10 != 3)
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(surv, query, k=10)
+    tag = hashlib.md5(f"{sf}|erase16-8-16".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-erase-{tag}"
+    fp = _ivf_fingerprint(surv, "vec_id")
+    try:
+        m = spark.read.parquet(f"{idx}/meta").first()
+        stale = m is None or (int(m["n"]), m["max_id"]) != fp
+    except Exception:
+        # /tmp-scoped gate index: any read problem should just rebuild
+        stale = True
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_pq_build_or_reuse(emb, idx, n_clusters=16, m=8, ksub=16)
+        ivf_delete(
+            spark, idx, emb.filter(F.col("vec_id") % 10 == 3)
+        )
+    approx = ivf_pq_topk(
+        surv, query, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
+        rerank=200, index_path=idx,
+    ).select("vec_id")
+    n_doomed = approx.filter(F.col("vec_id") % 10 == 3).count()
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(n_doomed == 0 and overlap >= 7).alias("erasure_ok"),
+    )

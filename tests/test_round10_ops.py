@@ -189,3 +189,201 @@ def test_per_query_filtered_batch_ivfpq_matches_composite(
         assert len(single) == 3
         for rank, r in enumerate(single, 1):
             assert got[(qid, rank)] == (r.vec_id, round(r.sim, 9))
+
+
+@pytest.fixture()
+def pq_append_setup(spark, tmp_path):
+    """IVF-PQ index built on two orthogonal groups; the append batch
+    touches ONLY group 0's cluster, so group 1's code and vector
+    directories must stay byte-identical."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_build_or_reuse,
+    )
+
+    base = [(i, _vec(0, i)) for i in range(40)] + [
+        (100 + i, _vec(1, i)) for i in range(40)
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "pqa")
+    ivf_pq_build_or_reuse(df, idx, n_clusters=2, m=2, ksub=16)
+    new = spark.createDataFrame(
+        [(200 + i, _vec(0, 50 + i)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    return df, new, idx
+
+
+def _dir_state(root):
+    import os
+
+    state = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            st = os.stat(fp)
+            state[fp] = (st.st_size, st.st_mtime_ns)
+    return state
+
+
+def test_pq_append_untouched_dirs_byte_identical(spark, pq_append_setup):
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_append,
+    )
+
+    df, new, idx = pq_append_setup
+    # which cluster holds group-1 (e1) vectors? that dir must not move
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    e1_cluster = max(cents, key=lambda r: r.centroid[1]).cluster
+    before_codes = _dir_state(f"{idx}/pq/codes/cluster={e1_cluster}")
+    before_vecs = _dir_state(f"{idx}/vectors/cluster={e1_cluster}")
+    assert before_codes and before_vecs
+
+    pq_append(spark, idx, new)
+
+    assert _dir_state(f"{idx}/pq/codes/cluster={e1_cluster}") == before_codes
+    assert _dir_state(f"{idx}/vectors/cluster={e1_cluster}") == before_vecs
+    # fingerprint advanced to the combined corpus
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert int(meta["n"]) == 100
+    # the appended ids are now SEARCHABLE through the composite: a
+    # query near the new e0 vectors must surface appended ids, and the
+    # build_or_reuse inside ivf_pq_topk must treat the appended index
+    # as FRESH for the full corpus (no rebuild — codes state unchanged)
+    full = df.unionByName(new)
+    state_after = _dir_state(f"{idx}/pq")
+    query = spark.createDataFrame(
+        [(999, _vec(0, 69))], "vec_id long, embedding array<double>"
+    )
+    got = ivf_pq_topk(
+        full, query, k=5, n_clusters=2, nprobe=1, m=2, ksub=16,
+        rerank=30, index_path=idx,
+    ).collect()
+    assert _dir_state(f"{idx}/pq") == state_after, "append must be reused"
+    assert 219 in {r.vec_id for r in got}  # nearest appended id found
+    # exact parity on the returned sims (re-rank is exact)
+    emb_of = {r.vec_id: np.array(r.embedding) for r in full.collect()}
+    qv = np.array(_vec(0, 69))
+    for r in got:
+        v = emb_of[r.vec_id]
+        want = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        assert abs(r.sim - want) < 1e-9
+
+
+def test_pq_append_refusals(spark, pq_append_setup, tmp_path):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build,
+        pq_append,
+    )
+
+    df, new, idx = pq_append_setup
+    with pytest.raises(ValueError, match="meta_cols"):
+        pq_append(spark, idx, new, meta_cols=("label",))
+    # an IVF-only index (no PQ layer) must refuse, not write garbage
+    bare = str(tmp_path / "bare")
+    ivf_build(df, bare, n_clusters=2)
+    with pytest.raises(ValueError, match="no PQ layer"):
+        pq_append(spark, bare, new)
+
+
+def test_ivf_delete_erases_across_all_search_paths(spark, tmp_path):
+    """Erasure contract: build a labeled IVF-PQ index, delete a cohort
+    that (a) partially empties one leaf and (b) FULLY empties another;
+    deleted ids must never surface through the single, batch, filtered,
+    or compressed search paths; untouched leaves stay byte-identical;
+    survivor results equal brute force over the surviving corpus."""
+    import numpy as np
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_delete,
+        ivf_pq_build_or_reuse,
+        ivf_pq_topk,
+        ivf_search,
+        ivf_search_batch,
+        topk_cosine,
+    )
+
+    # labels cross cells; (cluster e1, label b) will be fully erased
+    rows = [
+        (i, _vec(0, i), "a" if i % 2 == 0 else "b") for i in range(20)
+    ] + [
+        (100 + i, _vec(1, i), "a" if i % 2 == 0 else "b")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    idx = str(tmp_path / "erase")
+    ivf_pq_build_or_reuse(
+        df, idx, n_clusters=2, m=2, ksub=16, meta_cols=("label",)
+    )
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    e0_cluster = max(cents, key=lambda r: r.centroid[0]).cluster
+    e1_cluster = 1 - e0_cluster
+    # cohort: every e1/label-b id (empties that leaf) + two e0/label-a ids
+    doomed = [100 + i for i in range(20) if i % 2 == 1] + [0, 2]
+    survivors_exp = {r.vec_id for r in df.collect()} - set(doomed)
+
+    # leaves that must stay byte-identical: e0/label-b (no doomed ids)
+    b4_vec = _dir_state(f"{idx}/vectors/cluster={e0_cluster}/label=b")
+    b4_code = _dir_state(f"{idx}/pq/codes/cluster={e0_cluster}/label=b")
+    assert b4_vec and b4_code
+
+    del_df = spark.createDataFrame([(i,) for i in doomed], "vec_id long")
+    stats = ivf_delete(spark, idx, del_df)
+    assert stats["n_deleted"] == len(doomed)
+    assert stats["emptied"] == 2  # (e1, b) leaf in vectors AND codes
+
+    assert _dir_state(f"{idx}/vectors/cluster={e0_cluster}/label=b") == b4_vec
+    assert _dir_state(f"{idx}/pq/codes/cluster={e0_cluster}/label=b") == b4_code
+    import os
+
+    assert not os.path.exists(f"{idx}/vectors/cluster={e1_cluster}/label=b")
+    assert not os.path.exists(f"{idx}/pq/codes/cluster={e1_cluster}/label=b")
+
+    # meta fingerprint reflects the post-delete index
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert int(meta["n"]) == len(survivors_exp)
+
+    full_surv = df.filter(~F.col("vec_id").isin(doomed))
+    q_e1b = spark.createDataFrame(
+        [(999, _vec(1, 1), "b")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    # single path, exhaustive probes: equals brute force over survivors
+    got = ivf_search(spark, idx, q_e1b, k=5, nprobe=2).collect()
+    want = topk_cosine(full_surv, q_e1b, k=5).collect()
+    assert [(r.vec_id, round(r.sim, 9)) for r in got] == [
+        (r.vec_id, round(r.sim, 9)) for r in want
+    ]
+    # filtered single path: label-b survivors only — the emptied leaf
+    # contributes nothing and deleted ids never reappear
+    got_f = ivf_search(
+        spark, idx, q_e1b, k=5, nprobe=2, filters={"label": "b"}
+    ).collect()
+    assert got_f and all(
+        r.vec_id in survivors_exp and r.vec_id % 2 == 1 for r in got_f
+    )
+    # batch path with per-query filters
+    batch = ivf_search_batch(
+        spark, idx, q_e1b, k=5, nprobe=2, query_id_col="vec_id",
+        query_filter_cols=("label",),
+    ).collect()
+    assert batch and all(r.vec_id in survivors_exp for r in batch)
+    # compressed path: search the POST-delete corpus (fingerprint
+    # matches the erased index, so no rebuild) — no doomed ids
+    state = _dir_state(f"{idx}/pq")
+    pq_got = ivf_pq_topk(
+        full_surv, q_e1b, k=5, n_clusters=2, nprobe=2, m=2, ksub=16,
+        rerank=40, index_path=idx, meta_cols=("label",),
+    ).collect()
+    assert _dir_state(f"{idx}/pq") == state, "erased index must be reused"
+    assert pq_got and all(r.vec_id in survivors_exp for r in pq_got)
+
+    # idempotency: re-erasing the same cohort is a no-op
+    again = ivf_delete(spark, idx, del_df)
+    assert again == {
+        "n_deleted": 0, "rewritten_partitions": 0, "emptied": 0,
+    }

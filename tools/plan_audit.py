@@ -2414,6 +2414,8 @@ CHECKS_R8 = {
     "q107_ivf_recall_contract": _topk(),
     "q143_ivf_append_contract": _topk(),
     "q151_pq_recall_contract": _topk(),
+    "q384_pq_append_contract": _topk(),
+    "q385_index_erasure_contract": _topk(),
     "q193_ivf_pq_recall_contract": _topk(),
     "q106_lsh_recall_contract": [
         ("LSH side reuses the Arrow-batched signature stage; all "
@@ -3097,6 +3099,42 @@ def _mixed_label_batch_ivf_pipeline(spark, sf_dir):
     )
 
 
+def _erasure_slice_pipeline(spark, sf_dir):
+    """The data-sized core of ivf_delete: the touched-slice survivor
+    frame (partition-pruned scan × broadcast anti-join) that the
+    dynamic-overwrite rewrite materializes."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        _partition_pred,
+        ivf_build_or_reuse,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.md5(f"{sf_dir}|eraseaudit".encode()).hexdigest()[:12]
+    idx = ivf_build_or_reuse(
+        emb, f"{tempfile.gettempdir()}/ctdc-erasea-{tag}", n_clusters=16
+    )
+    ids = F.broadcast(
+        emb.filter(F.col("vec_id") % 10 == 3).select("vec_id").distinct()
+    )
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    touched = (
+        vecs.join(ids, "vec_id", "semi")
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    return (
+        vecs.filter(_partition_pred(touched, ()))
+        .join(ids, "vec_id", "anti")
+        .repartition(F.col("cluster"))
+    )
+
+
 def _mixed_label_batch_ivfpq_pipeline(spark, sf_dir):
     import hashlib
     import tempfile
@@ -3144,6 +3182,7 @@ PIPELINES = {
     "q381_inner_batch_filtered_ivfpq_search": _batch_filtered_ivfpq_pipeline,
     "q382_inner_mixed_label_batch_ivf": _mixed_label_batch_ivf_pipeline,
     "q383_inner_mixed_label_batch_ivfpq": _mixed_label_batch_ivfpq_pipeline,
+    "q385_inner_erasure_slice": _erasure_slice_pipeline,
     "q54_inner_minhash_table": _minhash_table_pipeline,
     "q207_inner_bpe_pair_counts": _bpe_pair_count_pipeline,
     "q151_inner_pq_candidates": _pq_adc_pipeline,
@@ -3160,6 +3199,16 @@ PIPELINES = {
 }
 
 PIPELINE_CHECKS = {
+    "q385_inner_erasure_slice": [
+        ("the erasure rewrite READS only the touched partitions "
+         "(directory-level PartitionFilters), never the whole index",
+         True,
+         lambda p: re.search(r"PartitionFilters: \[[^\]]*cluster", p)),
+        ("the delete cohort anti-joins BROADCAST (cohort-sized, never "
+         "a shuffle of the index); no Python anywhere", True,
+         lambda p: re.search(r"BroadcastHashJoin [^\n]*LeftAnti", p)
+         and "EvalPython" not in p and "InPandas" not in p),
+    ],
     "q382_inner_mixed_label_batch_ivf": [
         ("ONE index scan for the whole MIXED-label batch, pruned at "
          "the directory level on the union of (cluster, label) PAIRS "
