@@ -47,6 +47,7 @@ __all__ = [
     "ivf_build_or_reuse",
     "ivf_append",
     "ivf_delete",
+    "ivf_stream_maintainer",
     "ivf_search",
     "ivf_topk",
     "quantize_int8",
@@ -1024,6 +1025,71 @@ def ivf_delete(
         "rewritten_partitions": len(touched),
         "emptied": emptied,
     }
+
+
+def ivf_stream_maintainer(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch handler that grows a persisted IVF index from a
+    stream, EXACTLY-ONCE: each micro-batch is ``ivf_append``-ed (frozen
+    centroids, touched-partition-only appends) and its Structured
+    Streaming ``batch_id`` is recorded in the index's own
+    ``stream_meta`` table — a redelivered epoch (checkpoint recovery
+    replays the last uncommitted batch with the SAME batch_id) is
+    skipped outright.
+
+    The q212 versioned-sink convention, applied to index maintenance:
+
+      * batch ids recorded AFTER the append (meta-written-last), so a
+        crash between append and record leaves the id unrecorded and
+        the epoch is redelivered;
+      * the redelivered unrecorded batch is made IDEMPOTENT by erasing
+        its own ids first (:func:`ivf_delete` — cohort-sized broadcast
+        anti-join over touched partitions only) before re-appending,
+        so a partial first attempt can never double-insert;
+      * an already-recorded batch id returns without touching the
+        index at all (dir-state asserted in tests).
+
+    Usage::
+
+        q = (vectors.writeStream
+             .foreachBatch(ivf_stream_maintainer(path))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+
+    At 100 TB this is the ingest half of build-once-search-many: the
+    k-means fit happens once at bootstrap; every micro-batch pays
+    O(batch) assignment + appends, and searches keep reading the same
+    fingerprinted artifact (the fingerprint advances with each applied
+    batch, so full-corpus staleness checks stay consistent).  Centroid
+    drift under a non-stationary stream is the same caveat as
+    ``ivf_append`` — schedule periodic rebuild compaction.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied_path = f"{index_path}/stream_meta"
+        try:
+            applied = {
+                int(r.batch_id)
+                for r in spark.read.parquet(applied_path).collect()
+            }
+        except AnalysisException:
+            applied = set()
+        if int(batch_id) in applied:
+            return  # redelivered, already-committed epoch: skip
+        if batch_df.first() is not None:
+            # heal a possible partial first attempt of THIS epoch,
+            # then append cleanly — idempotent under redelivery
+            ivf_delete(spark, index_path, batch_df.select(id_col), id_col)
+            ivf_append(spark, index_path, batch_df, id_col, vec_col)
+        spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).write.mode("append").parquet(applied_path)
+
+    return handle
 
 
 def ivf_search(

@@ -1974,3 +1974,109 @@ def q385(spark: SparkSession, sf: str) -> DataFrame:
         F.round("sim", 4).alias("sim_r"),
         F.lit(n_doomed == 0 and overlap >= 7).alias("erasure_ok"),
     )
+
+
+@q(
+    "q386_stream_index_maintenance",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS stream_maintained_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q386(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING index maintenance contract: the IVF index is
+    bootstrapped on HALF the corpus (even ids) and the other half
+    arrives as a Structured Streaming file feed, applied per
+    micro-batch by ``ivf_stream_maintainer`` under foreachBatch — the
+    q212 exactly-once convention for index growth (batch ids recorded
+    in the index's stream_meta AFTER the append; a redelivered
+    committed epoch is skipped; an unrecorded partial epoch heals via
+    delete-then-append — all dir-state-asserted in
+    tests/test_round10_ops.py).  After the stream drains, one epoch is
+    explicitly REDELIVERED and must not change the index
+    (``redelivery_noop`` folds into the gate flag via the fingerprint).
+
+    The exact top-10 over the FULL corpus (value-checked by the
+    oracle) is annotated with whether the stream-maintained index
+    recovers >= 7 of them — the batch-built index's answer is the
+    oracle, so streaming ingestion must cost nothing vs a bulk
+    ``ivf_append`` (identical frozen-centroid assignments, identical
+    partitions).  Build-once-stream-once-search-many: the maintained
+    index persists behind the full-corpus fingerprint; warm calls are
+    pure searches."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (
+        _ivf_fingerprint,
+        ivf_build,
+        ivf_search,
+        ivf_stream_maintainer,
+        topk_cosine,
+    )
+    from ..streaming.windows import write_ordered_feed
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(emb, query, k=10)
+    tag = hashlib.md5(f"{sf}|simnt32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-simnt-{tag}"
+    fp = _ivf_fingerprint(emb, "vec_id")
+    try:
+        m = spark.read.parquet(f"{idx}/meta").first()
+        stale = m is None or (int(m["n"]), m["max_id"]) != fp
+    except Exception:
+        # /tmp-scoped gate index: any read problem should just rebuild
+        stale = True
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        evens = emb.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "embedding"
+        )
+        odds = emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        )
+        ivf_build(evens, idx, n_clusters=32)
+        feed = tempfile.mkdtemp(prefix="ctdc-simnt-feed-")
+        b0 = odds.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 1)
+        b1 = odds.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 3)
+        write_ordered_feed([b0, b1], feed)
+        handler = ivf_stream_maintainer(idx)
+        sq = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+            .writeStream.foreachBatch(handler)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ctdc-simnt-ckpt-"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        # explicit epoch redelivery: committed batch 0 must be skipped
+        handler(b0, 0)
+    m_after = spark.read.parquet(f"{idx}/meta").first()
+    redelivery_noop = (int(m_after["n"]), m_after["max_id"]) == fp
+    # nprobe 16/32: measured 9/10 at sf0.001, 10/10 at sf0.01 — q143's
+    # nprobe=8 landed exactly ON the 7/10 floor at sf0.001 here (the
+    # stream slices the append half differently, so cell fill differs),
+    # and a zero-margin recall gate is a flake, not a contract
+    approx = ivf_search(spark, idx, query, k=10, nprobe=16).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(bool(redelivery_noop) and overlap >= 7).alias(
+            "stream_maintained_ok"
+        ),
+    )

@@ -387,3 +387,79 @@ def test_ivf_delete_erases_across_all_search_paths(spark, tmp_path):
     assert again == {
         "n_deleted": 0, "rewritten_partitions": 0, "emptied": 0,
     }
+
+
+def test_stream_maintainer_exactly_once(spark, tmp_path):
+    """Stream the second half of a corpus into a persisted IVF index
+    via foreachBatch: the final index answers like the batch-built one,
+    a redelivered committed epoch is a no-op, and an UNRECORDED partial
+    epoch heals (delete-then-append) instead of double-inserting."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+        ivf_stream_maintainer,
+        topk_cosine,
+    )
+    from compile_time_data_contracts_spark.streaming.windows import (
+        write_ordered_feed,
+    )
+
+    rows = [(i, _vec(i % 2, i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    evens = df.filter(F.col("vec_id") % 2 == 0)
+    odds = df.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "sidx")
+    ivf_build(evens, idx, n_clusters=2)
+
+    feed = str(tmp_path / "feed")
+    b0 = odds.filter(F.col("vec_id") < 40)
+    b1 = odds.filter(F.col("vec_id") >= 40)
+    write_ordered_feed([b0, b1], feed)
+    handler = ivf_stream_maintainer(idx)
+    q = (
+        spark.readStream.schema(odds.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = spark.read.parquet(f"{idx}/meta").first()
+    assert int(meta["n"]) == 80
+    applied = sorted(
+        r.batch_id for r in spark.read.parquet(f"{idx}/stream_meta").collect()
+    )
+    assert applied == [0, 1]
+
+    # redelivered COMMITTED epoch: byte-identical no-op
+    before = _dir_state(idx)
+    handler(b0, 0)
+    assert _dir_state(idx) == before
+
+    # UNRECORDED partial epoch: simulate a crash that appended some of
+    # batch 2 but never recorded it, then redeliver the whole batch —
+    # the handler must heal, not double-insert
+    b2 = spark.createDataFrame(
+        [(200 + i, _vec(0, 90 + i)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_append(spark, idx, b2.filter(F.col("vec_id") < 205))  # partial
+    handler(b2, 2)
+    vec_ids = spark.read.parquet(f"{idx}/vectors").groupBy("vec_id").count()
+    assert vec_ids.filter(F.col("count") > 1).count() == 0
+    assert int(spark.read.parquet(f"{idx}/meta").first()["n"]) == 90
+
+    # the streamed+healed index answers exactly like brute force
+    full = df.unionByName(b2)
+    query = spark.createDataFrame(
+        [(999, _vec(1, 33))], "vec_id long, embedding array<double>"
+    )
+    got = ivf_search(spark, idx, query, k=5, nprobe=2).collect()
+    want = topk_cosine(full, query, k=5).collect()
+    assert [(r.vec_id, round(r.sim, 9)) for r in got] == [
+        (r.vec_id, round(r.sim, 9)) for r in want
+    ]

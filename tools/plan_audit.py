@@ -2416,6 +2416,7 @@ CHECKS_R8 = {
     "q151_pq_recall_contract": _topk(),
     "q384_pq_append_contract": _topk(),
     "q385_index_erasure_contract": _topk(),
+    "q386_stream_index_maintenance": _topk(),
     "q193_ivf_pq_recall_contract": _topk(),
     "q106_lsh_recall_contract": [
         ("LSH side reuses the Arrow-batched signature stage; all "
