@@ -4,15 +4,23 @@ Package layout (round-5 de-risking of the former 7,000-line module —
 same registry keys, same oracle artifact):
 
   * ``_shared``            — the ``@q`` registry, shared imports, helpers
-  * ``tier_core_sql``      — relational/SQL/window/UDF surface (q05-q198)
+  * ``tier_core_sql``      — relational/SQL surface: scans, joins,
+                             aggregates, set ops, subqueries, optimizer
+                             demos (round-10 split)
+  * ``tier_core_window``   — window/event-time/sessionization/trend
+                             analytics (round-10 split of tier_core_sql)
+  * ``tier_core_udf``      — Python-boundary + SQL-language surface
+                             (round-10 split of tier_core_sql)
   * ``tier_timeseries``    — time-series / interval / sequence
                              analytics (round-9 split of tier_stats_ts)
   * ``tier_stats``         — statistical / evaluation analytics
                              (round-9 split of tier_stats_ts)
   * ``tier_quality_audit`` — data-quality / privacy-publishing / sketch
                              contracts (round-9 split of tier_stats_ts)
-  * ``tier_experiment_gov``— experimentation / attribution / governance
-                             analytics (q332-q373; round-8 split)
+  * ``tier_experiment_gov``— experimentation / attribution analytics
+                             (round-8 split; governance moved out round 10)
+  * ``tier_governance``    — governance / layout / table-ops audits
+                             (round-10 split of tier_experiment_gov)
   * ``tier_llm_dedup``     — dedup / entity resolution / curation (round-8
                              split of the former 8,000-line tier_llm)
   * ``tier_llm_vectors``   — similarity / ANN / embeddings / k-means / PCA
@@ -38,10 +46,13 @@ from ._shared import _ORACLES, _QUERIES, _ts_str, oracle_sql, q, queries  # noqa
 # registration order is preserved where it matters, e.g. q190 reading
 # q150's oracle inside tier_llm)
 from . import tier_core_sql  # noqa: E402,F401
+from . import tier_core_window  # noqa: E402,F401
+from . import tier_core_udf  # noqa: E402,F401
 from . import tier_timeseries  # noqa: E402,F401
 from . import tier_stats  # noqa: E402,F401
 from . import tier_quality_audit  # noqa: E402,F401
 from . import tier_experiment_gov  # noqa: E402,F401
+from . import tier_governance  # noqa: E402,F401
 from . import tier_llm_dedup  # noqa: E402,F401
 from . import tier_llm_vectors  # noqa: E402,F401
 from . import tier_llm_text  # noqa: E402,F401
@@ -51,4 +62,4 @@ from . import tier_streaming  # noqa: E402,F401
 from . import tier_contracts_io  # noqa: E402,F401
 from .tier_core_sql import flagship  # noqa: E402,F401
 # module-level SQL constants some tests exercise directly
-from .tier_core_sql import _Q169_SQL, _Q170_SQL  # noqa: E402,F401
+from .tier_core_window import _Q169_SQL, _Q170_SQL  # noqa: E402,F401

@@ -372,99 +372,6 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
-# Window functions (Q24-Q27)
-# =========================================================================
-
-@q(
-    "q24_ranking_window",
-    """SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
-         SELECT o_custkey, o_orderkey,
-                CAST(row_number() OVER w AS INT) AS rn,
-                CAST(rank() OVER w AS INT) AS rk,
-                CAST(dense_rank() OVER w AS INT) AS drk
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-       ) WHERE rn <= 3""",
-)
-def q24(spark: SparkSession, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rk"),
-            F.dense_rank().over(w).alias("drk"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-@q(
-    "q25_lag_lead",
-    """SELECT o_orderkey,
-              round(lag(o_totalprice) OVER w, 2) AS prev_price,
-              round(lead(o_totalprice) OVER w, 2) AS next_price
-       FROM orders
-       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
-)
-def q25(spark: SparkSession, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
-    )
-
-
-@q(
-    "q26_row_frames",
-    """SELECT o_orderkey,
-              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                    ORDER BY o_orderdate, o_orderkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
-              round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-                    ORDER BY o_orderdate, o_orderkey
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS slide_avg
-       FROM orders""",
-)
-def q26(spark: SparkSession, sf: str) -> DataFrame:
-    o = load_table(spark, sf, "orders")
-    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    slide = base.rowsBetween(-2, 0)
-    return o.select(
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(run), 2).alias("run_sum"),
-        F.round(F.avg("o_totalprice").over(slide), 4).alias("slide_avg"),
-    )
-
-
-@q(
-    "q27_range_frame",
-    """SELECT event_id,
-              round(sum(value) OVER (PARTITION BY user_id
-                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
-       FROM events""",
-)
-def q27(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events").withColumn(
-        "epoch_s", F.unix_timestamp("ts")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("epoch_s")
-        .rangeBetween(-3600, 0)
-    )
-    return ev.select(
-        "event_id", F.round(F.sum("value").over(w), 4).alias("hour_sum")
-    )
-
-
-# =========================================================================
 # Sorts / limits / top-k (Q28-Q29)
 # =========================================================================
 
@@ -485,25 +392,6 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
             F.col("c_custkey"),
         )
         .limit(100)
-    )
-
-
-@q(
-    "q29_topk_per_group",
-    """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn FROM (
-         SELECT p_brand, p_partkey, p_retailprice,
-                CAST(row_number() OVER (PARTITION BY p_brand
-                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
-         FROM part
-       ) WHERE rn <= 5""",
-)
-def q29(spark: SparkSession, sf: str) -> DataFrame:
-    p = load_table(spark, sf, "part")
-    top = topk_per_group(
-        p, ["p_brand"], [F.desc("p_retailprice"), F.col("p_partkey")], k=5
-    )
-    return top.select(
-        "p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "rn"
     )
 
 
@@ -795,162 +683,8 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
-# Event-time windows (Q41-Q44)
+# Multi-dimensional aggregation variants (Q68-Q69)
 # =========================================================================
-
-@q(
-    "q41_tumbling_window",
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-              event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-       FROM events GROUP BY 1, 2""",
-)
-def q41(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(
-            _ts_str(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-    )
-
-
-@q(
-    "q42_sliding_window",
-    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
-       FROM (
-         SELECT TIMESTAMP '1970-01-01'
-                + to_seconds(CAST(floor(epoch(ts)/900)*900 - j*900 AS BIGINT)) AS ws
-         FROM events, LATERAL UNNEST(generate_series(0, 3)) AS t(j)
-       ) GROUP BY ws""",
-)
-def q42(spark: SparkSession, sf: str) -> DataFrame:
-    """1-hour window sliding every 15 minutes: each event lands in 4
-    windows; the oracle enumerates the 4 aligned starts per event."""
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n"))
-        .select(_ts_str(F.col("w.start")).alias("window_start"), "n")
-    )
-
-
-@q(
-    "q43_session_window",
-    """WITH marked AS (
-         SELECT user_id, ts,
-                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                          >= INTERVAL 30 MINUTE
-                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                     THEN 1 ELSE 0 END AS is_new
-         FROM events
-       ), sessions AS (
-         SELECT user_id, ts,
-                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
-         FROM marked
-       )
-       SELECT user_id,
-              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-              count(*) AS n_events
-       FROM sessions GROUP BY user_id, session_id""",
-)
-def q43(spark: SparkSession, sf: str) -> DataFrame:
-    """Session windows (30-min gap) per user via the built-in
-    session_window; the oracle is the classic gaps-and-islands SQL."""
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            _ts_str(F.col("sw.start")).alias("session_start"),
-            "n_events",
-        )
-    )
-
-
-# =========================================================================
-# UDF / UDAF / UDTF surface (Q45-Q47)
-# =========================================================================
-
-@q(
-    "q45_pandas_udf_zscore",
-    """SELECT c_custkey,
-              round((c_acctbal - avg(c_acctbal) OVER ()) /
-                    stddev_samp(c_acctbal) OVER (), 6) AS z_udf,
-              round((c_acctbal - avg(c_acctbal) OVER ()) /
-                    stddev_samp(c_acctbal) OVER (), 6) AS z_builtin
-       FROM customer""",
-)
-def q45(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched pandas UDF z-score vs the equivalent built-in
-    expression — both must agree with the oracle."""
-    from pyspark.sql.functions import pandas_udf
-
-    # no type hints: PEP 563 string annotations (module-level future
-    # import) are not resolvable by the pandas_udf signature inspector
-    @pandas_udf("double")
-    def zscore(x, m, s):
-        return (x - m) / s
-
-    c = load_table(spark, sf, "customer")
-    stats = c.agg(
-        F.avg("c_acctbal").alias("__m"), F.stddev("c_acctbal").alias("__s")
-    )
-    with_stats = c.crossJoin(F.broadcast(stats))
-    return with_stats.select(
-        "c_custkey",
-        F.round(zscore(F.col("c_acctbal"), F.col("__m"), F.col("__s")), 6).alias(
-            "z_udf"
-        ),
-        F.round((F.col("c_acctbal") - F.col("__m")) / F.col("__s"), 6).alias(
-            "z_builtin"
-        ),
-    )
-
-
-@q(
-    "q46_apply_in_pandas_demean",
-    """SELECT c_custkey,
-              round(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
-                AS demeaned
-       FROM customer""",
-)
-def q46(spark: SparkSession, sf: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-nation demeaned account balance."""
-    import pandas as pd
-
-    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "c_custkey": pdf["c_custkey"],
-                "demeaned": (pdf["c_acctbal"] - pdf["c_acctbal"].mean()).round(6),
-            }
-        )
-
-    c = load_table(spark, sf, "customer")
-    return c.groupBy("c_nationkey").applyInPandas(
-        demean, "c_custkey bigint, demeaned double"
-    )
-
-
-@q(
-    "q47_udtf_explode_tokens",
-    """SELECT doc_id, CAST(gs - 1 AS INT) AS pos, toks[gs] AS token
-       FROM (SELECT doc_id, string_split(text, ' ') AS toks
-             FROM documents WHERE doc_id < 50),
-            LATERAL UNNEST(generate_series(1, len(toks))) AS t(gs)""",
-)
-def q47(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
-    return docs.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "token"),
-    )
 
 
 @q(
@@ -1011,98 +745,6 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("o_orders"),
             F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("p_orders"),
         )
-    )
-
-
-@q(
-    "q71_asof_tolerance",
-    """SELECT l.event_id,
-              CASE WHEN r.ts >= l.ts - INTERVAL 2 HOUR
-                   THEN strftime(r.ts, '%Y-%m-%d %H:%M:%S') END AS asof_ts_str
-       FROM (SELECT * FROM events WHERE event_type = 'click') l
-       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-         ON l.user_id = r.user_id AND l.ts >= r.ts""",
-)
-def q71(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join with a max-age tolerance (pandas merge_asof semantics):
-    the latest purchase within 2 hours before each click, else null."""
-    ev = load_table(spark, sf, "events")
-    clicks = ev.filter(F.col("event_type") == "click")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    joined = asof_join(
-        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
-        tolerance="2 hours",
-    )
-    return joined.select(
-        "event_id", _ts_str(F.col("asof_ts")).alias("asof_ts_str")
-    )
-
-
-@q(
-    "q74_resample_ffill",
-    """WITH obs AS (
-         SELECT user_id, ts, max(value) AS value
-         FROM events WHERE user_id < 50 GROUP BY user_id, ts
-       ), bounds AS (
-         SELECT user_id,
-                date_trunc('hour', min(ts)) AS lo,
-                date_trunc('hour', max(ts)) AS hi
-         FROM obs GROUP BY user_id
-       ), grid AS (
-         SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
-         FROM bounds
-       )
-       SELECT g.user_id,
-              strftime(g.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-              round(o.value, 6) AS v_ffill
-       FROM grid g
-       ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.ts >= o.ts""",
-)
-def q74(spark: SparkSession, sf: str) -> DataFrame:
-    """Hourly resample + forward-fill of event values per user (bounded
-    to 50 users to keep the grid small at test SFs)."""
-    from ..operators.timeseries import resample_ffill
-
-    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
-    out = resample_ffill(ev, "user_id", "ts", "value", "1 hour")
-    return out.select(
-        "user_id",
-        _ts_str(F.col("ts")).alias("ts_str"),
-        F.round("value_ffill", 6).alias("v_ffill"),
-    )
-
-
-@q(
-    "q75_window_analytics",
-    """SELECT o_orderkey,
-              ntile(4) OVER w AS quartile,
-              round(percent_rank() OVER w, 6) AS pct_rank,
-              round(cume_dist() OVER w, 6) AS cdist,
-              first_value(o_orderkey) OVER w AS first_key,
-              last_value(o_orderkey)
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                AS last_key
-       FROM orders
-       WHERE o_custkey < 200
-       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
-)
-def q75(spark: SparkSession, sf: str) -> DataFrame:
-    """Distribution-analytic window functions: ntile / percent_rank /
-    cume_dist / first_value / last_value (last_value needs the full-
-    partition frame — the default frame ends at CURRENT ROW)."""
-    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_full = w.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.first("o_orderkey").over(w).alias("first_key"),
-        F.last("o_orderkey").over(w_full).alias("last_key"),
     )
 
 
@@ -1334,62 +976,6 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "q104_resample_interp",
-    """WITH obs AS (
-         SELECT user_id, ts, CAST(max(value) AS DOUBLE) AS v
-         FROM events WHERE user_id < 50 GROUP BY user_id, ts
-       ), bounds AS (
-         SELECT user_id,
-                date_trunc('hour', min(ts)) AS lo,
-                date_trunc('hour', max(ts)) AS hi
-         FROM obs GROUP BY user_id
-       ), grid AS (
-         SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
-         FROM bounds
-       ), u AS (
-         SELECT user_id, ts, NULL::DOUBLE AS v, 1 AS is_grid FROM grid
-         UNION ALL
-         SELECT user_id, ts, v, 0 AS is_grid FROM obs
-       ), w AS (
-         SELECT *,
-           last_value(v IGNORE NULLS) OVER wp AS pv,
-           last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
-             OVER wp AS pt,
-           first_value(v IGNORE NULLS) OVER wn AS nv,
-           first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
-             OVER wn AS nt
-         FROM u
-         WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_grid
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                wn AS (PARTITION BY user_id ORDER BY ts, is_grid
-                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-       )
-       SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-              round(CASE
-                      WHEN pt IS NULL OR (nt IS NULL AND pt <> ts) THEN NULL
-                      WHEN pt = ts THEN pv
-                      ELSE pv + (epoch(ts) - epoch(pt))
-                                / (epoch(nt) - epoch(pt)) * (nv - pv)
-                    END, 4) AS v_interp_r
-       FROM w WHERE is_grid = 1""",
-)
-def q104(spark: SparkSession, sf: str) -> DataFrame:
-    """Hourly resample with LINEAR interpolation per user (bounded to
-    50 users at test SFs): one grid+obs union, one window partitioning
-    computes both brackets (prev/next value+ts), single shuffle — no
-    self-join, no second as-of pass."""
-    from ..operators.timeseries import resample_interp
-
-    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 50)
-    out = resample_interp(ev, "user_id", "ts", "value", "1 hour")
-    return out.select(
-        "user_id",
-        _ts_str(F.col("ts")).alias("ts_str"),
-        F.round("value_interp", 4).alias("v_interp_r"),
-    )
-
-
 from ..sources.layout import zorder_sql as _zsql  # noqa: E402
 
 
@@ -1413,33 +999,6 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
         zorder_value(
             F.pmod(F.col("event_id"), F.lit(65536)), F.col("user_id")
         ).alias("z"),
-    )
-
-
-@q(
-    "q108_asof_forward",
-    """SELECT l.event_id, strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS next_ts_str,
-              round(r.value, 6) AS next_value_r
-       FROM (SELECT * FROM events WHERE event_type = 'click') l
-       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-         ON l.user_id = r.user_id AND l.ts <= r.ts""",
-)
-def q108(spark: SparkSession, sf: str) -> DataFrame:
-    """Forward as-of join (merge_asof direction='forward'): for each
-    click, the EARLIEST purchase by the same user at or after it — the
-    attribution/conversion-lookahead query.  Same single-shuffle
-    union-marker plan as q15 with the frame and equal-ts side mirrored."""
-    ev = load_table(spark, sf, "events")
-    clicks = ev.filter(F.col("event_type") == "click")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    joined = asof_join(
-        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
-        value_cols=["value"], direction="forward",
-    )
-    return joined.select(
-        "event_id",
-        _ts_str(F.col("asof_ts")).alias("next_ts_str"),
-        F.round("asof_value", 6).alias("next_value_r"),
     )
 
 
@@ -1599,62 +1158,6 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-
-@q(
-    "q113_sessionize_ids",
-    """WITH marked AS (
-         SELECT user_id, ts, event_id,
-                CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-                     THEN 1 ELSE 0 END AS new_s
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-       ), numbered AS (
-         SELECT user_id, ts,
-                CAST(sum(new_s) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS INT) AS session_idx
-         FROM marked
-       )
-       SELECT user_id, session_idx,
-              CAST(count(*) AS BIGINT) AS n_events,
-              round(epoch(max(ts)) - epoch(min(ts)), 2) AS duration_r
-       FROM numbered GROUP BY user_id, session_idx""",
-)
-def q113(spark: SparkSession, sf: str) -> DataFrame:
-    """Gaps-and-islands sessionization with EXPLICIT session ids (the
-    form downstream joins need, vs q43's session_window aggregate):
-    a 30-min-gap marker via lag, island id via running sum — both
-    windows AND the final per-session aggregate ride one user_id
-    partitioning, so the whole thing is plan-audited to two exchanges."""
-    ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    marked = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("__new_s"),
-    )
-    numbered = marked.select(
-        "user_id",
-        "ts",
-        F.sum("__new_s")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("int")
-        .alias("session_idx"),
-    )
-    return numbered.groupBy("user_id", "session_idx").agg(
-        F.count("*").cast("bigint").alias("n_events"),
-        F.round(
-            F.max(F.col("ts").cast("double"))
-            - F.min(F.col("ts").cast("double")),
-            2,
-        ).alias("duration_r"),
-    )
-
-
 @q(
     "q114_unpivot_measures",
     """SELECT 'l_discount' AS measure, CAST(count(*) AS BIGINT) AS n,
@@ -1694,80 +1197,6 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
-    "q117_funnel_analysis",
-    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-                  WHERE event_type = 'view' GROUP BY user_id),
-            c AS (SELECT e.user_id, min(e.ts) AS t_click
-                  FROM events e JOIN v ON e.user_id = v.user_id
-                  WHERE e.event_type = 'click' AND e.ts > v.t_view
-                    AND e.ts <= v.t_view + INTERVAL 24 HOUR
-                  GROUP BY e.user_id),
-            p AS (SELECT e.user_id, min(e.ts) AS t_purchase
-                  FROM events e JOIN c ON e.user_id = c.user_id
-                  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-                    AND e.ts <= c.t_click + INTERVAL 24 HOUR
-                  GROUP BY e.user_id),
-            d AS (SELECT v.user_id,
-                         CASE WHEN p.user_id IS NOT NULL THEN 3
-                              WHEN c.user_id IS NOT NULL THEN 2
-                              ELSE 1 END AS depth
-                  FROM v LEFT JOIN c ON v.user_id = c.user_id
-                         LEFT JOIN p ON v.user_id = p.user_id)
-       SELECT depth, CAST(count(*) AS BIGINT) AS n_users
-       FROM d GROUP BY depth""",
-)
-def q117(spark: SparkSession, sf: str) -> DataFrame:
-    """Ordered funnel (view -> click -> purchase): per user, the click
-    must follow the first view within 24 hours and the purchase must
-    follow that first qualifying click within 24 hours (the conversion
-    window keeps the funnel discriminating on a dense event stream).  Three stages of (filter -> per-user min) with the
-    previous stage's (user, ts) joined back in — each stage's join key
-    is user_id, so all three reuse one hash partitioning; no window
-    sort, state is one timestamp per user per stage.  The batch shape of
-    what applyInPandasWithState computes incrementally (q84)."""
-    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    day = F.expr("INTERVAL 24 HOURS")
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_view"))
-            & (F.col("ts") <= F.col("t_view") + day)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + day)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    depth = (
-        v.join(c.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
-        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
-        .select(
-            F.when(F.col("__p").isNotNull(), 3)
-            .when(F.col("__c").isNotNull(), 2)
-            .otherwise(1)
-            .alias("depth")
-        )
-    )
-    return depth.groupBy("depth").agg(
-        F.count("*").cast("bigint").alias("n_users")
-    )
-
-
-@q(
     "q118_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority,
               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
@@ -1803,35 +1232,6 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
-    "q122_grouped_agg_pandas_udf",
-    """SELECT l_returnflag,
-              round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
-                AS wavg_price
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def q122(spark: SparkSession, sf: str) -> DataFrame:
-    """GROUPED_AGG pandas UDF (the third pandas-UDF flavor next to
-    scalar q45 and grouped-map q46): a weighted average computed
-    vectorized per group, Arrow-batched.  Honest scale caveat: unlike
-    native aggregates, a pandas grouped agg has NO map-side partial
-    combine — the plan is Exchange(all rows) -> Sort ->
-    ArrowAggregatePython — so the full table crosses the shuffle.  Use
-    it for semantics built-ins can't express; this weighted average is
-    expressible natively (the oracle shows the rewrite) and exists here
-    to pin the API surface."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def wavg(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
-
-    li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
-    )
-
-
-@q(
     "q125_lateral_topn_per_nation",
     """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal_r
        FROM nation n,
@@ -1857,42 +1257,6 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
                          WHERE c_nationkey = n.n_nationkey
                          ORDER BY c_acctbal DESC, c_name
                          LIMIT 2) c"""
-    )
-
-
-@q(
-    "q126_apply_in_arrow_demean",
-    """SELECT event_id,
-              round(value - avg(value) OVER (PARTITION BY event_type), 6)
-                AS demeaned_r
-       FROM events""",
-)
-def q126(spark: SparkSession, sf: str) -> DataFrame:
-    """Grouped-map over ARROW tables (applyInArrow — the zero-copy
-    sibling of q46's applyInPandas): per-type demeaning computed with
-    pyarrow compute kernels, no pandas object materialization.  Same
-    per-group shuffle shape as any grouped map; the win is batch
-    transfer staying columnar end to end."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def demean(table: "pa.Table") -> "pa.Table":
-        v = table.column("value")
-        mean = pc.mean(v).as_py()
-        return pa.table(
-            {
-                "event_id": table.column("event_id"),
-                "demeaned_r": pc.round(
-                    pc.subtract(v, pa.scalar(mean, pa.float64())), 6
-                ),
-            }
-        )
-
-    ev = load_table(spark, sf, "events").select(
-        "event_id", "event_type", "value"
-    )
-    return ev.groupBy("event_type").applyInArrow(
-        demean, "event_id long, demeaned_r double"
     )
 
 
@@ -2014,316 +1378,6 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
     ).select("l_returnflag", "median_qty", "mode_line", "median_price")
 
 
-@q(
-    "q153_cohort_retention",
-    """WITH first AS (
-         SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
-         FROM events GROUP BY user_id
-       ), act AS (
-         SELECT DISTINCT user_id, date_trunc('week', ts) AS act_wk
-         FROM events
-       ), sizes AS (
-         SELECT cohort_wk, count(*) AS cohort_n FROM first GROUP BY cohort_wk
-       ), j AS (
-         SELECT f.cohort_wk,
-                CAST(date_diff('day', f.cohort_wk, a.act_wk) / 7 AS INT)
-                  AS week_offset,
-                a.user_id
-         FROM act a JOIN first f USING (user_id)
-       )
-       SELECT strftime(j.cohort_wk, '%Y-%m-%d') AS cohort_week,
-              j.week_offset,
-              CAST(count(*) AS BIGINT) AS n_active,
-              round(count(*)::DOUBLE / any_value(s.cohort_n), 6)
-                AS retention_r
-       FROM j JOIN sizes s ON s.cohort_wk = j.cohort_wk
-       GROUP BY j.cohort_wk, j.week_offset""",
-)
-def q153(spark: SparkSession, sf: str) -> DataFrame:
-    """Cohort retention: users cohorted by first-activity week, then
-    per (cohort, week-offset) active-user counts and retention rate.
-    Two map-side-combined aggregates (first-week per user; distinct
-    user-weeks) joined on user_id; the cohort SIZE is recovered from
-    the aggregated result itself (offset-0 actives == cohort size by
-    definition, via a window over the tiny rollup) instead of a third
-    events scan + join.  The canonical product-analytics rollup."""
-    ev = load_table(spark, sf, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
-    )
-    act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("act_wk")
-    ).distinct()
-    j = act.join(first, "user_id").select(
-        "cohort_wk",
-        (F.datediff(F.col("act_wk"), F.col("cohort_wk")) / 7)
-        .cast("int")
-        .alias("week_offset"),
-    )
-    agg = j.groupBy("cohort_wk", "week_offset").agg(
-        F.count("*").cast("bigint").alias("n_active")
-    )
-    w = Window.partitionBy("cohort_wk").orderBy("week_offset")
-    return agg.select(
-        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
-        "week_offset",
-        "n_active",
-        F.round(
-            F.col("n_active") / F.first("n_active").over(w), 6
-        ).alias("retention_r"),
-    )
-
-
-@q(
-    "q159_recursive_cte_closure",
-    """WITH RECURSIVE walk(leaf, node, depth) AS (
-         SELECT s_suppkey AS leaf, s_suppkey AS node, 0 AS depth
-         FROM supplier
-         UNION ALL
-         SELECT leaf, CAST(floor(node / 2) AS BIGINT) AS node,
-                depth + 1 AS depth
-         FROM walk WHERE node > 1
-       )
-       SELECT leaf AS s_suppkey, CAST(max(depth) AS INT) AS depth,
-              CAST(sum(node) AS BIGINT) AS path_sum,
-              CAST(count(*) AS BIGINT) AS chain_len
-       FROM walk GROUP BY leaf""",
-)
-def q159(spark: SparkSession, sf: str) -> DataFrame:
-    """Recursive CTE (Spark 4 `WITH RECURSIVE`): ancestor-chain closure
-    over a derived hierarchy (parent(k) = floor(k/2), a binary tree
-    rooted at 1) — per-leaf depth, path node-sum, and chain length.
-    This is the SQL-standard spec for the iterative closures the engine
-    elsewhere runs by hand (q73/q101/q152 label propagation): Spark
-    executes it as iterated UNION ALL micro-plans, one join per level,
-    terminating when the recursive leg is empty.  Rounds ∝ hierarchy
-    DEPTH (log n here), and each round's shuffle carries only the still-
-    walking frontier — the same O(depth) alternation bound as the
-    hand-written CC loop, but optimizer-planned.  For 100 TB graphs with
-    unknown/deep diameter the explicit large-star/small-star operator
-    (q101) stays the scale path; recursive CTE is the right tool for
-    bounded-depth hierarchies (org charts, BOM explosions, paths)."""
-    for t in ("supplier",):
-        load_table(spark, sf, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """WITH RECURSIVE walk(leaf, node, depth) AS (
-             SELECT s_suppkey AS leaf, s_suppkey AS node, 0 AS depth
-             FROM supplier
-             UNION ALL
-             SELECT leaf, CAST(floor(node / 2) AS BIGINT) AS node,
-                    depth + 1 AS depth
-             FROM walk WHERE node > 1
-           )
-           SELECT leaf AS s_suppkey, CAST(max(depth) AS INT) AS depth,
-                  CAST(sum(node) AS BIGINT) AS path_sum,
-                  CAST(count(*) AS BIGINT) AS chain_len
-           FROM walk GROUP BY leaf"""
-    )
-
-
-@q(
-    "q161_sql_scalar_udf",
-    """SELECT doc_id,
-              round(least(n_chars, 2000) / 2000.0 +
-                    CASE WHEN text LIKE '%the%' THEN 0.1 ELSE 0.0 END,
-                    6) AS score
-       FROM documents""",
-)
-def q161(spark: SparkSession, sf: str) -> DataFrame:
-    """SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`): a
-    reusable quality-score routine declared ONCE in the catalog and used
-    like a builtin.  Unlike a Python UDF there is no serialization
-    boundary at all — Catalyst inlines the body into the calling plan,
-    so the scored scan stays inside WholeStageCodegen and every
-    optimization (pushdown through it, constant folding, pruning)
-    applies as if the expression were written inline.  This is the right
-    home for org-wide curation formulas at 100 TB: one definition,
-    zero runtime cost, no UDF-server fleet."""
-    load_table(spark, sf, "documents").createOrReplaceTempView(
-        "q161_documents"
-    )
-    spark.sql(
-        """CREATE OR REPLACE TEMPORARY FUNCTION q161_score(
-             nc BIGINT, txt STRING) RETURNS DOUBLE
-           RETURN round(least(nc, 2000) / 2000.0 +
-             CASE WHEN txt LIKE '%the%' THEN 0.1 ELSE 0.0 END, 6)"""
-    )
-    return spark.sql(
-        "SELECT doc_id, q161_score(n_chars, text) AS score "
-        "FROM q161_documents"
-    )
-
-
-@q(
-    "q162_sql_table_udf_chunks",
-    """SELECT doc_id, CAST(gs AS INT) AS chunk_idx,
-              substr(text, CAST(gs AS INT) * 40 + 1, 40) AS chunk
-       FROM documents,
-            LATERAL UNNEST(generate_series(
-              0, CAST(ceil(length(text) / 40.0) AS INT) - 1)) t(gs)
-       WHERE length(text) > 0""",
-)
-def q162(spark: SparkSession, sf: str) -> DataFrame:
-    """SQL table-valued UDF (`CREATE FUNCTION ... RETURNS TABLE`)
-    applied per-row via LATERAL: fixed-width document chunking as a
-    declarative, catalog-registered routine — the SQL twin of the
-    Python-UDTF chunker (q70/q83) with NO Python boundary.  Catalyst
-    rewrites the lateral TVF call into an inlined correlated generate
-    (sequence + explode), so chunk production is a generator inside the
-    scan stage: rows-out scales with text length, the shuffle (none
-    here) is untouched, and per-executor memory is one row's chunks.
-    The chunk width is a routine parameter — callers retarget context
-    windows without redeploying code."""
-    load_table(spark, sf, "documents").createOrReplaceTempView(
-        "q162_documents"
-    )
-    spark.sql(
-        """CREATE OR REPLACE TEMPORARY FUNCTION q162_chunks(
-             txt STRING, sz INT)
-           RETURNS TABLE(chunk_idx INT, chunk STRING)
-           RETURN SELECT CAST(i AS INT) AS chunk_idx,
-                         substr(txt, CAST(i AS INT) * sz + 1, sz) AS chunk
-                  FROM (SELECT explode(sequence(
-                          0,
-                          greatest(
-                            CAST(ceil(length(txt) / CAST(sz AS DOUBLE))
-                                 AS INT) - 1, 0))) AS i)"""
-    )
-    # Spark's sequence(a, b) runs DESCENDING when b < a, so empty text
-    # would emit chunk_idx [0, -1]; the greatest() clamp plus this
-    # empty-text filter (mirrored in the oracle, whose generate_series
-    # emits nothing for a negative stop) keeps both engines chunk-free
-    # for zero-length documents.
-    return spark.sql(
-        """SELECT d.doc_id, c.chunk_idx, c.chunk
-           FROM q162_documents d, LATERAL q162_chunks(d.text, 40) c
-           WHERE length(d.text) > 0"""
-    )
-
-
-@q(
-    "q163_regression_trend",
-    """WITH mn AS (SELECT min(epoch(ts)) AS t0 FROM events),
-       s AS (SELECT event_type, (epoch(ts) - mn.t0) / 86400.0 AS x,
-                    value AS y FROM events, mn)
-       SELECT event_type,
-              CAST(count(*) AS BIGINT) AS n,
-              round(regr_slope(y, x), 6) AS slope_r,
-              round(regr_intercept(y, x), 6) AS intercept_r,
-              round(corr(y, x) * corr(y, x), 6) AS r2_r
-       FROM s GROUP BY event_type""",
-)
-def q163(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-group least-squares trend with the NATIVE regression
-    aggregates (`regr_slope` / `regr_intercept`, Spark 3.5+): daily
-    drift of event value per event type, with r² from corr.  These are
-    single-pass streaming aggregates (sum/sum-of-products moments) with
-    full map-side partial combine — the shuffle carries one moment
-    tuple per (partition, event_type), so a 100 TB trend scan costs
-    exactly one pass and a |groups|-row shuffle.  x is centered on the
-    global min timestamp (1-row broadcast) and scaled to days so the
-    slope is a human-sized number that rounds stably across engines."""
-    load_table(spark, sf, "events").createOrReplaceTempView("q163_events")
-    return spark.sql(
-        """WITH mn AS (SELECT min(unix_micros(CAST(ts AS TIMESTAMP)) / 1e6)
-                         AS t0 FROM q163_events),
-           s AS (SELECT event_type,
-                        (unix_micros(CAST(ts AS TIMESTAMP)) / 1e6 - mn.t0)
-                          / 86400.0 AS x,
-                        value AS y FROM q163_events, mn)
-           SELECT event_type,
-                  CAST(count(*) AS BIGINT) AS n,
-                  round(regr_slope(y, x), 6) AS slope_r,
-                  round(regr_intercept(y, x), 6) AS intercept_r,
-                  round(corr(y, x) * corr(y, x), 6) AS r2_r
-           FROM s GROUP BY event_type"""
-    )
-
-
-_Q169_SQL = """
-WITH w AS (
-  SELECT event_id, user_id, event_type, value,
-         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
-         stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
-         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS nw
-  FROM {events}
-), z AS (
-  SELECT event_type,
-         CASE WHEN nw >= 5 AND sd > 1e-12
-              THEN abs(value - mu) / sd END AS zscore
-  FROM w
-)
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n_scored,
-       CAST(sum(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_anomalies,
-       round(max(zscore), 6) AS max_z_r
-FROM z WHERE zscore IS NOT NULL GROUP BY event_type
-"""
-
-
-@q("q169_anomaly_zscore", _Q169_SQL.format(events="events"))
-def q169(spark: SparkSession, sf: str) -> DataFrame:
-    """Trailing-window z-score anomaly detection: each event scored
-    against ITS OWN USER's previous <=20 values (exclusive frame, so
-    the anomaly can't suppress itself; warm-up below 5 priors and
-    zero-variance windows abstain rather than emit infinities).  One
-    shuffle on user_id serves all three window aggregates — the frames
-    share a (user, time) sort — then a map-combined rollup per event
-    type.  This is the streaming-monitor shape run retrospectively;
-    the q84/q167 state-store path is the online twin.  stddev_samp and
-    the frame arithmetic are IEEE-identical across engines, so the
-    oracle reproduces scores exactly."""
-    load_table(spark, sf, "events").createOrReplaceTempView("q169_events")
-    return spark.sql(_Q169_SQL.format(events="q169_events"))
-
-
-_Q170_SQL = """
-WITH ordered AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) IS NULL
-              OR CAST(ts AS TIMESTAMP)
-                 - CAST(lag(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS TIMESTAMP)
-                 > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_s
-  FROM {events}
-), sess AS (
-  SELECT user_id, ts, event_id, event_type,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
-  FROM ordered
-), trans AS (
-  SELECT event_type AS src_type,
-         lead(event_type) OVER (PARTITION BY user_id, sid
-                                ORDER BY ts, event_id) AS dst_type
-  FROM sess
-)
-SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
-FROM trans WHERE dst_type IS NOT NULL
-GROUP BY src_type, dst_type
-ORDER BY n DESC, src_type, dst_type LIMIT 10
-"""
-
-
-@q("q170_session_transitions", _Q170_SQL.format(events="events"))
-def q170(spark: SparkSession, sf: str) -> DataFrame:
-    """Session transition mining: 30-minute-gap sessionization (the
-    q113 gaps-and-islands machinery) followed by within-session
-    event-type bigrams, reporting the 10 most common transitions —
-    the \"what do users do next\" funnel-discovery query.  The lag
-    (session boundary), running session id, and lead (next event) all
-    ride ONE (user, time)-sorted shuffle; the transition rollup is
-    map-combined |types|^2 rows, and the global top-10 is a
-    TakeOrdered, not a full sort.  Ties broken lexically so the limit
-    is deterministic in any engine."""
-    load_table(spark, sf, "events").createOrReplaceTempView("q170_events")
-    return spark.sql(_Q170_SQL.format(events="q170_events"))
-
-
 _Q174_SQL = """
 WITH a AS (SELECT o_orderpriority AS p FROM {orders}
            WHERE o_custkey % 2 = 0),
@@ -2391,114 +1445,6 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
             customer="q175_customer",
             nation="q175_nation",
         )
-    )
-
-
-@q(
-    "q176_iterator_pandas_udf",
-    """SELECT doc_id,
-              CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT)
-                AS bpe_tokens
-       FROM documents""",
-)
-def q176(spark: SparkSession, sf: str) -> DataFrame:
-    """ITERATOR-form pandas UDF (Iterator[pd.Series] ->
-    Iterator[pd.Series]): the per-worker setup — here a compiled regex,
-    in production a tokenizer or ONNX session — runs ONCE per task
-    before the batch loop, amortized over every Arrow batch, instead of
-    per-call like the scalar form.  This is THE pattern for model-
-    assisted scoring at 100 TB: load weights once per executor task,
-    stream batches through.  Matches q58's pure-SQL token count exactly
-    (the oracle), so the Python boundary is value-checked, and the
-    scalar-vs-iterator results are interchangeable — only the
-    amortization differs."""
-    import re as _re
-
-    from pyspark.sql.functions import pandas_udf
-
-    # typing.Iterator (module-global) so the PEP-563 string annotation
-    # resolves when pyspark inspects the signature
-    @pandas_udf("int")
-    def tok_count(
-        it: typing.Iterator[pd.Series],
-    ) -> typing.Iterator[pd.Series]:
-        pat = _re.compile(r"\w+|[^\w\s]")  # once per task, not per batch
-        for s in it:
-            yield s.map(lambda t: len(pat.findall(t)))
-
-    docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", tok_count("text").alias("bpe_tokens"))
-
-
-@q(
-    "q177_arrow_optimized_udf",
-    """SELECT doc_id,
-              upper(substr(source, 1, 2)) || CAST(length(source) % 10
-                                                  AS VARCHAR) AS code
-       FROM documents""",
-)
-def q177(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-OPTIMIZED scalar Python UDF (`udf(..., useArrow=True)`):
-    same author-facing row-at-a-time signature as the legacy pickle
-    UDF, but executed as ArrowEvalPython — columnar Arrow batches
-    cross the boundary instead of per-row pickling (the plan audit
-    pins ArrowEvalPython and forbids BatchEvalPython).  The pragmatic
-    middle tier when logic doesn't vectorize but 100 TB can't afford
-    pickle serialization; the oracle recomputes the same derivation in
-    SQL, value-checking the boundary."""
-    fn = F.udf(
-        lambda s: (s[:2].upper() + str(len(s) % 10)) if s else None,
-        "string",
-        useArrow=True,
-    )
-    docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", fn(F.col("source")).alias("code"))
-
-
-@q(
-    "q178_polymorphic_udtf",
-    """SELECT doc_id,
-              substr(source, 1, 1) AS c0,
-              substr(source, 2, 1) AS c1,
-              substr(source, 3, 1) AS c2
-       FROM documents""",
-)
-def q178(spark: SparkSession, sf: str) -> DataFrame:
-    """POLYMORPHIC Python UDTF (static `analyze()`, Spark 4): the
-    output schema is computed at ANALYSIS time from the call's literal
-    arguments — here n=3 produces columns c0..c2; a different call
-    site gets a different arity with no code change.  This is the
-    form that lets one UDTF serve schema-varying extraction (top-n
-    fields, configurable feature fan-out) while staying fully typed in
-    the plan — downstream pruning and codegen see concrete columns.
-    Rows flow through the same Arrow UDTF machinery as q70; the
-    oracle recomputes the fixed n=3 instance relationally."""
-    from pyspark.sql.functions import udtf
-    from pyspark.sql.types import StructType
-    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
-
-    @udtf
-    class LeadChars:
-        @staticmethod
-        def analyze(
-            text: AnalyzeArgument, n: AnalyzeArgument
-        ) -> AnalyzeResult:
-            schema = StructType()
-            for i in range(n.value):
-                schema = schema.add(f"c{i}", "string")
-            return AnalyzeResult(schema=schema)
-
-        def eval(self, text, n):
-            t = text or ""
-            yield tuple(t[i] if i < len(t) else None for i in range(n))
-
-    spark.udtf.register("q178_lead_chars", LeadChars)
-    load_table(spark, sf, "documents").createOrReplaceTempView(
-        "q178_documents"
-    )
-    return spark.sql(
-        """SELECT d.doc_id, t.c0, t.c1, t.c2
-           FROM q178_documents d, LATERAL q178_lead_chars(d.source, 3) t"""
     )
 
 
@@ -2573,54 +1519,6 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     the shape is one scan + two tiny broadcasts."""
     load_table(spark, sf, "events").createOrReplaceTempView("q183_events")
     return spark.sql(_Q183_SQL.format(events="q183_events"))
-
-
-_Q185_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-         AS revenue
-FROM {orders} GROUP BY ALL
-"""
-
-
-@q("q185_group_by_all", _Q185_SQL.format(orders="orders"))
-def q185(spark: SparkSession, sf: str) -> DataFrame:
-    """`GROUP BY ALL` (Spark 4 / modern-SQL sugar): the grouping key
-    list is inferred from the non-aggregate select items, so adding a
-    dimension to a metrics rollup is a one-place edit — the analyst
-    ergonomics every warehouse dialect converged on.  Resolves at
-    analysis time to the ordinary partial-combined hash aggregate
-    (identical plan to the explicit form); money sums through DECIMAL
-    for cross-engine cent-exactness."""
-    load_table(spark, sf, "orders").createOrReplaceTempView("q185_orders")
-    return spark.sql(_Q185_SQL.format(orders="q185_orders"))
-
-
-@q(
-    "q186_parameterized_sql",
-    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
-       FROM orders
-       WHERE o_totalprice >= 150000.0 AND o_orderstatus = 'O'
-       GROUP BY o_orderpriority""",
-)
-def q186(spark: SparkSession, sf: str) -> DataFrame:
-    """Named-parameter SQL (`spark.sql(query, args={...})`, Spark 3.4+):
-    values bind as TYPED literals at parse time — no string
-    interpolation, so no injection surface and no accidental type
-    coercions; the bound plan is byte-identical to the inlined one, so
-    pushdown sees the literal (PushedFilters carries the bound
-    threshold).  The right template mechanism for the thousands of
-    parameterized curation/reporting runs a 100 TB pipeline schedules
-    daily."""
-    load_table(spark, sf, "orders").createOrReplaceTempView("q186_orders")
-    return spark.sql(
-        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n "
-        "FROM q186_orders "
-        "WHERE o_totalprice >= :floor AND o_orderstatus = :status "
-        "GROUP BY o_orderpriority",
-        args={"floor": 150000.0, "status": "O"},
-    )
 
 
 _Q187_SQL = """
@@ -2700,85 +1598,9 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =========================================================================
-# Round-5 Spark-4 SQL surface + time-series decay (Q194-Q198; q196 is in
-# tier_streaming)
+# Round-5 SQL surface remainders (q194/q195/q198 moved to
+# tier_core_udf / tier_core_window; q196 is in tier_streaming)
 # =========================================================================
-
-_Q194_ORACLE = """
-SELECT l_returnflag, l_linestatus,
-       CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-@q("q194_pipe_syntax", _Q194_ORACLE)
-def q194(spark: SparkSession, sf: str) -> DataFrame:
-    """SQL pipe syntax (Spark 4): the |> operator chain — FROM |> WHERE
-    |> EXTEND |> AGGREGATE … GROUP BY |> ORDER BY — each stage consuming
-    the previous stage's output, in execution order instead of SELECT's
-    inside-out order.  Purely parser-level sugar: the chain resolves to
-    the identical analyzed plan as the nested form (same partial-agg
-    hash aggregate, same pushdown — the WHERE reaches PushedFilters),
-    so the scale posture is exactly q17's; the oracle is the classic
-    spelling of the same query."""
-    load_table(spark, sf, "lineitem").createOrReplaceTempView(
-        "q194_lineitem"
-    )
-    return spark.sql(
-        """
-        FROM q194_lineitem
-        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
-        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
-                     round(sum(l_quantity), 2) AS sum_qty,
-                     round(sum(disc_price), 2) AS sum_disc_price
-           GROUP BY l_returnflag, l_linestatus
-        |> ORDER BY l_returnflag, l_linestatus
-        """
-    )
-
-
-_Q195_ORACLE = """
-SELECT lower(o_orderpriority) AS priority,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-         AS total
-FROM orders GROUP BY 1
-"""
-
-
-@q("q195_collated_group", _Q195_ORACLE)
-def q195(spark: SparkSession, sf: str) -> DataFrame:
-    """Collation-aware grouping (Spark 4 string collations): the group
-    key is COLLATE(…, 'UTF8_LCASE'), so 'URGENT' / 'urgent' / 'Urgent'
-    hash and compare as one group INSIDE the aggregate — no lower()
-    normalization column, and any index/partition stats on the original
-    column stay usable.  The fixture synthesizes deterministic
-    case-mangled keys (upper/lower/initcap by o_orderkey mod 3); the
-    oracle groups the clean column case-insensitively.  Output key is
-    min(lower(key)): identical for every member of a UTF8_LCASE group,
-    so the emission is deterministic even though the group retains an
-    arbitrary representative."""
-    load_table(spark, sf, "orders").createOrReplaceTempView("q195_orders")
-    return spark.sql(
-        """
-        WITH mixed AS (
-          SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
-                      WHEN o_orderkey % 3 = 1 THEN lower(o_orderpriority)
-                      ELSE initcap(lower(o_orderpriority)) END AS pr,
-                 o_totalprice
-          FROM q195_orders)
-        SELECT min(lower(pr)) AS priority,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
-                    AS DOUBLE) AS total
-        FROM mixed GROUP BY collate(pr, 'UTF8_LCASE')
-        """
-    )
 
 
 _Q197_ORACLE = """
@@ -2809,90 +1631,6 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("nations"),
             F.count("*").cast("bigint").alias("n"),
         )
-    )
-
-
-_Q198_ORACLE = """
-WITH t AS (
-  SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS rn
-  FROM events WHERE value IS NOT NULL
-)
-SELECT a.user_id, a.event_id,
-       round(sum(b.value * pow(0.9, a.rn - b.rn))
-             / sum(pow(0.9, a.rn - b.rn)), 4) AS ewma
-FROM t a JOIN t b
-  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
-GROUP BY a.user_id, a.event_id
-"""
-
-
-@q("q198_ewma_trailing", _Q198_ORACLE)
-def q198(spark: SparkSession, sf: str) -> DataFrame:
-    """Trailing-window EWMA per user over the events series
-    (`operators/timeseries.py: ewma_trailing`): the time-decayed feature
-    every telemetry/quality pipeline computes, expressed as ONE
-    sort-based window on the user_id exchange — collect_list over an
-    8-row frame, zip_with a descending lag sequence for the weights,
-    closed-form geometric normalizer; all codegen, no join, no Python,
-    state bounded by the frame.  The oracle computes the identical
-    truncated-adjusted EWMA as a bounded rank self-join — quadratic in
-    the window width, which is exactly why the window form is the scale
-    path."""
-    from ..operators.timeseries import ewma_trailing
-
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
-    return ewma_trailing(
-        ev, "user_id", ["ts", "event_id"], "value", alpha=0.1, window=8
-    ).select("user_id", "event_id", "ewma")
-
-
-@q(
-    "q211_sql_scripting",
-    """WITH tot AS (SELECT count(*) AS n FROM customer),
-       grid AS (SELECT unnest(range(0, 25)) * 500.0 AS t),
-       fr AS (SELECT g.t,
-                (SELECT count(*) FROM customer
-                 WHERE c_acctbal > g.t) AS n_above,
-              tot.n
-              FROM grid g, tot),
-       sel AS (SELECT t, n_above FROM fr
-               WHERE n_above * 1.0 / n <= 0.1
-               ORDER BY t LIMIT 1)
-       SELECT t AS threshold, CAST(n_above AS BIGINT) AS n_above
-       FROM sel""",
-)
-def q211(spark: SparkSession, sf: str) -> DataFrame:
-    """Spark 4 SQL SCRIPTING (BEGIN…END, DECLARE, WHILE): an iterative
-    threshold search executed entirely inside the SQL engine — raise a
-    balance cutoff in 500-unit steps until at most 10 % of customers
-    sit above it, then report the threshold and the population above.
-    Control flow lives in the script (no driver-side Python loop
-    besides submitting it); each iteration is one partial-combined
-    aggregate over the table.  The oracle replays the search as a
-    DuckDB grid scan — first multiple of 500 meeting the exit
-    condition — so the loop's exit semantics are cross-checked, not
-    assumed.  Complements q186 (named-parameter SQL) and q194 (pipe
-    syntax) on the Spark-4 SQL surface."""
-    load_table(spark, sf, "customer").createOrReplaceTempView(
-        "q211_customer"
-    )
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE t DOUBLE DEFAULT 0.0;
-          WHILE (SELECT count(*) FILTER (WHERE c_acctbal > t) * 1.0
-                        / count(*)
-                 FROM q211_customer) > 0.1 DO
-            SET t = t + 500.0;
-          END WHILE;
-          SELECT t AS threshold,
-                 (SELECT CAST(count(*) AS BIGINT)
-                  FROM q211_customer
-                  WHERE c_acctbal > t) AS n_above;
-        END
-        """
     )
 
 
