@@ -47,6 +47,7 @@ __all__ = [
     "ivf_build_or_reuse",
     "ivf_append",
     "ivf_delete",
+    "ivf_compact",
     "ivf_stream_maintainer",
     "ivf_search",
     "ivf_topk",
@@ -1025,6 +1026,53 @@ def ivf_delete(
         "rewritten_partitions": len(touched),
         "emptied": emptied,
     }
+
+
+def ivf_compact(
+    spark,
+    index_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction of a persisted IVF / IVF-PQ index — the
+    maintenance pass that closes the append loop: every ``ivf_append``
+    / ``pq_append`` / streamed micro-batch adds at least one file to
+    each touched (cluster, *meta) leaf, and after enough batches the
+    per-file open/footer cost dominates probes (the same tax the
+    one-writer-per-leaf build shuffle exists to avoid).
+
+    Pure layout change: both layers (vectors, and PQ codes when
+    present) are compacted leaf-by-leaf via
+    :func:`..sources.layout.compact_parquet` — only leaves whose file
+    count exceeds what their byte size needs are rewritten
+    (already-compact leaves stay byte-identical), each rewrite goes
+    through a temp directory + rename so readers never see a partial
+    mix, and rows are preserved exactly, so search results and the
+    content fingerprint are UNCHANGED (no meta rewrite needed; reuse
+    keyed on the fingerprint keeps working).  Idempotent: a second
+    call compacts zero partitions (gate-asserted on every warm call).
+
+    Returns the merged compact_parquet stats.  Contrast with the
+    centroid-staleness compaction (periodic full ``ivf_build``): that
+    one re-FITS the space after distribution drift; this one only
+    re-bin-packs bytes and is safe to run on any schedule."""
+    from ..sources.layout import compact_parquet
+
+    totals = {
+        "partitions_compacted": 0, "files_before": 0, "files_after": 0,
+    }
+    roots = [f"{index_path}/vectors"]
+    try:
+        spark.read.parquet(f"{index_path}/pq/codes").schema
+        roots.append(f"{index_path}/pq/codes")
+    except AnalysisException:
+        pass  # plain IVF index
+    for root in roots:
+        st = compact_parquet(
+            spark, root, target_file_bytes, partitioned=True
+        )
+        for k in totals:
+            totals[k] += st[k]
+    return totals
 
 
 def ivf_stream_maintainer(

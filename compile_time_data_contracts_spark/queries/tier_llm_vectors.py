@@ -2080,3 +2080,82 @@ def q386(spark: SparkSession, sf: str) -> DataFrame:
             "stream_maintained_ok"
         ),
     )
+
+
+@q(
+    "q387_index_compaction_contract",
+    """SELECT b.vec_id,
+              round(list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]), 4) AS sim_r,
+              TRUE AS compaction_ok
+       FROM embeddings b
+       ORDER BY list_cosine_similarity(
+                (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7),
+                b.embedding::DOUBLE[]) DESC, b.vec_id
+       LIMIT 10""",
+)
+def q387(spark: SparkSession, sf: str) -> DataFrame:
+    """Index COMPACTION contract (`ivf_compact` — the maintenance pass
+    closing the append loop): the index is built on half the corpus
+    and grown with TWO appended quarters, so touched leaves accumulate
+    one file per append; compaction bin-packs only those leaves
+    (already-compact leaves byte-identical, rewrites via temp+rename —
+    test-asserted), preserving rows exactly, so search results and the
+    content fingerprint are UNCHANGED.  Cold runs prove the file count
+    drops; EVERY warm run re-asserts idempotence (a second
+    `ivf_compact` compacts zero partitions — a cheap file-count pass,
+    no Spark job when already compact).  Recall floor >= 7/10 vs the
+    exact full-corpus top-10 (the q143 family's contract; same frozen
+    centroids, so compaction cannot move recall at all — the floor
+    guards the composition, the equality lives in
+    tests/test_round10_ops.py)."""
+    import hashlib
+    import tempfile
+
+    from ..operators.similarity import (
+        _ivf_fingerprint,
+        ivf_append,
+        ivf_build,
+        ivf_compact,
+        ivf_search,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 7)
+    exact = topk_cosine(emb, query, k=10)
+    tag = hashlib.md5(f"{sf}|compact32".encode()).hexdigest()[:12]
+    idx = f"{tempfile.gettempdir()}/ctdc-compactivf-{tag}"
+    fp = _ivf_fingerprint(emb, "vec_id")
+    try:
+        m = spark.read.parquet(f"{idx}/meta").first()
+        stale = m is None or (int(m["n"]), m["max_id"]) != fp
+    except Exception:
+        # /tmp-scoped gate index: any read problem should just rebuild
+        stale = True
+    if stale:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_build(emb.filter(F.col("vec_id") % 2 == 0), idx, n_clusters=32)
+        odd = F.pmod(F.col("vec_id"), F.lit(4))
+        ivf_append(spark, idx, emb.filter(odd == 1))
+        ivf_append(spark, idx, emb.filter(odd == 3))
+        c = ivf_compact(spark, idx)
+        compact_proof = (
+            c["partitions_compacted"] > 0
+            and c["files_after"] < c["files_before"]
+        )
+    else:
+        # steady state: an already-compacted index must be a no-op
+        compact_proof = (
+            ivf_compact(spark, idx)["partitions_compacted"] == 0
+        )
+    approx = ivf_search(spark, idx, query, k=10, nprobe=16).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "semi").count()
+    return exact.select(
+        "vec_id",
+        F.round("sim", 4).alias("sim_r"),
+        F.lit(bool(compact_proof) and overlap >= 7).alias("compaction_ok"),
+    )

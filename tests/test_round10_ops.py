@@ -463,3 +463,67 @@ def test_stream_maintainer_exactly_once(spark, tmp_path):
     assert [(r.vec_id, round(r.sim, 9)) for r in got] == [
         (r.vec_id, round(r.sim, 9)) for r in want
     ]
+
+
+def test_ivf_compact_preserves_results_and_reduces_files(spark, tmp_path):
+    """Append twice (small files accumulate per touched leaf), compact,
+    and require: fewer files, byte-identical already-compact leaves,
+    IDENTICAL search results, unchanged fingerprint meta, idempotent
+    second compact."""
+    import os
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_compact,
+        ivf_search,
+    )
+
+    df = spark.createDataFrame(
+        [(i, _vec(i % 2, i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "cidx")
+    ivf_build(df, idx, n_clusters=2)
+    # two appends into cluster e0 only -> that leaf accumulates files,
+    # the e1 leaf stays single-file (must NOT be rewritten)
+    a1 = spark.createDataFrame(
+        [(100 + i, _vec(0, 50 + i)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    a2 = spark.createDataFrame(
+        [(200 + i, _vec(0, 70 + i)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_append(spark, idx, a1)
+    ivf_append(spark, idx, a2)
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    e1_cluster = max(cents, key=lambda r: r.centroid[1]).cluster
+    e0_cluster = 1 - e1_cluster
+    before_e1 = _dir_state(f"{idx}/vectors/cluster={e1_cluster}")
+    n_files_e0 = len(
+        [f for f in os.listdir(f"{idx}/vectors/cluster={e0_cluster}")
+         if f.endswith(".parquet")]
+    )
+    assert n_files_e0 >= 3  # build + 2 appends
+    meta_before = spark.read.parquet(f"{idx}/meta").first()
+    query = spark.createDataFrame(
+        [(999, _vec(0, 75))], "vec_id long, embedding array<double>"
+    )
+    pre = [
+        (r.vec_id, round(r.sim, 9))
+        for r in ivf_search(spark, idx, query, k=8, nprobe=2).collect()
+    ]
+
+    stats = ivf_compact(spark, idx)
+    assert stats["partitions_compacted"] == 1  # only the appended leaf
+    assert stats["files_after"] < stats["files_before"]
+    assert _dir_state(f"{idx}/vectors/cluster={e1_cluster}") == before_e1
+    post = [
+        (r.vec_id, round(r.sim, 9))
+        for r in ivf_search(spark, idx, query, k=8, nprobe=2).collect()
+    ]
+    assert post == pre
+    assert spark.read.parquet(f"{idx}/meta").first() == meta_before
+    # idempotent
+    assert ivf_compact(spark, idx)["partitions_compacted"] == 0

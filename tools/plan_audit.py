@@ -2417,6 +2417,7 @@ CHECKS_R8 = {
     "q384_pq_append_contract": _topk(),
     "q385_index_erasure_contract": _topk(),
     "q386_stream_index_maintenance": _topk(),
+    "q387_index_compaction_contract": _topk(),
     "q193_ivf_pq_recall_contract": _topk(),
     "q106_lsh_recall_contract": [
         ("LSH side reuses the Arrow-batched signature stage; all "
