@@ -96,6 +96,10 @@ def main() -> None:
     # forensic cross-round comparison (round 9's driver artifact flagged
     # a phantom q84 regression that was exactly this).
     probe_sec: list[float] = []
+    # one UNRECORDED warm-up of the probe plan: pass 1 would otherwise
+    # carry its codegen/JIT compile and read as 2x+ the later passes,
+    # tripping the probe_ratio threshold on a perfectly quiet host
+    spark.range(100_000_000).selectExpr("sum(id)").collect()
     for _ in range(repeats):
         t0 = time.time()
         spark.range(100_000_000).selectExpr("sum(id)").collect()

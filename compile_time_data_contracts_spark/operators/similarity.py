@@ -169,7 +169,7 @@ def _probe_union(C, queries: DataFrame, nprobe: int, vec_col: str,
 
 
 def _group_pruned(
-    table: DataFrame, union: list, probe_mask, qf_vals: dict,
+    table: DataFrame, probe_mask, qf_vals: dict,
     filter_cols: tuple, index_path: str, caller: str, vec_col: str,
 ):
     """Prune a batch index scan on the union of (cluster, filter-value)
@@ -179,10 +179,14 @@ def _group_pruned(
     scan prunes at the directory level on BOTH axes (a heterogeneous
     batch never reads label B's directories for label A's probe cells).
     Falls back to the plain cluster-union predicate when no per-query
-    filter columns are in play."""
+    filter columns are in play (derived from the same probe mask, so
+    there is exactly one source of truth for which cells are read)."""
     import numpy as np
 
     if not filter_cols:
+        union = sorted(
+            int(c) for c in np.nonzero(probe_mask.any(axis=1))[0]
+        )
         return table.filter(F.col("cluster").isin(union))
     for c in filter_cols:
         if c not in table.columns:
@@ -893,29 +897,50 @@ def ivf_append(
 def _partition_pred(touched, meta_cols: tuple):
     """OR-of-conjunctions predicate selecting exactly the given
     (cluster, *meta) partition rows — every conjunct is over partition
-    columns, so the scan prunes at the directory level."""
+    columns, so the scan prunes at the directory level.  Meta values
+    compare NULL-SAFELY (eqNullSafe): a null partition value (Hive
+    default partition) must still match its own rows, or an erasure
+    would count the partition as rewritten while never touching it."""
     pred = None
     for t in touched:
         p = F.col("cluster") == F.lit(int(t["cluster"]))
         for c in meta_cols:
-            p = p & (F.col(c) == F.lit(t[c]))
+            p = p & F.col(c).eqNullSafe(F.lit(t[c]))
         pred = p if pred is None else (pred | p)
     return pred
 
 
-def _leaf_dir(root: str, t, meta_cols: tuple) -> str:
-    parts = [f"cluster={int(t['cluster'])}"] + [
-        f"{c}={t[c]}" for c in meta_cols
-    ]
+def _leaf_dir(spark, root: str, t, meta_cols: tuple) -> str:
+    """On-disk leaf directory for a (cluster, *meta) partition row,
+    using Spark's OWN partition-path escaping (ExternalCatalogUtils):
+    values like 'a:b' or '50%' are written as label=a%3Ab etc., and a
+    hand-built raw f-string path would silently miss them (an erasure
+    that 'removes' an emptied leaf by deleting a nonexistent raw path
+    leaves the deleted rows on disk and searchable).  Null values map
+    to the Hive default partition name."""
+    utils = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    parts = [f"cluster={int(t['cluster'])}"]
+    for c in meta_cols:
+        v = t[c]
+        if v is None:
+            parts.append(f"{c}=__HIVE_DEFAULT_PARTITION__")
+        else:
+            parts.append(f"{c}={utils.escapePathName(str(v))}")
     return root + "/" + "/".join(parts)
 
 
-def _hadoop_delete(spark, path: str) -> None:
+def _hadoop_delete(spark, path: str) -> bool:
+    """Recursively delete ``path`` via the Hadoop FS API (works for any
+    scheme the session can reach).  Returns whether the path existed —
+    callers that KNOW it must exist treat False as an error instead of
+    silently skipping (the leaf-path-mismatch failure mode)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
         fs.delete(p, True)
+        return True
+    return False
 
 
 def ivf_delete(
@@ -1010,7 +1035,19 @@ def ivf_delete(
         }
         for t in touched:
             if tuple(t[c] for c in ("cluster", *meta_cols)) not in kept:
-                _hadoop_delete(spark, _leaf_dir(root, t, meta_cols))
+                leaf = _leaf_dir(spark, root, t, meta_cols)
+                if not _hadoop_delete(spark, leaf):
+                    # the partition had rows (it was touched) and no
+                    # survivors, so its directory MUST exist — a miss
+                    # means the constructed path doesn't match the
+                    # on-disk layout, and skipping would leave 'erased'
+                    # rows on disk and searchable
+                    raise RuntimeError(
+                        f"ivf_delete: expected emptied partition "
+                        f"directory {leaf} does not exist — on-disk "
+                        "layout mismatch; aborting before marking the "
+                        "erasure complete"
+                    )
                 emptied += 1
 
     # fingerprint recomputed from the post-delete index, written LAST
@@ -1093,12 +1130,22 @@ def ivf_stream_maintainer(
       * batch ids recorded AFTER the append (meta-written-last), so a
         crash between append and record leaves the id unrecorded and
         the epoch is redelivered;
-      * the redelivered unrecorded batch is made IDEMPOTENT by erasing
-        its own ids first (:func:`ivf_delete` — cohort-sized broadcast
-        anti-join over touched partitions only) before re-appending,
-        so a partial first attempt can never double-insert;
-      * an already-recorded batch id returns without touching the
-        index at all (dir-state asserted in tests).
+      * a STARTED marker is recorded before the first append attempt,
+        so the heal path (erase the batch's own ids via
+        :func:`ivf_delete`, then re-append) runs ONLY for a batch that
+        was started but never committed — the normal never-crashed
+        path pays zero extra index scans, keeping steady-state ingest
+        O(batch) as documented (the heal's touched-partition semi-join
+        reads the index id column, which is fine once per crash but
+        not per micro-batch);
+      * an already-committed batch id returns without touching the
+        index at all (dir-state asserted in tests);
+      * an index with a PQ layer (built by ``ivf_pq_build_or_reuse``)
+        is grown through :func:`pq_append`, so the compressed code
+        table advances WITH the vectors — growing only the raw layer
+        while the fingerprint advances would silently exclude every
+        streamed vector from compressed searches forever (the PQ
+        staleness check keys on parameters, not content).
 
     Usage::
 
@@ -1116,26 +1163,44 @@ def ivf_stream_maintainer(
     ``ivf_append`` — schedule periodic rebuild compaction.
     """
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        applied_path = f"{index_path}/stream_meta"
+    def _ids(spark, path: str) -> set:
         try:
-            applied = {
-                int(r.batch_id)
-                for r in spark.read.parquet(applied_path).collect()
+            return {
+                int(r.batch_id) for r in spark.read.parquet(path).collect()
             }
         except AnalysisException:
-            applied = set()
-        if int(batch_id) in applied:
+            return set()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed_path = f"{index_path}/stream_meta"
+        started_path = f"{index_path}/stream_meta_started"
+        if int(batch_id) in _ids(spark, committed_path):
             return  # redelivered, already-committed epoch: skip
         if batch_df.first() is not None:
-            # heal a possible partial first attempt of THIS epoch,
-            # then append cleanly — idempotent under redelivery
-            ivf_delete(spark, index_path, batch_df.select(id_col), id_col)
-            ivf_append(spark, index_path, batch_df, id_col, vec_col)
+            if int(batch_id) in _ids(spark, started_path):
+                # started but never committed: a prior attempt may have
+                # appended part of this batch — erase its own ids, then
+                # re-append cleanly (idempotent under redelivery)
+                ivf_delete(
+                    spark, index_path, batch_df.select(id_col), id_col
+                )
+            else:
+                spark.createDataFrame(
+                    [(int(batch_id),)], "batch_id long"
+                ).write.mode("append").parquet(started_path)
+            has_pq = True
+            try:
+                spark.read.parquet(f"{index_path}/pq/meta").schema
+            except AnalysisException:
+                has_pq = False
+            if has_pq:
+                pq_append(spark, index_path, batch_df, id_col, vec_col)
+            else:
+                ivf_append(spark, index_path, batch_df, id_col, vec_col)
         spark.createDataFrame(
             [(int(batch_id),)], "batch_id long"
-        ).write.mode("append").parquet(applied_path)
+        ).write.mode("append").parquet(committed_path)
 
     return handle
 
@@ -1281,13 +1346,13 @@ def ivf_search_batch(
     for r in cent:
         C[r.cluster] = r.centroid
 
-    q_ids, Q, probe_mask, union, qf_vals = _probe_union(
+    q_ids, Q, probe_mask, _union, qf_vals = _probe_union(
         C, queries, nprobe, vec_col, query_id_col, "ivf_search_batch",
         query_filter_cols,
     )
 
     probed = _group_pruned(
-        spark.read.parquet(f"{index_path}/vectors"), union, probe_mask,
+        spark.read.parquet(f"{index_path}/vectors"), probe_mask,
         qf_vals, query_filter_cols, index_path, "ivf_search_batch",
         vec_col,
     )
@@ -2513,7 +2578,7 @@ def ivf_pq_search_batch(
     C, books = _ivf_pq_load(spark, index_path)
     mm, kk_books, dsub = books.shape
 
-    q_ids, Qn, probe_mask, union, qf_vals = _probe_union(
+    q_ids, Qn, probe_mask, _union, qf_vals = _probe_union(
         C, queries, nprobe, vec_col, query_id_col,
         "ivf_pq_search_batch", query_filter_cols,
     )
@@ -2526,7 +2591,7 @@ def ivf_pq_search_batch(
 
     codes_tbl = _validate_filters(
         _group_pruned(
-            spark.read.parquet(f"{index_path}/pq/codes"), union,
+            spark.read.parquet(f"{index_path}/pq/codes"),
             probe_mask, qf_vals, query_filter_cols, index_path,
             "ivf_pq_search_batch", vec_col,
         ),
@@ -2612,7 +2677,7 @@ def ivf_pq_search_batch(
 
     probed_vecs = _validate_filters(
         _group_pruned(
-            vecs_tbl, union, probe_mask, qf_vals, query_filter_cols,
+            vecs_tbl, probe_mask, qf_vals, query_filter_cols,
             index_path, "ivf_pq_search_batch", vec_col,
         ),
         filters, index_path, "ivf_pq_search_batch", vec_col,

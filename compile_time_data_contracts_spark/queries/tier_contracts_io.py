@@ -647,13 +647,26 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
             have = json.load(fh)
     except (OSError, ValueError):
         have = None
+    def _snapshot_count_matches() -> bool:
+        # on-disk integrity: a crash between the two bucket rewrites of
+        # a previous merge leaves a fingerprint-valid but partially
+        # merged snapshot — the post-merge row count catches it.  A
+        # missing/corrupt snapshot under a surviving meta.json (e.g. a
+        # /tmp reaper deleted the older data files but kept the newer
+        # meta) must read as NOT REUSABLE, not crash the gate
+        from pyspark.errors import AnalysisException
+
+        try:
+            return snapshot_read(spark, path).count() == have.get(
+                "merged_n"
+            )
+        except AnalysisException:
+            return False
+
     reuse = (
         have is not None
         and {k: have.get(k) for k in want} == want
-        # on-disk integrity: a crash between the two bucket rewrites of
-        # a previous merge leaves a fingerprint-valid but partially
-        # merged snapshot — the post-merge row count catches it
-        and snapshot_read(spark, path).count() == have.get("merged_n")
+        and _snapshot_count_matches()
     )
     if not reuse:
         os.makedirs(root, exist_ok=True)

@@ -440,13 +440,17 @@ def test_stream_maintainer_exactly_once(spark, tmp_path):
     handler(b0, 0)
     assert _dir_state(idx) == before
 
-    # UNRECORDED partial epoch: simulate a crash that appended some of
-    # batch 2 but never recorded it, then redeliver the whole batch —
-    # the handler must heal, not double-insert
+    # STARTED-but-uncommitted epoch: simulate the real crash sequence
+    # (started marker written, append partially done, commit never
+    # recorded), then redeliver the whole batch — the handler must
+    # heal via erase-then-append, not double-insert
     b2 = spark.createDataFrame(
         [(200 + i, _vec(0, 90 + i)) for i in range(10)],
         "vec_id long, embedding array<double>",
     )
+    spark.createDataFrame([(2,)], "batch_id long").write.mode(
+        "append"
+    ).parquet(f"{idx}/stream_meta_started")
     ivf_append(spark, idx, b2.filter(F.col("vec_id") < 205))  # partial
     handler(b2, 2)
     vec_ids = spark.read.parquet(f"{idx}/vectors").groupBy("vec_id").count()
@@ -527,3 +531,91 @@ def test_ivf_compact_preserves_results_and_reduces_files(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/meta").first() == meta_before
     # idempotent
     assert ivf_compact(spark, idx)["partitions_compacted"] == 0
+
+
+def test_ivf_delete_escaped_and_null_partition_values(spark, tmp_path):
+    """Erasure must honor Spark's partition-path ESCAPING and null
+    partition values: labels like 'a:b' are written as label=a%3Ab and
+    a None label as the Hive default partition — a raw f-string path
+    or a plain == predicate would leave 'erased' rows on disk and
+    searchable."""
+    import os
+
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_build,
+        ivf_delete,
+        ivf_search,
+    )
+
+    rows = (
+        [(i, _vec(0, i), "a:b") for i in range(10)]
+        + [(100 + i, _vec(1, i), "50%") for i in range(10)]
+        + [(200 + i, _vec(1, 50 + i), None) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    idx = str(tmp_path / "escidx")
+    ivf_build(df, idx, n_clusters=2, meta_cols=("label",))
+    # escaped dirs actually on disk
+    leaf_names = set()
+    for dirpath, dirs, _ in os.walk(f"{idx}/vectors"):
+        leaf_names.update(d for d in dirs if d.startswith("label="))
+    assert "label=a%3Ab" in leaf_names
+    assert "label=50%25" in leaf_names
+    assert "label=__HIVE_DEFAULT_PARTITION__" in leaf_names
+
+    # fully empty the a:b leaf AND the null-label leaf
+    doomed = [i for i in range(10)] + [200 + i for i in range(10)]
+    stats = ivf_delete(
+        spark, idx,
+        spark.createDataFrame([(i,) for i in doomed], "vec_id long"),
+    )
+    assert stats["n_deleted"] == 20
+    assert stats["emptied"] == 2
+    remaining = {
+        r.vec_id for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    assert remaining == {100 + i for i in range(10)}
+    got = ivf_search(
+        spark, idx,
+        spark.createDataFrame(
+            [(999, _vec(0, 3))], "vec_id long, embedding array<double>"
+        ),
+        k=30, nprobe=2,
+    ).collect()
+    assert got and not ({r.vec_id for r in got} & set(doomed))
+
+
+def test_stream_maintainer_grows_pq_layer(spark, tmp_path):
+    """Streaming into an IVF-PQ index must advance the CODE table with
+    the vectors (pq_append), or compressed searches silently miss every
+    streamed vector forever (the PQ staleness check keys on params, not
+    content)."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_build_or_reuse,
+        ivf_pq_topk,
+        ivf_stream_maintainer,
+    )
+
+    rows = [(i, _vec(i % 2, i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    evens = df.filter(F.col("vec_id") % 2 == 0)
+    odds = df.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "pqsidx")
+    ivf_pq_build_or_reuse(evens, idx, n_clusters=2, m=2, ksub=16)
+    handler = ivf_stream_maintainer(idx)
+    handler(odds, 0)
+    # codes advanced with the vectors
+    n_codes = spark.read.parquet(f"{idx}/pq/codes").count()
+    n_vecs = spark.read.parquet(f"{idx}/vectors").count()
+    assert n_codes == n_vecs == 60
+    # a streamed-in vector is reachable through the COMPRESSED path
+    query = spark.createDataFrame(
+        [(999, _vec(1, 59))], "vec_id long, embedding array<double>"
+    )
+    got = ivf_pq_topk(
+        df, query, k=3, n_clusters=2, nprobe=1, m=2, ksub=16,
+        rerank=30, index_path=idx,
+    ).collect()
+    assert got and got[0].vec_id == 59
