@@ -49,6 +49,9 @@ __all__ = [
     "ivf_delete",
     "ivf_compact",
     "ivf_stream_maintainer",
+    "ivf_drift",
+    "ivf_stats",
+    "ivf_maintain",
     "ivf_search",
     "ivf_topk",
     "quantize_int8",
@@ -1203,6 +1206,384 @@ def ivf_stream_maintainer(
         ).write.mode("append").parquet(committed_path)
 
     return handle
+
+
+def _distortion_partials(
+    df: DataFrame,
+    C: "np.ndarray",
+    vec_col: str,
+    cluster_col: str | None = None,
+) -> list:
+    """(cluster, cnt, sum_dist) rows for a vector frame against a
+    broadcast centroid matrix, where distortion = 1 - cos(v, centroid):
+    with ``cluster_col`` the STORED assignment is respected (the true
+    build/append-time quantizer loss of an index scan); without it each
+    vector is assigned argmax-cosine (a candidate batch under frozen
+    centroids — assignment and loss in the same matmul).  ONE Arrow
+    pass emitting per-batch partial aggregates (k rows per batch, never
+    per-vector output), finished by a k-row final agg — the whole
+    statistic moves k·batches rows, not the data."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    cols = [vec_col] + ([cluster_col] if cluster_col else [])
+
+    def partials(batches):
+        cent = bc.value
+        cn = np.maximum(np.linalg.norm(cent, axis=1), 1e-12)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = (v / vn) @ (cent / cn[:, None]).T
+            if cluster_col:
+                cl = pdf[cluster_col].to_numpy().astype(np.int64)
+                cos = sims[np.arange(len(cl)), cl]
+            else:
+                cl = sims.argmax(axis=1)
+                cos = sims[np.arange(len(cl)), cl]
+            out = pd.DataFrame({"cluster": cl, "dist": 1.0 - cos})
+            g = out.groupby("cluster", as_index=False).agg(
+                cnt=("dist", "size"), sum_dist=("dist", "sum")
+            )
+            yield g.astype(
+                {"cluster": "int32", "cnt": "int64", "sum_dist": "float64"}
+            )
+
+    agg = (
+        df.select(*cols)
+        .mapInPandas(partials, "cluster int, cnt long, sum_dist double")
+        .groupBy("cluster")
+        .agg(
+            F.sum("cnt").alias("cnt"), F.sum("sum_dist").alias("sum_dist")
+        )
+        .collect()
+    )
+    return [(int(r["cluster"]), int(r["cnt"]), float(r["sum_dist"])) for r in agg]
+
+
+def ivf_drift(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    distortion_ratio_max: float = 1.25,
+    tvd_max: float = 0.35,
+) -> dict:
+    """Centroid-staleness detection — the missing scheduling signal for
+    the "periodic full rebuild" that ``ivf_append`` / ``pq_append`` /
+    ``ivf_stream_maintainer`` all defer to: appends assign new vectors
+    to FROZEN centroids, which is exactly right while the data
+    distribution is stationary and silently degrades recall when it
+    drifts.  This measures, per candidate batch, how badly the frozen
+    coarse quantizer fits it, WITHOUT touching recall machinery:
+
+      * **distortion ratio** — mean(1 - cos(v, assigned centroid)) of
+        the batch vs the same statistic of the INDEXED corpus.  A batch
+        from the build distribution quantizes as well as the corpus did
+        (ratio ~= 1); a shifted batch lands far from every centroid and
+        the ratio rises.
+      * **assignment TVD** — total variation distance between the
+        batch's cluster-assignment histogram and the index's leaf-size
+        histogram (both k-row vectors).  Catches drift that relocates
+        mass between existing cells even when per-vector distortion
+        stays flat (e.g. a topic burst concentrating into one cell).
+
+    ``needs_refit`` is true when either signal exceeds its threshold;
+    the intended response is a full ``ivf_build`` (re-FIT), which every
+    reuse path already handles via the content fingerprint.
+
+    Cost shape at 100 TB: the corpus baseline is ONE column-pruned
+    Arrow pass over the index (vectors + their stored cluster, emitting
+    per-batch k-row partials — no shuffle of vector data) and is
+    PERSISTED at
+    ``{index_path}/drift_baseline`` keyed by the index content
+    fingerprint — every subsequent drift check is O(batch): one
+    assignment pass over the candidate batch plus two k-row collects.
+    A torn/corrupt baseline write reads as unreadable-or-mismatched and
+    recomputes (derived cache, same convention as the feed/index reuse
+    paths); concurrent builders share the non-transactional-parquet
+    caveat documented on :func:`..sources.layout.compact_parquet`.
+
+    Returns ``{baseline_distortion, batch_distortion, distortion_ratio,
+    assignment_tvd, needs_refit, reused_baseline, n_batch}``; an empty
+    batch carries no signal and reports ``needs_refit=False`` with null
+    batch stats.
+    """
+    import numpy as np
+
+    row, _mc, _k, _legacy = _ivf_meta(spark, index_path)
+    if row is None:
+        raise ValueError(f"ivf_drift: no index meta at {index_path}")
+    fp_n, fp_max = int(row["n"]), str(row["max_id"])
+    base_path = f"{index_path}/drift_baseline"
+
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    C = np.zeros((len(cents), len(cents[0].centroid)))
+    for r in cents:
+        C[r.cluster] = r.centroid
+
+    base_rows = None
+    reused = False
+    try:
+        cached = spark.read.parquet(base_path).collect()
+        if cached and all(
+            int(r["fp_n"]) == fp_n and str(r["fp_max"]) == fp_max
+            for r in cached
+        ):
+            base_rows = [(r["cluster"], r["cnt"], r["sum_dist"]) for r in cached]
+            reused = True
+    except Exception:
+        base_rows = None  # unreadable/absent cache: recompute below
+    if base_rows is None:
+        vecs = spark.read.parquet(f"{index_path}/vectors")
+        base_rows = _distortion_partials(
+            vecs, C, vec_col, cluster_col="cluster"
+        )
+        spark.createDataFrame(
+            [(int(c), int(n), float(s), fp_n, fp_max) for c, n, s in base_rows],
+            "cluster int, cnt long, sum_dist double, fp_n long, fp_max string",
+        ).coalesce(1).write.mode("overwrite").parquet(base_path)
+
+    n_base = sum(n for _, n, _ in base_rows)
+    base_mean = (
+        sum(s for _, _, s in base_rows) / n_base if n_base else float("nan")
+    )
+
+    batch_rows = _distortion_partials(batch_df, C, vec_col)
+    n_batch = sum(n for _, n, _ in batch_rows)
+    if n_batch == 0:
+        return {
+            "baseline_distortion": base_mean,
+            "batch_distortion": None,
+            "distortion_ratio": None,
+            "assignment_tvd": 0.0,
+            "needs_refit": False,
+            "reused_baseline": reused,
+            "n_batch": 0,
+            "base_rows": base_rows,
+            "batch_rows": [],
+        }
+    batch_mean = sum(s for _, _, s in batch_rows) / n_batch
+    ratio = batch_mean / max(base_mean, 1e-9)
+    hist_b = {c: n / n_base for c, n, _ in base_rows}
+    hist_q = {c: n / n_batch for c, n, _ in batch_rows}
+    tvd = 0.5 * sum(
+        abs(hist_b.get(c, 0.0) - hist_q.get(c, 0.0))
+        for c in set(hist_b) | set(hist_q)
+    )
+    return {
+        "baseline_distortion": base_mean,
+        "batch_distortion": batch_mean,
+        "distortion_ratio": ratio,
+        "assignment_tvd": tvd,
+        "needs_refit": bool(ratio > distortion_ratio_max or tvd > tvd_max),
+        "reused_baseline": reused,
+        "n_batch": n_batch,
+        # k-row partials, exposed so ivf_maintain can advance the
+        # persisted baseline EXACTLY after an append (same frozen
+        # centroids -> the batch's partials are the appended rows'
+        # true distortion) instead of paying a full index re-pass
+        "base_rows": base_rows,
+        "batch_rows": batch_rows,
+    }
+
+
+def ivf_stats(spark, index_path: str) -> dict:
+    """Observability snapshot of a persisted IVF / IVF-PQ index — the
+    numbers an operator watches to schedule the two maintenance passes
+    (``ivf_compact`` when files/leaf grows, full ``ivf_build`` when
+    ``ivf_drift`` fires or imbalance degrades probe pruning):
+
+      * ``n_vectors`` / ``max_id`` — the content fingerprint (meta
+        read, no data scan);
+      * ``n_clusters`` declared vs ``nonempty_clusters`` observed, and
+        the leaf-size skew ``imbalance = max_leaf / mean_leaf`` — a
+        badly imbalanced index makes nprobe pruning lopsided (the hot
+        cell dominates every probe);
+      * ``files`` / ``avg_files_per_leaf`` — the small-file tax
+        ``ivf_compact`` exists to pay down;
+      * ``has_pq`` and the PQ layer's (m, codebook bits) when present.
+
+    Leaf sizes come from one column-pruned count over the partition
+    column (footer row counts, no vector data read); file counts from a
+    directory walk (object-store listing at cluster scale — the same
+    local-FS stand-in as :func:`..sources.layout.compact_parquet`).
+    k-row collect, bounded by n_clusters."""
+    import os
+
+    row, mc, n_clusters, legacy = _ivf_meta(spark, index_path)
+    leaf = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    sizes = [int(r["count"]) for r in leaf]
+    n_files = 0
+    n_leaves = 0
+    for dirpath, _dirs, files in os.walk(f"{index_path}/vectors"):
+        pq_files = [
+            f for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        if pq_files and "=" in os.path.basename(dirpath):
+            n_leaves += 1
+            n_files += len(pq_files)
+    pq_meta = None
+    try:
+        pm = spark.read.parquet(f"{index_path}/pq/meta").first()
+        if pm is not None:
+            d = pm.asDict()
+            pq_meta = {
+                k: d[k] for k in ("m", "ksub") if k in d
+            } or dict(d)
+    except Exception:
+        pq_meta = None
+    mean_leaf = (sum(sizes) / len(sizes)) if sizes else 0.0
+    return {
+        "n_vectors": int(row["n"]) if row is not None else sum(sizes),
+        "max_id": str(row["max_id"]) if row is not None else None,
+        "n_clusters": int(n_clusters) if n_clusters is not None else None,
+        "nonempty_clusters": len(sizes),
+        "max_leaf": max(sizes) if sizes else 0,
+        "mean_leaf": mean_leaf,
+        "imbalance": (max(sizes) / mean_leaf) if sizes else float("nan"),
+        "files": n_files,
+        "leaf_dirs": n_leaves,
+        "avg_files_per_leaf": (n_files / n_leaves) if n_leaves else 0.0,
+        "meta_cols": list(mc),
+        "legacy_meta": bool(legacy),
+        "has_pq": pq_meta is not None,
+        "pq": pq_meta,
+    }
+
+
+def ivf_maintain(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    distortion_ratio_max: float = 1.25,
+    tvd_max: float = 0.35,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Index AUTOPILOT: one call per arriving batch that composes the
+    whole maintenance surface with a measured decision instead of a
+    schedule —
+
+      1. :func:`ivf_drift` on the batch (O(batch): fingerprinted
+         baseline + one Arrow pass);
+      2. in-distribution -> **append** under frozen centroids
+         (:func:`pq_append` when a PQ layer exists, else
+         :func:`ivf_append` — the stream maintainer's dispatch), then
+         advance the persisted drift baseline EXACTLY by merging the
+         batch's own distortion partials (same frozen centroids, so
+         they ARE the appended rows' loss) under the post-append
+         fingerprint — steady-state ingest never re-scans the index;
+      3. drifted -> **re-fit**: rebuild (index ∪ batch) into a staging
+         sibling (PQ codebooks retrained under the layout recorded in
+         pq/meta), carry the stream-maintenance bookkeeping across,
+         and swap directories — the same two-rename window as
+         :func:`..sources.layout.compact_parquet` (a concurrent read
+         in the microseconds between renames fails fast and retries;
+         it can never see a mixed layout).  The old drift baseline
+         dies with the old centroids and the next check recomputes it;
+      4. either way, finish with :func:`ivf_compact` (a no-op
+         file-count pass when every leaf is already packed).
+
+    Returns ``{"action": "append"|"rebuild"|"noop", "drift": <the
+    ivf_drift verdict>, "compaction": <ivf_compact stats>}``.  A crash
+    anywhere leaves a consistent index: append is meta-written-last,
+    rebuild swaps a fully-built staging dir, and a pre-swap crash
+    leaves the original index untouched (plus an orphaned staging dir
+    that the next rebuild ignores)."""
+    import os
+    import shutil
+    import uuid
+
+    row, meta_cols, n_clusters, legacy = _ivf_meta(spark, index_path)
+    if row is None or legacy:
+        raise ValueError(
+            f"ivf_maintain: index at {index_path} has no recorded "
+            "layout; rebuild it with ivf_build first"
+        )
+    if batch_df.first() is None:
+        return {
+            "action": "noop",
+            "drift": None,
+            "compaction": ivf_compact(spark, index_path, target_file_bytes),
+        }
+    drift = ivf_drift(
+        spark, index_path, batch_df, id_col, vec_col,
+        distortion_ratio_max, tvd_max,
+    )
+    try:
+        pq = spark.read.parquet(f"{index_path}/pq/meta").first()
+    except AnalysisException:
+        pq = None
+    if drift["needs_refit"]:
+        fvec = F.col(vec_col).cast("array<float>").alias(vec_col)
+        vecs = spark.read.parquet(f"{index_path}/vectors").select(
+            F.col(id_col), fvec, *meta_cols
+        )
+        union = vecs.unionByName(
+            batch_df.select(F.col(id_col), fvec, *meta_cols)
+        )
+        staging = index_path.rstrip("/") + f".rebuild-{uuid.uuid4().hex[:8]}"
+        if pq is not None:
+            ivf_pq_build_or_reuse(
+                union, staging, n_clusters=int(pq["n_clusters"]),
+                m=int(pq["m"]), ksub=int(pq["ksub"]), id_col=id_col,
+                vec_col=vec_col, meta_cols=tuple(meta_cols),
+            )
+        else:
+            ivf_build(
+                union, staging, n_clusters=int(n_clusters),
+                id_col=id_col, vec_col=vec_col, meta_cols=tuple(meta_cols),
+            )
+        for sub in ("stream_meta", "stream_meta_started"):
+            src = os.path.join(index_path, sub)
+            if os.path.isdir(src):
+                os.rename(src, os.path.join(staging, sub))
+        old = index_path.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(index_path, old)
+        os.rename(staging, index_path)
+        shutil.rmtree(old)
+        action = "rebuild"
+    else:
+        if pq is not None:
+            pq_append(spark, index_path, batch_df, id_col, vec_col)
+        else:
+            ivf_append(spark, index_path, batch_df, id_col, vec_col)
+        # advance the baseline under the post-append fingerprint:
+        # merged partials == what a full recompute would produce
+        new_meta, _, _, _ = _ivf_meta(spark, index_path)
+        merged: dict = {}
+        for c, n, s in drift["base_rows"] + drift["batch_rows"]:
+            cn, cs = merged.get(c, (0, 0.0))
+            merged[c] = (cn + n, cs + s)
+        spark.createDataFrame(
+            [
+                (int(c), int(n), float(s), int(new_meta["n"]),
+                 str(new_meta["max_id"]))
+                for c, (n, s) in sorted(merged.items())
+            ],
+            "cluster int, cnt long, sum_dist double, fp_n long, "
+            "fp_max string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/drift_baseline"
+        )
+        action = "append"
+    return {
+        "action": action,
+        "drift": drift,
+        "compaction": ivf_compact(spark, index_path, target_file_bytes),
+    }
 
 
 def ivf_search(

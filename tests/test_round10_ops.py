@@ -619,3 +619,263 @@ def test_stream_maintainer_grows_pq_layer(spark, tmp_path):
         rerank=30, index_path=idx,
     ).collect()
     assert got and got[0].vec_id == 59
+
+
+# ---------------------------------------------------------------------------
+# ivf_drift / ivf_stats: the maintenance-scheduling signals
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def drift_index(spark, tmp_path):
+    """Two well-separated direction clusters, k=2: baseline distortion
+    is tiny (every vector hugs its centroid), so BOTH drift axes have
+    teeth — an orthogonal batch trips the distortion ratio, a
+    mass-relocating batch trips the assignment TVD."""
+    rows = [(i, _vec(i % 2, i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "driftidx")
+    ivf_build(df, idx, n_clusters=2)
+    return idx, df
+
+
+def test_drift_in_distribution_not_flagged(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_drift,
+    )
+
+    idx, df = drift_index
+    # direction alternates with vec_id parity, so a PARITY slice would
+    # be single-direction (mass relocation); slice on id PAIRS instead
+    # to keep both directions represented equally
+    d = ivf_drift(spark, idx, df.filter(F.col("vec_id") % 4 < 2))
+    assert not d["needs_refit"]
+    assert d["distortion_ratio"] < 1.25
+    assert d["assignment_tvd"] < 0.35
+    assert d["n_batch"] == 20
+    assert not d["reused_baseline"]  # first call computes the baseline
+
+
+def test_drift_orthogonal_batch_trips_distortion_ratio(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_drift,
+    )
+
+    idx, df = drift_index
+    # direction 2 is orthogonal to both build directions: far from
+    # every frozen centroid -> the per-vector quantizer loss explodes
+    rows = [(100 + i, _vec(2, i)) for i in range(20)]
+    batch = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    d = ivf_drift(spark, idx, batch)
+    assert d["needs_refit"]
+    assert d["distortion_ratio"] > 1.25
+    assert d["batch_distortion"] > d["baseline_distortion"]
+
+
+def test_drift_mass_relocation_trips_tvd(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_drift,
+    )
+
+    idx, df = drift_index
+    # all-direction-0 batch: quantizes perfectly (ratio ~1) but the
+    # assignment histogram collapses into one cell -> TVD ~0.5
+    d = ivf_drift(spark, idx, df.filter(F.col("vec_id") % 2 == 0))
+    d2 = ivf_drift(
+        spark, idx,
+        spark.createDataFrame(
+            [(200 + i, _vec(0, i)) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        ),
+        tvd_max=0.35,
+    )
+    assert d2["distortion_ratio"] < 1.25  # in-dist per-vector loss
+    assert d2["assignment_tvd"] > 0.35
+    assert d2["needs_refit"]
+    assert d2["reused_baseline"]  # second call on the same index
+
+
+def test_drift_baseline_invalidated_by_append(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_append,
+        ivf_drift,
+    )
+
+    idx, df = drift_index
+    in_dist = df.filter(F.col("vec_id") % 2 == 0)
+    ivf_drift(spark, idx, in_dist)  # computes + persists the baseline
+    new = spark.createDataFrame(
+        [(500 + i, _vec(1, i)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_append(spark, idx, new)  # fingerprint advances with the index
+    d = ivf_drift(spark, idx, in_dist)
+    assert not d["reused_baseline"]  # stale cache recomputed, not served
+
+
+def test_drift_empty_batch_carries_no_signal(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_drift,
+    )
+
+    idx, df = drift_index
+    d = ivf_drift(spark, idx, df.filter(F.col("vec_id") < 0))
+    assert d["n_batch"] == 0
+    assert not d["needs_refit"]
+    assert d["batch_distortion"] is None
+
+
+def test_ivf_stats_fresh_build(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_stats,
+    )
+
+    idx, df = drift_index
+    st = ivf_stats(spark, idx)
+    assert st["n_vectors"] == 40
+    assert st["n_clusters"] == 2
+    assert st["nonempty_clusters"] == 2
+    assert st["max_leaf"] + st["mean_leaf"] * 2 - st["max_leaf"] >= 0
+    assert abs(st["mean_leaf"] * st["nonempty_clusters"] - 40) < 1e-9
+    assert st["imbalance"] >= 1.0
+    # one-writer-per-leaf build: exactly one file per leaf directory
+    assert st["files"] == st["leaf_dirs"] == 2
+    assert st["has_pq"] is False and st["pq"] is None
+    assert st["meta_cols"] == [] and st["legacy_meta"] is False
+
+
+def test_ivf_stats_sees_pq_layer(spark, tmp_path):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_pq_build_or_reuse,
+        ivf_stats,
+    )
+
+    rows = [(i, _vec(i % 2, i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "statspq")
+    ivf_pq_build_or_reuse(df, idx, n_clusters=2, m=2, ksub=16)
+    st = ivf_stats(spark, idx)
+    assert st["has_pq"] is True
+    assert st["pq"] == {"m": 2, "ksub": 16}
+
+
+# ---------------------------------------------------------------------------
+# ivf_maintain: the autopilot (drift-check -> append-or-refit -> compact)
+# ---------------------------------------------------------------------------
+
+
+def test_maintain_appends_in_distribution_and_advances_baseline(
+    spark, drift_index
+):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_drift,
+        ivf_maintain,
+    )
+
+    idx, df = drift_index
+    new = spark.createDataFrame(
+        [(500 + i, _vec(i % 2, i)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    r = ivf_maintain(spark, idx, new)
+    assert r["action"] == "append"
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
+    # the merged baseline must equal what a recompute would produce
+    merged = spark.read.parquet(f"{idx}/drift_baseline").collect()
+    m_mean = sum(x.sum_dist for x in merged) / sum(x.cnt for x in merged)
+    import shutil
+
+    shutil.rmtree(f"{idx}/drift_baseline")
+    d = ivf_drift(spark, idx, new.limit(1))
+    assert abs(m_mean - d["baseline_distortion"]) < 1e-9
+
+
+def test_maintain_refits_on_drift_with_closure(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_drift,
+        ivf_maintain,
+    )
+
+    idx, df = drift_index
+    drifted = spark.createDataFrame(
+        [(900 + i, _vec(2, i)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    r = ivf_maintain(spark, idx, drifted)
+    assert r["action"] == "rebuild"
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
+    # closure: the refit index represents the batch's region now
+    d = ivf_drift(spark, idx, drifted)
+    assert d["distortion_ratio"] < 1.25
+    # old drift baseline died with the old centroids
+    assert not d["reused_baseline"]
+
+
+def test_maintain_rebuild_retrains_pq_layer(spark, tmp_path):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_maintain,
+        ivf_pq_build_or_reuse,
+        ivf_pq_topk,
+    )
+
+    rows = [(i, _vec(i % 2, i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "maintpq")
+    ivf_pq_build_or_reuse(df, idx, n_clusters=2, m=2, ksub=16)
+    drifted = spark.createDataFrame(
+        [(900 + i, _vec(2, i)) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    r = ivf_maintain(spark, idx, drifted)
+    assert r["action"] == "rebuild"
+    # both layers advanced together
+    assert spark.read.parquet(f"{idx}/vectors").count() == 90
+    assert spark.read.parquet(f"{idx}/pq/codes").count() == 90
+    # a drifted-region vector is reachable through the COMPRESSED path
+    union = df.unionByName(drifted)
+    query = spark.createDataFrame(
+        [(999, _vec(2, 5))], "vec_id long, embedding array<double>"
+    )
+    got = ivf_pq_topk(
+        union, query, k=3, n_clusters=2, nprobe=2, m=2, ksub=16,
+        rerank=30, index_path=idx,
+    ).collect()
+    assert got and got[0].vec_id == 905
+
+
+def test_maintain_empty_batch_is_noop(spark, drift_index):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_maintain,
+    )
+
+    idx, df = drift_index
+    r = ivf_maintain(spark, idx, df.filter(F.col("vec_id") < 0))
+    assert r["action"] == "noop"
+    assert r["drift"] is None
+    assert spark.read.parquet(f"{idx}/vectors").count() == 40
+
+
+def test_maintain_preserves_stream_bookkeeping_across_refit(
+    spark, drift_index
+):
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_maintain,
+    )
+
+    idx, df = drift_index
+    spark.createDataFrame([(7,)], "batch_id long").write.mode(
+        "append"
+    ).parquet(f"{idx}/stream_meta")
+    drifted = spark.createDataFrame(
+        [(900 + i, _vec(2, i)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    r = ivf_maintain(spark, idx, drifted)
+    assert r["action"] == "rebuild"
+    ids = [
+        r2.batch_id
+        for r2 in spark.read.parquet(f"{idx}/stream_meta").collect()
+    ]
+    assert ids == [7]

@@ -2418,6 +2418,24 @@ CHECKS_R8 = {
     "q385_index_erasure_contract": _topk(),
     "q386_stream_index_maintenance": _topk(),
     "q387_index_compaction_contract": _topk(),
+    "q388_centroid_drift_contract": [
+        ("contract row is one partial-aggregated count over the corpus; "
+         "drift verdicts are literals computed eagerly upstream (one "
+         "Arrow partials pass per batch, k-row collects, fingerprinted "
+         "baseline reuse)", True,
+         lambda p: "partial_" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q389_index_stats_contract": [
+        ("contract row is one partial-aggregated count; index stats read "
+         "meta + partition-column footers, never vector data in-plan",
+         True, lambda p: "partial_" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q390_index_autopilot_contract": [
+        ("contract row is one partial-aggregated count; maintain "
+         "decisions (drift partials, append/rebuild, compaction) run "
+         "eagerly upstream at O(batch) steady state", True,
+         lambda p: "partial_" in p and _nopy(p) and _nocart(p)),
+    ],
     "q193_ivf_pq_recall_contract": _topk(),
     "q106_lsh_recall_contract": [
         ("LSH side reuses the Arrow-batched signature stage; all "
