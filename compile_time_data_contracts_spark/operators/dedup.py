@@ -627,11 +627,15 @@ def minhash_index_build(
         if fingerprint is not None
         else _minhash_index_fingerprint(df, id_col)
     )
-    spark.createDataFrame(
+    from ..sources.layout import write_tiny_parquet
+
+    write_tiny_parquet(
+        spark,
         [(fp[0], fp[1], id_col, n, num_hashes, bands)],
         "n_docs long, max_id string, id_col string, shingle_n int, "
         "num_hashes int, bands int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        f"{index_path}/meta",
+    )
 
 
 def minhash_index_reuse_or_build(

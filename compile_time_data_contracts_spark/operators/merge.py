@@ -69,9 +69,13 @@ def snapshot_write(
     bucketed.repartition(F.col(BUCKET_COL)).write.mode(
         "overwrite"
     ).partitionBy(BUCKET_COL).parquet(f"{path}/data")
-    df.sparkSession.createDataFrame(
-        [(key_col, num_buckets)], "key_col string, num_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    from ..sources.layout import write_tiny_parquet
+
+    write_tiny_parquet(
+        df.sparkSession,
+        [(key_col, num_buckets)], "key_col string, num_buckets int",
+        f"{path}/meta",
+    )
 
 
 def snapshot_read(spark: SparkSession, path: str) -> DataFrame:

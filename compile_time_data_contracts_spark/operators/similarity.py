@@ -23,6 +23,8 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.layout import write_tiny_parquet
+
 __all__ = [
     "dot",
     "l2_norm",
@@ -788,9 +790,10 @@ def ivf_build(
     ).partitionBy("cluster", *meta_cols).parquet(f"{index_path}/vectors")
     spark = df.sparkSession
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(C)]
-    spark.createDataFrame(
-        cent_rows, "cluster int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    write_tiny_parquet(
+        spark, cent_rows, "cluster int, centroid array<double>",
+        f"{index_path}/centroids",
+    )
     # meta rides with the index: the content fingerprint (so reuse can
     # detect a regenerated source) AND the layout parameters (meta_cols,
     # n_clusters) — ivf_append derives the partition layout from here
@@ -799,10 +802,12 @@ def ivf_build(
     # would write at the wrong directory depth and break partition
     # discovery for every subsequent read)
     fp = fingerprint if fingerprint is not None else _ivf_fingerprint(df, id_col)
-    spark.createDataFrame(
+    write_tiny_parquet(
+        spark,
         [(fp[0], fp[1], ",".join(meta_cols), int(n_clusters))],
         "n long, max_id string, meta_cols string, n_clusters int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        f"{index_path}/meta",
+    )
 
 
 def _ivf_meta(spark, index_path: str):
@@ -886,7 +891,8 @@ def ivf_append(
         "append"
     ).partitionBy("cluster", *meta_cols).parquet(f"{index_path}/vectors")
     add_n, add_mx = _ivf_fingerprint(new_df, id_col)
-    spark.createDataFrame(
+    write_tiny_parquet(
+        spark,
         [(
             int(old["n"]) + add_n,
             max(old["max_id"] or "", add_mx),
@@ -894,7 +900,8 @@ def ivf_append(
             stored_k,
         )],
         "n long, max_id string, meta_cols string, n_clusters int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        f"{index_path}/meta",
+    )
 
 
 def _partition_pred(touched, meta_cols: tuple):
@@ -1057,10 +1064,12 @@ def ivf_delete(
     fp_n, fp_mx = _ivf_fingerprint(
         spark.read.parquet(f"{index_path}/vectors"), id_col
     )
-    spark.createDataFrame(
+    write_tiny_parquet(
+        spark,
         [(fp_n, fp_mx, ",".join(meta_cols), stored_k)],
         "n long, max_id string, meta_cols string, n_clusters int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        f"{index_path}/meta",
+    )
     return {
         "n_deleted": int(n_deleted),
         "rewritten_partitions": len(touched),
@@ -1343,10 +1352,12 @@ def ivf_drift(
         base_rows = _distortion_partials(
             vecs, C, vec_col, cluster_col="cluster"
         )
-        spark.createDataFrame(
+        write_tiny_parquet(
+            spark,
             [(int(c), int(n), float(s), fp_n, fp_max) for c, n, s in base_rows],
             "cluster int, cnt long, sum_dist double, fp_n long, fp_max string",
-        ).coalesce(1).write.mode("overwrite").parquet(base_path)
+            base_path,
+        )
 
     n_base = sum(n for _, n, _ in base_rows)
     base_mean = (
@@ -1567,7 +1578,8 @@ def ivf_maintain(
         for c, n, s in drift["base_rows"] + drift["batch_rows"]:
             cn, cs = merged.get(c, (0, 0.0))
             merged[c] = (cn + n, cs + s)
-        spark.createDataFrame(
+        write_tiny_parquet(
+            spark,
             [
                 (int(c), int(n), float(s), int(new_meta["n"]),
                  str(new_meta["max_id"]))
@@ -1575,8 +1587,7 @@ def ivf_maintain(
             ],
             "cluster int, cnt long, sum_dist double, fp_n long, "
             "fp_max string",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_path}/drift_baseline"
+            f"{index_path}/drift_baseline",
         )
         action = "append"
     return {
@@ -2668,16 +2679,15 @@ def ivf_pq_build_or_reuse(
             for s in range(books.shape[0])
             for c in range(books.shape[1])
         ]
-        spark.createDataFrame(
-            book_rows, "s int, c int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_path}/pq/books"
+        write_tiny_parquet(
+            spark, book_rows, "s int, c int, centroid array<double>",
+            f"{index_path}/pq/books",
         )
-        spark.createDataFrame(
+        write_tiny_parquet(
+            spark,
             [(n_clusters, m, ksub, ",".join(meta_cols))],
             "n_clusters int, m int, ksub int, meta_cols string",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_path}/pq/meta"
+            f"{index_path}/pq/meta",
         )
 
     return index_path

@@ -751,10 +751,14 @@ def boilerplate_index_build(
         F.col("line_df") > max_doc_freq
     )
     hot.write.mode("overwrite").parquet(f"{index_path}/hot_lines")
-    df.sparkSession.createDataFrame(
+    from ..sources.layout import write_tiny_parquet
+
+    write_tiny_parquet(
+        df.sparkSession,
         [(df.count(), max_doc_freq, sep)],
         "n_docs long, max_doc_freq int, sep string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        f"{index_path}/meta",
+    )
 
 
 def remove_boilerplate_against(

@@ -23,7 +23,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "write_zordered", "compact_parquet"]
+__all__ = [
+    "zorder_value",
+    "write_zordered",
+    "compact_parquet",
+    "write_tiny_parquet",
+]
+
+
+def write_tiny_parquet(spark, rows, schema: str, path: str) -> None:
+    """One-file parquet write of a DRIVER-SIDE row list — the shape of
+    every metadata table (content fingerprints, centroid tables, layout
+    params, persisted baselines).
+
+    NOT ``createDataFrame(rows).coalesce(1)``: parallelize slices the
+    list into defaultParallelism pickled partitions, and coalesce(1)
+    then deserializes ALL of them sequentially inside one task, paying
+    one Python-worker round-trip per slice — measured ~5 s of pure
+    scheduling per tiny write at local[32], which dominated every index
+    build's wall clock (the 16-row centroid table cost 3x the full
+    corpus assignment pass).  ``repartition(1)`` keeps the narrow
+    stages parallel and funnels a few KB through one shuffle (~0.8 s);
+    row semantics and the single output footer are identical."""
+    spark.createDataFrame(rows, schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def zorder_value(a: Column, b: Column, bits: int = 16) -> Column:
