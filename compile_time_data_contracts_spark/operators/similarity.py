@@ -1331,6 +1331,8 @@ def ivf_drift(
     base_path = f"{index_path}/drift_baseline"
 
     cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    if not cents:
+        raise ValueError(f"ivf_drift: no centroids at {index_path}")
     C = np.zeros((len(cents), len(cents[0].centroid)))
     for r in cents:
         C[r.cluster] = r.centroid
@@ -1360,9 +1362,15 @@ def ivf_drift(
         )
 
     n_base = sum(n for _, n, _ in base_rows)
-    base_mean = (
-        sum(s for _, _, s in base_rows) / n_base if n_base else float("nan")
-    )
+    if n_base == 0:
+        # an empty index has no quantizer loss to compare against, and
+        # a NaN baseline would make 'ratio > threshold' silently False
+        # for ANY batch — fail loudly instead
+        raise ValueError(
+            f"ivf_drift: index at {index_path} holds no vectors; "
+            "build it before drift-checking against it"
+        )
+    base_mean = sum(s for _, _, s in base_rows) / n_base
 
     batch_rows = _distortion_partials(batch_df, C, vec_col)
     n_batch = sum(n for _, n, _ in batch_rows)
@@ -1419,21 +1427,30 @@ def ivf_stats(spark, index_path: str) -> dict:
         ``ivf_compact`` exists to pay down;
       * ``has_pq`` and the PQ layer's (m, codebook bits) when present.
 
-    Leaf sizes come from one column-pruned count over the partition
-    column (footer row counts, no vector data read); file counts from a
-    directory walk (object-store listing at cluster scale — the same
-    local-FS stand-in as :func:`..sources.layout.compact_parquet`).
-    k-row collect, bounded by n_clusters."""
+    "Leaf" means the same unit everywhere: one on-disk (cluster,
+    *meta_cols) partition directory — sizes, imbalance, AND file counts
+    are all per-leaf, so the two dashboard numbers that schedule
+    maintenance describe the same objects (on a meta-partitioned index
+    a hot (cluster, label) leaf that dominates filtered probes shows up
+    in ``imbalance``, which a per-cluster rollup would average away).
+    ``nonempty_clusters`` stays cluster-level for the nprobe sanity
+    check.  Leaf sizes come from one column-pruned count over the
+    partition columns (footer row counts, no vector data read); file
+    counts from a directory walk (object-store listing at cluster
+    scale — the same local-FS stand-in as
+    :func:`..sources.layout.compact_parquet`).  Bounded collects:
+    leaves x partition values."""
     import os
 
     row, mc, n_clusters, legacy = _ivf_meta(spark, index_path)
     leaf = (
         spark.read.parquet(f"{index_path}/vectors")
-        .groupBy("cluster")
+        .groupBy("cluster", *mc)
         .count()
         .collect()
     )
     sizes = [int(r["count"]) for r in leaf]
+    nonempty_clusters = len({r["cluster"] for r in leaf})
     n_files = 0
     n_leaves = 0
     for dirpath, _dirs, files in os.walk(f"{index_path}/vectors"):
@@ -1444,22 +1461,21 @@ def ivf_stats(spark, index_path: str) -> dict:
         if pq_files and "=" in os.path.basename(dirpath):
             n_leaves += 1
             n_files += len(pq_files)
-    pq_meta = None
     try:
         pm = spark.read.parquet(f"{index_path}/pq/meta").first()
-        if pm is not None:
-            d = pm.asDict()
-            pq_meta = {
-                k: d[k] for k in ("m", "ksub") if k in d
-            } or dict(d)
-    except Exception:
-        pq_meta = None
+    except AnalysisException:
+        pm = None  # plain IVF index
+    # a present pq/meta missing m/ksub is a malformed layer — surface
+    # the KeyError rather than reporting has_pq=False over real codes
+    pq_meta = (
+        {"m": pm["m"], "ksub": pm["ksub"]} if pm is not None else None
+    )
     mean_leaf = (sum(sizes) / len(sizes)) if sizes else 0.0
     return {
         "n_vectors": int(row["n"]) if row is not None else sum(sizes),
         "max_id": str(row["max_id"]) if row is not None else None,
         "n_clusters": int(n_clusters) if n_clusters is not None else None,
-        "nonempty_clusters": len(sizes),
+        "nonempty_clusters": nonempty_clusters,
         "max_leaf": max(sizes) if sizes else 0,
         "mean_leaf": mean_leaf,
         "imbalance": (max(sizes) / mean_leaf) if sizes else float("nan"),
@@ -1529,12 +1545,27 @@ def ivf_maintain(
             "drift": None,
             "compaction": ivf_compact(spark, index_path, target_file_bytes),
         }
+    # pin the batch rows: the drift pass and the append/rebuild both
+    # evaluate the batch, and a non-deterministic source (sample, limit
+    # over an unordered frame, a re-read of a mutating table) would
+    # otherwise let the persisted baseline record rows that were never
+    # appended
+    batch_df = batch_df.localCheckpoint(eager=True)
     drift = ivf_drift(
         spark, index_path, batch_df, id_col, vec_col,
         distortion_ratio_max, tvd_max,
     )
     try:
         pq = spark.read.parquet(f"{index_path}/pq/meta").first()
+        if pq is None:
+            # a present-but-empty pq/meta is a torn write, not "no PQ
+            # layer": appending only the vector layer would silently
+            # exclude the batch from compressed searches forever (the
+            # pq_append / stream-maintainer failure convention)
+            raise ValueError(
+                f"ivf_maintain: empty pq/meta at {index_path}; "
+                "rebuild the PQ layer with ivf_pq_build_or_reuse"
+            )
     except AnalysisException:
         pq = None
     if drift["needs_refit"]:
@@ -1557,10 +1588,15 @@ def ivf_maintain(
                 union, staging, n_clusters=int(n_clusters),
                 id_col=id_col, vec_col=vec_col, meta_cols=tuple(meta_cols),
             )
+        # COPY (not move) the stream bookkeeping into staging: a crash
+        # between here and the swap must leave the live index fully
+        # intact — moving stream_meta out would strip the committed
+        # batch-id table from a still-serving index and let a stream
+        # restart re-append committed epochs (duplicate vectors)
         for sub in ("stream_meta", "stream_meta_started"):
             src = os.path.join(index_path, sub)
             if os.path.isdir(src):
-                os.rename(src, os.path.join(staging, sub))
+                shutil.copytree(src, os.path.join(staging, sub))
         old = index_path.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
         os.rename(index_path, old)
         os.rename(staging, index_path)
@@ -1571,8 +1607,13 @@ def ivf_maintain(
             pq_append(spark, index_path, batch_df, id_col, vec_col)
         else:
             ivf_append(spark, index_path, batch_df, id_col, vec_col)
-        # advance the baseline under the post-append fingerprint:
-        # merged partials == what a full recompute would produce
+        # advance the baseline under the post-append fingerprint: the
+        # batch's partials carry the appended rows' cluster counts
+        # exactly (same float64 assignment math as the append) and
+        # their distortion against the PRE-ROUNDING values — a
+        # recompute from disk would differ only by the float32 storage
+        # rounding of the vectors, ~1e-7 relative against thresholds
+        # of 1.25
         new_meta, _, _, _ = _ivf_meta(spark, index_path)
         merged: dict = {}
         for c, n, s in drift["base_rows"] + drift["batch_rows"]:

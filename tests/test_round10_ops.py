@@ -737,13 +737,30 @@ def test_ivf_stats_fresh_build(spark, drift_index):
     assert st["n_vectors"] == 40
     assert st["n_clusters"] == 2
     assert st["nonempty_clusters"] == 2
-    assert st["max_leaf"] + st["mean_leaf"] * 2 - st["max_leaf"] >= 0
+    assert st["max_leaf"] <= st["n_vectors"]
+    assert st["max_leaf"] >= st["mean_leaf"]
     assert abs(st["mean_leaf"] * st["nonempty_clusters"] - 40) < 1e-9
     assert st["imbalance"] >= 1.0
     # one-writer-per-leaf build: exactly one file per leaf directory
     assert st["files"] == st["leaf_dirs"] == 2
     assert st["has_pq"] is False and st["pq"] is None
     assert st["meta_cols"] == [] and st["legacy_meta"] is False
+
+
+def test_ivf_stats_leaf_unit_is_the_partition_dir(spark, tenant_index):
+    """On a meta-partitioned index, size stats and file stats must
+    describe the SAME leaves — the (cluster, label) directories — while
+    nonempty_clusters stays cluster-level for the nprobe check."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        ivf_stats,
+    )
+
+    df, idx = tenant_index
+    st = ivf_stats(spark, idx)
+    assert st["nonempty_clusters"] == 2
+    assert st["leaf_dirs"] == 4  # 2 clusters x 2 labels
+    assert abs(st["mean_leaf"] * 4 - 40) < 1e-9
+    assert st["meta_cols"] == ["label"]
 
 
 def test_ivf_stats_sees_pq_layer(spark, tmp_path):
@@ -789,7 +806,11 @@ def test_maintain_appends_in_distribution_and_advances_baseline(
 
     shutil.rmtree(f"{idx}/drift_baseline")
     d = ivf_drift(spark, idx, new.limit(1))
-    assert abs(m_mean - d["baseline_distortion"]) < 1e-9
+    # merged partials measure the pre-rounding batch values; the
+    # recompute reads the float32-stored vectors — equal to storage
+    # rounding (counts are exactly equal; see ivf_maintain docstring)
+    assert abs(m_mean - d["baseline_distortion"]) < 1e-6
+    assert sum(x.cnt for x in merged) == 60
 
 
 def test_maintain_refits_on_drift_with_closure(spark, drift_index):
