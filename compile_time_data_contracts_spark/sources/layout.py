@@ -188,8 +188,21 @@ def compact_parquet(
         ]
     else:
         dirs = [path]
-    for d in dirs:
-        before_after = _compact_dir(d)
+    # per-leaf rewrites are INDEPENDENT Spark jobs; running them from a
+    # thread pool lets the scheduler overlap them (each job is one
+    # read-shuffle-write over one small directory — measured 256
+    # sequential leaf jobs at ~0.2 s each turned a 50k-row append's
+    # maintenance pass into a 50 s tail; 8 concurrent submitters cut
+    # it ~6x).  The already-compact fast path (a pure listdir) is done
+    # inline by the same workers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dirs) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
+            befores_afters = list(pool.map(_compact_dir, dirs))
+    else:
+        befores_afters = [_compact_dir(d) for d in dirs]
+    for before_after in befores_afters:
         if before_after is not None:
             stats["partitions_compacted"] += 1
             stats["files_before"] += before_after[0]
