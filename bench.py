@@ -150,13 +150,24 @@ def main() -> None:
         if probe_sec
         else None
     )
+    # the probe branch needs an ABSOLUTE floor as well as the ratio:
+    # pass 1 consistently runs the probe ~4x faster than later passes
+    # on an IDLE host (JVM session aging — GC pressure and broadcast
+    # cleanup accumulate over the ~400 queries of each pass), so a
+    # pure ratio reads aging as contention.  0.06 s -> 0.28 s is
+    # aging; a genuinely loaded host pushes the 10^8-row sum past
+    # ~0.75 s, and only then does the ratio mean what the flag says.
     noise = {
         "probe_sec": probe_sec,
         "probe_ratio": probe_ratio,
         "n_noisy_queries": n_noisy,
         "noise_flag": bool(
             n_noisy > max(10, len(samples) // 33)
-            or (probe_ratio is not None and probe_ratio > 2.0)
+            or (
+                probe_ratio is not None
+                and probe_ratio > 2.0
+                and max(probe_sec) >= 0.75
+            )
         ),
     }
     if noise["noise_flag"]:
