@@ -1411,15 +1411,28 @@ def ivf_drift(
     }
 
 
-def _leaf_file_stats(root: str) -> tuple[int, int]:
-    """(total parquet files, leaf partition dirs) under a partitioned
-    parquet root — a pure directory walk (object-store listing at
-    cluster scale), no Spark job.  Shared by the observability snapshot
-    and the autopilot's compact-or-skip decision."""
+def _leaf_file_stats(
+    root: str, target_file_bytes: int | None = None
+) -> tuple[int, int, int]:
+    """(total parquet files, leaf partition dirs, max per-leaf EXCESS
+    files) under a partitioned parquet root — a pure directory walk
+    (object-store listing at cluster scale), no Spark job.  Excess =
+    files beyond what the leaf's byte size needs at
+    ``target_file_bytes`` — the same criterion
+    :func:`..sources.layout.compact_parquet` compacts on, so the
+    autopilot's compact-or-skip gate can never latch permanently on
+    for leaves that legitimately NEED many files (a raw files/leaf
+    mean would), and a single hot leaf accumulating appends trips the
+    gate without waiting for the fleet-wide mean to move.  With
+    ``target_file_bytes=None`` the excess is skipped (observability
+    callers that only want counts).  Shared by the observability
+    snapshot and the autopilot."""
+    import math
     import os
 
     n_files = 0
     n_leaves = 0
+    max_excess = 0
     for dirpath, _dirs, files in os.walk(root):
         pq_files = [
             f for f in files
@@ -1428,7 +1441,14 @@ def _leaf_file_stats(root: str) -> tuple[int, int]:
         if pq_files and "=" in os.path.basename(dirpath):
             n_leaves += 1
             n_files += len(pq_files)
-    return n_files, n_leaves
+            if target_file_bytes:
+                size = sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in pq_files
+                )
+                need = max(1, math.ceil(size / target_file_bytes))
+                max_excess = max(max_excess, len(pq_files) - need)
+    return n_files, n_leaves, max_excess
 
 
 def ivf_stats(spark, index_path: str) -> dict:
@@ -1460,8 +1480,6 @@ def ivf_stats(spark, index_path: str) -> dict:
     scale — the same local-FS stand-in as
     :func:`..sources.layout.compact_parquet`).  Bounded collects:
     leaves x partition values."""
-    import os
-
     row, mc, n_clusters, legacy = _ivf_meta(spark, index_path)
     leaf = (
         spark.read.parquet(f"{index_path}/vectors")
@@ -1471,7 +1489,7 @@ def ivf_stats(spark, index_path: str) -> dict:
     )
     sizes = [int(r["count"]) for r in leaf]
     nonempty_clusters = len({r["cluster"] for r in leaf})
-    n_files, n_leaves = _leaf_file_stats(f"{index_path}/vectors")
+    n_files, n_leaves, _ = _leaf_file_stats(f"{index_path}/vectors")
     try:
         pm = spark.read.parquet(f"{index_path}/pq/meta").first()
     except AnalysisException:
@@ -1533,13 +1551,17 @@ def ivf_maintain(
          it can never see a mixed layout).  The old drift baseline
          dies with the old centroids and the next check recomputes it;
       4. either way, finish with :func:`ivf_compact` — but only once
-         ``compact_min_files_per_leaf`` is reached (directory-walk
-         check, no Spark job).  Compacting after EVERY batch would
-         rewrite every touched leaf per call — at 256 touched leaves
-         the measured maintenance tail was 10x the append itself; the
-         threshold amortizes one compaction over
-         ~``compact_min_files_per_leaf`` appends while footer-read
-         overhead stays bounded.
+         some leaf carries ``compact_min_files_per_leaf`` files BEYOND
+         its byte need (directory-walk check, no Spark job; the same
+         excess criterion compact_parquet itself rewrites on, so the
+         gate neither latches on for leaves that legitimately need
+         many files nor lets one hot leaf hide behind a fleet-wide
+         mean).  Compacting after EVERY batch would rewrite every
+         touched leaf per call — at 256 touched leaves the measured
+         maintenance tail was 10x the append itself; the threshold
+         amortizes one compaction over ~``compact_min_files_per_leaf``
+         appends to the hottest leaf while its footer-read overhead
+         stays bounded.
 
     Returns ``{"action": "append"|"rebuild"|"noop", "drift": <the
     ivf_drift verdict>, "compaction": <ivf_compact stats>}``.  A crash
@@ -1558,8 +1580,15 @@ def ivf_maintain(
             "layout; rebuild it with ivf_build first"
         )
     def _maybe_compact() -> dict:
-        nf, nl = _leaf_file_stats(f"{index_path}/vectors")
-        if nl and nf / nl >= compact_min_files_per_leaf:
+        # gate on the worst leaf's EXCESS over its byte need (the same
+        # criterion compact_parquet rewrites on): a mean-files/leaf
+        # gate would latch permanently ON for leaves that legitimately
+        # need many files, and would let one hot leaf accumulate
+        # ~threshold x n_leaves files before the mean moved
+        _nf, _nl, max_excess = _leaf_file_stats(
+            f"{index_path}/vectors", target_file_bytes
+        )
+        if max_excess >= compact_min_files_per_leaf:
             return ivf_compact(spark, index_path, target_file_bytes)
         return {
             "partitions_compacted": 0, "files_before": 0, "files_after": 0,

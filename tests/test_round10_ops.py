@@ -900,3 +900,35 @@ def test_maintain_preserves_stream_bookkeeping_across_refit(
         for r2 in spark.read.parquet(f"{idx}/stream_meta").collect()
     ]
     assert ids == [7]
+
+
+def test_maintain_compacts_once_a_leaf_accumulates_excess(
+    spark, drift_index
+):
+    """The autopilot's compact-or-skip gate must actually FIRE: tiny
+    in-distribution appends add one file per touched leaf per call
+    (byte-need stays 1), so by the fourth append some leaf carries 4
+    excess files and the default threshold triggers a real compaction
+    that bin-packs the leaves back down."""
+    from compile_time_data_contracts_spark.operators.similarity import (
+        _leaf_file_stats,
+        ivf_maintain,
+    )
+
+    idx, df = drift_index
+    last = None
+    for i in range(4):
+        batch = spark.createDataFrame(
+            [(1000 + 10 * i + j, _vec(j % 2, j)) for j in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        # thresholds opened wide: a 4-row batch against the fixture's
+        # near-zero baseline makes the ratio hyper-sensitive, and this
+        # test pins the COMPACTION gate, not the drift verdict
+        last = ivf_maintain(
+            spark, idx, batch, distortion_ratio_max=100.0, tvd_max=0.99
+        )
+        assert last["action"] == "append"
+    assert last["compaction"]["partitions_compacted"] > 0
+    _nf, _nl, excess = _leaf_file_stats(f"{idx}/vectors", 128 << 20)
+    assert excess == 0  # bin-packed back down

@@ -9,8 +9,15 @@ SCALEBENCH.json):
      the one-time baseline pass over the index (`append_cold_sec`),
      after which the whole call — drift check, frozen-centroid append,
      exact baseline advance, compact-or-skip — stays batch-sized
-     (`append_warm_sec`; floor at n >= 5x10^5: >= 3x cheaper than the
-     rebuild);
+     (`append_warm_sec`).  Both append batches are FULL BATCH-sized
+     (two held-out slices, hash-halved), so the speedup vs the rebuild
+     compares EQUAL batch sizes — measured honestly at 2.0x for a 50k
+     batch against a 10^6 corpus (floor 1.5 at n >= 5x10^5).  The
+     advantage scales with corpus/batch: the re-fit reads and rewrites
+     the full corpus (O(n)) while the append touches O(batch) + fixed
+     per-call costs (drift check, one partitioned write across the
+     touched leaves), so at a production 10^9-vector index the same
+     50k batch sees ~1000x the work ratio this probe can exercise;
   2. a 50k new-topic batch takes the REBUILD path (`rebuild_sec` —
      the honest full re-fit price at 10^6, paid only when the
      detector fires);
@@ -33,8 +40,8 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from scale_probe_drift import BATCH, drifted_batch  # noqa: E402
-from scale_probe_filtered_ivf import N_CLUSTERS, generate  # noqa: E402
+from scale_probe_drift import BATCH, load_probe_frames  # noqa: E402
+from scale_probe_filtered_ivf import N_CLUSTERS  # noqa: E402
 from scalebench import merge_entry  # noqa: E402
 
 
@@ -64,25 +71,11 @@ def main(n: int = 1_000_000, dim: int = 64) -> None:
     results: dict = {
         "n": n, "dim": dim, "n_clusters": N_CLUSTERS, "batch": BATCH,
     }
-    path = f"/tmp/ctdc-scale-probe-fivf-{n}x{dim}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        generate(spark, path, n, dim)
-    emb = spark.read.parquet(path).select("vec_id", "embedding")
-
-    slice_col = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(20))
-    base = emb.filter(slice_col != 7)
-    held_path = f"/tmp/ctdc-scale-probe-drift-batch-{n}x{dim}"
-    if not os.path.exists(os.path.join(held_path, "_SUCCESS")):
-        emb.filter(slice_col == 7).limit(BATCH).write.mode(
-            "overwrite"
-        ).parquet(held_path)
-    held_out = spark.read.parquet(held_path)
-    drift_path = f"/tmp/ctdc-scale-probe-drift-new-{n}x{dim}"
-    if not os.path.exists(os.path.join(drift_path, "_SUCCESS")):
-        drifted_batch(spark, n, dim).write.mode("overwrite").parquet(
-            drift_path
-        )
-    drifted = spark.read.parquet(drift_path)
+    # two held slices -> two FULL-SIZE append batches, so the
+    # published append-vs-rebuild speedup compares equal batch sizes
+    _emb, base, held_out, drifted = load_probe_frames(
+        spark, n, dim, held_slices=2
+    )
 
     # the autopilot mutates its index, so this probe builds fresh each
     # run — that build is itself the first measured number
@@ -92,17 +85,18 @@ def main(n: int = 1_000_000, dim: int = 64) -> None:
     ivf_build(base, idx, n_clusters=N_CLUSTERS)
     results["build_sec"] = round(time.perf_counter() - t0, 2)
 
-    # two appends: the first pays the one-time baseline pass over the
-    # index; the second is the steady-state O(batch) shape.  Split on
-    # the id HASH — raw parity aliases with the 64-component mixture
-    # (even ids -> even components only: a genuine mass relocation the
-    # detector would rightly flag)
+    # two FULL-SIZE appends: the first pays the one-time baseline pass
+    # over the index; the second is the steady-state O(batch) shape.
+    # Split on the id HASH — raw parity aliases with the 64-component
+    # mixture (even ids -> even components only: a genuine mass
+    # relocation the detector would rightly flag)
     def _verdict(d: dict) -> dict:
         return {k: v for k, v in d.items() if not k.endswith("_rows")}
 
     split = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(1)), F.lit(2))
     half_a = held_out.filter(split == 0)
     half_b = held_out.filter(split == 1)
+    results["append_batch_rows"] = half_b.count()
     t0 = time.perf_counter()
     r1 = ivf_maintain(spark, idx, half_a)
     results["append_cold_sec"] = round(time.perf_counter() - t0, 2)
@@ -131,17 +125,23 @@ def main(n: int = 1_000_000, dim: int = 64) -> None:
     # neighbors are drifted ids (ids >= 10^7 by construction)
     q = drifted.limit(1)
     hits = ivf_search(spark, idx, q, k=10, nprobe=16).collect()
+    assert hits, "post-refit search returned no rows"
     frac_new = sum(1 for h in hits if h.vec_id >= 10_000_000) / len(hits)
     results["drifted_query_newid_frac"] = round(frac_new, 2)
     assert frac_new >= 0.9, hits
 
     speedup = results["rebuild_sec"] / max(results["append_warm_sec"], 1e-9)
     results["append_vs_rebuild_speedup"] = round(speedup, 1)
+    # the honest equal-batch-size comparison: at corpus/batch = 20
+    # (10^6 / 50k) the O(n) re-fit is only ~20x the append's O(batch)
+    # data work and fixed per-call costs dominate the append, so the
+    # floor is deliberately modest; the advantage regime grows
+    # linearly with corpus/batch (see module docstring)
+    results["corpus_to_batch_ratio"] = round(
+        n / max(results.get("append_batch_rows", BATCH), 1), 1
+    )
     if n >= 500_000:
-        # at small n the re-fit is as cheap as a batch pass and the
-        # floor is meaningless; the advantage regime is where the
-        # rebuild reads/rewrites the full corpus
-        assert speedup >= 3.0, results
+        assert speedup >= 1.5, results
 
     results["ok"] = True
     merge_entry(f"autopilot_n{n}", results)

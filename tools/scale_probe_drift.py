@@ -78,9 +78,53 @@ def drifted_batch(spark, n: int, dim: int):
     return base.mapInPandas(gen, "vec_id long, embedding array<float>")
 
 
+def load_probe_frames(spark, n: int, dim: int, held_slices: int = 1):
+    """(emb, base, held_out, drifted) for the drift/autopilot probes:
+    the cached mixture corpus, its base slice, and the two
+    MATERIALIZED probe batches (a production drift check receives an
+    arrival batch as its own table — deriving them lazily would bill a
+    full-corpus filter scan to every timed call).  ``held_slices``
+    widens the held-out pool (each slice is ~5% of the corpus, capped
+    at BATCH rows per slice) for probes that need several full-size
+    batches; the base excludes every held slice.
+
+    NOTE: the held-out slice must be COMPONENT-BLIND — vec_id % 20
+    aliases with the 64-component mixture (gcd 4: the slice would
+    cover only 16 components, a genuine mass relocation that ivf_drift
+    correctly flags).  The id is hashed so the batch spans every
+    component.  Shared by scale_probe_drift and scale_probe_autopilot
+    so a fix to the slicing or cache paths cannot diverge."""
+    from pyspark.sql import functions as F
+
+    path = f"/tmp/ctdc-scale-probe-fivf-{n}x{dim}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate(spark, path, n, dim)
+    emb = spark.read.parquet(path).select("vec_id", "embedding")
+    slice_col = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(20))
+    held_vals = list(range(7, 7 + held_slices))
+    base = emb.filter(~slice_col.isin(held_vals))
+    suffix = "" if held_slices == 1 else f"-s{held_slices}"
+    held_path = f"/tmp/ctdc-scale-probe-drift-batch-{n}x{dim}{suffix}"
+    if not os.path.exists(os.path.join(held_path, "_SUCCESS")):
+        parts = [
+            emb.filter(slice_col == v).limit(BATCH) for v in held_vals
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(held_path)
+    held_out = spark.read.parquet(held_path)
+    drift_path = f"/tmp/ctdc-scale-probe-drift-new-{n}x{dim}"
+    if not os.path.exists(os.path.join(drift_path, "_SUCCESS")):
+        drifted_batch(spark, n, dim).write.mode("overwrite").parquet(
+            drift_path
+        )
+    drifted = spark.read.parquet(drift_path)
+    return emb, base, held_out, drifted
+
+
 def main(n: int = 1_000_000, dim: int = 64) -> None:
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     from compile_time_data_contracts_spark.operators.similarity import (
         ivf_build_or_reuse,
@@ -103,37 +147,12 @@ def main(n: int = 1_000_000, dim: int = 64) -> None:
         "n": n, "dim": dim, "n_clusters": N_CLUSTERS, "batch": BATCH,
         "new_components": N_NEW_COMPONENTS,
     }
-    path = f"/tmp/ctdc-scale-probe-fivf-{n}x{dim}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        t0 = time.perf_counter()
-        generate(spark, path, n, dim)
-        results["generate_sec"] = round(time.perf_counter() - t0, 2)
-    emb = spark.read.parquet(path).select("vec_id", "embedding")
-
+    t0 = time.perf_counter()
+    _emb, base, held_out, drifted = load_probe_frames(spark, n, dim)
+    results["setup_sec"] = round(time.perf_counter() - t0, 2)
     # the index under watch: built on 95%, fingerprint-cached across
     # probe runs (drift never mutates it — only the baseline cache
     # inside it advances)
-    # NOTE: the slice must be COMPONENT-BLIND — vec_id % 20 aliases
-    # with the 64-component mixture (gcd 4: the slice would cover only
-    # 16 components, a genuine mass relocation that ivf_drift correctly
-    # flags).  Hash the id so the held-out batch spans every component.
-    slice_col = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(20))
-    base = emb.filter(slice_col != 7)
-    # materialize the probe batches: a production drift check receives
-    # an arrival batch as its own table — deriving it lazily here would
-    # bill a full-corpus filter scan to every timed drift call
-    held_path = f"/tmp/ctdc-scale-probe-drift-batch-{n}x{dim}"
-    if not os.path.exists(os.path.join(held_path, "_SUCCESS")):
-        emb.filter(slice_col == 7).limit(BATCH).write.mode(
-            "overwrite"
-        ).parquet(held_path)
-    held_out = spark.read.parquet(held_path)
-    drift_path = f"/tmp/ctdc-scale-probe-drift-new-{n}x{dim}"
-    if not os.path.exists(os.path.join(drift_path, "_SUCCESS")):
-        drifted_batch(spark, n, dim).write.mode("overwrite").parquet(
-            drift_path
-        )
-    drifted = spark.read.parquet(drift_path)
     idx = f"/tmp/ctdc-scale-probe-drift-{n}x{dim}"
     t0 = time.perf_counter()
     ivf_build_or_reuse(base, idx, n_clusters=N_CLUSTERS)
