@@ -21,7 +21,7 @@ across runs and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -363,8 +363,19 @@ def shingle_rows(
     key, e.g. (owner, window) for the chunked-containment pipeline).
     """
     id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    # shingling + per-shingle hashing is the dominant pre-shuffle map
+    # work of the whole dedup/ER family and would otherwise run inside
+    # the (often single-row-group, single-task) scan stage — spread the
+    # narrow (ids, text) projection first (guide §2.5; no-op on wide
+    # scans).  Every consumer aggregates order-insensitively (distinct /
+    # min / count), so round-robin placement is safe.
+    from .spread import spread_for_compute
+
+    src = spread_for_compute(
+        df.select(*[F.col(c) for c in id_cols], F.col(text_col))
+    )
     toks = F.split(F.col(text_col), " ")
-    base = df.select(*[F.col(c) for c in id_cols], toks.alias("__t"))
+    base = src.select(*[F.col(c) for c in id_cols], toks.alias("__t"))
     shifted = F.arrays_zip(
         *[
             F.slice(F.col("__t"), i + 1, F.size("__t")).alias(f"g{i}")
@@ -821,9 +832,12 @@ def connected_components(
     Iterative min-label propagation: each round every node adopts the
     smallest label among itself and its neighbors; converges in
     O(graph diameter) rounds (near-dup clusters are shallow — usually
-    2-4).  Each round is one self-join + one aggregate on (node, label)
-    pairs; iteration stops early when no label changes, checked with a
-    cheap count.  Lineage is cut per round with a RELIABLE checkpoint
+    2-4).  Each round is one edge-label join + ONE union-min aggregate
+    on (node, label) pairs (the node's own label enters the aggregate
+    through the union branch, so no second join re-attaches it);
+    iteration stops early when the label table's (count, xor-hash)
+    signature stops moving — labels only decrease, so signature
+    equality is exactly "no label changed".  Lineage is cut per round with a RELIABLE checkpoint
     (``DataFrame.checkpoint``), not ``localCheckpoint``: localCheckpoint
     blocks live on executors and are not recomputable, so on a large
     cluster a single lost executor kills the whole iterative job.  The
@@ -861,36 +875,54 @@ def connected_components(
         # immediately
         labels = edges.groupBy(F.col("src").alias("node")).agg(
             F.least(F.first("src"), F.min("dst")).alias("lbl")
-        )
+        ).checkpoint(eager=True)
+
+        # convergence via a (count, order-independent xor-hash) signature
+        # of the label table — the same convention the star operator uses
+        # for its edge set.  Labels only ever DECREASE, so an unchanged
+        # signature is exactly "no label changed"; this removes the old
+        # per-round __chg left-join (one exchange of the label table per
+        # round) and its filter+count job.
+        def _lsig(lbls: DataFrame) -> tuple[int, int]:
+            row = lbls.agg(
+                F.count("*").alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("node", "lbl")), F.lit(0)
+                ).alias("h"),
+            ).first()
+            return (row["n"], row["h"])
+
+        sig = _lsig(labels)
         for _ in range(max_iterations):
-            neighbor_lbls = (
-                edges.join(
-                    labels.withColumnRenamed("node", "dst").withColumnRenamed(
-                        "lbl", "__nl"
-                    ),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("__nl").alias("__min_nl"))
-                .withColumnRenamed("src", "node")
+            # min(own, neighbors') in ONE aggregate: neighbor labels come
+            # from the edge join, the node's own label rides in via the
+            # union branch — the old shape paid a second (left) join to
+            # re-attach labels after the aggregate; this one exchanges
+            # the label table once per round.  A/B-measured at sf0.1
+            # (100k-node, diameter-4 clusters): 5.4 s -> 4.8 s warm,
+            # labels byte-identical.
+            neighbor_lbls = edges.join(
+                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "lbl", "__nl"
+                ),
+                "dst",
+            ).select(F.col("src").alias("node"), F.col("__nl").alias("lbl"))
+            updated = (
+                neighbor_lbls.union(labels)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .checkpoint(eager=True)  # cut lineage, recoverably
             )
-            updated = labels.join(neighbor_lbls, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("__min_nl"), F.col("lbl"))
-                ).alias("lbl"),
-                (F.col("__min_nl") < F.col("lbl")).alias("__chg"),
-            )
-            updated = updated.checkpoint(eager=True)  # cut lineage, recoverably
-            changed = updated.filter(F.col("__chg")).count()
-            labels = updated.drop("__chg")
-            if changed == 0:
+            new_sig = _lsig(updated)
+            labels = updated
+            if new_sig == sig:
                 # labels are checkpoint-materialized — lineage no longer
                 # reaches edges, so the cache can go
                 return labels.select(
                     F.col("node").alias("doc_id"),
                     F.col("lbl").alias("cluster_id"),
                 )
+            sig = new_sig
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
@@ -946,7 +978,12 @@ def simhash_table(
     shiftleft wrap at bit 63); the only behavioral difference is that a
     NULL text yields no output row here versus a NULL signature there.
     """
-    toks = df.select(
+    from .spread import spread_for_compute
+
+    # token explode + per-token hashing + the 64-column partial vote agg
+    # all run pre-exchange — spread a narrow scan first (guide §2.5;
+    # no-op on wide scans); the per-bit sums are order-insensitive
+    toks = spread_for_compute(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
     ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
@@ -1027,17 +1064,18 @@ def connected_components_star(
     diameter:
 
       * large-star: every node's strictly-larger neighbors re-attach to
-        the minimum of its neighborhood (min computed with one map-side
-        combined agg, re-attachment is one join — never a collect of
-        the neighborhood),
+        the minimum of its neighborhood (min attached via ONE
+        min-over-partition window on the node id — never a collect of
+        the neighborhood, and one exchange instead of the agg+join
+        pair's two),
       * small-star: every node and its smaller neighbors re-attach
         likewise (edges kept directed larger->smaller between rounds).
 
     At the fixed point the edges form depth-1 stars rooted at each
-    component min.  Each round is 1-2 hash aggregates + a join on node
-    ids; convergence is detected by (count, order-independent hash-sum)
-    equality of the edge set — no driver-side edge materialization
-    anywhere.
+    component min.  Each round is two windowed min-attachments + one
+    distinct on node-id pairs; convergence is detected by (count,
+    order-independent hash-sum) equality of the edge set — no
+    driver-side edge materialization anywhere.
 
     Lineage management: every round takes a RELIABLE checkpoint by
     default (``checkpoint_every=1``).  We MEASURED the alternative
@@ -1106,24 +1144,30 @@ def connected_components_star(
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = sym.groupBy("u").agg(
-            F.least(F.first("u"), F.min("v")).alias("m")
-        )
-        # no distinct here: duplicate (v, m) rows are absorbed by the
-        # small-star min-agg and the final distinct — one less shuffle
-        # per alternation
+        # neighborhood minima via a WINDOW over the partition key, not
+        # groupBy+join: the agg+join form shuffles sym TWICE per phase
+        # (once into the aggregate, once into the join) plus sorts both
+        # join sides, while min-over-partition attaches the same value
+        # with ONE exchange+sort of sym.  Measured on the q101 chain
+        # graph at sf0.1: 10.3 s -> 6.9 s warm for the whole loop,
+        # fixed point byte-identical (tools/profile_cc2.py); at cluster
+        # scale it is strictly fewer exchanges of the edge set per
+        # alternation (2 + distinct, was 4 + distinct).
+        wu = Window.partitionBy("u")
         large = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # ---- small-star: attach node + smaller neighbors to the min
-        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        # ---- small-star: attach node + smaller neighbors to the min.
+        # The root rows (u, m) are emitted once per large-row and
+        # deduplicated by the final distinct — same output set as the
+        # old groupBy-smins union, one less aggregate.
+        l2 = large.withColumn("m", F.min("v").over(wu))
         small = (
-            large.join(smins, "u")
-            .filter(F.col("v") != F.col("m"))
+            l2.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smins.select("u", F.col("m").alias("v")))
+            .union(l2.select("u", F.col("m").alias("v")))
             .distinct()
         )
         durable = (it + 1) % max(checkpoint_every, 1) == 0

@@ -95,7 +95,13 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.min(c).cast("string").alias(f"__min_{c}"),
             F.max(c).cast("string").alias(f"__max_{c}"),
         ]
-    wide = df.agg(*aggs)
+    # the expand-based multi-distinct partial aggregate multiplies every
+    # input row by len(cols)+1 BEFORE the first exchange — spread a
+    # narrow single-row-group scan across cores first (guide §2.5;
+    # no-op on wide scans; all aggregates are order-insensitive)
+    from .spread import spread_for_compute
+
+    wide = spread_for_compute(df.select(*cols)).agg(*aggs)
     # stack (not a union of projections): a union would let Catalyst
     # inline the aggregate into every branch — N column-pruned scans —
     # while stack keeps ONE consumer of the single-row wide result, so
@@ -565,8 +571,15 @@ def poisson_bootstrap_mean_ci(
     from pyspark.sql import Window
 
     vi = F.floor(F.col(value_col).cast("double") * scale).cast("bigint")
-    base = df.select(
-        F.col(key_col).cast("string").alias("__k"), vi.alias("__v")
+    # the n_boot/8 digests per row are the dominant cost and run BEFORE
+    # the first exchange (partial agg in the scan stage) — spread a
+    # narrow single-row-group scan across the cores first (guide §2.5;
+    # no-op at production scan widths).  Sum aggregation downstream is
+    # order-insensitive, so round-robin placement is safe.
+    from .spread import spread_for_compute
+
+    base = spread_for_compute(
+        df.select(F.col(key_col).cast("string").alias("__k"), vi.alias("__v"))
     )
     # 8 replicate lanes per digest: one md5 yields eight 16-bit
     # uniforms (4 hex chars each), so per-row hashing is

@@ -233,7 +233,14 @@ def language_id_table(
     corpus scan + |docs|-row join to re-attach what was on the row.
     """
     carry = list(carry_cols or [])
-    toks = df.select(
+    # token explode + the (1 + n_langs)-column partial agg run in the
+    # scan stage — spread a narrow scan first (guide §2.5; no-op on wide
+    # scans; count/sum aggregation is order-insensitive)
+    from .spread import spread_for_compute
+
+    toks = spread_for_compute(
+        df.select(F.col(id_col), *carry, F.col(text_col))
+    ).select(
         F.col(id_col), *carry, F.explode(tokens(text_col)).alias("__tok")
     )
     lowered = F.lower(F.col("__tok"))
@@ -358,7 +365,11 @@ def vocabulary(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    from .spread import spread_for_compute
+
+    # explode + the token-type partial count run pre-exchange — spread a
+    # narrow scan first (guide §2.5; no-op on wide scans)
+    toks = spread_for_compute(df.select(F.col(text_col))).select(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
     )
     counts = toks.groupBy("token").agg(
@@ -409,8 +420,12 @@ def tfidf_keywords(
     """
     from pyspark.sql import Window
 
+    from .spread import spread_for_compute
+
     toks = F.split(F.lower(F.col(text_col)), " ")
-    tok_rows = df.select(
+    # explode + the (doc, term) partial count run pre-exchange — spread
+    # a narrow scan first (guide §2.5; no-op on wide scans)
+    tok_rows = spread_for_compute(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.size(toks).alias("__len"), F.explode(toks).alias("token")
     )
     tf = tok_rows.groupBy(id_col, "__len", "token").agg(
@@ -456,8 +471,14 @@ def bigram_lm(df, text_col: str = "text"):
     """
     from pyspark.sql import Window
 
+    from .spread import spread_for_compute
+
     toks = F.split(F.lower(F.col(text_col)), " ")
-    base = df.select(toks.alias("__t"))
+    # bigram explode + the (w1, w2) partial count run pre-exchange —
+    # spread a narrow scan first (guide §2.5; no-op on wide scans)
+    base = spread_for_compute(df.select(F.col(text_col))).select(
+        toks.alias("__t")
+    )
     shifted = F.arrays_zip(
         F.slice(F.col("__t"), 1, F.size("__t")).alias("g0"),
         F.slice(F.col("__t"), 2, F.size("__t")).alias("g1"),

@@ -106,8 +106,13 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 
 @q("q60_winnow_fingerprint")  # xxhash64-based: rows-only check
 def q60(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.spread import spread_for_compute
+
     docs = load_table(spark, sf, "documents")
-    return docs.select(
+    # the rolling-window HOF hash is interpreted (no codegen) and would
+    # run single-task on a single-row-group scan — spread first (guide
+    # §2.5; per-row deterministic output, so placement is free to vary)
+    return spread_for_compute(docs.select("doc_id", "text")).select(
         "doc_id", winnow_fingerprint("text", k=5).alias("fp_winnow")
     )
 

@@ -1261,7 +1261,15 @@ def q300(spark: SparkSession, sf: str) -> DataFrame:
     sorted-values — at 100 TB you reach for q96's sketch unless the
     contract demands exactness, which is precisely the trade the
     q96/q300 pair documents."""
+    from ..operators.spread import spread_for_compute
+
     li = load_table(spark, sf, "lineitem")
+    # exact-percentile partial state (per-group value buffers) builds in
+    # the scan stage; spread the 3-column projection first (guide §2.5 —
+    # no-op on wide scans; percentile merge is order-insensitive)
+    li = spread_for_compute(
+        li.select("l_returnflag", "l_linestatus", "l_extendedprice")
+    )
     pc = lambda p: F.expr(f"percentile(l_extendedprice, {p})")  # noqa: E731
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(pc(0.25), 4).alias("p25_r"),
