@@ -157,12 +157,44 @@ TABLES: dict[str, type] = {
 }
 
 
+# (applicationId, path, stat fingerprint) -> legacy flag.  The footer
+# probe is a driver-side file listing + footer parse (~0.1 s) paid by
+# EVERY events load — hundreds of times per bench run for one immutable
+# answer.  The fingerprint (mtime_ns, size of the file, or of the
+# enclosing directory for glob paths) invalidates the entry if the
+# table is regenerated mid-session; the applicationId key scopes the
+# cached nanosAsLong session conf side effect to the session that set
+# it (see the config-hygiene note below).
+_EVENTS_LAYOUT_CACHE: dict = {}
+
+
+def _path_stat_fingerprint(path: str) -> tuple:
+    import glob as _glob
+    import os
+
+    try:
+        if any(ch in path for ch in "*?["):
+            hits = sorted(_glob.glob(path))
+            return tuple(
+                (p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+                for p in hits
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("unstattable",)
+
+
 def events_ts_is_legacy_nanos(spark: SparkSession, path: str) -> bool:
     """The driver has shipped events.ts in two parquet layouts across
     rounds: TIMESTAMP(NANOS) (readable only as int64 under
     spark.sql.legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS)
     NTZ.  Probe the file footer (metadata only, no data scan) and report
-    which one this directory holds.
+    which one this directory holds.  The verdict is cached per
+    (session, path, file-stat fingerprint): the layout of an immutable
+    path cannot change under a live session, so only the FIRST load
+    pays the listing+footer read; a regenerated file (new mtime/size)
+    re-probes.
 
     Config hygiene: the probe must run with nanosAsLong=true (a bare
     read of a TIMESTAMP(NANOS) footer errors otherwise), but the conf is
@@ -176,6 +208,19 @@ def events_ts_is_legacy_nanos(spark: SparkSession, path: str) -> bool:
     from pyspark.sql import types as T
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
+    cache_key = (
+        spark.sparkContext.applicationId,
+        path,
+        _path_stat_fingerprint(path),
+    )
+    hit = _EVENTS_LAYOUT_CACHE.get(cache_key)
+    if hit is not None:
+        if hit:
+            # re-assert the read mode the LEGACY verdict depends on —
+            # idempotent, and keeps the cached fast path semantically
+            # identical to a fresh probe (which leaves the conf set)
+            spark.conf.set(key, "true")
+        return hit
     prior = spark.conf.get(key, None)
 
     def _restore() -> None:
@@ -193,6 +238,7 @@ def events_ts_is_legacy_nanos(spark: SparkSession, path: str) -> bool:
     legacy = isinstance(native, T.LongType)
     if not legacy:
         _restore()
+    _EVENTS_LAYOUT_CACHE[cache_key] = legacy
     return legacy
 
 

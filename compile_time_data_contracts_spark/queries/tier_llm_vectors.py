@@ -2020,7 +2020,7 @@ def q386(spark: SparkSession, sf: str) -> DataFrame:
         ivf_stream_maintainer,
         topk_cosine,
     )
-    from ..streaming.windows import write_ordered_feed
+    from ..streaming.windows import write_ordered_feed_parallel
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
@@ -2048,11 +2048,14 @@ def q386(spark: SparkSession, sf: str) -> DataFrame:
         feed = tempfile.mkdtemp(prefix="ctdc-simnt-feed-")
         b0 = odds.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 1)
         b1 = odds.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 3)
-        write_ordered_feed([b0, b1], feed)
+        # padded parallel feed: one trigger == one epoch structurally,
+        # and the two odd-half passes write at natural parallelism
+        # instead of through the coalesce(1) single-writer funnel
+        mft = write_ordered_feed_parallel([b0, b1], feed)
         handler = ivf_stream_maintainer(idx)
         sq = (
             spark.readStream.schema(b0.schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(mft))
             .parquet(feed)
             .writeStream.foreachBatch(handler)
             .option(

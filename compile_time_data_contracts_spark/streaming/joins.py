@@ -120,7 +120,7 @@ def interval_join_gate(
     import tempfile
 
     from ..catalog import load_table
-    from .windows import run_gate_to_memory, write_ordered_feed
+    from .windows import run_gate_to_memory, write_ordered_feed_parallel
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -128,7 +128,10 @@ def interval_join_gate(
         .filter(F.pmod(F.col("user_id"), F.lit(5)) == 0)
     )
     base = tempfile.mkdtemp(prefix="ctdc-ssjoin-")
-    write_ordered_feed([ev], base)
+    # single-batch feed written at natural parallelism (no reader
+    # maxFilesPerTrigger, so availableNow takes every file in the one
+    # micro-batch the gate's semantics require)
+    write_ordered_feed_parallel([ev], base)
 
     def source() -> DataFrame:
         return spark.readStream.schema(ev.schema).parquet(base)

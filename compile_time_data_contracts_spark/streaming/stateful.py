@@ -113,18 +113,22 @@ def stateful_totals_gate(
     from pyspark.sql import Window
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed
+    from .windows import write_ordered_feed_parallel
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
     mod = F.pmod(F.col("event_id"), F.lit(3))
     base = tempfile.mkdtemp(prefix="ctdc-statefeed-")
-    write_ordered_feed([ev.filter(mod == i) for i in range(3)], base)
+    # padded parallel feed: one batch == one trigger structurally, no
+    # coalesce(1) single-writer funnel per batch
+    mft = write_ordered_feed_parallel(
+        [ev.filter(mod == i) for i in range(3)], base
+    )
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(mft))
         .parquet(base)
     )
     totals = running_user_totals(stream)
@@ -226,18 +230,20 @@ def tws_totals_gate(
     from pyspark.sql import Window
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed
+    from .windows import write_ordered_feed_parallel
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
     mod = F.pmod(F.col("event_id"), F.lit(3))
     base = tempfile.mkdtemp(prefix="ctdc-twsfeed-")
-    write_ordered_feed([ev.filter(mod == i) for i in range(3)], base)
+    mft = write_ordered_feed_parallel(
+        [ev.filter(mod == i) for i in range(3)], base
+    )
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(mft))
         .parquet(base)
     )
     totals = running_user_totals_tws(stream)
@@ -294,7 +300,7 @@ def rocksdb_totals_gate(
     import tempfile
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed
+    from .windows import write_ordered_feed_parallel
 
     _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
     _ROCKSDB = (
@@ -307,11 +313,13 @@ def rocksdb_totals_gate(
     )
     base = tempfile.mkdtemp(prefix="ctdc-rocksfeed-")
     mod = F.pmod(F.col("event_id"), F.lit(3))
-    write_ordered_feed([ev.filter(mod == i) for i in range(3)], base)
+    mft = write_ordered_feed_parallel(
+        [ev.filter(mod == i) for i in range(3)], base
+    )
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(mft))
         .parquet(base)
     )
     totals = stream.groupBy("event_type").agg(

@@ -259,6 +259,13 @@ def write_ordered_feed_parallel(
     staged: list[list[str]] = []
     for i, df in enumerate(dfs):
         tmp = os.path.join(build, f"_stage{i}")
+        # natural parallelism, deliberately WITHOUT a spread/repartition:
+        # a slice of a single-row-group fixture scans as one task either
+        # way (the shuffle a spread adds parallelizes nothing upstream of
+        # itself and was A/B-measured a net loss — q84 4.3 s -> 7.7 s
+        # warm min-of-3 at sf0.1, 32 tiny files + padding copies per
+        # batch), while a production-scale input already scans wide and
+        # writes wide here with zero added exchanges
         df.write.mode("overwrite").parquet(tmp)
         staged.append(
             sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
@@ -419,11 +426,15 @@ def late_drop_counts(
     keepalive = nonlate.filter(keepalive_pred)
 
     base = tempfile.mkdtemp(prefix="ctdc-latefeed-")
-    write_ordered_feed([b0, keepalive, late], base)
+    # natural-parallelism padded feed (one batch == one trigger
+    # structurally); the old coalesce(1)-per-batch writer funneled three
+    # full event-table passes through single tasks — the same
+    # single-writer hazard write_ordered_feed_parallel documents
+    mft = write_ordered_feed_parallel([b0, keepalive, late], base)
 
     stream = (
         spark.readStream.schema(b0.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(mft))
         .parquet(base)
     )
     agg = (
@@ -471,11 +482,14 @@ def stream_dedup_gate(
     )
     dups = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
     base = tempfile.mkdtemp(prefix="ctdc-dupfeed-")
-    write_ordered_feed([ev, dups], base)
+    # padded parallel feed: batch/trigger alignment is structural, and
+    # the event-table passes write at natural parallelism instead of
+    # through the coalesce(1) funnel
+    mft = write_ordered_feed_parallel([ev, dups], base)
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(mft))
         .parquet(base)
     )
     deduped = dedup_within_watermark(stream, ["event_id"], watermark)
