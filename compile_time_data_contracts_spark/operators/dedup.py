@@ -1602,37 +1602,49 @@ def prefix_filtered_jaccard_pairs(
     this is the term that matters), and a candidate-sized verification
     join.  All JVM-side, no Python.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
     base = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         F.col(tokens_col).alias("__toks"),
         F.size(tokens_col).alias("__sz"),
     )
+    # the posting explode feeds the df histogram AND the rarity-rank
+    # join, and the ranked prefix feeds BOTH sides of the candidate
+    # self-join: cache the postings once, checkpoint the (pruned,
+    # posting-sized) prefix once, so the explode+window tower runs one
+    # time instead of four (the _capped_pair_scores discipline)
     ex = base.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         "__sz",
         F.explode("__toks").alias("__t"),
-    )
-    dfreq = ex.groupBy("__t").agg(F.count("*").alias("__df"))
-    # rank tokens within each doc by global rarity (ties broken by the
-    # token string so the order is total and deterministic)
-    w = Window.partitionBy(id_col).orderBy("__df", "__t")
-    # prefix length = |X| - ceil(t·|X|) + 1.  The epsilon guards IEEE
-    # round-UP of an exactly-integer product (0.28*25 = 7.0000…01 would
-    # ceil to 8 and SHORTEN the prefix — a silent recall hole); erring
-    # the other way only lengthens the prefix, which keeps the
-    # pigeonhole guarantee (a superset of the required prefix).
-    min_overlap = F.ceil(
-        F.lit(threshold) * F.col("__sz") - F.lit(1e-9)
-    )
-    prefix = (
-        ex.join(dfreq, "__t")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("__sz") - min_overlap + 1)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dfreq = ex.groupBy("__t").agg(F.count("*").alias("__df"))
+        # rank tokens within each doc by global rarity (ties broken by
+        # the token string so the order is total and deterministic)
+        w = Window.partitionBy(id_col).orderBy("__df", "__t")
+        # prefix length = |X| - ceil(t·|X|) + 1.  The epsilon guards
+        # IEEE round-UP of an exactly-integer product (0.28*25 =
+        # 7.0000…01 would ceil to 8 and SHORTEN the prefix — a silent
+        # recall hole); erring the other way only lengthens the prefix,
+        # which keeps the pigeonhole guarantee (a superset of the
+        # required prefix).
+        min_overlap = F.ceil(
+            F.lit(threshold) * F.col("__sz") - F.lit(1e-9)
+        )
+        prefix = (
+            ex.join(dfreq, "__t")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__sz") - min_overlap + 1)
+            .checkpoint(eager=True)
+        )
+    finally:
+        ex.unpersist()
     a, b = prefix.alias("a"), prefix.alias("b")
     join_cond = (F.col("a.__t") == F.col("b.__t")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -98,7 +98,16 @@ def edit_distance_pairs(
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
-    vs = deletion_variants(df, key_col, str_col, radius=max_dist)
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    # the variant table feeds BOTH sides of the equi-join; without
+    # materialization the explode + per-key distinct tower runs twice.
+    # One reliable checkpoint writes it once and both sides read it
+    # back (the _capped_pair_scores discipline).
+    vs = deletion_variants(df, key_col, str_col, radius=max_dist).checkpoint(
+        eager=True
+    )
     a, b = vs.alias("a"), vs.alias("b")
     cand = (
         a.join(

@@ -279,6 +279,7 @@ def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,
     iters: int = 2,
+    edges_symmetrized: bool = False,
 ) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
     synchronous rounds, deterministic): ``edges`` (src, dst) is
@@ -301,6 +302,12 @@ def label_propagation(
     (domain/topic spread from a small seeded set over a link graph) is
     a standard curation step.
 
+    ``edges_symmetrized=True`` declares that ``edges`` is ALREADY
+    symmetric, self-loop-free and de-duplicated (and, for performance,
+    ideally materialized — e.g. a checkpointed frame a caller shares
+    with :func:`community_modularity`): the symmetrize pass and its
+    cache are skipped entirely.  Same output by definition.
+
     Returns (id, label) for every node that is labeled after ``iters``
     rounds.
     """
@@ -309,19 +316,23 @@ def label_propagation(
     from .dedup import _ensure_checkpoint_dir
 
     _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
-    sym = (
-        edges.select("src", "dst")
-        .union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
+    if edges_symmetrized:
+        sym = edges.select("src", "dst")
+    else:
+        sym = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
             )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            # referenced by every round (votes) AND the node set: cache
+            # the dominant volume once instead of re-deriving it per
+            # reference
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        # referenced by every round (votes) AND the node set: cache the
-        # dominant volume once instead of re-deriving it per reference
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     try:
         # node set = edge endpoints ∪ seed ids: a seeded node with no
         # edges must still appear in the output (clamped at its seed
@@ -374,7 +385,8 @@ def label_propagation(
                 .checkpoint(eager=True)
             )
     finally:
-        sym.unpersist()
+        if not edges_symmetrized:
+            sym.unpersist()
     return labels.filter(F.col("label").isNotNull())
 
 
@@ -785,13 +797,24 @@ def link_prediction_ra(
     Returns (u, v, cn, ra_micro): common-neighbor count and the
     integer micro-score sum_z floor(1e6 / deg(z)).
     """
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
     e0 = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
+    # sym feeds THREE consumers (degree agg, carrier join, final
+    # adjacency anti-join) and carrier feeds BOTH sides of the z
+    # self-join: without materialization each reference re-derives the
+    # whole scan->union->distinct (resp. ->join) subtree — the measured
+    # plan had 40 parquet scans / 64 exchanges for ONE logical pass.
+    # One reliable checkpoint each writes the edge-sized frame once and
+    # every consumer reads it back, the _capped_pair_scores discipline.
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .checkpoint(eager=True)
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # carriers: neighbor z with its weight, hub-capped
@@ -803,6 +826,7 @@ def link_prediction_ra(
             F.col("dst").alias("n"),
             (F.lit(1_000_000) / F.col("deg")).cast("bigint").alias("w"),
         )
+        .checkpoint(eager=True)
     )
     a = carrier.select("z", F.col("n").alias("u"), "w")
     b = carrier.select("z", F.col("n").alias("v"))
@@ -826,6 +850,7 @@ def community_modularity(
     edges: DataFrame,
     labels: DataFrame,
     n_sym_edges: int | None = None,
+    edges_symmetrized: bool = False,
 ) -> DataFrame:
     """Per-community Newman modularity contributions for a node
     labelling (e.g. :func:`label_propagation` output): for community
@@ -852,18 +877,27 @@ def community_modularity(
     round, no iteration — plus one |sym| count job at BUILD time
     unless the caller passes ``n_sym_edges`` (the q165-pagerank
     lazy-build discipline: callers that already know the edge count,
-    or batch many modularity calls, skip the extra job).  Returns
+    or batch many modularity calls, skip the extra job).
+    ``edges_symmetrized=True`` declares ``edges`` already symmetric,
+    bigint-keyed, self-loop-free and de-duplicated (e.g. the SAME
+    checkpointed frame the caller fed :func:`label_propagation`), so
+    the symmetrize pass — otherwise re-derived here for every one of
+    the FOUR sym references (degree agg, two label joins, the |sym|
+    count) — is skipped.  Returns
     (label, members, internal_edges, degree_sum, contribution_r).
     """
-    e0 = edges.select(
-        F.col("src").cast("bigint").alias("src"),
-        F.col("dst").cast("bigint").alias("dst"),
-    ).filter(F.col("src") != F.col("dst"))
-    sym = (
-        e0.union(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-    )
+    if edges_symmetrized:
+        sym = edges.select("src", "dst")
+    else:
+        e0 = edges.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        sym = (
+            e0.union(
+                e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        )
     lab = labels.select(
         F.col("id").cast("bigint").alias("id"),
         F.col("label").cast("bigint").alias("label"),

@@ -3318,25 +3318,43 @@ def sparse_tfidf_knn(
     advised).  The per-document top-k is a rank-filter window that
     plans as WindowGroupLimit.  Returns (id, neighbor, rank, cos_r).
     """
-    from .dedup import shingle_rows
+    from pyspark import StorageLevel
 
+    from .dedup import _ensure_checkpoint_dir, shingle_rows
+
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
     posts = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
-    tf = posts.groupBy(id_col, "shingle").agg(
-        F.count(F.lit(1)).alias("__tf")
+    # tf feeds the df histogram AND the weight join; wt feeds THREE
+    # consumers (norms + both sides of the posting self-join).  Without
+    # materialization each reference re-runs the scan->shingle->agg
+    # tower — the measured plan re-shingled the corpus six times (66
+    # exchanges).  Cache tf for the wt build, checkpoint wt once, and
+    # every downstream pass reads postings instead of re-deriving them
+    # (the _capped_pair_scores one-corpus-pass discipline).
+    tf = (
+        posts.groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    wt = (
-        tf.join(dfreq, "shingle")
-        .filter(F.col("__df") <= max_df)
-        .select(
-            F.col(id_col).alias("doc"),
-            "shingle",
-            (
-                F.col("__tf")
-                * (F.lit(1_000_000) / F.col("__df")).cast("bigint")
-            ).alias("w"),
+    try:
+        dfreq = tf.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
         )
-    )
+        wt = (
+            tf.join(dfreq, "shingle")
+            .filter(F.col("__df") <= max_df)
+            .select(
+                F.col(id_col).alias("doc"),
+                "shingle",
+                (
+                    F.col("__tf")
+                    * (F.lit(1_000_000) / F.col("__df")).cast("bigint")
+                ).alias("w"),
+            )
+            .checkpoint(eager=True)
+        )
+    finally:
+        tf.unpersist()
     # products accumulate in decimal(38,0): w can reach tf * 1e6 for a
     # high-tf rare term, and w*w then exceeds int64 (silent wrap without
     # ANSI -> negative n2 -> sqrt = NaN, which Spark sorts ABOVE every

@@ -581,6 +581,7 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
     (LPA tower + degree + internal-edge joins) verbatim.  One shuffle
     round beyond LPA itself: a degree aggregate + two label joins
     over the edge list."""
+    from ..operators.dedup import _ensure_checkpoint_dir
     from ..operators.graph import community_modularity, label_propagation
 
     customer = load_table(spark, sf, "customer")
@@ -589,8 +590,23 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("c_custkey") % 3).cast("bigint").alias("label"),
     )
     edges = _customer_graph_edges(spark, sf)
-    labels = label_propagation(edges, seeds, iters=2)
-    return community_modularity(edges, labels)
+    # LPA and modularity each symmetrize internally, and modularity
+    # references its sym four more times — without sharing, the
+    # scan->union->distinct subtree ran 6+ times per call (16 parquet
+    # scans in the measured plan).  Symmetrize ONCE, checkpoint, and
+    # hand the materialized frame to both (edges_symmetrized=True is a
+    # declaration, not a semantic change: same set by construction).
+    _ensure_checkpoint_dir(spark.sparkContext)
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .checkpoint(eager=True)
+    )
+    labels = label_propagation(sym, seeds, iters=2, edges_symmetrized=True)
+    return community_modularity(sym, labels, edges_symmetrized=True)
 
 
 # =========================================================================
