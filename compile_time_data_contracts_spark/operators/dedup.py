@@ -287,7 +287,15 @@ def jaccard_pairs(
                 / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter"))
             ).alias("jaccard"),
         ).filter(F.col("jaccard") >= threshold)
-    sh = shingle_rows(df, id_col, text_col, n).distinct()
+    # the exploded distinct shingle table feeds the size histogram AND
+    # both sides of the co-occurrence self-join — un-materialized, the
+    # corpus shingling tower runs three times.  One reliable checkpoint
+    # (posting-sized: ids + shingles, never full text) runs it once per
+    # call (the _capped_pair_scores discipline).
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    sh = shingle_rows(df, id_col, text_col, n).distinct().checkpoint(
+        eager=True
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     inter = (
         sh.alias("a")
@@ -1398,7 +1406,15 @@ def containment_pairs(
             )
             .filter(F.col("containment") >= threshold)
         )
-    sh = shingle_rows(df, id_col, text_col, n).distinct()
+    # the exploded distinct shingle table feeds the size histogram AND
+    # both sides of the co-occurrence self-join — un-materialized, the
+    # corpus shingling tower runs three times.  One reliable checkpoint
+    # (posting-sized: ids + shingles, never full text) runs it once per
+    # call (the _capped_pair_scores discipline).
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    sh = shingle_rows(df, id_col, text_col, n).distinct().checkpoint(
+        eager=True
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     inter = (
         sh.alias("a")

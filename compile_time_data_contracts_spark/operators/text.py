@@ -635,6 +635,15 @@ def duplicate_span_stats(
             F.concat_ws(" ", *[f"__g.g{i}" for i in range(ngram)])
         ).alias("gh"),
     )
+    # the positional n-gram table feeds the shared-window histogram AND
+    # the semi-join that tags duplicated positions — un-materialized,
+    # the tokenize+zip+posexplode tower runs twice per call.  One
+    # reliable checkpoint ((id, n_toks, pos, hash) longs — never text)
+    # runs it once.
+    from .dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    pos_tbl = pos_tbl.checkpoint(eager=True)
     shared = (
         pos_tbl.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("__nd"))

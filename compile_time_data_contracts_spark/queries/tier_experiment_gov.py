@@ -789,6 +789,14 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("r0").cast("bigint").alias("sr"),
         F.max("d").cast("bigint").alias("d"),
     )
+    # b (10 rows) feeds tot, the b2 cross side, and the main side — each
+    # un-materialized reference re-runs the single-task global-rank sort
+    # over lineitem (3x the dominant cost).  A 10-row reliable
+    # checkpoint runs the sort once per call.
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
+    b = b.checkpoint(eager=True)
     tot = b.agg(F.sum("n").cast("bigint").alias("nt"))
     b2 = b.select(
         F.col("n").alias("n2"),

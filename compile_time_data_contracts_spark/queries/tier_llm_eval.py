@@ -2135,16 +2135,29 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
     # the production path ships only the sketches)
     from ..operators.sketches import kmv_hash
 
-    ha = keyed.filter(F.col("event_type") == "click").select(
-        kmv_hash(F.col("ud")).alias("h")
-    ).distinct()
-    hb = keyed.filter(F.col("event_type") == "purchase").select(
-        kmv_hash(F.col("ud")).alias("h")
-    ).distinct()
-    na = ha.count()
-    nb = hb.count()
-    ni = ha.intersect(hb).count()
-    exact_union = na + nb - ni
+    # exact |A|, |B|, |A∩B| in ONE job: per-hash membership flags from a
+    # single partial-combined groupBy, then a 1-row sum — replaces the
+    # old three actions (two counts + an intersect) that re-ran the
+    # events scan+distinct pipeline once each (values identical: the
+    # flags are exact set membership, not estimates)
+    memb = (
+        keyed.groupBy(kmv_hash(F.col("ud")).alias("h"))
+        .agg(
+            F.max(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("__a"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("__b"),
+        )
+    )
+    cnt = memb.agg(
+        F.sum("__a").alias("na"),
+        F.sum("__b").alias("nb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("ni"),
+    ).collect()[0]
+    ni = int(cnt["ni"] or 0)
+    exact_union = int(cnt["na"] or 0) + int(cnt["nb"] or 0) - ni
     return est.select(
         "k_used",
         "est_union_r",
@@ -2432,8 +2445,6 @@ def q303(spark: SparkSession, sf: str) -> DataFrame:
     batch's scan plus a KB-sized merge (the q135/q143/q206
     incremental discipline applied to sketches).  The oracle replays
     both paths and the equality verdict verbatim."""
-    from pyspark.sql import Window as W
-
     from ..operators.sketches import HASH_SPACE, kmv_hash
 
     K = 256
@@ -2446,29 +2457,42 @@ def q303(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("k"),
         F.col("ts").cast("date").alias("day"),
     ).distinct()
-    h = ud.select(kmv_hash(F.col("k")).alias("h"), "day")
-    cutoff = h.agg(
-        F.date_add(F.min("day"), 20).alias("c")
-    ).collect()[0]["c"]
+    # h feeds the cutoff agg and three sketch branches, and every branch
+    # is driven by an EAGER action below — un-cached, the events
+    # scan+distinct+hash pipeline re-runs per action (~6x).  All the
+    # actions happen inside this call, so a scoped persist (dropped
+    # before return) is safe: nothing cached leaks across invocations.
+    from pyspark import StorageLevel
 
-    def topk(df):
-        w = W.orderBy("h")
-        return (
-            df.select("h")
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= K)
-            .select("h")
+    h = ud.select(kmv_hash(F.col("k")).alias("h"), "day").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cutoff = h.agg(
+            F.date_add(F.min("day"), 20).alias("c")
+        ).collect()[0]["c"]
+
+        def topk(df):
+            # k smallest distinct hashes: sort+limit plans as a
+            # TakeOrdered heap (parallel partial top-k per partition)
+            # instead of a single-task row_number window — same K rows
+            return df.select("h").distinct().orderBy("h").limit(K)
+
+        old_sk = topk(h.filter(F.col("day") < F.lit(cutoff)))
+        new_sk = topk(h.filter(F.col("day") >= F.lit(cutoff)))
+        # merged/full are <= K rows but each is consumed by 2-3 actions;
+        # a driver-side collect per sketch keeps every later comparison
+        # local (the sketches ARE KB-sized by construction)
+        merged_rows = sorted(
+            r["h"] for r in topk(old_sk.unionByName(new_sk)).collect()
         )
-
-    old_sk = topk(h.filter(F.col("day") < F.lit(cutoff)))
-    new_sk = topk(h.filter(F.col("day") >= F.lit(cutoff)))
-    merged = topk(old_sk.unionByName(new_sk))
-    full_sk = topk(h)
-    k_merged = merged.count()
-    k_full = full_sk.count()
-    k_common = merged.intersect(full_sk).count()
-    hk = merged.agg(F.max("h").alias("m")).collect()[0]["m"]
+        full_rows = sorted(r["h"] for r in topk(h).collect())
+        k_merged = len(merged_rows)
+        k_full = len(full_rows)
+        k_common = len(set(merged_rows) & set(full_rows))
+        hk = max(merged_rows) if merged_rows else None
+    finally:
+        h.unpersist()
     est = (
         float(k_merged)
         if k_merged < K

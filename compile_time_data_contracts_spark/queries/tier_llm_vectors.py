@@ -8,6 +8,21 @@ from ._shared import *  # noqa: F401,F403
 from ._shared import _ORACLES, _QUERIES, _ts_str, q  # noqa: F401
 
 
+def _pin_topk(df):
+    """Materialize a k-row top-k frame with a reliable checkpoint.
+
+    Every recall gate references its exact top-k twice — once in the
+    overlap semi-join count and once as the returned annotation frame —
+    and un-materialized each reference re-runs the full corpus scoring
+    pass.  A k-row checkpoint runs that pass ONCE per call; the job
+    still executes from parquet on every invocation (the checkpoint is
+    a per-call temporary, never reused across calls)."""
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    return df.checkpoint(eager=True)
+
+
 # embeddings are float32 on disk; both engines must do the cosine in
 # DOUBLE or the 4-dp rounding can disagree in the 7th decimal
 _COSINE_PAIRS_ORACLE = """
@@ -241,15 +256,27 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     precision 1 (verified candidates only).  Exact pair count is value-
     checked against brute force; the booleans gate the sketch — so the
     rows-only q56 path now has an oracle-checked companion."""
+    from ..operators.dedup import _ensure_checkpoint_dir
     from ..operators.similarity import cosine_pairs, cosine_pairs_lsh
 
     emb = load_table(spark, sf, "embeddings")
     t = 0.45
-    exact = cosine_pairs(emb, t).select(
-        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    # exact feeds the hits join AND the n_exact agg; lsh feeds the hits
+    # join AND the __n_lsh agg — un-materialized, each reference re-runs
+    # the full O(n²) BLAS pass / the whole LSH pipeline (collect, sig
+    # matmuls, bucket join) once per branch.  One pair-sized reliable
+    # checkpoint each cuts that to one execution per call; every call
+    # still computes both pair sets from parquet.
+    _ensure_checkpoint_dir(spark.sparkContext)
+    exact = (
+        cosine_pairs(emb, t)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .checkpoint(eager=True)
     )
-    lsh = cosine_pairs_lsh(emb, t).select(
-        F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+    lsh = (
+        cosine_pairs_lsh(emb, t)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .checkpoint(eager=True)
     )
     hits = lsh.join(exact, ["va", "vb"], "inner")
     agg = (
@@ -292,7 +319,7 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
-    exact = topk_cosine(emb, query, k=10)
+    exact = _pin_topk(topk_cosine(emb, query, k=10))
     tag = hashlib.md5(f"{sf}|c32".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-ivf-{tag}"
     approx = ivf_topk(
@@ -454,7 +481,7 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
-    exact = topk_cosine(emb, query, k=10)
+    exact = _pin_topk(topk_cosine(emb, query, k=10))
     tag = hashlib.md5(f"{sf}|append32".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-ivfappend-{tag}"
     fp = _ivf_fingerprint(emb, "vec_id")
@@ -511,7 +538,7 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 11)
-    exact = topk_cosine(emb, query, k=10)
+    exact = _pin_topk(topk_cosine(emb, query, k=10))
     approx = pq_topk(
         emb, query, k=10, m=8, ksub=16, rerank=100
     ).select("vec_id")
@@ -609,7 +636,7 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 23)
-    exact = topk_cosine(emb, query, k=10)
+    exact = _pin_topk(topk_cosine(emb, query, k=10))
     # stable fingerprinted index path (q67/q107 convention): the first
     # call builds, later calls reuse — a repeated gate/bench run measures
     # the SEARCH, which is the amortized production posture.  Assumes
@@ -1211,7 +1238,7 @@ def q376(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
     ql = query.select("label").first()[0]
-    exact = topk_cosine(emb.where(F.col("label") == ql), query, k=10)
+    exact = _pin_topk(topk_cosine(emb.where(F.col("label") == ql), query, k=10))
     tag = hashlib.md5(f"{sf}|fl32".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-fivf-{tag}"
     approx = ivf_topk(
@@ -1274,6 +1301,9 @@ def q377(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qids = [1, 2, 3, 7, 11, 13, 17, 19]
     queries = emb.filter(F.col("vec_id").isin(qids))
+    # exact stays un-pinned here: the checkpoint round-trip measured
+    # +0.2-0.5 s against the ~0.15 s corpus pass it saves at gate scale
+    # (multi-query Arrow pass; see OPTIMIZATION_r10.md batch 4)
     exact = topk_cosine_multi(emb, queries, k=10, query_id_col="vec_id")
     tag = hashlib.md5(f"{sf}|c32".encode()).hexdigest()[:12]
     idx = ivf_build_or_reuse(
@@ -1353,7 +1383,7 @@ def q378(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 23)
     ql = query.select("label").first()[0]
-    exact = topk_cosine(emb.where(F.col("label") == ql), query, k=10)
+    exact = _pin_topk(topk_cosine(emb.where(F.col("label") == ql), query, k=10))
     tag = hashlib.md5(f"{sf}|fpq16-8-16".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-fivfpq-{tag}"
     approx = ivf_pq_topk(
@@ -1495,6 +1525,9 @@ def q380(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qids = [1, 7, 23, 42]
     queries = emb.filter(F.col("vec_id").isin(qids))
+    # exact stays un-pinned here: the checkpoint round-trip measured
+    # +0.2-0.5 s against the ~0.15 s corpus pass it saves at gate scale
+    # (multi-query Arrow pass; see OPTIMIZATION_r10.md batch 4)
     exact = topk_cosine_multi(emb, queries, k=10, query_id_col="vec_id")
     tag = hashlib.md5(f"{sf}|bpq16-8-16".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-bpq-{tag}"
@@ -1684,6 +1717,11 @@ def q382(spark: SparkSession, sf: str) -> DataFrame:
         spark, idx, queries, k=10, nprobe=24, query_id_col="vec_id",
         query_filter_cols=("label",),
     )
+    # approx feeds the leakage audit AND the hits semi-join — pin the
+    # k·|Q|-row result once so the pruned batch search runs once per
+    # call (exact stays un-pinned: measured cheaper to re-run at gate
+    # scale than to checkpoint — see OPTIMIZATION_r10.md batch 4)
+    approx = _pin_topk(approx)
     # leakage audit: every returned id must carry its query's own label
     qlab = queries.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
@@ -1790,6 +1828,8 @@ def q383(spark: SparkSession, sf: str) -> DataFrame:
         rerank=200, index_path=idx, meta_cols=("label",),
         query_id_col="vec_id", query_filter_cols=("label",),
     )
+    # same double-reference shape as q382: pin the approx search once
+    approx = _pin_topk(approx)
     qlab = queries.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
     )
@@ -1866,7 +1906,7 @@ def q384(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
-    exact = topk_cosine(emb, query, k=10)
+    exact = _pin_topk(topk_cosine(emb, query, k=10))
     tag = hashlib.md5(f"{sf}|pqappend16-8-16".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-pqappend-{tag}"
     fp = _ivf_fingerprint(emb, "vec_id")
@@ -1945,7 +1985,7 @@ def q385(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     surv = emb.filter(F.col("vec_id") % 10 != 3)
     query = emb.filter(F.col("vec_id") == 7)
-    exact = topk_cosine(surv, query, k=10)
+    exact = _pin_topk(topk_cosine(surv, query, k=10))
     tag = hashlib.md5(f"{sf}|erase16-8-16".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-erase-{tag}"
     fp = _ivf_fingerprint(surv, "vec_id")
@@ -1963,10 +2003,12 @@ def q385(spark: SparkSession, sf: str) -> DataFrame:
         ivf_delete(
             spark, idx, emb.filter(F.col("vec_id") % 10 == 3)
         )
-    approx = ivf_pq_topk(
-        surv, query, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
-        rerank=200, index_path=idx,
-    ).select("vec_id")
+    approx = _pin_topk(
+        ivf_pq_topk(
+            surv, query, k=10, n_clusters=16, nprobe=12, m=8, ksub=16,
+            rerank=200, index_path=idx,
+        ).select("vec_id")
+    )  # referenced twice: the doomed-id audit and the overlap count
     n_doomed = approx.filter(F.col("vec_id") % 10 == 3).count()
     overlap = exact.join(approx, "vec_id", "semi").count()
     return exact.select(
@@ -2024,7 +2066,7 @@ def q386(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
-    exact = topk_cosine(emb, query, k=10)
+    exact = _pin_topk(topk_cosine(emb, query, k=10))
     tag = hashlib.md5(f"{sf}|simnt32".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-simnt-{tag}"
     fp = _ivf_fingerprint(emb, "vec_id")
@@ -2127,7 +2169,7 @@ def q387(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 7)
-    exact = topk_cosine(emb, query, k=10)
+    exact = _pin_topk(topk_cosine(emb, query, k=10))
     tag = hashlib.md5(f"{sf}|compact32".encode()).hexdigest()[:12]
     idx = f"{tempfile.gettempdir()}/ctdc-compactivf-{tag}"
     fp = _ivf_fingerprint(emb, "vec_id")
@@ -2360,7 +2402,7 @@ def q390(spark: SparkSession, sf: str) -> DataFrame:
             and ivf_compact(spark, idx)["partitions_compacted"] == 0
         )
     query = emb.filter(F.col("vec_id") == 7)
-    exact = topk_cosine(union, query, k=10)
+    exact = topk_cosine(union, query, k=10)  # single reference: no pin
     approx = ivf_search(spark, idx, query, k=10, nprobe=16).select("vec_id")
     overlap = exact.join(approx, "vec_id", "semi").count()
     return emb.agg(

@@ -56,7 +56,17 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    sup = it.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    # it feeds sup, the basket count, and (via fit) BOTH sides of the
+    # pair self-join; sup feeds the a-priori prune and both rule joins —
+    # un-materialized, the lineitem scan+distinct tower re-derives per
+    # reference (~5x).  Checkpoint each once (item-table-sized writes).
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
+    it = it.checkpoint(eager=True)
+    sup = it.groupBy("p").agg(F.count(F.lit(1)).alias("s")).checkpoint(
+        eager=True
+    )
     freq = sup.filter(F.col("s") >= 2).select("p")
     fit = it.join(freq, "p", "left_semi")
     a, b = fit.alias("a"), fit.alias("b")
