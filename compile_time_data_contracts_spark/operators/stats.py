@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "NDCG_DISCOUNT_MICRO",
+    "grouped_global_rank",
     "markov_conversion_prob",
     "isotonic_fit_bins",
     "ranking_metrics",
@@ -76,6 +77,76 @@ def equi_width_histogram(
         )
         .groupBy("bucket", "lo", "hi")
         .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_cols: list[str],
+    out_col: str = "r0",
+    descending: bool = False,
+    ties: str = "row_number",
+) -> DataFrame:
+    """0-based GLOBAL rank in the total order (``value_col`` asc/desc,
+    ``tie_cols`` asc) WITHOUT a single-partition sort.
+
+    ``Window.orderBy(...)`` with no partition key pulls the whole table
+    into ONE task — the classic scale killer (and, on a single-row-group
+    fixture, a serial sort of every row).  When the leading sort column
+    has boundedly many distinct values (scores, buckets, quantized
+    metrics), the global rank decomposes exactly:
+
+        r0(row) = (# rows in strictly-earlier value groups)
+                  + row_number within its own value group - 1
+
+    which is one PARALLEL per-value-group window (partitioned by
+    ``value_col``), one value-group size aggregate, a cumulative-offset
+    window over the (tiny) distinct-value table, and a broadcast join.
+    No row-sized single-task stage anywhere.
+
+    Preconditions (the caller's contract, not checked row-wise):
+      * ``value_col`` is non-null (null ordering is not replicated);
+      * the distinct-value table is broadcast-sized (the operator's
+        whole point: |distinct| << |rows|).
+
+    ``ties`` selects the semantics on rows whose FULL key
+    (``value_col``, *``tie_cols``) repeats: ``"row_number"`` (default)
+    numbers them consecutively in an arbitrary-but-same-bucket order —
+    exactly ``row_number()`` over the total order; ``"min"`` gives all
+    of them the smallest position — exactly ``rank()``.  Both reduce to
+    the same integers when the key is unique.  Ties in ``tie_cols``
+    direction is always ascending, matching the deterministic-tiebreak
+    convention of the rank contracts (q299, q343).  Returns ``df`` plus
+    ``out_col`` (bigint).
+    """
+    order_value = (
+        F.col(value_col).desc() if descending else F.col(value_col).asc()
+    )
+    wg = Window.partitionBy(value_col).orderBy(
+        *[F.col(c).asc() for c in tie_cols]
+    )
+    sizes = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c"))
+    wo = Window.orderBy(order_value).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sizes.select(
+        value_col,
+        F.coalesce(F.sum("__c").over(wo), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    if ties not in ("row_number", "min"):
+        raise ValueError(f"ties must be 'row_number' or 'min', got {ties!r}")
+    pos = F.row_number() if ties == "row_number" else F.rank()
+    return (
+        df.withColumn("__rn", pos.over(wg))
+        .join(F.broadcast(offs), value_col)
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.col("__rn") - 1).cast("bigint"),
+        )
+        .drop("__rn", "__off")
     )
 
 

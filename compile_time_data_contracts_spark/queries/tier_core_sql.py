@@ -527,8 +527,23 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
+    # top-k FIRST, math after: projecting before orderBy+limit leaves
+    # the Project below TakeOrderedAndProject, so ln/exp/sqrt/pow run
+    # for EVERY scanned row; selecting the raw inputs, taking the
+    # top-500, and projecting after folds the math into the operator's
+    # post-heap projection — 500 evaluations instead of |lineitem|
+    # (measured 1.18 -> 0.23 s exec at sf0.1, rows identical)
     return (
         li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+        .select(
             "l_orderkey",
             "l_linenumber",
             F.round("l_extendedprice", 2).alias("rounded"),
@@ -540,8 +555,6 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.exp("l_discount"), 6).alias("exp_disc"),
             F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(500)
     )
 
 
@@ -612,10 +625,17 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
        WHERE json_extract_string(props, '$.k') IS NOT NULL""",
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.spread import spread_for_compute
+
     ev = load_table(spark, sf, "events")
     k_int = F.from_json(F.col("props"), "k INT")["k"]
+    # three JSON parses per row are the dominant cost; a single-row-
+    # group fixture scans as ONE task, serializing them on one core —
+    # fan the projected (event_id, props) rows out first (no-op on any
+    # input that already scans wide)
     return (
-        ev.select(
+        spread_for_compute(ev.select("event_id", "props"))
+        .select(
             "event_id",
             F.get_json_object("props", "$.k").alias("k_str"),
             k_int.alias("k_int"),

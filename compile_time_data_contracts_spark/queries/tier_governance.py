@@ -504,11 +504,13 @@ def q350(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
-    from pyspark import StorageLevel
+    from ..operators.dedup import _ensure_checkpoint_dir
 
+    _ensure_checkpoint_dir(spark.sparkContext)
     # t is ~10 rows/month but costs a full orders scan + agg + window to
     # build; it feeds three consumers (cur side, prev side, min-month) —
-    # persist so the leaderboard is computed once
+    # checkpoint so the leaderboard is computed once PER CALL (a leaked
+    # persist would be silently reused by later invocations)
     t = (
         s.withColumn(
             "rk",
@@ -518,7 +520,7 @@ def q350(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("rk") <= 10)
         .select("m", "c", "rk")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager=True)
     )
     mn = t.agg(F.min("m").alias("m0"))
     prev = t.select(
@@ -906,7 +908,6 @@ def q368(spark: SparkSession, sf: str) -> DataFrame:
     contingency groupBy, the dense group x band grid assembled from
     the tiny marginal frames, and a per-group cumulative window; the
     only floats are fractions of exact counts."""
-    from pyspark import StorageLevel
 
     cust = load_table(spark, sf, "customer")
     r = cust.select(
@@ -916,10 +917,14 @@ def q368(spark: SparkSession, sf: str) -> DataFrame:
             " AS BIGINT), 0), 9)"
         ).alias("band"),
     )
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
+    # checkpoint (not persist): per-call materialization, no cache leak
     cell = (
         r.groupBy("qi_group", "band")
         .agg(F.count("*").cast("bigint").alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager=True)
     )
     gl = cell.groupBy("band").agg(F.sum("n").cast("bigint").alias("gn"))
     gt = cell.agg(F.sum("n").cast("bigint").alias("tot"))

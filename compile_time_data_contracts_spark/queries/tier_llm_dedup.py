@@ -1150,13 +1150,17 @@ def q357(spark: SparkSession, sf: str) -> DataFrame:
     text column never shuffles); the hash self-join fans out at most
     |sources| per hash, so a corpus-wide duplicate costs |sources|^2
     rows, not df^2."""
-    from pyspark import StorageLevel
+    from ..operators.dedup import _ensure_checkpoint_dir
 
     docs = load_table(spark, sf, "documents")
+    _ensure_checkpoint_dir(spark.sparkContext)
+    # checkpoint (not persist): the hash table feeds the per-source
+    # counts and both self-join sides of the RETURNED plan — a leaked
+    # persist would be silently reused by later calls
     sh = (
         docs.select("source", F.md5(F.col("text").cast("binary")).alias("h"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager=True)
     )
     hs = sh.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_hashes")

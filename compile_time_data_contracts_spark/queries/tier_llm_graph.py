@@ -716,13 +716,13 @@ def q347(spark: SparkSession, sf: str) -> DataFrame:
     sized = items.groupBy("bk").agg(F.count(F.lit(1)).alias("n_it")).where(
         F.col("n_it") <= 64
     )
-    from pyspark import StorageLevel
+    from ..operators.dedup import _ensure_checkpoint_dir
 
+    _ensure_checkpoint_dir(spark.sparkContext)
     # kept feeds the df count, both pair-join sides and the two score
-    # joins; persist so the basket scan+distinct runs once, not five times
-    kept = items.join(sized.select("bk"), "bk").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # joins; checkpoint so the basket scan+distinct runs once per call,
+    # not five times (and never leaks a cache to later invocations)
+    kept = items.join(sized.select("bk"), "bk").checkpoint(eager=True)
     dfreq = kept.groupBy("it").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     a = kept.select("bk", F.col("it").alias("pa"))
     b = kept.select("bk", F.col("it").alias("pb"))
@@ -810,14 +810,16 @@ def q352(spark: SparkSession, sf: str) -> DataFrame:
     AQE's call otherwise), and a single 1-row moment aggregate; all
     moments are exact bigints, the final correlation is a handful of
     double ops + two IEEE-exact sqrts on engine-identical integers."""
-    from pyspark import StorageLevel
+    from ..operators.dedup import _ensure_checkpoint_dir
 
+    _ensure_checkpoint_dir(spark.sparkContext)
     e0 = _customer_graph_edges(spark, sf).where(F.col("src") != F.col("dst"))
-    # sym feeds the degree agg and both endpoint-degree joins
+    # sym feeds the degree agg and both endpoint-degree joins:
+    # checkpoint per call, never a leaked cross-call cache
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager=True)
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -894,13 +896,15 @@ def q374(spark: SparkSession, sf: str) -> DataFrame:
     whole graph' and carries no targeting signal).  First hop stays
     uncapped (direct neighbors are always reachable), distinctness
     via UNION semantics, and only the seed slice ever fans out."""
-    from pyspark import StorageLevel
+    from ..operators.dedup import _ensure_checkpoint_dir
 
+    _ensure_checkpoint_dir(spark.sparkContext)
     e0 = _customer_graph_edges(spark, sf).where(F.col("src") != F.col("dst"))
+    # checkpoint (not persist): per-call materialization, no cache leak
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager=True)
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")

@@ -1827,7 +1827,6 @@ def q356(spark: SparkSession, sf: str) -> DataFrame:
     same four aggregates — nothing here is driver-sized except the
     top-20 display cut."""
     from ..operators.dedup import shingle_rows
-    from pyspark import StorageLevel
 
     docs = load_table(spark, sf, "documents")
     lowered = docs.select(F.lower(F.col("text")).alias("__txt"))
@@ -1841,10 +1840,14 @@ def q356(spark: SparkSession, sf: str) -> DataFrame:
         F.split_part(F.col("shingle"), F.lit("|"), F.lit(1)).alias("w1"),
         F.split_part(F.col("shingle"), F.lit("|"), F.lit(2)).alias("w2"),
     )
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
+    # checkpoint (not persist): per-call materialization, no cache leak
     c = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("n_pair"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .checkpoint(eager=True)
     )
     uni = c.groupBy("w1").agg(
         F.sum("n_pair").cast("bigint").alias("c1"),

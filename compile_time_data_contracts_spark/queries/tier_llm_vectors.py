@@ -772,19 +772,27 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
     at micros scale; beyond that, production shifts to DECIMAL(38)
     sums (the q206 pattern) or the centered two-pass — the micros
     quantization itself is only for cross-engine determinism (q216)."""
+    from ..operators.spread import spread_for_compute
+
     emb = load_table(spark, sf, "embeddings")
     dims = list(range(8))
     pairs = [(i, j) for i in dims for j in dims if j >= i]
-    sel = emb.select(
-        *[
-            F.floor(
-                F.element_at(F.col("embedding"), i + 1).cast("double")
-                * 1000000
-            )
-            .cast("bigint")
-            .alias(f"x{i}")
-            for i in dims
-        ]
+    # 45 sums over 8 extracted dims are map-side work; a single-row-
+    # group fixture scans as ONE task — fan the projected micros rows
+    # out so the partial aggregation runs wide (no-op at production
+    # scan widths, and the merged agg still moves one row per partition)
+    sel = spread_for_compute(
+        emb.select(
+            *[
+                F.floor(
+                    F.element_at(F.col("embedding"), i + 1).cast("double")
+                    * 1000000
+                )
+                .cast("bigint")
+                .alias(f"x{i}")
+                for i in dims
+            ]
+        )
     )
     agg = sel.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1208,10 +1208,42 @@ def q299(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    wd = Window.orderBy(
-        F.col("s").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    # ntile over an unpartitioned window is a single-task sort of all
+    # of lineitem.  The order key (s desc, orderkey, linenumber) is a
+    # total order with ~10² distinct leading values, so the global rank
+    # decomposes into a parallel per-value window + broadcast offsets
+    # (`grouped_global_rank`), and ntile's exact bucketing (first
+    # n mod b buckets get one extra row) is a closed-form expression of
+    # the 0-based rank and the broadcast total — integers identical to
+    # the window form.
+    from ..operators.stats import grouped_global_rank
+
+    nn = scored.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ranked = (
+        grouped_global_rank(
+            scored,
+            "s",
+            ["l_orderkey", "l_linenumber"],
+            out_col="__r0",
+            descending=True,
+        )
+        .crossJoin(F.broadcast(nn))
+        .withColumn("__q", F.expr("__n DIV 10"))
+        .withColumn("__r", F.expr("__n % 10"))
     )
-    d = scored.select("lab", F.ntile(10).over(wd).alias("decile"))
+    decile = (
+        F.when(
+            F.col("__r0") < F.col("__r") * (F.col("__q") + 1),
+            F.expr("__r0 DIV (__q + 1)") + 1,
+        )
+        .otherwise(
+            F.col("__r")
+            + F.expr("(__r0 - __r * (__q + 1)) DIV __q")
+            + 1,
+        )
+        .cast("int")
+    )
+    d = ranked.select("lab", decile.alias("decile"))
     per = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("lab").cast("bigint").alias("pos"),

@@ -436,9 +436,18 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.asof import interval_overlap_join
 
     ev = load_table(spark, sf, "events")
-    s = ev.groupBy(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    # the session-interval table feeds BOTH sides of the overlap
+    # self-join — un-materialized, the events scan+aggregate runs twice
+    # (plus once more per explode side).  One user-day-sized reliable
+    # checkpoint runs it once per call.
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
+    s = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+        .checkpoint(eager=True)
+    )
     j = interval_overlap_join(
         s,
         s,
