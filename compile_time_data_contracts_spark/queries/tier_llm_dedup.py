@@ -492,12 +492,18 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("toks"),
     )
+    # the posting explode feeds BOTH sides of the co-occurrence
+    # self-join — checkpoint once so the part scan + tokenize + explode
+    # tower runs once per call (the _capped_pair_scores discipline)
+    from ..operators.dedup import _ensure_checkpoint_dir
+
+    _ensure_checkpoint_dir(spark.sparkContext)
     ex = tok.select(
         "p_partkey",
         "p_brand",
         F.size("toks").alias("sz"),
         F.explode("toks").alias("t"),
-    )
+    ).checkpoint(eager=True)
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
