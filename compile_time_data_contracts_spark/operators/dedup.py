@@ -276,6 +276,11 @@ def jaccard_pairs(
     Default None preserves the plain exact join (the fixture-sized
     oracle path); at 100 TB set max_df (or use
     minhash_near_dup_pairs / banding_then_containment).
+
+    NOTE (r10): the uncapped path materializes the distinct shingle
+    table EAGERLY at construction (reliable checkpoint) because it
+    feeds three plan branches — calling this builds and runs that job
+    immediately, it is not a lazy frame.
     """
     if max_df is not None:
         scored = _capped_pair_scores(df, id_col, text_col, n, max_df)
@@ -810,10 +815,18 @@ def _ensure_checkpoint_dir(sc) -> None:
     (HDFS/S3) instead."""
     if sc.getCheckpointDir() is not None:
         return
+    import atexit
+    import shutil
     import tempfile
     import warnings
 
     path = tempfile.mkdtemp(prefix="ctdc-checkpoint-")
+    # checkpoint files are only auto-deleted while the app runs when
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true (bench.py
+    # and the tools set it); the directory WE created is additionally
+    # removed at process exit so repeated runs cannot grow /tmp
+    # unboundedly.  A caller-configured dir is never touched.
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     if not sc.master.startswith("local"):
         warnings.warn(
             "no checkpoint dir configured; falling back to driver-local "
@@ -1383,6 +1396,10 @@ def containment_pairs(
     None keeps the plain exact join (work O(Σ_shingle df²)); at 100 TB
     set max_df, or run :func:`banding_then_containment` when the pair
     sizes are comparable enough for MinHash banding to see them.
+
+    NOTE (r10): the uncapped path materializes the distinct shingle
+    table EAGERLY at construction (reliable checkpoint, three plan
+    branches) — calling this runs that job immediately.
     """
     if max_df is not None:
         scored = _capped_pair_scores(df, id_col, text_col, n, max_df)

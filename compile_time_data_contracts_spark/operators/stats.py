@@ -134,19 +134,47 @@ def grouped_global_rank(
         value_col,
         F.coalesce(F.sum("__c").over(wo), F.lit(0))
         .cast("bigint")
-        .alias("__off"),
+        .alias(f"__{out_col}_off"),
     )
     if ties not in ("row_number", "min"):
         raise ValueError(f"ties must be 'row_number' or 'min', got {ties!r}")
     pos = F.row_number() if ties == "row_number" else F.rank()
+    # temp columns carry the out_col suffix so an input frame that
+    # already uses __rn/__off-style names is never clobbered
+    rn_c, off_c = f"__{out_col}_rn", f"__{out_col}_off"
+    # enforce the non-null precondition instead of silently dropping
+    # null-key rows: a plain inner join would drop them BEFORE any
+    # row-level assert could fire (Catalyst pushes the join's IsNotNull
+    # constraint below a deterministic guard projection — measured, the
+    # naive assert never evaluates).  A NULL-SAFE equi-join keeps null
+    # keys flowing to the output projection, where a zero-cost
+    # assert_true raises a clear error instead of emitting wrong ranks.
+    key_c = f"__{out_col}_k"
+    null_guard = F.coalesce(
+        F.assert_true(
+            F.col(value_col).isNotNull(),
+            F.lit(
+                f"grouped_global_rank: {value_col} contains NULLs — "
+                "null ordering is not replicated; filter or coalesce "
+                "them first"
+            ),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    offs = offs.withColumnRenamed(value_col, key_c)
     return (
-        df.withColumn("__rn", pos.over(wg))
-        .join(F.broadcast(offs), value_col)
+        df.withColumn(rn_c, pos.over(wg))
+        .join(
+            F.broadcast(offs),
+            F.col(value_col).eqNullSafe(F.col(key_c)),
+        )
         .withColumn(
             out_col,
-            (F.col("__off") + F.col("__rn") - 1).cast("bigint"),
+            (F.col(off_c) + F.col(rn_c) - 1 + null_guard).cast(
+                "bigint"
+            ),
         )
-        .drop("__rn", "__off")
+        .drop(key_c, rn_c, off_c)
     )
 
 

@@ -606,6 +606,10 @@ def duplicate_span_stats(
     it moves 16 bytes per window; suffix-array approaches find longer
     exact repeats but need a global sort — banded windows at fixed n
     are the shuffle-friendly 95% answer.
+
+    NOTE (r10): the positional n-gram table is materialized EAGERLY at
+    construction (reliable checkpoint — it feeds the histogram and the
+    semi-join); calling this runs that job immediately.
     """
     # positional n-grams via arrays_zip of n shifted slice views +
     # posexplode — same codegen-friendly construction as

@@ -103,6 +103,40 @@ class TestGroupedGlobalRank:
                 _toy(spark, ROWS), "s", ["a"], ties="dense"
             ).collect()
 
+    def test_null_value_key_raises_not_drops(self, spark):
+        # the old unpartitioned window ranked null keys; the
+        # decomposition cannot replicate null ordering, so it must
+        # FAIL LOUDLY instead of silently dropping the rows
+        from pyspark.errors.exceptions.captured import (
+            SparkRuntimeException,
+        )
+
+        from compile_time_data_contracts_spark.operators.stats import (
+            grouped_global_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 0), (None, 2, 1, 0)],
+            "s bigint, a bigint, b int, lab int",
+        )
+        with pytest.raises(SparkRuntimeException, match="contains NULLs"):
+            grouped_global_rank(df, "s", ["a", "b"], out_col="r").collect()
+
+    def test_out_col_suffix_avoids_collisions(self, spark):
+        # an input frame already carrying __rn/__off must survive
+        from compile_time_data_contracts_spark.operators.stats import (
+            grouped_global_rank,
+        )
+        from pyspark.sql import functions as F
+
+        df = _toy(spark, ROWS).withColumn("__rn", F.lit(7)).withColumn(
+            "__off", F.lit(9)
+        )
+        out = grouped_global_rank(df, "s", ["a", "b"], out_col="r")
+        rows = out.collect()
+        assert all(r["__rn"] == 7 and r["__off"] == 9 for r in rows)
+        assert sorted(r["r"] for r in rows) == list(range(len(ROWS)))
+
 
 class TestClosedFormNtile:
     @pytest.mark.parametrize("n", [1, 3, 9, 10, 11, 25, 37])

@@ -3541,6 +3541,127 @@ PIPELINE_CHECKS = {
 }
 
 
+# ---------------------------------------------------------------- r10:
+# build-side invariants for the per-call checkpoint pins.  These are the
+# assertions the pinned (returned) plans can no longer show; main()
+# re-builds each query with checkpoint patched to identity and checks
+# the FULL plan, so a regression upstream of a pin (row-pickling UDF in
+# the shingle tower, lost WindowGroupLimit prune, a cartesian sneaking
+# into a candidate join) fails the audit instead of hiding behind
+# "Scan ExistingRDD".
+CHECKS_UNPINNED = {
+    "q53_ngram_jaccard_neardup": [
+        ("shingle explode is a codegen Generate; candidate join keyed,"
+         " never cartesian", True,
+         lambda p: "Generate" in p and _nocart(p)),
+    ],
+    "q106_lsh_recall_contract": [
+        ("LSH side keeps the Arrow-batched signature stage; all joins "
+         "keyed, never cartesian", True,
+         lambda p: "MapInPandas" in p and _nocart(p)),
+    ],
+    "q150_entity_resolution": [
+        ("posting explode is a codegen Generate; co-occurrence join "
+         "keyed, never cartesian", True,
+         lambda p: "Generate" in p and _nocart(p)),
+    ],
+    "q156_duplicate_spans": [
+        ("positional n-grams via codegen Generate; shuffle carries "
+         "xxhash64 gram hashes, never text; no Python", True,
+         lambda p: "Generate" in p and "xxhash64" in p and _nopy(p)),
+    ],
+    "q157_containment_pairs": [
+        ("shingle explode is a codegen Generate, no Python", True,
+         lambda p: "Generate" in p and _nopy(p)),
+    ],
+    "q205_fuzzy_name_pairs": [
+        ("deletion variants are codegen Generate, no Python", True,
+         lambda p: "Generate" in p and _nopy(p)),
+    ],
+    "q270_interval_overlap_join": [
+        ("interval table is a partial-combined aggregate; bin join "
+         "keyed, never cartesian", True,
+         lambda p: "partial_" in p and _nocart(p)),
+    ],
+    "q302_sparse_tfidf_knn": [
+        ("shingling is codegen Generate, no Python", True,
+         lambda p: "Generate" in p and _nopy(p)),
+    ],
+    "q343_expected_calibration_error": [
+        ("decomposed rank: per-value Window + partial-aggregated "
+         "BIGINT sums, no Python", True,
+         lambda p: "Window" in p and "partial_sum" in p and _nopy(p)),
+    ],
+    "q347_item_cooccurrence_recs": [
+        ("basket distinct partial-aggregated; pair join keyed, never "
+         "cartesian; top-3 prunes via WindowGroupLimit", True,
+         lambda p: "partial_" in p and _nocart(p)
+         and "WindowGroupLimit" in p),
+    ],
+    "q350_heavy_hitter_churn": [
+        ("per-month top-10 prunes via WindowGroupLimit; revenue sums "
+         "partial-aggregated", True,
+         lambda p: "WindowGroupLimit" in p and "partial_sum" in p),
+    ],
+    "q352_degree_assortativity": [
+        ("degree/moment sums partial-aggregated; no Python, no "
+         "cartesian", True,
+         lambda p: "partial_" in p and _nopy(p) and _nocart(p)),
+    ],
+    "q356_kneser_ney_bigram": [
+        ("pair counts partial-aggregated over a codegen shingle "
+         "Generate; no Python", True,
+         lambda p: "Generate" in p and "partial_" in p and _nopy(p)),
+    ],
+    "q357_cross_source_duplication": [
+        ("docs reduce to md5 at the scan (ONE parquet scan of text); "
+         "no Python", True,
+         lambda p: "md5" in p and _nopy(p)),
+    ],
+    "q363_covariate_balance_smd": [
+        ("arm moments partial-aggregated; no Python (single-derivation "
+         "is the PINNED pass's claim)", True,
+         lambda p: "partial_sum" in p and _nopy(p)),
+    ],
+    "q368_t_closeness_audit": [
+        ("contingency cells partial-aggregated", True,
+         lambda p: "partial_" in p),
+    ],
+    "q370_autocorrelation_function": [
+        ("day rollup partial-aggregated; lag join keyed, never "
+         "cartesian", True,
+         lambda p: "partial_sum" in p and _nocart(p)),
+    ],
+    "q374_two_hop_reach": [
+        ("edge symmetrize+distinct partial-aggregated; hop joins "
+         "keyed, never cartesian; no Python", True,
+         lambda p: "partial_" in p and _nocart(p) and _nopy(p)),
+    ],
+    # pinned recall gates: the exact side's TakeOrdered heap must still
+    # be the plan under the pin, and Python must stay Arrow-batched
+    **{
+        g: [
+            ("exact top-k is a TakeOrdered heap (never a full sort); "
+             "no row-pickling Python", True,
+             lambda p: "TakeOrderedAndProject" in p
+             and "BatchEvalPython" not in p),
+        ]
+        for g in (
+            "q107_ivf_recall_contract",
+            "q143_ivf_append_contract",
+            "q151_pq_recall_contract",
+            "q193_ivf_pq_recall_contract",
+            "q376_filtered_ivf_recall_contract",
+            "q378_filtered_ivfpq_recall_contract",
+            "q384_pq_append_contract",
+            "q385_index_erasure_contract",
+            "q386_stream_index_maintenance",
+            "q387_index_compaction_contract",
+        )
+    },
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
@@ -3622,6 +3743,38 @@ def main() -> int:
             print(f"{status:5} {qname}: {name}")
             if required and not ok:
                 failures += 1
+    # ---- unpinned pass: the r10 per-call checkpoints truncate the
+    # returned plan to a Scan ExistingRDD, which hides the BUILD-side
+    # structure (a row-pickling UDF sneaking into shingle_rows, a lost
+    # WindowGroupLimit prune) from the checks above.  Re-build each
+    # pinned query with DataFrame.checkpoint patched to identity so the
+    # FULL lazy plan is visible, and re-assert the pre-pin invariants
+    # there.  Iterative operators (CC/graph loops) are excluded — their
+    # per-round checkpoints are load-bearing for plan depth; their
+    # build structure is audited via the inner pipelines instead.
+    try:
+        # Spark 4: the concrete class (method lookup target) lives in
+        # the classic module; the pyspark.sql.DataFrame base is abstract
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pragma: no cover - Spark 3.x fallback
+        from pyspark.sql import DataFrame as _DF
+
+    _orig_ckpt = _DF.checkpoint
+    _DF.checkpoint = lambda self, eager=True: self
+    try:
+        for qname, checks in CHECKS_UNPINNED.items():
+            df = qs[qname](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            for name, required, pred in checks:
+                ok = bool(pred(plan))
+                status = "PASS" if ok else ("FAIL" if required else "warn")
+                print(f"{status:5} {qname} [unpinned]: {name}")
+                if required and not ok:
+                    failures += 1
+    finally:
+        _DF.checkpoint = _orig_ckpt
     spark.stop()
     print(f"\n{failures} failures")
     return 1 if failures else 0

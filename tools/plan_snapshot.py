@@ -62,6 +62,9 @@ def main() -> int:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", "16g")
+        .config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )  # GC-reclaim per-call checkpoint files during long runs
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -52,6 +52,9 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )  # GC-reclaim per-call checkpoint files during long runs
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
