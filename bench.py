@@ -99,11 +99,35 @@ def main() -> None:
     # forensic cross-round comparison (round 9's driver artifact flagged
     # a phantom q84 regression that was exactly this).
     probe_sec: list[float] = []
+    # Aging-free contention meter (r11): the JVM probe ratio conflates
+    # host contention with JVM session aging (an IDLE host ages the
+    # 10^8-row sum ~2-4x across passes — r10's round-close run read
+    # probe_ratio 2.3 while genuinely quiet), which is why the ratio
+    # branch needed a hand-calibrated absolute floor that then silently
+    # suppressed a REAL contention flag in the r10 driver run
+    # (probe 0.13→0.36 s, 11 noisy queries, no flag).  A fixed
+    # pure-Python busy loop has no JVM state to age: its per-pass time
+    # moves ONLY with CPU contention, so its max/min ratio needs no
+    # host-specific floor at all.  min-of-2 per pass kills one-off
+    # scheduler jitter.
+    def _py_busy() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            x = 0
+            for i in range(2_000_000):
+                x += i
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    busy_sec: list[float] = []
     # one UNRECORDED warm-up of the probe plan: pass 1 would otherwise
     # carry its codegen/JIT compile and read as 2x+ the later passes,
     # tripping the probe_ratio threshold on a perfectly quiet host
     spark.range(100_000_000).selectExpr("sum(id)").collect()
+    _py_busy()  # warm the loop's bytecode/allocator path the same way
     for _ in range(repeats):
+        busy_sec.append(_py_busy())
         t0 = time.time()
         spark.range(100_000_000).selectExpr("sum(id)").collect()
         probe_sec.append(round(time.time() - t0, 3))
@@ -167,12 +191,23 @@ def main() -> None:
     probe_floor = float(
         os.environ.get("SPARK_GRAFT_NOISE_PROBE_FLOOR", "0.75")
     )
+    # the python busy-loop ratio needs no floor: nothing ages, so >1.4x
+    # between passes is contention, full stop (an idle host holds the
+    # min-of-2 loop within a few percent)
+    busy_ratio = (
+        round(max(busy_sec) / max(min(busy_sec), 1e-9), 3)
+        if busy_sec
+        else None
+    )
     noise = {
         "probe_sec": probe_sec,
         "probe_ratio": probe_ratio,
+        "busy_sec": busy_sec,
+        "busy_ratio": busy_ratio,
         "n_noisy_queries": n_noisy,
         "noise_flag": bool(
             n_noisy > max(10, len(samples) // 33)
+            or (busy_ratio is not None and busy_ratio > 1.4)
             or (
                 probe_ratio is not None
                 and probe_ratio > 2.0

@@ -805,38 +805,11 @@ def keep_best_dedup(
     return winners.select("__w.*")
 
 
-def _ensure_checkpoint_dir(sc) -> None:
-    """Auto-configure a checkpoint dir when unset, but make the scope of
-    the fallback explicit: a driver-local temp dir gives RELIABLE
-    checkpoint semantics only on ``local[*]`` masters.  On a real
-    cluster executors cannot read the driver's /tmp, so the advertised
-    executor-loss recoverability silently would not hold — warn so the
-    operator points ``sc.setCheckpointDir`` at shared durable storage
-    (HDFS/S3) instead."""
-    if sc.getCheckpointDir() is not None:
-        return
-    import atexit
-    import shutil
-    import tempfile
-    import warnings
-
-    path = tempfile.mkdtemp(prefix="ctdc-checkpoint-")
-    # checkpoint files are only auto-deleted while the app runs when
-    # spark.cleaner.referenceTracking.cleanCheckpoints=true (bench.py
-    # and the tools set it); the directory WE created is additionally
-    # removed at process exit so repeated runs cannot grow /tmp
-    # unboundedly.  A caller-configured dir is never touched.
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    if not sc.master.startswith("local"):
-        warnings.warn(
-            "no checkpoint dir configured; falling back to driver-local "
-            f"{path} on non-local master {sc.master!r} — reliable-"
-            "checkpoint recovery after executor loss will NOT hold. "
-            "Call sc.setCheckpointDir(<shared durable storage>) first.",
-            RuntimeWarning,
-            stacklevel=3,
-        )
-    sc.setCheckpointDir(path)
+# one shared home for the materialization discipline (round-11
+# consolidation); re-exported here because operators and tests import
+# it from this module historically
+from .materialize import ensure_checkpoint_dir as _ensure_checkpoint_dir
+from .materialize import pin_with_signature as _pin_with_signature
 
 
 def connected_components(
@@ -893,27 +866,23 @@ def connected_components(
         # seed with one propagation round fused into initialization:
         # lbl = min(self, direct neighbors) — saves a full join+
         # checkpoint+count cycle; diameter-2 components converge
-        # immediately
-        labels = edges.groupBy(F.col("src").alias("node")).agg(
-            F.least(F.first("src"), F.min("dst")).alias("lbl")
-        ).checkpoint(eager=True)
-
-        # convergence via a (count, order-independent xor-hash) signature
-        # of the label table — the same convention the star operator uses
-        # for its edge set.  Labels only ever DECREASE, so an unchanged
-        # signature is exactly "no label changed"; this removes the old
-        # per-round __chg left-join (one exchange of the label table per
-        # round) and its filter+count job.
-        def _lsig(lbls: DataFrame) -> tuple[int, int]:
-            row = lbls.agg(
-                F.count("*").alias("n"),
-                F.coalesce(
-                    F.bit_xor(F.xxhash64("node", "lbl")), F.lit(0)
-                ).alias("h"),
-            ).first()
-            return (row["n"], row["h"])
-
-        sig = _lsig(labels)
+        # immediately.
+        #
+        # Convergence via the (count, order-independent xor-hash)
+        # signature of the label table — the same convention the star
+        # operator uses for its edge set.  Labels only ever DECREASE, so
+        # an unchanged signature is exactly "no label changed".  r11:
+        # the signature is collected from the SAME job that materializes
+        # each round's checkpoint (observe-fused, materialize.py) — the
+        # former per-round aggregation action re-reading the checkpoint
+        # is gone (2 actions/round -> 1).
+        labels, sig = _pin_with_signature(
+            edges.groupBy(F.col("src").alias("node")).agg(
+                F.least(F.first("src"), F.min("dst")).alias("lbl")
+            ),
+            "node",
+            "lbl",
+        )
         for _ in range(max_iterations):
             # min(own, neighbors') in ONE aggregate: neighbor labels come
             # from the edge join, the node's own label rides in via the
@@ -928,13 +897,13 @@ def connected_components(
                 ),
                 "dst",
             ).select(F.col("src").alias("node"), F.col("__nl").alias("lbl"))
-            updated = (
+            updated, new_sig = _pin_with_signature(
                 neighbor_lbls.union(labels)
                 .groupBy("node")
-                .agg(F.min("lbl").alias("lbl"))
-                .checkpoint(eager=True)  # cut lineage, recoverably
+                .agg(F.min("lbl").alias("lbl")),
+                "node",
+                "lbl",
             )
-            new_sig = _lsig(updated)
             labels = updated
             if new_sig == sig:
                 # labels are checkpoint-materialized — lineage no longer
@@ -1072,6 +1041,7 @@ def connected_components_star(
     b_col: str = "doc_b",
     max_iterations: int = 30,
     checkpoint_every: int = 1,
+    windowed_min_max_edges: int = 4_000_000,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -1085,18 +1055,42 @@ def connected_components_star(
     diameter:
 
       * large-star: every node's strictly-larger neighbors re-attach to
-        the minimum of its neighborhood (min attached via ONE
-        min-over-partition window on the node id — never a collect of
-        the neighborhood, and one exchange instead of the agg+join
-        pair's two),
+        the minimum of its neighborhood,
       * small-star: every node and its smaller neighbors re-attach
-        likewise (edges kept directed larger->smaller between rounds).
+        likewise (edges kept directed larger->smaller between rounds);
+        both star outputs fold into ONE explode per round (the r10
+        union-of-selects form evaluated each phase's min twice, once
+        per union branch).
+
+    The per-node neighborhood min is computed one of two ways, chosen
+    PER ROUND from the round's edge count (``windowed_min_max_edges``,
+    known for free from the convergence signature): a
+    min-over-partition WINDOW while the worst-case single-task buffer
+    (2·n_edges rows for one hub owning every edge) stays trivially
+    bounded, and a partial-combined groupBy + equi-join above that —
+    star contraction concentrates a component's edges onto its root,
+    so at scale a giant component makes one unsplittable hot window
+    partition (round-10 verdict item 3), while map-side combine
+    collapses the same hub to one row per map task and hands the
+    attach join to machinery AQE can broadcast or skew-split (guide
+    §2.5/§3.1).  The 4M-edge default sits at the MEASURED local
+    crossover (tools/scale_probe_cc_hotkey.py, SCALEBENCH.json): on a
+    worst-case graph where ONE hub owns every edge, the window form
+    still wins at 10^6 edges (20-21 s vs 27-36 s — its single hot task
+    is only 2M rows) and starts losing at 10^7 (high-id hub: 103 s vs
+    95 s skew-safe), while the skew-safe form's worst case stays flat
+    at any degree.  Both probes complete correctly either way — the
+    switch is about bounding tail risk (a 10^9-degree hub is a
+    ~30 GB single window task; the agg+join collapses it map-side),
+    not about the fixture, whose graphs sit far below the threshold
+    and keep the measured-faster window plan.
 
     At the fixed point the edges form depth-1 stars rooted at each
-    component min.  Each round is two windowed min-attachments + one
-    distinct on node-id pairs; convergence is detected by (count,
-    order-independent hash-sum) equality of the edge set — no
-    driver-side edge materialization anywhere.
+    component min.  Convergence is detected by (count,
+    order-independent xor-hash) equality of the edge set, collected by
+    ``observe`` from the SAME job that materializes each round's
+    checkpoint (materialize.pin_with_signature) — one action per round,
+    no driver-side edge materialization anywhere.
 
     Lineage management: every round takes a RELIABLE checkpoint by
     default (``checkpoint_every=1``).  We MEASURED the alternative
@@ -1135,72 +1129,107 @@ def connected_components_star(
             .distinct()
             .checkpoint(eager=True)
         )
-        # directed larger -> smaller, self-loops dropped
-        edges = (
+        # directed larger -> smaller, self-loops dropped; the initial
+        # signature rides the same checkpoint job (observe-fused)
+        edges, sig = _pin_with_signature(
             cached.select(
                 F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
                 F.least(F.col(a_col), F.col(b_col)).alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .checkpoint(eager=True)
+            .distinct(),
+            "u",
+            "v",
         )
     finally:
         cached.unpersist()
 
     def _signature(e: DataFrame) -> tuple[int, int]:
-        # bit_xor: order-independent, overflow-free (a sum of 64-bit
-        # hashes overflows long under ANSI); edge rows are distinct so
-        # xor-cancellation of repeated rows cannot occur
+        # explicit-action form, used only for the persist-between-
+        # checkpoints escape hatch (checkpoint_every > 1), where the
+        # signature action doubles as the cache materializer
         row = e.agg(
             F.count("*").alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).first()
         return (row["n"], row["h"])
 
-    sig = _signature(edges)
     live_cache: DataFrame | None = None
+    n_edges = sig[0]
     for it in range(max_iterations):
         # ---- large-star: symmetrize, attach larger neighbors to the min
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # neighborhood minima via a WINDOW over the partition key, not
-        # groupBy+join: the agg+join form shuffles sym TWICE per phase
-        # (once into the aggregate, once into the join) plus sorts both
-        # join sides, while min-over-partition attaches the same value
-        # with ONE exchange+sort of sym.  Measured on the q101 chain
-        # graph at sf0.1: 10.3 s -> 6.9 s warm for the whole loop,
-        # fixed point byte-identical (tools/profile_cc2.py); at cluster
-        # scale it is strictly fewer exchanges of the edge set per
-        # alternation (2 + distinct, was 4 + distinct).
-        wu = Window.partitionBy("u")
-        large = (
-            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(wu)))
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # ---- small-star: attach node + smaller neighbors to the min.
-        # The root rows (u, m) are emitted once per large-row and
-        # deduplicated by the final distinct — same output set as the
-        # old groupBy-smins union, one less aggregate.
-        l2 = large.withColumn("m", F.min("v").over(wu))
+        # Neighborhood-min strategy, chosen PER ROUND from the round's
+        # own edge count (free — it is the count component of the
+        # convergence signature, observed on the previous checkpoint
+        # job).  Below the threshold the min-over-partition window is
+        # strictly cheaper (ONE exchange+sort of sym, zero extra query
+        # stages) and its worst case is bounded; above it, the window's
+        # worst case grows without bound while the agg+join stays flat.
+        # Measured crossover + probe evidence in the docstring.
+        skew_safe = n_edges > windowed_min_max_edges
+        if skew_safe:
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("__mn"))
+                .select(
+                    "u", F.least(F.col("u"), F.col("__mn")).alias("m")
+                )
+            )
+            large = (
+                sym.filter(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                # one explicit exchange on the new key, shared by the
+                # small-star aggregate AND its attach join below
+                # (ReusedExchange), so large is computed once per round
+                .repartition("u")
+            )
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            l2 = large.join(mins2, "u")
+        else:
+            wu = Window.partitionBy("u")
+            large = (
+                sym.withColumn(
+                    "m", F.least(F.col("u"), F.min("v").over(wu))
+                )
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            l2 = large.withColumn("m", F.min("v").over(wu))
+        # ---- small-star: attach node + smaller neighbors to the min,
+        # emitted in ONE pass: each row yields the root edge (u, m)
+        # always and the member edge (v, m) when v != m, via explode —
+        # the r10 union-of-two-selects referenced l2 twice, so Catalyst
+        # evaluated BOTH windows once per branch (the shuffle was
+        # reused, the window sort+eval was not); same output set under
+        # the final distinct.
+        member = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+        root = F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
         small = (
-            l2.filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(l2.select("u", F.col("m").alias("v")))
+            l2.select(
+                F.explode(
+                    F.when(
+                        F.col("v") != F.col("m"), F.array(member, root)
+                    ).otherwise(F.array(root))
+                ).alias("__e")
+            )
+            .select("__e.u", "__e.v")
             .distinct()
         )
         durable = (it + 1) % max(checkpoint_every, 1) == 0
         if durable:
-            edges = small.checkpoint(eager=True)  # cut lineage, recoverably
+            # one action: checkpoint materialization + observed signature
+            edges, new_sig = _pin_with_signature(small, "u", "v")
         else:
             edges = small.persist(StorageLevel.MEMORY_AND_DISK)
-        # the signature action also materializes a persisted round; only
-        # AFTER that is the previous round's cache safe to drop (dropping
-        # first would force this round to recompute from the last
-        # durable checkpoint)
-        new_sig = _signature(edges)
+            # the signature action also materializes a persisted round;
+            # only AFTER that is the previous round's cache safe to drop
+            # (dropping first would force this round to recompute from
+            # the last durable checkpoint)
+            new_sig = _signature(edges)
         if live_cache is not None:
             live_cache.unpersist()
             live_cache = None
@@ -1226,6 +1255,7 @@ def connected_components_star(
                 F.coalesce(F.col("__lbl"), F.col("node")).alias("cluster_id"),
             )
         sig = new_sig
+        n_edges = new_sig[0]
     if live_cache is not None:
         live_cache.unpersist()
     raise RuntimeError(

@@ -87,6 +87,7 @@ def grouped_global_rank(
     out_col: str = "r0",
     descending: bool = False,
     ties: str = "row_number",
+    max_groups: int = 8_000_000,
 ) -> DataFrame:
     """0-based GLOBAL rank in the total order (``value_col`` asc/desc,
     ``tie_cols`` asc) WITHOUT a single-partition sort.
@@ -105,10 +106,15 @@ def grouped_global_rank(
     window over the (tiny) distinct-value table, and a broadcast join.
     No row-sized single-task stage anywhere.
 
-    Preconditions (the caller's contract, not checked row-wise):
-      * ``value_col`` is non-null (null ordering is not replicated);
+    Preconditions (enforced in-plan, zero extra jobs):
+      * ``value_col`` is non-null (null ordering is not replicated) —
+        a null key raises via the null-safe-join + assert_true guard;
       * the distinct-value table is broadcast-sized (the operator's
-        whole point: |distinct| << |rows|).
+        whole point: |distinct| << |rows|) — ``max_groups`` caps it,
+        asserted on the offsets table itself (r11: a caller passing a
+        high-cardinality key now gets a clear error instead of a
+        silent single-task sort of the offsets window and an
+        over-budget broadcast).
 
     ``ties`` selects the semantics on rows whose FULL key
     (``value_col``, *``tie_cols``) repeats: ``"row_number"`` (default)
@@ -130,11 +136,29 @@ def grouped_global_rank(
     wo = Window.orderBy(order_value).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # the cardinality guard rides the SAME small post-agg table the
+    # cumulative window already processes (count over the whole-table
+    # frame adds no exchange); assert_true folds into the offsets
+    # projection, so exceeding max_groups fails fast with the message
+    # below instead of silently single-task-sorting a huge offsets table
+    grp_guard = F.coalesce(
+        F.assert_true(
+            F.count(F.lit(1)).over(Window.partitionBy()) <= max_groups,
+            F.lit(
+                f"grouped_global_rank: {value_col} exceeds max_groups="
+                f"{max_groups} distinct values — the decomposition "
+                "needs a broadcast-sized offsets table; use a plain "
+                "window rank or raise max_groups"
+            ),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
     offs = sizes.select(
         value_col,
-        F.coalesce(F.sum("__c").over(wo), F.lit(0))
-        .cast("bigint")
-        .alias(f"__{out_col}_off"),
+        (
+            F.coalesce(F.sum("__c").over(wo), F.lit(0)).cast("bigint")
+            + grp_guard
+        ).alias(f"__{out_col}_off"),
     )
     if ties not in ("row_number", "min"):
         raise ValueError(f"ties must be 'row_number' or 'min', got {ties!r}")

@@ -113,17 +113,17 @@ def stateful_totals_gate(
     from pyspark.sql import Window
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed_parallel
+    from .windows import write_sliced_feed
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    mod = F.pmod(F.col("event_id"), F.lit(3))
     base = tempfile.mkdtemp(prefix="ctdc-statefeed-")
-    # padded parallel feed: one batch == one trigger structurally, no
-    # coalesce(1) single-writer funnel per batch
-    mft = write_ordered_feed_parallel(
-        [ev.filter(mod == i) for i in range(3)], base
+    # one-pass sliced feed (r11): the three mod-3 batches written by ONE
+    # partitioned job instead of three full scan+write jobs; padding
+    # keeps one batch == one trigger structurally exactly as before
+    mft = write_sliced_feed(
+        ev, F.pmod(F.col("event_id"), F.lit(3)), 3, base
     )
 
     stream = (
@@ -230,15 +230,14 @@ def tws_totals_gate(
     from pyspark.sql import Window
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed_parallel
+    from .windows import write_sliced_feed
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    mod = F.pmod(F.col("event_id"), F.lit(3))
     base = tempfile.mkdtemp(prefix="ctdc-twsfeed-")
-    mft = write_ordered_feed_parallel(
-        [ev.filter(mod == i) for i in range(3)], base
+    mft = write_sliced_feed(
+        ev, F.pmod(F.col("event_id"), F.lit(3)), 3, base
     )
 
     stream = (
@@ -300,7 +299,7 @@ def rocksdb_totals_gate(
     import tempfile
 
     from ..catalog import load_table
-    from .windows import write_ordered_feed_parallel
+    from .windows import write_sliced_feed
 
     _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
     _ROCKSDB = (
@@ -312,9 +311,8 @@ def rocksdb_totals_gate(
         "event_id", "event_type", "value"
     )
     base = tempfile.mkdtemp(prefix="ctdc-rocksfeed-")
-    mod = F.pmod(F.col("event_id"), F.lit(3))
-    mft = write_ordered_feed_parallel(
-        [ev.filter(mod == i) for i in range(3)], base
+    mft = write_sliced_feed(
+        ev, F.pmod(F.col("event_id"), F.lit(3)), 3, base
     )
 
     stream = (

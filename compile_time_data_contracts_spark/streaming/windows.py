@@ -33,6 +33,7 @@ __all__ = [
     "gate_state_partitions",
     "write_ordered_feed",
     "write_ordered_feed_parallel",
+    "write_sliced_feed",
     "late_drop_counts",
     "stream_dedup_gate",
 ]
@@ -250,13 +251,11 @@ def write_ordered_feed_parallel(
     """
     import os
     import shutil
-    import time
 
     build = f"{base}.build-{os.getpid()}"
     shutil.rmtree(build, ignore_errors=True)
     os.makedirs(build)
-    t0 = time.time() - 1000
-    staged: list[list[str]] = []
+    stage_dirs: list[str] = []
     for i, df in enumerate(dfs):
         tmp = os.path.join(build, f"_stage{i}")
         # natural parallelism, deliberately WITHOUT a spread/repartition:
@@ -267,13 +266,33 @@ def write_ordered_feed_parallel(
         # batch), while a production-scale input already scans wide and
         # writes wide here with zero added exchanges
         df.write.mode("overwrite").parquet(tmp)
-        staged.append(
-            sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        )
+        stage_dirs.append(tmp)
+    return _finalize_feed(build, stage_dirs, dfs[0].limit(0), base)
+
+
+def _finalize_feed(
+    build: str, stage_dirs: list[str], pad_template, base: str
+) -> int:
+    """Shared feed-assembly tail: pad every staged batch directory to
+    the same file count N with empty schema-only parquet files, stamp
+    ascending mtimes (batch i strictly older than batch i+1), and swap
+    the completed build into ``base`` atomically.  Returns N (pass as
+    ``maxFilesPerTrigger``)."""
+    import os
+    import shutil
+    import time
+
+    t0 = time.time() - 1000
+    staged = [
+        sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        if os.path.isdir(d)
+        else []
+        for d in stage_dirs
+    ]
     n_files = max(1, max(len(p) for p in staged))
     # one empty schema-only parquet file as the padding template
     pad_tmp = os.path.join(build, "_stage_pad")
-    dfs[0].limit(0).coalesce(1).write.mode("overwrite").parquet(pad_tmp)
+    pad_template.coalesce(1).write.mode("overwrite").parquet(pad_tmp)
     pad_src = os.path.join(
         pad_tmp,
         next(f for f in os.listdir(pad_tmp) if f.endswith(".parquet")),
@@ -283,19 +302,70 @@ def write_ordered_feed_parallel(
     # one batch IS one trigger — but deterministic listing is nice)
     step = min(0.001, 9.0 / n_files)
     for i, parts in enumerate(staged):
-        tmp = os.path.join(build, f"_stage{i}")
         for j in range(n_files):
             dst = os.path.join(build, f"batch{i}_{j:07d}.parquet")
             if j < len(parts):
-                shutil.move(os.path.join(tmp, parts[j]), dst)
+                shutil.move(os.path.join(stage_dirs[i], parts[j]), dst)
             else:
                 shutil.copyfile(pad_src, dst)
             os.utime(dst, (t0 + i * 10 + j * step,) * 2)
-        shutil.rmtree(tmp)
-    shutil.rmtree(pad_tmp)
+        shutil.rmtree(stage_dirs[i], ignore_errors=True)
+    # drop every staging leftover (the pad template, the sliced form's
+    # partitioned parent with its _SUCCESS marker) before the swap; the
+    # file stream would ignore _-prefixed entries anyway, but the feed
+    # dir should hold exactly the replay files
+    for leftover in os.listdir(build):
+        p = os.path.join(build, leftover)
+        if leftover.startswith("_stage") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
     shutil.rmtree(base, ignore_errors=True)
     os.rename(build, base)
     return n_files
+
+
+def write_sliced_feed(
+    df: DataFrame,
+    batch_no,
+    n_batches: int,
+    base: str,
+    payload_cols: list[str] | None = None,
+) -> int:
+    """One-pass variant of :func:`write_ordered_feed_parallel` for feeds
+    whose batches are SLICES of one frame: ``batch_no`` (an integer
+    Column over ``df``'s columns, 0..n_batches-1) assigns each row its
+    replay batch, and a single ``partitionBy`` write materializes every
+    slice in ONE job — the list form re-scans the source once per slice
+    (3 scan+write jobs for the mod-3 gate feeds; guide §1.2: one
+    unavoidable pass, not one per batch).  Padding, mtime ordering and
+    the atomic swap are identical (shared ``_finalize_feed`` tail), so
+    one batch == one trigger structurally, exactly as before.
+
+    ``payload_cols`` restricts the written columns (default: all of
+    ``df``'s) — callers that pre-derive the batch number with an
+    ``explode`` (a row replayed into several batches) exclude the
+    helper column this way.  The partition column itself never appears
+    in the data files, so the on-disk schema equals the list form's.
+    """
+    import os
+    import shutil
+
+    cols = payload_cols if payload_cols is not None else df.columns
+    build = f"{base}.build-{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    stage = os.path.join(build, "_stage")
+    (
+        df.select(*cols, batch_no.cast("int").alias("__batch"))
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(stage)
+    )
+    stage_dirs = [
+        os.path.join(stage, f"__batch={i}") for i in range(n_batches)
+    ]
+    return _finalize_feed(
+        build, stage_dirs, df.select(*cols).limit(0), base
+    )
 
 
 def persistent_event_slices_feed(
@@ -335,7 +405,10 @@ def persistent_event_slices_feed(
     want = {
         "n": int(row["n"]), "mx": int(row["mx"]),
         "mts": str(row["mts"]), "id_sum": int(row["id_sum"]),
-        "n_slices": n_slices, "version": 2,
+        # version 3: feed written by the one-pass sliced writer (same
+        # batches, same padding contract; bumped so the r10 feed is
+        # regenerated once through the new code path)
+        "n_slices": n_slices, "version": 3,
     }
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     root = os.path.join(
@@ -350,11 +423,11 @@ def persistent_event_slices_feed(
         have = None
     if have is None or {k: have.get(k) for k in want} != want:
         os.makedirs(root, exist_ok=True)
-        slices = [
-            ev.filter(F.pmod(F.col("event_id"), F.lit(n_slices)) == i)
-            for i in range(n_slices)
-        ]
-        mft = write_ordered_feed_parallel(slices, feed)
+        # one-pass sliced write (r11): one partitioned job instead of
+        # n_slices scan+write jobs on every (re)build
+        mft = write_sliced_feed(
+            ev, F.pmod(F.col("event_id"), F.lit(n_slices)), n_slices, feed
+        )
         with open(meta_path, "w") as fh:
             json.dump({**want, "mft": mft}, fh)
     else:
@@ -418,22 +491,27 @@ def late_drop_counts(
         "event_id", "user_id", "ts", "value"
     )
     mod = F.pmod(F.col("event_id"), F.lit(100))
-    late = ev.filter(mod == 0)
     nonlate = ev.filter(mod != 0)
     max_ts = nonlate.agg(F.max("ts")).first()[0]  # scalar, feed setup only
     keepalive_pred = (mod == 1) & (F.col("ts") < F.lit(max_ts))
-    b0 = nonlate.filter(~keepalive_pred)
-    keepalive = nonlate.filter(keepalive_pred)
 
     base = tempfile.mkdtemp(prefix="ctdc-latefeed-")
-    # natural-parallelism padded feed (one batch == one trigger
-    # structurally); the old coalesce(1)-per-batch writer funneled three
-    # full event-table passes through single tasks — the same
-    # single-writer hazard write_ordered_feed_parallel documents
-    mft = write_ordered_feed_parallel([b0, keepalive, late], base)
+    # one-pass sliced feed (r11): the same three batches — non-late,
+    # keepalive, late — written by ONE partitioned job instead of three
+    # full event-table scan+write jobs; padding keeps one batch == one
+    # trigger structurally exactly as before
+    # a NULL keepalive predicate (null ts) yields a NULL batch number,
+    # which lands outside the three staged batch dirs — exactly the
+    # old filter/~filter pair's both-sides-drop behavior
+    batch_no = (
+        F.when(mod == 0, F.lit(2))
+        .when(keepalive_pred, F.lit(1))
+        .when(~keepalive_pred, F.lit(0))
+    )
+    mft = write_sliced_feed(ev, batch_no, 3, base)
 
     stream = (
-        spark.readStream.schema(b0.schema)
+        spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", str(mft))
         .parquet(base)
     )
@@ -480,12 +558,23 @@ def stream_dedup_gate(
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    dups = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
     base = tempfile.mkdtemp(prefix="ctdc-dupfeed-")
-    # padded parallel feed: batch/trigger alignment is structural, and
-    # the event-table passes write at natural parallelism instead of
-    # through the coalesce(1) funnel
-    mft = write_ordered_feed_parallel([ev, dups], base)
+    # one-pass sliced feed (r11): every row lands in batch 0, and the
+    # event_id % 10 == 0 rows are replayed AGAIN in batch 1 via an
+    # in-plan explode — ONE scan+write job where the list form paid a
+    # full pass per batch; padding keeps one batch == one trigger
+    expanded = ev.withColumn(
+        "__b",
+        F.explode(
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(10)) == 0,
+                F.array(F.lit(0), F.lit(1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    mft = write_sliced_feed(
+        expanded, F.col("__b"), 2, base, payload_cols=ev.columns
+    )
 
     stream = (
         spark.readStream.schema(ev.schema)

@@ -1,5 +1,5 @@
 """Snapshot `.explain("formatted")` for named registry queries into
-plans/r10/<query>_<tag>.txt, and time build vs execute.
+plans/r11/<query>_<tag>.txt, and time build vs execute.
 
 Usage:
     python tools/plan_snapshot.py TAG [sf_dir] q150_... q152_... ...
@@ -71,7 +71,7 @@ def main() -> int:
     qs = entrymod.queries()
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r10",
+        "plans", "r11",
     )
     os.makedirs(outdir, exist_ok=True)
 
