@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["ensure_checkpoint_dir", "pin", "pin_with_signature"]
+__all__ = [
+    "ensure_checkpoint_dir",
+    "pin",
+    "pin_if_input_large",
+    "pin_with_signature",
+    "scan_input_bytes",
+]
 
 
 def ensure_checkpoint_dir(sc) -> None:
@@ -78,6 +84,46 @@ def pin(df: DataFrame) -> DataFrame:
     re-deriving a diamond-shaped subtree once per consumer."""
     ensure_checkpoint_dir(df.sparkSession.sparkContext)
     return df.checkpoint(eager=True)
+
+
+def scan_input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind ``df``'s file scans, or None when it
+    cannot be determined cheaply (non-file sources, remote filesystems
+    this driver cannot stat).  Driver-side metadata only — no job runs.
+    """
+    import os
+
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            path = uri.removeprefix("file:")
+            if "://" in path:  # hdfs://, s3a://, ... — not stat-able here
+                return None
+            total += os.stat(path).st_size
+        return total
+    except Exception:
+        return None
+
+
+def pin_if_input_large(
+    df: DataFrame,
+    source_df: DataFrame,
+    threshold_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Cost-conditional :func:`pin` (round-11 verdict item 1): a
+    checkpoint only pays when the pass it truncates is expensive, and
+    that cost scales with the SOURCE scan, not with the pinned frame.
+    Pin when ``source_df``'s scan input exceeds ``threshold_bytes`` —
+    or when its size cannot be determined, because the safe default at
+    unknown scale is to materialize once rather than re-derive an
+    O(n²) subtree per consumer.  At fixture scale (sub-MB inputs) the
+    checkpoint's write+read round-trip exceeds the saved recomputation
+    (measured on q106: 5.15 s pinned vs 4.86 s unpinned min-of-5) and
+    the pin is skipped."""
+    size = scan_input_bytes(source_df)
+    if size is not None and size < threshold_bytes:
+        return df
+    return pin(df)
 
 
 def _signature_aggs(hash_cols: tuple[str, ...]) -> list:

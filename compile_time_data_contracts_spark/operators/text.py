@@ -233,13 +233,14 @@ def language_id_table(
     corpus scan + |docs|-row join to re-attach what was on the row.
     """
     carry = list(carry_cols or [])
-    # token explode + the (1 + n_langs)-column partial agg run in the
-    # scan stage — spread a narrow scan first (guide §2.5; no-op on wide
-    # scans; count/sum aggregation is order-insensitive)
-    from .spread import spread_for_compute
-
-    toks = spread_for_compute(
-        df.select(F.col(id_col), *carry, F.col(text_col))
+    # NO spread here (r11): the per-token work is one lower() + an isin
+    # lookup — cheap enough that the round-robin exchange a spread adds
+    # costs more than the single-task map stage it parallelizes
+    # (A/B-measured at sf0.1: q61 0.92 -> 0.50 s, q285 1.35 -> 0.70 s
+    # min-of-5 after REMOVING the r10 spread; the heavy adopters —
+    # shingling, bootstrap digests, percentile state — keep theirs)
+    toks = df.select(
+        F.col(id_col), *carry, F.col(text_col)
     ).select(
         F.col(id_col), *carry, F.explode(tokens(text_col)).alias("__tok")
     )
@@ -471,12 +472,11 @@ def bigram_lm(df, text_col: str = "text"):
     """
     from pyspark.sql import Window
 
-    from .spread import spread_for_compute
-
     toks = F.split(F.lower(F.col(text_col)), " ")
-    # bigram explode + the (w1, w2) partial count run pre-exchange —
-    # spread a narrow scan first (guide §2.5; no-op on wide scans)
-    base = spread_for_compute(df.select(F.col(text_col))).select(
+    # NO spread here (r11): the bigram explode is one split + arrays_zip
+    # per row — the added round-robin exchange was A/B-measured a net
+    # loss at sf0.1 (q98 0.86 -> 0.50 s min-of-5 after removing it)
+    base = df.select(F.col(text_col)).select(
         toks.alias("__t")
     )
     shifted = F.arrays_zip(

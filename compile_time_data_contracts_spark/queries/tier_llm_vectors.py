@@ -256,27 +256,32 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     precision 1 (verified candidates only).  Exact pair count is value-
     checked against brute force; the booleans gate the sketch — so the
     rows-only q56 path now has an oracle-checked companion."""
-    from ..operators.dedup import _ensure_checkpoint_dir
+    from ..operators.materialize import pin_if_input_large
     from ..operators.similarity import cosine_pairs, cosine_pairs_lsh
 
     emb = load_table(spark, sf, "embeddings")
     t = 0.45
     # exact feeds the hits join AND the n_exact agg; lsh feeds the hits
     # join AND the __n_lsh agg — un-materialized, each reference re-runs
-    # the full O(n²) BLAS pass / the whole LSH pipeline (collect, sig
-    # matmuls, bucket join) once per branch.  One pair-sized reliable
-    # checkpoint each cuts that to one execution per call; every call
-    # still computes both pair sets from parquet.
-    _ensure_checkpoint_dir(spark.sparkContext)
-    exact = (
-        cosine_pairs(emb, t)
-        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
-        .checkpoint(eager=True)
+    # the full O(n²) BLAS pass / the whole LSH pipeline once per branch.
+    # The r10 unconditional checkpoints were a measured LOSS at fixture
+    # scale (the pair-sized write+read round-trip exceeds the saved
+    # recompute on a sub-MB corpus: 4.86 s unpinned vs 5.15 s pinned
+    # min-of-5, and the round-10 driver flagged the same regression);
+    # pin_if_input_large keeps the pin exactly where it matters — a
+    # corpus whose scan is large (or of unknowable size), where a second
+    # O(n²) pass dwarfs any materialization cost.
+    exact = pin_if_input_large(
+        cosine_pairs(emb, t).select(
+            F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+        ),
+        emb,
     )
-    lsh = (
-        cosine_pairs_lsh(emb, t)
-        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
-        .checkpoint(eager=True)
+    lsh = pin_if_input_large(
+        cosine_pairs_lsh(emb, t).select(
+            F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+        ),
+        emb,
     )
     hits = lsh.join(exact, ["va", "vb"], "inner")
     agg = (
@@ -754,6 +759,40 @@ s AS (SELECT count(*) AS n, {sums} FROM x)
 {arms}"""
 
 
+def q218_moment_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """The data-sized half of q218 — the single partial-combined
+    scan+aggregate producing all 45 moments + count in one row —
+    exposed separately so tools/plan_audit.py can pin its shape (the
+    query itself collects this row and reshapes driver-side, so the
+    RETURNED plan is a 36-row local relation)."""
+    from ..operators.spread import spread_for_compute
+
+    emb = load_table(spark, sf, "embeddings")
+    dims = list(range(8))
+    pairs = [(i, j) for i in dims for j in dims if j >= i]
+    sel = spread_for_compute(
+        emb.select(
+            *[
+                F.floor(
+                    F.element_at(F.col("embedding"), i + 1).cast("double")
+                    * 1000000
+                )
+                .cast("bigint")
+                .alias(f"x{i}")
+                for i in dims
+            ]
+        )
+    )
+    return sel.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f"x{i}")).alias(f"s{i}") for i in dims],
+        *[
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}")
+            for i, j in pairs
+        ],
+    )
+
+
 @q("q218_covariance_matrix", _q218_oracle())
 def q218(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-covariance matrix (upper triangle, leading 8 embedding
@@ -772,51 +811,40 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
     at micros scale; beyond that, production shifts to DECIMAL(38)
     sums (the q206 pattern) or the centered two-pass — the micros
     quantization itself is only for cross-engine determinism (q216)."""
-    from ..operators.spread import spread_for_compute
-
-    emb = load_table(spark, sf, "embeddings")
     dims = list(range(8))
     pairs = [(i, j) for i in dims for j in dims if j >= i]
-    # 45 sums over 8 extracted dims are map-side work; a single-row-
-    # group fixture scans as ONE task — fan the projected micros rows
-    # out so the partial aggregation runs wide (no-op at production
-    # scan widths, and the merged agg still moves one row per partition)
-    sel = spread_for_compute(
-        emb.select(
-            *[
-                F.floor(
-                    F.element_at(F.col("embedding"), i + 1).cast("double")
-                    * 1000000
-                )
-                .cast("bigint")
-                .alias(f"x{i}")
-                for i in dims
-            ]
-        )
-    )
-    agg = sel.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col(f"x{i}")).alias(f"s{i}") for i in dims],
-        *[
-            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}")
-            for i, j in pairs
-        ],
-    )
+    # 45 sums over 8 extracted dims are map-side work; the scan-stage
+    # shape (spread + one partial-combined aggregate) lives in
+    # q218_moment_agg, which the plan audit pins directly.
+    agg = q218_moment_agg(spark, sf)
+    # r11: the 36 output cells used to be an in-plan explode over a
+    # literal struct array referencing the 46 aggregate outputs — ~90
+    # more named expressions whose Catalyst analysis cost 3-4x the
+    # execution itself (plan_snapshot: build 1.63 s vs exec_warm 0.20 s).
+    # The aggregate is ONE row; collect it and do the 36 divisions on
+    # exact Python integers (arbitrary precision ⊇ the BIGINT range both
+    # engines declare; float() of an int64-range int is the same
+    # round-to-nearest-double as the JVM/DuckDB CAST, so values are
+    # bit-identical).  The data-sized work — the single partial-combined
+    # scan+agg — is unchanged; only the 36-cell reshape moved off the
+    # plan.  One driver row is the q287/q107 eager-scalar precedent.
+    row = agg.first()
+    n = int(row["n"])
     cells = [
-        F.struct(
-            F.lit(i).alias("i"),
-            F.lit(j).alias("j"),
-            (
-                (
-                    F.col("n") * F.col(f"p{i}_{j}")
-                    - F.col(f"s{i}") * F.col(f"s{j}")
-                ).cast("double")
-                / (F.col("n").cast("double") * F.col("n"))
-            ).alias("cov_micros2"),
+        (
+            i,
+            j,
+            float(
+                n * int(row[f"p{i}_{j}"])
+                - int(row[f"s{i}"]) * int(row[f"s{j}"])
+            )
+            / (float(n) * n),
         )
         for i, j in pairs
     ]
-    return agg.select(F.explode(F.array(*cells)).alias("c")).select("c.*")
+    return spark.createDataFrame(
+        cells, "i int, j int, cov_micros2 double"
+    )
 
 
 _Q301_ORACLE = """

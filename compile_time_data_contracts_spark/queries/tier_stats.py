@@ -1576,10 +1576,21 @@ def q314(spark: SparkSession, sf: str) -> DataFrame:
         .alias("bal_c"),
         F.count("*").cast("bigint").alias("ns"),
     )
-    met = rev.join(bal, "nk").select(
-        "nk",
-        "rev_c",
-        (F.col("bal_c").cast("double") / F.col("ns")).alias("avgbal"),
+    # met is 25 rows (one per nation) but costs the lineitem⋈supplier
+    # rollup to build, and it feeds THREE consumers (the rank window
+    # plus both sides of tau-b's pair join) — un-pinned, the rollup ran
+    # once per consumer (30 exchanges in the r11 before-plan).  A
+    # nation-count-sized checkpoint runs it once per call (the
+    # _pin_topk discipline: tiny frame, expensive pass — a win at any
+    # scale).
+    from ..operators.materialize import pin
+
+    met = pin(
+        rev.join(bal, "nk").select(
+            "nk",
+            "rev_c",
+            (F.col("bal_c").cast("double") / F.col("ns")).alias("avgbal"),
+        )
     )
     one = F.lit(1)
     wrx, wry = Window.orderBy("rev_c"), Window.orderBy("avgbal")
