@@ -199,7 +199,7 @@ def _capped_pair_scores(
                 F.col(f"b.{id_col}").alias("doc_b"),
             )
             .dropDuplicates(["doc_a", "doc_b"])
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
         logging.getLogger(__name__).info(
             "df-capped pair join: dropped %d shingles with df > %d "
@@ -219,7 +219,7 @@ def _capped_pair_scores(
             sh.join(F.broadcast(cand_ids), id_col, "semi")
             .groupBy(id_col)
             .agg(F.collect_set("shingle").alias("sh"))
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
     finally:
         sh.unpersist()
@@ -541,7 +541,7 @@ def lsh_candidate_pairs(
                 F.col(f"b.{id_col}").alias("doc_b"),
             )
             .dropDuplicates(["doc_a", "doc_b"])
-            .checkpoint(eager=True)  # cut lineage; banded cache can go
+            .transform(_pin)  # cut lineage; banded cache can go
         )
     finally:
         banded.unpersist()
@@ -563,7 +563,7 @@ def lsh_candidate_pairs(
         # candidate-sized and consumed by BOTH verification joins:
         # checkpoint instead of cache, so the corpus is scanned exactly
         # once and no cache entry outlives the call
-    ).checkpoint(eager=True)
+    ).transform(_pin)
     return (
         cand.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
         .withColumnRenamed("sh", "sh_a")
@@ -809,6 +809,7 @@ def keep_best_dedup(
 # consolidation); re-exported here because operators and tests import
 # it from this module historically
 from .materialize import ensure_checkpoint_dir as _ensure_checkpoint_dir
+from .materialize import pin as _pin
 from .materialize import pin_with_signature as _pin_with_signature
 
 
@@ -1127,7 +1128,7 @@ def connected_components_star(
             cached.select(F.col(a_col).alias("node"))
             .union(cached.select(F.col(b_col).alias("node")))
             .distinct()
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
         # directed larger -> smaller, self-loops dropped; the initial
         # signature rides the same checkpoint job (observe-fused)
@@ -1241,7 +1242,7 @@ def connected_components_star(
                 # durable so the returned (lazy) frame neither leaks a
                 # cache into session LRU nor recomputes rounds when the
                 # caller finally evaluates it
-                edges = edges.checkpoint(eager=True)
+                edges = edges.transform(_pin)
                 live_cache.unpersist()
                 live_cache = None
             return all_nodes.join(
@@ -1590,7 +1591,7 @@ def chunked_containment_pairs(
                 F.col("b.__owner").alias("doc_b"),
             )
             .dropDuplicates(["doc_a", "doc_b"])
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
     finally:
         whole.unpersist()
@@ -1602,7 +1603,7 @@ def chunked_containment_pairs(
     )
     sh = shingle_set_table(
         df.join(F.broadcast(cand_ids), id_col, "semi"), id_col, text_col, n
-    ).checkpoint(eager=True)
+    ).transform(_pin)
     return (
         cand.join(sh.withColumnRenamed(id_col, "doc_a"), "doc_a")
         .withColumnRenamed("sh", "__sh_a")
@@ -1704,7 +1705,7 @@ def prefix_filtered_jaccard_pairs(
             ex.join(dfreq, "__t")
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= F.col("__sz") - min_overlap + 1)
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
     finally:
         ex.unpersist()

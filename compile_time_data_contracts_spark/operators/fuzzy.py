@@ -98,9 +98,7 @@ def edit_distance_pairs(
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     # the variant table feeds BOTH sides of the equi-join; without
     # materialization the explode + per-key distinct tower runs twice.
     # One reliable checkpoint writes it once and both sides read it

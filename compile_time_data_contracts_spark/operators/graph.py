@@ -106,9 +106,7 @@ def pagerank(
     if do_checkpoint:
         from pyspark import StorageLevel
 
-        from .dedup import _ensure_checkpoint_dir
-
-        _ensure_checkpoint_dir(nodes.sparkSession.sparkContext)
+        from .materialize import pin as _pin
         ew = ew.persist(StorageLevel.MEMORY_AND_DISK)
         if dangling == "redistribute":
             # each round's 1-row mass aggregate would otherwise rebuild
@@ -157,7 +155,7 @@ def pagerank(
             if do_checkpoint and (
                 (it + 1) % checkpoint_every == 0 or it == iters - 1
             ):
-                pr = pr.checkpoint(eager=True)
+                pr = pr.transform(_pin)
     finally:
         if do_checkpoint:
             ew.unpersist()
@@ -232,7 +230,7 @@ def triangle_count(
         .alias("t"),
         F.greatest("ka", "kb").alias("kt"),
     )
-    from .dedup import _ensure_checkpoint_dir
+    from .materialize import pin as _pin
 
     # the three output branches (edge count, wedge count, triangle
     # join) are independent plan subtrees: un-materialized, each would
@@ -244,8 +242,7 @@ def triangle_count(
     # wedge join emits exactly C(out_deg, 2) rows per source — a
     # node-sized aggregate instead of a second execution of the
     # dominant join), and keep the returned 1-row frame lazy
-    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
-    oriented = oriented.checkpoint(eager=True)
+    oriented = oriented.transform(_pin)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
@@ -313,9 +310,7 @@ def label_propagation(
     """
     from pyspark import StorageLevel
 
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     if edges_symmetrized:
         sym = edges.select("src", "dst")
     else:
@@ -349,7 +344,7 @@ def label_propagation(
             ),
             "id",
             "left",
-        ).checkpoint(eager=True)
+        ).transform(_pin)
         seeded = seeds.select(
             "id", F.col("label").cast("bigint").alias("__seed")
         )
@@ -382,7 +377,7 @@ def label_propagation(
                         "label"
                     ),
                 )
-                .checkpoint(eager=True)
+                .transform(_pin)
             )
     finally:
         if not edges_symmetrized:
@@ -424,22 +419,23 @@ def k_core(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     # each peel references the previous edge set three times (degree +
     # both endpoint semi-joins); a reliable per-round checkpoint keeps
     # the plan linear in peels instead of 3^peels (the
     # connected_components pattern)
-    cur = sym.checkpoint(eager=True)
-    for _ in range(max_peels):
+    cur = sym.transform(_pin)
+    for peel in range(max_peels):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select("src")
-        cur = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .checkpoint(eager=True)
+        cur = cur.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
         )
+        # the LAST peel's edge set feeds exactly one consumer (the
+        # returned degree aggregate), so its checkpoint round-trip
+        # bought nothing — materialize between peels only (r11)
+        if peel < max_peels - 1:
+            cur = cur.transform(_pin)
     return (
         cur.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
@@ -478,9 +474,7 @@ def bfs_levels(
     frontier / link-spam-neighborhood / citation-radius primitive of
     corpus curation.
     """
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     e = edges.select("src", "dst")
     if symmetric:
         e = e.union(
@@ -503,7 +497,7 @@ def bfs_levels(
             seeds.select(F.col("id").cast("bigint").alias("id"))
             .distinct()
             .select("id", F.lit(0).cast("int").alias("hop"))
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
         frontier = visited.select("id")
         for t in range(1, max_hops + 1):
@@ -515,9 +509,14 @@ def bfs_levels(
                 .distinct()
                 .join(visited, "id", "left_anti")
                 .select("id", F.lit(t).cast("int").alias("hop"))
-                .checkpoint(eager=True)
+                .transform(_pin)
             )
-            visited = visited.union(nxt).checkpoint(eager=True)
+            # r11: the visited set is a UNION OF PINS — every leaf is
+            # already materialized and the union tree is linear in
+            # hops, so the old per-hop checkpoint of the union was a
+            # cumulative re-WRITE of all visited rows every round
+            # (O(hops x nodes) extra writes) for zero lineage benefit
+            visited = visited.union(nxt)
             frontier = nxt.select("id")
     finally:
         e.unpersist()
@@ -550,9 +549,7 @@ def deterministic_random_walks(
     on the edge side (the ``pagerank`` co-location argument).  A
     reliable checkpoint per step keeps the plan linear in steps.
     """
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     from pyspark import StorageLevel
 
     # the de-duplicated edge list feeds every step's eager checkpoint —
@@ -572,7 +569,7 @@ def deterministic_random_walks(
             starts.select(F.col("id").cast("bigint").alias("walk"))
             .distinct()
             .select("walk", F.col("walk").alias("node"))
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
         out = pos.select(
             "walk", F.lit(0).cast("int").alias("step"), "node"
@@ -595,7 +592,7 @@ def deterministic_random_walks(
                 cand.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .select("walk", F.col("nxt").alias("node"))
-                .checkpoint(eager=True)
+                .transform(_pin)
             )
             out = out.union(
                 pos.select(
@@ -638,9 +635,7 @@ def sssp_bounded(
     """
     from pyspark import StorageLevel
 
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     # the documented negative-weight rejection, enforced INSIDE the
     # codegen projection (zero extra scan — the first materialization
     # of the cached edge list fails on the first offending row) rather
@@ -667,7 +662,7 @@ def sssp_bounded(
             seeds.select(F.col("id").cast("bigint").alias("id"))
             .distinct()
             .select("id", F.lit(0).cast("bigint").alias("dist"))
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
         for _ in range(max_hops):
             relax = dist.join(
@@ -680,7 +675,7 @@ def sssp_bounded(
                 dist.unionByName(relax)
                 .groupBy("id")
                 .agg(F.min("dist").alias("dist"))
-                .checkpoint(eager=True)
+                .transform(_pin)
             )
         return dist
     finally:
@@ -723,9 +718,7 @@ def personalized_pagerank(
     if do_checkpoint:
         from pyspark import StorageLevel
 
-        from .dedup import _ensure_checkpoint_dir
-
-        _ensure_checkpoint_dir(nodes.sparkSession.sparkContext)
+        from .materialize import pin as _pin
         ew = ew.persist(StorageLevel.MEMORY_AND_DISK)
     s = seeds.select(F.col("id").cast("bigint").alias("id")).distinct()
     # teleport share as a 1-row lazy broadcast (no eager count job)
@@ -758,7 +751,7 @@ def personalized_pagerank(
             if do_checkpoint and (
                 (it + 1) % checkpoint_every == 0 or it == iters - 1
             ):
-                pr = pr.checkpoint(eager=True)
+                pr = pr.transform(_pin)
     finally:
         if do_checkpoint:
             ew.unpersist()
@@ -797,9 +790,7 @@ def link_prediction_ra(
     Returns (u, v, cn, ra_micro): common-neighbor count and the
     integer micro-score sum_z floor(1e6 / deg(z)).
     """
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(edges.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     e0 = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
@@ -814,7 +805,7 @@ def link_prediction_ra(
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # carriers: neighbor z with its weight, hub-capped
@@ -826,7 +817,7 @@ def link_prediction_ra(
             F.col("dst").alias("n"),
             (F.lit(1_000_000) / F.col("deg")).cast("bigint").alias("w"),
         )
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     a = carrier.select("z", F.col("n").alias("u"), "w")
     b = carrier.select("z", F.col("n").alias("v"))

@@ -179,10 +179,8 @@ def merge_upsert(
     # the checkpoint dir at storage with a TTL) on a long-lived driver,
     # or repeated daily merges accumulate one touched-slice-sized
     # directory each
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
-    merged = merged.repartition(F.col(BUCKET_COL)).checkpoint(eager=True)
+    from .materialize import pin as _pin
+    merged = merged.repartition(F.col(BUCKET_COL)).transform(_pin)
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(BUCKET_COL).parquet(f"{path}/data")

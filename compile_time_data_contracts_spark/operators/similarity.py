@@ -1012,9 +1012,7 @@ def ivf_delete(
     if not touched:
         return {"n_deleted": 0, "rewritten_partitions": 0, "emptied": 0}
 
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from .materialize import pin as _pin
     pred = _partition_pred(touched, meta_cols)
     layers = [(f"{index_path}/vectors", vecs)]
     try:
@@ -1032,7 +1030,7 @@ def ivf_delete(
             tbl.filter(pred)
             .join(ids, id_col, "anti")
             .repartition(F.col("cluster"), *[F.col(c) for c in meta_cols])
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
         survivors.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
@@ -2217,9 +2215,7 @@ def cosine_pairs_lsh(
     # left to session LRU.
     from pyspark import StorageLevel
 
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
+    from .materialize import pin as _pin
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     # Bucket rows CARRY the (int-cast, b <= 20 bits) signature array so
     # the Hamming pre-filter below applies inside the bucket-join
@@ -2320,7 +2316,7 @@ def cosine_pairs_lsh(
             # tiny (surviving id-pairs only); materializing here lets the
             # sigs cache be released deterministically instead of leaking
             # to session LRU
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
     finally:
         sigs.unpersist()
@@ -3320,9 +3316,9 @@ def sparse_tfidf_knn(
     """
     from pyspark import StorageLevel
 
-    from .dedup import _ensure_checkpoint_dir, shingle_rows
+    from .dedup import shingle_rows
+    from .materialize import pin as _pin
 
-    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
     posts = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
     # tf feeds the df histogram AND the weight join; wt feeds THREE
     # consumers (norms + both sides of the posting self-join).  Without
@@ -3351,7 +3347,7 @@ def sparse_tfidf_knn(
                     * (F.lit(1_000_000) / F.col("__df")).cast("bigint")
                 ).alias("w"),
             )
-            .checkpoint(eager=True)
+            .transform(_pin)
         )
     finally:
         tf.unpersist()

@@ -644,10 +644,8 @@ def duplicate_span_stats(
     # the tokenize+zip+posexplode tower runs twice per call.  One
     # reliable checkpoint ((id, n_toks, pos, hash) longs — never text)
     # runs it once.
-    from .dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
-    pos_tbl = pos_tbl.checkpoint(eager=True)
+    from .materialize import pin as _pin
+    pos_tbl = pos_tbl.transform(_pin)
     shared = (
         pos_tbl.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -720,19 +718,18 @@ def remove_boilerplate_lines(
     both combiner-reduced; nothing is quadratic in df because lines are
     counted, never self-joined.
     """
-    from .dedup import _ensure_checkpoint_dir
+    from .materialize import pin as _pin
 
     # checkpoint-materialize the hot list ONCE: _drop_lines both
     # counts it (broadcast guard) and anti-joins against it — without
     # materialization the corpus-wide line_doc_frequency aggregation
     # would execute twice (the dominant stage).  Hot-list-sized write,
     # same discipline as dedup._capped_pair_scores.
-    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
     hot = (
         line_doc_frequency(df, id_col, text_col, sep)
         .filter(F.col("line_df") > max_doc_freq)
         .select("__norm")
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     return _drop_lines(df, hot, id_col, text_col, sep, out_col)
 

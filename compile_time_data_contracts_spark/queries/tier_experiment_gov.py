@@ -809,10 +809,8 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
     # un-materialized reference re-runs the single-task global-rank sort
     # over lineitem (3x the dominant cost).  A 10-row reliable
     # checkpoint runs the sort once per call.
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
-    b = b.checkpoint(eager=True)
+    from ..operators.materialize import pin as _pin
+    b = b.transform(_pin)
     tot = b.agg(F.sum("n").cast("bigint").alias("nt"))
     b2 = b.select(
         F.col("n").alias("n2"),
@@ -1321,9 +1319,7 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("ch"), "seq", "ps")
     )
     uw = Window.partitionBy("user_id").orderBy("seq")
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     # checkpoint, not persist: a persisted frame referenced by the
     # RETURNED plan survives the call and later invocations silently
     # reuse the cache (cross-run memoization); a reliable checkpoint
@@ -1334,7 +1330,7 @@ def q354(spark: SparkSession, sf: str) -> DataFrame:
         "ps",
         F.row_number().over(uw).alias("t"),
         F.lead("ch").over(uw).alias("nxt"),
-    ).checkpoint(eager=True)
+    ).transform(_pin)
     raw = (
         w.where(F.col("t") == 1)
         .select(F.lit("START").alias("src"), F.col("ch").alias("dst"))
@@ -1799,9 +1795,7 @@ def q363(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("t").cast("bigint").alias("st"),
         F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
     )
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     # the 2-row moment frame feeds six consumers (3 unpivot branches
     # x 2 arm splits); checkpoint so events is scanned once per call
     # (a leaked persist would be silently reused by later calls)
@@ -1811,7 +1805,7 @@ def q363(spark: SparkSession, sf: str) -> DataFrame:
         "CAST(sx AS DOUBLE) AS sx", "CAST(sxx AS DOUBLE) AS sxx",
         "CAST(sy AS DOUBLE) AS sy", "CAST(syy AS DOUBLE) AS syy",
         "CAST(st AS DOUBLE) AS st", "CAST(stt AS DOUBLE) AS stt",
-    ).checkpoint(eager=True)
+    ).transform(_pin)
     c = (
         m.selectExpr(
             "'value_cents' AS covariate", "arm", "sx / nd AS mean",
@@ -1903,14 +1897,12 @@ def q370(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     # checkpoint (not persist): per-call materialization, no cache leak
     idx = d.select(
         "v",
         F.row_number().over(Window.orderBy("day")).alias("i"),
-    ).checkpoint(eager=True)
+    ).transform(_pin)
     m = idx.agg(
         F.sum("v").cast("bigint").alias("sv"),
         F.count("*").cast("bigint").alias("n"),

@@ -504,9 +504,7 @@ def q350(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     # t is ~10 rows/month but costs a full orders scan + agg + window to
     # build; it feeds three consumers (cur side, prev side, min-month) —
     # checkpoint so the leaderboard is computed once PER CALL (a leaked
@@ -520,7 +518,7 @@ def q350(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("rk") <= 10)
         .select("m", "c", "rk")
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     mn = t.agg(F.min("m").alias("m0"))
     prev = t.select(
@@ -917,14 +915,12 @@ def q368(spark: SparkSession, sf: str) -> DataFrame:
             " AS BIGINT), 0), 9)"
         ).alias("band"),
     )
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     # checkpoint (not persist): per-call materialization, no cache leak
     cell = (
         r.groupBy("qi_group", "band")
         .agg(F.count("*").cast("bigint").alias("n"))
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     gl = cell.groupBy("band").agg(F.sum("n").cast("bigint").alias("gn"))
     gt = cell.agg(F.sum("n").cast("bigint").alias("tot"))

@@ -495,15 +495,13 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     # the posting explode feeds BOTH sides of the co-occurrence
     # self-join — checkpoint once so the part scan + tokenize + explode
     # tower runs once per call (the _capped_pair_scores discipline)
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     ex = tok.select(
         "p_partkey",
         "p_brand",
         F.size("toks").alias("sz"),
         F.explode("toks").alias("t"),
-    ).checkpoint(eager=True)
+    ).transform(_pin)
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -581,10 +579,8 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     # executes once and both batches replay cheap columnar files —
     # measured ~4 s saved at sf0.1, and it is the same durability story
     # as the loop's own per-round checkpoints
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
-    edges = edges.checkpoint(eager=True)
+    from ..operators.materialize import pin as _pin
+    edges = edges.transform(_pin)
     batch1 = edges.filter(F.col("doc_b") % 3 != 0)
     batch2 = edges.filter(F.col("doc_b") % 3 == 0)
     labels1 = connected_components_star(batch1)
@@ -1156,17 +1152,16 @@ def q357(spark: SparkSession, sf: str) -> DataFrame:
     text column never shuffles); the hash self-join fans out at most
     |sources| per hash, so a corpus-wide duplicate costs |sources|^2
     rows, not df^2."""
-    from ..operators.dedup import _ensure_checkpoint_dir
+    from ..operators.materialize import pin as _pin
 
     docs = load_table(spark, sf, "documents")
-    _ensure_checkpoint_dir(spark.sparkContext)
     # checkpoint (not persist): the hash table feeds the per-source
     # counts and both self-join sides of the RETURNED plan — a leaked
     # persist would be silently reused by later calls
     sh = (
         docs.select("source", F.md5(F.col("text").cast("binary")).alias("h"))
         .distinct()
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     hs = sh.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_hashes")

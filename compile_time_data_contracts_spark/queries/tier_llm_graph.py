@@ -581,7 +581,7 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
     (LPA tower + degree + internal-edge joins) verbatim.  One shuffle
     round beyond LPA itself: a degree aggregate + two label joins
     over the edge list."""
-    from ..operators.dedup import _ensure_checkpoint_dir
+    from ..operators.materialize import pin as _pin
     from ..operators.graph import community_modularity, label_propagation
 
     customer = load_table(spark, sf, "customer")
@@ -596,14 +596,13 @@ def q293(spark: SparkSession, sf: str) -> DataFrame:
     # scans in the measured plan).  Symmetrize ONCE, checkpoint, and
     # hand the materialized frame to both (edges_symmetrized=True is a
     # declaration, not a semantic change: same set by construction).
-    _ensure_checkpoint_dir(spark.sparkContext)
     sym = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     labels = label_propagation(sym, seeds, iters=2, edges_symmetrized=True)
     return community_modularity(sym, labels, edges_symmetrized=True)
@@ -716,13 +715,11 @@ def q347(spark: SparkSession, sf: str) -> DataFrame:
     sized = items.groupBy("bk").agg(F.count(F.lit(1)).alias("n_it")).where(
         F.col("n_it") <= 64
     )
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     # kept feeds the df count, both pair-join sides and the two score
     # joins; checkpoint so the basket scan+distinct runs once per call,
     # not five times (and never leaks a cache to later invocations)
-    kept = items.join(sized.select("bk"), "bk").checkpoint(eager=True)
+    kept = items.join(sized.select("bk"), "bk").transform(_pin)
     dfreq = kept.groupBy("it").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     a = kept.select("bk", F.col("it").alias("pa"))
     b = kept.select("bk", F.col("it").alias("pb"))
@@ -810,16 +807,14 @@ def q352(spark: SparkSession, sf: str) -> DataFrame:
     AQE's call otherwise), and a single 1-row moment aggregate; all
     moments are exact bigints, the final correlation is a handful of
     double ops + two IEEE-exact sqrts on engine-identical integers."""
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     e0 = _customer_graph_edges(spark, sf).where(F.col("src") != F.col("dst"))
     # sym feeds the degree agg and both endpoint-degree joins:
     # checkpoint per call, never a leaked cross-call cache
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -896,15 +891,13 @@ def q374(spark: SparkSession, sf: str) -> DataFrame:
     whole graph' and carries no targeting signal).  First hop stays
     uncapped (direct neighbors are always reachable), distinctness
     via UNION semantics, and only the seed slice ever fans out."""
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     e0 = _customer_graph_edges(spark, sf).where(F.col("src") != F.col("dst"))
     # checkpoint (not persist): per-call materialization, no cache leak
     sym = (
         e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")

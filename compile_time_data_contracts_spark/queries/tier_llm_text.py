@@ -1840,14 +1840,12 @@ def q356(spark: SparkSession, sf: str) -> DataFrame:
         F.split_part(F.col("shingle"), F.lit("|"), F.lit(1)).alias("w1"),
         F.split_part(F.col("shingle"), F.lit("|"), F.lit(2)).alias("w2"),
     )
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     # checkpoint (not persist): per-call materialization, no cache leak
     c = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("n_pair"))
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     uni = c.groupBy("w1").agg(
         F.sum("n_pair").cast("bigint").alias("c1"),

@@ -17,10 +17,9 @@ def _pin_topk(df):
     pass.  A k-row checkpoint runs that pass ONCE per call; the job
     still executes from parquet on every invocation (the checkpoint is
     a per-call temporary, never reused across calls)."""
-    from ..operators.dedup import _ensure_checkpoint_dir
+    from ..operators.materialize import pin
 
-    _ensure_checkpoint_dir(df.sparkSession.sparkContext)
-    return df.checkpoint(eager=True)
+    return pin(df)
 
 
 # embeddings are float32 on disk; both engines must do the cosine in

@@ -60,10 +60,8 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
     # pair self-join; sup feeds the a-priori prune and both rule joins —
     # un-materialized, the lineitem scan+distinct tower re-derives per
     # reference (~5x).  Checkpoint each once (item-table-sized writes).
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
-    it = it.checkpoint(eager=True)
+    from ..operators.materialize import pin as _pin
+    it = it.transform(_pin)
     sup = it.groupBy("p").agg(F.count(F.lit(1)).alias("s")).checkpoint(
         eager=True
     )

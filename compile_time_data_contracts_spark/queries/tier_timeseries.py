@@ -440,13 +440,11 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
     # self-join — un-materialized, the events scan+aggregate runs twice
     # (plus once more per explode side).  One user-day-sized reliable
     # checkpoint runs it once per call.
-    from ..operators.dedup import _ensure_checkpoint_dir
-
-    _ensure_checkpoint_dir(spark.sparkContext)
+    from ..operators.materialize import pin as _pin
     s = (
         ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
-        .checkpoint(eager=True)
+        .transform(_pin)
     )
     j = interval_overlap_join(
         s,
